@@ -1,0 +1,241 @@
+"""CDC query inventory — the reference's dataflow operators as oracle-checked
+queries over the fixtures (SURVEY §2.1 #1-#9).
+
+Each query projects scalar columns (not the map envelope) so the DuckDB
+value-hash comparison is well-defined; the envelope mechanics themselves are
+additionally covered by golden unit tests in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.envelope import snapshot_changes
+from cdc_rs_spark.functions.transforms import (
+    bigquery_fields,
+    change_type,
+    op_code,
+    topic_column,
+)
+from cdc_rs_spark.operators.compaction import latest_per_key
+from cdc_rs_spark.operators.filter import regex_table_filter
+from cdc_rs_spark.operators.merge import corrected_backfill
+from cdc_rs_spark.registry import register
+from cdc_rs_spark.session import load
+from cdc_rs_spark.sources.synthetic import ORACLE_LIVE_CHANGES, live_orders_changes
+
+# DuckDB-side reproduction of the reference timestamp stringification
+# (encode.py): midnight+0us -> date only; 0us -> seconds; else 6-digit micros.
+_ORACLE_TS_ENCODE = """
+    CASE WHEN {c} = date_trunc('day', {c}) THEN strftime({c}, '%Y-%m-%d')
+         WHEN {c} = date_trunc('second', {c}) THEN strftime({c}, '%Y-%m-%d %H:%M:%S')
+         ELSE strftime({c}, '%Y-%m-%d %H:%M:%S.%f') END
+"""
+
+
+@register(
+    "cdc_backfill_bigquery",
+    oracle=f"""
+    SELECT o_orderkey AS okey,
+           o_custkey AS custkey,
+           o_orderstatus AS status,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total,
+           {_ORACLE_TS_ENCODE.format(c="o_orderdate")} AS odate,
+           o_orderpriority AS priority,
+           'UPSERT' AS _CHANGE_TYPE,
+           'testdb' AS tenant
+    FROM orders
+    """,
+)
+def cdc_backfill_bigquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7 minimum slice: snapshot `orders` -> Backfill changes ->
+    BigQuery-CDC envelope (UPSERT + tenant injection, test.rhai:25-36) ->
+    scalar projection. Exercises the backfill source, envelope encoding, and
+    the BigQuery transform end-to-end."""
+    changes = snapshot_changes(load(spark, sf_dir, "orders"), "testdb", "orders", "o_orderkey")
+    fields = bigquery_fields(changes)
+    out = changes.select(fields.alias("f"))
+    return out.select(
+        F.col("f")["o_orderkey"].cast("bigint").alias("okey"),
+        F.col("f")["o_custkey"].cast("bigint").alias("custkey"),
+        F.col("f")["o_orderstatus"].alias("status"),
+        F.col("f")["o_totalprice"].cast("double").cast("decimal(18,2)").cast("string").alias("total"),
+        F.col("f")["o_orderdate"].alias("odate"),
+        F.col("f")["o_orderpriority"].alias("priority"),
+        F.col("f")["_CHANGE_TYPE"].alias("_CHANGE_TYPE"),
+        F.col("f")["tenant"].alias("tenant"),
+    )
+
+
+@register(
+    "cdc_merge_live_wins",
+    oracle=f"""
+    WITH live AS ({ORACLE_LIVE_CHANGES}),
+    backfill AS (
+        SELECT 'Backfill' AS op, o_orderkey AS okey, 1::BIGINT AS ts,
+               o_totalprice AS total
+        FROM orders
+    ),
+    all_changes AS (
+        SELECT op, okey, ts, total, 0 AS prio FROM backfill
+        UNION ALL
+        SELECT op, okey, ts, total, 1 AS prio FROM live
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY okey
+            ORDER BY prio DESC, ts DESC,
+                     CASE op WHEN 'Update' THEN 3 WHEN 'Insert' THEN 2
+                             WHEN 'Delete' THEN 1 ELSE 0 END DESC
+        ) AS rn
+        FROM all_changes
+    )
+    SELECT op, okey, ts, total FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_merge_live_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one genuinely stateful reference operator (src/main.rs:71-121):
+    per-key 'live change supersedes backfill row' arbitration over the union
+    of the snapshot and the synthetic live feed."""
+    orders = load(spark, sf_dir, "orders")
+    backfill = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    live = live_orders_changes(spark, sf_dir)
+    merged = corrected_backfill(backfill, live)
+    img = F.coalesce(F.col("after"), F.col("before"))
+    return merged.select(
+        F.col("op"),
+        img[F.col("pkey")].cast("bigint").alias("okey"),
+        F.col("ts"),
+        F.col("after")["o_totalprice"].cast("double").alias("total"),
+    )
+
+
+@register(
+    "cdc_compact_latest",
+    oracle=f"""
+    WITH live AS ({ORACLE_LIVE_CHANGES}),
+    backfill AS (
+        SELECT 'Backfill' AS op, o_orderkey AS okey, 1::BIGINT AS ts,
+               o_totalprice AS total
+        FROM orders
+    ),
+    all_changes AS (
+        SELECT op, okey, ts, total FROM backfill
+        UNION ALL SELECT op, okey, ts, total FROM live
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY okey ORDER BY ts DESC,
+                CASE op WHEN 'Update' THEN 3 WHEN 'Insert' THEN 2
+                        WHEN 'Delete' THEN 1 ELSE 0 END DESC
+        ) AS rn
+        FROM all_changes
+    )
+    SELECT op, okey, total FROM ranked WHERE rn = 1 AND op <> 'Delete'
+    """,
+)
+def cdc_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key compaction with delete tombstoning — the
+    materialized-state collapse the reference's UPSERT envelope implies
+    (test.rhai:27-33)."""
+    orders = load(spark, sf_dir, "orders")
+    backfill = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    live = live_orders_changes(spark, sf_dir)
+    compacted = latest_per_key(backfill.unionByName(live), drop_deletes=True)
+    img = F.coalesce(F.col("after"), F.col("before"))
+    return compacted.select(
+        F.col("op"),
+        img[F.col("pkey")].cast("bigint").alias("okey"),
+        F.col("after")["o_totalprice"].cast("double").alias("total"),
+    )
+
+
+@register(
+    "cdc_regex_filter",
+    oracle="""
+    WITH changes AS (
+        SELECT 'testdb' AS db, 'orders' AS tbl, COUNT(*) AS n FROM orders
+        UNION ALL SELECT 'testdb', 'customer', COUNT(*) FROM customer
+        UNION ALL SELECT 'otherdb', 'nation', COUNT(*) FROM nation
+    )
+    SELECT db, tbl AS "table", n
+    FROM changes
+    WHERE regexp_matches(db || '.' || tbl, '^testdb\\.(orders|customer)$')
+    """,
+)
+def cdc_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex table gate (src/main.rs:220,260-262) over a multi-table change
+    stream: testdb.* tables pass, otherdb.* is dropped pre-decode."""
+    parts = []
+    for db, table in [("testdb", "orders"), ("testdb", "customer"), ("otherdb", "nation")]:
+        df = load(spark, sf_dir, table)
+        parts.append(snapshot_changes(df, db, table, df.columns[0]))
+    changes = parts[0]
+    for p in parts[1:]:
+        changes = changes.unionByName(p)
+    filtered = regex_table_filter(changes, r"^testdb\.(orders|customer)$")
+    return filtered.groupBy("db", "table").agg(F.count("*").alias("n"))
+
+
+@register(
+    "cdc_topic_routing",
+    oracle="""
+    WITH changes AS (
+        SELECT 'testdb' AS db, 'orders' AS tbl, COUNT(*) AS n FROM orders
+        UNION ALL SELECT 'testdb', 'lineitem', COUNT(*) FROM lineitem
+        UNION ALL SELECT 'testdb', 'customer', COUNT(*) FROM customer
+    )
+    SELECT 'projects/p/topics/all_pims.' || tbl AS topic, n
+    FROM changes
+    """,
+)
+def cdc_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic topic routing (src/main.rs:424-435; template per test.rhai:
+    46-48): per-row computed topic column, counted per topic."""
+    parts = []
+    for table in ["orders", "lineitem", "customer"]:
+        df = load(spark, sf_dir, table)
+        parts.append(snapshot_changes(df, "testdb", table, df.columns[0]))
+    changes = parts[0]
+    for p in parts[1:]:
+        changes = changes.unionByName(p)
+    routed = changes.withColumn(
+        "topic", topic_column("projects/p/topics/all_pims.${table}")
+    )
+    return routed.groupBy("topic").agg(F.count("*").alias("n"))
+
+
+@register(
+    "cdc_envelope_opcodes",
+    oracle=f"""
+    WITH live AS ({ORACLE_LIVE_CHANGES}),
+    all_changes AS (
+        SELECT 'Backfill' AS op FROM orders
+        UNION ALL SELECT op FROM live
+    )
+    SELECT op,
+           CASE op WHEN 'Backfill' THEN 'c' WHEN 'Insert' THEN 'c'
+                   WHEN 'Update' THEN 'u' WHEN 'Delete' THEN 'd' ELSE op END AS op_code,
+           CASE op WHEN 'Delete' THEN 'DELETE' ELSE 'UPSERT' END AS change_type,
+           COUNT(*) AS n
+    FROM all_changes
+    GROUP BY 1, 2, 3
+    """,
+)
+def cdc_envelope_opcodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op-code semantics table (SURVEY §2.3): Debezium op letter + BigQuery
+    _CHANGE_TYPE for every op kind flowing through the merged stream."""
+    orders = load(spark, sf_dir, "orders")
+    backfill = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    live = live_orders_changes(spark, sf_dir)
+    merged = backfill.unionByName(live)
+    return (
+        merged.select(
+            F.col("op"),
+            op_code(F.col("op")).alias("op_code"),
+            change_type(F.col("op")).alias("change_type"),
+        )
+        .groupBy("op", "op_code", "change_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,44 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tested on local[32]; the config choices are the ones that matter on a real
+cluster too: AQE on (runtime coalesce + skew-join handling), Arrow enabled for
+any Pandas-UDF path, UTC session timezone so temporal stringification is
+deterministic across JVMs, and a broadcast threshold large enough that the
+TPC-H-ish dimension tables (region/nation/customer/supplier/part) always
+broadcast instead of shuffling the fact side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "cdc-rs-spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str):
+    """Read one fixture table. Column pruning + predicate pushdown reach the
+    parquet scan because this stays a plain declarative read."""
+    return spark.read.parquet(table_path(sf_dir, name))

@@ -1,0 +1,181 @@
+"""Golden tests for the Change envelope + encode rules (SURVEY §1.2, §2.3).
+
+The spec is the reference's wire decode (src/main.rs:442-507) and the stock
+script's two envelope styles (test.rhai:1-52).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.envelope import (
+    BACKFILL_TS,
+    live_changes,
+    pkey_value,
+    snapshot_changes,
+)
+from cdc_rs_spark.functions.encode import encode_value
+from cdc_rs_spark.functions.transforms import (
+    bigquery_json,
+    debezium_json,
+    scripted_transform,
+    topic_column,
+)
+
+
+def _encode_one(spark, value, dtype):
+    df = spark.createDataFrame([(value,)], f"v {dtype}")
+    return df.select(encode_value(F.col("v"), dtype).alias("e")).collect()[0]["e"]
+
+
+def test_encode_int_float_string(spark):
+    assert _encode_one(spark, 42, "bigint") == "42"
+    assert _encode_one(spark, -7, "int") == "-7"
+    assert _encode_one(spark, 1.5, "double") == "1.5"
+    assert _encode_one(spark, "abc", "string") == "abc"
+    assert _encode_one(spark, None, "string") is None
+
+
+def test_encode_date_and_midnight_collapse(spark):
+    # Date(y,m,d,0,0,0,0) -> "YYYY-MM-DD" (src/main.rs:457); a midnight
+    # DATETIME matches the same arm by pattern order.
+    assert _encode_one(spark, datetime.date(2024, 3, 9), "date") == "2024-03-09"
+    assert (
+        _encode_one(spark, datetime.datetime(2024, 3, 9, 0, 0, 0), "timestamp")
+        == "2024-03-09"
+    )
+
+
+def test_encode_datetime_seconds_and_micros(spark):
+    assert (
+        _encode_one(spark, datetime.datetime(2024, 3, 9, 13, 5, 7), "timestamp")
+        == "2024-03-09 13:05:07"
+    )
+    assert (
+        _encode_one(
+            spark, datetime.datetime(2024, 3, 9, 13, 5, 7, 450), "timestamp"
+        )
+        == "2024-03-09 13:05:07.000450"
+    )
+
+
+def test_encode_binary_utf8_vs_hex(spark):
+    # valid UTF-8 -> decoded string; invalid -> uppercase hex (src/main.rs:492-501)
+    assert _encode_one(spark, bytearray(b"hello"), "binary") == "hello"
+    assert _encode_one(spark, bytearray(b"\xff\x00\xab"), "binary") == "FF00AB"
+
+
+def test_snapshot_changes_shape(spark, sf_dir):
+    from cdc_rs_spark.session import load
+
+    orders = load(spark, sf_dir, "orders")
+    ch = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    row = ch.limit(1).collect()[0]
+    assert row["op"] == "Backfill"
+    assert row["before"] is None
+    assert row["ts"] == BACKFILL_TS
+    assert row["pkey"] == "o_orderkey"
+    assert set(row["after"].keys()) == set(orders.columns)
+
+
+def test_live_changes_images(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "Insert", 10), (2, "b", "Update", 11), (3, "c", "Delete", 12)],
+        "id int, v string, op string, ts int",
+    )
+    ch = live_changes(df, "db1", "t1", "id").collect()
+    by_op = {r["op"]: r for r in ch}
+    assert by_op["Insert"]["before"] is None
+    assert by_op["Insert"]["after"] == {"id": "1", "v": "a"}
+    assert by_op["Update"]["before"] == {"id": "2", "v": "b"}
+    assert by_op["Update"]["after"] == {"id": "2", "v": "b"}
+    assert by_op["Delete"]["after"] is None
+    assert by_op["Delete"]["before"] == {"id": "3", "v": "c"}
+
+
+def _mini_changes(spark):
+    df = spark.createDataFrame(
+        [
+            ("Insert", "pim", "product", None, {"id": "1", "x": "a"}, 1700000000, "id"),
+            ("Update", "pim", "product", {"id": "1", "x": "a"}, {"id": "1", "x": "b"}, 1700000001, "id"),
+            ("Delete", "pim", "product", {"id": "1", "x": "b"}, None, 1700000002, "id"),
+            ("Backfill", "pim", "product", None, {"id": "2", "x": "c"}, 1, "id"),
+        ],
+        "op string, db string, table string, before map<string,string>, "
+        "after map<string,string>, ts long, pkey string",
+    )
+    return df
+
+
+def test_debezium_envelope_golden(spark):
+    """Spec: test.rhai:4-22 — payload with before/after/op/source/ts_ms."""
+    df = _mini_changes(spark)
+    rows = df.select(F.col("op"), debezium_json(df).alias("j")).collect()
+    by_op = {r["op"]: json.loads(r["j"]) for r in rows}
+    ins = by_op["Insert"]["payload"]
+    assert ins["op"] == "c"
+    assert "before" not in ins or ins.get("before") is None  # null omitted by to_json
+    assert ins["after"] == {"id": "1", "x": "a"}
+    assert ins["source"] == {"ts_ms": 1700000000, "db": "pim", "table": "product"}
+    assert ins["ts_ms"] == 1700000000
+    assert by_op["Update"]["payload"]["op"] == "u"
+    assert by_op["Delete"]["payload"]["op"] == "d"
+    assert by_op["Backfill"]["payload"]["op"] == "c"
+
+
+def test_bigquery_envelope_golden(spark):
+    """Spec: test.rhai:25-36 — flattened row, _CHANGE_TYPE, tenant=db,
+    before-image payload iff Delete."""
+    df = _mini_changes(spark)
+    rows = df.select(F.col("op"), bigquery_json(df).alias("j")).collect()
+    by_op = {r["op"]: json.loads(r["j"]) for r in rows}
+    assert by_op["Insert"] == {
+        "id": "1", "x": "a", "_CHANGE_TYPE": "UPSERT", "tenant": "pim"
+    }
+    assert by_op["Update"] == {
+        "id": "1", "x": "b", "_CHANGE_TYPE": "UPSERT", "tenant": "pim"
+    }
+    assert by_op["Delete"] == {
+        "id": "1", "x": "b", "_CHANGE_TYPE": "DELETE", "tenant": "pim"
+    }
+    assert by_op["Backfill"] == {
+        "id": "2", "x": "c", "_CHANGE_TYPE": "UPSERT", "tenant": "pim"
+    }
+
+
+def test_topic_template(spark):
+    df = _mini_changes(spark)
+    t = df.select(
+        topic_column("projects/my-project-id/topics/all_pims.${table}").alias("t")
+    ).collect()
+    assert all(r["t"] == "projects/my-project-id/topics/all_pims.product" for r in t)
+    t2 = df.select(topic_column("${db}.${table}.v1").alias("t")).collect()
+    assert all(r["t"] == "pim.product.v1" for r in t2)
+
+
+def test_pkey_value(spark):
+    df = _mini_changes(spark)
+    vals = sorted(
+        df.select(pkey_value(df).alias("k")).collect(), key=lambda r: r["k"]
+    )
+    assert [r["k"] for r in vals] == ["1", "1", "1", "2"]
+
+
+def test_scripted_transform_escape_hatch(spark):
+    """The mapInPandas slow path mirroring src/main.rs:406-421."""
+    df = _mini_changes(spark)
+
+    def transform(db, table, op, before, after, ts):
+        fields = dict(before if op == "Delete" else after)
+        fields["_CHANGE_TYPE"] = "DELETE" if op == "Delete" else "UPSERT"
+        fields["tenant"] = db
+        return fields
+
+    out = scripted_transform(df, transform).collect()
+    assert len(out) == 4
+    parsed = [json.loads(r["value"]) for r in out]
+    assert all(p["tenant"] == "pim" for p in parsed)
+    assert {p["_CHANGE_TYPE"] for p in parsed} == {"UPSERT", "DELETE"}
