@@ -1,0 +1,161 @@
+"""Event-stream analytics over the `events` fixture (SURVEY §2.2: streaming
+windows — ABSENT in reference, provided as Spark built-ins).
+
+These run in batch mode here for oracle-checkability; the identical
+expressions run incrementally under Structured Streaming (same DataFrame ops,
+incrementalized — see cdc_rs_spark/streaming/ for the readStream versions with
+watermarks; Structured Streaming's core design point is that these are the
+same logical plans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.plans.relational import dsum
+from cdc_rs_spark.registry import register
+from cdc_rs_spark.session import load
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per event type."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS b, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value
+        FROM events
+    )
+    SELECT b AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour length, 30-minute slide — each event lands in
+    two windows. The oracle expands the two bucket assignments explicitly."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > INTERVAL 30 MINUTE THEN 1
+                    WHEN lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL THEN 1
+                    ELSE 0 END AS is_new
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_no
+        FROM ordered
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap per user — Spark's
+    built-in session_window; the oracle is the classic gaps-and-islands SQL."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_ts", "n_events")
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column (reference analog: JSON
+    serialization boundary, src/main.rs:421) + aggregation."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withColumn(
+            "k_bucket", F.get_json_object("props", "$.k").cast("bigint") % 10
+        )
+        .groupBy("k_bucket")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total_value"))
+    )
+
+
+@register(
+    "events_rate_per_type_window",
+    oracle="""
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT h AS window_start, event_type, n,
+           n - lag(n) OVER (PARTITION BY event_type ORDER BY h) AS delta
+    FROM hourly
+    """,
+)
+def events_rate_per_type_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-rate stats over the event stream (SURVEY §2.2 aggregations
+    EXTENSION row: per-type change-rate): hourly counts + delta vs previous
+    hour via lag window."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    w = Window.partitionBy("event_type").orderBy("window_start")
+    return hourly.withColumn("delta", F.col("n") - F.lag("n").over(w))

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from pyspark.sql import SparkSession
 
 
@@ -28,6 +30,10 @@ def get_spark(app_name: str = "cdc-rs-spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark has no native
+        # type for; read as long nanos and convert in load() (micros trunc,
+        # matching DuckDB's nanos->micros read).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -40,5 +46,13 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load(spark: SparkSession, sf_dir: str, name: str):
     """Read one fixture table. Column pruning + predicate pushdown reach the
-    parquet scan because this stays a plain declarative read."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    parquet scan because this stays a plain declarative read.
+
+    events.ts is TIMESTAMP(NANOS) in the file — surfaced as long nanos by
+    the nanosAsLong flag and converted here to a micros timestamp with
+    integer division (a double division would lose ~100ns of precision at
+    2024 epoch-nanos magnitudes)."""
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
