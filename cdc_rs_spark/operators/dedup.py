@@ -1,0 +1,208 @@
+"""Deduplication operators (EXTENSION per SURVEY §2.2 / the north star):
+exact, MinHash+LSH, SimHash, n-gram Jaccard — the large-scale training-data
+pipeline staples.
+
+Scale design:
+  - exact: hash-groupBy on the dedup key — one shuffle, map-side combine.
+  - MinHash LSH: per-doc signature (narrow map), explode to (band, key)
+    pairs, self-join on band key — candidate generation never compares
+    all-pairs; the O(n^2) verify only touches same-bucket candidates.
+  - SimHash: 32-bit fingerprint, banded into 4x8-bit chunks; a pair within
+    hamming<=3 is guaranteed to share a chunk (pigeonhole), so the band join
+    is a lossless blocker for that threshold.
+All expressions are built-in column ops (md5/conv/transform/aggregate) — no
+Python UDFs anywhere; whole-stage codegen applies end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.functions.hashing import P31, fingerprint, lcg_coeffs
+
+MINHASH_K = 32
+MINHASH_BANDS = 8  # 8 bands x 4 rows
+MINHASH_COEFFS = lcg_coeffs(MINHASH_K)
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep the min(order_col) row per exact key — hash aggregate, one
+    shuffle. For string keys at 100 TB, group on md5(key) instead of the raw
+    key to bound shuffle width."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min(order_col).alias(order_col))
+        .join(df, on=key_cols + [order_col], how="inner")
+    )
+
+
+def word_tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-grams. Requires size(tokens) >= n (callers filter;
+    sequence() would go descending otherwise)."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def shingle_fps(sh: Column) -> Column:
+    """Fingerprint each shingle into [0, P31)."""
+    return F.transform(sh, lambda s: fingerprint(s) % P31)
+
+
+def minhash_signature(fps: Column) -> Column:
+    """K-wide MinHash signature as an array column: sig_i = min over shingle
+    fingerprints of (a_i * x + b_i) mod P31."""
+    def perm(a: int, b: int):
+        return lambda x: (a * x + b) % P31
+
+    sigs = [
+        F.array_min(F.transform(fps, perm(a, b))) for a, b in MINHASH_COEFFS
+    ]
+    return F.array(*sigs)
+
+
+def minhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """doc -> (id, shingles, sig). Narrow per-row computation, no shuffle."""
+    tokens = word_tokens(F.col(text_col))
+    out = df.filter(F.size(tokens) >= 3).select(
+        F.col(id_col).alias("doc_id"),
+        shingles(tokens).alias("sh"),
+    )
+    return out.select("doc_id", "sh", minhash_signature(shingle_fps(F.col("sh"))).alias("sig"))
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Explode signatures into (band, band_key) and self-join: candidates are
+    pairs agreeing on at least one band. The join key is (band, 4 joined sig
+    values) — collision probability follows the standard banding S-curve."""
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.element_at(F.col("sig"), b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("bkey"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    exploded = docs.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, docs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only. docs: (doc_id, sh)."""
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return joined.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
+    candidate join -> exact-Jaccard verify."""
+    docs = minhash_docs(df, id_col, text_col)
+    pairs = lsh_candidate_pairs(docs)
+    return jaccard_verify(pairs, docs.select("doc_id", "sh"), threshold)
+
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 4 x 8-bit chunks; lossless blocker for hamming <= 3
+
+
+def simhash(tokens: Column) -> Column:
+    """32-bit SimHash over token fingerprints: bit j is set iff the sum of
+    (+1 / -1) votes from each token's bit j is positive. Expressed as
+    per-row folds over the fingerprint array (one md5 per token, reused by
+    all 32 bit-votes) — no explode, no shuffle."""
+    fps = F.transform(tokens, lambda t: fingerprint(t))
+
+    def voter(mask_val: int):
+        m = F.lit(mask_val).cast("long")
+        return lambda acc, h: acc + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
+
+    result = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        vote = F.aggregate(fps, F.lit(0), voter(1 << j))
+        result = result + F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return result
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """Banded SimHash near-dup join: block on any equal 8-bit chunk, verify
+    hamming via bit_count(xor). Guaranteed complete for hamming <= 3."""
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        simhash(word_tokens(F.col(text_col))).alias("sh"),
+    )
+    chunk_width = SIMHASH_BITS // SIMHASH_BANDS
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("sh"), b * chunk_width)
+                .bitwiseAND(F.lit((1 << chunk_width) - 1))
+                .alias("chunk"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    exploded = docs.select("doc_id", "sh", F.explode(chunks).alias("c")).select(
+        "doc_id", "sh", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk")
+    )
+    l, r = exploded.alias("l"), exploded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

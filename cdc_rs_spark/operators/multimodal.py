@@ -1,0 +1,101 @@
+"""Multimodal column plumbing (EXTENSION): opaque binary payloads + typed
+metadata, processed by Arrow-batched Pandas functions over mapInPandas.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container): `fake_image_meta` derives deterministic pseudo-metadata from the
+payload bytes so the Spark-side plumbing — schema, batch shape, partitioning,
+UDF signature — is real and oracle-testable; `decode_image` is the marked
+production entry point that requires PIL.
+
+Closest reference analog: binary values surfacing as hex strings at the
+envelope boundary (reference src/main.rs:495-499) — here binary stays binary
+and flows to columnar Python processing instead.
+
+Scale: mapInPandas streams Arrow record batches; payload columns never pass
+through the driver, and batch size is bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize an opaque binary column + typed metadata struct — the
+    multimodal storage shape (content: binary, meta: struct)."""
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.octet_length(F.encode(F.col(text_col), "UTF-8")).cast("long").alias("n_bytes"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def fake_image_meta(df: DataFrame) -> DataFrame:
+    """Deterministic stand-in for an image decoder: metadata derived from
+    payload length. Runs as Arrow-batched mapInPandas — the real decoder
+    drops into the same signature."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            n = pdf["payload"].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "width": n % 640,
+                    "height": (n * 7) % 480,
+                    "format": "fake/deterministic",
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, IMAGE_META_SCHEMA)
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """Production image decode — requires PIL, which this container does not
+    ship. The plumbing (schema, mapInPandas batching) is identical to
+    fake_image_meta."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "image decoding requires Pillow; container ships without it — "
+            "use fake_image_meta for plumbing tests"
+        ) from e
+
+    def run(batches: Iterator) -> Iterator:  # pragma: no cover
+        import io
+
+        import pandas as pd
+        from PIL import Image
+
+        for pdf in batches:
+            metas = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = Image.open(io.BytesIO(payload))
+                metas.append((doc_id, len(payload), img.width, img.height, img.format))
+            yield pd.DataFrame(
+                metas, columns=["doc_id", "n_bytes", "width", "height", "format"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, IMAGE_META_SCHEMA)

@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (EXTENSION per the north star).
+
+Two paths:
+  - brute-force cosine top-k: the correctness baseline. O(Q*N) dot products,
+    executed as a broadcast of the (small) query set against the candidate
+    table — scales with N across executors, never shuffles the big side.
+  - hyperplane-LSH ANN: 16 signed random projections -> 16-bit signature;
+    candidates are restricted to signatures within hamming <= r of the
+    query's (multi-probe). At cluster scale the signature is the bucketing
+    key (exact-match join); hamming-probe widens recall.
+
+All vector math is fold-based column expressions over array<float> with
+explicit double casts; the fold order (left-to-right) is deterministic and
+matches the generated DuckDB oracle bit-for-bit (verified: identical doubles).
+No UDFs — stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.functions.hashing import lcg_coeffs
+
+EMB_DIM = 64
+LSH_PLANES = 16
+
+# Deterministic hyperplanes: weights in [-1, 1] with 3 decimal digits,
+# derived from the shared LCG; embedded as literals in both engines.
+_coeff_stream = lcg_coeffs(LSH_PLANES * EMB_DIM, seed=7)
+LSH_WEIGHTS: list[list[float]] = [
+    [((_coeff_stream[i * EMB_DIM + j][0] % 2001) - 1000) / 1000.0 for j in range(EMB_DIM)]
+    for i in range(LSH_PLANES)
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product with double accumulation (matches the oracle's
+    list_reduce over list_transform)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def lsh_signature(emb: Column) -> Column:
+    """16-bit signature: bit i set iff dot(emb, plane_i) >= 0."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(LSH_WEIGHTS):
+        plane_col = F.array(*[F.lit(w) for w in plane])
+        proj = dot(emb, plane_col)
+        sig = sig + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def brute_force_topk(
+    queries: DataFrame, candidates: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k per query. queries: (query_id, q_emb); candidates:
+    (vec_id, embedding). The query side is broadcast (small by construction);
+    ranking is a per-query-partition window."""
+    joined = candidates.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cos = cosine(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        joined.select("query_id", "vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def lsh_topk(
+    queries: DataFrame, candidates: DataFrame, k: int = 5, max_hamming: int = 2
+) -> DataFrame:
+    """ANN: restrict candidates to LSH signatures within hamming <=
+    max_hamming of the query signature, then exact cosine top-k among them.
+    At scale the signature equality (hamming=0) is a plain bucket join; the
+    hamming probe is the multi-probe recall knob."""
+    qs = queries.withColumn("q_sig", lsh_signature(F.col("q_emb")))
+    cs = candidates.withColumn("c_sig", lsh_signature(F.col("embedding")))
+    joined = cs.join(
+        F.broadcast(qs),
+        (F.col("vec_id") != F.col("query_id"))
+        & (
+            F.bit_count(F.col("q_sig").bitwiseXOR(F.col("c_sig")))
+            <= max_hamming
+        ),
+    )
+    cos = cosine(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        joined.select("query_id", "vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
+    )

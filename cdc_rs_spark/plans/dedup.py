@@ -1,0 +1,206 @@
+"""Dedup query inventory (EXTENSION): exact, n-gram Jaccard, MinHash+LSH,
+SimHash — oracle-checked. The oracle SQL is *generated* from the same
+constants (MinHash coefficients, band layout, bit masks) the Spark operators
+use, and mirrors the LSH candidate generation exactly — an approximate
+algorithm is only testable when the oracle implements the same approximation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.functions.hashing import P31, fp_sql
+from cdc_rs_spark.operators.dedup import (
+    MINHASH_BANDS,
+    MINHASH_COEFFS,
+    MINHASH_K,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    exact_dedup,
+    jaccard_verify,
+    minhash_dedup_pairs,
+    shingle_fps,
+    shingles,
+    simhash_pairs,
+    word_tokens,
+)
+from cdc_rs_spark.registry import register
+from cdc_rs_spark.session import load
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH survivors AS (
+        SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
+    )
+    SELECT s.doc_id, d.lang, s.n_copies
+    FROM survivors s JOIN documents d ON s.doc_id = d.doc_id
+    """,
+)
+def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on text: min-doc_id survivor per distinct text + copy
+    count. Hash-groupBy, one shuffle; at 100 TB group on md5(text)."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    )
+    survivors = exact_dedup(d.select("doc_id", "text", "lang"), ["text"], "doc_id")
+    return survivors.join(counts.select("doc_id", "n_copies"), "doc_id").select(
+        "doc_id", "lang", "n_copies"
+    )
+
+
+# ---- shared oracle CTEs for shingle-based dedup --------------------------
+
+_DOCS_SHINGLES_SQL = """
+    docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w)-1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM docs WHERE len(w) >= 3
+    ),
+    fps AS (
+        SELECT doc_id, s,
+               list_transform(s, t -> {fp} % {p}) AS f
+        FROM sh
+    )
+""".format(fp=fp_sql("t"), p=P31)
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(f, x -> ({a}*x + {b}) % {P31}))"
+        for a, b in MINHASH_COEFFS
+    )
+    return f"sigs AS (SELECT doc_id, s, [{mins}] AS sig FROM fps)"
+
+
+def _minhash_bands_sql() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    selects = []
+    for b in range(MINHASH_BANDS):
+        key = " || '_' || ".join(
+            f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+        )
+        selects.append(f"SELECT doc_id, {b} AS band, {key} AS bkey FROM sigs")
+    return "bands AS (" + " UNION ALL ".join(selects) + ")"
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_DOCS_SHINGLES_SQL},
+    {_minhash_sig_sql()},
+    {_minhash_bands_sql()},
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+    ),
+    verified AS (
+        SELECT id_a, id_b,
+               ROUND(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+                     / (len(a.s) + len(b.s)
+                        - len(list_filter(a.s, x -> list_contains(b.s, x)))), 6) AS jaccard
+        FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                  JOIN sh b ON cand.id_b = b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash({MINHASH_K} perms) + LSH({MINHASH_BANDS} bands) near-dup
+    pairs with exact-Jaccard verification at >= 0.5."""
+    d = load(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_DOCS_SHINGLES_SQL}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+                 / (len(a.s) + len(b.s)
+                    - len(list_filter(a.s, x -> list_contains(b.s, x)))), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.doc_id < b.doc_id AND a.doc_id < 200 AND b.doc_id < 200
+    WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+          / (len(a.s) + len(b.s)
+             - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram Jaccard on a bounded block (doc_id < 200) —
+    the exhaustive baseline the LSH path approximates. The block bound is
+    the point: all-pairs only ever runs inside a block/bucket."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tokens = word_tokens(F.col("text"))
+    docs = d.filter(F.size(tokens) >= 3).select(
+        F.col("doc_id"), shingles(tokens).alias("sh")
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return pairs.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).filter(
+        F.col("jaccard") >= 0.3
+    )
+
+
+def _simhash_sql() -> str:
+    """Generated DuckDB mirror of operators.dedup.simhash: 32 bit-vote folds
+    over the token fingerprint list."""
+    terms = []
+    for j in range(SIMHASH_BITS):
+        mask = 1 << j
+        vote = (
+            f"list_reduce(list_prepend(0::BIGINT, f), "
+            f"(acc, h) -> acc + CASE WHEN (h & {mask}) <> 0 THEN 1 ELSE -1 END)"
+        )
+        terms.append(f"CASE WHEN {vote} > 0 THEN {mask}::BIGINT ELSE 0 END")
+    total = " + ".join(terms)
+    return f"""
+    docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tfps AS (SELECT doc_id, list_transform(w, t -> {fp_sql('t')}) AS f FROM docs),
+    hashes AS (SELECT doc_id, {total} AS sh FROM tfps)
+    """
+
+
+def _simhash_chunks_sql() -> str:
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    selects = [
+        f"SELECT doc_id, sh, {b} AS band, (sh >> {b * width}) & {(1 << width) - 1} AS chunk FROM hashes"
+        for b in range(SIMHASH_BANDS)
+    ]
+    return "chunks AS (" + " UNION ALL ".join(selects) + ")"
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_simhash_sql()},
+    {_simhash_chunks_sql()},
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+               l.sh AS sh_a, r.sh AS sh_b
+        FROM chunks l JOIN chunks r
+          ON l.band = r.band AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32 near-dup pairs, banded into 4x8-bit chunks (lossless
+    blocking for hamming <= 3 by pigeonhole)."""
+    d = load(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3)

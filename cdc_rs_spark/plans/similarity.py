@@ -1,0 +1,117 @@
+"""Similarity-search query inventory (EXTENSION): brute-force cosine top-k
+(exactness baseline) and hyperplane-LSH ANN (the scale path), both
+oracle-checked — the oracle reproduces the identical left-fold float math and
+LSH constants, so even the approximate path matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.operators.similarity import (
+    EMB_DIM,
+    LSH_WEIGHTS,
+    brute_force_topk,
+    lsh_topk,
+)
+from cdc_rs_spark.registry import register
+from cdc_rs_spark.session import load
+
+N_QUERIES = 8
+
+_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, {dim1}), "
+    "j -> {a}[j]::DOUBLE * {b}[j]::DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT.format(a=a, b=b, dim1=EMB_DIM + 1)
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
+_QUERIES_SQL = f"""
+    qs AS (
+        SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    )
+"""
+
+
+@register(
+    "similarity_bruteforce_topk",
+    oracle=f"""
+    WITH {_QUERIES_SQL},
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_dot_sql("q.q_emb", "c.embedding")}
+               / ({_norm_sql("q.q_emb")} * {_norm_sql("c.embedding")}) AS cos
+        FROM embeddings c CROSS JOIN qs q
+        WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, rank, ROUND(cos, 6) AS cosine
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the first {N_QUERIES} vectors against the
+    whole table — the ANN correctness baseline."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return brute_force_topk(queries, emb.select("vec_id", "embedding"), k=10)
+
+
+def _sig_sql(emb: str) -> str:
+    terms = []
+    for i, plane in enumerate(LSH_WEIGHTS):
+        lit = "([" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[])"
+        proj = _dot_sql(emb, lit)
+        terms.append(f"CASE WHEN {proj} >= 0 THEN {1 << i}::BIGINT ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "similarity_lsh_ann",
+    oracle=f"""
+    WITH {_QUERIES_SQL},
+    qsig AS (SELECT query_id, q_emb, {_sig_sql("q_emb")} AS q_sig FROM qs),
+    csig AS (SELECT vec_id, embedding, {_sig_sql("embedding")} AS c_sig
+             FROM embeddings),
+    cand AS (
+        SELECT q.query_id, c.vec_id,
+               {_dot_sql("q.q_emb", "c.embedding")}
+               / ({_norm_sql("q.q_emb")} * {_norm_sql("c.embedding")}) AS cos
+        FROM csig c CROSS JOIN qsig q
+        WHERE c.vec_id <> q.query_id
+          AND bit_count(xor(q.q_sig, c.c_sig)) <= 2
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM cand
+    )
+    SELECT query_id, vec_id, rank, ROUND(cos, 6) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: 16-bit signatures, candidates within hamming<=2
+    (multi-probe), exact cosine top-5 among candidates."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return lsh_topk(queries, emb.select("vec_id", "embedding"), k=5, max_hamming=2)

@@ -1,0 +1,152 @@
+"""Unit tests for the extension operators: dedup, similarity, text,
+multimodal (SURVEY §2.2 EXTENSION rows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    simhash_pairs,
+)
+from cdc_rs_spark.operators.multimodal import attach_payload, fake_image_meta
+from cdc_rs_spark.operators.similarity import brute_force_topk, lsh_topk
+from cdc_rs_spark.functions.text import (
+    predicted_lang,
+    rolling_fingerprint,
+    tokens,
+)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (5, "same text"), (3, "other text")], "doc_id long, text string"
+    )
+    out = exact_dedup(df, ["text"], "doc_id").collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 3]
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    # 26-word doc with one word changed -> trigram jaccard ~0.78, inside the
+    # high-recall region of the 8x4 banding S-curve (a 13-word doc at ~0.57
+    # sits in the soft region and may deterministically miss).
+    words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+        "lima mike november oscar papa quebec romeo sierra tango uniform "
+        "victor whiskey xray yankee zulu"
+    ).split()
+    base = " ".join(words)
+    near = " ".join(words[:20] + ["CHANGED"] + words[21:])
+    far = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = minhash_dedup_pairs(df, "doc_id", "text", threshold=0.4).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert 0.4 <= pairs[0]["jaccard"] < 1.0
+
+
+def test_minhash_identical_docs_jaccard_one(spark):
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    pairs = minhash_dedup_pairs(df, "doc_id", "text", threshold=0.9).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["jaccard"] == 1.0
+
+
+def test_simhash_near_identical(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    df = spark.createDataFrame(
+        [(1, base.strip()), (2, (base + "extra").strip()), (3, "totally unrelated content " * 6)],
+        "doc_id long, text string",
+    )
+    pairs = simhash_pairs(df, "doc_id", "text", max_hamming=6).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_brute_force_topk_identical_vector_ranks_first(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # identical to 0
+        (2, [0.9, 0.1, 0.0, 0.0]),   # close
+        (3, [0.0, 0.0, 1.0, 0.0]),   # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    out = brute_force_topk(q, df, k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 3]
+    assert out[0]["cosine"] == 1.0
+    assert out[2]["cosine"] == 0.0
+
+
+def test_lsh_topk_is_subset_of_bruteforce(spark, sf_dir):
+    from cdc_rs_spark.session import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    bf = brute_force_topk(q, emb.select("vec_id", "embedding"), k=50).collect()
+    ann = lsh_topk(q, emb.select("vec_id", "embedding"), k=5, max_hamming=2).collect()
+    assert len(ann) > 0
+    # every ANN hit must be a genuine vector with the cosine the exact path computed
+    bf_cos = {(r["query_id"], r["vec_id"]): r["cosine"] for r in bf}
+    for r in ann:
+        key = (r["query_id"], r["vec_id"])
+        if key in bf_cos:
+            assert abs(bf_cos[key] - r["cosine"]) < 1e-9
+
+
+def test_langid_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in the house"),
+            (2, "el perro y el gato en la casa de los vecinos"),
+            (3, "xyzzy plugh quux"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = tokens(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        predicted_lang(toks).alias("lang"),
+        rolling_fingerprint(toks).alias("fp"),
+    ).collect()}
+    assert out[1]["lang"] == "en"
+    assert out[2]["lang"] == "es"
+    assert out[3]["lang"] == "und"
+    # fingerprint is order-sensitive
+    df2 = spark.createDataFrame([(1, "b a"), (2, "a b")], "doc_id long, text string")
+    fps = [r["fp"] for r in df2.select(rolling_fingerprint(tokens(F.col("text"))).alias("fp")).collect()]
+    assert fps[0] != fps[1]
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "abc")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fake_image_meta(attach_payload(df)).collect()}
+    assert out[1]["n_bytes"] == 11
+    assert out[1]["width"] == 11 and out[1]["height"] == 77
+    assert out[2]["n_bytes"] == 3
+    assert out[1]["format"] == "fake/deterministic"
+
+
+def test_multimodal_decode_stub_raises(spark):
+    import pytest
+
+    from cdc_rs_spark.operators.multimodal import decode_image
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            decode_image(attach_payload(df))
