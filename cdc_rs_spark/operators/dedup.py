@@ -69,13 +69,20 @@ def minhash_signature(fps: Column) -> Column:
 
 
 def minhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """doc -> (id, shingles, sig). Narrow per-row computation, no shuffle."""
+    """doc -> (id, shingles, sig). Narrow per-row computation, no shuffle.
+
+    The fingerprint array is materialized as its own projection step before
+    the K array_min expressions reference it — inlining it instead would
+    re-run every md5 K times (measured 8x slowdown at sf0.1)."""
     tokens = word_tokens(F.col(text_col))
     out = df.filter(F.size(tokens) >= 3).select(
         F.col(id_col).alias("doc_id"),
         shingles(tokens).alias("sh"),
     )
-    return out.select("doc_id", "sh", minhash_signature(shingle_fps(F.col("sh"))).alias("sig"))
+    out = out.select("doc_id", "sh", shingle_fps(F.col("sh")).alias("fps"))
+    return out.select(
+        "doc_id", "sh", minhash_signature(F.col("fps")).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
@@ -134,8 +141,13 @@ def minhash_dedup_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
-    candidate join -> exact-Jaccard verify."""
-    docs = minhash_docs(df, id_col, text_col)
+    candidate join -> exact-Jaccard verify.
+
+    The signed docs relation feeds both the band join (twice) and the verify
+    join (twice); without persisting it the shingle+signature computation
+    would run 4x. At cluster scale this is the materialized
+    signatures/shingles table."""
+    docs = minhash_docs(df, id_col, text_col).persist()
     pairs = lsh_candidate_pairs(docs)
     return jaccard_verify(pairs, docs.select("doc_id", "sh"), threshold)
 
@@ -144,12 +156,11 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 4 x 8-bit chunks; lossless blocker for hamming <= 3
 
 
-def simhash(tokens: Column) -> Column:
-    """32-bit SimHash over token fingerprints: bit j is set iff the sum of
-    (+1 / -1) votes from each token's bit j is positive. Expressed as
-    per-row folds over the fingerprint array (one md5 per token, reused by
-    all 32 bit-votes) — no explode, no shuffle."""
-    fps = F.transform(tokens, lambda t: fingerprint(t))
+def simhash_from_fps(fps: Column) -> Column:
+    """32-bit SimHash from a *materialized* fingerprint-array column: bit j
+    is set iff the sum of (+1/-1) votes from each token's bit j is positive.
+    Callers must project the fps array as a real column first — passing the
+    raw transform expression would inline (and re-run) every md5 32 times."""
 
     def voter(mask_val: int):
         m = F.lit(mask_val).cast("long")
@@ -169,8 +180,10 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     hamming via bit_count(xor). Guaranteed complete for hamming <= 3."""
     docs = df.select(
         F.col(id_col).alias("doc_id"),
-        simhash(word_tokens(F.col(text_col))).alias("sh"),
-    )
+        F.transform(word_tokens(F.col(text_col)), lambda t: fingerprint(t)).alias(
+            "fps"
+        ),
+    ).select("doc_id", simhash_from_fps(F.col("fps")).alias("sh"))
     chunk_width = SIMHASH_BITS // SIMHASH_BANDS
     chunks = F.array(
         *[

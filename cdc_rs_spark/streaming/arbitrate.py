@@ -1,0 +1,97 @@
+"""Streaming live-wins arbitration — the stateful form of the
+backfill-correction merge (reference src/main.rs:71-121; batch form in
+operators/merge.py).
+
+Semantic contract (SURVEY §2.1 #5): per (db, table, pkey value), a live
+change supersedes any backfill row, regardless of arrival order; among live
+changes the latest ts wins. In a stream this is genuinely stateful: a
+backfill row must be suppressed even if it arrives *after* the live change
+for its key.
+
+Implementation: applyInPandasWithState keyed by (db, table, pkey value).
+State = the current winner's (priority, ts, op-rank). Each invocation emits
+the keys whose winner CHANGED in this micro-batch (update-mode semantics,
+which is what a CDC consumer wants). State partitioning shards by key hash —
+linear scale-out; per-key state is O(1) bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+from cdc_rs_spark.envelope import OP_BACKFILL, pkey_value
+
+_OP_RANK = {"Update": 3, "Insert": 2, "Delete": 1, "Backfill": 0}
+
+ARBITRATED_SCHEMA = T.StructType(
+    [
+        T.StructField("db", T.StringType()),
+        T.StructField("table", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("payload", T.StringType()),  # JSON of the winning image
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("prio", T.IntegerType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("oprank", T.IntegerType()),
+    ]
+)
+
+
+def _arbitrate(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    db, table, kval = key
+    if state.exists:
+        best = tuple(state.get)  # (prio, ts, oprank)
+    else:
+        best = None
+    winner: dict[str, Any] | None = None
+    for pdf in pdfs:
+        for row in pdf.itertuples(index=False):
+            prio = 0 if row.op == OP_BACKFILL else 1
+            cand = (prio, int(row.ts), _OP_RANK.get(row.op, 0))
+            if best is None or cand > best:
+                best = cand
+                winner = {
+                    "db": db,
+                    "table": table,
+                    "key": kval,
+                    "op": row.op,
+                    "ts": int(row.ts),
+                    "payload": row.payload,
+                }
+    if best is not None:
+        state.update(tuple(best))
+    if winner is not None:
+        yield pd.DataFrame([winner])
+
+
+def arbitrate_stream(changes: DataFrame) -> DataFrame:
+    """Apply keyed live-wins arbitration to a streaming Change DataFrame.
+    Emits one row per key per micro-batch in which its winner changed."""
+    keyed = changes.withColumn("key", pkey_value(changes)).withColumn(
+        "payload", F.to_json(F.coalesce(F.col("after"), F.col("before")))
+    )
+    return (
+        keyed.groupBy("db", "table", "key")
+        .applyInPandasWithState(
+            _arbitrate,
+            outputStructType=ARBITRATED_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

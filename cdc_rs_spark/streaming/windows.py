@@ -1,0 +1,44 @@
+"""Streaming windowed analytics with watermarks (SURVEY §2.2: watermarks /
+late data — ABSENT in reference, built-in here).
+
+These are the streaming forms of plans/events.py: identical logical
+expressions, incrementalized by Structured Streaming. The watermark bounds
+both state size and late-data admission: events later than the watermark
+delay are dropped, everything earlier is aggregated exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Tumbling event-time window per event_type with late-data bound.
+    Append output mode: a window emits once, when the watermark passes its
+    end — state is dropped immediately after."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def streaming_dedup(
+    changes: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key delivery over an at-least-once stream:
+    dropDuplicatesWithinWatermark on (db, table, key, ts) absorbs source
+    replays (the reference's offset-commit cadence makes replays of the last
+    event group possible, src/main.rs:238-255)."""
+    from cdc_rs_spark.envelope import pkey_value
+
+    keyed = changes.withColumn("key", pkey_value(changes)).withColumn(
+        "event_time", F.timestamp_seconds(F.col("ts"))
+    )
+    return keyed.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        ["db", "table", "key", "ts", "op"]
+    )

@@ -1,0 +1,220 @@
+"""Structured Streaming tests: file CDC source + checkpoint recovery,
+stateful live-wins arbitration across micro-batches, watermarked windows.
+
+Deterministic micro-batches via Trigger.AvailableNow + maxFilesPerTrigger
+(SURVEY §5(d)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.streaming.arbitrate import arbitrate_stream
+from cdc_rs_spark.streaming.source import read_change_stream
+from cdc_rs_spark.streaming.windows import streaming_dedup, tumbling_counts
+
+
+def _write_changes(path: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _chg(op, key, val, ts, pkey="id"):
+    before = {"id": key, "v": "old"} if op in ("Update", "Delete") else None
+    after = {"id": key, "v": val} if op != "Delete" else None
+    if op == "Backfill":
+        before = None
+    return {
+        "op": op, "db": "testdb", "table": "t", "before": before,
+        "after": after, "ts": ts, "pkey": pkey,
+    }
+
+
+def _run_available_now(stream_df, query_name: str, checkpoint: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_file_cdc_stream_end_to_end(spark, tmp_path):
+    """Files of JSON changes -> stream -> envelope transform -> memory sink."""
+    src = str(tmp_path / "src")
+    _write_changes(src, "b1.json", [
+        _chg("Insert", "1", "a", 100),
+        _chg("Update", "2", "b", 101),
+        _chg("Delete", "3", None, 102),
+    ])
+    from cdc_rs_spark.functions.transforms import bigquery_json, topic_column
+
+    stream = read_change_stream(spark, src)
+    assert stream.isStreaming
+    out = stream.select(
+        F.col("op"),
+        topic_column("cdc.${table}").alias("topic"),
+        bigquery_json(stream).alias("value"),
+    )
+    q = (
+        out.writeStream.format("memory").queryName("cdc_e2e")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM cdc_e2e").collect()
+    assert len(rows) == 3
+    by_op = {r["op"]: r for r in rows}
+    assert by_op["Delete"]["topic"] == "cdc.t"
+    payload = json.loads(by_op["Delete"]["value"])
+    assert payload["_CHANGE_TYPE"] == "DELETE"
+    assert payload["id"] == "3"  # before image for deletes
+
+
+def test_checkpoint_no_reprocessing(spark, tmp_path):
+    """Offset recovery: restart with the same checkpoint must not re-emit
+    already-processed files (the analog of the reference's log_pos resume,
+    src/main.rs:204-218 — handled entirely by Spark's WAL)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_changes(src, "b1.json", [_chg("Insert", "1", "a", 100)])
+
+    def run_once():
+        stream = read_change_stream(spark, src)
+        q = (
+            stream.selectExpr("op", "after['id'] AS id")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 1
+
+    _write_changes(src, "b2.json", [_chg("Insert", "2", "b", 200)])
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    # restart processed ONLY the new file: 2 rows total, no duplicates
+    assert sorted(r["id"] for r in rows) == ["1", "2"]
+
+
+def test_streaming_arbitration_backfill_after_live_is_suppressed(spark, tmp_path):
+    """The genuinely stateful case: the live change arrives in batch 1, the
+    stale backfill row for the same key arrives in batch 2 — state must
+    suppress it (batch merge can't; this is why the operator exists)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _write_changes(src, "b1.json", [
+        _chg("Update", "1", "live", 100),
+        _chg("Backfill", "2", "snap2", 1),
+    ])
+    _write_changes(src, "b2.json", [
+        _chg("Backfill", "1", "stale", 1),   # late snapshot row, key 1
+        _chg("Backfill", "3", "snap3", 1),
+    ])
+    stream = read_change_stream(spark, src, max_files_per_trigger=1)
+    out = arbitrate_stream(stream)
+    q = _run_available_now(out, "arb", ckpt)
+    rows = spark.sql("SELECT * FROM arb").collect()
+    # winner history per key: key1 -> Update only (backfill suppressed);
+    # key2, key3 -> their backfill rows
+    winners: dict[str, list] = {}
+    for r in rows:
+        winners.setdefault(r["key"], []).append(r)
+    assert [w["op"] for w in winners["1"]] == ["Update"]
+    assert json.loads(winners["1"][0]["payload"])["v"] == "live"
+    assert [w["op"] for w in winners["2"]] == ["Backfill"]
+    assert [w["op"] for w in winners["3"]] == ["Backfill"]
+
+
+def test_streaming_arbitration_live_supersedes_after_backfill(spark, tmp_path):
+    """Reverse order: backfill first, live later -> two emissions for the
+    key, final winner is the live change."""
+    src = str(tmp_path / "src")
+    _write_changes(src, "b1.json", [_chg("Backfill", "1", "snap", 1)])
+    _write_changes(src, "b2.json", [_chg("Delete", "1", None, 500)])
+    stream = read_change_stream(spark, src, max_files_per_trigger=1)
+    out = arbitrate_stream(stream)
+    q = _run_available_now(out, "arb2", str(tmp_path / "ckpt"))
+    rows = spark.sql("SELECT * FROM arb2 ORDER BY ts").collect()
+    key1 = [r for r in rows if r["key"] == "1"]
+    assert [r["op"] for r in key1] == ["Backfill", "Delete"]
+
+
+def test_streaming_dedup_absorbs_replay(spark, tmp_path):
+    """At-least-once replay of the same change is delivered exactly once."""
+    src = str(tmp_path / "src")
+    dup = _chg("Insert", "1", "a", 1_700_000_000)
+    _write_changes(src, "b1.json", [dup])
+    _write_changes(src, "b2.json", [dup, _chg("Insert", "2", "b", 1_700_000_100)])
+    stream = read_change_stream(spark, src, max_files_per_trigger=1)
+    out = streaming_dedup(stream)
+    q = (
+        out.writeStream.format("memory").queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT key FROM dedup_stream").collect()
+    assert sorted(r["key"] for r in rows) == ["1", "2"]
+
+
+def test_streaming_tumbling_window_matches_batch(spark, sf_dir, tmp_path):
+    """Incrementalized window agg == batch window agg over the same data
+    (the Structured Streaming core property)."""
+    from cdc_rs_spark.session import load
+
+    events = load(spark, sf_dir, "events").limit(200).cache()
+    src = str(tmp_path / "events_json")
+    events.select(
+        "event_id", F.col("ts").cast("string").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    ).coalesce(2).write.mode("overwrite").json(src)
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    out = tumbling_counts(stream, "1 hour", "1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("win_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_stream").collect()
+    }
+    want = {
+        (str(r["window_start"]), r["event_type"]): r["n"]
+        for r in (
+            events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n")
+            .collect()
+        )
+    }
+    assert got == want
