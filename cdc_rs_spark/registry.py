@@ -35,6 +35,7 @@ REGISTRY: dict[str, Query] = {}
 _PLAN_MODULES = [
     "cdc_rs_spark.plans.cdc",
     "cdc_rs_spark.plans.relational",
+    "cdc_rs_spark.plans.relational2",
     "cdc_rs_spark.plans.events",
     "cdc_rs_spark.plans.dedup",
     "cdc_rs_spark.plans.similarity",
