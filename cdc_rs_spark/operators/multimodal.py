@@ -71,6 +71,93 @@ def fake_image_meta(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, IMAGE_META_SCHEMA)
 
 
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("frame_count", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+AUDIO_FRAME_BYTES = 1024
+AUDIO_BYTES_PER_MS = 16  # fake 16 kB/s PCM rate
+
+
+def fake_audio_features(df: DataFrame) -> DataFrame:
+    """Deterministic stand-in for an audio feature extractor (librosa et al.
+    not in this container): frame count / duration from payload length, a
+    60-bit md5 content checksum (the same fp used engine-wide, so the
+    oracle reproduces it). Arrow-batched mapInPandas — a real extractor
+    drops into the same signature and schema."""
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            n = pdf["payload"].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n,
+                    "frame_count": (n + AUDIO_FRAME_BYTES - 1) // AUDIO_FRAME_BYTES,
+                    "duration_ms": n // AUDIO_BYTES_PER_MS,
+                    "checksum": pdf["payload"].map(
+                        lambda b: int(hashlib.md5(b).hexdigest()[:15], 16)
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, AUDIO_META_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+    ]
+)
+
+VIDEO_FRAME_BYTES = 256
+
+
+def sample_video_frames(df: DataFrame, stride: int = 4) -> DataFrame:
+    """Frame sampling over an opaque 'video' payload: the payload is a
+    sequence of VIDEO_FRAME_BYTES frames; emit every stride-th frame's
+    (index, byte offset, length) — the UDTF shape (1 input row -> N output
+    rows) of a real keyframe sampler, minus the codec (stubbed: no av libs
+    here). Batches stream through Arrow; output rows never hit the driver."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, offs, lens = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for idx in range(0, (n + VIDEO_FRAME_BYTES - 1) // VIDEO_FRAME_BYTES, stride):
+                    off = idx * VIDEO_FRAME_BYTES
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    offs.append(off)
+                    lens.append(min(VIDEO_FRAME_BYTES, n - off))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_offset": pd.Series(offs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, VIDEO_FRAME_SCHEMA)
+
+
 def decode_image(df: DataFrame) -> DataFrame:
     """Production image decode — requires PIL, which this container does not
     ship. The plumbing (schema, mapInPandas batching) is identical to

@@ -89,6 +89,128 @@ def brute_force_topk(
     )
 
 
+SIG_BANDS = 4  # 16-bit signature banded into 4 x 4-bit chunks
+
+
+def sig_chunks(df: DataFrame, id_col: str, sig_col: str) -> DataFrame:
+    """Explode a 16-bit signature into (band, chunk) rows — lossless blocking
+    for hamming <= SIG_BANDS-1 by pigeonhole (same trick as SimHash banding:
+    3 differing bits can spoil at most 3 of the 4 chunks)."""
+    width = LSH_PLANES // SIG_BANDS
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col(sig_col), b * width).bitwiseAND(F.lit(mask)).alias("chunk"),
+            )
+            for b in range(SIG_BANDS)
+        ]
+    )
+    return df.select(id_col, sig_col, F.explode(bands).alias("bc")).select(
+        id_col, sig_col, F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH signatures -> banded
+    equi-self-join (scalable candidate generation: shuffle on (band, chunk),
+    never N^2) -> hamming gate -> exact-cosine verification >= threshold.
+
+    Blocking is lossless for max_hamming <= SIG_BANDS-1. The embedding
+    arrays are re-joined by id AFTER pair distinct-ing, so the wide vector
+    column never rides through the exploded band rows."""
+    sigs = df.select(id_col, lsh_signature(F.col(emb_col)).alias("sig"))
+    chunks = sig_chunks(sigs, id_col, "sig")
+    left = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "chunk"
+    )
+    right = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "chunk"
+    )
+    cand = (
+        left.join(right, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= max_hamming)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
+    eb = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("emb_a"), F.col("emb_b")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into n_centroids lists
+    by nearest centroid; a query probes only its nprobe closest lists.
+
+    'Training' is deterministic: the first n_centroids vectors seed the
+    centroids (a fixed k-means init — refining iterations would change
+    centroids but not the operator shape). At cluster scale the list
+    assignment is the partitioning key: probe joins shuffle nprobe/nlists
+    of the corpus instead of all of it."""
+    cents = candidates.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.col("a_cos").desc(), F.col("cent_id")
+    )
+    assigned = (
+        candidates.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            cosine(F.col("embedding"), F.col("c_emb")).alias("a_cos"),
+        )
+        .withColumn("arank", F.row_number().over(assign_w))
+        .filter(F.col("arank") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("p_cos").desc(), F.col("cent_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "q_emb", "cent_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("p_cos")
+        )
+        .withColumn("prank", F.row_number().over(probe_w))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "q_emb", "cent_id")
+    )
+    joined = assigned.join(F.broadcast(probes), "cent_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        joined.select(
+            "query_id", "vec_id", cosine(F.col("q_emb"), F.col("embedding")).alias("cos")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
 def lsh_topk(
     queries: DataFrame, candidates: DataFrame, k: int = 5, max_hamming: int = 2
 ) -> DataFrame:

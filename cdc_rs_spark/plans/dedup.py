@@ -204,3 +204,52 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking for hamming <= 3 by pigeonhole)."""
     d = load(spark, sf_dir, "documents")
     return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def _emb_chunks_sql() -> str:
+    from cdc_rs_spark.operators.similarity import LSH_PLANES, SIG_BANDS
+
+    width = LSH_PLANES // SIG_BANDS
+    selects = [
+        f"SELECT vec_id, sig, {b} AS band, (sig >> {b * width}) & {(1 << width) - 1} AS chunk FROM esigs"
+        for b in range(SIG_BANDS)
+    ]
+    return "echunks AS (" + " UNION ALL ".join(selects) + ")"
+
+
+def _embedding_cosine_oracle() -> str:
+    from cdc_rs_spark.plans.similarity import _dot_sql, _norm_sql, _sig_sql
+
+    return f"""
+    WITH esigs AS (
+        SELECT vec_id, {_sig_sql("embedding")} AS sig FROM embeddings
+    ),
+    {_emb_chunks_sql()},
+    cand AS (
+        SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+        FROM echunks l JOIN echunks r
+          ON l.band = r.band AND l.chunk = r.chunk AND l.vec_id < r.vec_id
+        WHERE bit_count(xor(l.sig, r.sig)) <= 3
+    ),
+    verified AS (
+        SELECT id_a, id_b,
+               {_dot_sql("a.embedding", "b.embedding")}
+               / ({_norm_sql("a.embedding")} * {_norm_sql("b.embedding")}) AS cos
+        FROM cand JOIN embeddings a ON cand.id_a = a.vec_id
+                  JOIN embeddings b ON cand.id_b = b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+    FROM verified WHERE cos >= 0.3
+    """
+
+
+@register("dedup_embedding_cosine", oracle=_embedding_cosine_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: hyperplane-LSH signatures banded
+    into 4x4-bit chunks (equi-join candidate generation — lossless for
+    hamming <= 3), then exact cosine >= 0.3 verification. The candidate
+    join shuffles (band, chunk) keys only; vectors re-join by id."""
+    from cdc_rs_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.3, max_hamming=3)

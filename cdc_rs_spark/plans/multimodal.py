@@ -6,7 +6,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from cdc_rs_spark.operators.multimodal import attach_payload, fake_image_meta
+from cdc_rs_spark.functions.hashing import fp_sql
+from cdc_rs_spark.operators.multimodal import (
+    AUDIO_BYTES_PER_MS,
+    AUDIO_FRAME_BYTES,
+    VIDEO_FRAME_BYTES,
+    attach_payload,
+    fake_audio_features,
+    fake_image_meta,
+    sample_video_frames,
+)
 from cdc_rs_spark.registry import register
 from cdc_rs_spark.session import load
 
@@ -28,3 +37,50 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     can verify the whole Arrow round-trip."""
     d = load(spark, sf_dir, "documents")
     return fake_image_meta(attach_payload(d))
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=f"""
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           (octet_length(encode(text))::BIGINT + {AUDIO_FRAME_BYTES - 1})
+             // {AUDIO_FRAME_BYTES} AS frame_count,
+           octet_length(encode(text))::BIGINT // {AUDIO_BYTES_PER_MS} AS duration_ms,
+           {fp_sql("text")} AS checksum
+    FROM documents
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shape plumbing: binary payload -> mapInPandas feature extract
+    (frame count, fake-PCM duration, 60-bit md5 checksum). The checksum
+    proves the exact payload bytes crossed the Arrow boundary intact —
+    DuckDB recomputes it from the source text."""
+    d = load(spark, sf_dir, "documents")
+    return fake_audio_features(attach_payload(d))
+
+
+@register(
+    "multimodal_video_frames",
+    oracle=f"""
+    WITH idx AS (
+        SELECT doc_id,
+               octet_length(encode(text))::BIGINT AS n,
+               unnest(generate_series(
+                   0,
+                   (octet_length(encode(text))::BIGINT - 1) // {VIDEO_FRAME_BYTES},
+                   4)) AS frame_idx
+        FROM documents
+    )
+    SELECT doc_id, frame_idx,
+           frame_idx * {VIDEO_FRAME_BYTES} AS frame_offset,
+           least({VIDEO_FRAME_BYTES}, n - frame_idx * {VIDEO_FRAME_BYTES}) AS frame_len
+    FROM idx
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame sampling plumbing: every 4th fixed-size frame of the
+    payload emitted as its own row (1 row in -> N rows out through
+    mapInPandas — the keyframe-sampler UDTF shape)."""
+    d = load(spark, sf_dir, "documents")
+    return sample_video_frames(attach_payload(d), stride=4)

@@ -13,6 +13,7 @@ from cdc_rs_spark.operators.similarity import (
     EMB_DIM,
     LSH_WEIGHTS,
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
 )
 from cdc_rs_spark.registry import register
@@ -115,3 +116,75 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     return lsh_topk(queries, emb.select("vec_id", "embedding"), k=5, max_hamming=2)
+
+
+N_CENTROIDS = 16
+N_PROBE = 2
+
+_COS = "{dot} / ({na} * {nb})"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return _COS.format(dot=_dot_sql(a, b), na=_norm_sql(a), nb=_norm_sql(b))
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH {_QUERIES_SQL},
+    cents AS (
+        SELECT vec_id AS cent_id, embedding AS c_emb
+        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cent_id FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql("e.embedding", "c.c_emb")} DESC, c.cent_id
+                   ) AS arank
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE arank = 1
+    ),
+    probes AS (
+        SELECT query_id, q_emb, cent_id FROM (
+            SELECT q.query_id, q.q_emb, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_cos_sql("q.q_emb", "c.c_emb")} DESC, c.cent_id
+                   ) AS prank
+            FROM qs q CROSS JOIN cents c
+        ) WHERE prank <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id,
+               {_cos_sql("p.q_emb", "a.embedding")} AS cos
+        FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+        WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM cand
+    )
+    SELECT query_id, vec_id, rank, ROUND(cos, 6) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: {N_CENTROIDS} deterministic centroid lists, queries probe
+    their {N_PROBE} nearest lists, exact cosine top-5 within the probed
+    lists. The inverted-list assignment is the cluster-scale partitioning
+    key — a probe touches nprobe/nlists of the corpus."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_topk(
+        queries,
+        emb.select("vec_id", "embedding"),
+        n_centroids=N_CENTROIDS,
+        nprobe=N_PROBE,
+        k=5,
+    )

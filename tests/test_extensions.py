@@ -150,3 +150,76 @@ def test_multimodal_decode_stub_raises(spark):
     if not has_pil:
         with pytest.raises(NotImplementedError):
             decode_image(attach_payload(df))
+
+
+def test_embedding_near_dup_finds_planted_pair(spark):
+    import random
+
+    from cdc_rs_spark.operators.similarity import EMB_DIM, embedding_near_dup_pairs
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1, 1) for _ in range(EMB_DIM)]
+    near = list(base)
+    near[0] += 0.01  # cosine ~1, identical LSH signature
+    far = [rng.uniform(-1, 1) for _ in range(EMB_DIM)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id long, embedding array<float>"
+    )
+    pairs = embedding_near_dup_pairs(df, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["cosine"] > 0.99
+
+
+def test_ivf_topk_exact_within_probed_lists(spark):
+    import random
+
+    from cdc_rs_spark.operators.similarity import EMB_DIM, cosine, ivf_topk
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(EMB_DIM)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ivf_topk(queries, df, n_centroids=4, nprobe=4, k=3).collect()
+    # nprobe == n_centroids probes everything -> must equal brute force
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    assert set(per_q) == {0, 1}
+    assert all(sorted(v)[0][0] == 1 and len(v) == 3 for v in per_q.values())
+    from cdc_rs_spark.operators.similarity import brute_force_topk
+
+    bf = brute_force_topk(queries, df, k=3).collect()
+    bf_pairs = {(r["query_id"], r["rank"], r["vec_id"]) for r in bf}
+    ivf_pairs = {(r["query_id"], r["rank"], r["vec_id"]) for r in out}
+    assert ivf_pairs == bf_pairs
+
+
+def test_audio_features_checksum_matches_md5(spark):
+    import hashlib
+
+    from cdc_rs_spark.operators.multimodal import fake_audio_features
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    row = fake_audio_features(attach_payload(df)).collect()[0]
+    assert row["n_bytes"] == 11
+    assert row["frame_count"] == 1
+    assert row["duration_ms"] == 0
+    assert row["checksum"] == int(hashlib.md5(b"hello world").hexdigest()[:15], 16)
+
+
+def test_video_frame_sampling_shape(spark):
+    from cdc_rs_spark.operators.multimodal import sample_video_frames
+
+    # 1000-byte payload -> frames 0..3 (256B each, last=232B); stride 4 keeps
+    # only frame 0; a 1025-byte payload has 5 frames -> frames 0 and 4.
+    df = spark.createDataFrame(
+        [(1, "x" * 1000), (2, "y" * 1025)], "doc_id long, text string"
+    )
+    rows = sorted(
+        sample_video_frames(attach_payload(df), stride=4).collect(),
+        key=lambda r: (r["doc_id"], r["frame_idx"]),
+    )
+    got = [(r["doc_id"], r["frame_idx"], r["frame_offset"], r["frame_len"]) for r in rows]
+    assert got == [(1, 0, 0, 256), (2, 0, 0, 256), (2, 4, 1024, 1)]
