@@ -528,6 +528,202 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH eu_supp AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cost AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+        FROM lineitem JOIN eu_supp ON l_suppkey = s_suppkey
+        GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT l_partkey AS b_partkey, MIN(supply_cost) AS min_cost
+        FROM cost GROUP BY l_partkey
+    )
+    SELECT s.s_acctbal, s.s_name, s.n_name, p.p_partkey, p.p_brand, c.supply_cost
+    FROM cost c JOIN best b ON c.l_partkey = b.b_partkey AND c.supply_cost = b.min_cost
+                JOIN eu_supp s ON c.l_suppkey = s.s_suppkey
+                JOIN part p ON c.l_partkey = p.p_partkey
+    WHERE p.p_type = 'LARGE' AND p.p_size IN (10, 20, 30, 40, 50)
+    ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (lineitem stands in for partsupp; l_extendedprice for
+    ps_supplycost): per-part minimum-cost European supplier via a
+    correlated-MIN re-join. Both agg levels group on l_partkey, so the
+    second agg and the min-cost join reuse the first shuffle's
+    partitioning."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    cost = (
+        li.join(F.broadcast(eu_supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").isin(10, 20, 30, 40, 50)
+    )
+    return (
+        cost.join(
+            best,
+            (cost.l_partkey == best.b_partkey) & (cost.supply_cost == best.min_cost),
+        )
+        .join(F.broadcast(eu_supp), cost.l_suppkey == eu_supp.s_suppkey)
+        .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH val AS (
+        SELECT l_partkey, SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS value_dec
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_1'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, CAST(value_dec AS DOUBLE) AS value
+    FROM val
+    WHERE CAST(value_dec AS DOUBLE) >
+          0.002 * (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM val)
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (inventory value from lineitem): parts whose value
+    within one nation's suppliers exceeds a global-fraction threshold —
+    scalar subquery over the SAME aggregate (computed once, the 1-row total
+    broadcasts; the threshold total is the exact decimal sum of the per-part
+    decimal sums, so both engines compare identical doubles)."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    val = (
+        li.join(
+            F.broadcast(
+                s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)")).alias(
+                "value_dec"
+            )
+        )
+    )
+    total = val.agg((F.lit(0.002) * F.sum("value_dec").cast("double")).alias("threshold"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("partkey"), F.col("value_dec").cast("double").alias("value"))
+    )
+
+
+@register(
+    "q12_shipping_priority_class",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate >= o_orderdate
+      AND l_shipdate <  o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def q12_shipping_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_returnflag stands in for l_shipmode; the
+    commit/receipt window becomes a ship-within-90-days window): conditional
+    pivot counts of order priority per shipping class."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 90 DAY")),
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_type = 'SMALL'
+            AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY l_suppkey
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 50
+      )
+    ORDER BY s_name
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp/availqty — the 0.5*availqty excess test
+    becomes an absolute shipped-quantity threshold): nested IN with an
+    aggregated subquery -> left-semi join on the HAVING-filtered keys."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_quantity")).alias("sq"))
+        .filter(F.col("sq") > 50)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@register(
     "grouping_sets_lineitem",
     oracle="""
     SELECT l_returnflag, l_linestatus,
