@@ -28,6 +28,14 @@ def main() -> None:
 
     # warm the JVM + parquet footers so q1 doesn't pay one-time costs
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # warm the Python/Arrow worker pool so the first pandas-path query isn't
+    # charged ~3 s of per-core daemon spin-up
+    import pandas as pd  # noqa: F401
+
+    warm = spark.range(0, 64, 1, 32)
+    warm.mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name, q in sorted(registry.items()):

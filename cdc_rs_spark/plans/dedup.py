@@ -26,7 +26,7 @@ from cdc_rs_spark.operators.dedup import (
     word_tokens,
 )
 from cdc_rs_spark.registry import register
-from cdc_rs_spark.session import load
+from cdc_rs_spark.session import load, spread
 
 
 @register(
@@ -117,7 +117,7 @@ def _minhash_bands_sql() -> str:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash({MINHASH_K} perms) + LSH({MINHASH_BANDS} bands) near-dup
     pairs with exact-Jaccard verification at >= 0.5."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
 
 
@@ -145,9 +145,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.filter(F.size(tokens) >= 3).select(
         F.col("doc_id"), shingles(tokens).alias("sh")
     )
-    a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    # Probe side spread across cores, build side broadcast: a 32-task
+    # BroadcastNestedLoopJoin instead of a single-task join (the block is
+    # one small scan partition otherwise — doc_id<200 pushes to the scan).
+    a = spread(docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union.cast("double")
@@ -202,7 +205,7 @@ def _simhash_chunks_sql() -> str:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-32 near-dup pairs, banded into 4x8-bit chunks (lossless
     blocking for hamming <= 3 by pigeonhole)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return simhash_pairs(d, "doc_id", "text", max_hamming=3)
 
 
@@ -251,5 +254,5 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shuffles (band, chunk) keys only; vectors re-join by id."""
     from cdc_rs_spark.operators.similarity import embedding_near_dup_pairs
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     return embedding_near_dup_pairs(emb, threshold=0.3, max_hamming=3)

@@ -17,7 +17,7 @@ from cdc_rs_spark.operators.multimodal import (
     sample_video_frames,
 )
 from cdc_rs_spark.registry import register
-from cdc_rs_spark.session import load
+from cdc_rs_spark.session import load, spread
 
 
 @register(
@@ -35,7 +35,7 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> mapInPandas 'decode' -> typed metadata. The fake
     decoder's outputs are pure functions of payload length, so the oracle
     can verify the whole Arrow round-trip."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return fake_image_meta(attach_payload(d))
 
 
@@ -56,7 +56,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (frame count, fake-PCM duration, 60-bit md5 checksum). The checksum
     proves the exact payload bytes crossed the Arrow boundary intact —
     DuckDB recomputes it from the source text."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return fake_audio_features(attach_payload(d))
 
 
@@ -82,5 +82,5 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-frame sampling plumbing: every 4th fixed-size frame of the
     payload emitted as its own row (1 row in -> N rows out through
     mapInPandas — the keyframe-sampler UDTF shape)."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return sample_video_frames(attach_payload(d), stride=4)

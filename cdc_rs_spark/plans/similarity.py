@@ -17,7 +17,7 @@ from cdc_rs_spark.operators.similarity import (
     lsh_topk,
 )
 from cdc_rs_spark.registry import register
-from cdc_rs_spark.session import load
+from cdc_rs_spark.session import load, spread
 
 N_QUERIES = 8
 
@@ -67,7 +67,7 @@ _QUERIES_SQL = f"""
 def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for the first {N_QUERIES} vectors against the
     whole table — the ANN correctness baseline."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -111,7 +111,7 @@ def _sig_sql(emb: str) -> str:
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN: 16-bit signatures, candidates within hamming<=2
     (multi-probe), exact cosine top-5 among candidates."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
@@ -177,7 +177,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     their {N_PROBE} nearest lists, exact cosine top-5 within the probed
     lists. The inverted-list assignment is the cluster-scale partitioning
     key — a probe touches nprobe/nlists of the corpus."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )

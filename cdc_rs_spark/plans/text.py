@@ -19,7 +19,7 @@ from cdc_rs_spark.functions.text import (
     tokens,
 )
 from cdc_rs_spark.registry import register
-from cdc_rs_spark.session import load
+from cdc_rs_spark.session import load, spread
 
 
 def _stoplist_sql(lang: str) -> str:
@@ -43,7 +43,7 @@ def _hits_sql(lang: str) -> str:
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting + average token length."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     n = token_count(F.col("text"))
     return d.select(
         "doc_id",
@@ -69,7 +69,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality heuristic: stopword density, length prior,
     vocabulary diversity."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
@@ -98,7 +98,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID with deterministic tie-breaking."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     scores = lang_scores(toks)
     return d.select(
@@ -122,7 +122,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", rolling_fingerprint(tokens(F.col("text"))).alias("fp")
     )

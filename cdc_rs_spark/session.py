@@ -40,6 +40,25 @@ def get_spark(app_name: str = "cdc-rs-spark", cpus: int | None = None) -> SparkS
     )
 
 
+def spread(df, min_partitions: int | None = None):
+    """Widen a narrow scan before a CPU-bound per-row pipeline.
+
+    A single small parquet file (one row group) plans as ONE task no matter
+    how many cores exist — byte-range splitting cannot cut inside a row
+    group — so per-row-expensive operators (minhash signatures, shingling,
+    Arrow-batched Python transforms) would run on one core. When the scan's
+    partition count is below the cluster's parallelism, a round-robin
+    repartition (cheap: the raw rows are small; the derived work is what's
+    expensive) unlocks every core. On a real multi-file input the condition
+    is false and this is a no-op — no gratuitous shuffle at scale."""
+    if df.isStreaming:
+        return df
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
