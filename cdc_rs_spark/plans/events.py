@@ -159,3 +159,38 @@ def events_rate_per_type_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("event_type").orderBy("window_start")
     return hourly.withColumn("delta", F.col("n") - F.lag("n").over(w))
+
+
+@register(
+    "events_asof_last_click",
+    oracle="""
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT event_id, user_id, ts, click_id, click_ts FROM (
+        SELECT l.event_id, l.user_id, l.ts,
+               r.event_id AS click_id, r.ts AS click_ts,
+               row_number() OVER (PARTITION BY l.event_id
+                                  ORDER BY r.ts DESC, r.event_id DESC) AS rn
+        FROM l LEFT JOIN r ON r.user_id = l.user_id AND r.ts <= l.ts
+    ) WHERE rn = 1
+    """,
+)
+def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join (SURVEY §2.2 joins row — as-of variant): for each
+    purchase event, the same user's most recent click at-or-before it.
+    Union+window formulation: one shuffle on user_id, no join explosion —
+    see operators/asof.py for the scale analysis. The oracle uses the naive
+    quadratic LEFT JOIN + rank form, which is exactly what this operator
+    avoids executing."""
+    from cdc_rs_spark.operators.asof import asof_join_backward
+
+    e = load(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return asof_join_backward(
+        left, right, on=["user_id"], left_time="ts", right_time="ts",
+        payload_cols=["click_ts", "click_id"],
+    ).select("event_id", "user_id", "ts", "click_id", "click_ts")

@@ -771,3 +771,40 @@ def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_retailprice") > F.lit(1.02) * F.col("brand_avg"))
         .select("p_partkey", "p_brand", "p_retailprice", F.round("brand_avg", 6).alias("brand_avg"))
     )
+
+
+@register(
+    "percentiles_per_flag",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS price_p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (sort-based distribution agg) per
+    return flag. Exact percentile is a full-sort-per-group operator — at
+    100 TB use approx_percentile (t-digest, mergeable partial aggs) unless
+    exactness is contractual; this entry pins the exact semantics."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("price_p95"),
+    )
+
+
+@register("approx_distinct_custkeys", oracle=None)
+def approx_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct customers per order priority (mergeable
+    sketch — the 100 TB path for COUNT DISTINCT; no oracle: DuckDB's HLL
+    implementation differs, so the driver records a rows-only check. The
+    exact counterpart is oracle-checked as distinct_agg_parts_per_flag)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys")
+    )

@@ -223,3 +223,32 @@ def test_video_frame_sampling_shape(spark):
     )
     got = [(r["doc_id"], r["frame_idx"], r["frame_offset"], r["frame_len"]) for r in rows]
     assert got == [(1, 0, 0, 256), (2, 0, 0, 256), (2, 4, 1024, 1)]
+
+
+def test_asof_join_backward_semantics(spark):
+    from cdc_rs_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 200), (3, 20, 50)], "lid long, k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(7, 10, 100), (8, 10, 150), (9, 10, 100), (6, 30, 10)],
+        "rid long, k long, rt long",
+    )
+    out = {
+        r["lid"]: r
+        for r in asof_join_backward(
+            left,
+            right.select("k", "rt", F.col("rt").alias("m_t"), F.col("rid").alias("m_id")),
+            on=["k"],
+            left_time="t",
+            right_time="rt",
+            payload_cols=["m_t", "m_id"],
+        ).collect()
+    }
+    # t=100: rows 7 and 9 tie at rt=100 (inclusive match); larger rid wins
+    assert (out[1]["m_t"], out[1]["m_id"]) == (100, 9)
+    # t=200: latest at-or-before is rt=150
+    assert (out[2]["m_t"], out[2]["m_id"]) == (150, 8)
+    # k=20 has no right rows at all -> null payload
+    assert out[3]["m_t"] is None and out[3]["m_id"] is None
