@@ -194,3 +194,67 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, on=["user_id"], left_time="ts", right_time="ts",
         payload_cols=["click_ts", "click_id"],
     ).select("event_id", "user_id", "ts", "click_id", "click_ts")
+
+
+@register(
+    "events_range_join_bucketed",
+    oracle="""
+    SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id,
+           ROUND(date_diff('millisecond', p.ts, e.ts) / 1000.0, 3) AS dt_sec
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts
+     AND e.ts <  p.ts + INTERVAL 60 MINUTE
+    """,
+)
+def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join with the bucketed scale path: errors within 60
+    minutes after a purchase by the same user.
+
+    Naive form (what the oracle runs): equi-join on user then a time-range
+    residual — per-user quadratic. Scale path here: bin both sides into
+    5-minute buckets, equi-join on (user_id, bucket) with each left row
+    duplicated into its 2 reachable buckets [b, b+1], then apply the exact
+    range residual. Shuffle keys are (user, bucket) — candidate pairs are
+    bounded by per-bucket density, never per-user history. The bucket width
+    equals the range width: exactly 2 probes, the standard trick Spark's
+    own range-join hints (DBR) and ASOF implementations use."""
+    e = load(spark, sf_dir, "events")
+    five_min_us = 60 * 60 * 1_000_000
+    bucket = (F.unix_micros(F.col("ts")) / F.lit(five_min_us)).cast("long")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    (F.unix_micros(F.col("p_ts")) / five_min_us).cast("long"),
+                    (F.unix_micros(F.col("p_ts")) / five_min_us).cast("long") + 1,
+                )
+            ),
+        )
+    )
+    err = (
+        e.filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("e_ts"))
+        .withColumn("bucket", (F.unix_micros(F.col("e_ts")) / five_min_us).cast("long"))
+    )
+    dt_us = F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("p_ts"))
+    return (
+        p.join(err, ["user_id", "bucket"])
+        .filter((dt_us >= 0) & (dt_us < five_min_us))
+        .select(
+            "purchase_id",
+            "error_id",
+            "user_id",
+            F.round(
+                (
+                    F.expr("unix_micros(e_ts) div 1000") - F.expr("unix_micros(p_ts) div 1000")
+                )
+                / F.lit(1000.0),
+                3,
+            ).alias("dt_sec"),
+        )
+    )

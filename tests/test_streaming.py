@@ -218,3 +218,69 @@ def test_streaming_tumbling_window_matches_batch(spark, sf_dir, tmp_path):
         )
     }
     assert got == want
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks and a time-range condition
+    (SURVEY §2.2 joins row, streaming form of events_range_join_bucketed):
+    errors within 10s after a purchase by the same user. Both sides are
+    unbounded streams; the watermark + range bound lets Spark expire join
+    state."""
+    import json as _json
+    import os as _os
+
+    src = str(tmp_path / "ss_src")
+    _os.makedirs(src, exist_ok=True)
+    rows = [
+        {"event_id": 1, "user_id": 10, "event_type": "purchase", "ts_s": 100},
+        {"event_id": 2, "user_id": 10, "event_type": "error", "ts_s": 105},
+        {"event_id": 3, "user_id": 10, "event_type": "error", "ts_s": 130},
+        {"event_id": 4, "user_id": 20, "event_type": "purchase", "ts_s": 100},
+        {"event_id": 5, "user_id": 30, "event_type": "error", "ts_s": 101},
+    ]
+    with open(_os.path.join(src, "events.json"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    schema = "event_id long, user_id long, event_type string, ts_s long"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(src)
+        .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 minute")
+    )
+    errors = (
+        stream.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 minute")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 10 SECONDS")),
+    ).select("purchase_id", "error_id", "p_user")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = [(r["purchase_id"], r["error_id"]) for r in spark.sql("SELECT * FROM ss_join").collect()]
+    # only error 2 is within 10s of purchase 1 for the same user
+    assert out == [(1, 2)]
