@@ -808,3 +808,64 @@ def approx_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys")
     )
+
+
+@register(
+    "window_running_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+           lag(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+           ntile(4) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+)
+def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function depth beyond ranking: cumulative decimal-sum frame,
+    lag, and ntile over the same per-customer order. One shuffle on
+    o_custkey serves all three (same window spec). Ordering is
+    (o_orderdate, o_orderkey) — unique, so every frame is deterministic."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(wsum)
+        .cast("double")
+        .alias("running_total"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "suppliers_per_nation_sorted",
+    oracle="""
+    SELECT n_name, list_sort(list(s_name)) AS suppliers, COUNT(*) AS n
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def suppliers_per_nation_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_list is order-nondeterministic under
+    distributed partial aggregation, so the contract (and the only sane
+    cross-engine form) is the SORTED list."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(F.collect_list("s_name")).alias("suppliers"),
+            F.count("*").alias("n"),
+        )
+    )
