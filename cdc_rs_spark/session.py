@@ -35,6 +35,11 @@ def get_spark(app_name: str = "cdc-rs-spark", cpus: int | None = None) -> SparkS
         # matching DuckDB's nanos->micros read).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # catalog tables (bucketed-join support) live outside the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/cdc_rs_spark_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -1,0 +1,81 @@
+"""Plan-shape assertions for the scale claims in SCALE.md: bucketed joins
+eliminate the exchange, salted joins preserve results, pushdown reaches the
+scan, and dimension joins broadcast."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.operators.skew import bucket_table, salted_join
+from cdc_rs_spark.session import load
+from tests.conftest import SF_DIR
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Both sides bucketed+sorted on the join key -> the sort-merge join
+    reads co-located buckets: no shuffle exchange on either side (SCALE.md:
+    'the shuffle happens once at write time'). Broadcast is disabled for the
+    test because the planner rightly prefers it at fixture sizes — bucketing
+    is the strategy for when BOTH sides are too big to broadcast."""
+    import uuid
+
+    ta, tb = f"b_o_{uuid.uuid4().hex[:8]}", f"b_l_{uuid.uuid4().hex[:8]}"
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    li = (
+        load(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        bucket_table(orders, ta, "o_orderkey", buckets=4)
+        bucket_table(li, tb, "o_orderkey", buckets=4)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(ta).join(spark.table(tb), "o_orderkey")
+        assert joined.count() > 0
+        plan = _physical_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    orders = load(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus")
+    plain = li.join(orders, "o_orderkey").groupBy("o_orderstatus").count()
+    salted = salted_join(li, orders, "o_orderkey", salt=4).groupBy("o_orderstatus").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_filter_and_projection_reach_scan(spark):
+    """q6's predicates and 4-column projection must appear in the scan node
+    (PushedFilters / ReadSchema) — the SCALE.md §3 pushdown claim."""
+    from cdc_rs_spark.registry import load_all
+
+    df = load_all()["q6_revenue_forecast"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(l_shipdate" in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in read
+    assert "l_orderkey" not in read  # pruned
+
+
+def test_dimension_join_broadcasts(spark):
+    from cdc_rs_spark.registry import load_all
+
+    df = load_all()["q5_local_supplier_volume"].fn(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan
