@@ -239,3 +239,41 @@ def cdc_envelope_opcodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("op", "op_code", "change_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "cdc_change_rate_stats",
+    oracle=f"""
+    WITH live AS ({ORACLE_LIVE_CHANGES}),
+    backfill AS (
+        SELECT 'Backfill' AS op, o_orderkey AS okey, 1::BIGINT AS ts,
+               o_totalprice AS total
+        FROM orders
+    ),
+    all_changes AS (
+        SELECT op, ts FROM backfill UNION ALL SELECT op, ts FROM live
+    )
+    SELECT op, ts, COUNT(*) AS n,
+           ROUND(COUNT(*)::DOUBLE
+                 / (SELECT COUNT(*) FROM all_changes), 6) AS frac
+    FROM all_changes GROUP BY op, ts
+    """,
+)
+def cdc_change_rate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(op, commit-ts) change-rate stats over the merged CDC stream
+    (SURVEY §2.2 aggregations row, EXTENSION: 'per-table change-rate stats
+    over the CDC stream') — the operational dashboard the reference has no
+    way to compute. The global total is a 1-row broadcast, not a collect."""
+    orders = load(spark, sf_dir, "orders")
+    backfill = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    live = live_orders_changes(spark, sf_dir)
+    changes = backfill.unionByName(live).select("op", "ts")
+    counts = changes.groupBy("op", "ts").agg(F.count("*").alias("n"))
+    total = changes.agg(F.count("*").alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "op", "ts", "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("frac"),
+        )
+    )

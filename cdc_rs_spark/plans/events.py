@@ -258,3 +258,40 @@ def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dt_sec"),
         )
     )
+
+
+@register(
+    "events_hierarchical_rollup",
+    oracle="""
+    WITH hourly AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day, event_type,
+           SUM(n) AS n,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: daily aggregates derived from
+    the HOURLY rollup, not the raw events — the continuous-aggregate reuse
+    pattern (aggregate once at fine grain; coarser grains are sums of sums,
+    exact because counts and decimal sums are algebraic). At 100 TB the
+    hourly table is ~1e5x smaller than raw events; the daily pass touches
+    only it."""
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        )
+        .select(F.col("w.start").alias("h"), "event_type", "n", "v")
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", F.col("h")).alias("day"), "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("v").cast("double").alias("total_value"))
+    )
