@@ -284,3 +284,44 @@ def test_stream_stream_interval_join(spark, tmp_path):
     out = [(r["purchase_id"], r["error_id"]) for r in spark.sql("SELECT * FROM ss_join").collect()]
     # only error 2 is within 10s of purchase 1 for the same user
     assert out == [(1, 2)]
+
+
+def test_streaming_topic_fanout_foreach_batch(spark, tmp_path):
+    """Full reference pipeline shape, streaming: change feed -> BigQuery
+    envelope -> per-row topic -> foreachBatch publish grouped per topic
+    (src/main.rs:162-188 driver loop, publish per cached topic client)."""
+    from cdc_rs_spark.functions.transforms import bigquery_json, topic_column
+    from cdc_rs_spark.sources.sinks import publish_foreach_batch
+
+    src = str(tmp_path / "fan_src")
+    _write_changes(src, "b1.json", [
+        _chg("Insert", "1", "a", 100),
+        _chg("Update", "2", "b", 101),
+    ])
+    _write_changes(src, "b2.json", [_chg("Delete", "3", None, 102)])
+
+    calls: dict[str, list[str]] = {}
+
+    def fake_publish(topic: str, values: list[str]) -> None:
+        calls.setdefault(topic, []).extend(values)
+
+    stream = read_change_stream(spark, src)
+    routed = stream.select(
+        topic_column("prefix.${table}").alias("topic"),
+        bigquery_json(stream).alias("value"),
+    )
+    q = (
+        routed.writeStream.foreachBatch(publish_foreach_batch(fake_publish))
+        .option("checkpointLocation", str(tmp_path / "fan_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert set(calls) == {"prefix.t"}
+    payloads = [json.loads(v) for v in calls["prefix.t"]]
+    assert len(payloads) == 3
+    by_type = {p["_CHANGE_TYPE"] for p in payloads}
+    assert by_type == {"UPSERT", "DELETE"}
+    # delete payload carries the BEFORE image (test.rhai:26)
+    deleted = [p for p in payloads if p["_CHANGE_TYPE"] == "DELETE"][0]
+    assert deleted["id"] == "3" and deleted["tenant"] == "testdb"
