@@ -1,0 +1,68 @@
+"""Distributed connected components — the clustering step a dedup pipeline
+runs AFTER pair generation: near-dup pairs are edges, each component is a
+duplicate cluster, and the canonical document is the component's min id.
+
+Algorithm: iterative min-label propagation (each vertex repeatedly adopts the
+smallest label among itself and its neighbors) — the alternating/small-star
+family of MapReduce CC algorithms specialized to the dedup workload, where
+components are tiny (duplicate clusters of 2-50 docs) so the iteration count
+is the cluster diameter, typically <= 4.
+
+Scale design (100 TB corpus, billions of edges):
+  - each round is one shuffle: edges join labels on dst (both sides can be
+    pre-partitioned by vertex id so the join is co-located), then a
+    map-side-combined min-groupBy on vertex.
+  - `localCheckpoint(eager=True)` after every round truncates the lineage —
+    without it the plan doubles per iteration and the DAG scheduler, not the
+    data, becomes the bottleneck.
+  - convergence is detected with a count() of changed labels per round (one
+    action per round — the standard price of iterative algorithms on Spark;
+    driver transfers a single long, not data).
+
+The reference has no graph surface at all; this exists for the
+training-pipeline north star (BASELINE.json) — dedup clustering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 20
+) -> DataFrame:
+    """Return (v, component) for every vertex appearing in `edges`, where
+    component = min vertex id reachable from v. Deterministic: the label is
+    a pure function of the graph, independent of partitioning or iteration
+    order."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=True)  # pair generation runs once, not per round
+    labels = (
+        sym.select(F.col("a").alias("v"))
+        .distinct()
+        .withColumn("component", F.col("v"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["v"])
+            .select(sym["a"].alias("v"), F.col("component"))
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("v")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

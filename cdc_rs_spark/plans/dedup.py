@@ -256,3 +256,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(load(spark, sf_dir, "embeddings"))
     return embedding_near_dup_pairs(emb, threshold=0.3, max_hamming=3)
+
+
+def _cc_oracle() -> str:
+    """Transitive closure of the MinHash near-dup pairs: DuckDB's recursive
+    CTE (UNION dedup guarantees termination) computes reachability, the
+    component label is the min reachable id — the same fixpoint the Spark
+    label-propagation loop converges to."""
+    return f"""
+    WITH RECURSIVE {_DOCS_SHINGLES_SQL},
+    {_minhash_sig_sql()},
+    {_minhash_bands_sql()},
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                  JOIN sh b ON cand.id_b = b.doc_id
+        WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+              / (len(a.s) + len(b.s)
+                 - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a
+    """
+
+
+@register("dedup_connected_components", oracle=_cc_oracle())
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: MinHash near-dup pairs (>= 0.5 Jaccard)
+    as edges, components via iterative min-label propagation
+    (operators/graph.py), component = canonical (min) doc id. The step that
+    turns pairwise dedup output into keep/drop decisions; iterative and
+    therefore not single-query SQL — the oracle uses a recursive CTE."""
+    from cdc_rs_spark.operators.graph import connected_components
+
+    d = spread(load(spark, sf_dir, "documents"))
+    pairs = minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+    labels = connected_components(pairs, "id_a", "id_b")
+    return labels.select(F.col("v").alias("doc_id"), "component")

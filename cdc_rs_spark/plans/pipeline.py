@@ -1,0 +1,358 @@
+"""Training-data pipeline + warehouse-shape queries (SURVEY §2.2 EXTENSION
+depth): deterministic sampling, group-aware train/test splits, token
+explode, pivot/unpivot reshaping, token-budget packing, PII scrubbing, and an
+SCD2 (slowly-changing-dimension type-2) history build from the CDC change
+log.
+
+Every query is fully oracle-checked. Determinism discipline: any "random"
+choice (sampling, splits) is a salted md5-bucket of the row key — identical
+in Spark (`conv(substr(md5(x),1,8),16,10)`) and DuckDB
+(`CAST('0x'||substr(md5(x),1,8) AS UBIGINT)`) — so results are exactly
+reproducible, partitioning-independent, and hash-comparable. At 100 TB the
+same expressions run map-side with zero shuffle (a hash of the key needs no
+coordination), which is precisely why hash-bucket sampling beats
+reservoir/`rand()` sampling for large-scale corpus work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.envelope import snapshot_changes
+from cdc_rs_spark.registry import register
+from cdc_rs_spark.session import load
+from cdc_rs_spark.sources.synthetic import ORACLE_LIVE_CHANGES, live_orders_changes
+
+
+def hash_bucket(col, buckets: int = 100):
+    """Deterministic [0, buckets) bucket from a column value: first 8 hex
+    chars of md5 of the string form. Map-side only — the scale-path
+    replacement for rand() sampling (reproducible, join-stable, no state)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % buckets
+    )
+
+
+def _oracle_bucket(expr: str, buckets: int = 100) -> str:
+    return (
+        f"CAST(('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 8))"
+        f" AS UBIGINT) % {buckets}"
+    )
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS chars_sampled
+    FROM documents
+    WHERE {_oracle_bucket('doc_id')} < 10
+    GROUP BY lang
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample via md5 bucket of doc_id, summarized
+    per language. Unlike df.sample(), re-runs and retries select the SAME
+    rows, and the predicate is a pure map-side filter (no sort, no state,
+    pushes below any downstream join)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.filter(hash_bucket(F.col("doc_id")) < 10)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
+    )
+
+
+@register(
+    "train_test_split_group_aware",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT o.*,
+               CASE WHEN {_oracle_bucket('o_custkey')} < 80 THEN 'train'
+                    WHEN {_oracle_bucket('o_custkey')} < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM orders o
+    )
+    SELECT split, COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS total_price
+    FROM assigned GROUP BY split
+    """,
+)
+def train_test_split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 80/10/10 train/valid/test split: the bucket is computed on
+    the GROUP key (o_custkey), so every order of a customer lands in the same
+    split — the leakage-free split a training pipeline needs. Map-side
+    assignment; one shuffle for the summary agg."""
+    orders = load(spark, sf_dir, "orders")
+    b = hash_bucket(F.col("o_custkey"))
+    assigned = orders.withColumn(
+        "split",
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("valid")).otherwise(
+            F.lit("test")
+        ),
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_price"),
+    )
+
+
+@register(
+    "explode_tokens_top_terms",
+    oracle="""
+    WITH tokens AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    )
+    SELECT token, COUNT(*) AS n
+    FROM tokens WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+)
+def explode_tokens_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF/lateral-view surface: explode whitespace tokens of the corpus and
+    count the top-20 terms (deterministic tiebreak). The 1→N expansion stays
+    JVM-side (split + explode generate, no Python); at 100 TB the token count
+    is a classic map-side-combine agg — partial counts per partition, one
+    shuffle of distinct tokens only."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts per priority pivoted on status.
+    Explicit pivot values — Catalyst compiles this to ONE pass of conditional
+    aggregation (no per-value scans, no distinct-values collect job)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@register(
+    "unpivot_priority_metrics",
+    oracle="""
+    WITH stats AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS DOUBLE) AS n_orders,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS max_price
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM stats
+    UNION ALL
+    SELECT o_orderpriority, 'max_price', max_price FROM stats
+    """,
+)
+def unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long): per-priority stats melted to
+    (priority, metric, value) rows via DataFrame.unpivot — the built-in
+    Expand node, one pass, no self-union of the aggregate."""
+    orders = load(spark, sf_dir, "orders")
+    stats = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("max_price"),
+    )
+    return stats.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "max_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "pack_documents_token_budget",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id,
+               length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM sized
+    )
+    SELECT CAST(floor((cum - 1) / 4096) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+    FROM packed GROUP BY bin
+    """,
+)
+def pack_documents_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign documents (ordered by doc_id)
+    to ~4096-token bins by cumulative token count, then summarize bins.
+    The whole-corpus running sum is a single-partition window at test scale;
+    the 100 TB path pre-shards by hash_bucket(doc_id, n_shards) and packs
+    within each shard independently (embarrassingly parallel, same output
+    contract per shard) — see SCALE.md §6."""
+    docs = load(spark, sf_dir, "documents")
+    # whitespace token count = spaces + 1, cheap and engine-agnostic
+    sized = docs.select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+            + F.lit(1)
+        ).alias("n_tokens"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = sized.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        packed.withColumn(
+            "bin", F.floor((F.col("cum") - 1) / 4096)
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
+    )
+
+
+@register(
+    "pii_scrub_documents",
+    oracle=r"""
+    WITH seeded AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 7 = 0
+                    THEN 'contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com via https://example.com/u/'
+                         || CAST(doc_id AS VARCHAR) || ' ' || text
+                    ELSE text END AS text
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT doc_id, lang, text,
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+                   'https?://[^ ]+', '<URL>', 'g') AS clean
+        FROM seeded
+    )
+    SELECT lang,
+           COUNT(*) FILTER (WHERE clean <> text) AS n_scrubbed,
+           SUM(length(text) - length(clean)) AS chars_removed
+    FROM scrubbed GROUP BY lang
+    """,
+)
+def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus: redact emails and URLs with built-in
+    regexp_replace (JVM codegen — no Python in the hot path), report
+    scrub counts per language. A deterministic seeding step plants one
+    email+URL in every 7th doc so the scrub provably fires; regexes are
+    chosen to behave identically in Java regex and RE2."""
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com via https://example.com/u/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.col("text"), r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"
+        ),
+        r"https?://[^ ]+",
+        "<URL>",
+    )
+    scrubbed = seeded.withColumn("clean", clean)
+    return scrubbed.groupBy("lang").agg(
+        F.count(F.when(F.col("clean") != F.col("text"), 1)).alias("n_scrubbed"),
+        F.sum(F.length("text") - F.length("clean")).alias("chars_removed"),
+    )
+
+
+@register(
+    "scd2_order_price_history",
+    oracle=f"""
+    WITH live AS ({ORACLE_LIVE_CHANGES}),
+    backfill AS (
+        SELECT 'Backfill' AS op, o_orderkey AS okey, 1::BIGINT AS ts,
+               o_totalprice AS total
+        FROM orders
+    ),
+    all_changes AS (
+        SELECT op, okey, ts, total FROM backfill
+        UNION ALL SELECT op, okey, ts, total FROM live
+    ),
+    versioned AS (
+        SELECT *, lead(ts) OVER (PARTITION BY okey ORDER BY ts) AS valid_to
+        FROM all_changes
+    )
+    SELECT okey, total, ts AS valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM versioned WHERE op <> 'Delete'
+    """,
+)
+def scd2_order_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2 slowly-changing dimension) built straight from the CDC
+    change log: every non-delete change becomes a version row with
+    [valid_from, valid_to) derived via lead() over the per-key timeline;
+    deletes terminate the prior version without emitting one. This is the
+    warehouse-side materialization the reference's UPSERT stream feeds
+    (test.rhai:27-33) — one shuffle on the key, identical at any scale."""
+    orders = load(spark, sf_dir, "orders")
+    backfill = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    live = live_orders_changes(spark, sf_dir)
+    img = F.coalesce(F.col("after"), F.col("before"))
+    changes = backfill.unionByName(live).select(
+        "op",
+        img[F.col("pkey")].cast("bigint").alias("okey"),
+        "ts",
+        F.col("after")["o_totalprice"].cast("double").alias("total"),
+    )
+    w = Window.partitionBy("okey").orderBy("ts")
+    versioned = changes.withColumn("valid_to", F.lead("ts").over(w))
+    return versioned.filter(F.col("op") != "Delete").select(
+        "okey",
+        "total",
+        F.col("ts").alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

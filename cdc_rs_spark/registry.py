@@ -41,6 +41,7 @@ _PLAN_MODULES = [
     "cdc_rs_spark.plans.similarity",
     "cdc_rs_spark.plans.text",
     "cdc_rs_spark.plans.multimodal",
+    "cdc_rs_spark.plans.pipeline",
 ]
 
 

