@@ -39,8 +39,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, q in sorted(registry.items()):
-        df = q.fn(spark, sf_dir)
+        # timer covers plan construction too: iterative operators (e.g.
+        # connected components) run actions while building their result
         t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 

@@ -295,3 +295,130 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly.groupBy(F.date_trunc("day", F.col("h")).alias("day"), "event_type")
         .agg(F.sum("n").alias("n"), F.sum("v").cast("double").alias("total_value"))
     )
+
+
+@register(
+    "orders_rolling_7day_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS rev
+        FROM orders GROUP BY d
+    )
+    SELECT d, rev,
+           CAST(SUM(rev) OVER (
+               ORDER BY (d - DATE '1970-01-01')
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(38,2)) AS rev_7d
+    FROM daily
+    """,
+)
+def orders_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day revenue via a RANGE window frame over epoch-day numbers
+    (value-based frame — gaps in the calendar are handled correctly, unlike a
+    ROWS frame). Aggregating to the daily series FIRST bounds the windowed
+    relation to #days rows, so the unpartitioned window is safe at any corpus
+    scale — the groupBy does the distributed heavy lifting."""
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("rev")
+        )
+    )
+    days = F.datediff(F.col("d"), F.lit("1970-01-01"))
+    w = Window.orderBy(days).rangeBetween(-6, 0)
+    return daily.withColumn(
+        "rev_7d", F.sum("rev").over(w).cast("decimal(38,2)")
+    )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(ts) FILTER (WHERE event_type = 'view') AS first_view,
+               MIN(ts) FILTER (WHERE event_type = 'click') AS first_click,
+               MIN(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(first_view) AS n_view,
+           COUNT(*) FILTER (WHERE first_view < first_click) AS n_view_click,
+           COUNT(*) FILTER (
+               WHERE first_view < first_click AND first_click < first_purchase
+           ) AS n_full_funnel
+    FROM per_user
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel (view -> click -> purchase): one conditional-agg
+    pass per user, then one global roll-up — two shuffles total, no joins,
+    no per-stage scans. NULL timestamps (< is NULL-rejecting) drop users who
+    never reached a stage, in both engines identically."""
+    e = load(spark, sf_dir, "events")
+
+    def first(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first("view").alias("first_view"),
+        first("click").alias("first_click"),
+        first("purchase").alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count("first_view").alias("n_view"),
+        F.count(
+            F.when(F.col("first_view") < F.col("first_click"), 1)
+        ).alias("n_view_click"),
+        F.count(
+            F.when(
+                (F.col("first_view") < F.col("first_click"))
+                & (F.col("first_click") < F.col("first_purchase")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "events_weekly_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT e.user_id, f.cohort,
+               CAST(date_trunc('week', e.ts) AS DATE) AS wk
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort, CAST((wk - cohort) / 7 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM active GROUP BY cohort, week_offset
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen ISO week, counted in
+    each subsequent active week. The firsts table is small (one row per
+    user) and broadcast; both engines truncate weeks to Monday (ISO)."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    active = (
+        e.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        )
+        .distinct()
+    )
+    return active.groupBy(
+        "cohort",
+        F.floor(F.datediff("wk", "cohort") / 7).alias("week_offset"),
+    ).agg(F.count("*").alias("n_users"))

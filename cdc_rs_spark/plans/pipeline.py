@@ -222,7 +222,7 @@ def pack_documents_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     The whole-corpus running sum is a single-partition window at test scale;
     the 100 TB path pre-shards by hash_bucket(doc_id, n_shards) and packs
     within each shard independently (embarrassingly parallel, same output
-    contract per shard) — see SCALE.md §6."""
+    contract per shard) — see SCALE.md §10."""
     docs = load(spark, sf_dir, "documents")
     # whitespace token count = spaces + 1, cheap and engine-agnostic
     sized = docs.select(
