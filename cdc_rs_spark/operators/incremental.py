@@ -1,0 +1,68 @@
+"""Incremental materialized-view maintenance from the CDC change stream —
+the capability a CDC engine ultimately feeds: keep an aggregate current by
+applying per-change deltas instead of rescanning the base table.
+
+Delta semantics (classic retraction/insertion IVM):
+  - a change's BEFORE image (Update/Delete) retracts: (group(before), -1, -value(before))
+  - a change's AFTER image (Insert/Update/Backfill) asserts: (group(after), +1, +value(after))
+An Update whose group key migrates is handled for free — the retraction lands
+in the old group, the assertion in the new one.
+
+Scale design: the delta stream is a pure map-side projection of the change
+stream; maintenance is ONE shuffle on the group key regardless of base-table
+size — cost is O(changes), not O(table), which is the entire point at 100 TB.
+Additive measures (COUNT, SUM, and means as sum/count pairs) maintain
+exactly; MIN/MAX need the per-group compaction path (latest_per_key) instead.
+Sums use decimal arithmetic so the maintained value is bit-identical to a
+full recompute under any partitioning (SCALE.md §3's dsum discipline).
+
+Reference parity: cdc-rs only transports changes (src/main.rs:162-188); the
+downstream UPSERT table it feeds (test.rhai:27-33) is what this operator
+maintains without the warehouse re-aggregating.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def change_deltas(
+    changes: DataFrame,
+    group_of: "callable",
+    value_of: "callable",
+) -> DataFrame:
+    """Project a Change envelope stream to (grp, dn, dv) delta rows.
+    `group_of`/`value_of` map an image column (map<string,string>) to the
+    grouping expression / additive measure (already cast to an exact type)."""
+
+    def part(img: Column, sign: int) -> Column:
+        return F.struct(
+            group_of(img).alias("grp"),
+            F.lit(sign).cast("bigint").alias("dn"),
+            (value_of(img) * sign).alias("dv"),
+        )
+
+    before = changes.filter(F.col("before").isNotNull()).select(
+        part(F.col("before"), -1).alias("d")
+    )
+    after = changes.filter(F.col("after").isNotNull()).select(
+        part(F.col("after"), 1).alias("d")
+    )
+    return before.unionByName(after).select("d.grp", "d.dn", "d.dv")
+
+
+def incremental_agg(
+    changes: DataFrame,
+    group_of: "callable",
+    value_of: "callable",
+) -> DataFrame:
+    """Maintained (grp, n_rows, total) aggregate over the change stream.
+    Groups whose rows were all deleted net to n_rows=0 and drop out, exactly
+    as a recompute over the final table would."""
+    deltas = change_deltas(changes, group_of, value_of)
+    return (
+        deltas.groupBy("grp")
+        .agg(F.sum("dn").alias("n_rows"), F.sum("dv").alias("total"))
+        .filter(F.col("n_rows") > 0)
+    )

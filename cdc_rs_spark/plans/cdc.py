@@ -277,3 +277,47 @@ def cdc_change_rate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("total"), 6).alias("frac"),
         )
     )
+
+
+@register(
+    "cdc_incremental_agg_maintenance",
+    oracle="""
+    WITH final_state AS (
+        -- what the base table looks like after the live changes land:
+        -- %10=7 deleted, %10=3 repriced (+1000), %10=1 cloned as a new key
+        SELECT o_orderpriority AS grp,
+               o_totalprice
+                 + CASE WHEN o_orderkey % 10 = 3 THEN 1000.0 ELSE 0 END AS v
+        FROM orders WHERE o_orderkey % 10 <> 7
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 1
+    )
+    SELECT grp, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+    FROM final_state GROUP BY grp
+    """,
+)
+def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators/incremental.py):
+    COUNT/SUM(o_totalprice) per priority maintained purely from change
+    deltas — backfill asserts, deletes retract, updates retract+assert. The
+    oracle recomputes the aggregate from the post-change table; the delta
+    path must match it exactly (decimal sums), proving O(changes) upkeep is
+    equivalent to an O(table) rescan."""
+    from cdc_rs_spark.operators.incremental import incremental_agg
+
+    orders = load(spark, sf_dir, "orders")
+    backfill = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    live = live_orders_changes(spark, sf_dir)
+    changes = backfill.unionByName(live)
+    out = incremental_agg(
+        changes,
+        group_of=lambda img: img["o_orderpriority"],
+        value_of=lambda img: img["o_totalprice"].cast("double").cast("decimal(18,2)"),
+    )
+    return out.select(
+        F.col("grp"),
+        "n_rows",
+        F.col("total").cast("decimal(38,2)").alias("total"),
+    )

@@ -99,3 +99,29 @@ def test_connected_components_synthetic_graph(spark):
         for r in connected_components(edges, "s", "d").collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_incremental_agg_handles_group_migration(spark):
+    # an Update that MOVES a row between groups must retract from the old
+    # group and assert into the new one; a Delete must retract entirely
+    from cdc_rs_spark.operators.incremental import incremental_agg
+
+    changes = spark.createDataFrame(
+        [
+            ("Insert", None, {"g": "a", "v": "10.00"}),
+            ("Insert", None, {"g": "a", "v": "5.00"}),
+            ("Insert", None, {"g": "b", "v": "7.00"}),
+            ("Update", {"g": "a", "v": "10.00"}, {"g": "b", "v": "10.00"}),
+            ("Delete", {"g": "b", "v": "7.00"}, None),
+        ],
+        "op string, before map<string,string>, after map<string,string>",
+    )
+    out = {
+        r.grp: (r.n_rows, str(r.total))
+        for r in incremental_agg(
+            changes,
+            group_of=lambda img: img["g"],
+            value_of=lambda img: img["v"].cast("decimal(18,2)"),
+        ).collect()
+    }
+    assert out == {"a": (1, "5.00"), "b": (1, "10.00")}
