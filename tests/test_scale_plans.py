@@ -79,3 +79,25 @@ def test_dimension_join_broadcasts(spark):
     df = load_all()["q5_local_supplier_volume"].fn(spark, SF_DIR)
     plan = _physical_plan(df)
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_agg_is_single_shuffle(spark, sf_dir):
+    """IVM cost model: delta projection is map-side; the whole maintenance
+    plan contains exactly one exchange (the group-key shuffle), independent
+    of base-table size."""
+    from cdc_rs_spark.envelope import snapshot_changes
+    from cdc_rs_spark.operators.incremental import incremental_agg
+    from cdc_rs_spark.session import load
+    from cdc_rs_spark.sources.synthetic import live_orders_changes
+
+    orders = load(spark, sf_dir, "orders")
+    changes = snapshot_changes(orders, "testdb", "orders", "o_orderkey").unionByName(
+        live_orders_changes(spark, sf_dir)
+    )
+    out = incremental_agg(
+        changes,
+        group_of=lambda img: img["o_orderpriority"],
+        value_of=lambda img: img["o_totalprice"].cast("double").cast("decimal(18,2)"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan

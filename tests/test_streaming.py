@@ -325,3 +325,61 @@ def test_streaming_topic_fanout_foreach_batch(spark, tmp_path):
     # delete payload carries the BEFORE image (test.rhai:26)
     deleted = [p for p in payloads if p["_CHANGE_TYPE"] == "DELETE"][0]
     assert deleted["id"] == "3" and deleted["tenant"] == "testdb"
+
+
+def test_streaming_incremental_view_maintenance(spark, tmp_path):
+    """IVM in streaming mode: each micro-batch's changes become
+    retraction/assertion deltas appended to a delta log; the maintained
+    aggregate (sum of deltas) equals the batch-recomputed final state even
+    with the update arriving in a later micro-batch than the insert it
+    revises (operators/incremental.py in foreachBatch)."""
+    from cdc_rs_spark.operators.incremental import change_deltas
+
+    src = str(tmp_path / "src")
+    deltas_dir = str(tmp_path / "deltas")
+    ckpt = str(tmp_path / "ckpt")
+
+    def envelope(op, before, after, ts):
+        return {"op": op, "db": "d", "table": "t", "before": before,
+                "after": after, "ts": ts, "pkey": "g"}
+
+    _write_changes(src, "b1.json", [
+        envelope("Insert", None, {"g": "a", "v": "10.00"}, 1),
+        envelope("Insert", None, {"g": "a", "v": "5.00"}, 2),
+        envelope("Insert", None, {"g": "b", "v": "7.00"}, 3),
+    ])
+
+    def apply_batch(batch_df, _batch_id):
+        change_deltas(
+            batch_df,
+            group_of=lambda img: img["g"],
+            value_of=lambda img: img["v"].cast("decimal(18,2)"),
+        ).write.mode("append").parquet(deltas_dir)
+
+    def run():
+        q = (
+            read_change_stream(spark, src)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # second micro-batch: the update migrates a row a->b, the delete retracts
+    _write_changes(src, "b2.json", [
+        envelope("Update", {"g": "a", "v": "10.00"}, {"g": "b", "v": "10.00"}, 4),
+        envelope("Delete", {"g": "b", "v": "7.00"}, None, 5),
+    ])
+    run()
+
+    maintained = {
+        r.grp: (r.n, str(r.total))
+        for r in spark.read.parquet(deltas_dir)
+        .groupBy("grp")
+        .agg(F.sum("dn").alias("n"), F.sum("dv").alias("total"))
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    assert maintained == {"a": (1, "5.00"), "b": (1, "10.00")}
