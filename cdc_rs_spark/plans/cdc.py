@@ -321,3 +321,39 @@ def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         "n_rows",
         F.col("total").cast("decimal(38,2)").alias("total"),
     )
+
+
+@register(
+    "cdc_minmax_after_changes",
+    oracle="""
+    WITH final_state AS (
+        SELECT o_orderpriority AS grp,
+               o_totalprice
+                 + CASE WHEN o_orderkey % 10 = 3 THEN 1000.0 ELSE 0 END AS v
+        FROM orders WHERE o_orderkey % 10 <> 7
+        UNION ALL
+        SELECT o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 1
+    )
+    SELECT grp, MIN(v) AS min_price, MAX(v) AS max_price
+    FROM final_state GROUP BY grp
+    """,
+)
+def cdc_minmax_after_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-additive aggregates (MIN/MAX) after CDC: deltas can't retract an
+    extremum, so the correct maintenance path is compaction-then-aggregate —
+    latest_per_key collapses the change log to current rows, then a plain
+    group agg. Complements cdc_incremental_agg_maintenance (which covers the
+    additive COUNT/SUM fast path); together they are the two standard IVM
+    regimes."""
+    orders = load(spark, sf_dir, "orders")
+    backfill = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    live = live_orders_changes(spark, sf_dir)
+    compacted = latest_per_key(backfill.unionByName(live), drop_deletes=True)
+    cur = compacted.select(
+        F.col("after")["o_orderpriority"].alias("grp"),
+        F.col("after")["o_totalprice"].cast("double").alias("v"),
+    )
+    return cur.groupBy("grp").agg(
+        F.min("v").alias("min_price"), F.max("v").alias("max_price")
+    )

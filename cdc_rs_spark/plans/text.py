@@ -5,7 +5,7 @@ transcriptions of the column expressions in functions/text.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_rs_spark.functions.hashing import P31, fp_sql
@@ -125,4 +125,56 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", rolling_fingerprint(tokens(F.col("text"))).alias("fp")
+    )
+
+
+@register(
+    "text_quality_filter_median",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               ROUND(0.4 * ({_hits_sql("en")}::DOUBLE / len(w))
+                     + 0.3 * least(len(w)::DOUBLE / 100.0, 1.0)
+                     + 0.3 * (len(list_distinct(w))::DOUBLE / len(w)), 6)
+                   AS quality
+        FROM t
+    ),
+    ranked AS (
+        SELECT *, percent_rank() OVER (
+            PARTITION BY lang ORDER BY quality, doc_id) AS pr
+        FROM scored
+    )
+    SELECT lang, COUNT(*) AS n_kept, MIN(quality) AS min_quality,
+           CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DECIMAL(38,6))
+               AS total_quality
+    FROM ranked WHERE pr >= 0.5
+    GROUP BY lang
+    """,
+)
+def text_quality_filter_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation: keep the top half of each language's documents by
+    quality score (percent_rank >= 0.5, deterministic doc_id tiebreak) and
+    summarize what survived. The rank is computed per-lang — each partition
+    sorts independently, no global ordering; at 100 TB a lang partition that
+    skews huge switches to the approx-quantile threshold instead (one pass,
+    no full sort) with identical filter semantics."""
+    d = spread(load(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    ranked = scored.withColumn("pr", F.percent_rank().over(w))
+    return (
+        ranked.filter(F.col("pr") >= 0.5)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("quality").alias("min_quality"),
+            F.sum(F.col("quality").cast("decimal(18,6)"))
+            .cast("decimal(38,6)")
+            .alias("total_quality"),
+        )
     )
