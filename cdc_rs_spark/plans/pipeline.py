@@ -356,3 +356,112 @@ def scd2_order_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+@register(
+    "sample_stratified_cap",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_oracle_bucket('doc_id', 1000000)}, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+    FROM ranked WHERE rn <= 50 GROUP BY lang
+    """,
+)
+def sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced sampling: cap every language at 50 documents, chosen by
+    a deterministic hash order (not file order, which is load-dependent; not
+    rand(), which is retry-unstable). The per-stratum row_number sorts only
+    within each lang partition; at 100 TB strata that exceed executor memory
+    use the two-pass variant — count per stratum, then filter by hash rank
+    threshold — with the same selection contract."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        hash_bucket(F.col("doc_id"), 1_000_000), F.col("doc_id")
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("rn") <= 50)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+    )
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col,
+           COUNT(*) AS n, COUNT(o_custkey) AS n_nonnull,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column null/distinct/min/max stats in ONE scan —
+    the agg computes all columns' stats together and unpivots, instead of
+    one scan per column (the naive UNION the oracle spells out). Catalyst
+    plans the distinct counts as a single Expand + two-level agg."""
+    orders = load(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.min("o_custkey").cast("string").alias("min_custkey"),
+        F.max("o_custkey").cast("string").alias("max_custkey"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").alias("min_status"),
+        F.max("o_orderstatus").alias("max_status"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+        F.min("o_orderpriority").alias("min_prio"),
+        F.max("o_orderpriority").alias("max_prio"),
+    )
+    row = F.struct
+    return stats.select(
+        F.explode(
+            F.array(
+                row(
+                    F.lit("o_custkey").alias("col"), F.col("n").alias("n"),
+                    F.col("nn_custkey").alias("n_nonnull"),
+                    F.col("nd_custkey").alias("n_distinct"),
+                    F.col("min_custkey").alias("min_v"),
+                    F.col("max_custkey").alias("max_v"),
+                ),
+                row(
+                    F.lit("o_orderstatus").alias("col"), F.col("n").alias("n"),
+                    F.col("nn_status").alias("n_nonnull"),
+                    F.col("nd_status").alias("n_distinct"),
+                    F.col("min_status").alias("min_v"),
+                    F.col("max_status").alias("max_v"),
+                ),
+                row(
+                    F.lit("o_orderpriority").alias("col"), F.col("n").alias("n"),
+                    F.col("nn_prio").alias("n_nonnull"),
+                    F.col("nd_prio").alias("n_distinct"),
+                    F.col("min_prio").alias("min_v"),
+                    F.col("max_prio").alias("max_v"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.col", "s.n", "s.n_nonnull", "s.n_distinct", "s.min_v", "s.max_v")
