@@ -383,3 +383,36 @@ def test_streaming_incremental_view_maintenance(spark, tmp_path):
         .collect()
     }
     assert maintained == {"a": (1, "5.00"), "b": (1, "10.00")}
+
+
+def test_stream_static_dimension_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static join — the standard CDC enrichment: each change joins a
+    static dimension table on the fly (broadcast; no state, no watermark
+    needed on the static side). The dimension is re-read per micro-batch, so
+    a slowly-changing dim picks up updates between batches."""
+    src = str(tmp_path / "src")
+    _write_changes(src, "b1.json", [
+        _chg("Insert", "1", "a", 100),
+        _chg("Insert", "2", "b", 101),
+    ])
+    from cdc_rs_spark.session import load
+
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("string").alias("id"),
+        F.col("n_name").alias("nation_name"),
+    )
+    stream = read_change_stream(spark, src)
+    enriched = stream.select(
+        "op", F.col("after")["id"].alias("id"), F.col("after")["v"].alias("v")
+    ).join(F.broadcast(nation), "id", "left")
+    q = (
+        enriched.writeStream.format("memory").queryName("enrich")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["id"]: r["nation_name"] for r in spark.sql("SELECT * FROM enrich").collect()}
+    assert len(rows) == 2
+    assert all(v is not None for v in rows.values())  # both keys resolved
