@@ -416,3 +416,36 @@ def test_stream_static_dimension_enrichment(spark, sf_dir, tmp_path):
     rows = {r["id"]: r["nation_name"] for r in spark.sql("SELECT * FROM enrich").collect()}
     assert len(rows) == 2
     assert all(v is not None for v in rows.values())  # both keys resolved
+
+
+def test_tws_arbitration_matches_legacy_semantics(spark, tmp_path):
+    """transformWithStateInPandas variant (streaming/arbitrate_tws.py) obeys
+    the same contract as applyInPandasWithState: late backfill suppressed,
+    live supersession emits an update. Skips where the TWS control channel's
+    protobuf dependency is missing (this container)."""
+    pytest.importorskip("google.protobuf")
+    from cdc_rs_spark.streaming.arbitrate_tws import arbitrate_stream_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    src = str(tmp_path / "src")
+    _write_changes(src, "b1.json", [
+        _chg("Update", "1", "live", 100),
+        _chg("Backfill", "2", "snap2", 1),
+    ])
+    _write_changes(src, "b2.json", [
+        _chg("Backfill", "1", "stale", 1),
+        _chg("Delete", "2", None, 500),
+    ])
+    stream = read_change_stream(spark, src, max_files_per_trigger=1)
+    out = arbitrate_stream_tws(stream)
+    q = _run_available_now(out, "arb_tws", str(tmp_path / "ckpt"))
+    rows = spark.sql("SELECT * FROM arb_tws ORDER BY ts").collect()
+    winners: dict[str, list] = {}
+    for r in rows:
+        winners.setdefault(r["key"], []).append(r)
+    assert [w["op"] for w in winners["1"]] == ["Update"]  # backfill suppressed
+    assert [w["op"] for w in winners["2"]] == ["Backfill", "Delete"]
