@@ -422,3 +422,36 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort",
         F.floor(F.datediff("wk", "cohort") / 7).alias("week_offset"),
     ).agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "events_salted_user_join",
+    oracle="""
+    SELECT e.user_id, c.c_name,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.user_id, c.c_name
+    """,
+)
+def events_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join end-to-end: the events fact (user_id is the
+    skewed key — few users, many events) joins customer through
+    operators/skew.py's salted_join (big side salted across 8 sub-keys,
+    small side replicated), then aggregates. The oracle is the PLAIN join —
+    salting must be invisible in the result, only in the shuffle layout."""
+    from cdc_rs_spark.operators.skew import salted_join
+
+    e = load(spark, sf_dir, "events").withColumnRenamed("user_id", "c_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = salted_join(e, c, "c_custkey", salt=8)
+    return (
+        joined.groupBy(F.col("c_custkey").alias("user_id"), "c_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_value"),
+        )
+    )

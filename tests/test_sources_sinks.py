@@ -78,3 +78,33 @@ def test_publish_foreach_batch_groups_per_topic(spark):
     # dry-run form (publish=None) must not raise — the reference ships with
     # publish disabled (src/main.rs:187)
     publish_foreach_batch(None)(df, 1)
+
+
+def test_upsert_state_replay_idempotent(spark, tmp_path):
+    """The delivery-guarantee claim (SCALE.md §8): at-least-once replay +
+    idempotent UPSERT materialization = effectively-exactly-once state.
+    Applying the same change batch TWICE through latest-per-key compaction
+    yields byte-identical materialized state."""
+    from cdc_rs_spark.envelope import snapshot_changes
+    from cdc_rs_spark.operators.compaction import latest_per_key
+    from cdc_rs_spark.session import load
+    from cdc_rs_spark.sources.synthetic import live_orders_changes
+
+    orders = load(spark, SF_DIR, "orders")
+    backfill = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    live = live_orders_changes(spark, SF_DIR)
+    once = backfill.unionByName(live)
+    replayed = once.unionByName(live)  # the live batch delivered twice
+
+    def materialize(changes):
+        state = latest_per_key(changes, drop_deletes=True)
+        img = F.coalesce(F.col("after"), F.col("before"))
+        return {
+            (r.k, r.total)
+            for r in state.select(
+                img[F.col("pkey")].alias("k"),
+                F.col("after")["o_totalprice"].alias("total"),
+            ).collect()
+        }
+
+    assert materialize(replayed) == materialize(once)
