@@ -465,3 +465,52 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.col", "s.n", "s.n_nonnull", "s.n_distinct", "s.min_v", "s.max_v")
+
+
+@register(
+    "scd2_as_of_snapshot",
+    oracle=f"""
+    WITH live AS ({ORACLE_LIVE_CHANGES}),
+    backfill AS (
+        SELECT 'Backfill' AS op, o_orderkey AS okey, 1::BIGINT AS ts,
+               o_totalprice AS total
+        FROM orders
+    ),
+    all_changes AS (
+        SELECT op, okey, ts, total FROM backfill
+        UNION ALL SELECT op, okey, ts, total FROM live
+    ),
+    versioned AS (
+        SELECT *, lead(ts) OVER (PARTITION BY okey ORDER BY ts) AS valid_to
+        FROM all_changes
+    )
+    SELECT okey, total
+    FROM versioned
+    WHERE op <> 'Delete' AND ts <= 150 AND (valid_to IS NULL OR valid_to > 150)
+    """,
+)
+def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 history: reconstruct the table AS OF ts=150
+    — after the live updates/deletes (ts=100) but before the inserts
+    (ts=200). A pure filter on the version intervals: updated keys show the
+    corrected price, deleted keys are absent, future inserts invisible.
+    At scale the history partitions by valid_from date, so an as-of filter
+    prunes to the partitions overlapping the target time."""
+    t = 150
+    orders = load(spark, sf_dir, "orders")
+    backfill = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    live = live_orders_changes(spark, sf_dir)
+    img = F.coalesce(F.col("after"), F.col("before"))
+    changes = backfill.unionByName(live).select(
+        "op",
+        img[F.col("pkey")].cast("bigint").alias("okey"),
+        "ts",
+        F.col("after")["o_totalprice"].cast("double").alias("total"),
+    )
+    w = Window.partitionBy("okey").orderBy("ts")
+    versioned = changes.withColumn("valid_to", F.lead("ts").over(w))
+    return versioned.filter(
+        (F.col("op") != "Delete")
+        & (F.col("ts") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("okey", "total")
