@@ -188,3 +188,77 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=N_PROBE,
         k=5,
     )
+
+
+_Q8 = """
+    CASE WHEN list_max(list_transform({e}, x -> abs(x::DOUBLE))) = 0
+         THEN list_transform({e}, x -> 0::BIGINT)
+         ELSE list_transform({e}, x -> CAST(floor(
+              x::DOUBLE / list_max(list_transform({e}, y -> abs(y::DOUBLE)))
+              * 127.0 + 0.5) AS BIGINT))
+    END
+"""
+
+
+def _idot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, {EMB_DIM + 1}), "
+        f"j -> {a}[j] * {b}[j])), (x, y) -> x + y)"
+    )
+
+
+@register(
+    "similarity_quantized_topk",
+    oracle=f"""
+    WITH {_QUERIES_SQL},
+    quant AS (
+        SELECT vec_id, {_Q8.format(e="embedding")} AS q8 FROM embeddings
+    ),
+    qq AS (
+        SELECT query_id, {_Q8.format(e="q_emb")} AS q8 FROM qs
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_idot_sql("q.q8", "c.q8")}::DOUBLE
+               / (sqrt({_idot_sql("q.q8", "q.q8")}::DOUBLE)
+                  * sqrt({_idot_sql("c.q8", "c.q8")}::DOUBLE)) AS cos
+        FROM quant c CROSS JOIN qq q
+        WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, vec_id, rank, ROUND(cos, 6) AS cosine
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by cosine over int8-quantized vectors (operators/similarity.py
+    int8_quantize): 4x smaller vectors, exact integer dot products — the
+    compressed-index scale path. Quantization error vs the float baseline is
+    measurable by diffing against similarity_bruteforce_topk; the oracle
+    reproduces the identical quantizer so this query itself matches
+    bit-for-bit."""
+    from cdc_rs_spark.operators.similarity import int8_quantize, quantized_cosine
+
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    quant = emb.select("vec_id", int8_quantize(F.col("embedding")).alias("q8"))
+    queries = quant.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("q8").alias("qq8")
+    )
+    joined = quant.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    from pyspark.sql import Window
+
+    cos = quantized_cosine(F.col("qq8"), F.col("q8"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        joined.select("query_id", "vec_id", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
+    )

@@ -252,3 +252,16 @@ def test_asof_join_backward_semantics(spark):
     assert (out[2]["m_t"], out[2]["m_id"]) == (150, 8)
     # k=20 has no right rows at all -> null payload
     assert out[3]["m_t"] is None and out[3]["m_id"] is None
+
+
+def test_int8_quantize_zero_vector_and_range(spark):
+    from cdc_rs_spark.operators.similarity import int8_quantize
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, -0.5]), (3, [0.25, 0.125])],
+        "id long, e array<float>",
+    )
+    rows = {r.id: r.q for r in df.select("id", int8_quantize(F.col("e")).alias("q")).collect()}
+    assert rows[1] == [0, 0]            # zero vector stays zero (no div-by-0)
+    assert rows[2] == [127, -63]        # max|x| -> 127; half-up rounding
+    assert rows[3] == [127, 64]         # scale-relative, not absolute
