@@ -179,3 +179,30 @@ def test_scripted_transform_escape_hatch(spark):
     parsed = [json.loads(r["value"]) for r in out]
     assert all(p["tenant"] == "pim" for p in parsed)
     assert {p["_CHANGE_TYPE"] for p in parsed} == {"UPSERT", "DELETE"}
+
+
+def test_envelope_absorbs_schema_drift(spark):
+    """Schema evolution mid-stream: a change batch where later rows carry a
+    column earlier rows lack (upstream ALTER TABLE ADD COLUMN). The
+    map<string,string> envelope absorbs it — compaction and the BigQuery
+    transform flow through, old rows simply lack the key (NULL on access)."""
+    from cdc_rs_spark.operators.compaction import latest_per_key
+
+    changes = spark.createDataFrame(
+        [
+            ("Insert", "db", "t", None, {"id": "1", "v": "a"}, 10, "id"),
+            # after the ALTER: same key re-upserted with an extra column
+            ("Update", "db", "t", {"id": "1", "v": "a"},
+             {"id": "1", "v": "b", "extra": "new"}, 20, "id"),
+            ("Insert", "db", "t", None, {"id": "2", "v": "c"}, 30, "id"),
+        ],
+        "op string, db string, table string, before map<string,string>, "
+        "after map<string,string>, ts long, pkey string",
+    )
+    state = latest_per_key(changes, drop_deletes=True)
+    rows = {r.k: (r.v, r.extra) for r in state.select(
+        F.col("after")["id"].alias("k"),
+        F.col("after")["v"].alias("v"),
+        F.col("after")["extra"].alias("extra"),
+    ).collect()}
+    assert rows == {"1": ("b", "new"), "2": ("c", None)}
