@@ -206,3 +206,26 @@ def test_envelope_absorbs_schema_drift(spark):
         F.col("after")["extra"].alias("extra"),
     ).collect()}
     assert rows == {"1": ("b", "new"), "2": ("c", None)}
+
+
+def test_typed_changes_declared_schema_decode(spark, sf_dir):
+    """Declared-schema decode (SURVEY §7 hard part c): the typed projection
+    yields native types (bigint/decimal), NULL images stay NULL, and absent
+    declared columns decode to NULL instead of erroring."""
+    from cdc_rs_spark.envelope import snapshot_changes, typed_changes
+    from cdc_rs_spark.session import load
+
+    orders = load(spark, sf_dir, "orders")
+    changes = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    typed = typed_changes(changes, [
+        ("o_orderkey", "bigint"),
+        ("o_totalprice", "decimal(18,2)"),
+        ("not_there_yet", "string"),
+    ])
+    assert dict(typed.dtypes)["after"] == (
+        "struct<o_orderkey:bigint,o_totalprice:decimal(18,2),not_there_yet:string>"
+    )
+    r = typed.select("before", "after").first()
+    assert r.before is None  # backfill has no before image
+    assert isinstance(r.after.o_orderkey, int)
+    assert r.after.not_there_yet is None
