@@ -125,3 +125,60 @@ def test_incremental_agg_handles_group_migration(spark):
         ).collect()
     }
     assert out == {"a": (1, "5.00"), "b": (1, "10.00")}
+
+
+def test_property_incremental_agg_equals_recompute(spark):
+    """Property (seeded-random, 30 sequences): for ANY consistent sequence of
+    Insert/Update/Delete changes — including group migrations — the
+    delta-maintained (count, sum) per group equals a recompute over the final
+    table state."""
+    import random
+    from decimal import Decimal
+
+    from cdc_rs_spark.operators.incremental import incremental_agg
+
+    rng = random.Random(7)
+    ddl = ("op string, before map<string,string>, "
+           "after map<string,string>, ts long")
+    groups = ["a", "b", "c"]
+    for _ in range(30):
+        current: dict[int, tuple[str, str]] = {}
+        rows = []
+        ts = 0
+        for _step in range(rng.randint(1, 25)):
+            ts += 1
+            alive = list(current)
+            op = rng.choice(
+                (["Insert"] if len(alive) < 8 else [])
+                + (["Update", "Delete"] if alive else [])
+            )
+            if op == "Insert":
+                k = rng.choice([k for k in range(10) if k not in current])
+                img = (rng.choice(groups), f"{rng.randint(0, 999)}.{rng.randint(0,99):02d}")
+                current[k] = img
+                rows.append(("Insert", None, {"g": img[0], "v": img[1]}, ts))
+            elif op == "Update":
+                k = rng.choice(alive)
+                old = current[k]
+                new = (rng.choice(groups), f"{rng.randint(0, 999)}.{rng.randint(0,99):02d}")
+                current[k] = new
+                rows.append(("Update", {"g": old[0], "v": old[1]},
+                             {"g": new[0], "v": new[1]}, ts))
+            else:
+                k = rng.choice(alive)
+                old = current.pop(k)
+                rows.append(("Delete", {"g": old[0], "v": old[1]}, None, ts))
+        changes = spark.createDataFrame(rows, ddl)
+        got = {
+            r.grp: (r.n_rows, Decimal(str(r.total)))
+            for r in incremental_agg(
+                changes,
+                group_of=lambda img: img["g"],
+                value_of=lambda img: img["v"].cast("decimal(18,2)"),
+            ).collect()
+        }
+        want: dict[str, tuple[int, Decimal]] = {}
+        for g, v in current.values():
+            n, t = want.get(g, (0, Decimal("0")))
+            want[g] = (n + 1, t + Decimal(v))
+        assert got == want, (rows, got, want)
