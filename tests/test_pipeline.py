@@ -182,3 +182,25 @@ def test_property_incremental_agg_equals_recompute(spark):
             n, t = want.get(g, (0, Decimal("0")))
             want[g] = (n + 1, t + Decimal(v))
         assert got == want, (rows, got, want)
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Degenerate inputs: zero edges / zero changes must yield empty results,
+    not errors (a real pipeline hits empty micro-batches constantly)."""
+    from cdc_rs_spark.operators.graph import connected_components
+    from cdc_rs_spark.operators.incremental import incremental_agg
+
+    empty_edges = spark.createDataFrame([], "s long, d long")
+    assert connected_components(empty_edges, "s", "d").count() == 0
+
+    empty_changes = spark.createDataFrame(
+        [], "op string, before map<string,string>, after map<string,string>"
+    )
+    assert (
+        incremental_agg(
+            empty_changes,
+            group_of=lambda img: img["g"],
+            value_of=lambda img: img["v"].cast("decimal(18,2)"),
+        ).count()
+        == 0
+    )
