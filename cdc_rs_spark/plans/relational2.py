@@ -869,3 +869,40 @@ def suppliers_per_nation_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "array_functions_nation_suppliers",
+    oracle="""
+    WITH per_nation AS (
+        SELECT n.n_name,
+               list_sort(list(s.s_name)) AS names
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT n_name,
+           len(names) AS n_suppliers,
+           names[1] AS first_name,
+           names[1:3] AS first3,
+           list_contains(names, 'Supplier#000000001') AS has_s1
+    FROM per_nation
+    """,
+)
+def array_functions_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth over grouped data: sorted collect, size,
+    element_at, slice, array_contains — all JVM built-ins on the array
+    column produced by one grouped aggregation."""
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    per_nation = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sort_array(F.collect_list("s_name")).alias("names"))
+    )
+    return per_nation.select(
+        "n_name",
+        F.size("names").alias("n_suppliers"),
+        F.element_at("names", 1).alias("first_name"),
+        F.slice("names", 1, 3).alias("first3"),
+        F.array_contains("names", "Supplier#000000001").alias("has_s1"),
+    )
