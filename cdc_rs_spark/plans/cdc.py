@@ -357,3 +357,37 @@ def cdc_minmax_after_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.groupBy("grp").agg(
         F.min("v").alias("min_price"), F.max("v").alias("max_price")
     )
+
+
+@register(
+    "envelope_field_histogram",
+    oracle=f"""
+    WITH live AS ({ORACLE_LIVE_CHANGES}),
+    n_after AS (
+        -- rows carrying an after image: backfill + updates + inserts
+        SELECT (SELECT COUNT(*) FROM orders)
+             + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 3)
+             + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 1) AS n
+    )
+    SELECT col, n.n AS n_present
+    FROM (VALUES ('o_orderkey'), ('o_custkey'), ('o_orderstatus'),
+                 ('o_totalprice'), ('o_orderdate'), ('o_orderpriority')) t(col)
+    CROSS JOIN n_after n
+    """,
+)
+def envelope_field_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function surface over the envelope: explode map_keys(after) and
+    count per field — the schema-drift observability query (a new upstream
+    column shows up here first, long before any consumer declares it).
+    Every field appears in every after image for this feed, so the oracle is
+    the after-image count per column."""
+    orders = load(spark, sf_dir, "orders")
+    backfill = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    live = live_orders_changes(spark, sf_dir)
+    changes = backfill.unionByName(live)
+    return (
+        changes.filter(F.col("after").isNotNull())
+        .select(F.explode(F.map_keys(F.col("after"))).alias("col"))
+        .groupBy("col")
+        .agg(F.count("*").alias("n_present"))
+    )
