@@ -307,3 +307,47 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
     labels = connected_components(pairs, "id_a", "id_b")
     return labels.select(F.col("v").alias("doc_id"), "component")
+
+
+@register(
+    "decontaminate_eval_overlap",
+    oracle=f"""
+    WITH {_DOCS_SHINGLES_SQL},
+    eval_grams AS (
+        SELECT list(gram) AS grams FROM (
+            SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id < 20
+        )
+    ),
+    hits AS (
+        SELECT c.doc_id,
+               len(list_filter(c.s, g -> list_contains(eg.grams, g)))
+                   AS n_shared
+        FROM sh c CROSS JOIN eval_grams eg WHERE c.doc_id >= 20
+    )
+    SELECT doc_id, n_shared FROM hits WHERE n_shared > 0
+    """,
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs 0-19 stand in for a held-out eval set;
+    every training doc sharing >= 1 word 3-gram with it is flagged with its
+    overlap count. The eval side's distinct grams are SMALL by construction
+    (eval sets are thousands of docs, not billions) so they broadcast; the
+    corpus side streams through a map-side semi-match — no shuffle of the
+    corpus, the standard decontamination shape at 100 TB."""
+    d = spread(load(spark, sf_dir, "documents"))
+    tokens = word_tokens(F.col("text"))
+    sh = d.filter(F.size(tokens) >= 3).select(
+        "doc_id", shingles(tokens).alias("s")
+    )
+    eval_grams = (
+        sh.filter(F.col("doc_id") < 20)
+        .select(F.explode("s").alias("gram"))
+        .distinct()
+        .agg(F.collect_set("gram").alias("grams"))
+    )
+    corpus = sh.filter(F.col("doc_id") >= 20)
+    flagged = corpus.join(F.broadcast(eval_grams)).select(
+        "doc_id",
+        F.size(F.array_intersect("s", "grams")).alias("n_shared"),
+    )
+    return flagged.filter(F.col("n_shared") > 0)
