@@ -514,3 +514,41 @@ def scd2_as_of_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).select("okey", "total")
+
+
+# target mix: a config table of per-source keep-rates (percent of docs kept)
+MIX_WEIGHTS = [("src%d" % i, 100 if i < 5 else (40 if i < 10 else 10)) for i in range(20)]
+
+
+@register(
+    "data_mix_by_source",
+    oracle=f"""
+    WITH weights(source, keep_pct) AS (
+        VALUES {", ".join(f"('{s}', {w})" for s, w in MIX_WEIGHTS)}
+    )
+    SELECT d.source, w.keep_pct, COUNT(*) AS n_kept,
+           SUM(d.n_chars) AS chars_kept
+    FROM documents d
+    JOIN weights w ON d.source = w.source
+    WHERE {_oracle_bucket('d.doc_id')} < w.keep_pct
+    GROUP BY d.source, w.keep_pct
+    """,
+)
+def data_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing: resample each source at a configured rate (the training-
+    mix recipe — upweight curated sources, downsample bulk crawl). The
+    weights are a config TABLE broadcast onto the corpus, and the keep
+    decision is the deterministic hash bucket — so the mix is reproducible,
+    and re-mixing with new weights re-selects a superset/subset rather than
+    an unrelated sample (bucket < rate nests across rates)."""
+    docs = load(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(MIX_WEIGHTS, "source string, keep_pct int")
+    return (
+        docs.join(F.broadcast(weights), "source")
+        .filter(hash_bucket(F.col("doc_id")) < F.col("keep_pct"))
+        .groupBy("source", "keep_pct")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+    )
