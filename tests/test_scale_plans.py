@@ -101,3 +101,24 @@ def test_incremental_agg_is_single_shuffle(spark, sf_dir):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Physical join strategy control: fact-fact joins accept SHUFFLE_HASH
+    (no sort, builds the smaller side) vs default SMJ; the choice shows in
+    the plan. At 100 TB picking SHUFFLE_HASH for a modest build side avoids
+    two full sorts."""
+    from cdc_rs_spark.session import load
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    hinted = lineitem.join(
+        orders.hint("shuffle_hash"), lineitem.l_orderkey == orders.o_orderkey
+    )
+    plan = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+    merged = lineitem.join(
+        orders.hint("merge"), lineitem.l_orderkey == orders.o_orderkey
+    )
+    plan2 = merged._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan2, plan2
