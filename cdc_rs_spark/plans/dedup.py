@@ -351,3 +351,58 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_intersect("s", "grams")).alias("n_shared"),
     )
     return flagged.filter(F.col("n_shared") > 0)
+
+
+def _cluster_report_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_DOCS_SHINGLES_SQL},
+    {_minhash_sig_sql()},
+    {_minhash_bands_sql()},
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                  JOIN sh b ON cand.id_b = b.doc_id
+        WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+              / (len(a.s) + len(b.s)
+                 - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+        FROM reach GROUP BY a
+    )
+    SELECT component AS canonical_doc,
+           COUNT(*) AS cluster_size,
+           COUNT(*) - 1 AS n_dropped
+    FROM labels GROUP BY component
+    """
+
+
+@register("dedup_cluster_report", oracle=_cluster_report_oracle())
+def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's end product: per duplicate cluster, the canonical
+    (kept) document = min doc_id, the cluster size, and how many docs get
+    dropped — i.e. the keep/drop decision list aggregated to its audit
+    report. Composition: near-dup pairs -> connected components -> group."""
+    from cdc_rs_spark.operators.graph import connected_components
+
+    d = spread(load(spark, sf_dir, "documents"))
+    pairs = minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+    labels = connected_components(pairs, "id_a", "id_b")
+    return labels.groupBy(F.col("component").alias("canonical_doc")).agg(
+        F.count("*").alias("cluster_size"),
+        (F.count("*") - 1).alias("n_dropped"),
+    )
