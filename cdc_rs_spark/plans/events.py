@@ -455,3 +455,78 @@ def events_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@register(
+    "anomaly_zscore_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY d
+    ),
+    win AS (
+        SELECT d, rev,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(rev) OVER w AS DECIMAL(38,2)) AS s,
+               CAST(SUM(CAST(rev * rev AS DECIMAL(38,4))) OVER w
+                    AS DECIMAL(38,4)) AS q
+        FROM daily
+        WINDOW w AS (ORDER BY (d - DATE '1970-01-01')
+                     RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
+    )
+    SELECT d, rev,
+           ROUND((CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                 / sqrt((CAST(q AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                        / (n - 1)), 6) AS z
+    FROM win
+    WHERE n > 7
+      AND (CAST(q AS DOUBLE)
+           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) > 0
+      AND abs((CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / n)
+              / sqrt((CAST(q AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                     / (n - 1))) >= 2.0
+    """,
+)
+def anomaly_zscore_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on daily revenue (28-day trailing
+    window). The distributed-stats discipline: the windowed SUM and
+    SUM-OF-SQUARES accumulate in exact decimals, and mean/variance derive
+    from those exact moments in one deterministic double expression — so the
+    result is independent of partitioning and accumulation order, which
+    stddev_samp over doubles is NOT. Fact table reduces to the daily series
+    first; the window runs over #days rows."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    days = F.datediff(F.col("d"), F.lit("1970-01-01"))
+    w = Window.orderBy(days).rangeBetween(-27, 0)
+    win = daily.select(
+        "d",
+        "rev",
+        F.count("*").over(w).alias("n"),
+        F.sum("rev").over(w).cast("decimal(38,2)").alias("s"),
+        F.sum((F.col("rev") * F.col("rev")).cast("decimal(38,4)"))
+        .over(w)
+        .cast("decimal(38,4)")
+        .alias("q"),
+    )
+    n = F.col("n")
+    mean = F.col("s").cast("double") / n
+    var = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / n
+    ) / (n - 1)
+    z = (F.col("rev").cast("double") - mean) / F.sqrt(var)
+    return (
+        win.filter((n > 7) & (var > 0) & (F.abs(z) >= 2.0))
+        .select("d", "rev", F.round(z, 6).alias("z"))
+    )

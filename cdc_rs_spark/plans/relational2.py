@@ -906,3 +906,46 @@ def array_functions_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFr
         F.slice("names", 1, 3).alias("first3"),
         F.array_contains("names", "Supplier#000000001").alias("has_s1"),
     )
+
+
+@register(
+    "outlier_iqr_lineitem",
+    oracle="""
+    WITH bounds AS (
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS q1,
+               quantile_cont(l_extendedprice, 0.75) AS q3
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) FILTER (
+               WHERE l.l_extendedprice > b.q3 + 1.5 * (b.q3 - b.q1)
+                  OR l.l_extendedprice < b.q1 - 1.5 * (b.q3 - b.q1)
+           ) AS n_outliers,
+           COUNT(*) AS n_rows
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def outlier_iqr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier detection (data-quality gate): per-group Tukey fences from
+    exact quartiles, then count rows outside them. The bounds table is one
+    row per group — broadcast back onto the fact; two passes total, the
+    standard shape for any global-statistic filter at scale."""
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr) | (
+        F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(out, 1)).alias("n_outliers"),
+            F.count("*").alias("n_rows"),
+        )
+    )
