@@ -476,3 +476,42 @@ def test_full_pipeline_assembly_matches_reference_loop(spark, tmp_path):
     assert published == [("projects/p/topics/all_pims.t", 2)]
     run_pipeline_once(spark, cfg)  # replay with same state: nothing new
     assert published == [("projects/p/topics/all_pims.t", 2)]
+
+
+def test_arbitration_state_survives_restart(spark, tmp_path):
+    """State-store durability: the live-wins winner state must survive a full
+    query RESTART (new start(), same checkpoint) — the stale backfill row
+    arriving after the restart is still suppressed by state recovered from
+    the store, not from memory."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    emitted: list[tuple[str, str]] = []
+
+    def run_once():
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        q = (
+            arbitrate_stream(read_change_stream(spark, src))
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda bdf, bid: emitted.extend(
+                    (r["key"], r["op"]) for r in bdf.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_changes(src, "b1.json", [_chg("Update", "1", "live", 100)])
+    run_once()
+    assert emitted == [("1", "Update")]
+
+    # restart: new file with the stale backfill, fresh query object, same ckpt
+    _write_changes(src, "b2.json", [
+        _chg("Backfill", "1", "stale", 1),
+        _chg("Backfill", "2", "snap2", 1),
+    ])
+    run_once()
+    # only key 2's backfill emits; key 1's is suppressed by RECOVERED state
+    assert emitted == [("1", "Update"), ("2", "Backfill")]
