@@ -68,3 +68,45 @@ def asof_join_backward(
     for c in payload_cols:
         out = out.drop(c).withColumnRenamed(f"_m_{c}", c)
     return out.drop("_t", "_side")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Mirror of asof_join_backward: attach the EARLIEST right row with
+    right_time >= left_time (null payload when none) — 'next event after'
+    semantics (forward as-of). Same cost shape: one key shuffle, per-key
+    sort, no join explosion. At equal times the right row matches
+    (inclusive); among equal-time right rows the smallest payload ordering
+    wins (deterministic given a unique payload column)."""
+    l_tagged = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
+    r_tagged = (
+        right.select(*on, F.col(right_time).alias("_t"), *payload_cols)
+        .withColumn("_side", F.lit(0))
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(
+            F.col("_t").desc(),
+            F.col("_side"),
+            *[F.col(c).desc() for c in payload_cols],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in payload_cols
+        ],
+    )
+    out = matched.filter(F.col("_side") == 1)
+    for c in payload_cols:
+        out = out.drop(c).withColumnRenamed(f"_m_{c}", c)
+    return out.drop("_t", "_side")

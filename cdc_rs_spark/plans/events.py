@@ -530,3 +530,38 @@ def anomaly_zscore_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         win.filter((n > 7) & (var > 0) & (F.abs(z) >= 2.0))
         .select("d", "rev", F.round(z, 6).alias("z"))
     )
+
+
+@register(
+    "events_asof_next_purchase",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts, MIN(p.ts) AS next_purchase_ts
+    FROM events c LEFT JOIN events p
+      ON p.user_id = c.user_id AND p.event_type = 'purchase' AND p.ts >= c.ts
+    WHERE c.event_type = 'click'
+    GROUP BY c.event_id, c.user_id, c.ts
+    """,
+)
+def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof.py): for every click, the next
+    purchase by the same user at-or-after it — time-to-conversion's raw
+    material. The oracle is the naive O(n^2) correlated join; the operator is
+    the union+window sort-merge form (one key shuffle, no join explosion)."""
+    from cdc_rs_spark.operators.asof import asof_join_forward
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    out = asof_join_forward(
+        clicks,
+        purchases.withColumn("next_purchase_ts", F.col("p_ts")),
+        ["user_id"],
+        "ts",
+        "p_ts",
+        ["next_purchase_ts"],
+    )
+    return out.select("event_id", "user_id", "ts", "next_purchase_ts")
