@@ -515,3 +515,48 @@ def test_arbitration_state_survives_restart(spark, tmp_path):
     run_once()
     # only key 2's backfill emits; key 1's is suppressed by RECOVERED state
     assert emitted == [("1", "Update"), ("2", "Backfill")]
+
+
+def test_watermark_drops_too_late_events(spark, tmp_path):
+    """Late-data bound: once the watermark passes a window's end (append
+    mode finalizes it), a straggler event for that window is DROPPED — the
+    finalized count never changes and the dropped row resurfaces nowhere."""
+    import json as _json
+
+    src = str(tmp_path / "src")
+
+    def ev(eid, ts):
+        return {"event_id": eid, "ts": ts, "user_id": 1,
+                "event_type": "click", "value": 1.0, "props": "{}"}
+
+    # batch 1: one event in [00:00, 01:00) and one at 03:00 that will push
+    # the watermark (10 min lag) far past the first window's end
+    _write_changes(src, "b1.json", [
+        ev(1, "2024-01-01 00:10:00"), ev(2, "2024-01-01 03:00:00"),
+    ])
+    # batch 2: straggler for the already-finalized first window -> dropped
+    _write_changes(src, "b2.json", [ev(3, "2024-01-01 00:20:00")])
+    # batch 3: advance watermark again so remaining windows flush
+    _write_changes(src, "b3.json", [ev(4, "2024-01-01 06:00:00")])
+
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(src)
+    out = tumbling_counts(stream, "1 hour", "10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("late_drop")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    counts = {
+        str(r["window_start"]): r["n"]
+        for r in spark.sql("SELECT * FROM late_drop").collect()
+    }
+    # the 00:00 window closed with ONE event; the late event_id=3 is gone
+    assert counts.get("2024-01-01 00:00:00") == 1
+    assert sum(counts.values()) <= 3  # event 3 contributes to no window
