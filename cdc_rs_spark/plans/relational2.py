@@ -949,3 +949,31 @@ def outlier_iqr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+@register(
+    "sql_api_nation_counts",
+    oracle="""
+    SELECT n.n_name,
+           (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+               AS n_customers,
+           (SELECT COUNT(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+               AS n_suppliers
+    FROM nation n
+    """,
+)
+def sql_api_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() entry path: the engine's second API surface, run on
+    temp views over the same tables. Correlated scalar subqueries in the
+    SELECT clause — Catalyst de-correlates both into aggregated left joins
+    (no per-row re-execution, unlike the oracle's literal reading)."""
+    for t in ("nation", "customer", "supplier"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT n.n_name,
+               (SELECT COUNT(*) FROM v_customer c
+                WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
+               (SELECT COUNT(*) FROM v_supplier s
+                WHERE s.s_nationkey = n.n_nationkey) AS n_suppliers
+        FROM v_nation n
+    """)
