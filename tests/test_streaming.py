@@ -45,7 +45,7 @@ def _run_available_now(stream_df, query_name: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(240)
     return q
 
 
@@ -73,7 +73,7 @@ def test_file_cdc_stream_end_to_end(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(240)
     rows = spark.sql("SELECT * FROM cdc_e2e").collect()
     assert len(rows) == 3
     by_op = {r["op"]: r for r in rows}
@@ -103,7 +103,7 @@ def test_checkpoint_no_reprocessing(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(240)
 
     run_once()
     assert spark.read.parquet(out).count() == 1
@@ -173,7 +173,7 @@ def test_streaming_dedup_absorbs_replay(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(240)
     rows = spark.sql("SELECT key FROM dedup_stream").collect()
     assert sorted(r["key"] for r in rows) == ["1", "2"]
 
@@ -203,7 +203,7 @@ def test_streaming_tumbling_window_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(240)
     got = {
         (str(r["window_start"]), r["event_type"]): r["n"]
         for r in spark.sql("SELECT * FROM win_stream").collect()
@@ -280,7 +280,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(240)
     out = [(r["purchase_id"], r["error_id"]) for r in spark.sql("SELECT * FROM ss_join").collect()]
     # only error 2 is within 10s of purchase 1 for the same user
     assert out == [(1, 2)]
@@ -316,7 +316,7 @@ def test_streaming_topic_fanout_foreach_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(240)
     assert set(calls) == {"prefix.t"}
     payloads = [json.loads(v) for v in calls["prefix.t"]]
     assert len(payloads) == 3
@@ -364,7 +364,7 @@ def test_streaming_incremental_view_maintenance(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(240)
 
     run()
     # second micro-batch: the update migrates a row a->b, the delete retracts
@@ -412,7 +412,7 @@ def test_stream_static_dimension_enrichment(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(240)
     rows = {r["id"]: r["nation_name"] for r in spark.sql("SELECT * FROM enrich").collect()}
     assert len(rows) == 2
     assert all(v is not None for v in rows.values())  # both keys resolved
@@ -501,7 +501,7 @@ def test_arbitration_state_survives_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        q.awaitTermination(240)
 
     _write_changes(src, "b1.json", [_chg("Update", "1", "live", 100)])
     run_once()
@@ -552,7 +552,7 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(240)
     counts = {
         str(r["window_start"]): r["n"]
         for r in spark.sql("SELECT * FROM late_drop").collect()
