@@ -977,3 +977,46 @@ def sql_api_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHERE s.s_nationkey = n.n_nationkey) AS n_suppliers
         FROM v_nation n
     """)
+
+
+@register(
+    "set_ops_multiset_custkeys",
+    oracle="""
+    WITH o_keys AS (SELECT o_custkey AS k FROM orders),
+    big AS (SELECT o_custkey AS k FROM orders
+            WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 100000),
+    kept AS (
+        SELECT k FROM o_keys EXCEPT ALL SELECT k FROM big
+    ),
+    both_sides AS (
+        SELECT k FROM o_keys INTERSECT ALL SELECT k FROM big
+    )
+    SELECT 'except_all' AS op, COUNT(*) AS n, COUNT(DISTINCT k) AS nd FROM kept
+    UNION ALL
+    SELECT 'intersect_all', COUNT(*), COUNT(DISTINCT k) FROM both_sides
+    """,
+)
+def set_ops_multiset_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — exceptAll/intersectAll keep
+    per-occurrence cardinality, unlike the distinct forms in
+    set_ops_active_custkeys: a customer with 5 orders of which 2 are big
+    survives exceptAll 3 times. Both compile to hash aggregations over
+    per-row counts, one shuffle each."""
+    orders = load(spark, sf_dir, "orders")
+    o_keys = orders.select(F.col("o_custkey").alias("k"))
+    big = orders.filter(
+        F.col("o_totalprice").cast("decimal(18,2)") > 100000
+    ).select(F.col("o_custkey").alias("k"))
+    kept = o_keys.exceptAll(big)
+    both = o_keys.intersectAll(big)
+
+    def summarize(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("op"),
+            F.count("*").alias("n"),
+            F.countDistinct("k").alias("nd"),
+        ).select("op", "n", "nd")
+
+    return summarize(kept, "except_all").unionByName(
+        summarize(both, "intersect_all")
+    )
