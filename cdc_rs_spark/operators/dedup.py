@@ -27,13 +27,18 @@ MINHASH_COEFFS = lcg_coeffs(MINHASH_K)
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
-    """Keep the min(order_col) row per exact key — hash aggregate, one
-    shuffle. For string keys at 100 TB, group on md5(key) instead of the raw
-    key to bound shuffle width."""
+    """Keep the min(order_col) row per exact key — ONE shuffle: window
+    row_number over the key, filter rank 1 (the groupBy-min + self-join form
+    costs a second exchange). `order_col` must be unique within a key (e.g.
+    a doc id) so the survivor is deterministic. For string keys at 100 TB,
+    partition on md5(key) instead of the raw key to bound shuffle width."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
     return (
-        df.groupBy(*key_cols)
-        .agg(F.min(order_col).alias(order_col))
-        .join(df, on=key_cols + [order_col], how="inner")
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
 
 

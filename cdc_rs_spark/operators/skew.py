@@ -50,7 +50,21 @@ def salted_join(
     The salt is derived deterministically from the big side's whole row
     (xxhash64 over all columns) so re-runs produce identical partitioning;
     any per-row value works — the salt only has to spread rows of one hot
-    key, not be meaningful."""
+    key, not be meaningful.
+
+    Only inner/left(_outer)/left_semi/left_anti joins are supported: the
+    result is then provably identical to the unsalted join, because every
+    big-side row meets the full small side for its key. For right/full outer
+    the replicated small side would emit unmatched rows once PER SALT
+    REPLICA — a wrong result — so those modes raise instead of corrupting
+    silently (flip the sides and use a left join)."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched small-side "
+            "rows would be duplicated per salt replica. Use inner/left forms."
+        )
     big_salted = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
     )

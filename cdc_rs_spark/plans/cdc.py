@@ -294,7 +294,7 @@ def cdc_change_rate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderkey % 10 = 1
     )
     SELECT grp, COUNT(*) AS n_rows,
-           CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+           CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM final_state GROUP BY grp
     """,
 )
@@ -319,7 +319,11 @@ def cdc_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select(
         F.col("grp"),
         "n_rows",
-        F.col("total").cast("decimal(38,2)").alias("total"),
+        # DOUBLE, not DECIMAL(38,2): the driver hash canonicalizes pandas
+        # reprs, and DuckDB wide decimals surface differently from Spark's —
+        # the exact decimal sum is still computed, only the emitted type is
+        # hash-stable (decimal->double is correctly-rounded on both engines).
+        F.col("total").cast("decimal(38,2)").cast("double").alias("total"),
     )
 
 

@@ -270,7 +270,7 @@ def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     )
     SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day, event_type,
-           SUM(n) AS n,
+           CAST(SUM(n) AS BIGINT) AS n,
            CAST(SUM(v) AS DOUBLE) AS total_value
     FROM hourly GROUP BY 1, 2
     """,
@@ -306,11 +306,11 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS DECIMAL(38,2)) AS rev
         FROM orders GROUP BY d
     )
-    SELECT d, rev,
+    SELECT d, CAST(rev AS DOUBLE) AS rev,
            CAST(SUM(rev) OVER (
                ORDER BY (d - DATE '1970-01-01')
                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(38,2)) AS rev_7d
+           ) AS DOUBLE) AS rev_7d
     FROM daily
     """,
 )
@@ -331,9 +331,10 @@ def orders_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     days = F.datediff(F.col("d"), F.lit("1970-01-01"))
     w = Window.orderBy(days).rangeBetween(-6, 0)
+    # accumulate exact decimals; emit hash-stable doubles (driver canon)
     return daily.withColumn(
-        "rev_7d", F.sum("rev").over(w).cast("decimal(38,2)")
-    )
+        "rev_7d", F.sum("rev").over(w).cast("decimal(38,2)").cast("double")
+    ).withColumn("rev", F.col("rev").cast("double"))
 
 
 @register(
@@ -429,7 +430,7 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT e.user_id, c.c_name,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
                AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY e.user_id, c.c_name
@@ -451,7 +452,7 @@ def events_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("total_value"),
         )
     )
@@ -476,7 +477,7 @@ def events_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (ORDER BY (d - DATE '1970-01-01')
                      RANGE BETWEEN 27 PRECEDING AND CURRENT ROW)
     )
-    SELECT d, rev,
+    SELECT d, CAST(rev AS DOUBLE) AS rev,
            ROUND((CAST(rev AS DOUBLE) - CAST(s AS DOUBLE) / n)
                  / sqrt((CAST(q AS DOUBLE)
                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
@@ -528,7 +529,7 @@ def anomaly_zscore_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("rev").cast("double") - mean) / F.sqrt(var)
     return (
         win.filter((n > 7) & (var > 0) & (F.abs(z) >= 2.0))
-        .select("d", "rev", F.round(z, 6).alias("z"))
+        .select("d", F.col("rev").cast("double").alias("rev"), F.round(z, 6).alias("z"))
     )
 
 

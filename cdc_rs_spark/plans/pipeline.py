@@ -45,7 +45,8 @@ def _oracle_bucket(expr: str, buckets: int = 100) -> str:
 @register(
     "sample_hash_deterministic",
     oracle=f"""
-    SELECT lang, COUNT(*) AS n_sampled, SUM(n_chars) AS chars_sampled
+    SELECT lang, COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
     FROM documents
     WHERE {_oracle_bucket('doc_id')} < 10
     GROUP BY lang
@@ -79,7 +80,7 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT split, COUNT(*) AS n_orders,
            COUNT(DISTINCT o_custkey) AS n_customers,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                AS total_price
     FROM assigned GROUP BY split
     """,
@@ -101,7 +102,7 @@ def train_test_split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("total_price"),
     )
 
@@ -212,7 +213,7 @@ def unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sized
     )
     SELECT CAST(floor((cum - 1) / 4096) AS BIGINT) AS bin,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM packed GROUP BY bin
     """,
 )
@@ -266,7 +267,7 @@ def pack_documents_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) FILTER (WHERE clean <> text) AS n_scrubbed,
-           SUM(length(text) - length(clean)) AS chars_removed
+           CAST(SUM(length(text) - length(clean)) AS BIGINT) AS chars_removed
     FROM scrubbed GROUP BY lang
     """,
 )
@@ -369,7 +370,8 @@ def scd2_order_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS rn
         FROM documents
     )
-    SELECT lang, COUNT(*) AS n_kept, SUM(n_chars) AS chars_kept
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
     FROM ranked WHERE rn <= 50 GROUP BY lang
     """,
 )
@@ -527,7 +529,7 @@ MIX_WEIGHTS = [("src%d" % i, 100 if i < 5 else (40 if i < 10 else 10)) for i in 
         VALUES {", ".join(f"('{s}', {w})" for s, w in MIX_WEIGHTS)}
     )
     SELECT d.source, w.keep_pct, COUNT(*) AS n_kept,
-           SUM(d.n_chars) AS chars_kept
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
     FROM documents d
     JOIN weights w ON d.source = w.source
     WHERE {_oracle_bucket('d.doc_id')} < w.keep_pct

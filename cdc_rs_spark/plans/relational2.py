@@ -644,10 +644,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipping_priority_class",
     oracle="""
     SELECT l_returnflag AS ship_class,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -798,15 +798,34 @@ def percentiles_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_custkeys", oracle=None)
+@register(
+    "approx_distinct_custkeys",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_custkeys,
+           TRUE AS hll_within_5pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def approx_distinct_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct customers per order priority (mergeable
-    sketch — the 100 TB path for COUNT DISTINCT; no oracle: DuckDB's HLL
-    implementation differs, so the driver records a rows-only check. The
-    exact counterpart is oracle-checked as distinct_agg_parts_per_flag)."""
+    sketch — the 100 TB path for COUNT DISTINCT). DuckDB cannot reproduce
+    Spark's HLL estimate, so the oracle contract is: the exact distinct
+    count (oracle-computable) plus a boolean asserting the HLL estimate
+    (rsd=0.02) landed within 5% of it — the oracle emits literal TRUE, so a
+    wild sketch flips the flag and fails the hash compare."""
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custkeys"),
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_custkeys",
+        (
+            F.abs(F.col("approx_custkeys") - F.col("exact_custkeys"))
+            <= 0.05 * F.col("exact_custkeys")
+        ).alias("hll_within_5pct"),
     )
 
 
@@ -850,7 +869,9 @@ def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "suppliers_per_nation_sorted",
     oracle="""
-    SELECT n_name, list_sort(list(s_name)) AS suppliers, COUNT(*) AS n
+    SELECT n_name,
+           array_to_string(list_sort(list(s_name)), '|') AS suppliers,
+           COUNT(*) AS n
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -858,14 +879,16 @@ def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def suppliers_per_nation_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: collect_list is order-nondeterministic under
     distributed partial aggregation, so the contract (and the only sane
-    cross-engine form) is the SORTED list."""
+    cross-engine form) is the SORTED list. Emitted string-joined because the
+    driver's value canonicalizer cannot hash list-typed cells; the array op
+    itself (sort_array over collect_list) is still what is computed."""
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     return (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sort_array(F.collect_list("s_name")).alias("suppliers"),
+            F.concat_ws("|", F.sort_array(F.collect_list("s_name"))).alias("suppliers"),
             F.count("*").alias("n"),
         )
     )
@@ -883,7 +906,7 @@ def suppliers_per_nation_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name,
            len(names) AS n_suppliers,
            names[1] AS first_name,
-           names[1:3] AS first3,
+           array_to_string(names[1:3], '|') AS first3,
            list_contains(names, 'Supplier#000000001') AS has_s1
     FROM per_nation
     """,
@@ -891,7 +914,9 @@ def suppliers_per_nation_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_functions_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function breadth over grouped data: sorted collect, size,
     element_at, slice, array_contains — all JVM built-ins on the array
-    column produced by one grouped aggregation."""
+    column produced by one grouped aggregation. The slice is emitted
+    string-joined because the driver's canonicalizer cannot hash list cells;
+    the slice op itself still runs on the array column."""
     supplier = load(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     per_nation = (
@@ -903,7 +928,7 @@ def array_functions_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFr
         "n_name",
         F.size("names").alias("n_suppliers"),
         F.element_at("names", 1).alias("first_name"),
-        F.slice("names", 1, 3).alias("first3"),
+        F.concat_ws("|", F.slice("names", 1, 3)).alias("first3"),
         F.array_contains("names", "Supplier#000000001").alias("has_s1"),
     )
 

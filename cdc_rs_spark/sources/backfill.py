@@ -112,7 +112,13 @@ def run_todo_jobs(
 ) -> DataFrame | None:
     """Poll + execute every 'todo' job, union the resulting change streams,
     mark jobs done. Returns None when the queue has no work (the reference
-    sleeps 1s and re-polls, src/main.rs:384 — callers loop as needed)."""
+    sleeps 1s and re-polls, src/main.rs:384 — callers loop as needed).
+
+    Status flips to done only after the unioned plan's first action succeeds
+    (the reference commits status only after streaming all pages,
+    src/main.rs:352-366): the lazy DataFrame is validated with a cheap
+    `isEmpty()` probe before marking, so a job whose scan fails stays 'todo'
+    and is retried on the next poll instead of being lost."""
     jobs = queue.todo()
     if not jobs:
         return None
@@ -120,6 +126,10 @@ def run_todo_jobs(
     for job in jobs:
         df = snapshot_table(spark, sf_dir, job)
         out = df if out is None else out.unionByName(df)
+    # force one action over the union before committing status; a failure
+    # here propagates and leaves every job still 'todo'
+    out.isEmpty()
+    for job in jobs:
         queue.mark_done(job)
     return out
 

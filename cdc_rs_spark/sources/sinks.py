@@ -21,6 +21,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def kafka_change_frame(change_df: DataFrame, topic_template: str) -> DataFrame:
+    """The exact (topic, key, value) frame the Kafka writer publishes for a
+    Change-envelope stream — factored out of the I/O call so the contract is
+    testable without a broker (tests/test_sources_sinks.py round-trips it
+    through parse_kafka_change_frame).
+
+    key = the primary-key VALUE: Kafka partitions by key, so all changes to
+    one row land in one partition and keep binlog order — the per-key
+    ordering the reference gets from single-threaded publish
+    (src/main.rs:162-188). value = the full Change envelope as JSON."""
+    from cdc_rs_spark.envelope import CHANGE_COLUMNS, pkey_value
+    from cdc_rs_spark.functions.transforms import topic_column
+
+    return change_df.select(
+        topic_column(topic_template).alias("topic"),
+        pkey_value(change_df).cast("string").alias("key"),
+        F.to_json(F.struct(*CHANGE_COLUMNS)).alias("value"),
+    )
+
+
+def parse_kafka_change_frame(frame: DataFrame) -> DataFrame:
+    """Inverse of kafka_change_frame's value encoding: what the Kafka READER
+    does to each record (streaming/source.py:42) — parse the JSON value back
+    into typed Change-envelope columns."""
+    from cdc_rs_spark.envelope import CHANGE_SCHEMA
+
+    return frame.select(
+        F.from_json(F.col("value").cast("string"), CHANGE_SCHEMA).alias("c")
+    ).select("c.*")
+
+
 def write_topics_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Topic-partitioned parquet sink: one directory per topic — the test
     stand-in for per-topic publish. Requires a `topic` and `value` column."""
@@ -29,9 +60,13 @@ def write_topics_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> N
 
 def write_kafka(df: DataFrame, bootstrap_servers: str, checkpoint: str) -> None:
     """Kafka sink with native per-row topic routing. Not executable in this
-    environment (no broker); the code path documents the production shape."""
+    environment (no broker); the (topic, key, value) frame it publishes is
+    built by kafka_change_frame and round-trip-tested broker-less in
+    tests/test_sources_sinks.py. Includes `key` when present so Kafka's
+    per-key partition ordering preserves binlog order per row."""
+    cols = [c for c in ("topic", "key", "value") if c in df.columns]
     (
-        df.selectExpr("topic", "CAST(value AS STRING) AS value")
+        df.selectExpr(*[f"CAST({c} AS STRING) AS {c}" for c in cols])
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("checkpointLocation", checkpoint)
@@ -42,23 +77,36 @@ def write_kafka(df: DataFrame, bootstrap_servers: str, checkpoint: str) -> None:
 def publish_foreach_batch(
     publish: Callable[[str, list[str]], None] | None = None,
 ):
-    """Pub/Sub-style sink as a foreachBatch function: per micro-batch, group
-    rows by topic and hand each topic's payload list to `publish`. With
-    publish=None this is a dry-run — faithful to the reference shipping with
-    the publish call commented out (src/main.rs:187).
+    """Pub/Sub-style sink as a foreachBatch function, publishing from the
+    EXECUTORS: rows are hash-repartitioned by topic so each topic's payloads
+    are co-located, then every partition groups locally and issues one
+    `publish(topic, values)` call per topic it holds — one call per
+    (batch, topic) total, the reference's per-topic publisher contract
+    (src/main.rs:174-187). With publish=None this is a dry-run — faithful to
+    the reference shipping with the publish call commented out
+    (src/main.rs:187).
 
-    The per-topic client caching the reference does (src/main.rs:182-185) is
-    `publish`'s concern; this operator guarantees one call per (batch, topic).
+    Scale: the micro-batch never passes through the driver (no collect /
+    toPandas on this path), so driver memory stays flat regardless of batch
+    size and publishing parallelizes across executors. `publish` is pickled
+    to the executors; a real client should be created lazily per worker
+    process and cached (module-level or functools.cache) — the executor-side
+    analog of the reference's per-topic publisher cache (src/main.rs:182-185).
+    A single pathological topic can be further split by salting the
+    repartition key if per-call payload lists ever exceed worker memory.
     """
 
+    def publish_partition(rows) -> None:
+        buf: dict[str, list[str]] = {}
+        for r in rows:
+            buf.setdefault(r["topic"], []).append(r["value"])
+        if publish is not None:
+            for topic, values in buf.items():
+                publish(topic, values)
+
     def fn(batch_df: DataFrame, batch_id: int) -> None:
-        grouped = (
-            batch_df.groupBy("topic")
-            .agg(F.collect_list("value").alias("values"))
-            .collect()
+        batch_df.select("topic", "value").repartition("topic").foreachPartition(
+            publish_partition
         )
-        for row in grouped:
-            if publish is not None:
-                publish(row["topic"], row["values"])
 
     return fn

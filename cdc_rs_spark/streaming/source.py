@@ -20,7 +20,6 @@ whole pipeline is runnable and testable in this container.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from cdc_rs_spark.envelope import CHANGE_SCHEMA
 
@@ -42,14 +41,16 @@ def read_change_stream(
 def read_change_stream_kafka(
     spark: SparkSession, bootstrap_servers: str, topics: str
 ) -> DataFrame:
-    """Kafka/Debezium form of the same source (not executable in this
-    container — no broker; documents the production shape)."""
+    """Kafka/Debezium form of the same source (no broker in this container;
+    the value-parse contract is shared with the writer via
+    sources/sinks.py:parse_kafka_change_frame and round-trip-tested
+    broker-less in tests/test_sources_sinks.py)."""
+    from cdc_rs_spark.sources.sinks import parse_kafka_change_frame
+
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topics)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), CHANGE_SCHEMA).alias("c")
-    ).select("c.*")
+    return parse_kafka_change_frame(raw)

@@ -31,14 +31,28 @@ def streaming_dedup(
     changes: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:
     """Exactly-once-per-key delivery over an at-least-once stream:
-    dropDuplicatesWithinWatermark on (db, table, key, ts) absorbs source
-    replays (the reference's offset-commit cadence makes replays of the last
-    event group possible, src/main.rs:238-255)."""
+    dropDuplicatesWithinWatermark absorbs source replays (the reference's
+    offset-commit cadence makes replays of the last event group possible,
+    src/main.rs:238-255).
+
+    The dedup key includes a PAYLOAD digest (xxhash64 of the before/after
+    images), not just (db, table, key, ts, op): ts is epoch seconds, so two
+    genuinely distinct Updates to one key within the same second are NOT a
+    replay — without the digest the second would be silently dropped (data
+    loss). A true replay re-delivers byte-identical images and still
+    collapses."""
     from cdc_rs_spark.envelope import pkey_value
 
-    keyed = changes.withColumn("key", pkey_value(changes)).withColumn(
-        "event_time", F.timestamp_seconds(F.col("ts"))
+    keyed = (
+        changes.withColumn("key", pkey_value(changes))
+        .withColumn("event_time", F.timestamp_seconds(F.col("ts")))
+        .withColumn(
+            "payload_digest",
+            F.xxhash64(
+                F.to_json(F.struct(F.col("before"), F.col("after")))
+            ),
+        )
     )
     return keyed.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
-        ["db", "table", "key", "ts", "op"]
+        ["db", "table", "key", "ts", "op", "payload_digest"]
     )

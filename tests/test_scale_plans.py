@@ -122,3 +122,17 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     )
     plan2 = merged._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan2, plan2
+
+
+def test_exact_dedup_is_single_shuffle(spark, sf_dir):
+    """exact_dedup is a window row_number, not groupBy-min + self-join: the
+    physical plan carries exactly ONE exchange (the key shuffle) and no join
+    node — half the shuffle cost of the agg+join form at any scale."""
+    from cdc_rs_spark.operators.dedup import exact_dedup
+    from cdc_rs_spark.session import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = exact_dedup(docs, ["text"], "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan

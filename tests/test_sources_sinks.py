@@ -64,17 +64,38 @@ def test_topic_parquet_sink_fanout(spark, tmp_path):
     assert back.count() == 3
 
 
-def test_publish_foreach_batch_groups_per_topic(spark):
-    calls: dict[str, list[str]] = {}
+def test_publish_foreach_batch_groups_per_topic(spark, tmp_path):
+    """Publish happens EXECUTOR-side (no driver collect), one call per
+    (batch, topic). Calls are captured through the shared local filesystem
+    because executor workers are separate processes — which is also what the
+    pid assertion proves."""
+    import json
+    import os
+    import uuid
+
+    calls_dir = tmp_path / "calls"
+    calls_dir.mkdir()
+    driver_pid = os.getpid()
+    d = str(calls_dir)
 
     def fake_publish(topic: str, values: list[str]) -> None:
-        calls.setdefault(topic, []).extend(values)
+        rec = {"topic": topic, "values": values, "pid": os.getpid()}
+        path = os.path.join(d, f"{topic}-{uuid.uuid4().hex}.json")
+        with open(path, "w") as f:
+            json.dump(rec, f)
 
     df = spark.createDataFrame(
         [("a", "1"), ("a", "2"), ("b", "3")], "topic string, value string"
     )
     publish_foreach_batch(fake_publish)(df, 0)
-    assert sorted(calls["a"]) == ["1", "2"] and calls["b"] == ["3"]
+    recs = [json.loads(p.read_text()) for p in calls_dir.iterdir()]
+    by_topic = {r["topic"]: r for r in recs}
+    # exactly one publish call per (batch, topic)
+    assert len(recs) == 2 and set(by_topic) == {"a", "b"}
+    assert sorted(by_topic["a"]["values"]) == ["1", "2"]
+    assert by_topic["b"]["values"] == ["3"]
+    # ran in executor worker processes, not the driver
+    assert all(r["pid"] != driver_pid for r in recs)
     # dry-run form (publish=None) must not raise — the reference ships with
     # publish disabled (src/main.rs:187)
     publish_foreach_batch(None)(df, 1)
@@ -108,3 +129,41 @@ def test_upsert_state_replay_idempotent(spark, tmp_path):
         }
 
     assert materialize(replayed) == materialize(once)
+
+
+def test_kafka_frame_round_trip_contract(spark):
+    """Broker-less Kafka contract: the exact (topic, key, value) frame the
+    writer publishes round-trips through the reader's parse back to the
+    identical Change envelope, topics route per-row, and key = pkey value
+    (Kafka's per-key partition ordering = the reference's per-key publish
+    order, src/main.rs:162-188)."""
+    import json
+
+    from cdc_rs_spark.envelope import snapshot_changes
+    from cdc_rs_spark.session import load
+    from cdc_rs_spark.sources.sinks import (
+        kafka_change_frame,
+        parse_kafka_change_frame,
+    )
+
+    nation = load(spark, SF_DIR, "nation")
+    changes = snapshot_changes(nation, "testdb", "nation", "n_nationkey")
+    frame = kafka_change_frame(changes, "cdc.${db}.${table}")
+
+    rows = frame.collect()
+    assert len(rows) == nation.count()
+    assert {r["topic"] for r in rows} == {"cdc.testdb.nation"}
+    # key carries the pkey VALUE (partition-ordering contract)
+    assert {r["key"] for r in rows} == {
+        str(r["n_nationkey"]) for r in nation.collect()
+    }
+    # value is self-contained JSON of the whole envelope
+    payload = json.loads(rows[0]["value"])
+    assert payload["op"] == "Backfill" and payload["pkey"] == "n_nationkey"
+
+    # reader parse is the exact inverse: envelope survives byte-faithfully
+    back = parse_kafka_change_frame(frame)
+    orig = {r["after"]["n_nationkey"]: r.asDict() for r in changes.collect()}
+    for r in back.collect():
+        o = orig[r["after"]["n_nationkey"]]
+        assert r.asDict() == o

@@ -300,10 +300,17 @@ def test_streaming_topic_fanout_foreach_batch(spark, tmp_path):
     ])
     _write_changes(src, "b2.json", [_chg("Delete", "3", None, 102)])
 
-    calls: dict[str, list[str]] = {}
+    # publish now runs EXECUTOR-side (no driver collect) — capture calls
+    # through the shared local filesystem, not a driver closure
+    import uuid
+
+    calls_dir = tmp_path / "fan_calls"
+    calls_dir.mkdir()
+    d = str(calls_dir)
 
     def fake_publish(topic: str, values: list[str]) -> None:
-        calls.setdefault(topic, []).extend(values)
+        with open(os.path.join(d, f"{uuid.uuid4().hex}.json"), "w") as f:
+            json.dump({"topic": topic, "values": values}, f)
 
     stream = read_change_stream(spark, src)
     routed = stream.select(
@@ -317,6 +324,10 @@ def test_streaming_topic_fanout_foreach_batch(spark, tmp_path):
         .start()
     )
     q.awaitTermination(240)
+    recs = [json.loads(p.read_text()) for p in calls_dir.iterdir()]
+    calls: dict[str, list[str]] = {}
+    for r in recs:
+        calls.setdefault(r["topic"], []).extend(r["values"])
     assert set(calls) == {"prefix.t"}
     payloads = [json.loads(v) for v in calls["prefix.t"]]
     assert len(payloads) == 3
@@ -464,18 +475,33 @@ def test_full_pipeline_assembly_matches_reference_loop(spark, tmp_path):
         _chg("Delete", "2", None, 101),
         dict(_chg("Insert", "3", "x", 102), db="otherdb"),  # regex-dropped
     ])
-    published: list[tuple[str, int]] = []
+    # executor-side publish: capture calls via the shared local filesystem
+    import uuid
+
+    pub_dir = tmp_path / "published"
+    pub_dir.mkdir()
+    d = str(pub_dir)
+
+    def capture_publish(topic: str, values: list[str]) -> None:
+        with open(os.path.join(d, f"{uuid.uuid4().hex}.json"), "w") as f:
+            json.dump({"topic": topic, "n": len(values)}, f)
+
     cfg = PipelineConfig(
         source_path=src,
         checkpoint_dir=str(tmp_path / "state"),
         table_regex=r"^testdb\.t$",
         topic_template="projects/p/topics/all_pims.${table}",
-        publish=lambda topic, values: published.append((topic, len(values))),
+        publish=capture_publish,
     )
+
+    def published() -> list[tuple[str, int]]:
+        recs = [json.loads(p.read_text()) for p in pub_dir.iterdir()]
+        return [(r["topic"], r["n"]) for r in recs]
+
     run_pipeline_once(spark, cfg)
-    assert published == [("projects/p/topics/all_pims.t", 2)]
+    assert published() == [("projects/p/topics/all_pims.t", 2)]
     run_pipeline_once(spark, cfg)  # replay with same state: nothing new
-    assert published == [("projects/p/topics/all_pims.t", 2)]
+    assert published() == [("projects/p/topics/all_pims.t", 2)]
 
 
 def test_arbitration_state_survives_restart(spark, tmp_path):

@@ -95,9 +95,11 @@ def main() -> int:
     con = duck_con(sf_dir)
 
     failures = []
+    n_run = 0
     for name, q in sorted(registry.items()):
         if only and name not in only:
             continue
+        n_run += 1
         if q.oracle is None:
             n = q.fn(spark, sf_dir).count()
             print(f"  [{name}] rows-only check: {n} rows")
@@ -108,7 +110,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"  [{name}] ERROR: {e}")
             failures.append(name)
-    print(f"\n{len(registry) - len(failures)}/{len(registry)} OK")
+    print(f"\n{n_run - len(failures)}/{n_run} OK")
     if failures:
         print("FAILED:", ", ".join(failures))
     return 1 if failures else 0
