@@ -152,28 +152,14 @@ def embedding_near_dup_pairs(
     )
 
 
-def ivf_topk(
-    queries: DataFrame,
-    candidates: DataFrame,
-    n_centroids: int = 16,
-    nprobe: int = 2,
-    k: int = 5,
-) -> DataFrame:
-    """IVF (inverted-file) ANN: partition the corpus into n_centroids lists
-    by nearest centroid; a query probes only its nprobe closest lists.
-
-    'Training' is deterministic: the first n_centroids vectors seed the
-    centroids (a fixed k-means init — refining iterations would change
-    centroids but not the operator shape). At cluster scale the list
-    assignment is the partitioning key: probe joins shuffle nprobe/nlists
-    of the corpus instead of all of it."""
-    cents = candidates.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
-    )
+def _assign_to_centroids(candidates: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, embedding) x broadcast centroids -> nearest-centroid
+    assignment (cosine, cent_id tiebreak). The centroid set is tiny by
+    construction, so this is a map-side broadcast pass over the corpus."""
     assign_w = Window.partitionBy("vec_id").orderBy(
         F.col("a_cos").desc(), F.col("cent_id")
     )
-    assigned = (
+    return (
         candidates.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
@@ -185,6 +171,61 @@ def ivf_topk(
         .filter(F.col("arank") == 1)
         .select("vec_id", "embedding", "cent_id")
     )
+
+
+def refine_centroids(candidates: DataFrame, cents: DataFrame) -> DataFrame:
+    """One Lloyd (k-means) iteration: assign every vector to its nearest
+    centroid, then replace each centroid with its cluster's element-wise
+    mean. The mean accumulates in exact DECIMAL(28,10) before one double
+    division, so the refined centroids are bit-identical regardless of
+    partitioning/accumulation order — and reproducible by the DuckDB oracle
+    (plans/similarity.py mirrors this arithmetic). Seeds that own no vectors
+    drop out (standard k-means empty-cluster behavior).
+
+    Cost shape at 100 TB: one broadcast assign pass + one (cent_id, dim)
+    shuffle of #vectors x dim skinny rows — the standard distributed k-means
+    step; run it a fixed small number of times."""
+    assigned = _assign_to_centroids(candidates, cents)
+    dims = assigned.select(
+        "cent_id", F.posexplode("embedding").alias("pos", "x")
+    )
+    means = dims.groupBy("cent_id", "pos").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(28,10)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    return means.groupBy("cent_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("c_emb")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+    kmeans_iters: int = 1,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into n_centroids lists
+    by nearest centroid; a query probes only its nprobe closest lists.
+
+    'Training' is deterministic AND real: the first n_centroids vectors seed
+    the centroids (deterministic init — production would sample), then
+    `kmeans_iters` exact-arithmetic Lloyd iterations refine them
+    (refine_centroids), so the lists reflect actual cluster structure rather
+    than the seeds alone. At cluster scale the list assignment is the
+    partitioning key: probe joins shuffle nprobe/nlists of the corpus
+    instead of all of it."""
+    cents = candidates.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    for _ in range(kmeans_iters):
+        cents = refine_centroids(candidates, cents)
+    assigned = _assign_to_centroids(candidates, cents)
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("p_cos").desc(), F.col("cent_id")
     )

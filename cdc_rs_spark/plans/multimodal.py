@@ -84,3 +84,46 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas — the keyframe-sampler UDTF shape)."""
     d = spread(load(spark, sf_dir, "documents"))
     return sample_video_frames(attach_payload(d), stride=4)
+
+
+@register(
+    "multimodal_image_decode",
+    oracle="""
+    SELECT doc_id,
+           33::BIGINT AS n_bytes,
+           (1 + doc_id % 1920)::BIGINT AS width,
+           (1 + doc_id % 1080)::BIGINT AS height,
+           'PNG' AS format
+    FROM documents
+    """,
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decoding through the Arrow boundary (no fake decoder):
+    a valid PNG header is synthesized per document JVM-side (concat of magic
+    + IHDR with dimensions derived from doc_id), then
+    operators/multimodal.py:decode_image parses width/height/format back out
+    of the binary payload in mapInPandas. The oracle predicts the dimensions
+    arithmetically — a decoder bug or any byte corruption across Arrow
+    surfaces as a mismatch. 33 bytes = 8 magic + 25 IHDR chunk."""
+    from pyspark.sql import functions as F
+
+    from cdc_rs_spark.operators.multimodal import decode_image
+
+    d = spread(load(spark, sf_dir, "documents"))
+    width = (F.lit(1) + F.col("doc_id") % 1920).cast("int")
+    height = (F.lit(1) + F.col("doc_id") % 1080).cast("int")
+
+    def be4(col):  # 4-byte big-endian of a non-negative int column
+        return F.unhex(F.lpad(F.hex(col), 8, "0"))
+
+    png = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),          # PNG magic
+        F.unhex(F.lit("0000000D")),                   # IHDR length 13
+        F.encode(F.lit("IHDR"), "UTF-8"),
+        be4(width),
+        be4(height),
+        F.unhex(F.lit("0802000000")),                 # bit depth/color/etc
+        F.unhex(F.lit("00000000")),                   # CRC (unchecked)
+    )
+    payloads = d.select("doc_id", png.alias("payload"))
+    return decode_image(payloads)

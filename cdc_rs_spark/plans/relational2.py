@@ -977,6 +977,44 @@ def outlier_iqr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "outlier_iqr_approx_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS q1_exact,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS q3_exact,
+           TRUE AS approx_within_1pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def outlier_iqr_approx_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB companion of outlier_iqr_lineitem: quartiles from
+    approx_percentile (t-digest-style mergeable sketch — partial aggregation,
+    no per-group full sort) instead of exact percentile. DuckDB cannot
+    reproduce Spark's sketch, so the oracle contract mirrors
+    approx_distinct_custkeys: the EXACT quartiles (oracle-computable) plus a
+    boolean asserting each approx quartile landed within 1% of the IQR of
+    its exact value — the oracle emits literal TRUE, so a wild sketch flips
+    the flag and fails the hash compare."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q1e"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q3e"),
+        F.expr("approx_percentile(l_extendedprice, 0.25, 10000)").alias("q1a"),
+        F.expr("approx_percentile(l_extendedprice, 0.75, 10000)").alias("q3a"),
+    )
+    tol = 0.01 * (F.col("q3e") - F.col("q1e"))
+    return agg.select(
+        "l_returnflag",
+        F.round("q1e", 6).alias("q1_exact"),
+        F.round("q3e", 6).alias("q3_exact"),
+        (
+            (F.abs(F.col("q1a") - F.col("q1e")) <= tol)
+            & (F.abs(F.col("q3a") - F.col("q3e")) <= tol)
+        ).alias("approx_within_1pct"),
+    )
+
+
+@register(
     "sql_api_nation_counts",
     oracle="""
     SELECT n.n_name,

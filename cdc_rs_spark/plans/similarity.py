@@ -132,9 +132,34 @@ def _cos_sql(a: str, b: str) -> str:
     "similarity_ivf_topk",
     oracle=f"""
     WITH {_QUERIES_SQL},
-    cents AS (
+    cents0 AS (
         SELECT vec_id AS cent_id, embedding AS c_emb
         FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    assigned0 AS (
+        SELECT vec_id, embedding, cent_id FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql("e.embedding", "c.c_emb")} DESC, c.cent_id
+                   ) AS arank
+            FROM embeddings e CROSS JOIN cents0 c
+        ) WHERE arank = 1
+    ),
+    -- one Lloyd iteration, exact decimal accumulation (bit-identical to
+    -- operators/similarity.py refine_centroids)
+    dims AS (
+        SELECT a.cent_id, t.j AS pos, a.embedding[t.j]::DOUBLE AS x
+        FROM assigned0 a, range(1, {EMB_DIM + 1}) t(j)
+    ),
+    means AS (
+        SELECT cent_id, pos,
+               CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS m
+        FROM dims GROUP BY cent_id, pos
+    ),
+    cents AS (
+        SELECT cent_id, list(m ORDER BY pos) AS c_emb
+        FROM means GROUP BY cent_id
     ),
     assigned AS (
         SELECT vec_id, embedding, cent_id FROM (
@@ -173,10 +198,12 @@ def _cos_sql(a: str, b: str) -> str:
     """,
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: {N_CENTROIDS} deterministic centroid lists, queries probe
-    their {N_PROBE} nearest lists, exact cosine top-5 within the probed
-    lists. The inverted-list assignment is the cluster-scale partitioning
-    key — a probe touches nprobe/nlists of the corpus."""
+    """IVF ANN: {N_CENTROIDS} centroids = deterministic seeds + ONE exact
+    Lloyd refinement iteration (operators/similarity.py refine_centroids —
+    the oracle reproduces the identical decimal-mean arithmetic), queries
+    probe their {N_PROBE} nearest lists, exact cosine top-5 within the
+    probed lists. The inverted-list assignment is the cluster-scale
+    partitioning key — a probe touches nprobe/nlists of the corpus."""
     emb = spread(load(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -187,6 +214,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=N_CENTROIDS,
         nprobe=N_PROBE,
         k=5,
+        kmeans_iters=1,
     )
 
 

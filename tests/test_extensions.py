@@ -135,21 +135,58 @@ def test_multimodal_plumbing(spark):
     assert out[1]["format"] == "fake/deterministic"
 
 
-def test_multimodal_decode_stub_raises(spark):
-    import pytest
+def _png(w: int, h: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
+    )
 
+
+def _gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 4
+
+
+def _bmp(w: int, h: int) -> bytes:
+    return (
+        b"BM" + b"\x00" * 16
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+    )
+
+
+def _jpeg(w: int, h: int) -> bytes:
+    # SOI + APP0 segment + SOF0 with dims (height first per spec)
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_multimodal_decode_image_headers(spark):
+    """decode_image is a real decoder without PIL: it reads dimensions and
+    format from PNG/GIF/BMP/JPEG container headers, and quarantines
+    unrecognized bytes as (-1, -1, 'unknown') instead of throwing."""
     from cdc_rs_spark.operators.multimodal import decode_image
 
-    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
-    try:
-        import PIL  # noqa: F401
-
-        has_pil = True
-    except ImportError:
-        has_pil = False
-    if not has_pil:
-        with pytest.raises(NotImplementedError):
-            decode_image(attach_payload(df))
+    payloads = [
+        (1, _png(640, 480)),
+        (2, _gif(13, 37)),
+        (3, _bmp(200, 100)),
+        (4, _jpeg(1920, 1080)),
+        (5, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_image(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["format"]) == (640, 480, "PNG")
+    assert (out[2]["width"], out[2]["height"], out[2]["format"]) == (13, 37, "GIF")
+    assert (out[3]["width"], out[3]["height"], out[3]["format"]) == (200, 100, "BMP")
+    assert (out[4]["width"], out[4]["height"], out[4]["format"]) == (1920, 1080, "JPEG")
+    assert (out[5]["width"], out[5]["height"], out[5]["format"]) == (-1, -1, "unknown")
+    assert out[5]["n_bytes"] == len(b"not an image at all")
 
 
 def test_embedding_near_dup_finds_planted_pair(spark):
