@@ -90,10 +90,12 @@ def minhash_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """Explode signatures into (band, band_key) and self-join: candidates are
-    pairs agreeing on at least one band. The join key is (band, 4 joined sig
-    values) — collision probability follows the standard banding S-curve."""
+def band_explode(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig) -> (doc_id, band, bkey) rows: the signature split into
+    MINHASH_BANDS band keys (4 joined sig values each). This exploded
+    relation IS the LSH index: equality on (band, bkey) is the candidate
+    test, whether self-joined (batch dedup) or joined from a stream
+    (incremental dedup against a persisted store)."""
     rows_per_band = MINHASH_K // MINHASH_BANDS
     bands = F.array(
         *[
@@ -110,9 +112,16 @@ def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    exploded = docs.select("doc_id", F.explode(bands).alias("bk")).select(
+    return docs.select("doc_id", F.explode(bands).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
+
+
+def lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """Explode signatures into (band, band_key) and self-join: candidates are
+    pairs agreeing on at least one band. The join key is (band, 4 joined sig
+    values) — collision probability follows the standard banding S-curve."""
+    exploded = band_explode(docs)
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (

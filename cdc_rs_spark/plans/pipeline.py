@@ -554,3 +554,34 @@ def data_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("chars_kept"),
         )
     )
+
+
+@register(
+    "corpus_shuffle_deterministic",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   ORDER BY {_oracle_bucket('doc_id', 1000000)}, doc_id
+               ) AS shuffle_rank
+        FROM documents
+    )
+    SELECT doc_id, source, shuffle_rank
+    FROM ranked WHERE shuffle_rank <= 100
+    """,
+)
+def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order shuffle: a reproducible global permutation of the
+    corpus by md5 bucket (not rand() — retry-stable, and re-shuffles with a
+    different epoch are just a different salt in the hashed expression).
+    First 100 positions shown for the oracle. At 100 TB nobody materializes
+    a global row_number: range-partition BY the hash bucket and
+    sortWithinPartitions — writer file/row order then IS this permutation
+    with zero global coordination; this entry pins the order contract."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.orderBy(hash_bucket(F.col("doc_id"), 1_000_000), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("shuffle_rank", F.row_number().over(w))
+        .filter(F.col("shuffle_rank") <= 100)
+    )

@@ -178,3 +178,130 @@ def text_quality_filter_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_quality"),
         )
     )
+
+
+@register(
+    "text_bpe_token_estimate",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_words,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))::BIGINT
+               AS n_pieces,
+           ROUND(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))::DOUBLE
+                 / len(string_split(text, ' ')), 6) AS pieces_per_word
+    FROM documents
+    """,
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (the mandate's second token-counting mode):
+    a subword-style regex — letter runs, single digits, single punctuation —
+    approximates a BPE pre-tokenizer's piece count without a vocab. The
+    pattern avoids lookaround so Java regex (Spark) and RE2-style (DuckDB)
+    agree byte-for-byte. Pure map-side column expression; pieces_per_word is
+    the budget-planning ratio a training pipeline tracks per source."""
+    d = spread(load(spark, sf_dir, "documents"))
+    pieces = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), 0)
+    ).cast("bigint")
+    words = token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        words.alias("n_words"),
+        pieces.alias("n_pieces"),
+        F.round(pieces.cast("double") / words.cast("double"), 6).alias(
+            "pieces_per_word"
+        ),
+    )
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)),
+                                     i -> w[i] || ' ' || w[i + 1])) AS gram
+        FROM t
+    ),
+    c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY doc_id, gram)
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           ROUND(MAX(n)::DOUBLE / SUM(n)::DOUBLE, 6) AS top_bigram_share,
+           ROUND(1.0 - COUNT(*)::DOUBLE / SUM(n)::DOUBLE, 6) AS dup_bigram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate signals (Gopher-style quality filters): the
+    share of the most frequent word bigram and the duplicate-bigram fraction
+    per document. Non-distinct bigrams are built JVM-side (sequence +
+    element_at — no Python), then explode + two grouped aggregations; the
+    explode shuffles skinny (doc_id, gram) rows with map-side combine, the
+    scalable shape for per-doc n-gram statistics at corpus scale."""
+    d = spread(load(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    docs = d.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
+    gram = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+            ),
+        )
+    )
+    counts = docs.select("doc_id", gram.alias("gram")).groupBy("doc_id", "gram").agg(
+        F.count("*").alias("n")
+    )
+    return counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.round(F.max("n").cast("double") / F.sum("n").cast("double"), 6).alias(
+            "top_bigram_share"
+        ),
+        F.round(
+            F.lit(1.0) - F.count("*").cast("double") / F.sum("n").cast("double"), 6
+        ).alias("dup_bigram_frac"),
+    )
+
+
+@register(
+    "text_quality_deciles",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    q AS (
+        SELECT doc_id,
+               ROUND(0.4 * ({_hits_sql("en")}::DOUBLE / len(w))
+                     + 0.3 * least(len(w)::DOUBLE / 100.0, 1.0)
+                     + 0.3 * (len(list_distinct(w))::DOUBLE / len(w)), 6) AS quality
+        FROM t
+    ),
+    d AS (
+        SELECT doc_id, quality,
+               ntile(10) OVER (ORDER BY quality, doc_id) AS decile
+        FROM q
+    )
+    SELECT decile, COUNT(*) AS n_docs,
+           MIN(quality) AS min_quality, MAX(quality) AS max_quality
+    FROM d GROUP BY decile
+    """,
+)
+def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/quality binning: ntile(10) over the composite quality
+    score — the bucketing a data-mix recipe consumes ("train on top 3
+    deciles first"). The global ntile sorts #docs rows of (score, id) pairs
+    only; at 100 TB replace with approx_percentile decile THRESHOLDS
+    broadcast as a map-side bucketizer (same output contract, no global
+    sort) — this entry pins the exact semantics."""
+    d = spread(load(spark, sf_dir, "documents"))
+    q = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    w = Window.orderBy("quality", "doc_id")
+    deciled = q.withColumn("decile", F.ntile(10).over(w))
+    return deciled.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )

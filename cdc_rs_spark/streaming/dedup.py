@@ -1,0 +1,103 @@
+"""Incremental (streaming) near-duplicate detection against a persisted
+corpus index — the ingestion-time shape of the MinHash-LSH dedup family:
+documents arrive as a stream, and each micro-batch is checked against the
+EXISTING corpus without ever re-comparing the corpus to itself.
+
+The persisted index is the pair of relations batch dedup already
+materializes (operators/dedup.py):
+  - signature store: band_explode output (doc_id, band, bkey)
+  - shingle store:   (doc_id, sh) for exact-Jaccard verification
+
+Scale: per micro-batch work is |batch| x MINHASH_BANDS skinny rows joined
+against the bucketed store on (band, bkey) — never all-pairs, never a corpus
+self-join. The store grows append-only (accepted docs' bands/shingles are
+appended after each batch); at warehouse scale both stores are parquet
+tables bucketed by (band, bkey) / doc_id so the probe join co-locates.
+
+No counterpart in the reference (its stream is CDC rows, not documents) —
+this is the EXTENSION family's streaming form.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.operators.dedup import band_explode, jaccard_verify, minhash_docs
+
+
+def probe_against_store(
+    new_docs: DataFrame,
+    signature_store: DataFrame,
+    shingle_store: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Batch core of the incremental check: shingle+sign the new docs, probe
+    the band store for candidates, verify candidates with exact Jaccard
+    against the shingle store. Returns (id_a=new doc, id_b=stored doc,
+    jaccard >= threshold). Pure DataFrame logic — usable directly in batch
+    or inside foreachBatch."""
+    signed = minhash_docs(new_docs, "doc_id", "text").persist()
+    try:
+        probes = band_explode(signed.select("doc_id", "sig"))
+        cand = (
+            probes.withColumnRenamed("doc_id", "id_a")
+            .join(
+                signature_store.withColumnRenamed("doc_id", "id_b"),
+                ["band", "bkey"],
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        new_sh = signed.select("doc_id", "sh")
+        store_sh = shingle_store
+        a = new_sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+        b = store_sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+        joined = cand.join(a, "id_a").join(b, "id_b")
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        jac = inter.cast("double") / union.cast("double")
+        return (
+            joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    finally:
+        # lazy plans hold the persisted relation; unpersist happens when the
+        # returned frame is consumed — caller-managed in streaming (each
+        # micro-batch materializes eagerly inside foreachBatch)
+        pass
+
+
+def dedup_foreach_batch(
+    signature_store_path: str,
+    shingle_store_path: str,
+    threshold: float = 0.5,
+    on_duplicates: Callable[[DataFrame, int], None] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch form: per micro-batch of (doc_id, text), probe the
+    parquet signature/shingle stores, hand verified duplicate pairs to
+    `on_duplicates(df, batch_id)`, then append the batch's OWN bands and
+    shingles to the stores so later batches (and later duplicates of this
+    batch) are caught. Store append is transactional per micro-batch
+    alongside the checkpointed offsets — replays overwrite deterministically
+    (same doc_id rows), preserving at-least-once -> idempotent semantics."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sig_store = spark.read.parquet(signature_store_path)
+        sh_store = spark.read.parquet(shingle_store_path)
+        dups = probe_against_store(batch_df, sig_store, sh_store, threshold)
+        if on_duplicates is not None:
+            on_duplicates(dups, batch_id)
+        signed = minhash_docs(batch_df, "doc_id", "text")
+        band_explode(signed.select("doc_id", "sig")).write.mode("append").parquet(
+            signature_store_path
+        )
+        signed.select("doc_id", "sh").write.mode("append").parquet(
+            shingle_store_path
+        )
+
+    return fn

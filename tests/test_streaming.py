@@ -586,3 +586,66 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
     # the 00:00 window closed with ONE event; the late event_id=3 is gone
     assert counts.get("2024-01-01 00:00:00") == 1
     assert sum(counts.values()) <= 3  # event 3 contributes to no window
+
+
+def test_streaming_minhash_dedup_against_store(spark, tmp_path):
+    """Incremental corpus dedup (streaming/dedup.py): new docs stream in,
+    each micro-batch probes the persisted LSH band store for near-dups vs
+    the EXISTING corpus, then appends its own signatures — so batch 2 docs
+    are checked against batch 1 docs too, with no corpus self-join ever."""
+    from cdc_rs_spark.operators.dedup import band_explode, minhash_docs
+    from cdc_rs_spark.streaming.dedup import dedup_foreach_batch
+
+    base = " ".join(f"w{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, " ".join(f"x{i}" for i in range(20))),
+            (3, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    sig_path = str(tmp_path / "sig_store")
+    sh_path = str(tmp_path / "sh_store")
+    signed = minhash_docs(corpus, "doc_id", "text")
+    band_explode(signed.select("doc_id", "sig")).write.parquet(sig_path)
+    signed.select("doc_id", "sh").write.parquet(sh_path)
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    found: dict[int, set[tuple[int, int]]] = {}
+
+    def on_dups(df, batch_id):
+        pairs = {(r["id_a"], r["id_b"]) for r in df.collect()}
+        if pairs:
+            found.setdefault(batch_id, set()).update(pairs)
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        q = (
+            stream.writeStream.foreachBatch(
+                dedup_foreach_batch(sig_path, sh_path, 0.5, on_dups)
+            )
+            .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    # batch 1: doc 10 near-dups corpus doc 1; doc 11 is novel
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 10, "text": base + " extra"}) + "\n")
+        f.write(json.dumps({"doc_id": 11, "text": "totally different words here now"}) + "\n")
+    run_once()
+    all_found = set().union(*found.values()) if found else set()
+    assert (10, 1) in all_found
+    assert not any(a == 11 for a, _ in all_found)
+
+    # batch 2: doc 12 near-dups doc 10 (ingested last batch, not in the
+    # original corpus) — proves the store append made batch 1 probe-able
+    found.clear()
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 12, "text": base + " extra more"}) + "\n")
+    run_once()
+    all_found = set().union(*found.values()) if found else set()
+    assert (12, 10) in all_found and (12, 1) in all_found
