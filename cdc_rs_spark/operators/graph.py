@@ -12,12 +12,14 @@ Scale design (100 TB corpus, billions of edges):
   - each round is one shuffle: edges join labels on dst (both sides can be
     pre-partitioned by vertex id so the join is co-located), then a
     map-side-combined min-groupBy on vertex.
-  - `localCheckpoint(eager=True)` after every round truncates the lineage —
-    without it the plan doubles per iteration and the DAG scheduler, not the
-    data, becomes the bottleneck.
-  - convergence is detected with a count() of changed labels per round (one
-    action per round — the standard price of iterative algorithms on Spark;
-    driver transfers a single long, not data).
+  - `localCheckpoint` after every round truncates the lineage — without it
+    the plan doubles per iteration and the DAG scheduler, not the data,
+    becomes the bottleneck. The checkpoint is LAZY: the convergence probe
+    materializes it, so each round is exactly ONE Spark action.
+  - convergence detection exploits monotonicity: min-propagation can only
+    LOWER labels, so the global label sum strictly decreases until the fix
+    point — comparing per-round sums replaces a new-vs-old label join with a
+    single aggregate (driver transfers one number per round, not data).
 
 The reference has no graph surface at all; this exists for the
 training-pipeline north star (BASELINE.json) — dedup clustering.
@@ -45,6 +47,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("v"))
     )
+    prev_sum: int | None = None
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["b"] == labels["v"])
@@ -54,15 +57,13 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("v")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by the probe below
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        # one action per round: materializes the checkpoint AND probes
+        # convergence (labels only ever decrease -> equal sum == fix point)
+        label_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels

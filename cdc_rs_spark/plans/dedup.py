@@ -343,14 +343,21 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.filter(F.col("doc_id") < 20)
         .select(F.explode("s").alias("gram"))
         .distinct()
-        .agg(F.collect_set("gram").alias("grams"))
     )
-    corpus = sh.filter(F.col("doc_id") >= 20)
-    flagged = corpus.join(F.broadcast(eval_grams)).select(
-        "doc_id",
-        F.size(F.array_intersect("s", "grams")).alias("n_shared"),
+    # explode corpus grams and equi-join the broadcast eval set: the match
+    # is a hash probe per gram with map-side-combined counting — unlike
+    # array_intersect against one giant broadcast array, which rebuilds a
+    # |eval-grams| hash set per corpus ROW. Inner join keeps exactly the
+    # n_shared > 0 docs.
+    corpus_grams = (
+        sh.filter(F.col("doc_id") >= 20)
+        .select("doc_id", F.explode("s").alias("gram"))
     )
-    return flagged.filter(F.col("n_shared") > 0)
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
 
 
 def _cluster_report_oracle() -> str:
