@@ -27,6 +27,45 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding event-time window per event_type: each event lands in
+    window/slide overlapping windows (Spark expands them JVM-side); state per
+    open window, dropped at watermark passage like the tumbling form."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows (gap-based, data-driven close): the streaming
+    form of plans/events.py events_session_window. Session state MERGES as
+    events arrive (windows with < gap separation coalesce) and closes when
+    the watermark passes last_event + gap — this is the one window type
+    whose extent is decided by the DATA, so watermarking is what bounds
+    state: without it sessions for idle users would stay open forever."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup(
     changes: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:

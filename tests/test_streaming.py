@@ -649,3 +649,66 @@ def test_streaming_minhash_dedup_against_store(spark, tmp_path):
     run_once()
     all_found = set().union(*found.values()) if found else set()
     assert (12, 10) in all_found and (12, 1) in all_found
+
+
+def test_streaming_sliding_and_session_windows_match_batch(spark, sf_dir, tmp_path):
+    """The two remaining window types, incrementalized == batch over the same
+    data: sliding (overlap expansion) and per-user session windows (the
+    data-driven window whose state merges as events arrive)."""
+    from cdc_rs_spark.session import load
+    from cdc_rs_spark.streaming.windows import session_counts, sliding_counts
+
+    events = load(spark, sf_dir, "events").limit(200).cache()
+    src = str(tmp_path / "events_json2")
+    events.select(
+        "event_id", F.col("ts").cast("string").alias("ts"), "user_id",
+        "event_type", "value", "props",
+    ).coalesce(2).write.mode("overwrite").json(src)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        sliding_counts(stream, "1 hour", "30 minutes")
+        .writeStream.format("memory").queryName("slide_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "slide_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM slide_stream").collect()
+    }
+    want = {
+        (str(r["w"]["start"]), r["event_type"]): r["n"]
+        for r in events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+    stream2 = spark.readStream.schema(schema).json(src)
+    q2 = (
+        session_counts(stream2, "30 minutes")
+        .writeStream.format("memory").queryName("sess_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(240)
+    got_s = {
+        (str(r["session_start"]), str(r["session_end"]), r["user_id"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    want_s = {
+        (str(r["w"]["start"]), str(r["w"]["end"]), r["user_id"]): r["n"]
+        for r in events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert got_s == want_s
