@@ -131,3 +131,25 @@ def test_latest_per_key_tombstones(spark):
     state = latest_per_key(changes, drop_deletes=True).collect()
     assert len(state) == 1
     assert state[0]["after"]["id"] == "2"
+
+
+def test_latest_per_key_tied_timestamps_deterministic(spark):
+    """Binlog ts is epoch seconds, so same-key ties are common on real
+    feeds: with equal ts the survivor follows the op rank
+    Update > Insert > Delete > Backfill (same ordering as the merge
+    operator and the cdc_compact_latest oracle), independent of input
+    order or partitioning."""
+    rows = [
+        _live("Insert", "1", "ins", 100),
+        _live("Update", "1", "upd", 100),   # tied ts -> Update must win
+        _bf("2", "snap"),
+        _live("Delete", "2", "", 1),        # tied with backfill ts=1 -> Delete outranks
+    ]
+    for ordering in (rows, rows[::-1]):
+        changes = spark.createDataFrame(ordering, CHANGE_DDL)
+        state = {
+            r["after"]["id"] if r["after"] else r["before"]["id"]: r
+            for r in latest_per_key(changes).collect()
+        }
+        assert state["1"]["op"] == "Update" and state["1"]["after"]["v"] == "upd"
+        assert state["2"]["op"] == "Delete"

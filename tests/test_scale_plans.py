@@ -136,3 +136,19 @@ def test_exact_dedup_is_single_shuffle(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    """right/full outer would emit unmatched small-side rows once per salt
+    replica — salted_join must refuse rather than corrupt silently."""
+    import pytest
+
+    from cdc_rs_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")], "k long, v string")
+    small = spark.createDataFrame([(1, "x")], "k long, w string")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, "k", how=how)
+    # left semantics stay valid (and identical to the plain join)
+    assert salted_join(big, small, "k", how="left").count() == 1

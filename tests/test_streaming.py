@@ -712,3 +712,28 @@ def test_streaming_sliding_and_session_windows_match_batch(spark, sf_dir, tmp_pa
         ).agg(F.count("*").alias("n")).collect()
     }
     assert got_s == want_s
+
+
+def test_streaming_dedup_keeps_distinct_same_second_updates(spark, tmp_path):
+    """ts is epoch seconds, so two GENUINELY DIFFERENT updates to one key in
+    the same second are not replays — the payload digest in the dedup key
+    must keep both, while a byte-identical redelivery still collapses."""
+    src = str(tmp_path / "src")
+    ts = 1_700_000_000
+    u1 = _chg("Update", "1", "first", ts)
+    u2 = _chg("Update", "1", "second", ts)  # same key+ts+op, different payload
+    _write_changes(src, "b1.json", [u1, u2])
+    _write_changes(src, "b2.json", [u1])  # true replay of u1
+    stream = read_change_stream(spark, src, max_files_per_trigger=1)
+    out = streaming_dedup(stream)
+    q = (
+        out.writeStream.format("memory").queryName("dedup_payload")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = spark.sql("SELECT * FROM dedup_payload").collect()
+    vals = sorted(r["after"]["v"] for r in rows)
+    assert vals == ["first", "second"]  # both distinct updates kept, replay dropped
