@@ -395,3 +395,43 @@ def envelope_field_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("col")
         .agg(F.count("*").alias("n_present"))
     )
+
+
+@register(
+    "cdc_typed_projection",
+    oracle="""
+    SELECT o_orderkey AS okey,
+           o_custkey AS custkey,
+           CAST(o_totalprice AS DOUBLE) AS total,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate
+    FROM orders
+    WHERE o_totalprice > 100000
+    """,
+)
+def cdc_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declared-schema decode path (envelope.typed_changes — SCALE.md §9
+    names it the performance path because map<string,string> images defeat
+    pruning): Backfill envelope -> typed before/after structs via per-field
+    cast (no JSON round-trip, whole-stage codegen) -> typed predicate +
+    projection. The filter applies to the DECODED decimal, proving
+    predicates work on typed image fields, not just raw strings."""
+    from cdc_rs_spark.envelope import typed_changes
+
+    orders = load(spark, sf_dir, "orders")
+    changes = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    typed = typed_changes(
+        changes,
+        [
+            ("o_orderkey", "bigint"),
+            ("o_custkey", "bigint"),
+            ("o_totalprice", "decimal(18,2)"),
+            ("o_orderdate", "string"),
+        ],
+    )
+    a = F.col("after")
+    return typed.filter(a["o_totalprice"] > 100000).select(
+        a["o_orderkey"].alias("okey"),
+        a["o_custkey"].alias("custkey"),
+        a["o_totalprice"].cast("double").alias("total"),
+        F.substring(a["o_orderdate"], 1, 10).alias("odate"),
+    )

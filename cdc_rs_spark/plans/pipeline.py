@@ -585,3 +585,63 @@ def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shuffle_rank", F.row_number().over(w))
         .filter(F.col("shuffle_rank") <= 100)
     )
+
+
+@register(
+    "dq_expectations_orders",
+    oracle="""
+    SELECT 'totalprice_positive' AS rule,
+           COUNT(*) FILTER (WHERE o_totalprice <= 0) AS n_violations,
+           COUNT(*) AS n_checked
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null', COUNT(*) FILTER (WHERE o_custkey IS NULL),
+           COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'status_in_domain',
+           COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')),
+           COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_has_order', COUNT(*) FILTER (WHERE o.o_orderkey IS NULL),
+           COUNT(*)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations gate (the dbt-test / Deequ shape a pipeline
+    runs before training consumption): each rule yields
+    (rule, n_violations, n_checked) — column constraints are conditional
+    aggregates over ONE scan; the referential-integrity rule is a left
+    anti-ish join counted without materializing violating rows. At 100 TB
+    every rule stays map-side except the FK join, which broadcasts the
+    smaller key set."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def rule(name, violated):
+        return orders.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.when(violated, 1)).alias("n_violations"),
+            F.count("*").alias("n_checked"),
+        )
+
+    col_rules = rule("totalprice_positive", F.col("o_totalprice") <= 0).unionByName(
+        rule("custkey_not_null", F.col("o_custkey").isNull())
+    ).unionByName(
+        rule("status_in_domain", ~F.col("o_orderstatus").isin("O", "F", "P"))
+    )
+    fk = (
+        li.join(
+            orders.select(F.col("o_orderkey")),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.lit("lineitem_has_order").alias("rule"),
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("n_violations"),
+            F.count("*").alias("n_checked"),
+        )
+    )
+    return col_rules.unionByName(fk)

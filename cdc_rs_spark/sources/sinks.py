@@ -110,3 +110,32 @@ def publish_foreach_batch(
         )
 
     return fn
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a training set as deterministic shards in deterministic
+    order: shard = md5-bucket of the id (retry-stable, data-independent
+    balance), order within a shard = (hash, id) — i.e. the
+    corpus_shuffle_deterministic permutation restricted to the shard. Each
+    shard is its own directory (shard=N) whose parquet row order IS the
+    training order, so a data loader streams shards independently with zero
+    global coordination — the 100 TB replacement for a global ORDER BY
+    (see plans/pipeline.py corpus_shuffle_deterministic docstring).
+    """
+    from cdc_rs_spark.plans.pipeline import hash_bucket
+
+    bucket = hash_bucket(F.col(id_col), 1_000_000)
+    out = (
+        df.withColumn("shard", (bucket % n_shards).cast("int"))
+        .withColumn("__order", bucket)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "__order", id_col)
+        .drop("__order")
+    )
+    out.write.mode(mode).partitionBy("shard").parquet(path)

@@ -167,3 +167,35 @@ def test_kafka_frame_round_trip_contract(spark):
     for r in back.collect():
         o = orig[r["after"]["n_nationkey"]]
         assert r.asDict() == o
+
+
+def test_write_training_shards_deterministic_order(spark, tmp_path):
+    """Sharded training-set writer: every doc lands in its md5-assigned
+    shard, and each shard's file row order equals the deterministic hash
+    permutation restricted to that shard — re-running writes byte-identical
+    shards (no rand(), no global sort)."""
+    from cdc_rs_spark.plans.pipeline import hash_bucket
+    from cdc_rs_spark.session import load
+    from cdc_rs_spark.sources.sinks import write_training_shards
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4)
+
+    expected = {
+        r["doc_id"]: (r["shard"], r["order"])
+        for r in docs.select(
+            "doc_id",
+            (hash_bucket(F.col("doc_id"), 1_000_000) % 4).alias("shard"),
+            hash_bucket(F.col("doc_id"), 1_000_000).alias("order"),
+        ).collect()
+    }
+    total = 0
+    for shard in range(4):
+        # single partition per shard -> file order == row order
+        rows = spark.read.parquet(f"{out}/shard={shard}").collect()
+        total += len(rows)
+        assert all(expected[r["doc_id"]][0] == shard for r in rows)
+        orders = [(expected[r["doc_id"]][1], r["doc_id"]) for r in rows]
+        assert orders == sorted(orders)
+    assert total == docs.count()
