@@ -154,26 +154,32 @@ def embedding_near_dup_pairs(
 
 def _assign_to_centroids(candidates: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, embedding) x broadcast centroids -> nearest-centroid
-    assignment (cosine, cent_id tiebreak). The centroid set is tiny by
-    construction, so this is a map-side broadcast pass over the corpus."""
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.col("a_cos").desc(), F.col("cent_id")
+    assignment (cosine, cent_id tiebreak). The centroid set is packed into
+    ONE array-of-structs row and broadcast, and the argmax runs per-vector
+    inside `array_max(transform(...))` — a pure map-side pass with ZERO
+    shuffle over the corpus (the window-over-crossJoin form shuffles
+    N x n_centroids rows; at 100 TB that shuffle IS the cost)."""
+    packed = F.broadcast(
+        cents.agg(F.collect_list(F.struct("cent_id", "c_emb")).alias("cs"))
     )
-    return (
-        candidates.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "embedding",
-            "cent_id",
-            cosine(F.col("embedding"), F.col("c_emb")).alias("a_cos"),
+    # max of struct(cos, -cent_id) = highest cosine, lowest cent_id tiebreak
+    best = F.array_max(
+        F.transform(
+            F.col("cs"),
+            lambda s: F.struct(
+                cosine(F.col("embedding"), s["c_emb"]).alias("c"),
+                (-s["cent_id"]).alias("nid"),
+            ),
         )
-        .withColumn("arank", F.row_number().over(assign_w))
-        .filter(F.col("arank") == 1)
-        .select("vec_id", "embedding", "cent_id")
+    )
+    return candidates.crossJoin(packed).select(
+        "vec_id", "embedding", (-best["nid"]).alias("cent_id")
     )
 
 
-def refine_centroids(candidates: DataFrame, cents: DataFrame) -> DataFrame:
+def refine_centroids(
+    candidates: DataFrame, cents: DataFrame, dim: int | None = None
+) -> DataFrame:
     """One Lloyd (k-means) iteration: assign every vector to its nearest
     centroid, then replace each centroid with its cluster's element-wise
     mean. The mean accumulates in exact DECIMAL(28,10) before one double
@@ -182,23 +188,31 @@ def refine_centroids(candidates: DataFrame, cents: DataFrame) -> DataFrame:
     (plans/similarity.py mirrors this arithmetic). Seeds that own no vectors
     drop out (standard k-means empty-cluster behavior).
 
-    Cost shape at 100 TB: one broadcast assign pass + one (cent_id, dim)
-    shuffle of #vectors x dim skinny rows — the standard distributed k-means
-    step; run it a fixed small number of times."""
+    Cost shape at 100 TB: one map-side broadcast assign pass + ONE shuffle
+    of k x (dim+1) partial aggregates per map task (map-side combine) — the
+    standard distributed k-means step; run it a fixed small number of
+    times. `dim` avoids a one-row inference job when the caller knows it."""
     assigned = _assign_to_centroids(candidates, cents)
-    dims = assigned.select(
-        "cent_id", F.posexplode("embedding").alias("pos", "x")
+    if dim is None:
+        dim = candidates.select(F.size("embedding").alias("d")).first()["d"]
+    # per-dim sums as flat agg columns (NOT posexplode+groupBy): partial
+    # aggregation combines map-side, so the one shuffle moves k x dim
+    # partials per task instead of N x dim exploded rows — and the argmax
+    # grouping key is evaluated once per row, not once per exploded dim
+    sums = assigned.groupBy("cent_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                F.element_at("embedding", i + 1).cast("double").cast("decimal(28,10)")
+            ).alias(f"s{i}")
+            for i in range(dim)
+        ],
     )
-    means = dims.groupBy("cent_id", "pos").agg(
-        (
-            F.sum(F.col("x").cast("double").cast("decimal(28,10)")).cast("double")
-            / F.count("*")
-        ).alias("m")
-    )
-    return means.groupBy("cent_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-        ).alias("c_emb")
+    return sums.select(
+        "cent_id",
+        F.array(
+            *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(dim)]
+        ).alias("c_emb"),
     )
 
 
@@ -209,6 +223,7 @@ def ivf_topk(
     nprobe: int = 2,
     k: int = 5,
     kmeans_iters: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into n_centroids lists
     by nearest centroid; a query probes only its nprobe closest lists.
@@ -223,8 +238,15 @@ def ivf_topk(
     cents = candidates.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
     )
-    for _ in range(kmeans_iters):
-        cents = refine_centroids(candidates, cents)
+    if kmeans_iters:
+        if dim is None:
+            dim = candidates.select(F.size("embedding").alias("d")).first()["d"]
+        for _ in range(kmeans_iters):
+            cents = refine_centroids(candidates, cents, dim=dim)
+        # the refined-centroid subplan is consumed by TWO broadcasts below
+        # (list assignment + query probes); materialize the tiny k x dim
+        # table once instead of re-running k-means per consumer
+        cents = cents.localCheckpoint(eager=True)
     assigned = _assign_to_centroids(candidates, cents)
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("p_cos").desc(), F.col("cent_id")

@@ -215,6 +215,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=N_PROBE,
         k=5,
         kmeans_iters=1,
+        dim=64,
     )
 
 
