@@ -645,3 +645,39 @@ def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return col_rules.unionByName(fk)
+
+
+@register(
+    "sample_weighted_priority",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST({_oracle_bucket('doc_id', 1000000)} AS DOUBLE)
+           / CAST(n_chars AS DOUBLE) AS priority
+    FROM documents WHERE n_chars > 0
+    ORDER BY priority, doc_id LIMIT 200
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sampling (priority sampling): each
+    doc draws a deterministic pseudo-uniform u = md5-bucket(doc_id)/1e6 and
+    keeps key u/weight; the k SMALLEST keys are the sample, with inclusion
+    probability proportional to weight (here n_chars — longer docs more
+    likely). Unlike rand()-based weighted sampling this is retry-stable and
+    join-stable, and unlike ln(u)^(1/w) variants it uses only one IEEE
+    division, which is correctly-rounded and therefore bit-identical across
+    engines. Key computation is map-side; selection is orderBy+limit =
+    TakeOrdered (per-partition top-k heaps, no global sort shuffle)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    priority = hash_bucket(F.col("doc_id"), 1_000_000).cast("double") / F.col(
+        "n_chars"
+    ).cast("double")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            priority.alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(200)
+    )

@@ -305,3 +305,77 @@ def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("quality").alias("min_quality"),
         F.max("quality").alias("max_quality"),
     )
+
+
+@register(
+    "text_chunk_overlap",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks, unnest(range(1, len(toks)+1, 24)) AS start
+          FROM t)
+    SELECT doc_id,
+           CAST((start-1)//24 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(LEAST(32, len(toks)-start+1) AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks[start:start+31], ' ')) AS chunk_md5
+    FROM s
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking — the context-window splitter a
+    training pipeline runs before tokenization (window=32 tokens, stride=24,
+    i.e. 8-token overlap so no boundary context is lost). One generator pass:
+    chunk starts come from `sequence(1, n, stride)` and each chunk is a
+    `slice` of the token array, exploded to (doc_id, chunk_idx) grain. The
+    chunk content is emitted as md5 (driver-hashable; real pipelines write
+    the text). Purely map-side — zero shuffles at any scale; chunk rows land
+    in the same partition as their document."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(1), n, F.lit(24)),
+        lambda s, i: F.struct(
+            i.cast("bigint").alias("chunk_idx"),
+            s.cast("bigint").alias("start_tok"),
+            F.least(F.lit(32), n - s + 1).cast("bigint").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.slice(toks, s, F.lit(32)))).alias("chunk_md5"),
+        ),
+    )
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.start_tok", "c.n_tokens", "c.chunk_md5"
+    )
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+          FROM t, unnest(range(1, len(toks)-3)) AS u(i)
+          WHERE len(toks) >= 5),
+    c AS (SELECT gram, COUNT(*) AS doc_freq FROM g GROUP BY gram)
+    SELECT gram, CAST(doc_freq AS BIGINT) AS doc_freq FROM c
+    QUALIFY row_number() OVER (ORDER BY doc_freq DESC, gram) <= 20
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: the 5-grams shared by the most
+    documents (headers/footers/licenses repeat verbatim across a crawl; the
+    top of this list is the removal candidate set). Per-doc DISTINCT grams
+    (array_distinct before explode, so a doc voting twice counts once) ->
+    one partial-agg count shuffle -> global top-20 via orderBy+limit, which
+    Spark executes as TakeOrdered (per-partition heaps + driver merge of 20
+    rows), NOT a single-partition sort — the shape that survives a 100 TB
+    gram table."""
+    from cdc_rs_spark.operators.dedup import shingles
+
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split(F.col("text"), " ")
+    grams = (
+        d.filter(F.size(toks) >= 5)
+        .select("doc_id", F.explode(shingles(toks, 5)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    return grams.orderBy(F.col("doc_freq").desc(), F.col("gram")).limit(20)
