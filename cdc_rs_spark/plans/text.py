@@ -379,3 +379,62 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("doc_freq"))
     )
     return grams.orderBy(F.col("doc_freq").desc(), F.col("gram")).limit(20)
+
+
+@register(
+    "text_top_tokens_per_lang",
+    oracle="""
+    WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    c AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token)
+    SELECT lang, token, CAST(n AS BIGINT) AS n FROM c
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) <= 5
+    """,
+)
+def text_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary head (heavy hitters): token counts grouped by
+    (lang, token) — partial aggregation combines map-side, so the shuffle
+    carries one partial per distinct token per task, not one row per token
+    occurrence — then top-5 per language by a window over the (small)
+    aggregated counts. The per-group window partitions by lang over already-
+    reduced data; at 100 TB the candidate set per language is vocabulary-
+    sized, not corpus-sized."""
+    d = spread(load(spark, sf_dir, "documents"))
+    counts = (
+        d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "token", "n")
+    )
+
+
+@register(
+    "text_length_histogram",
+    oracle="""
+    SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS log2_bin,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents WHERE n_chars > 0
+    GROUP BY 1
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2 document-length histogram (the size-distribution profile a
+    pipeline checks before choosing chunk/packing budgets). The bin is
+    floor(log2(n)) computed as length(bin(n)) - 1 — pure integer/string
+    arithmetic, bit-identical across engines, unlike float log2 whose
+    rounding at exact powers of two differs by ULPs between libm and the
+    JVM. Single map-side bin + one partial-agg shuffle of #bins rows."""
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    log2_bin = (F.length(F.bin(F.col("n_chars"))) - 1).cast("bigint")
+    return d.groupBy(log2_bin.alias("log2_bin")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
