@@ -139,3 +139,26 @@ def write_training_shards(
         .drop("__order")
     )
     out.write.mode(mode).partitionBy("shard").parquet(path)
+
+
+def exactly_once_parquet_batch(path: str):
+    """foreachBatch parquet sink with exactly-once FILE delivery: each
+    micro-batch lands in its own `batch_id=N` partition via dynamic
+    partition overwrite, so when Structured Streaming replays a batch after
+    checkpoint recovery (its guarantee is at-least-once invocation of
+    foreachBatch), the replay OVERWRITES batch_id=N instead of appending a
+    duplicate — write idempotence keyed on the engine's batch id, the same
+    trick the reference gets from its idempotent UPSERT envelope
+    (src/main.rs:238-255 offset cadence). Dynamic mode touches only the
+    replayed partition; committed batches are never rewritten."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    return fn

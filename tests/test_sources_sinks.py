@@ -199,3 +199,24 @@ def test_write_training_shards_deterministic_order(spark, tmp_path):
         orders = [(expected[r["doc_id"]][1], r["doc_id"]) for r in rows]
         assert orders == sorted(orders)
     assert total == docs.count()
+
+
+def test_exactly_once_parquet_batch_replay_idempotent(spark, tmp_path):
+    """Replaying a micro-batch (the at-least-once case after checkpoint
+    recovery) overwrites its own batch_id partition: no duplicate rows, and
+    already-committed batches are untouched."""
+    from cdc_rs_spark.sources.sinks import exactly_once_parquet_batch
+
+    out = str(tmp_path / "eo")
+    sink = exactly_once_parquet_batch(out)
+    b0 = spark.range(0, 5).withColumn("v", F.col("id") * 10)
+    b1 = spark.range(5, 8).withColumn("v", F.col("id") * 10)
+    sink(b0, 0)
+    sink(b1, 1)
+    # crash-recovery replay of batch 0 (same data, possibly repartitioned)
+    sink(b0.repartition(3), 0)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 8  # 5 + 3, no duplicates from the replay
+    assert got.filter(F.col("batch_id") == 0).count() == 5
+    assert sorted(r["id"] for r in got.collect()) == list(range(8))
