@@ -1,0 +1,117 @@
+"""Invariant tests for the chunking / boilerplate / sampling text ops over
+CRAFTED documents (the parquet fixtures have no adversarial lengths): every
+token count 1..80 is represented, covering all window/stride boundary cases
+(n = 24, 25, 32, 33, 48, 49, ...).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+WINDOW, STRIDE = 32, 24
+
+
+def _write_docs(spark, path: str, texts: dict[int, str]) -> str:
+    rows = [
+        (i, t, "en", "src0", len(t)) for i, t in sorted(texts.items())
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+    return path
+
+
+@pytest.fixture(scope="module")
+def chunk_docs(spark, tmp_path_factory):
+    """One doc per token count 1..80: doc n = 'w1 w2 ... wn'."""
+    texts = {
+        n: " ".join(f"w{i}" for i in range(1, n + 1)) for n in range(1, 81)
+    }
+    base = str(tmp_path_factory.mktemp("chunkdocs"))
+    return _write_docs(spark, base, texts), texts
+
+
+def test_chunk_overlap_invariants(spark, chunk_docs):
+    """For every doc length 1..80: starts are 1+STRIDE*idx <= n; chunk sizes
+    are min(WINDOW, n-start+1); the chunks cover [1, n] with no gap; and
+    consecutive chunks overlap by exactly WINDOW-STRIDE except when the
+    previous chunk was already truncated by the document end."""
+    from cdc_rs_spark.plans.text import text_chunk_overlap
+
+    sf_dir, texts = chunk_docs
+    out = text_chunk_overlap(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(texts)
+    for n, rows in ((d, sorted(v, key=lambda r: r["chunk_idx"])) for d, v in by_doc.items()):
+        covered = set()
+        for i, r in enumerate(rows):
+            assert r["chunk_idx"] == i
+            assert r["start_tok"] == 1 + STRIDE * i
+            assert r["start_tok"] <= n
+            assert r["n_tokens"] == min(WINDOW, n - r["start_tok"] + 1)
+            covered.update(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+        assert covered == set(range(1, n + 1)), f"doc {n} has coverage gaps"
+        # no start beyond n: the next start after the last must exceed n
+        assert rows[-1]["start_tok"] + STRIDE > n
+
+
+def test_chunk_md5_matches_slice(spark, chunk_docs):
+    """chunk_md5 is the md5 of exactly the sliced token span."""
+    import hashlib
+
+    from cdc_rs_spark.plans.text import text_chunk_overlap
+
+    sf_dir, texts = chunk_docs
+    for r in text_chunk_overlap(spark, sf_dir).collect():
+        toks = texts[r["doc_id"]].split(" ")
+        span = " ".join(toks[r["start_tok"] - 1 : r["start_tok"] - 1 + r["n_tokens"]])
+        assert r["chunk_md5"] == hashlib.md5(span.encode()).hexdigest()
+
+
+def test_boilerplate_counts_doc_once(spark, tmp_path):
+    """A 5-gram repeated WITHIN one doc votes once; doc_freq counts distinct
+    documents containing the gram."""
+    from cdc_rs_spark.plans.text import text_boilerplate_ngrams
+
+    gram = "a b c d e"
+    texts = {
+        # doc 0 contains the gram twice -> one vote
+        0: f"{gram} x {gram}",
+        1: f"pre {gram} post",
+        2: "nothing shared here at all",
+        3: "too short",  # < 5 tokens: excluded
+    }
+    sf_dir = _write_docs(spark, str(tmp_path), texts)
+    got = {r["gram"]: r["doc_freq"] for r in text_boilerplate_ngrams(spark, sf_dir).collect()}
+    assert got[gram] == 2
+    assert max(got.values()) == 2
+
+
+def test_weighted_priority_monotone_in_weight(spark, tmp_path):
+    """Determinism + weight-monotonicity: re-runs select identical rows, and
+    scaling a doc's weight (n_chars) up can only lower its priority key."""
+    from cdc_rs_spark.plans.pipeline import hash_bucket
+    from cdc_rs_spark.plans.pipeline import sample_weighted_priority
+
+    texts = {i: "x" * (10 + 7 * (i % 13)) for i in range(300)}
+    sf_dir = _write_docs(spark, str(tmp_path), texts)
+    a = sample_weighted_priority(spark, sf_dir).collect()
+    b = sample_weighted_priority(spark, sf_dir).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert len(a) == 200
+    # key = bucket/weight: verify against an independent recomputation
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in spark.createDataFrame(
+            [(i,) for i in texts], "doc_id long"
+        ).select("doc_id", hash_bucket(F.col("doc_id"), 1_000_000).alias("b")).collect()
+    }
+    expect = sorted(
+        ((buckets[i] / len(t), i) for i, t in texts.items())
+    )[:200]
+    assert [(r["priority"], r["doc_id"]) for r in sorted(a, key=lambda r: (r["priority"], r["doc_id"]))] == expect
