@@ -737,3 +737,70 @@ def test_streaming_dedup_keeps_distinct_same_second_updates(spark, tmp_path):
     rows = spark.sql("SELECT * FROM dedup_payload").collect()
     vals = sorted(r["after"]["v"] for r in rows)
     assert vals == ["first", "second"]  # both distinct updates kept, replay dropped
+
+
+def test_streaming_chunk_pipeline_to_training_shards(spark, sf_dir, tmp_path):
+    """End-to-end streaming training-data pipeline: documents arrive as a
+    file stream -> overlapping chunking (the same zero-shuffle generate as
+    the batch query) -> foreachBatch writes deterministic training shards.
+    Asserts the streamed output equals the batch chunking restricted to the
+    same input, and every chunk landed in its md5-assigned shard."""
+    from cdc_rs_spark.plans.pipeline import hash_bucket
+    from cdc_rs_spark.sources.sinks import write_training_shards
+
+    docs_schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    batch_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(50)
+    batch_docs.coalesce(1).write.mode("overwrite").parquet(src)
+
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    chunks = F.transform(
+        F.sequence(F.lit(1), n, F.lit(24)),
+        lambda s, i: F.struct(
+            i.cast("bigint").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, s, F.lit(32))).alias("chunk_text"),
+        ),
+    )
+
+    def chunked(df):
+        return (
+            df.select("doc_id", F.explode(chunks).alias("c"))
+            .select(
+                F.concat_ws("#", F.col("doc_id"), F.col("c.chunk_idx")).alias("chunk_id"),
+                F.col("c.chunk_text"),
+            )
+        )
+
+    stream = spark.readStream.schema(docs_schema).parquet(src)
+
+    q = (
+        chunked(stream)
+        .writeStream.foreachBatch(
+            lambda bdf, bid: write_training_shards(
+                bdf, out, n_shards=4, id_col="chunk_id", mode="append"
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    expect = chunked(batch_docs)
+    assert got.count() == expect.count()
+    assert (
+        got.select("chunk_id", "chunk_text")
+        .exceptAll(expect.select("chunk_id", "chunk_text"))
+        .count()
+        == 0
+    )
+    # every chunk is in its md5-assigned shard
+    misplaced = got.withColumn(
+        "want", (hash_bucket(F.col("chunk_id"), 1_000_000) % 4).cast("int")
+    ).filter(F.col("shard") != F.col("want"))
+    assert misplaced.count() == 0
