@@ -1,0 +1,165 @@
+"""Spark 4 Python DataSource: the binlog tail as a FIRST-CLASS streaming
+source (`spark.readStream.format("change_feed")`).
+
+This is the idiomatic closure of SURVEY §2.1 #1's third option: instead of
+relying on the built-in file source, the reference's binlog protocol is
+restated against Spark's DataSourceStreamReader contract, with Spark as the
+offset authority:
+
+  reference (src/main.rs)                  this source
+  ---------------------------------------  ----------------------------------
+  (filename, log_pos) offset row in SQLite  {"file_idx", "pos"} offset JSON in
+    (src/main.rs:204-218)                    the checkpoint WAL
+  RotateEvent -> switch binlog file         file_idx advances through the
+    (src/main.rs:233-237)                    sorted file list
+  TableMapEvent -> commit offset            commit() per micro-batch,
+    (src/main.rs:238-255, at-least-once)     transactional (exactly-once
+                                             planning, at-least-once data)
+  RowsEvent -> Change per row               one JSON line -> one Change row
+    (src/main.rs:256-297)
+
+Binlog file semantics are preserved: files are append-only, only the LAST
+(sorted) file may grow, rotation = a new file appears. `latestOffset()` (a
+driver-side call) therefore only ever counts the tail file; frozen files'
+record counts are discovered once at plan time and sliced into one
+InputPartition each, so a backlog of N files is consumed by N parallel
+executor tasks, not a driver loop.
+
+Driver-side listing uses the local filesystem — in production the same class
+points at an object-store listing or a real binlog client; the protocol
+(offsets/partitions/read) is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from cdc_rs_spark.envelope import CHANGE_SCHEMA
+
+
+@dataclass
+class FileSlice(InputPartition):
+    """Records [start, end) of one change file; end=None means to-EOF (only
+    ever used for files already frozen by a later rotation)."""
+
+    path: str
+    start: int
+    end: int | None
+
+
+def _list_files(path: str) -> list[str]:
+    try:
+        names = sorted(
+            n for n in os.listdir(path) if not n.startswith(("_", "."))
+        )
+    except FileNotFoundError:
+        return []
+    return [os.path.join(path, n) for n in names]
+
+
+def _count_records(fp: str) -> int:
+    with open(fp, "rb") as f:
+        return sum(1 for line in f if line.strip())
+
+
+def _read_slice(sl: FileSlice):
+    with open(sl.path) as f:
+        i = 0
+        for line in f:
+            if not line.strip():
+                continue
+            if i >= sl.start and (sl.end is None or i < sl.end):
+                c = json.loads(line)
+                yield (
+                    c["op"],
+                    c["db"],
+                    c["table"],
+                    c.get("before"),
+                    c.get("after"),
+                    int(c.get("ts", 0)),
+                    c.get("pkey", "id"),
+                )
+            i += 1
+            if sl.end is not None and i >= sl.end:
+                break
+
+
+class ChangeFeedStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def initialOffset(self) -> dict:
+        return {"file_idx": 0, "pos": 0}
+
+    def latestOffset(self) -> dict:
+        files = _list_files(self.path)
+        if not files:
+            return {"file_idx": 0, "pos": 0}
+        return {
+            "file_idx": len(files) - 1,
+            "pos": _count_records(files[-1]),
+        }
+
+    def partitions(self, start: dict, end: dict):
+        files = _list_files(self.path)
+        out: list[FileSlice] = []
+        for idx in range(start["file_idx"], min(end["file_idx"] + 1, len(files))):
+            lo = start["pos"] if idx == start["file_idx"] else 0
+            hi = end["pos"] if idx == end["file_idx"] else None
+            if hi is not None and lo >= hi:
+                continue
+            out.append(FileSlice(path=files[idx], start=lo, end=hi))
+        return out
+
+    def read(self, partition: FileSlice):
+        return _read_slice(partition)
+
+    def commit(self, end: dict) -> None:
+        # offsets live in Spark's checkpoint WAL; nothing to persist here —
+        # this is where the reference UPSERTs (server_id, pos, filename)
+        # into SQLite (src/main.rs:242-254)
+        pass
+
+
+class ChangeFeedBatchReader(DataSourceReader):
+    """Batch form of the same feed (`spark.read.format("change_feed")`):
+    one InputPartition per frozen file — the backfill-style full read."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def partitions(self):
+        return [FileSlice(path=f, start=0, end=None) for f in _list_files(self.path)]
+
+    def read(self, partition: FileSlice):
+        return _read_slice(partition)
+
+
+class ChangeFeedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "change_feed"
+
+    def schema(self):
+        return CHANGE_SCHEMA
+
+    def streamReader(self, schema):
+        return ChangeFeedStreamReader(self.options)
+
+    def reader(self, schema):
+        return ChangeFeedBatchReader(self.options)
+
+
+def register_change_feed(spark) -> None:
+    """Idempotent registration; after this,
+    `spark.readStream.format("change_feed").option("path", dir).load()`."""
+    spark.dataSource.register(ChangeFeedDataSource)

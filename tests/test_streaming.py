@@ -804,3 +804,49 @@ def test_streaming_chunk_pipeline_to_training_shards(spark, sf_dir, tmp_path):
         "want", (hash_bucket(F.col("chunk_id"), 1_000_000) % 4).cast("int")
     ).filter(F.col("shard") != F.col("want"))
     assert misplaced.count() == 0
+
+
+def test_python_datasource_change_feed_offsets(spark, tmp_path):
+    """The custom Python DataSource (binlog-tail analog): reads a rotating
+    file feed with Spark-managed (file_idx, pos) offsets — a restart with
+    the same checkpoint consumes ONLY records past the committed offset,
+    including growth of the tail file AND newly rotated files."""
+    from cdc_rs_spark.streaming.datasource import register_change_feed
+
+    register_change_feed(spark)
+    src = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_changes(src, "bin.000001", [_chg("Insert", 1, "a", 10), _chg("Insert", 2, "b", 11)])
+    _write_changes(src, "bin.000002", [_chg("Update", 1, "c", 12)])
+
+    def run_once():
+        q = (
+            spark.readStream.format("change_feed")
+            .option("path", src)
+            .load()
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 3
+    assert {r["op"] for r in got1.collect()} == {"Insert", "Update"}
+
+    # tail file grows + a rotation appears; restart resumes from the offset
+    _write_changes(src, "bin.000002", [_chg("Update", 1, "c", 12), _chg("Delete", 2, None, 13)])
+    _write_changes(src, "bin.000003", [_chg("Insert", 3, "d", 14)])
+    run_once()
+    got2 = spark.read.parquet(out).collect()
+    assert len(got2) == 5  # 3 old + exactly the 2 new, no re-reads
+    assert sorted(r["ts"] for r in got2) == [10, 11, 12, 13, 14]
+
+    # batch form reads everything
+    full = spark.read.format("change_feed").option("path", src).load()
+    assert full.count() == 5
