@@ -15,6 +15,7 @@ partitioned by topic — same fan-out shape, inspectable.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -162,3 +163,37 @@ def exactly_once_parquet_batch(path: str):
         )
 
     return fn
+
+
+def compact_parquet(
+    spark, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Compact a parquet directory's small files (the residue of many
+    streaming micro-batches / over-partitioned writes) into ~target_bytes
+    files. The classic post-ingest maintenance op: scans degrade when a
+    table is a million 1 MB files (driver listing, task-per-file overhead,
+    row-group fragmentation). Reads the dir, coalesces to
+    ceil(input_bytes / target_bytes) partitions — coalesce, NOT repartition:
+    no shuffle, tasks just concatenate neighboring input splits — writes to
+    a sibling tmp dir, then atomically swaps via two renames (the local-fs /
+    HDFS idiom; object stores swap a manifest instead). Returns the new
+    file count."""
+    import math
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    tmp = path.rstrip("/") + "__compacting"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1 for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )

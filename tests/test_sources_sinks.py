@@ -220,3 +220,25 @@ def test_exactly_once_parquet_batch_replay_idempotent(spark, tmp_path):
     assert got.count() == 8  # 5 + 3, no duplicates from the replay
     assert got.filter(F.col("batch_id") == 0).count() == 5
     assert sorted(r["id"] for r in got.collect()) == list(range(8))
+
+
+def test_compact_parquet_preserves_rows(spark, tmp_path):
+    """Compaction merges a fragmented directory (32 micro-batch-sized files)
+    into few files with the identical row multiset."""
+    import os as _os
+
+    from cdc_rs_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.md5(F.col("id").cast("string")))
+    df.repartition(32).write.parquet(path)
+    before_files = sum(
+        1 for _, _, fs in _os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    assert before_files == 32
+
+    n_after = compact_parquet(spark, path, target_bytes=1 << 30)
+    assert n_after < before_files
+    got = spark.read.parquet(path)
+    assert got.count() == 10_000
+    assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
