@@ -152,3 +152,25 @@ def test_salted_join_rejects_outer_modes(spark):
             salted_join(big, small, "k", how=how)
     # left semantics stay valid (and identical to the plain join)
     assert salted_join(big, small, "k", how="left").count() == 1
+
+
+def test_results_invariant_under_partitioning(spark):
+    """The distributed-determinism claim (SCALE.md §3): because float SUMs
+    accumulate in DECIMAL before one double division, results are
+    BIT-identical under different shuffle partition counts / accumulation
+    orders — rerunning q1 and the zscore anomaly query with 5 vs 32 shuffle
+    partitions (and a repartitioned input path) yields byte-equal rows."""
+    from cdc_rs_spark.registry import load_all
+
+    reg = load_all()
+    for name in ("q1_pricing_summary", "anomaly_zscore_daily_revenue",
+                 "cdc_incremental_agg_maintenance"):
+        fn = reg[name].fn
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = sorted(map(str, fn(spark, SF_DIR).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        try:
+            b = sorted(map(str, fn(spark, SF_DIR).collect()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        assert a == b, f"{name} changed under repartitioning"
