@@ -71,7 +71,45 @@ def _count_records(fp: str) -> int:
         return sum(1 for line in f if line.strip())
 
 
+ARROW_BATCH_ROWS = 4096
+
+
+def _arrow_schema():
+    import pyarrow as pa
+
+    img = pa.map_(pa.string(), pa.string())
+    return pa.schema(
+        [
+            pa.field("op", pa.string(), False),
+            pa.field("db", pa.string(), False),
+            pa.field("table", pa.string(), False),
+            pa.field("before", img),
+            pa.field("after", img),
+            pa.field("ts", pa.int64(), False),
+            pa.field("pkey", pa.string(), False),
+        ]
+    )
+
+
 def _read_slice(sl: FileSlice):
+    """Yield Arrow RecordBatches (NOT per-row tuples): the DataSource read
+    contract accepts either, and the RecordBatch form skips per-row Python
+    object pickling — records cross into the JVM as columnar Arrow buffers,
+    the same fast path Pandas UDFs use. Batches of ARROW_BATCH_ROWS bound
+    worker memory."""
+    import pyarrow as pa
+
+    schema = _arrow_schema()
+
+    def img(m):
+        # wire images are loosely typed JSON; the envelope contract is
+        # map<string,string> (decode happens downstream, envelope.py) —
+        # stringify like the reference's row_to_map (src/main.rs:442-507)
+        if m is None:
+            return None
+        return {str(k): (None if v is None else str(v)) for k, v in m.items()}
+
+    buf: list[dict] = []
     with open(sl.path) as f:
         i = 0
         for line in f:
@@ -79,18 +117,25 @@ def _read_slice(sl: FileSlice):
                 continue
             if i >= sl.start and (sl.end is None or i < sl.end):
                 c = json.loads(line)
-                yield (
-                    c["op"],
-                    c["db"],
-                    c["table"],
-                    c.get("before"),
-                    c.get("after"),
-                    int(c.get("ts", 0)),
-                    c.get("pkey", "id"),
+                buf.append(
+                    {
+                        "op": c["op"],
+                        "db": c["db"],
+                        "table": c["table"],
+                        "before": img(c.get("before")),
+                        "after": img(c.get("after")),
+                        "ts": int(c.get("ts", 0)),
+                        "pkey": c.get("pkey", "id"),
+                    }
                 )
+                if len(buf) >= ARROW_BATCH_ROWS:
+                    yield pa.RecordBatch.from_pylist(buf, schema=schema)
+                    buf = []
             i += 1
             if sl.end is not None and i >= sl.end:
                 break
+    if buf:
+        yield pa.RecordBatch.from_pylist(buf, schema=schema)
 
 
 class ChangeFeedStreamReader(DataSourceStreamReader):
