@@ -224,20 +224,25 @@ def ivf_topk(
     k: int = 5,
     kmeans_iters: int = 1,
     dim: int | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into n_centroids lists
     by nearest centroid; a query probes only its nprobe closest lists.
 
-    'Training' is deterministic AND real: the first n_centroids vectors seed
-    the centroids (deterministic init — production would sample), then
+    'Training' is deterministic AND real: callers pass hash-sampled `seeds`
+    (an unbiased deterministic sample — see similarity_ivf_topk; default
+    fallback is the first n_centroids vectors), then
     `kmeans_iters` exact-arithmetic Lloyd iterations refine them
     (refine_centroids), so the lists reflect actual cluster structure rather
     than the seeds alone. At cluster scale the list assignment is the
     partitioning key: probe joins shuffle nprobe/nlists of the corpus
     instead of all of it."""
-    cents = candidates.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
-    )
+    if seeds is not None:
+        cents = seeds
+    else:
+        cents = candidates.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+        )
     if kmeans_iters:
         if dim is None:
             dim = candidates.select(F.size("embedding").alias("d")).first()["d"]

@@ -134,7 +134,10 @@ def _cos_sql(a: str, b: str) -> str:
     WITH {_QUERIES_SQL},
     cents0 AS (
         SELECT vec_id AS cent_id, embedding AS c_emb
-        FROM embeddings WHERE vec_id < {N_CENTROIDS}
+        FROM embeddings
+        ORDER BY CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                      AS UBIGINT) % 1000000, vec_id
+        LIMIT {N_CENTROIDS}
     ),
     assigned0 AS (
         SELECT vec_id, embedding, cent_id FROM (
@@ -198,15 +201,24 @@ def _cos_sql(a: str, b: str) -> str:
     """,
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: {N_CENTROIDS} centroids = deterministic seeds + ONE exact
+    """IVF ANN: {N_CENTROIDS} centroids = deterministic HASH-SAMPLED seeds + ONE exact
     Lloyd refinement iteration (operators/similarity.py refine_centroids —
     the oracle reproduces the identical decimal-mean arithmetic), queries
     probe their {N_PROBE} nearest lists, exact cosine top-5 within the
     probed lists. The inverted-list assignment is the cluster-scale
     partitioning key — a probe touches nprobe/nlists of the corpus."""
+    from cdc_rs_spark.plans.pipeline import hash_bucket
+
     emb = spread(load(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # seeds = deterministic md5-bucket sample of the corpus (unbiased, unlike
+    # first-N which inherits ingest order bias), selected via TakeOrdered
+    seeds = (
+        emb.orderBy(hash_bucket(F.col("vec_id"), 1_000_000), "vec_id")
+        .limit(N_CENTROIDS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb"))
     )
     return ivf_topk(
         queries,
@@ -216,6 +228,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         kmeans_iters=1,
         dim=64,
+        seeds=seeds,
     )
 
 
