@@ -174,3 +174,28 @@ def test_results_invariant_under_partitioning(spark):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
         assert a == b, f"{name} changed under repartitioning"
+
+
+def test_no_python_nodes_outside_sanctioned_escape_hatches(spark):
+    """Plan-regression guard for the single most important scale property
+    (SCALE.md §1): every query's physical plan is pure JVM whole-stage
+    codegen EXCEPT the deliberate Arrow escape hatches (multimodal decode).
+    A Python node sneaking into a relational/dedup/similarity/text plan is
+    a 10-100x scan-throughput regression at 100 TB."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_audit import audit
+
+    sanctioned = {
+        "multimodal_image_meta",
+        "multimodal_image_decode",
+        "multimodal_audio_features",
+        "multimodal_video_frames",
+    }
+    offenders = [
+        r["query"]
+        for r in audit(SF_DIR)
+        if r["python"] > 0 and r["query"] not in sanctioned
+    ]
+    assert offenders == [], f"Python nodes leaked into: {offenders}"
