@@ -681,3 +681,93 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "doc_id")
         .limit(200)
     )
+
+
+@register(
+    "scd2_temporal_fact_join",
+    oracle=f"""
+    WITH live AS ({{live}}),
+    backfill AS (
+        SELECT 'Backfill' AS op, o_orderkey AS okey, 1::BIGINT AS ts,
+               o_totalprice AS total
+        FROM orders
+    ),
+    all_changes AS (
+        SELECT op, okey, ts, total FROM backfill
+        UNION ALL SELECT op, okey, ts, total FROM live
+    ),
+    hist AS (
+        SELECT okey, total, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY okey ORDER BY ts) AS valid_to, op
+        FROM all_changes
+        QUALIFY op <> 'Delete'
+    ),
+    facts AS (
+        SELECT l_orderkey AS okey, l_quantity,
+               CASE WHEN l_linenumber % 2 = 0 THEN 50 ELSE 150 END AS fact_ts
+        FROM lineitem WHERE l_orderkey % 10 = 3
+    )
+    SELECT h.okey, h.valid_from, CAST(h.total AS DOUBLE) AS version_total,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(f.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM facts f JOIN hist h
+      ON f.okey = h.okey
+     AND f.fact_ts >= h.valid_from
+     AND (h.valid_to IS NULL OR f.fact_ts < h.valid_to)
+    GROUP BY h.okey, h.valid_from, h.total
+    """.replace("{live}", ORACLE_LIVE_CHANGES),
+)
+def scd2_temporal_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse temporal join: facts joined to the SCD2 dimension
+    version that was valid AT EACH FACT'S OWN event time (not a fixed AS-OF
+    instant — every fact row time-travels independently). Facts probe at two
+    synthetic times straddling the live update (ts 50 < 100 < 150), so an
+    order's lineitems split across its price versions. The join is
+    equi-keyed on the order key with the validity interval as a residual
+    range predicate — Catalyst plans the hash/sort-merge join ON THE KEY and
+    evaluates the interval post-match, so the shuffle is the same single
+    key-shuffle as any fact-dim join (never an interval cross product); at
+    100 TB the history side additionally prunes by partitioning on
+    valid_from date."""
+    orders = load(spark, sf_dir, "orders")
+    backfill = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    live = live_orders_changes(spark, sf_dir)
+    img = F.coalesce(F.col("after"), F.col("before"))
+    changes = backfill.unionByName(live).select(
+        "op",
+        img[F.col("pkey")].cast("bigint").alias("okey"),
+        "ts",
+        F.col("after")["o_totalprice"].cast("double").alias("total"),
+    )
+    w = Window.partitionBy("okey").orderBy("ts")
+    hist = (
+        changes.withColumn("valid_to", F.lead("ts").over(w))
+        .filter(F.col("op") != "Delete")
+        .select("okey", "total", F.col("ts").alias("valid_from"), "valid_to")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    facts = li.filter(F.col("l_orderkey") % 10 == 3).select(
+        F.col("l_orderkey").alias("f_okey"),
+        F.col("l_quantity"),
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit(50))
+        .otherwise(F.lit(150))
+        .alias("fact_ts"),
+    )
+    joined = facts.join(
+        hist,
+        (F.col("f_okey") == F.col("okey"))
+        & (F.col("fact_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("fact_ts") < F.col("valid_to"))),
+    )
+    return joined.groupBy("okey", "valid_from", "total").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    ).select(
+        "okey",
+        "valid_from",
+        F.col("total").cast("double").alias("version_total"),
+        "n_items",
+        "sum_qty",
+    )
