@@ -229,3 +229,32 @@ def test_typed_changes_declared_schema_decode(spark, sf_dir):
     assert r.before is None  # backfill has no before image
     assert isinstance(r.after.o_orderkey, int)
     assert r.after.not_there_yet is None
+
+
+def test_typed_changes_schema_drift(spark):
+    """Schema evolution tolerance of the declared-schema decode path:
+    (a) a declared column absent from old rows decodes to NULL, (b) extra
+    undeclared wire fields are pruned, (c) rows from before AND after the
+    schema change coexist in one typed relation."""
+    from cdc_rs_spark.envelope import CHANGE_SCHEMA, typed_changes
+
+    rows = [
+        # old-schema row: no 'discount' field yet
+        ("Insert", "db", "t", None, {"id": "1", "amount": "10.50"}, 100, "id"),
+        # new-schema row: adds 'discount', plus an undeclared 'debug' field
+        (
+            "Insert", "db", "t", None,
+            {"id": "2", "amount": "20.25", "discount": "0.10", "debug": "x"},
+            200, "id",
+        ),
+    ]
+    changes = spark.createDataFrame(rows, CHANGE_SCHEMA)
+    typed = typed_changes(
+        changes,
+        [("id", "bigint"), ("amount", "decimal(18,2)"), ("discount", "double")],
+    ).collect()
+    by_id = {r["after"]["id"]: r["after"] for r in typed}
+    assert by_id[1]["discount"] is None  # absent key -> NULL, no error
+    assert float(by_id[1]["amount"]) == 10.50
+    assert by_id[2]["discount"] == 0.10
+    assert "debug" not in by_id[2].asDict()  # undeclared field pruned
