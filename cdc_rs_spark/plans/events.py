@@ -566,3 +566,45 @@ def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["next_purchase_ts"],
     )
     return out.select("event_id", "user_id", "ts", "next_purchase_ts")
+
+
+@register(
+    "events_next_event_training_pairs",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type,
+               lag(event_type, 3) OVER w AS ctx1,
+               lag(event_type, 2) OVER w AS ctx2,
+               lag(event_type, 1) OVER w AS ctx3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           ctx1 || '>' || ctx2 || '>' || ctx3 AS context,
+           event_type AS label
+    FROM ordered
+    WHERE ctx1 IS NOT NULL
+    """,
+)
+def events_next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model training-example construction: each event becomes a
+    (context, label) pair where context = the user's previous 3 event types
+    in order — the classic next-event-prediction dataset build. One window
+    shuffle on user_id (the same key every sessionization op shuffles on);
+    lag() needs no buffering beyond the frame, and examples stay co-located
+    with their user for a downstream group-aware split
+    (train_test_split_group_aware)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ctx = [F.lag("event_type", k).over(w) for k in (3, 2, 1)]
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.concat_ws(">", *ctx).alias("context"),
+            F.col("event_type").alias("label"),
+            ctx[0].alias("_c1"),
+        )
+        .filter(F.col("_c1").isNotNull())
+        .drop("_c1")
+    )

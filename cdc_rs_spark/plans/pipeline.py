@@ -771,3 +771,50 @@ def scd2_temporal_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_items",
         "sum_qty",
     )
+
+
+@register(
+    "sample_contrastive_negatives",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+    cand AS (
+        SELECT a.doc_id, u.j,
+               CAST({_oracle_bucket("CAST(a.doc_id AS VARCHAR) || '#' || CAST(u.j AS VARCHAR)", 1000000)}
+                    % n.cnt AS BIGINT) AS neg_id
+        FROM documents a CROSS JOIN n, unnest([1, 2, 3, 4]) AS u(j)
+    )
+    SELECT c.doc_id, c.j, c.neg_id, d.lang AS neg_lang
+    FROM cand c JOIN documents d ON d.doc_id = c.neg_id
+    WHERE c.neg_id <> c.doc_id
+    """,
+)
+def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each anchor
+    doc draws 4 pseudo-random negatives via md5-bucket of (doc_id, j) modulo
+    the corpus size — retry-stable (stragglers/speculation re-draw the SAME
+    negatives), uniform over the corpus, and joinable: the draw is a pure
+    map-side expression, then ONE equi-join fetches the negatives' payload.
+    The corpus count arrives as a 1-row cross-broadcast (never a driver
+    collect). Self-collisions (neg == anchor) are filtered, not re-rolled —
+    at corpus scale the loss is ~k/N and bias-free."""
+    docs = load(spark, sf_dir, "documents")
+    cnt = docs.agg(F.count("*").alias("cnt"))
+    j = F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias("j")
+    cand = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(cnt))
+        .select("doc_id", j, F.col("cnt"))
+        .withColumn(
+            "neg_id",
+            (
+                hash_bucket(
+                    F.concat_ws("#", F.col("doc_id"), F.col("j")), 1_000_000
+                )
+                % F.col("cnt")
+            ).cast("bigint"),
+        )
+        .filter(F.col("neg_id") != F.col("doc_id"))
+        .select("doc_id", "j", "neg_id")
+    )
+    neg = docs.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang"))
+    return cand.join(neg, "neg_id").select("doc_id", "j", "neg_id", "neg_lang")
