@@ -438,3 +438,80 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("bigint").alias("min_chars"),
         F.max("n_chars").cast("bigint").alias("max_chars"),
     )
+
+
+_PRED_LANG_SQL = """
+    CASE WHEN s_en = greatest(s_en, s_es, s_fr, s_de) AND
+              greatest(s_en, s_es, s_fr, s_de) > 0 THEN 'en'
+         WHEN s_es = greatest(s_en, s_es, s_fr, s_de) AND
+              greatest(s_en, s_es, s_fr, s_de) > 0 THEN 'es'
+         WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) AND
+              greatest(s_en, s_es, s_fr, s_de) > 0 THEN 'fr'
+         WHEN s_de = greatest(s_en, s_es, s_fr, s_de) AND
+              greatest(s_en, s_es, s_fr, s_de) > 0 THEN 'de'
+         ELSE 'und' END
+"""
+
+
+@register(
+    "text_cleaning_funnel",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+               FROM documents),
+    scored AS (
+        SELECT doc_id, text, w,
+               {_hits_sql("en")} AS s_en, {_hits_sql("es")} AS s_es,
+               {_hits_sql("fr")} AS s_fr, {_hits_sql("de")} AS s_de,
+               ROUND(0.4 * ({_hits_sql("en")}::DOUBLE / len(w))
+                     + 0.3 * least(len(w)::DOUBLE / 100.0, 1.0)
+                     + 0.3 * (len(list_distinct(w))::DOUBLE / len(w)), 6)
+                   AS quality
+        FROM t
+    ),
+    s1 AS (SELECT * FROM scored WHERE {_PRED_LANG_SQL} = 'en'),
+    s2 AS (SELECT * FROM s1 WHERE quality >= 0.32),
+    s3 AS (SELECT * FROM s2 WHERE len(w) >= 20)
+    SELECT 'input' AS stage, COUNT(*) AS n_docs FROM scored
+    UNION ALL SELECT 'lang_en', COUNT(*) FROM s1
+    UNION ALL SELECT 'quality_ge_032', COUNT(*) FROM s2
+    UNION ALL SELECT 'len_ge_20', COUNT(*) FROM s3
+    UNION ALL SELECT 'exact_dedup', COUNT(DISTINCT text) FROM s3
+    """,
+)
+def text_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style corpus-cleaning pipeline as one survival funnel:
+    language-ID gate -> composite-quality gate (>= 0.32, the corpus median) -> minimum-length gate ->
+    exact dedup, reporting survivors per stage (what a data team reads
+    before training: where the corpus is being lost). Every gate is the
+    SAME map-side column expression used by its standalone query
+    (text_langid / text_quality_score), so the funnel is the integration
+    proof that the stages compose; the only non-map stage is the final
+    dedup's distinct (one hash shuffle — at 100 TB on md5(text), 16-byte
+    keys). Conditional counts share one logical scan per stage."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "text",
+        predicted_lang(toks).alias("pred"),
+        quality_score(F.col("text")).alias("quality"),
+        F.size(toks).alias("n_toks"),
+    )
+    s1 = scored.filter(F.col("pred") == "en")
+    s2 = s1.filter(F.col("quality") >= 0.32)
+    s3 = s2.filter(F.col("n_toks") >= 20)
+
+    def stage(name, df):
+        return df.agg(F.lit(name).alias("stage"), F.count("*").alias("n_docs"))
+
+    return (
+        stage("input", scored)
+        .unionByName(stage("lang_en", s1))
+        .unionByName(stage("quality_ge_032", s2))
+        .unionByName(stage("len_ge_20", s3))
+        .unionByName(
+            s3.agg(
+                F.lit("exact_dedup").alias("stage"),
+                F.count_distinct(F.col("text")).alias("n_docs"),
+            )
+        )
+    )
