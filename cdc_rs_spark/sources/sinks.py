@@ -140,6 +140,42 @@ def write_training_shards(
         .drop("__order")
     )
     out.write.mode(mode).partitionBy("shard").parquet(path)
+    # loader contract: a tiny JSON manifest with per-shard row counts and an
+    # order-INSENSITIVE id fingerprint (sorted before digesting —
+    # collect_list order after a groupBy shuffle is not deterministic), so a
+    # data loader can verify shard integrity and completeness without
+    # scanning payloads. Computed distributed; only the n_shards-row summary
+    # reaches the driver.
+    import json as _json
+
+    stats = (
+        spark_read_shards(df.sparkSession, path)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.md5(
+                F.concat_ws(
+                    "|", F.sort_array(F.collect_list(F.col(id_col).cast("string")))
+                )
+            ).alias("id_digest"),
+        )
+        .collect()
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "id_col": id_col,
+        "shards": {
+            int(r["shard"]): {"n_rows": r["n_rows"], "id_digest": r["id_digest"]}
+            for r in stats
+        },
+    }
+    with open(os.path.join(path, "_manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=1, sort_keys=True)
+
+
+def spark_read_shards(spark, path: str) -> DataFrame:
+    """Read a sharded training set preserving the shard partition column."""
+    return spark.read.parquet(path)
 
 
 def exactly_once_parquet_batch(path: str):

@@ -242,3 +242,31 @@ def test_compact_parquet_preserves_rows(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 10_000
     assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
+
+
+def test_training_shard_manifest(spark, tmp_path):
+    """The shard manifest records per-shard row counts and an
+    order-insensitive id digest that matches an independent recomputation."""
+    import hashlib
+    import json as _json
+
+    from cdc_rs_spark.plans.pipeline import hash_bucket
+    from cdc_rs_spark.session import load
+    from cdc_rs_spark.sources.sinks import write_training_shards
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4)
+    manifest = _json.load(open(f"{out}/_manifest.json"))
+    assert manifest["n_shards"] == 4 and manifest["id_col"] == "doc_id"
+
+    shards = {}
+    for r in docs.select(
+        "doc_id", (hash_bucket(F.col("doc_id"), 1_000_000) % 4).alias("s")
+    ).collect():
+        shards.setdefault(r["s"], []).append(str(r["doc_id"]))
+    for s, ids in shards.items():
+        m = manifest["shards"][str(s)]
+        assert m["n_rows"] == len(ids)
+        want = hashlib.md5("|".join(sorted(ids)).encode()).hexdigest()
+        assert m["id_digest"] == want
