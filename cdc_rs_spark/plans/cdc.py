@@ -435,3 +435,87 @@ def cdc_typed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         a["o_totalprice"].cast("double").alias("total"),
         F.substring(a["o_orderdate"], 1, 10).alias("odate"),
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey AS okey, o_totalprice AS total, o_orderstatus AS status
+        FROM orders
+    ),
+    new AS (
+        SELECT o_orderkey AS okey,
+               CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS total,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 10 <> 7
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 10 = 1
+    )
+    SELECT CASE WHEN o.okey IS NULL THEN 'Insert'
+                WHEN n.okey IS NULL THEN 'Delete'
+                ELSE 'Update' END AS op,
+           COALESCE(o.okey, n.okey) AS okey,
+           CAST(o.total AS DOUBLE) AS old_total,
+           CAST(n.total AS DOUBLE) AS new_total
+    FROM old o FULL OUTER JOIN new n ON o.okey = n.okey
+    WHERE o.okey IS NULL OR n.okey IS NULL
+       OR o.total IS DISTINCT FROM n.total
+       OR o.status IS DISTINCT FROM n.status
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing — the change-feed BOOTSTRAP the reference
+    cannot do (it requires a live binlog; src/main.rs:202): given two
+    periodic table dumps, derive the Insert/Update/Delete stream between
+    them with one full-outer join on the primary key + column-level
+    IS DISTINCT FROM comparison. The synthetic 'new' snapshot applies the
+    same mutations as the live-change generator (price bump on %10=3,
+    delete %10=7, insert %10=1). At 100 TB both snapshots shuffle once on
+    the key (co-partitionable/bucketable across runs since the key is
+    stable); comparing declared columns beats whole-row hashing because it
+    needs no cross-engine-stable stringification and prunes to exactly the
+    compared columns at the scan."""
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = orders.select(
+        k.alias("okey"),
+        F.col("o_totalprice").alias("total"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    new = (
+        orders.filter(k % 10 != 7)
+        .select(
+            k.alias("okey"),
+            F.when(k % 10 == 3, F.col("o_totalprice") + 1000.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("total"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .unionByName(
+            orders.filter(k % 10 == 1).select(
+                (k + 10_000_000).alias("okey"),
+                F.col("o_totalprice").alias("total"),
+                F.col("o_orderstatus").alias("status"),
+            )
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    joined = o.join(n, F.col("o.okey") == F.col("n.okey"), "full_outer")
+    changed = joined.filter(
+        F.col("o.okey").isNull()
+        | F.col("n.okey").isNull()
+        | ~F.col("o.total").eqNullSafe(F.col("n.total"))
+        | ~F.col("o.status").eqNullSafe(F.col("n.status"))
+    )
+    return changed.select(
+        F.when(F.col("o.okey").isNull(), "Insert")
+        .when(F.col("n.okey").isNull(), "Delete")
+        .otherwise("Update")
+        .alias("op"),
+        F.coalesce(F.col("o.okey"), F.col("n.okey")).alias("okey"),
+        F.col("o.total").cast("double").alias("old_total"),
+        F.col("n.total").cast("double").alias("new_total"),
+    )
