@@ -608,3 +608,58 @@ def events_next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("_c1").isNotNull())
         .drop("_c1")
     )
+
+
+@register(
+    "events_daily_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+        FROM events
+    ),
+    days AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    actual AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT d.day, t.event_type,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+           (a.n IS NULL) AS gap_filled
+    FROM days d CROSS JOIN types t
+    LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type
+    """,
+)
+def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a dense (day x event_type) scaffold left-joined
+    to actual daily counts, zero-filling missing combinations — what every
+    downstream rate/anomaly computation needs (a missing day must read as 0,
+    not NaN; cf. anomaly_zscore_daily_revenue which assumes a dense series).
+    The scaffold is generated from TWO 1-row broadcasts (min/max date) and a
+    distinct-types dim — never materialized on the driver; the left join
+    broadcasts the (tiny) scaffold side against pre-aggregated counts."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.count("*").alias("n"))
+    scaffold = days.crossJoin(types)
+    return (
+        F.broadcast(scaffold)
+        .join(actual, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("n").isNull().alias("gap_filled"),
+        )
+    )
