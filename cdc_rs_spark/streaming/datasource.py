@@ -91,7 +91,7 @@ def _arrow_schema():
     )
 
 
-def _read_slice(sl: FileSlice):
+def _read_slice(sl: FileSlice, permissive: bool = False):
     """Yield Arrow RecordBatches (NOT per-row tuples): the DataSource read
     contract accepts either, and the RecordBatch form skips per-row Python
     object pickling — records cross into the JVM as columnar Arrow buffers,
@@ -116,9 +116,9 @@ def _read_slice(sl: FileSlice):
             if not line.strip():
                 continue
             if i >= sl.start and (sl.end is None or i < sl.end):
-                c = json.loads(line)
-                buf.append(
-                    {
+                try:
+                    c = json.loads(line)
+                    rec = {
                         "op": c["op"],
                         "db": c["db"],
                         "table": c["table"],
@@ -127,7 +127,23 @@ def _read_slice(sl: FileSlice):
                         "ts": int(c.get("ts", 0)),
                         "pkey": c.get("pkey", "id"),
                     }
-                )
+                except (ValueError, KeyError, TypeError, AttributeError):
+                    if not permissive:
+                        raise
+                    # poison-record quarantine: one corrupt line must not
+                    # kill the task (and with it the whole long-running
+                    # stream) — surface it as an inspectable Malformed row,
+                    # same policy as the multimodal decoder's bad-bytes rows
+                    rec = {
+                        "op": "Malformed",
+                        "db": "",
+                        "table": "",
+                        "before": None,
+                        "after": {"raw": line.strip()[:1024]},
+                        "ts": 0,
+                        "pkey": "",
+                    }
+                buf.append(rec)
                 if len(buf) >= ARROW_BATCH_ROWS:
                     yield pa.RecordBatch.from_pylist(buf, schema=schema)
                     buf = []
@@ -141,6 +157,7 @@ def _read_slice(sl: FileSlice):
 class ChangeFeedStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options["path"]
+        self.permissive = options.get("mode", "failfast").lower() == "permissive"
 
     def initialOffset(self) -> dict:
         return {"file_idx": 0, "pos": 0}
@@ -166,7 +183,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: FileSlice):
-        return _read_slice(partition)
+        return _read_slice(partition, self.permissive)
 
     def commit(self, end: dict) -> None:
         # offsets live in Spark's checkpoint WAL; nothing to persist here —
@@ -181,12 +198,13 @@ class ChangeFeedBatchReader(DataSourceReader):
 
     def __init__(self, options: dict):
         self.path = options["path"]
+        self.permissive = options.get("mode", "failfast").lower() == "permissive"
 
     def partitions(self):
         return [FileSlice(path=f, start=0, end=None) for f in _list_files(self.path)]
 
     def read(self, partition: FileSlice):
-        return _read_slice(partition)
+        return _read_slice(partition, self.permissive)
 
 
 class ChangeFeedDataSource(DataSource):

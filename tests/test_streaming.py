@@ -850,3 +850,39 @@ def test_python_datasource_change_feed_offsets(spark, tmp_path):
     # batch form reads everything
     full = spark.read.format("change_feed").option("path", src).load()
     assert full.count() == 5
+
+
+def test_change_feed_permissive_quarantines_poison_records(spark, tmp_path):
+    """mode=permissive: corrupt lines become inspectable Malformed rows
+    instead of failing the task; failfast (default) raises."""
+    from cdc_rs_spark.streaming.datasource import register_change_feed
+
+    register_change_feed(spark)
+    src = str(tmp_path / "feed")
+    os.makedirs(src, exist_ok=True)
+    good = json.dumps(
+        {"op": "Insert", "db": "d", "table": "t",
+         "after": {"id": "1"}, "ts": 10, "pkey": "id"}
+    )
+    with open(os.path.join(src, "bin.000001"), "w") as f:
+        f.write(good + "\n")
+        f.write("{this is not json\n")
+        f.write(json.dumps({"op": "Update"}) + "\n")  # missing required keys
+
+    df = (
+        spark.read.format("change_feed")
+        .option("path", src)
+        .option("mode", "permissive")
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    ops = sorted(r["op"] for r in rows)
+    assert ops == ["Insert", "Malformed", "Malformed"]
+    bad = [r for r in rows if r["op"] == "Malformed"]
+    assert all(r["after"]["raw"] for r in bad)
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.format("change_feed").option("path", src).load().collect()
