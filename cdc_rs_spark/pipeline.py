@@ -46,15 +46,28 @@ class PipelineConfig:
     topic_template: str = "cdc.${db}.${table}"  # script's topic() fn
     max_files_per_trigger: int | None = None    # --backfill-batch-size analog
     publish: Callable[[str, list[str]], None] | None = None  # None = dry-run
+    source_format: str = "json_dir"        # or "change_feed": the Python
+    #   DataSource with binlog-style (file, pos) offsets — the closest
+    #   restatement of the reference's tail (streaming/datasource.py)
 
 
 def build_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
     """The declarative dataflow: source -> regex gate -> envelope transform ->
     topic column. Returns the unstarted streaming DataFrame (inspectable /
     unit-testable)."""
-    changes = read_change_stream(
-        spark, cfg.source_path, max_files_per_trigger=cfg.max_files_per_trigger
-    )
+    if cfg.source_format == "change_feed":
+        from cdc_rs_spark.streaming.datasource import register_change_feed
+
+        register_change_feed(spark)
+        changes = (
+            spark.readStream.format("change_feed")
+            .option("path", cfg.source_path)
+            .load()
+        )
+    else:
+        changes = read_change_stream(
+            spark, cfg.source_path, max_files_per_trigger=cfg.max_files_per_trigger
+        )
     gated = regex_table_filter(changes, cfg.table_regex)
     return gated.select(
         topic_column(cfg.topic_template).alias("topic"),

@@ -886,3 +886,38 @@ def test_change_feed_permissive_quarantines_poison_records(spark, tmp_path):
 
     with _pytest.raises(Exception):
         spark.read.format("change_feed").option("path", src).load().collect()
+
+
+def test_full_pipeline_on_change_feed_datasource(spark, tmp_path):
+    """The reference main loop running on the custom Python DataSource:
+    change_feed source -> regex gate -> BigQuery envelope -> topic routing
+    -> executor-side publish, offsets in the checkpoint WAL."""
+    from cdc_rs_spark.pipeline import PipelineConfig, run_pipeline_once
+
+    src = str(tmp_path / "feed")
+    _write_changes(src, "bin.000001", [
+        _chg("Insert", 1, "a", 10),
+        _chg("Update", 2, "b", 11),
+    ])
+    out = str(tmp_path / "topics")
+
+    def publish(topic: str, values: list[str]) -> None:
+        os.makedirs(out, exist_ok=True)
+        with open(os.path.join(out, topic.replace("/", "_")), "a") as f:
+            for v in values:
+                f.write(v + "\n")
+
+    cfg = PipelineConfig(
+        source_path=src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table_regex=r"^testdb\..*",
+        topic_template="cdc.${db}.${table}",
+        publish=publish,
+        source_format="change_feed",
+    )
+    run_pipeline_once(spark, cfg)
+    files = os.listdir(out)
+    assert files == ["cdc.testdb.t"]
+    lines = open(os.path.join(out, files[0])).read().strip().splitlines()
+    assert len(lines) == 2
+    assert all('"_CHANGE_TYPE": "UPSERT"' in ln or '"_CHANGE_TYPE":"UPSERT"' in ln for ln in lines)
