@@ -663,3 +663,69 @@ def events_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("gap_filled"),
         )
     )
+
+
+@register(
+    "events_concurrent_sessions",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) > INTERVAL 30 MINUTE THEN 1
+                    WHEN lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                    ) IS NULL THEN 1
+                    ELSE 0 END AS is_new
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_no
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, session_no, MIN(ts) AS s0, MAX(ts) AS s1
+        FROM numbered GROUP BY user_id, session_no
+    ),
+    points AS (
+        SELECT s0 AS pts, 1 AS delta FROM sessions
+        UNION ALL SELECT s1, -1 FROM sessions
+    ),
+    curve AS (
+        SELECT pts, delta,
+               SUM(delta) OVER (ORDER BY pts, delta
+                                ROWS UNBOUNDED PRECEDING) AS concurrency
+        FROM points
+    )
+    SELECT CAST(pts AS DATE) AS day,
+           CAST(MAX(concurrency) AS BIGINT) AS peak_concurrency
+    FROM curve GROUP BY 1
+    """,
+)
+def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the interval +1/-1 sweep: each
+    session contributes (+1 at start, -1 at last event); the running sum
+    over (ts, delta) — closings sort before openings at a shared instant,
+    so touching sessions don't count as concurrent — IS the concurrency
+    curve, and its per-day max is the capacity-planning number. The sweep
+    window runs over SESSION points (two per session), not events, so the
+    single-partition running sum sees thousands of rows where the corpus
+    has billions of events; at true scale, partition the sweep by day and
+    broadcast per-day carry-in counts (sessions open at midnight)."""
+    e = load(spark, sf_dir, "events")
+    sessions = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.min("ts").alias("s0"), F.max("ts").alias("s1"))
+    )
+    points = sessions.select(
+        F.col("s0").alias("pts"), F.lit(1).alias("delta")
+    ).unionByName(sessions.select(F.col("s1").alias("pts"), F.lit(-1).alias("delta")))
+    w = Window.orderBy("pts", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    curve = points.withColumn("concurrency", F.sum("delta").over(w))
+    return curve.groupBy(F.to_date("pts").alias("day")).agg(
+        F.max("concurrency").cast("bigint").alias("peak_concurrency")
+    )
