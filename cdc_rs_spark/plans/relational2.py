@@ -1083,3 +1083,33 @@ def set_ops_multiset_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(kept, "except_all").unionByName(
         summarize(both, "intersect_all")
     )
+
+
+@register(
+    "part_cooccurrence_basket",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    QUALIFY row_number() OVER (ORDER BY n_orders DESC, part_a, part_b) <= 20
+    """,
+)
+def part_cooccurrence_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in one order,
+    top-20 by frequency. The self-join is equi-keyed on the ORDER key, so
+    the pair blow-up is per-order C(n,2) with n bounded by basket size
+    (TPC-H max 7 lines) — never corpus-quadratic; the same rule as the
+    dedup family's block-bounded all-pairs. Pair counting is a map-side-
+    combinable groupBy; final top-20 is TakeOrdered."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "ok").filter(F.col("part_a") < F.col("part_b"))
+    counts = pairs.groupBy("part_a", "part_b").agg(F.count("*").alias("n_orders"))
+    return counts.orderBy(
+        F.col("n_orders").desc(), F.col("part_a"), F.col("part_b")
+    ).limit(20)
