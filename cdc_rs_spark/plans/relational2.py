@@ -1113,3 +1113,104 @@ def part_cooccurrence_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(
         F.col("n_orders").desc(), F.col("part_a"), F.col("part_b")
     ).limit(20)
+
+
+@register(
+    "customer_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(EXTRACT(year FROM o_orderdate)) AS cohort_year
+        FROM orders GROUP BY o_custkey
+    ),
+    spend AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(f.cohort_year AS BIGINT) AS cohort_year,
+           COUNT(*) AS n_customers,
+           CAST(SUM(s.n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(s.total_spend) AS DOUBLE) AS cohort_revenue,
+           CAST(CAST(SUM(s.total_spend) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_ltv
+    FROM firsts f JOIN spend s ON f.o_custkey = s.o_custkey
+    GROUP BY f.cohort_year
+    """,
+)
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime value by acquisition cohort (first-order year):
+    two partial aggregations over ONE scan of orders, joined on the
+    customer key — Catalyst reuses the exchange since both groupBys share
+    the o_custkey shuffle key (AQE exchange reuse), then a #customers-sized
+    rollup to cohort years. Decimal accumulation keeps the revenue sums
+    partition-order independent."""
+    orders = load(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year")
+    )
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_spend"),
+        F.count("*").alias("n_orders"),
+    )
+    joined = firsts.join(spend, "o_custkey")
+    return joined.groupBy(
+        F.col("cohort_year").cast("bigint").alias("cohort_year")
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+        F.sum("total_spend").cast("double").alias("cohort_revenue"),
+        (F.sum("total_spend").cast("double") / F.count("*"))
+        .cast("double")
+        .alias("avg_ltv"),
+    )
+
+
+@register(
+    "supplier_fuzzy_match",
+    oracle="""
+    WITH blocked AS (
+        SELECT s_suppkey, s_name, s_nationkey,
+               substring(s_name, 1, 12) AS blk
+        FROM supplier
+    )
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS edit_dist
+    FROM blocked a JOIN blocked b
+      ON a.s_nationkey = b.s_nationkey AND a.blk = b.blk
+     AND a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    """,
+)
+def supplier_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching (dedup of near-identical names): candidate
+    pairs come from an equi-join on a BLOCKING key (nation + name prefix) —
+    the same never-all-pairs rule as the LSH dedup family — and only the
+    blocked candidates pay the O(len^2) levenshtein verification, gated at
+    edit distance <= 2. At 100 TB the blocking key is the shuffle key and
+    per-block size bounds the pair blow-up; widen recall with additional
+    blocks (phonetic key, token sort) exactly like multi-band LSH."""
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", F.substring("s_name", 1, 12).alias("blk")
+    )
+    a = sup.select(
+        F.col("s_suppkey").alias("supp_a"),
+        F.col("s_name").alias("name_a"),
+        "s_nationkey",
+        "blk",
+    )
+    b = sup.select(
+        F.col("s_suppkey").alias("supp_b"),
+        F.col("s_name").alias("name_b"),
+        "s_nationkey",
+        "blk",
+    )
+    pairs = a.join(b, ["s_nationkey", "blk"]).filter(
+        F.col("supp_a") < F.col("supp_b")
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        pairs.filter(dist <= 2)
+        .select("supp_a", "supp_b", dist.cast("bigint").alias("edit_dist"))
+    )
