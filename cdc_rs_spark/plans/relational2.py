@@ -25,7 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_rs_spark.plans.relational import dsum
@@ -1213,4 +1213,62 @@ def supplier_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.filter(dist <= 2)
         .select("supp_a", "supp_b", dist.cast("bigint").alias("edit_dist"))
+    )
+
+
+@register(
+    "nation_revenue_share_of_region",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(18,4))) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           CAST(revenue AS DOUBLE) AS revenue,
+           ROUND(CAST(revenue AS DOUBLE)
+                 / CAST(SUM(revenue) OVER (PARTITION BY region) AS DOUBLE),
+                 6) AS region_share
+    FROM rev
+    """,
+)
+def nation_revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's supplier
+    revenue — the share-of-total window pattern (SUM OVER a partition as
+    the denominator). The window runs over the 25-row aggregate, never the
+    fact table: facts reduce through broadcast dimension joins + one
+    partial-agg shuffle first, so the 'expensive' windowing touches
+    |nations| rows at any corpus size. Decimal accumulation, one double
+    division at the end."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double") / F.sum("revenue").over(w).cast("double"),
+            6,
+        ).alias("region_share"),
     )
