@@ -182,10 +182,11 @@ def refine_centroids(
 ) -> DataFrame:
     """One Lloyd (k-means) iteration: assign every vector to its nearest
     centroid, then replace each centroid with its cluster's element-wise
-    mean. The mean accumulates in exact DECIMAL(28,10) before one double
-    division, so the refined centroids are bit-identical regardless of
-    partitioning/accumulation order — and reproducible by the DuckDB oracle
-    (plans/similarity.py mirrors this arithmetic). Seeds that own no vectors
+    mean. The mean accumulates exactly — inputs scale to integers by 2^44
+    and sum in DECIMAL(38,0) before one double division — so the refined
+    centroids are bit-identical regardless of partitioning/accumulation
+    order — and reproducible by the DuckDB oracle (plans/similarity.py
+    mirrors this arithmetic). Seeds that own no vectors
     drop out (standard k-means empty-cluster behavior).
 
     Cost shape at 100 TB: one map-side broadcast assign pass + ONE shuffle
@@ -199,11 +200,17 @@ def refine_centroids(
     # aggregation combines map-side, so the one shuffle moves k x dim
     # partials per task instead of N x dim exploded rows — and the argmax
     # grouping key is evaluated once per row, not once per exploded dim
+    # scale-by-2^44 before the decimal cast: float32 inputs are coarse
+    # dyadics that can TIE at a fractional decimal digit (Spark HALF_UP vs
+    # DuckDB HALF_EVEN round apart); x * 2^44 is an exact-integer double for
+    # any float32 |x| >= 2^-21, and an integer DECIMAL(38,0) cast never ties
+    scale = F.lit(float(1 << 44))
     sums = assigned.groupBy("cent_id").agg(
         F.count("*").alias("n"),
         *[
             F.sum(
-                F.element_at("embedding", i + 1).cast("double").cast("decimal(28,10)")
+                (F.element_at("embedding", i + 1).cast("double") * scale)
+                .cast("decimal(38,0)")
             ).alias(f"s{i}")
             for i in range(dim)
         ],
@@ -211,7 +218,10 @@ def refine_centroids(
     return sums.select(
         "cent_id",
         F.array(
-            *[(F.col(f"s{i}").cast("double") / F.col("n")) for i in range(dim)]
+            *[
+                (F.col(f"s{i}").cast("double") / scale / F.col("n"))
+                for i in range(dim)
+            ]
         ).alias("c_emb"),
     )
 

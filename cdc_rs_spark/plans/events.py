@@ -729,3 +729,93 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curve.groupBy(F.to_date("pts").alias("day")).agg(
         F.max("concurrency").cast("bigint").alias("peak_concurrency")
     )
+
+
+@register(
+    "events_debounce",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               date_diff('millisecond',
+                         lag(ts) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id),
+                         ts) AS gap_ms
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE gap_ms < 60000) AS BIGINT)
+               AS n_suppressed,
+           CAST(COUNT(*) FILTER (WHERE gap_ms IS NULL OR gap_ms >= 60000)
+                AS BIGINT) AS n_kept
+    FROM seq GROUP BY event_type
+    """,
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce / duplicate-burst suppression: an event is suppressed when
+    the same user emitted the same event type less than 60 s earlier
+    (lag-based gap; deterministic ts, event_id ordering). The batch analog of
+    streaming_dedup's replay absorption (streaming/windows.py) for bursty
+    client retries. One shuffle on (user_id, event_type) for the lag window —
+    the partition key is the natural event-log bucketing key, so at 100 TB
+    the window runs partition-local after a co-partitioned scan; the summary
+    agg is map-side combinable."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_ms = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    seq = e.select(
+        "event_type", (gap_ms / 1000).alias("gap_ms")
+    )
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("gap_ms") < 60000, 1))
+        .cast("bigint")
+        .alias("n_suppressed"),
+        F.count(
+            F.when(F.col("gap_ms").isNull() | (F.col("gap_ms") >= 60000), 1)
+        )
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    cnt AS (
+        SELECT src, dst, COUNT(*) AS n FROM seq
+        WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+    FROM cnt
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream:
+    P(next event type | current) per user-ordered sequence — the
+    session-model / anomaly-baseline statistic. lead() pairs consecutive
+    events with ONE shuffle on user_id; transition counts then collapse
+    map-side to a |types|^2 matrix, so the probability window runs over a
+    tiny aggregate, never the event log. Probability = int-exact counts +
+    one correctly-rounded double division (engine-portable)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cnt = seq.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    wsrc = Window.partitionBy("src")
+    return cnt.select(
+        "src",
+        "dst",
+        "n",
+        (F.col("n") / F.sum("n").over(wsrc).cast("double")).alias("p"),
+    )

@@ -818,3 +818,108 @@ def sample_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     neg = docs.select(F.col("doc_id").alias("neg_id"), F.col("lang").alias("neg_lang"))
     return cand.join(neg, "neg_id").select("doc_id", "j", "neg_id", "neg_lang")
+
+
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{edge}' AS edge, COUNT(*) AS child_rows,
+           COUNT(*) - COUNT(p.k) AS orphans
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pkey} AS k FROM {parent}) p
+           ON c.{ckey} = p.k
+    """
+        for edge, child, ckey, parent, pkey in _FK_EDGES
+    ),
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for every foreign-key edge of the star
+    schema, count child rows whose key has no match in the parent (orphans).
+    Each edge is a left join against the parent's distinct keys + one
+    conditional count — at 100 TB that is a shuffle join on the key per edge
+    (broadcast when the parent is a dimension), with the distinct collapsing
+    map-side; all seven audits share one DAG, so common scans (lineitem twice,
+    nation twice) are reused. The governance gate a training pipeline runs
+    before trusting a snapshot — analog of the reference's schema checks on
+    ingested change rows."""
+    out = None
+    for edge, child, ckey, parent, pkey in _FK_EDGES:
+        c = load(spark, sf_dir, child).select(F.col(ckey).alias("ck"))
+        p = (
+            load(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("k"))
+            .distinct()
+        )
+        summary = (
+            c.join(p, c.ck == p.k, "left")
+            .agg(
+                F.lit(edge).alias("edge"),
+                F.count("*").alias("child_rows"),
+                (F.count("*") - F.count("k")).alias("orphans"),
+            )
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out
+
+
+@register(
+    "feature_ntile_binning_lineitem",
+    oracle="""
+    WITH binned AS (
+        SELECT l_extendedprice,
+               NTILE(10) OVER (ORDER BY l_extendedprice,
+                               l_orderkey, l_linenumber) AS bin
+        FROM lineitem
+    )
+    SELECT bin, COUNT(*) AS n,
+           MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+           (SELECT COUNT(*) FROM lineitem) / (10 * CAST(COUNT(*) AS DOUBLE))
+               AS inv_freq_weight
+    FROM binned GROUP BY bin
+    """,
+)
+def feature_ntile_binning_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth feature binning: NTILE(10) deciles of l_extendedprice
+    (deterministic total order via key tiebreaks) with per-bin bounds and
+    the inverse-frequency weight N/(k*n_bin) used to rebalance skewed
+    features/classes at training time. NTILE over an unpartitioned window
+    is a global range-sort — Spark executes it as range-partitioned sort
+    (rangepartitioning exchange), the same cost class as any global ORDER
+    BY; at 100 TB swap exact NTILE for approx_percentile cut points
+    (outlier_iqr_approx_lineitem shows that regime) unless exact equi-depth
+    is contractual. The weight is int-exact counts + one correctly-rounded
+    double division."""
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    binned = li.select("l_extendedprice", F.ntile(10).over(w).alias("bin"))
+    total = li.agg(F.count("*").alias("total"))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            "n",
+            "lo",
+            "hi",
+            (F.col("total") / (10 * F.col("n").cast("double"))).alias(
+                "inv_freq_weight"
+            ),
+        )
+    )

@@ -1272,3 +1272,261 @@ def nation_revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("region_share"),
     )
+
+
+@register(
+    "skew_key_diagnostics_orders",
+    oracle="""
+    WITH per_key AS (
+        SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS total_rows,
+           MAX(cnt) AS max_cnt,
+           ROUND(quantile_cont(cnt, 0.95), 6) AS p95_cnt,
+           MAX(cnt) * COUNT(*) / CAST(SUM(cnt) AS DOUBLE) AS skew_ratio
+    FROM per_key
+    """,
+)
+def skew_key_diagnostics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostics: the per-key frequency distribution of
+    orders.o_custkey reduced to the numbers that decide a shuffle strategy —
+    key cardinality, hottest-key row count, p95, and the max/mean skew ratio
+    (1.0 = uniform; >> 1 = salt or let AQE split). This is the profiling
+    query you run BEFORE choosing broadcast/salt/AQE for a 100 TB join; the
+    first groupBy is map-side combinable, the second stage aggregates
+    |distinct keys| rows. The ratio is computed as int-exact max*n_keys
+    divided once in double (correctly-rounded IEEE, engine-portable)."""
+    orders = load(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.expr("percentile(cnt, 0.95)"), 6).alias("p95_cnt"),
+        (
+            (F.max("cnt") * F.count("*")) / F.sum("cnt").cast("double")
+        ).alias("skew_ratio"),
+    )
+
+
+@register(
+    "winsorized_price_stats",
+    oracle="""
+    WITH bounds AS (
+        SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+               quantile_cont(l_extendedprice, 0.99) AS hi
+        FROM lineitem
+    ),
+    clipped AS (
+        SELECT CASE WHEN l_extendedprice < lo THEN lo
+                    WHEN l_extendedprice > hi THEN hi
+                    ELSE l_extendedprice END AS v,
+               CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+                    THEN 1 ELSE 0 END AS is_clipped,
+               lo, hi
+        FROM lineitem CROSS JOIN bounds
+    )
+    SELECT COUNT(*) AS n,
+           ROUND(MIN(lo), 6) AS p01,
+           ROUND(MIN(hi), 6) AS p99,
+           CAST(SUM(is_clipped) AS BIGINT) AS n_clipped,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*),
+                 6) AS winsorized_mean
+    FROM clipped
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (tail clipping at p01/p99) — the outlier-robust
+    feature-normalization pass: compute exact percentile bounds, clip, and
+    report the winsorized mean. The bounds aggregate broadcasts back over
+    the fact scan (two passes, no shuffle of the fact rows beyond the
+    percentile sort); at 100 TB substitute approx_percentile bounds (the
+    regime outlier_iqr_approx_lineitem pins). The clipped mean accumulates
+    in exact decimal before one double division, rounded to 6 decimals
+    (a 19-digit decimal exceeds 2^53, and DuckDB's decimal→double goes
+    through int128→double→scale — TWO roundings vs Spark's one); clipped
+    values are raw cents-doubles or interpolated quantiles — both
+    full-mantissa, so the fractional decimal cast cannot tie."""
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("hi"),
+    )
+    x = F.col("l_extendedprice")
+    clipped = li.crossJoin(F.broadcast(bounds)).select(
+        F.when(x < F.col("lo"), F.col("lo"))
+        .when(x > F.col("hi"), F.col("hi"))
+        .otherwise(x)
+        .alias("v"),
+        F.when((x < F.col("lo")) | (x > F.col("hi")), 1)
+        .otherwise(0)
+        .alias("is_clipped"),
+        "lo",
+        "hi",
+    )
+    return clipped.agg(
+        F.count("*").alias("n"),
+        F.round(F.min("lo"), 6).alias("p01"),
+        F.round(F.min("hi"), 6).alias("p99"),
+        F.sum("is_clipped").cast("bigint").alias("n_clipped"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(28,10)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("winsorized_mean"),
+    )
+
+
+@register(
+    "corr_quantity_price_per_flag",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,8)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(28,6))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 9) AS pearson_r
+    FROM m
+    """,
+)
+def corr_quantity_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs price per return flag via EXPLICIT
+    exact moments — deliberately NOT F.corr: Spark's built-in corr uses a
+    streaming co-moment update whose result depends on accumulation order
+    (different partitionings give different last-ulp answers). Here the five
+    moments accumulate exactly (integer quantities as BIGINT, cents and
+    products in decimal — products are full-mantissa doubles, so their
+    fractional decimal cast cannot tie), then the textbook formula runs
+    once per group in double with an identical expression tree on both
+    engines, rounded to 9 decimals (the engines' compiled code may contract
+    a*b-c*d with FMA, shifting the last ulp). One map-side-combine shuffle
+    of 5 moments x |flags|; this is the partitioning-independent corr
+    recipe for a 1000-executor cluster."""
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("bigint")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(28,8)")).cast("double").alias("sxy"),
+        F.sum(x.cast("bigint") * x.cast("bigint")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(28,6)")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            9,
+        ).alias("pearson_r"),
+    )
+
+
+@register(
+    "supplier_revenue_pareto",
+    oracle="""
+    WITH per_supp AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))) AS rev
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey,
+           ROW_NUMBER() OVER (ORDER BY rev DESC, l_suppkey) AS rnk,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER (ORDER BY rev DESC, l_suppkey
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(SUM(rev) OVER () AS DOUBLE) AS cum_share
+    FROM per_supp
+    """,
+)
+def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / cumulative-concentration analysis: suppliers ranked by
+    revenue with each prefix's share of the total — the 'how few suppliers
+    cover 80% of revenue' curve that drives stratified sampling and
+    hot-partition planning. The fact table collapses to |suppliers| rows
+    through one map-side-combine agg FIRST; both windows (running decimal
+    cumsum — exact at every prefix — and the grand total) run over that
+    aggregate. The single-partition window is |suppliers| rows, never fact
+    rows; shares are exact-decimal casts + one double division each."""
+    li = load(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("rev")
+    )
+    w_ord = Window.orderBy(F.desc("rev"), F.asc("l_suppkey"))
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    return per_supp.select(
+        "l_suppkey",
+        F.row_number().over(w_ord).alias("rnk"),
+        F.col("rev").cast("double").alias("revenue"),
+        (
+            F.sum("rev").over(w_cum).cast("double")
+            / F.sum("rev").over(w_all).cast("double")
+        ).alias("cum_share"),
+    )
+
+
+@register(
+    "benford_digit_audit_orders",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT digit, COUNT(*) AS n,
+           COUNT(*) / CAST((SELECT COUNT(*) FROM d) AS DOUBLE) AS freq
+    FROM d GROUP BY digit
+    """,
+)
+def benford_digit_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-digit (Benford) audit of order totals — the classic
+    fabricated-data / unit-mixup detector for ingested numeric columns.
+    The digit is extracted by integer math (FLOOR then BIGINT→string:
+    double→string formatting is NOT engine-portable, integer strings are;
+    double→bigint casts also differ — DuckDB rounds half-even, Spark
+    truncates — so FLOOR runs first on both sides). Map-side digit
+    extraction collapses to 9 groups; one tiny shuffle + a broadcast total."""
+    orders = load(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    total = d.agg(F.count("*").alias("total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (F.col("n") / F.col("total").cast("double")).alias("freq"),
+        )
+    )

@@ -149,15 +149,18 @@ def _cos_sql(a: str, b: str) -> str:
             FROM embeddings e CROSS JOIN cents0 c
         ) WHERE arank = 1
     ),
-    -- one Lloyd iteration, exact decimal accumulation (bit-identical to
-    -- operators/similarity.py refine_centroids)
+    -- one Lloyd iteration, exact integer accumulation at 2^44 scale
+    -- (bit-identical to operators/similarity.py refine_centroids; the
+    -- integer cast never ties, unlike a fractional decimal cast)
     dims AS (
-        SELECT a.cent_id, t.j AS pos, a.embedding[t.j]::DOUBLE AS x
+        SELECT a.cent_id, t.j AS pos,
+               a.embedding[t.j]::DOUBLE * 17592186044416.0 AS y
         FROM assigned0 a, range(1, {EMB_DIM + 1}) t(j)
     ),
     means AS (
         SELECT cent_id, pos,
-               CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS m
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+                   / 17592186044416.0 / COUNT(*) AS m
         FROM dims GROUP BY cent_id, pos
     ),
     cents AS (
@@ -303,4 +306,92 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle=f"""
+    WITH dims AS (
+        SELECT label, t.j AS pos,
+               embedding[t.j]::DOUBLE * 17592186044416.0 AS y
+        FROM embeddings, range(1, {EMB_DIM + 1}) t(j)
+    ),
+    means AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+                   / 17592186044416.0 / COUNT(*) AS m
+        FROM dims GROUP BY label, pos
+    ),
+    cents AS (
+        SELECT label, list(m ORDER BY pos) AS c_emb FROM means GROUP BY label
+    ),
+    scored AS (
+        SELECT e.label, {_cos_sql("e.embedding", "c.c_emb")} AS cos_c,
+               {_norm_sql("c.c_emb")} AS cn
+        FROM embeddings e JOIN cents c USING (label)
+    )
+    SELECT label, COUNT(*) AS n, MIN(cn) AS centroid_norm,
+           CAST(SUM(CAST(cos_c AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+               AS coherence
+    FROM scored GROUP BY label
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids + cluster coherence: the element-wise
+    mean vector of each label, its L2 norm, and the mean cosine of members
+    to their centroid (1.0 = tight cluster, ~0 = incoherent label). The
+    exploration/audit pass a training pipeline runs over an embedding
+    column before using labels for stratification or contrastive sampling.
+
+    Scale shape: per-dim sums as FLAT agg columns (never posexplode+groupBy
+    — partial aggregation moves k x dim partials per map task, see
+    operators/similarity.py refine_centroids), centroids broadcast back for
+    the coherence pass, and every float reduction either left-folds in a
+    fixed order (dot/norm) or accumulates exactly — bit-identical at any
+    partitioning and reproducible by the DuckDB oracle.
+
+    Exactness note: float32 inputs are coarse dyadics, so a fractional
+    decimal cast can TIE at the last kept digit and Spark (HALF_UP) and
+    DuckDB (HALF_EVEN) round ties apart (observed: 561/2048 at the 10th
+    decimal). The centroid sum therefore scales by 2^44 first — exact in
+    double for any float32 of magnitude >= 2^-21 — and accumulates the
+    resulting INTEGERS in DECIMAL(38,0): no fractional rounding exists
+    anywhere in the sum, so no tie can occur; one correctly-rounded double
+    division at the end."""
+    from cdc_rs_spark.operators.similarity import cosine, norm
+
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    scale = F.lit(float(1 << 44))
+    sums = emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                (F.element_at("embedding", i + 1).cast("double") * scale)
+                .cast("decimal(38,0)")
+            ).alias(f"s{i}")
+            for i in range(EMB_DIM)
+        ],
+    )
+    cents = sums.select(
+        "label",
+        F.array(
+            *[
+                (F.col(f"s{i}").cast("double") / scale / F.col("n"))
+                for i in range(EMB_DIM)
+            ]
+        ).alias("c_emb"),
+    )
+    joined = emb.join(F.broadcast(cents), "label").select(
+        "label",
+        cosine(F.col("embedding"), F.col("c_emb")).alias("cos_c"),
+        norm(F.col("c_emb")).alias("cn"),
+    )
+    return joined.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.min("cn").alias("centroid_norm"),
+        (
+            F.sum(F.col("cos_c").cast("decimal(28,10)")).cast("double")
+            / F.count("*")
+        ).alias("coherence"),
     )

@@ -515,3 +515,128 @@ def text_cleaning_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf
+        FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.token,
+               t.tf * (CAST(n.n_docs AS DOUBLE) / d.df) AS score
+        FROM tf t JOIN df d USING (token) CROSS JOIN n
+    ),
+    top1 AS (
+        SELECT doc_id, token, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, token ASC) AS rn
+        FROM scored
+    )
+    SELECT token AS keyword, COUNT(*) AS n_docs_top, MAX(score) AS max_score
+    FROM top1 WHERE rn = 1 GROUP BY token
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: score every (doc, term) by
+    tf x (N / df) and keep each document's top-scoring term, then report
+    how many documents each keyword wins. The inverse-document-frequency
+    ratio N/df replaces the usual log-idf so the score is a single
+    correctly-rounded IEEE division (ln is not correctly rounded and
+    diverges across engines). Shape at 100 TB: tokenize+explode is
+    map-side; tf and df are map-side-combine aggs shuffling only distinct
+    (doc,term) / term keys; the scalar N broadcasts; the per-doc top-1 is
+    a partial top-k window over doc_id (already the tf grouping key, so
+    AQE reuses the exchange)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf") * (F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("token").alias("keyword"))
+        .agg(
+            F.count("*").alias("n_docs_top"),
+            F.max("score").alias("max_score"),
+        )
+    )
+
+
+@register(
+    "text_char_gini_score",
+    oracle="""
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split_regex(replace(text, ' ', ''), ''))
+               AS ch
+        FROM documents
+    ),
+    freq AS (
+        SELECT doc_id, ch, COUNT(*) AS c
+        FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+    ),
+    tot AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               COUNT(*) AS distinct_chars,
+               CAST(SUM(c * c) AS BIGINT) AS sum_sq
+        FROM freq GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_chars_nospace, distinct_chars,
+           1.0 - sum_sq / (CAST(n AS DOUBLE) * n) AS gini_diversity
+    FROM tot
+    """,
+)
+def text_char_gini_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution diversity (Gini impurity 1 - sum(p_i^2)) per
+    document — the log-free gibberish/repetition detector: natural text
+    lands near the language's typical value, while 'aaaa...' or base64
+    blobs sit at the extremes. Gini replaces Shannon entropy deliberately:
+    it needs only integer counts and ONE double division (ln is not
+    correctly rounded and diverges across engines). Per-doc char counts
+    shuffle on (doc_id, ch) with map-side combine; everything else is
+    integer-exact."""
+    docs = load(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.replace(F.col("text"), F.lit(" "), F.lit("")), "")
+        ).alias("ch"),
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = freq.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").alias("distinct_chars"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+    )
+    return tot.select(
+        "doc_id",
+        F.col("n").alias("n_chars_nospace"),
+        "distinct_chars",
+        (
+            F.lit(1.0)
+            - F.col("sum_sq") / (F.col("n").cast("double") * F.col("n"))
+        ).alias("gini_diversity"),
+    )
