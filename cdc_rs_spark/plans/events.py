@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_rs_spark.functions.timeutil import epoch_ms, epoch_us
 from cdc_rs_spark.plans.relational import dsum
 from cdc_rs_spark.registry import register
 from cdc_rs_spark.session import load
@@ -222,7 +223,7 @@ def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     own range-join hints (DBR) and ASOF implementations use."""
     e = load(spark, sf_dir, "events")
     five_min_us = 60 * 60 * 1_000_000
-    bucket = (F.unix_micros(F.col("ts")) / F.lit(five_min_us)).cast("long")
+    bucket = (epoch_us("ts") / F.lit(five_min_us)).cast("long")
     p = (
         e.filter(F.col("event_type") == "purchase")
         .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
@@ -230,8 +231,8 @@ def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             F.explode(
                 F.array(
-                    (F.unix_micros(F.col("p_ts")) / five_min_us).cast("long"),
-                    (F.unix_micros(F.col("p_ts")) / five_min_us).cast("long") + 1,
+                    (epoch_us("p_ts") / five_min_us).cast("long"),
+                    (epoch_us("p_ts") / five_min_us).cast("long") + 1,
                 )
             ),
         )
@@ -239,9 +240,9 @@ def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = (
         e.filter(F.col("event_type") == "error")
         .select(F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("e_ts"))
-        .withColumn("bucket", (F.unix_micros(F.col("e_ts")) / five_min_us).cast("long"))
+        .withColumn("bucket", (epoch_us("e_ts") / five_min_us).cast("long"))
     )
-    dt_us = F.unix_micros(F.col("e_ts")) - F.unix_micros(F.col("p_ts"))
+    dt_us = epoch_us("e_ts") - epoch_us("p_ts")
     return (
         p.join(err, ["user_id", "bucket"])
         .filter((dt_us >= 0) & (dt_us < five_min_us))
@@ -250,10 +251,7 @@ def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "error_id",
             "user_id",
             F.round(
-                (
-                    F.expr("unix_micros(e_ts) div 1000") - F.expr("unix_micros(p_ts) div 1000")
-                )
-                / F.lit(1000.0),
+                (epoch_ms("e_ts") - epoch_ms("p_ts")) / F.lit(1000.0),
                 3,
             ).alias("dt_sec"),
         )
@@ -762,7 +760,7 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg is map-side combinable."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    gap_ms = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap_ms = epoch_us("ts") - epoch_us(F.lag("ts").over(w))
     seq = e.select(
         "event_type", (gap_ms / 1000).alias("gap_ms")
     )
@@ -818,4 +816,129 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dst",
         "n",
         (F.col("n") / F.sum("n").over(wsrc).cast("double")).alias("p"),
+    )
+
+
+_AB_RATE = "CAST(n_conv AS DOUBLE) / n_users"
+
+
+@register(
+    "events_ab_test_ztest",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               CAST(('0x' || substring(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' AND CAST(value AS DOUBLE) > 99
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        FROM assigned
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+           ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+    FROM arms
+    """,
+)
+def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B significance test over the event log: users are
+    deterministically hash-assigned to arms (salted md5 bucket — the same
+    retry-stable assignment discipline as sample_hash_deterministic), the
+    per-user conversion flag ("ever made a high-value purchase", value > 99 —
+    non-degenerate in the fixture at every SF) reduces with ONE shuffle on
+    user_id, and the two-arm contingency collapses map-side to a single row;
+    the pooled z-statistic is one deterministic double expression over exact
+    integer counts. At 100 TB the only data-sized stage is the per-user
+    max() — mergeable, skew-free (user_id is high-cardinality)."""
+    e = load(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    assigned = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value").cast("double") > 99),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .withColumn("variant", variant)
+    )
+    arms = assigned.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0)).cast("bigint").alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0)).cast("bigint").alias("conv_b"),
+    )
+    p_pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    return arms.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(
+            (rate_a - rate_b)
+            / F.sqrt(p_pool * (F.lit(1.0) - p_pool) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))),
+            4,
+        ).alias("z"),
+    )
+
+
+@register(
+    "events_user_gap_stats",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id),
+                         ts) / 1000000.0 AS gap_s
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           ROUND(quantile_cont(gap_s, 0.5), 6) AS median_gap_s,
+           ROUND(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s
+    FROM seq GROUP BY event_type
+    """,
+)
+def events_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival statistics: per event type, the median and p90 gap (in
+    seconds) between consecutive events of the same user — the churn /
+    engagement-cadence primitive. One shuffle on (user_id, event_type) for
+    the lag window (the event log's natural bucketing key, partition-local
+    after a co-partitioned scan); the per-type exact percentile then runs
+    over a |types|-group aggregate. At 100 TB swap percentile ->
+    approx_percentile (mergeable t-digest) as documented for
+    percentiles_per_flag."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_s = (epoch_us("ts") - epoch_us(F.lag("ts").over(w))) / F.lit(1000000.0)
+    seq = e.select("event_type", gap_s.alias("gap_s"))
+    return seq.groupBy("event_type").agg(
+        F.count("gap_s").cast("bigint").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("median_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_gap_s"),
     )
