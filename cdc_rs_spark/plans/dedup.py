@@ -7,7 +7,7 @@ algorithm is only testable when the oracle implements the same approximation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_rs_spark.functions.hashing import P31, fp_sql
@@ -412,4 +412,84 @@ def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("component").alias("canonical_doc")).agg(
         F.count("*").alias("cluster_size"),
         (F.count("*") - 1).alias("n_dropped"),
+    )
+
+
+def _canonical_quality_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_DOCS_SHINGLES_SQL},
+    {_minhash_sig_sql()},
+    {_minhash_bands_sql()},
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                  JOIN sh b ON cand.id_b = b.doc_id
+        WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+              / (len(a.s) + len(b.s)
+                 - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+        FROM reach GROUP BY a
+    ),
+    ranked AS (
+        SELECT l.component, l.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY l.component
+                                  ORDER BY d.n_chars DESC, l.doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY l.component) AS n_members
+        FROM labels l JOIN documents d USING (doc_id)
+    )
+    SELECT component, doc_id AS kept_doc,
+           CAST(n_chars AS BIGINT) AS kept_chars,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("dedup_canonical_quality", oracle=_canonical_quality_oracle())
+def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each MinHash near-dup
+    cluster keep the HIGHEST-QUALITY member (longest text, doc_id
+    tiebreak), not the min-id one — the policy real corpus dedup uses so a
+    truncated copy never shadows the full document. Composition: near-dup
+    pairs -> connected components (operators/graph.py) -> join doc quality
+    -> per-cluster top-1 window. The quality join and window both key on
+    the component/doc ids the CC stage already shuffled; cluster counts
+    come from the same window pass."""
+    from cdc_rs_spark.operators.graph import connected_components
+
+    d = spread(load(spark, sf_dir, "documents"))
+    pairs = minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
+    labels = connected_components(pairs, "id_a", "id_b").select(
+        F.col("v").alias("doc_id"), "component"
+    )
+    joined = labels.join(d.select("doc_id", "n_chars"), "doc_id")
+    wrank = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wcnt = Window.partitionBy("component")
+    return (
+        joined.withColumn("rn", F.row_number().over(wrank))
+        .withColumn("n_members", F.count("*").over(wcnt))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("n_chars").cast("bigint").alias("kept_chars"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
     )

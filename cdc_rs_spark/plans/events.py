@@ -942,3 +942,75 @@ def events_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("median_gap_s"),
         F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_gap_s"),
     )
+
+
+_EWMA_INT_WEIGHTS = [2 ** (9 - k) for k in range(10)]  # 0.5^k scaled by 2^9
+
+
+@register(
+    "ewma_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY d
+    ),
+    cents AS (
+        SELECT d, rev, CAST(rev * 100 AS BIGINT) AS rc FROM daily
+    ),
+    lagged AS (
+        SELECT d, rev,
+               row_number() OVER (ORDER BY d) AS rn,
+               {lags}
+        FROM cents
+    )
+    SELECT d, CAST(rev AS DOUBLE) AS rev,
+           CAST(({ewma}) AS DOUBLE) / 51200.0 AS ewma
+    FROM lagged WHERE rn >= 10
+    """.format(
+        lags=",\n               ".join(
+            f"lag(rc, {k}) OVER (ORDER BY d) AS r{k}" for k in range(10)
+        ),
+        ewma=" + ".join(
+            f"r{k} * {w}" for k, w in enumerate(_EWMA_INT_WEIGHTS)
+        ),
+    ),
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue (decay 0.5,
+    10-day horizon) as an explicit lag-chain — EWMA's recursion unrolled to
+    a fixed linear combination so it is a pure window expression, not an
+    iterative/stateful op. Determinism discipline: revenue is scaled to
+    integer cents and the dyadic weights 0.5^k to integers 2^(9-k), so the
+    whole combination is exact BIGINT arithmetic; ONE final correctly-
+    rounded double division (by 100 * 2^9) produces the result — no
+    floating accumulation, no ROUND tie-breaking, bit-identical across
+    engines (cf. similarity.py int8 notes). The fact table collapses to
+    the daily series first, so the unpartitioned window is |days|-sized at
+    any scale; rows with incomplete history (first 9 days) are excluded
+    rather than biased."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    cents = daily.select(
+        "d", "rev", (F.col("rev") * 100).cast("bigint").alias("rc")
+    )
+    w = Window.orderBy("d")
+    lagged = cents.select(
+        "d",
+        "rev",
+        F.row_number().over(w).alias("rn"),
+        *[F.lag("rc", k).over(w).alias(f"r{k}") for k in range(10)],
+    )
+    ewma = F.col("r0") * F.lit(_EWMA_INT_WEIGHTS[0])
+    for k in range(1, 10):
+        ewma = ewma + F.col(f"r{k}") * F.lit(_EWMA_INT_WEIGHTS[k])
+    return lagged.filter(F.col("rn") >= 10).select(
+        "d",
+        F.col("rev").cast("double").alias("rev"),
+        (ewma.cast("double") / F.lit(51200.0)).alias("ewma"),
+    )

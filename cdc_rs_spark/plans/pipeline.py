@@ -923,3 +923,44 @@ def feature_ntile_binning_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+@register(
+    "zone_map_manifest_lineitem",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS part_month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_okey,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_okey,
+           CAST(MIN(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS min_qty,
+           CAST(MAX(CAST(l_quantity AS DOUBLE)) AS DOUBLE) AS max_qty,
+           CAST(MIN(CAST(l_extendedprice AS DOUBLE)) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(l_extendedprice AS DOUBLE)) AS DOUBLE) AS max_price,
+           MAX(CAST(l_quantity AS DOUBLE)) <= 45.0 AS skip_qty_gt_45
+    FROM lineitem GROUP BY 1
+    """,
+)
+def zone_map_manifest_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / data-skipping manifest: per ship-month partition, the
+    min/max statistics a lakehouse keeps per file (Delta/Iceberg column
+    stats, parquet row-group stats) plus a concrete skip decision — whether
+    a `l_quantity > 45` scan can prune the whole partition from its max
+    stat. This is the metadata side of the engine's own pushdown story
+    (SCALE.md §3): at 100 TB the manifest is what turns a full scan into a
+    partition-pruned one, and computing it is a single map-side-combinable
+    min/max agg shuffling |months| rows."""
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    price = F.col("l_extendedprice").cast("double")
+    return li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("part_month")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("l_orderkey").cast("bigint").alias("min_okey"),
+        F.max("l_orderkey").cast("bigint").alias("max_okey"),
+        F.min(qty).alias("min_qty"),
+        F.max(qty).alias("max_qty"),
+        F.min(price).alias("min_price"),
+        F.max(price).alias("max_price"),
+        (F.max(qty) <= 45.0).alias("skip_qty_gt_45"),
+    )

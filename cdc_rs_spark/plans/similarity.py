@@ -395,3 +395,38 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("coherence"),
     )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(MIN({_norm_sql("embedding")}), 6) AS min_norm,
+           ROUND(MAX({_norm_sql("embedding")}), 6) AS max_norm,
+           ROUND(quantile_cont({_norm_sql("embedding")}, 0.5), 6) AS median_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding health check before any similarity work: per label, the
+    L2-norm distribution (count, min, max, median). Degenerate norms (~0)
+    or wild spread are the standard symptom of a broken encoder batch —
+    this is the DQ gate for the vector column. min/max/median are all
+    order-insensitive over exact per-row doubles (mean is deliberately
+    omitted: a parallel double sum is accumulation-order-dependent).
+    Map-side norm computation, one small agg shuffle on label."""
+    from cdc_rs_spark.operators.similarity import norm
+
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    n = norm(F.col("embedding"))
+    return (
+        emb.select("label", n.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.round(F.expr("percentile(nrm, 0.5)"), 6).alias("median_norm"),
+        )
+    )

@@ -640,3 +640,131 @@ def text_char_gini_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("sum_sq") / (F.col("n").cast("double") * F.col("n"))
         ).alias("gini_diversity"),
     )
+
+
+@register(
+    "token_drift_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT len(source) <= 4 AS grp_a,
+               unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    cnt AS (
+        SELECT token,
+               CAST(COUNT(*) FILTER (WHERE grp_a) AS BIGINT) AS c_a,
+               CAST(COUNT(*) FILTER (WHERE NOT grp_a) AS BIGINT) AS c_b
+        FROM toks WHERE token <> '' GROUP BY token
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_a) AS BIGINT) AS n_a, CAST(SUM(c_b) AS BIGINT) AS n_b
+        FROM cnt
+    ),
+    scored AS (
+        SELECT token, c_a, c_b,
+               (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+               * (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+               / (CAST(c_a AS DOUBLE) / n_a + CAST(c_b AS DOUBLE) / n_b)
+                   AS chi2
+        FROM cnt CROSS JOIN tot
+    ),
+    ranked AS (
+        SELECT token, c_a, c_b, ROUND(chi2, 8) AS chi2_contrib,
+               row_number() OVER (ORDER BY chi2 DESC, token) AS rnk
+        FROM scored
+    )
+    SELECT token, c_a, c_b, chi2_contrib, rnk FROM ranked WHERE rnk <= 20
+    """,
+)
+def token_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift detection between two source cohorts (src0-9 vs
+    src10-19): per-token chi-square divergence contribution
+    (p_a - p_b)^2 / (p_a + p_b) over unigram distributions, top 20 drivers.
+    The chi-square form deliberately replaces KL's ln() — pure IEEE
+    divisions are bit-identical across engines where ln is not (same
+    discipline as text_tfidf_keywords). Shape at 100 TB: tokenize is
+    map-side, per-token counts are a map-side-combinable agg on the token
+    key, the two scalar totals broadcast, and the top-20 is a tiny global
+    sort over |vocab| aggregated rows."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        (F.length("source") <= 4).alias("grp_a"),
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    cnt = toks.groupBy("token").agg(
+        F.count(F.when(F.col("grp_a"), 1)).cast("bigint").alias("c_a"),
+        F.count(F.when(~F.col("grp_a"), 1)).cast("bigint").alias("c_b"),
+    )
+    tot = cnt.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+    )
+    p_a = F.col("c_a").cast("double") / F.col("n_a")
+    p_b = F.col("c_b").cast("double") / F.col("n_b")
+    scored = cnt.crossJoin(F.broadcast(tot)).select(
+        "token", "c_a", "c_b",
+        ((p_a - p_b) * (p_a - p_b) / (p_a + p_b)).alias("chi2"),
+    )
+    w = Window.orderBy(F.desc("chi2"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("token", "c_a", "c_b", F.round("chi2", 8).alias("chi2_contrib"), "rnk")
+    )
+
+
+@register(
+    "text_rare_bigram_score",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                   i -> w[i] || ' ' || w[i+1])) AS bg
+        FROM docs WHERE len(w) >= 2
+    ),
+    freq AS (SELECT bg, COUNT(*) AS c FROM bigrams GROUP BY bg),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(*) FILTER (WHERE f.c <= 2) AS BIGINT) AS n_rare
+        FROM bigrams b JOIN freq f USING (bg)
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams, n_rare,
+           ROUND(CAST(n_rare AS DOUBLE) / n_bigrams, 6) AS rare_ratio
+    FROM scored
+    """,
+)
+def text_rare_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-flavored fluency heuristic without a trained model:
+    count each document's word bigrams that are globally rare (corpus
+    frequency <= 2). A high rare-bigram ratio flags garbled or
+    machine-mangled text the unigram quality score misses. Integer counts +
+    one rounded division — no floating accumulation, so exactly portable.
+    Shape at 100 TB: bigrams explode map-side; the corpus frequency table is
+    a map-side-combinable count on the bigram key; scoring re-joins on the
+    same key (AQE reuses the exchange); per-doc rollup shuffles doc_id."""
+    d = spread(load(spark, sf_dir, "documents"))
+    w = F.split(F.lower("text"), " ")
+    docs = d.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))")
+        ).alias("bg"),
+    )
+    freq = bigrams.groupBy("bg").agg(F.count("*").alias("c"))
+    return (
+        bigrams.join(freq, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.count(F.when(F.col("c") <= 2, 1)).cast("bigint").alias("n_rare"),
+        )
+        .select(
+            "doc_id", "n_bigrams", "n_rare",
+            F.round(F.col("n_rare").cast("double") / F.col("n_bigrams"), 6).alias("rare_ratio"),
+        )
+    )
