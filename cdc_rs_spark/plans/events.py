@@ -1014,3 +1014,94 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("rev"),
         (ewma.cast("double") / F.lit(51200.0)).alias("ewma"),
     )
+
+
+@register(
+    "events_user_growth_accounting",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events
+        GROUP BY user_id
+    ),
+    daily AS (
+        SELECT first_day AS d, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM firsts GROUP BY first_day
+    )
+    SELECT d, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+)
+def events_user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: new users per day (first-ever event) and the
+    cumulative user count. A running COUNT(DISTINCT) is quadratic done
+    naively; the first-seen reduction makes it linear — one shuffle on
+    user_id for MIN(day), a |days|-sized daily rollup, and a cumulative
+    window over that tiny series. Exact integers throughout."""
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("d")).agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,2)) AS rev
+               FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT event_id, user_id, ts, event_type FROM events
+               WHERE event_type <> 'purchase')
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(rev) AS DOUBLE) AS attributed_revenue
+    FROM (
+        SELECT p.event_id, p.rev, t.event_type AS touch_type,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY t.ts DESC, t.event_id DESC) AS rn
+        FROM p JOIN t ON t.user_id = p.user_id AND t.ts <= p.ts
+    ) WHERE rn = 1
+    GROUP BY touch_type
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's revenue is credited
+    to the most recent preceding non-purchase event of the same user, then
+    rolled up per touch type. Built on the as-of backward join
+    (operators/asof.py — union+window, ONE shuffle on user_id, no join
+    explosion; the oracle deliberately runs the naive quadratic join+rank
+    form this operator avoids). Revenue accumulates in exact decimals."""
+    from cdc_rs_spark.operators.asof import asof_join_backward
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").cast("decimal(18,2)").alias("rev"),
+    )
+    touches = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", F.col("event_type").alias("touch_type"),
+        F.col("event_id").alias("touch_id"),
+    )
+    attributed = asof_join_backward(
+        purchases,
+        touches,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        payload_cols=["touch_id", "touch_type"],
+    ).filter(F.col("touch_type").isNotNull())
+    return attributed.groupBy("touch_type").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum("rev").cast("double").alias("attributed_revenue"),
+    )

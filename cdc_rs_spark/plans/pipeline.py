@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from cdc_rs_spark.envelope import snapshot_changes
 from cdc_rs_spark.registry import register
-from cdc_rs_spark.session import load
+from cdc_rs_spark.session import load, spread
 from cdc_rs_spark.sources.synthetic import ORACLE_LIVE_CHANGES, live_orders_changes
 
 
@@ -963,4 +963,110 @@ def zone_map_manifest_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(price).alias("min_price"),
         F.max(price).alias("max_price"),
         (F.max(qty) <= 45.0).alias("skip_qty_gt_45"),
+    )
+
+
+from cdc_rs_spark.functions.text import LANG_STOPWORDS as _LSW
+
+_EN_STOPLIST_SQL = "[" + ", ".join(f"'{w}'" for w in _LSW["en"]) + "]"
+
+
+@register(
+    "curriculum_batches",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    scored AS (
+        SELECT doc_id,
+               ROUND(0.4 * (len(list_filter(w, t -> list_contains(
+                         {_EN_STOPLIST_SQL}, t)))::DOUBLE
+                     / len(w))
+                     + 0.3 * least(len(w)::DOUBLE / 100.0, 1.0)
+                     + 0.3 * (len(list_distinct(w))::DOUBLE / len(w)), 6) AS quality
+        FROM t
+    ),
+    ranked AS (
+        SELECT doc_id, quality,
+               row_number() OVER (ORDER BY quality DESC, doc_id) - 1 AS rk
+        FROM scored
+    )
+    SELECT CAST(rk // 50 AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(quality) AS min_quality,
+           MAX(quality) AS max_quality,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM ranked GROUP BY 1
+    """,
+)
+def curriculum_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: rank the corpus by quality (cleanest first,
+    doc_id tiebreak for total determinism) and cut it into fixed-size
+    training batches of 50; report each batch's quality envelope. The
+    global rank is the one data-sized step — at 100 TB replace row_number
+    with the two-pass range-partitioned rank (sample quantile cut points ->
+    repartitionByRange -> per-partition rank + offset, exactly how Spark's
+    own sort works) as documented in SCALE.md; batch stats are map-side
+    combinable."""
+    from cdc_rs_spark.functions.text import quality_score
+
+    d = spread(load(spark, sf_dir, "documents"))
+    scored = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    w = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
+    ranked = scored.select(
+        "doc_id", "quality", (F.row_number().over(w) - 1).alias("rk")
+    )
+    return (
+        ranked.groupBy(F.floor(F.col("rk") / 50).cast("bigint").alias("batch_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+    )
+
+
+@register(
+    "feature_hashing_buckets",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS token
+        FROM documents
+    ),
+    hashed AS (
+        SELECT token,
+               CAST(('0x' || substring(md5(token), 1, 8)) AS UBIGINT) % 64
+                   AS bucket
+        FROM toks WHERE token <> ''
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           MIN(token) AS example_token
+    FROM hashed GROUP BY bucket
+    """,
+)
+def feature_hashing_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing-trick vectorizer's collision profile: every distinct
+    corpus token is hashed (engine-portable md5 bucket) into a fixed
+    64-dimension feature space; per bucket, how many distinct tokens
+    collide. This is the audit a feature-hashed training pipeline runs to
+    size its hash dimension. Tokenize+distinct is the only data-sized
+    stage (map-side combinable distinct on the token key); the bucket
+    rollup is 64 rows."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint") % 64
+    )
+    return (
+        toks.select("token", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.min("token").alias("example_token"),
+        )
+        .select(F.col("bucket").cast("bigint").alias("bucket"), "n_tokens", "example_token")
     )
