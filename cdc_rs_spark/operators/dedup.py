@@ -233,3 +233,30 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
     return cand.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def exploded_ngrams(d, id_col: str, text_col: str, n: int, alias: str = "gram"):
+    """(id, n-gram) rows via an exploded INDEX SEQUENCE, not an exploded
+    lambda-built array.
+
+    `explode(transform(...))`-style plans re-evaluate the generator's child
+    expression once per EMITTED row, and higher-order lambdas
+    (transform/aggregate/array_distinct) run interpreted — no whole-stage
+    codegen — so exploding a k-gram array costs O(k^2) interpreted work per
+    document (measured ~5 s for a 260k-gram corpus that should take
+    milliseconds). Here the generator input is a cheap `sequence()`, the
+    token array materializes once per input row as a Generate-preserved
+    attribute, and each output row does n codegen-native element_at calls."""
+    w = F.split(F.col(text_col), " ")
+    base = d.filter(F.size(w) >= n).select(
+        F.col(id_col),
+        w.alias("_w"),
+    ).select(
+        id_col,
+        "_w",
+        F.explode(F.sequence(F.lit(1), F.size("_w") - (n - 1))).alias("_i"),
+    )
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("_w"), F.col("_i") + j) for j in range(n)]
+    )
+    return base.select(id_col, gram.alias(alias))

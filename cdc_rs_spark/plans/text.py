@@ -368,13 +368,15 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark executes as TakeOrdered (per-partition heaps + driver merge of 20
     rows), NOT a single-partition sort — the shape that survives a 100 TB
     gram table."""
-    from cdc_rs_spark.operators.dedup import shingles
+    from cdc_rs_spark.operators.dedup import exploded_ngrams
 
     d = spread(load(spark, sf_dir, "documents"))
-    toks = F.split(F.col("text"), " ")
+    # index-sequence explode + per-doc distinct instead of
+    # explode(array_distinct(transform(...))): the lambda-built array is
+    # re-evaluated interpreted per emitted gram (see exploded_ngrams)
     grams = (
-        d.filter(F.size(toks) >= 5)
-        .select("doc_id", F.explode(shingles(toks, 5)).alias("gram"))
+        exploded_ngrams(d, "doc_id", "text", 5)
+        .distinct()
         .groupBy("gram")
         .agg(F.count("*").alias("doc_freq"))
     )
@@ -746,15 +748,14 @@ def text_rare_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape at 100 TB: bigrams explode map-side; the corpus frequency table is
     a map-side-combinable count on the bigram key; scoring re-joins on the
     same key (AQE reuses the exchange); per-doc rollup shuffles doc_id."""
-    d = spread(load(spark, sf_dir, "documents"))
-    w = F.split(F.lower("text"), " ")
-    docs = d.select("doc_id", w.alias("w")).filter(F.size("w") >= 2)
-    bigrams = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))")
-        ).alias("bg"),
+    from cdc_rs_spark.operators.dedup import exploded_ngrams
+
+    d = spread(load(spark, sf_dir, "documents")).withColumn(
+        "_lt", F.lower("text")
     )
+    # index-sequence explode (operators/dedup.exploded_ngrams): avoids the
+    # per-emitted-row interpreted re-evaluation of a lambda-built array
+    bigrams = exploded_ngrams(d, "doc_id", "_lt", 2, alias="bg")
     freq = bigrams.groupBy("bg").agg(F.count("*").alias("c"))
     return (
         bigrams.join(freq, "bg")
