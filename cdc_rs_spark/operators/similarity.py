@@ -159,21 +159,33 @@ def _assign_to_centroids(candidates: DataFrame, cents: DataFrame) -> DataFrame:
     inside `array_max(transform(...))` — a pure map-side pass with ZERO
     shuffle over the corpus (the window-over-crossJoin form shuffles
     N x n_centroids rows; at 100 TB that shuffle IS the cost)."""
+    # per-centroid norms are computed ONCE on the 16-row side and carried in
+    # the broadcast struct; the per-vector norm is computed ONCE per row
+    # outside the lambda — so the interpreted lambda body does one dot and
+    # one division per centroid instead of three array folds.
+    # cos = dot / (norm(vec) * norm(cent)) keeps cosine()'s factor order, so
+    # assignments stay bit-identical to the oracle's.
     packed = F.broadcast(
-        cents.agg(F.collect_list(F.struct("cent_id", "c_emb")).alias("cs"))
+        cents.select("cent_id", "c_emb", norm(F.col("c_emb")).alias("cn"))
+        .agg(F.collect_list(F.struct("cent_id", "c_emb", "cn")).alias("cs"))
     )
     # max of struct(cos, -cent_id) = highest cosine, lowest cent_id tiebreak
     best = F.array_max(
         F.transform(
             F.col("cs"),
             lambda s: F.struct(
-                cosine(F.col("embedding"), s["c_emb"]).alias("c"),
+                (
+                    dot(F.col("embedding"), s["c_emb"])
+                    / (F.col("_vn") * s["cn"])
+                ).alias("c"),
                 (-s["cent_id"]).alias("nid"),
             ),
         )
     )
-    return candidates.crossJoin(packed).select(
-        "vec_id", "embedding", (-best["nid"]).alias("cent_id")
+    return (
+        candidates.withColumn("_vn", norm(F.col("embedding")))
+        .crossJoin(packed)
+        .select("vec_id", "embedding", (-best["nid"]).alias("cent_id"))
     )
 
 
