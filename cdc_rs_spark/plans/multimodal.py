@@ -127,3 +127,51 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = d.select("doc_id", png.alias("payload"))
     return decode_image(payloads)
+
+
+@register(
+    "multimodal_payload_dedup",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id,
+               md5(substr(text, 1, 64)) AS head_hash,
+               md5(text) AS full_hash
+        FROM documents
+    )
+    SELECT head_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT full_hash) AS BIGINT) AS n_distinct_payloads,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper
+    FROM hashed
+    GROUP BY head_hash
+    HAVING COUNT(*) >= 2
+    """,
+)
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash media dedup over the opaque binary payload: group by a
+    64-byte HEAD fingerprint (the chunk-hash trick — truncated/re-encoded
+    copies of the same source share their header bytes long before a
+    full-content hash would match), and report per group how many payloads
+    are byte-identical end-to-end (n_distinct_payloads = 1 means the whole
+    group is one file). Both hashes are computed map-side next to the
+    storage scan; the shuffle carries (hash, doc_id) pairs only — never
+    payload bytes — which is what makes this viable over 100 TB of media.
+    The fixture payload is ASCII, so the oracle's substr-by-chars equals
+    the operator's substring-by-bytes."""
+    d = spread(load(spark, sf_dir, "documents"))
+    from pyspark.sql import functions as F
+
+    hashed = attach_payload(d).select(
+        "doc_id",
+        F.md5(F.expr("substring(payload, 1, 64)")).alias("head_hash"),
+        F.md5("payload").alias("full_hash"),
+    )
+    return (
+        hashed.groupBy("head_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.countDistinct("full_hash").cast("bigint").alias("n_distinct_payloads"),
+            F.min("doc_id").cast("bigint").alias("keeper"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
