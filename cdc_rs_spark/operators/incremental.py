@@ -66,3 +66,45 @@ def incremental_agg(
         .agg(F.sum("dn").alias("n_rows"), F.sum("dv").alias("total"))
         .filter(F.col("n_rows") > 0)
     )
+
+
+def incremental_join_agg(
+    changes: DataFrame,
+    dim: DataFrame,
+    key_of: "callable",
+    dim_key: str,
+    group_col: str,
+    value_of: "callable",
+) -> DataFrame:
+    """Maintain an aggregate over fact JOIN dim purely from FACT-side change
+    deltas: deltaV = deltaFact JOIN dim, aggregated with retract/assert
+    signs — the enriched-materialized-view analog of incremental_agg.
+
+    The dim side is broadcast (dimension tables are small by definition), so
+    maintenance stays ONE shuffle on the final group key and the cost is
+    O(changes) regardless of fact-table size. A dim-side change requires the
+    complementary fact JOIN deltaDim pass (same algebra, swapped roles);
+    with CDC feeds on both sides run both passes and union the deltas."""
+
+    def part(img: Column, sign: int) -> Column:
+        return F.struct(
+            key_of(img).alias("_k"),
+            F.lit(sign).cast("bigint").alias("dn"),
+            (value_of(img) * sign).alias("dv"),
+        )
+
+    before = changes.filter(F.col("before").isNotNull()).select(
+        part(F.col("before"), -1).alias("d")
+    )
+    after = changes.filter(F.col("after").isNotNull()).select(
+        part(F.col("after"), 1).alias("d")
+    )
+    deltas = before.unionByName(after).select("d._k", "d.dn", "d.dv")
+    enriched = deltas.join(
+        F.broadcast(dim), deltas["_k"] == dim[dim_key], "inner"
+    )
+    return (
+        enriched.groupBy(group_col)
+        .agg(F.sum("dn").alias("n_rows"), F.sum("dv").alias("total"))
+        .filter(F.col("n_rows") > 0)
+    )

@@ -519,3 +519,61 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o.total").cast("double").alias("old_total"),
         F.col("n.total").cast("double").alias("new_total"),
     )
+
+
+@register(
+    "cdc_join_view_maintenance",
+    oracle="""
+    WITH final_state AS (
+        SELECT o_custkey,
+               o_totalprice
+                 + CASE WHEN o_orderkey % 10 = 3 THEN 1000.0 ELSE 0 END AS v
+        FROM orders WHERE o_orderkey % 10 <> 7
+        UNION ALL
+        SELECT o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 1
+    )
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM final_state f
+    JOIN customer c ON f.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def cdc_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an ENRICHED materialized view — revenue
+    per customer nation over orders JOIN customer JOIN nation — purely from
+    the fact-side change stream (operators/incremental.py:
+    incremental_join_agg). Each change's retract/assert delta is joined to
+    the broadcast dimension before aggregation, so upkeep is O(changes) with
+    one shuffle on the nation key; the oracle recomputes the view from the
+    post-change base table and must match the delta-maintained state
+    exactly (decimal sums). This is the classic deltaFact JOIN dim half of
+    join-view IVM; the dim-side half is the same algebra with roles
+    swapped."""
+    from cdc_rs_spark.operators.incremental import incremental_join_agg
+
+    orders = load(spark, sf_dir, "orders")
+    backfill = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    live = live_orders_changes(spark, sf_dir)
+    changes = backfill.unionByName(live)
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = customer.join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"]).select(
+        "c_custkey", F.col("n_name").alias("nation")
+    )
+    out = incremental_join_agg(
+        changes,
+        dim,
+        key_of=lambda img: img["o_custkey"].cast("bigint"),
+        dim_key="c_custkey",
+        group_col="nation",
+        value_of=lambda img: img["o_totalprice"].cast("double").cast("decimal(18,2)"),
+    )
+    return out.select(
+        "nation",
+        "n_rows",
+        F.col("total").cast("decimal(38,2)").cast("double").alias("total"),
+    )
