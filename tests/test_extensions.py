@@ -302,3 +302,68 @@ def test_int8_quantize_zero_vector_and_range(spark):
     assert rows[1] == [0, 0]            # zero vector stays zero (no div-by-0)
     assert rows[2] == [127, -63]        # max|x| -> 127; half-up rounding
     assert rows[3] == [127, 64]         # scale-relative, not absolute
+
+
+def test_incremental_join_agg_group_migration_and_deletion(spark):
+    """An update that moves a fact row to a DIFFERENT dim key retracts from
+    the old group and asserts into the new one; a full-group deletion drops
+    the group (n_rows=0 filtered) — the invariants the synthetic feed never
+    exercises (it keeps keys stable)."""
+    from cdc_rs_spark.operators.incremental import incremental_join_agg
+
+    img = "map<string,string>"
+    changes = spark.createDataFrame(
+        [
+            # key 1 in region A: backfill assert of v=10
+            ("Backfill", None, {"k": "1", "v": "10"}),
+            # key 2 in region A: asserted then MOVED to region B with v 5->7
+            ("Backfill", None, {"k": "2", "v": "5"}),
+            ("Update", {"k": "2", "v": "5"}, {"k": "20", "v": "7"}),
+            # key 3 alone in region C, then deleted -> group C disappears
+            ("Backfill", None, {"k": "3", "v": "1"}),
+            ("Delete", {"k": "3", "v": "1"}, None),
+        ],
+        f"op string, before {img}, after {img}",
+    )
+    dim = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (20, "B"), (3, "C")], "dk long, grp string"
+    )
+    out = {
+        r.grp: (r.n_rows, float(r.total))
+        for r in incremental_join_agg(
+            changes,
+            dim,
+            key_of=lambda i: i["k"].cast("bigint"),
+            dim_key="dk",
+            group_col="grp",
+            value_of=lambda i: i["v"].cast("decimal(18,2)"),
+        ).collect()
+    }
+    assert out == {"A": (1, 10.0), "B": (1, 7.0)}
+
+
+def test_exploded_ngrams_matches_array_shingles(spark):
+    """The index-sequence explode (performance path) emits exactly the same
+    multiset of n-grams as explode(shingles(...)) minus the per-doc distinct
+    (shingles array_distincts; exploded_ngrams leaves duplicates to the
+    caller) — verified on docs with and without internal repetition."""
+    from cdc_rs_spark.operators.dedup import exploded_ngrams, shingles, word_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y x y x"), (3, "one two")],
+        "doc_id long, text string",
+    )
+    fast = exploded_ngrams(df, "doc_id", "text", 3)
+    got = sorted((r.doc_id, r.gram) for r in fast.collect())
+    assert got == [
+        (1, "a b c"), (1, "b c d"),
+        (2, "x y x"), (2, "x y x"), (2, "y x y"),
+    ]
+    toks = word_tokens(F.col("text"))
+    ref = (
+        df.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(shingles(toks)).alias("gram"))
+    )
+    assert sorted((r.doc_id, r.gram) for r in ref.collect()) == sorted(
+        set(got)
+    )
