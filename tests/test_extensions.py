@@ -367,3 +367,24 @@ def test_exploded_ngrams_matches_array_shingles(spark):
     assert sorted((r.doc_id, r.gram) for r in ref.collect()) == sorted(
         set(got)
     )
+
+
+def test_epoch_us_agnostic_to_timestamp_type(spark):
+    """epoch_us must yield identical epoch micros for TIMESTAMP and
+    TIMESTAMP_NTZ input (the fixture parquet changed type across rounds —
+    naive timestamp[us] reads as NTZ under Spark 4's inference)."""
+    from cdc_rs_spark.functions.timeutil import epoch_ms, epoch_us
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:09:58.778549",)], "s string"
+    ).select(
+        F.col("s").cast("timestamp").alias("ltz"),
+        F.col("s").cast("timestamp_ntz").alias("ntz"),
+    )
+    r = df.select(
+        epoch_us("ltz").alias("a"),
+        epoch_us("ntz").alias("b"),
+        epoch_ms("ntz").alias("m"),
+    ).first()
+    assert r.a == r.b == 1704067798778549
+    assert r.m == 1704067798778
