@@ -1530,3 +1530,93 @@ def benford_digit_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") / F.col("total").cast("double")).alias("freq"),
         )
     )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    steps = []
+    prev = "pr0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""pr{i} AS (
+        SELECT p.dst AS part,
+               CAST(150000 + (85 * SUM(q.pr // d.outdeg)) // 100 AS BIGINT) AS pr
+        FROM pairs p JOIN {prev} q ON p.src = q.part
+                     JOIN deg d ON p.src = d.src
+        GROUP BY p.dst
+    )"""
+        )
+        prev = f"pr{i}"
+    joined = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM pairs GROUP BY src),
+    pr0 AS (SELECT src AS part, CAST(1000000 AS BIGINT) AS pr FROM deg),
+    {joined}
+    SELECT part, pr, rnk FROM (
+        SELECT part, pr,
+               row_number() OVER (ORDER BY pr DESC, part) AS rnk
+        FROM {prev}
+    ) WHERE rnk <= 20
+    """
+
+
+@register("pagerank_part_graph", oracle=_pagerank_oracle())
+def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the part co-occurrence graph (parts are
+    linked when bought in the same order) — the second iterative-graph
+    operator beside connected components, exercising the loop-of-joins
+    pattern with a bounded, SQL-reproducible trip count (3).
+
+    Determinism discipline: ranks are INTEGER micro-units — contribution =
+    pr // outdeg (integer floor), damping = 150000 + (85 * s) // 100 — so
+    per-node sums are order-independent (no FP accumulation) and the oracle
+    reproduces every division exactly. Headroom: 85 * sum(contrib) stays
+    under int64 up to ~10^8 nodes.
+
+    Scale shape: edges come from the order-bounded self-join (per-order
+    C(n,2), never corpus-quadratic), each iteration is one join keyed on
+    src (the same partitioning every round — exchange reuse) + one
+    map-side-combinable sum on dst; the rank table carries (node, pr) only.
+    At 100 TB persist the edge table bucketed by src so every iteration is
+    shuffle-free on the probe side; convergence-based variants add the
+    per-round delta check (same count() pattern as operators/graph.py)."""
+    # pre-distinct (order, part): repeated lines of one part in one order
+    # add nothing to the DISTINCT pair set but multiply the self-join output
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "ok").filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    )
+    # outdeg via a window over the src partitioning instead of agg+re-join:
+    # one shuffle fewer, and the edge table lands partitioned by src
+    edges = pairs.withColumn(
+        "outdeg", F.count("*").over(Window.partitionBy("src")).cast("bigint")
+    )
+    # materialize (src, dst, outdeg) ONCE: without this every iteration's
+    # lineage re-runs the self-join + distinct + degree window (operators/
+    # graph.py's localCheckpoint discipline; measured ~3x on this query).
+    # At cluster scale this is the bucketed-by-src persisted edge table.
+    edges = edges.localCheckpoint(eager=True)
+    pr = edges.select(F.col("src").alias("part")).distinct().select(
+        "part", F.lit(1_000_000).cast("bigint").alias("pr")
+    )
+    for _ in range(3):
+        contrib = edges.join(pr, edges["src"] == pr["part"]).select(
+            "dst", F.expr("pr div outdeg").alias("c")
+        )
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        pr = s.select(
+            F.col("dst").alias("part"),
+            (F.lit(150000).cast("bigint") + F.expr("(85 * s) div 100")).cast("bigint").alias("pr"),
+        )
+    w = Window.orderBy(F.desc("pr"), F.asc("part"))
+    return (
+        pr.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("part", "pr", "rnk")
+    )
