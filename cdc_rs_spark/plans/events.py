@@ -1105,3 +1105,39 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").cast("bigint").alias("n_purchases"),
         F.sum("rev").cast("double").alias("attributed_revenue"),
     )
+
+
+@register(
+    "events_quota_enforcement",
+    oracle="""
+    WITH ranked AS (
+        SELECT CAST(ts AS DATE) AS day,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT day,
+           CAST(COUNT(*) FILTER (WHERE rn <= 5) AS BIGINT) AS n_allowed,
+           CAST(COUNT(*) FILTER (WHERE rn > 5) AS BIGINT) AS n_throttled,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM ranked GROUP BY day
+    """,
+)
+def events_quota_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion quota / rate-limit enforcement: each user may land 5 events
+    per day; later events (deterministic ts, event_id arrival order) are
+    throttled. The batch form of a token-bucket admission gate — per
+    (user, day) row_number against the quota, rolled up to a daily
+    admission report. ONE shuffle on (user_id, day) for the ranking window
+    (the log's natural bucketing key); the daily rollup is map-side
+    combinable. The streaming analog keeps a per-key count in state with
+    daily TTL (applyInPandasWithState, cf. streaming/arbitrate.py)."""
+    e = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    ranked = e.select(day.alias("day"), F.row_number().over(w).alias("rn"))
+    return ranked.groupBy("day").agg(
+        F.count(F.when(F.col("rn") <= 5, 1)).cast("bigint").alias("n_allowed"),
+        F.count(F.when(F.col("rn") > 5, 1)).cast("bigint").alias("n_throttled"),
+        F.count("*").cast("bigint").alias("n_total"),
+    )
