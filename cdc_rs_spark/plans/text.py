@@ -769,3 +769,33 @@ def text_rare_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_rare").cast("double") / F.col("n_bigrams"), 6).alias("rare_ratio"),
         )
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH t AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+    scored AS (
+        SELECT lang,
+               {_hits_sql("en")} AS s_en, {_hits_sql("es")} AS s_es,
+               {_hits_sql("fr")} AS s_fr, {_hits_sql("de")} AS s_de
+        FROM t
+    )
+    SELECT lang AS declared, {_PRED_LANG_SQL} AS predicted,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM scored GROUP BY declared, predicted
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID quality audit: confusion matrix of the n-gram classifier
+    against the corpus's DECLARED lang column. The classifier-evaluation
+    primitive a pipeline runs before trusting langid-based filtering — off-
+    diagonal mass tells you which filters silently drop which languages.
+    Map-side scoring, one |langs|^2-row shuffle."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    return (
+        d.select(F.col("lang").alias("declared"), predicted_lang(toks).alias("predicted"))
+        .groupBy("declared", "predicted")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
