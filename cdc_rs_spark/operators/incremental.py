@@ -68,7 +68,7 @@ def incremental_agg(
     )
 
 
-def incremental_join_agg(
+def join_deltas(
     changes: DataFrame,
     dim: DataFrame,
     key_of: "callable",
@@ -76,15 +76,14 @@ def incremental_join_agg(
     group_col: str,
     value_of: "callable",
 ) -> DataFrame:
-    """Maintain an aggregate over fact JOIN dim purely from FACT-side change
-    deltas: deltaV = deltaFact JOIN dim, aggregated with retract/assert
-    signs — the enriched-materialized-view analog of incremental_agg.
-
-    The dim side is broadcast (dimension tables are small by definition), so
-    maintenance stays ONE shuffle on the final group key and the cost is
-    O(changes) regardless of fact-table size. A dim-side change requires the
-    complementary fact JOIN deltaDim pass (same algebra, swapped roles);
-    with CDC feeds on both sides run both passes and union the deltas."""
+    """Enriched delta stream for join-view IVM: each change's retract/assert
+    row joins the broadcast dimension, yielding (group, dn, dv) deltas in
+    the VIEW's group space. This is the per-micro-batch unit of streaming
+    maintenance — deltas from any batch partitioning sum to the same view,
+    so the stream appends them to a delta log and the view is the running
+    per-group sum (see tests/test_streaming.py). No net-positive filter
+    here: a batch may legitimately net a group negative or to zero; the
+    n_rows > 0 gate belongs at view READ time (incremental_join_agg)."""
 
     def part(img: Column, sign: int) -> Column:
         return F.struct(
@@ -103,8 +102,30 @@ def incremental_join_agg(
     enriched = deltas.join(
         F.broadcast(dim), deltas["_k"] == dim[dim_key], "inner"
     )
+    return enriched.groupBy(group_col).agg(
+        F.sum("dn").alias("n_rows"), F.sum("dv").alias("total")
+    )
+
+
+def incremental_join_agg(
+    changes: DataFrame,
+    dim: DataFrame,
+    key_of: "callable",
+    dim_key: str,
+    group_col: str,
+    value_of: "callable",
+) -> DataFrame:
+    """Maintain an aggregate over fact JOIN dim purely from FACT-side change
+    deltas: deltaV = deltaFact JOIN dim, aggregated with retract/assert
+    signs — the enriched-materialized-view analog of incremental_agg.
+
+    The dim side is broadcast (dimension tables are small by definition), so
+    maintenance stays ONE shuffle on the final group key and the cost is
+    O(changes) regardless of fact-table size. A dim-side change requires the
+    complementary fact JOIN deltaDim pass (same algebra, swapped roles);
+    with CDC feeds on both sides run both passes and union the deltas.
+    Groups netting to zero rows drop out, as a recompute would."""
     return (
-        enriched.groupBy(group_col)
-        .agg(F.sum("dn").alias("n_rows"), F.sum("dv").alias("total"))
+        join_deltas(changes, dim, key_of, dim_key, group_col, value_of)
         .filter(F.col("n_rows") > 0)
     )

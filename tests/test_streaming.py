@@ -921,3 +921,72 @@ def test_full_pipeline_on_change_feed_datasource(spark, tmp_path):
     lines = open(os.path.join(out, files[0])).read().strip().splitlines()
     assert len(lines) == 2
     assert all('"_CHANGE_TYPE": "UPSERT"' in ln or '"_CHANGE_TYPE":"UPSERT"' in ln for ln in lines)
+
+
+def test_streaming_join_view_maintenance(spark, tmp_path):
+    """Streaming form of cdc_join_view_maintenance: each micro-batch's fact
+    deltas join the broadcast dimension BEFORE landing in the delta log, so
+    the maintained enriched view (sum of deltas per region) equals a batch
+    recompute — including a cross-batch key migration whose retraction
+    lands in a later micro-batch, and a fact keyed to a region that ends
+    empty (dropped by the n>0 gate, exactly like a recompute)."""
+    from cdc_rs_spark.operators.incremental import join_deltas
+
+    src = str(tmp_path / "jv_src")
+    deltas_dir = str(tmp_path / "jv_deltas")
+    ckpt = str(tmp_path / "jv_ckpt")
+
+    dim = spark.createDataFrame(
+        [(1, "east"), (2, "east"), (3, "west")], "ck long, region string"
+    )
+
+    def envelope(op, before, after, ts):
+        return {"op": op, "db": "d", "table": "t", "before": before,
+                "after": after, "ts": ts, "pkey": "id"}
+
+    def apply_batch(batch_df, _batch_id):
+        # per-batch: deltas ⋈ dim -> (region, dn, dv) rows appended; the
+        # maintained view is the running sum of this log
+        join_deltas(
+            batch_df,
+            dim,
+            key_of=lambda img: img["ck"].cast("bigint"),
+            dim_key="ck",
+            group_col="region",
+            value_of=lambda img: img["v"].cast("decimal(18,2)"),
+        ).write.mode("append").parquet(deltas_dir)
+
+    def run():
+        q = (
+            read_change_stream(spark, src)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    _write_changes(src, "b1.json", [
+        envelope("Insert", None, {"id": "10", "ck": "1", "v": "10.00"}, 1),
+        envelope("Insert", None, {"id": "11", "ck": "2", "v": "5.00"}, 2),
+        envelope("Insert", None, {"id": "12", "ck": "3", "v": "7.00"}, 3),
+    ])
+    run()
+    _write_changes(src, "b2.json", [
+        # customer swap east->west for fact 10 (key migration across batches)
+        envelope("Update", {"id": "10", "ck": "1", "v": "10.00"},
+                 {"id": "10", "ck": "3", "v": "10.00"}, 4),
+        # west's original fact deleted
+        envelope("Delete", {"id": "12", "ck": "3", "v": "7.00"}, None, 5),
+    ])
+    run()
+
+    maintained = {
+        r.region: (r.n, str(r.total))
+        for r in spark.read.parquet(deltas_dir)
+        .groupBy("region")
+        .agg(F.sum("n_rows").alias("n"), F.sum("total").alias("total"))
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    assert maintained == {"east": (1, "5.00"), "west": (1, "10.00")}
