@@ -577,3 +577,55 @@ def cdc_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("total").cast("decimal(38,2)").cast("double").alias("total"),
     )
+
+
+@register(
+    "cdc_audit_trail",
+    oracle=f"""
+    WITH live AS ({ORACLE_LIVE_CHANGES}),
+    backfill AS (
+        SELECT 'Backfill' AS op, o_orderkey AS okey, 1::BIGINT AS ts
+        FROM orders
+    ),
+    all_changes AS (
+        SELECT op, okey, ts FROM backfill
+        UNION ALL
+        SELECT op, okey, ts FROM live
+    ),
+    trails AS (
+        SELECT okey, string_agg(op, '>' ORDER BY ts, op) AS lifecycle
+        FROM all_changes GROUP BY okey
+    )
+    SELECT lifecycle, CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM trails GROUP BY lifecycle
+    """,
+)
+def cdc_audit_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC observability: per-key lifecycle pattern (the ordered op history,
+    e.g. 'Backfill>Update') aggregated into a pattern histogram — the audit
+    a pipeline runs to spot anomalous lifecycles (deletes without inserts,
+    double-backfills) at a glance. Determinism: collect_list order is NOT
+    defined after a shuffle, so the trail is built as sort_array over
+    (ts, op) structs before joining — the same trick as the sorted
+    array-agg queries; the oracle's string_agg carries the matching ORDER
+    BY. One shuffle on key, then a histogram over |patterns| rows."""
+    orders = load(spark, sf_dir, "orders")
+    backfill = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    live = live_orders_changes(spark, sf_dir)
+    changes = backfill.unionByName(live)
+    img = F.coalesce(F.col("after"), F.col("before"))
+    keyed = changes.select(
+        img[F.col("pkey")].cast("bigint").alias("okey"), "ts", "op"
+    )
+    trails = keyed.groupBy("okey").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "op"))),
+                lambda s: s["op"],
+            ),
+        ).alias("lifecycle")
+    )
+    return trails.groupBy("lifecycle").agg(
+        F.count("*").cast("bigint").alias("n_keys")
+    )
