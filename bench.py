@@ -37,21 +37,27 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # best-of-N per query: host CPU contention adds up to ±2x noise to a
-    # single sample; the min of N back-to-back runs is the stable estimate
-    # of the query's actual cost (runs share warm page cache by design)
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # best-of-N per query, N >= 3 (BENCH_NOTES.md: in-suite vs isolated
+    # timings diverged up to 2x at N=2 — JIT/GC/page-cache state depends on
+    # suite position; the min of >=3 back-to-back runs is the stable
+    # estimate of a query's actual cost, and the FIXED alphabetical order
+    # makes suite-position effects reproducible run-over-run)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, q in sorted(registry.items()):
-        best = float("inf")
+        samples = []
         for _ in range(n_runs):
             # timer covers plan construction too: iterative operators (e.g.
             # connected components) run actions while building their result
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        # max/min spread: >2 flags a query whose first sample pays one-time
+        # costs (codegen compile, broadcast build) — read best, not mean
+        spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -63,6 +69,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs_per_query": n_runs,
+                "order": "alphabetical (fixed; suite position = sorted rank)",
+                "noise_spread_maxmin": spreads,
                 "sf": float(sf) if sf else sf_dir,
             }
         )

@@ -75,6 +75,7 @@ def join_deltas(
     dim_key: str,
     group_col: str,
     value_of: "callable",
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Enriched delta stream for join-view IVM: each change's retract/assert
     row joins the broadcast dimension, yielding (group, dn, dv) deltas in
@@ -99,9 +100,11 @@ def join_deltas(
         part(F.col("after"), 1).alias("d")
     )
     deltas = before.unionByName(after).select("d._k", "d.dn", "d.dv")
-    enriched = deltas.join(
-        F.broadcast(dim), deltas["_k"] == dim[dim_key], "inner"
-    )
+    # broadcast_dim=False for dims past the broadcast threshold: same
+    # algebra, shuffled equi-join (pre-bucket the dim to shuffle only the
+    # delta side) — see incremental_join_agg's scale contract
+    dim_side = F.broadcast(dim) if broadcast_dim else dim
+    enriched = deltas.join(dim_side, deltas["_k"] == dim[dim_key], "inner")
     return enriched.groupBy(group_col).agg(
         F.sum("dn").alias("n_rows"), F.sum("dv").alias("total")
     )
@@ -114,18 +117,32 @@ def incremental_join_agg(
     dim_key: str,
     group_col: str,
     value_of: "callable",
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Maintain an aggregate over fact JOIN dim purely from FACT-side change
     deltas: deltaV = deltaFact JOIN dim, aggregated with retract/assert
     signs — the enriched-materialized-view analog of incremental_agg.
 
-    The dim side is broadcast (dimension tables are small by definition), so
-    maintenance stays ONE shuffle on the final group key and the cost is
-    O(changes) regardless of fact-table size. A dim-side change requires the
-    complementary fact JOIN deltaDim pass (same algebra, swapped roles);
-    with CDC feeds on both sides run both passes and union the deltas.
-    Groups netting to zero rows drop out, as a recompute would."""
+    The dim side is broadcast, so maintenance stays ONE shuffle on the final
+    group key and the cost is O(changes) regardless of fact-table size.
+    CAVEAT (scale contract): "dimension" here means *fits the broadcast
+    threshold* (spark.sql.autoBroadcastJoinThreshold; executors and driver
+    must hold a full copy). TPC-H customer GROWS with scale factor — at the
+    100 TB regime a customer-sized dim would OOM the broadcast. When the
+    dim exceeds the threshold, pass broadcast_dim=False: the algebra is
+    UNCHANGED and the enrich join becomes a shuffled equi-join on the dim
+    key (or, better, pre-bucket the dim on dim_key — operators/skew.py
+    bucket_table — so only the delta side shuffles). Maintenance cost is
+    then O(changes) + one delta-sized shuffle, still never O(fact).
+
+    A dim-side change requires the complementary fact JOIN deltaDim pass
+    (same algebra, swapped roles); with CDC feeds on both sides run both
+    passes and union the deltas. Groups netting to zero rows drop out, as a
+    recompute would."""
     return (
-        join_deltas(changes, dim, key_of, dim_key, group_col, value_of)
+        join_deltas(
+            changes, dim, key_of, dim_key, group_col, value_of,
+            broadcast_dim=broadcast_dim,
+        )
         .filter(F.col("n_rows") > 0)
     )

@@ -34,6 +34,55 @@ LSH_WEIGHTS: list[list[float]] = [
 ]
 
 
+# --- expression builders -----------------------------------------------------
+# Every helper has a SQL-string form and a Column form with IDENTICAL Catalyst
+# semantics. The string form exists because building a 64-element fold through
+# the Python Column API costs hundreds of py4j round trips PER EXPRESSION —
+# measured at 0.6-0.9 s of pure driver-side plan construction per ANN query,
+# often more wall-clock than the distributed execution itself at bench scale.
+# One F.expr(...) call hands the whole tree to the JVM parser instead.
+
+
+def dot_sql(a: str, b: str, dim: int | None = None) -> str:
+    """SQL form of the left-fold double-accumulation dot product (matches the
+    DuckDB oracle's list_reduce over list_transform fold order).
+
+    With `dim` known (the engine's embeddings are fixed EMB_DIM) the fold is
+    UNROLLED into flat left-associated arithmetic: Spark's higher-order
+    functions (aggregate/zip_with) execute interpreted with per-element
+    boxing, while a flat `0.0 + a[0]*b[0] + a[1]*b[1] + ...` chain
+    whole-stage-codegens to straight JVM float math — measured ~3x on the
+    ANN queries. The leading `0.0 +` reproduces the fold's seed addition,
+    so every IEEE operation (and hence every bit of the result) is
+    identical to the fold form and the DuckDB oracle. dim=None keeps the
+    generic fold for unknown-width arrays."""
+    if dim is None:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    terms = " + ".join(
+        f"CAST({a}[{j}] AS DOUBLE) * CAST({b}[{j}] AS DOUBLE)" for j in range(dim)
+    )
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+
+def norm_sql(a: str, dim: int | None = None) -> str:
+    if dim is None:
+        return (
+            f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+        )
+    terms = " + ".join(
+        f"CAST({a}[{j}] AS DOUBLE) * CAST({a}[{j}] AS DOUBLE)" for j in range(dim)
+    )
+    return f"sqrt(CAST(0.0 AS DOUBLE) + {terms})"
+
+
+def cosine_sql(a: str, b: str, dim: int | None = None) -> str:
+    return f"({dot_sql(a, b, dim)} / ({norm_sql(a, dim)} * {norm_sql(b, dim)}))"
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-fold dot product with double accumulation (matches the oracle's
     list_reduce over list_transform)."""
@@ -54,12 +103,43 @@ def norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    """String args -> one parsed SQL expression (fast build); pass `dim`
+    when the vector width is statically known to unroll the fold into
+    whole-stage-codegen arithmetic (bit-identical, ~3x; see dot_sql).
+    dim=None is always safe for any width."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(cosine_sql(a, b, dim))
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def lsh_signature(emb: Column) -> Column:
-    """16-bit signature: bit i set iff dot(emb, plane_i) >= 0."""
+def _plane_sql(plane: list[float]) -> str:
+    # weights are k/1000 with |k| <= 1000, so repr never needs an exponent;
+    # the D suffix makes each an IEEE-exact DOUBLE literal
+    return "array(" + ", ".join(f"{w!r}D" for w in plane) + ")"
+
+
+def signature_sql(emb: str) -> str:
+    """SQL form of the 16-bit hyperplane signature (bit i set iff
+    dot(emb, plane_i) >= 0) — one parsed expression instead of 16 x 64
+    py4j-built literal trees. The projections deliberately keep the FOLD
+    form (dim=None): unrolling 16 x 64 literal terms was measured to bloat
+    the task binary to ~4 MiB and push codegen compile time past any
+    execution win (7x slower end-to-end)."""
+    terms = [
+        f"(CASE WHEN {dot_sql(emb, _plane_sql(plane), dim=None)} >= 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i, plane in enumerate(LSH_WEIGHTS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_signature(emb: Column | str) -> Column:
+    """16-bit signature: bit i set iff dot(emb, plane_i) >= 0. Accepts a
+    column-name string (fast SQL-parsed build) or a Column (legacy form,
+    same semantics)."""
+    if isinstance(emb, str):
+        return F.expr(signature_sql(emb))
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(LSH_WEIGHTS):
         plane_col = F.array(*[F.lit(w) for w in plane])
@@ -71,7 +151,7 @@ def lsh_signature(emb: Column) -> Column:
 
 
 def brute_force_topk(
-    queries: DataFrame, candidates: DataFrame, k: int = 10
+    queries: DataFrame, candidates: DataFrame, k: int = 10, dim: int | None = None
 ) -> DataFrame:
     """Exact cosine top-k per query. queries: (query_id, q_emb); candidates:
     (vec_id, embedding). The query side is broadcast (small by construction);
@@ -79,7 +159,7 @@ def brute_force_topk(
     joined = candidates.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    cos = cosine(F.col("q_emb"), F.col("embedding"))
+    cos = cosine("q_emb", "embedding", dim)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         joined.select("query_id", "vec_id", cos.alias("cos"))
@@ -118,6 +198,7 @@ def embedding_near_dup_pairs(
     emb_col: str = "embedding",
     threshold: float = 0.3,
     max_hamming: int = 3,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH signatures -> banded
     equi-self-join (scalable candidate generation: shuffle on (band, chunk),
@@ -126,7 +207,7 @@ def embedding_near_dup_pairs(
     Blocking is lossless for max_hamming <= SIG_BANDS-1. The embedding
     arrays are re-joined by id AFTER pair distinct-ing, so the wide vector
     column never rides through the exploded band rows."""
-    sigs = df.select(id_col, lsh_signature(F.col(emb_col)).alias("sig"))
+    sigs = df.select(id_col, lsh_signature(emb_col).alias("sig"))
     chunks = sig_chunks(sigs, id_col, "sig")
     left = chunks.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "chunk"
@@ -146,13 +227,85 @@ def embedding_near_dup_pairs(
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .select("id_a", "id_b", cosine(F.col("emb_a"), F.col("emb_b")).alias("cos"))
+        .select("id_a", "id_b", cosine("emb_a", "emb_b", dim).alias("cos"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
     )
 
 
-def _assign_to_centroids(candidates: DataFrame, cents: DataFrame) -> DataFrame:
+def _py_norm(vec) -> float:
+    """Driver-side mirror of norm_sql's exact IEEE operation sequence:
+    left-fold sum of squares from a 0.0 seed, then one correctly-rounded
+    sqrt — bit-identical to the JVM/DuckDB value for the same input."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _py_dot(a, b) -> float:
+    """Driver-side mirror of dot_sql's fold: 0.0 seed, left-to-right
+    multiply-add in IEEE doubles (Python floats ARE IEEE doubles)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _py_cosine(a, b) -> float:
+    return _py_dot(a, b) / (_py_norm(a) * _py_norm(b))
+
+
+def lloyd_refine_local(train_rows, cent_rows, scale: int = 1 << 44):
+    """One Lloyd iteration computed DRIVER-SIDE over a bounded training
+    sample — the fast path behind ivf training when the sample is
+    aggregate-sized by construction (the FAISS recipe: train on ~30-250
+    vectors per centroid, never the corpus).
+
+    Bit-identical to the distributed refine_centroids (asserted in
+    tests/test_extensions.py): assignment uses the same IEEE fold order via
+    _py_cosine with the same (cosine desc, cent_id asc) tiebreak; per-dim
+    accumulation multiplies by 2^44 (exact integer for any float32) and
+    sums PYTHON INTS (exact, like DECIMAL(38,0)); the mean converts
+    int->double (round-half-even, same as Spark/DuckDB's decimal->double
+    cast) then divides by scale and count in the same order. Empty
+    centroids drop, as in the distributed form."""
+    sums: dict[int, list[int]] = {}
+    counts: dict[int, int] = {}
+    for r in train_rows:
+        emb = r["embedding"]
+        best = max(
+            ((_py_cosine(emb, c["c_emb"]), -int(c["cent_id"])) for c in cent_rows)
+        )
+        cid = -best[1]
+        if cid not in sums:
+            sums[cid] = [0] * len(emb)
+            counts[cid] = 0
+        s = sums[cid]
+        for j, x in enumerate(emb):
+            v = float(x) * scale  # float32 * 2^44 is integer-exact
+            iv = int(v)
+            if v != iv:  # defensive: mirror Spark's DECIMAL HALF_UP cast
+                import math
+
+                iv = math.floor(v + 0.5) if v > 0 else math.ceil(v - 0.5)
+            s[j] += iv
+        counts[cid] += 1
+    out = []
+    for cid in sorted(sums):
+        n = counts[cid]
+        out.append(
+            {
+                "cent_id": cid,
+                "c_emb": [float(v) / scale / n for v in sums[cid]],
+            }
+        )
+    return out
+
+
+def _assign_to_centroids(candidates: DataFrame, cents: DataFrame, dim: int | None = None) -> DataFrame:
     """(vec_id, embedding) x broadcast centroids -> nearest-centroid
     assignment (cosine, cent_id tiebreak). The centroid set is packed into
     ONE array-of-structs row and broadcast, and the argmax runs per-vector
@@ -166,24 +319,18 @@ def _assign_to_centroids(candidates: DataFrame, cents: DataFrame) -> DataFrame:
     # cos = dot / (norm(vec) * norm(cent)) keeps cosine()'s factor order, so
     # assignments stay bit-identical to the oracle's.
     packed = F.broadcast(
-        cents.select("cent_id", "c_emb", norm(F.col("c_emb")).alias("cn"))
+        cents.select("cent_id", "c_emb", F.expr(norm_sql("c_emb", dim)).alias("cn"))
         .agg(F.collect_list(F.struct("cent_id", "c_emb", "cn")).alias("cs"))
     )
-    # max of struct(cos, -cent_id) = highest cosine, lowest cent_id tiebreak
-    best = F.array_max(
-        F.transform(
-            F.col("cs"),
-            lambda s: F.struct(
-                (
-                    dot(F.col("embedding"), s["c_emb"])
-                    / (F.col("_vn") * s["cn"])
-                ).alias("c"),
-                (-s["cent_id"]).alias("nid"),
-            ),
-        )
+    # max of struct(cos, -cent_id) = highest cosine, lowest cent_id tiebreak;
+    # the whole argmax is ONE parsed SQL expression (see expression builders)
+    best = F.expr(
+        "array_max(transform(cs, s -> named_struct("
+        f"'c', {dot_sql('embedding', 's.c_emb', dim)} / (_vn * s.cn), "
+        "'nid', -s.cent_id)))"
     )
     return (
-        candidates.withColumn("_vn", norm(F.col("embedding")))
+        candidates.withColumn("_vn", F.expr(norm_sql("embedding", dim)))
         .crossJoin(packed)
         .select("vec_id", "embedding", (-best["nid"]).alias("cent_id"))
     )
@@ -201,40 +348,40 @@ def refine_centroids(
     mirrors this arithmetic). Seeds that own no vectors
     drop out (standard k-means empty-cluster behavior).
 
-    Cost shape at 100 TB: one map-side broadcast assign pass + ONE shuffle
-    of k x (dim+1) partial aggregates per map task (map-side combine) — the
-    standard distributed k-means step; run it a fixed small number of
-    times. `dim` avoids a one-row inference job when the caller knows it."""
-    assigned = _assign_to_centroids(candidates, cents)
+    Cost shape: one map-side broadcast assign pass over the training set +
+    ONE shuffle keyed on cent_id + one 2-stage job. The training set is a
+    bounded hash sample BY DESIGN (see ivf_topk's `train`), so shipping its
+    vectors whole to the k reducers — rather than pre-combining per-dim
+    partials map-side — moves |train| x dim values, a constant independent
+    of corpus size; in exchange the whole refine is a single small-tree
+    aggregate (a flat 64-column decimal agg spent more wall-clock in
+    Catalyst/codegen than execution, and a posexplode+groupBy(cent_id,pos)
+    form pays a second shuffle to reassemble vectors). Exactness survives
+    the nondeterministic collect order because DECIMAL addition is
+    commutative-exact — no FP fold-order concerns. `dim` sizes the zero
+    vector (callers pass it; falls back to one probe row)."""
+    assigned = _assign_to_centroids(candidates, cents, dim)
     if dim is None:
         dim = candidates.select(F.size("embedding").alias("d")).first()["d"]
-    # per-dim sums as flat agg columns (NOT posexplode+groupBy): partial
-    # aggregation combines map-side, so the one shuffle moves k x dim
-    # partials per task instead of N x dim exploded rows — and the argmax
-    # grouping key is evaluated once per row, not once per exploded dim
     # scale-by-2^44 before the decimal cast: float32 inputs are coarse
     # dyadics that can TIE at a fractional decimal digit (Spark HALF_UP vs
     # DuckDB HALF_EVEN round apart); x * 2^44 is an exact-integer double for
     # any float32 |x| >= 2^-21, and an integer DECIMAL(38,0) cast never ties
-    scale = F.lit(float(1 << 44))
+    scale = float(1 << 44)  # 17592186044416.0
     sums = assigned.groupBy("cent_id").agg(
         F.count("*").alias("n"),
-        *[
-            F.sum(
-                (F.element_at("embedding", i + 1).cast("double") * scale)
-                .cast("decimal(38,0)")
-            ).alias(f"s{i}")
-            for i in range(dim)
-        ],
+        F.expr(
+            "aggregate(collect_list(embedding), "
+            f"array_repeat(CAST(0 AS DECIMAL(38,0)), {dim}), "
+            "(acc, e) -> zip_with(acc, e, "
+            f"(a, x) -> a + CAST(CAST(x AS DOUBLE) * {scale!r}D AS DECIMAL(38,0))))"
+        ).alias("s"),
     )
     return sums.select(
         "cent_id",
-        F.array(
-            *[
-                (F.col(f"s{i}").cast("double") / scale / F.col("n"))
-                for i in range(dim)
-            ]
-        ).alias("c_emb"),
+        F.expr(f"transform(s, v -> CAST(v AS DOUBLE) / {scale!r}D / n)").alias(
+            "c_emb"
+        ),
     )
 
 
@@ -247,6 +394,7 @@ def ivf_topk(
     kmeans_iters: int = 1,
     dim: int | None = None,
     seeds: DataFrame | None = None,
+    train: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into n_centroids lists
     by nearest centroid; a query probes only its nprobe closest lists.
@@ -256,9 +404,17 @@ def ivf_topk(
     fallback is the first n_centroids vectors), then
     `kmeans_iters` exact-arithmetic Lloyd iterations refine them
     (refine_centroids), so the lists reflect actual cluster structure rather
-    than the seeds alone. At cluster scale the list assignment is the
-    partitioning key: probe joins shuffle nprobe/nlists of the corpus
-    instead of all of it."""
+    than the seeds alone.
+
+    `train` decouples the Lloyd training set from the indexed corpus: pass a
+    deterministic hash-sampled subset (the standard IVF recipe — FAISS
+    trains on ~30-250 vectors per centroid, not the corpus) and the
+    refine pass scans |train| rows instead of |corpus| while the LIST
+    ASSIGNMENT below still covers every corpus vector. With a hash-bucket
+    sample the centroids stay bit-reproducible (and the DuckDB oracle
+    mirrors the same sample predicate). At cluster scale the list
+    assignment is the partitioning key: probe joins shuffle nprobe/nlists
+    of the corpus instead of all of it."""
     if seeds is not None:
         cents = seeds
     else:
@@ -268,20 +424,34 @@ def ivf_topk(
     if kmeans_iters:
         if dim is None:
             dim = candidates.select(F.size("embedding").alias("d")).first()["d"]
+        train_set = candidates if train is None else train
+        spark = candidates.sparkSession
+        # Localize the k-row centroid table between passes: collect the
+        # k x dim floats (AQE-statistics-sized — the same volume a broadcast
+        # would ship anyway). Every downstream pass then consumes DRIVER
+        # LITERALS — the assignment argmax unrolls into whole-stage-codegen
+        # arithmetic (_assign_to_literal_centroids) with no broadcast job
+        # and no re-run of the seed-scan/k-means subplan. Float round-trips
+        # are exact (collect yields the IEEE values), so centroids stay
+        # bit-identical to the oracle's.
+        cents = spark.createDataFrame(cents.collect(), cents.schema)
         for _ in range(kmeans_iters):
-            cents = refine_centroids(candidates, cents, dim=dim)
-        # the refined-centroid subplan is consumed by TWO broadcasts below
-        # (list assignment + query probes); materialize the tiny k x dim
-        # table once instead of re-running k-means per consumer
-        cents = cents.localCheckpoint(eager=True)
-    assigned = _assign_to_centroids(candidates, cents)
+            refined = refine_centroids(train_set, cents, dim=dim)
+            cents = spark.createDataFrame(refined.collect(), refined.schema)
+    assigned = _assign_to_centroids(candidates, cents, dim)
+    # localize the (tiny, bounded) query side too: the probe table then
+    # derives entirely from LocalRelations, so its broadcast build is a
+    # driver-local evaluation instead of a scheduled scan job of its own
+    queries = queries.sparkSession.createDataFrame(
+        queries.collect(), queries.schema
+    )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("p_cos").desc(), F.col("cent_id")
     )
     probes = (
         queries.crossJoin(F.broadcast(cents))
         .select(
-            "query_id", "q_emb", "cent_id", cosine(F.col("q_emb"), F.col("c_emb")).alias("p_cos")
+            "query_id", "q_emb", "cent_id", cosine("q_emb", "c_emb", dim).alias("p_cos")
         )
         .withColumn("prank", F.row_number().over(probe_w))
         .filter(F.col("prank") <= nprobe)
@@ -293,7 +463,35 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         joined.select(
-            "query_id", "vec_id", cosine(F.col("q_emb"), F.col("embedding")).alias("cos")
+            "query_id", "vec_id", cosine("q_emb", "embedding").alias("cos")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def ivf_probe_topk(
+    candidates: DataFrame,
+    cents: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    dim: int | None = None,
+) -> DataFrame:
+    """The DISTRIBUTED half of IVF search, for callers that trained
+    centroids and picked probe lists driver-side (lloyd_refine_local over a
+    bounded sample): assign every corpus vector to its nearest list
+    (broadcast argmax, zero corpus shuffle), then exact cosine top-k inside
+    each query's probed lists. At cluster scale the assignment is the
+    partitioning key — a probe join touches nprobe/nlists of the corpus."""
+    assigned = _assign_to_centroids(candidates, cents, dim)
+    joined = assigned.join(F.broadcast(probes), "cent_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        joined.select(
+            "query_id", "vec_id", cosine("q_emb", "embedding", dim).alias("cos")
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -302,14 +500,18 @@ def ivf_topk(
 
 
 def lsh_topk(
-    queries: DataFrame, candidates: DataFrame, k: int = 5, max_hamming: int = 2
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    max_hamming: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN: restrict candidates to LSH signatures within hamming <=
     max_hamming of the query signature, then exact cosine top-k among them.
     At scale the signature equality (hamming=0) is a plain bucket join; the
     hamming probe is the multi-probe recall knob."""
-    qs = queries.withColumn("q_sig", lsh_signature(F.col("q_emb")))
-    cs = candidates.withColumn("c_sig", lsh_signature(F.col("embedding")))
+    qs = queries.withColumn("q_sig", lsh_signature("q_emb"))
+    cs = candidates.withColumn("c_sig", lsh_signature("embedding"))
     joined = cs.join(
         F.broadcast(qs),
         (F.col("vec_id") != F.col("query_id"))
@@ -318,7 +520,7 @@ def lsh_topk(
             <= max_hamming
         ),
     )
-    cos = cosine(F.col("q_emb"), F.col("embedding"))
+    cos = cosine("q_emb", "embedding", dim)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         joined.select("query_id", "vec_id", cos.alias("cos"))

@@ -253,10 +253,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     into 4x4-bit chunks (equi-join candidate generation — lossless for
     hamming <= 3), then exact cosine >= 0.3 verification. The candidate
     join shuffles (band, chunk) keys only; vectors re-join by id."""
-    from cdc_rs_spark.operators.similarity import embedding_near_dup_pairs
+    from cdc_rs_spark.operators.similarity import EMB_DIM, embedding_near_dup_pairs
 
     emb = spread(load(spark, sf_dir, "embeddings"))
-    return embedding_near_dup_pairs(emb, threshold=0.3, max_hamming=3)
+    return embedding_near_dup_pairs(emb, threshold=0.3, max_hamming=3, dim=EMB_DIM)
 
 
 def _cc_oracle() -> str:

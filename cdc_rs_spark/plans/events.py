@@ -215,15 +215,15 @@ def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Naive form (what the oracle runs): equi-join on user then a time-range
     residual — per-user quadratic. Scale path here: bin both sides into
-    5-minute buckets, equi-join on (user_id, bucket) with each left row
-    duplicated into its 2 reachable buckets [b, b+1], then apply the exact
-    range residual. Shuffle keys are (user, bucket) — candidate pairs are
+    buckets exactly as wide as the range (60 min), equi-join on
+    (user_id, bucket) with each left row duplicated into its 2 reachable
+    buckets [b, b+1], then apply the exact range residual. Shuffle keys are (user, bucket) — candidate pairs are
     bounded by per-bucket density, never per-user history. The bucket width
     equals the range width: exactly 2 probes, the standard trick Spark's
     own range-join hints (DBR) and ASOF implementations use."""
     e = load(spark, sf_dir, "events")
-    five_min_us = 60 * 60 * 1_000_000
-    bucket = (epoch_us("ts") / F.lit(five_min_us)).cast("long")
+    one_hour_us = 60 * 60 * 1_000_000
+    bucket = (epoch_us("ts") / F.lit(one_hour_us)).cast("long")
     p = (
         e.filter(F.col("event_type") == "purchase")
         .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
@@ -231,8 +231,8 @@ def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             F.explode(
                 F.array(
-                    (epoch_us("p_ts") / five_min_us).cast("long"),
-                    (epoch_us("p_ts") / five_min_us).cast("long") + 1,
+                    (epoch_us("p_ts") / one_hour_us).cast("long"),
+                    (epoch_us("p_ts") / one_hour_us).cast("long") + 1,
                 )
             ),
         )
@@ -240,12 +240,12 @@ def events_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = (
         e.filter(F.col("event_type") == "error")
         .select(F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("e_ts"))
-        .withColumn("bucket", (epoch_us("e_ts") / five_min_us).cast("long"))
+        .withColumn("bucket", (epoch_us("e_ts") / one_hour_us).cast("long"))
     )
     dt_us = epoch_us("e_ts") - epoch_us("p_ts")
     return (
         p.join(err, ["user_id", "bucket"])
-        .filter((dt_us >= 0) & (dt_us < five_min_us))
+        .filter((dt_us >= 0) & (dt_us < one_hour_us))
         .select(
             "purchase_id",
             "error_id",
@@ -843,10 +843,13 @@ _AB_RATE = "CAST(n_conv AS DOUBLE) / n_users"
     SELECT n_a, n_b, conv_a, conv_b,
            ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
            ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
-           ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+           CASE WHEN n_a > 0 AND n_b > 0
+                 AND conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+           THEN ROUND((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
                  / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                         * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+                        * (1.0 / n_a + 1.0 / n_b)), 4)
+           ELSE NULL END AS z
     FROM arms
     """,
 )
@@ -898,10 +901,24 @@ def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_b",
         F.round(rate_a, 6).alias("rate_a"),
         F.round(rate_b, 6).alias("rate_b"),
-        F.round(
-            (rate_a - rate_b)
-            / F.sqrt(p_pool * (F.lit(1.0) - p_pool) * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))),
-            4,
+        # total function: NULL on degenerate pools (all-zero/all-one
+        # conversions, or an empty arm) where sqrt's argument is 0 — Spark
+        # would emit null/Infinity while DuckDB errors; the guard (mirrored
+        # in the oracle) makes both engines agree everywhere
+        F.when(
+            (F.col("n_a") > 0)
+            & (F.col("n_b") > 0)
+            & (F.col("conv_a") + F.col("conv_b") > 0)
+            & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b")),
+            F.round(
+                (rate_a - rate_b)
+                / F.sqrt(
+                    p_pool
+                    * (F.lit(1.0) - p_pool)
+                    * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+                ),
+                4,
+            ),
         ).alias("z"),
     )
 

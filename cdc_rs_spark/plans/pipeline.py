@@ -220,10 +220,14 @@ def unpivot_priority_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pack_documents_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training: assign documents (ordered by doc_id)
     to ~4096-token bins by cumulative token count, then summarize bins.
-    The whole-corpus running sum is a single-partition window at test scale;
-    the 100 TB path pre-shards by hash_bucket(doc_id, n_shards) and packs
-    within each shard independently (embarrassingly parallel, same output
-    contract per shard) — see SCALE.md §10."""
+    The corpus-wide running sum is the two-pass range-bucketed prefix
+    (operators/ranged.py): bucket by sampled doc_id quantiles, per-bucket
+    token totals -> exclusive offsets, then a PARTITIONED window adds each
+    bucket's offset to its local cumsum — exact global cumsum, no
+    Exchange SinglePartition anywhere in the plan (asserted in
+    tests/test_scale_plans.py)."""
+    from cdc_rs_spark.operators.ranged import global_cumsum, ranked_result
+
     docs = load(spark, sf_dir, "documents")
     # whitespace token count = spaces + 1, cheap and engine-agnostic
     sized = docs.select(
@@ -234,15 +238,21 @@ def pack_documents_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1)
         ).alias("n_tokens"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    packed = sized.withColumn("cum", F.sum("n_tokens").over(w))
-    return (
-        packed.withColumn(
-            "bin", F.floor((F.col("cum") - 1) / 4096)
+
+    def build(cached):
+        packed = global_cumsum(
+            cached, "doc_id", [F.asc("doc_id")], "n_tokens", out_col="cum"
         )
-        .groupBy("bin")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
-    )
+        return (
+            packed.withColumn("bin", F.floor((F.col("cum") - 1) / 4096))
+            .groupBy("bin")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_tokens").alias("bin_tokens"),
+            )
+        )
+
+    return ranked_result(sized, build)
 
 
 @register(
@@ -577,13 +587,23 @@ def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     First 100 positions shown for the oracle. At 100 TB nobody materializes
     a global row_number: range-partition BY the hash bucket and
     sortWithinPartitions — writer file/row order then IS this permutation
-    with zero global coordination; this entry pins the order contract."""
+    with zero global coordination; this entry pins the order contract.
+    The pinned top-100 itself is `orderBy(bucket, id).limit(100)` — Spark
+    plans TakeOrderedAndProject (per-partition top-k, merge k·P rows on the
+    driver, NO global sort); only the 100 surviving rows see a window to
+    number them."""
     docs = load(spark, sf_dir, "documents")
-    w = Window.orderBy(hash_bucket(F.col("doc_id"), 1_000_000), F.col("doc_id"))
+    top = (
+        docs.select(
+            "doc_id", "source", hash_bucket(F.col("doc_id"), 1_000_000).alias("_b")
+        )
+        .orderBy("_b", "doc_id")
+        .limit(100)
+    )
+    w = Window.orderBy("_b", "doc_id")  # 100 rows by construction
     return (
-        docs.select("doc_id", "source")
-        .withColumn("shuffle_rank", F.row_number().over(w))
-        .filter(F.col("shuffle_rank") <= 100)
+        top.withColumn("shuffle_rank", F.row_number().over(w))
+        .select("doc_id", "source", "shuffle_rank")
     )
 
 
@@ -894,35 +914,58 @@ def feature_ntile_binning_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
     """Equi-depth feature binning: NTILE(10) deciles of l_extendedprice
     (deterministic total order via key tiebreaks) with per-bin bounds and
     the inverse-frequency weight N/(k*n_bin) used to rebalance skewed
-    features/classes at training time. NTILE over an unpartitioned window
-    is a global range-sort — Spark executes it as range-partitioned sort
-    (rangepartitioning exchange), the same cost class as any global ORDER
-    BY; at 100 TB swap exact NTILE for approx_percentile cut points
-    (outlier_iqr_approx_lineitem shows that regime) unless exact equi-depth
-    is contractual. The weight is int-exact counts + one correctly-rounded
-    double division."""
-    li = load(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    binned = li.select("l_extendedprice", F.ntile(10).over(w).alias("bin"))
-    total = li.agg(F.count("*").alias("total"))
-    return (
-        binned.groupBy("bin")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("l_extendedprice").alias("lo"),
-            F.max("l_extendedprice").alias("hi"),
-        )
-        .crossJoin(F.broadcast(total))
-        .select(
-            "bin",
-            "n",
-            "lo",
-            "hi",
-            (F.col("total") / (10 * F.col("n").cast("double"))).alias(
-                "inv_freq_weight"
-            ),
-        )
+    features/classes at training time. Exact equi-depth NTILE without a
+    single-partition window: two-pass range-bucketed global rank
+    (operators/ranged.py — sampled price quantiles -> per-bucket counts ->
+    offsets -> partitioned window) + NTILE's exact row distribution
+    reconstructed from the rank (`ntile_from_rank`). Every data-sized stage
+    is partition-parallel; the approx-threshold regime for when exact
+    equi-depth is NOT contractual stays pinned by
+    outlier_iqr_approx_lineitem."""
+    from cdc_rs_spark.operators.ranged import (
+        global_rank,
+        ntile_from_rank,
+        ranked_result,
     )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+
+    def build(cached):
+        ranked, n_total = global_rank(
+            cached,
+            "l_extendedprice",
+            [
+                F.asc("l_extendedprice"),
+                F.asc("l_orderkey"),
+                F.asc("l_linenumber"),
+            ],
+        )
+        binned = ranked.select(
+            "l_extendedprice",
+            ntile_from_rank(F.col("_rk"), n_total, 10).alias("bin"),
+        )
+        return (
+            binned.groupBy("bin")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("l_extendedprice").alias("lo"),
+                F.max("l_extendedprice").alias("hi"),
+            )
+            .select(
+                "bin",
+                "n",
+                "lo",
+                "hi",
+                (
+                    F.lit(n_total).cast("bigint")
+                    / (10 * F.col("n").cast("double"))
+                ).alias("inv_freq_weight"),
+            )
+        )
+
+    return ranked_result(li, build)
 
 
 @register(
@@ -1001,28 +1044,38 @@ def curriculum_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum construction: rank the corpus by quality (cleanest first,
     doc_id tiebreak for total determinism) and cut it into fixed-size
     training batches of 50; report each batch's quality envelope. The
-    global rank is the one data-sized step — at 100 TB replace row_number
-    with the two-pass range-partitioned rank (sample quantile cut points ->
-    repartitionByRange -> per-partition rank + offset, exactly how Spark's
-    own sort works) as documented in SCALE.md; batch stats are map-side
-    combinable."""
+    global rank is the two-pass range-bucketed rank (operators/ranged.py):
+    sampled quality quantiles -> per-bucket counts -> exclusive offsets ->
+    PARTITIONED window rank + offset — exactly how Spark's own global sort
+    decomposes, with no Exchange SinglePartition in the plan (asserted in
+    tests/test_scale_plans.py); batch stats are map-side combinable."""
     from cdc_rs_spark.functions.text import quality_score
+    from cdc_rs_spark.operators.ranged import global_rank, ranked_result
 
     d = spread(load(spark, sf_dir, "documents"))
     scored = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
-    w = Window.orderBy(F.desc("quality"), F.asc("doc_id"))
-    ranked = scored.select(
-        "doc_id", "quality", (F.row_number().over(w) - 1).alias("rk")
-    )
-    return (
-        ranked.groupBy(F.floor(F.col("rk") / 50).cast("bigint").alias("batch_id"))
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.min("quality").alias("min_quality"),
-            F.max("quality").alias("max_quality"),
-            F.min("doc_id").cast("bigint").alias("first_doc"),
+
+    def build(cached):
+        ranked, _ = global_rank(
+            cached,
+            "quality",
+            [F.desc("quality"), F.asc("doc_id")],
+            descending=True,
+            out_col="rk",
         )
-    )
+        return (
+            ranked.groupBy(
+                F.floor(F.col("rk") / 50).cast("bigint").alias("batch_id")
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.min("quality").alias("min_quality"),
+                F.max("quality").alias("max_quality"),
+                F.min("doc_id").cast("bigint").alias("first_doc"),
+            )
+        )
+
+    return ranked_result(scored, build)
 
 
 @register(

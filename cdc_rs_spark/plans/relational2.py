@@ -1614,9 +1614,13 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("part"),
             (F.lit(150000).cast("bigint") + F.expr("(85 * s) div 100")).cast("bigint").alias("pr"),
         )
-    w = Window.orderBy(F.desc("pr"), F.asc("part"))
+    # top-20 via orderBy().limit(): TakeOrderedAndProject (per-partition
+    # heap top-k, k·P-row driver merge) instead of an unpartitioned
+    # row_number that would single-task the whole rank table; only the 20
+    # surviving rows see a window to number them.
+    order = [F.desc("pr"), F.asc("part")]
+    top = pr.orderBy(*order).limit(20)
     return (
-        pr.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
+        top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
         .select("part", "pr", "rnk")
     )

@@ -71,7 +71,9 @@ def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    return brute_force_topk(queries, emb.select("vec_id", "embedding"), k=10)
+    return brute_force_topk(
+        queries, emb.select("vec_id", "embedding"), k=10, dim=EMB_DIM
+    )
 
 
 def _sig_sql(emb: str) -> str:
@@ -115,11 +117,14 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    return lsh_topk(queries, emb.select("vec_id", "embedding"), k=5, max_hamming=2)
+    return lsh_topk(
+        queries, emb.select("vec_id", "embedding"), k=5, max_hamming=2, dim=EMB_DIM
+    )
 
 
 N_CENTROIDS = 16
 N_PROBE = 2
+TRAIN_MOD = 10  # Lloyd trains on a 1-in-10 deterministic hash sample
 
 _COS = "{dot} / ({na} * {nb})"
 
@@ -132,9 +137,18 @@ def _cos_sql(a: str, b: str) -> str:
     "similarity_ivf_topk",
     oracle=f"""
     WITH {_QUERIES_SQL},
+    -- Lloyd trains on a deterministic 1-in-{TRAIN_MOD} hash sample of the
+    -- corpus (FAISS-style: a few hundred vectors per centroid suffice);
+    -- the sample predicate is the same md5 bucket Spark uses, so the
+    -- refined centroids stay bit-identical across engines.
+    train0 AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                   AS UBIGINT) % {TRAIN_MOD} < 1
+    ),
     cents0 AS (
         SELECT vec_id AS cent_id, embedding AS c_emb
-        FROM embeddings
+        FROM train0
         ORDER BY CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
                       AS UBIGINT) % 1000000, vec_id
         LIMIT {N_CENTROIDS}
@@ -146,7 +160,7 @@ def _cos_sql(a: str, b: str) -> str:
                        PARTITION BY e.vec_id
                        ORDER BY {_cos_sql("e.embedding", "c.c_emb")} DESC, c.cent_id
                    ) AS arank
-            FROM embeddings e CROSS JOIN cents0 c
+            FROM train0 e CROSS JOIN cents0 c
         ) WHERE arank = 1
     ),
     -- one Lloyd iteration, exact integer accumulation at 2^44 scale
@@ -204,34 +218,73 @@ def _cos_sql(a: str, b: str) -> str:
     """,
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: {N_CENTROIDS} centroids = deterministic HASH-SAMPLED seeds + ONE exact
-    Lloyd refinement iteration (operators/similarity.py refine_centroids —
-    the oracle reproduces the identical decimal-mean arithmetic), queries
-    probe their {N_PROBE} nearest lists, exact cosine top-5 within the
-    probed lists. The inverted-list assignment is the cluster-scale
-    partitioning key — a probe touches nprobe/nlists of the corpus."""
+    """IVF ANN, trained the way FAISS trains at scale: the Lloyd iteration
+    runs DRIVER-LOCALLY over a bounded 1-in-{TRAIN_MOD} deterministic hash
+    sample of the corpus (a few hundred vectors per centroid — the training
+    set is aggregate-sized BY DESIGN, collected in one scan job), while the
+    data-sized work — assigning every corpus vector to its inverted list
+    and the exact top-5 inside the probed lists — stays fully distributed
+    (operators/similarity.py ivf_probe_topk: broadcast argmax, zero corpus
+    shuffle). Seeds are the {N_CENTROIDS} lowest md5-buckets of the sample
+    (unbiased, ingest-order-free); lloyd_refine_local mirrors the
+    distributed refine_centroids' exact decimal arithmetic bit-for-bit
+    (equivalence asserted in tests/test_extensions.py), so the DuckDB
+    oracle reproduces centroids, probes and ranks exactly. The inverted
+    list is the cluster-scale partitioning key — a probe touches
+    nprobe/nlists of the corpus."""
+    import hashlib
+
+    from cdc_rs_spark.operators.similarity import (
+        _py_cosine,
+        ivf_probe_topk,
+        lloyd_refine_local,
+    )
     from cdc_rs_spark.plans.pipeline import hash_bucket
 
-    emb = spread(load(spark, sf_dir, "embeddings"))
-    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    raw = load(spark, sf_dir, "embeddings")
+
+    def bucket(vid: int, m: int) -> int:
+        # driver-side mirror of hash_bucket / _oracle_bucket
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:8], 16) % m
+
+    # ONE aggregate-sized collect: training sample ∪ query vectors (the
+    # filter pushes to the parquet scan; at cluster scale this is the same
+    # sample-statistics traffic any ANN index build ships to its trainer)
+    pre = (
+        raw.select("vec_id", "embedding")
+        .filter(
+            (hash_bucket(F.col("vec_id"), TRAIN_MOD) < 1)
+            | (F.col("vec_id") < N_QUERIES)
+        )
+        .collect()
     )
-    # seeds = deterministic md5-bucket sample of the corpus (unbiased, unlike
-    # first-N which inherits ingest order bias), selected via TakeOrdered
-    seeds = (
-        emb.orderBy(hash_bucket(F.col("vec_id"), 1_000_000), "vec_id")
-        .limit(N_CENTROIDS)
-        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb"))
+    train_rows = [r for r in pre if bucket(r["vec_id"], TRAIN_MOD) < 1]
+    query_rows = [r for r in pre if r["vec_id"] < N_QUERIES]
+    seeds = sorted(
+        train_rows, key=lambda r: (bucket(r["vec_id"], 1_000_000), r["vec_id"])
+    )[:N_CENTROIDS]
+    cent_rows = lloyd_refine_local(
+        train_rows,
+        [{"cent_id": r["vec_id"], "c_emb": r["embedding"]} for r in seeds],
     )
-    return ivf_topk(
-        queries,
-        emb.select("vec_id", "embedding"),
-        n_centroids=N_CENTROIDS,
-        nprobe=N_PROBE,
-        k=5,
-        kmeans_iters=1,
-        dim=64,
-        seeds=seeds,
+    # probe selection: nprobe nearest centroids per query — 8 x 16 cosines,
+    # driver-side with the exact IEEE fold mirror (cos desc, cent_id asc)
+    probe_rows = []
+    for q in query_rows:
+        ranked = sorted(
+            (-_py_cosine(q["embedding"], c["c_emb"]), c["cent_id"])
+            for c in cent_rows
+        )[:N_PROBE]
+        probe_rows += [(q["vec_id"], q["embedding"], cid) for _, cid in ranked]
+    cents = spark.createDataFrame(
+        [(c["cent_id"], c["c_emb"]) for c in cent_rows],
+        "cent_id bigint, c_emb array<double>",
+    )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, q_emb array<float>, cent_id bigint"
+    )
+    return ivf_probe_topk(
+        spread(raw).select("vec_id", "embedding"), cents, probes, k=5, dim=EMB_DIM
     )
 
 

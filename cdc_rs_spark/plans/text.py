@@ -292,19 +292,35 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum/quality binning: ntile(10) over the composite quality
     score — the bucketing a data-mix recipe consumes ("train on top 3
-    deciles first"). The global ntile sorts #docs rows of (score, id) pairs
-    only; at 100 TB replace with approx_percentile decile THRESHOLDS
-    broadcast as a map-side bucketizer (same output contract, no global
-    sort) — this entry pins the exact semantics."""
+    deciles first"). Exact NTILE(10) with no single-partition window: the
+    two-pass range-bucketed global rank (operators/ranged.py — sampled
+    quality quantiles ARE the approx decile thresholds, promoted to exact
+    by the per-bucket offset pass) + NTILE's row distribution reconstructed
+    from the rank. Every data-sized stage is partition-parallel (asserted
+    in tests/test_scale_plans.py)."""
+    from cdc_rs_spark.operators.ranged import (
+        global_rank,
+        ntile_from_rank,
+        ranked_result,
+    )
+
     d = spread(load(spark, sf_dir, "documents"))
     q = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
-    w = Window.orderBy("quality", "doc_id")
-    deciled = q.withColumn("decile", F.ntile(10).over(w))
-    return deciled.groupBy("decile").agg(
-        F.count("*").alias("n_docs"),
-        F.min("quality").alias("min_quality"),
-        F.max("quality").alias("max_quality"),
-    )
+
+    def build(cached):
+        ranked, n_total = global_rank(
+            cached, "quality", [F.asc("quality"), F.asc("doc_id")]
+        )
+        deciled = ranked.withColumn(
+            "decile", ntile_from_rank(F.col("_rk"), n_total, 10)
+        )
+        return deciled.groupBy("decile").agg(
+            F.count("*").alias("n_docs"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+
+    return ranked_result(q, build)
 
 
 @register(
@@ -707,10 +723,14 @@ def token_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", "c_a", "c_b",
         ((p_a - p_b) * (p_a - p_b) / (p_a + p_b)).alias("chi2"),
     )
-    w = Window.orderBy(F.desc("chi2"), F.asc("token"))
+    # top-20 via orderBy().limit(): TakeOrderedAndProject (fully parallel
+    # per-partition heap top-k) instead of an unpartitioned row_number over
+    # the whole vocabulary — at 100 TB the vocabulary is not small; only
+    # the 20 surviving rows see a window to number them.
+    order = [F.desc("chi2"), F.asc("token")]
+    top = scored.orderBy(*order).limit(20)
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
+        top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
         .select("token", "c_a", "c_b", F.round("chi2", 8).alias("chi2_contrib"), "rnk")
     )
 

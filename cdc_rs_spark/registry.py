@@ -55,22 +55,23 @@ def register(name: str, oracle: str | None = None):
 
 # The driver's correctness gate checks the FIRST 50 registry entries only, in
 # iteration order. This list pins those 50 slots so every operator family has
-# a driver-verified flagship: 10 CDC (the reference surface), 13 relational
-# (joins/aggs/windows/arrays/approx — incl. all round-1 red rows, now fixed),
-# 6 event-time, 7 dedup, 4 similarity/ANN, 3 text, 2 multimodal, 5 pipeline.
-# Everything not listed keeps its module order after slot 50 and stays
-# verified by tools/oracle_check.py + tools/driver_sim.py locally.
+# a driver-verified flagship. ROUND-3 ROTATION (VERDICT r2 task 3): 15 slots
+# that were driver-green in BOTH r1 and r2 rotate out in favor of round-2
+# additions and the round-3 plan rewrites (two-pass ranks, sampled-Lloyd IVF,
+# TakeOrdered top-k), so the driver's independent hash check reaches queries
+# it has never pinned. Rotated-out queries keep their module order after slot
+# 50 and stay verified by tools/oracle_check.py + tools/driver_sim.py locally.
 _DRIVER_WINDOW = [
     # CDC core — the reference's own operator surface
     "cdc_backfill_bigquery",
     "cdc_merge_live_wins",
     "cdc_compact_latest",
-    "cdc_regex_filter",
-    "cdc_topic_routing",
     "cdc_envelope_opcodes",
     "cdc_change_rate_stats",
     "cdc_incremental_agg_maintenance",
-    "cdc_minmax_after_changes",
+    "cdc_join_view_maintenance",
+    "cdc_snapshot_diff",
+    "cdc_audit_trail",
     "envelope_field_histogram",
     # relational breadth
     "q1_pricing_summary",
@@ -80,27 +81,27 @@ _DRIVER_WINDOW = [
     "anti_join_customers_without_orders",
     "q12_shipping_priority_class",
     "grouping_sets_lineitem",
-    "percentiles_per_flag",
     "approx_distinct_custkeys",
-    "suppliers_per_nation_sorted",
     "array_functions_nation_suppliers",
     "window_top_orders_per_segment",
-    "scalar_functions_part",
+    "pagerank_part_graph",
+    "winsorized_price_stats",
+    "outlier_iqr_approx_lineitem",
     # event-time / streaming batch-forms
     "events_tumbling_window",
     "events_session_window",
     "events_asof_last_click",
     "events_range_join_bucketed",
-    "events_salted_user_join",
-    "events_json_props",
+    "events_quota_enforcement",
+    "events_funnel_conversion",
     # dedup family
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_connected_components",
     "decontaminate_eval_overlap",
+    "dedup_canonical_quality",
     # similarity / ANN family
     "similarity_bruteforce_topk",
     "similarity_lsh_ann",
@@ -108,17 +109,17 @@ _DRIVER_WINDOW = [
     "similarity_quantized_topk",
     # text analysis
     "text_token_stats",
-    "text_quality_score",
-    "text_langid",
+    "text_cleaning_funnel",
+    "text_quality_deciles",
     # multimodal plumbing
     "multimodal_image_meta",
-    "multimodal_audio_features",
+    "multimodal_payload_dedup",
     # training-data pipeline
-    "sample_hash_deterministic",
-    "train_test_split_group_aware",
     "pack_documents_token_budget",
     "scd2_order_price_history",
-    "pii_scrub_documents",
+    "corpus_shuffle_deterministic",
+    "curriculum_batches",
+    "feature_ntile_binning_lineitem",
 ]
 
 

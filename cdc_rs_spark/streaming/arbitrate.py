@@ -50,48 +50,73 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _arbitrate(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    db, table, kval = key
-    if state.exists:
-        best = tuple(state.get)  # (prio, ts, oprank)
-    else:
-        best = None
-    winner: dict[str, Any] | None = None
-    for pdf in pdfs:
-        for row in pdf.itertuples(index=False):
-            prio = 0 if row.op == OP_BACKFILL else 1
-            cand = (prio, int(row.ts), _OP_RANK.get(row.op, 0))
-            if best is None or cand > best:
-                best = cand
-                winner = {
-                    "db": db,
-                    "table": table,
-                    "key": kval,
-                    "op": row.op,
-                    "ts": int(row.ts),
-                    "payload": row.payload,
-                }
-    if best is not None:
-        state.update(tuple(best))
-    if winner is not None:
-        yield pd.DataFrame([winner])
+def _make_arbitrate(ttl_ms: int | None):
+    def _arbitrate(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # TTL horizon passed with no new rows for this key: evict. A
+            # backfill row arriving AFTER eviction restarts arbitration
+            # (it will be emitted as a fresh winner) — callers size the TTL
+            # beyond the backfill queue's completion horizon, which the
+            # reference bounds explicitly (todo->done, src/main.rs:319-338).
+            state.remove()
+            return
+        db, table, kval = key
+        if state.exists:
+            best = tuple(state.get)  # (prio, ts, oprank)
+        else:
+            best = None
+        winner: dict[str, Any] | None = None
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                prio = 0 if row.op == OP_BACKFILL else 1
+                cand = (prio, int(row.ts), _OP_RANK.get(row.op, 0))
+                if best is None or cand > best:
+                    best = cand
+                    winner = {
+                        "db": db,
+                        "table": table,
+                        "key": kval,
+                        "op": row.op,
+                        "ts": int(row.ts),
+                        "payload": row.payload,
+                    }
+        if best is not None:
+            state.update(tuple(best))
+            if ttl_ms is not None:
+                # sliding TTL: every batch that touches the key re-arms it
+                state.setTimeoutDuration(ttl_ms)
+        if winner is not None:
+            yield pd.DataFrame([winner])
+
+    return _arbitrate
 
 
-def arbitrate_stream(changes: DataFrame) -> DataFrame:
+def arbitrate_stream(changes: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Apply keyed live-wins arbitration to a streaming Change DataFrame.
-    Emits one row per key per micro-batch in which its winner changed."""
+    Emits one row per key per micro-batch in which its winner changed.
+
+    ttl_ms bounds state at CDC key cardinality: a key untouched for ttl_ms
+    of processing time is evicted (otherwise per-key state lives forever —
+    unbounded at 100 TB key counts). Size it past the backfill horizon: an
+    evicted key's late backfill row is no longer suppressed (it re-opens
+    arbitration and is emitted; tests/test_streaming.py pins both the
+    eviction and the documented resurrection)."""
     keyed = changes.withColumn("key", pkey_value(changes)).withColumn(
         "payload", F.to_json(F.coalesce(F.col("after"), F.col("before")))
     )
     return (
         keyed.groupBy("db", "table", "key")
         .applyInPandasWithState(
-            _arbitrate,
+            _make_arbitrate(ttl_ms),
             outputStructType=ARBITRATED_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

@@ -51,10 +51,22 @@ TWS_OUTPUT_SCHEMA = T.StructType(
 
 class LiveWinsProcessor(StatefulProcessor):
     """Keeps the per-key winner's (prio, ts, oprank); emits the key's new
-    winner whenever a micro-batch improves on the stored one."""
+    winner whenever a micro-batch improves on the stored one.
+
+    ttl_ms (class attribute, set by arbitrate_stream_tws) bounds state at
+    CDC key cardinality via the API's NATIVE value-state TTL — the headline
+    capability this newer API adds over applyInPandasWithState's manual
+    timeout dance (arbitrate.py _make_arbitrate). Semantics mirror that
+    form: an evicted key's late backfill re-opens arbitration (emitted, not
+    suppressed) — size the TTL beyond the backfill queue's completion
+    horizon (reference bounds it: todo->done, src/main.rs:319-338)."""
+
+    ttl_ms: int | None = None
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._best = handle.getValueState("best", _STATE_SCHEMA)
+        self._best = handle.getValueState(
+            "best", _STATE_SCHEMA, ttlDurationMs=self.ttl_ms
+        )
 
     def handleInputRows(
         self, key: tuple, rows: Iterator[pd.DataFrame], timerValues
@@ -82,16 +94,22 @@ class LiveWinsProcessor(StatefulProcessor):
         pass
 
 
-def arbitrate_stream_tws(changes: DataFrame) -> DataFrame:
+def arbitrate_stream_tws(changes: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """transformWithStateInPandas form of arbitrate_stream. Keyed by the
     pkey value only (db/table fold into the key string upstream if multiple
-    tables share a stream)."""
+    tables share a stream).
+
+    ttl_ms enables the state store's native per-value TTL (requires
+    processingTime time mode); None keeps state forever — acceptable only
+    for bounded key domains (tests), never at CDC key cardinality."""
     keyed = changes.withColumn("key", pkey_value(changes)).withColumn(
         "payload", F.to_json(F.coalesce(F.col("after"), F.col("before")))
     )
+    proc = LiveWinsProcessor()
+    proc.ttl_ms = ttl_ms
     return keyed.groupBy("key").transformWithStateInPandas(
-        statefulProcessor=LiveWinsProcessor(),
+        statefulProcessor=proc,
         outputStructType=TWS_OUTPUT_SCHEMA,
         outputMode="update",
-        timeMode="none",
+        timeMode="none" if ttl_ms is None else "processingTime",
     )

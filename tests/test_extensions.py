@@ -3,6 +3,7 @@ multimodal (SURVEY §2.2 EXTENSION rows)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cdc_rs_spark.operators.dedup import (
@@ -189,6 +190,35 @@ def test_multimodal_decode_image_headers(spark):
     assert out[5]["n_bytes"] == len(b"not an image at all")
 
 
+def test_decode_image_pillow_path_matches_header_parser(spark):
+    """When Pillow IS importable, decode_image's real-codec path must agree
+    with the pure-Python header parser on every synthetic image — proving
+    the mapInPandas seam carries a real decoder without changing the
+    deterministic oracle. Skips where PIL is absent (this container)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from cdc_rs_spark.operators.multimodal import decode_image, parse_image_header
+
+    payloads = []
+    for i, (fmt, size) in enumerate(
+        [("PNG", (640, 480)), ("GIF", (13, 37)), ("BMP", (200, 100)),
+         ("JPEG", (192, 108))]
+    ):
+        buf = io.BytesIO()
+        Image.new("RGB", size).save(buf, format=fmt)
+        payloads.append((i, buf.getvalue()))
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in decode_image(df).collect()}
+    for doc_id, b in payloads:
+        want = parse_image_header(b)
+        assert want is not None
+        got = out[doc_id]
+        assert (got["width"], got["height"], got["format"]) == want
+
+
 def test_embedding_near_dup_finds_planted_pair(spark):
     import random
 
@@ -231,6 +261,53 @@ def test_ivf_topk_exact_within_probed_lists(spark):
     bf_pairs = {(r["query_id"], r["rank"], r["vec_id"]) for r in bf}
     ivf_pairs = {(r["query_id"], r["rank"], r["vec_id"]) for r in out}
     assert ivf_pairs == bf_pairs
+
+
+def test_lloyd_refine_local_matches_distributed(spark):
+    """The driver-local Lloyd trainer must be bit-identical to the
+    distributed refine_centroids on the same input — same assignment
+    tiebreaks, same exact integer accumulation, same int->double mean
+    rounding. This is what licenses similarity_ivf_topk to train locally
+    on its bounded sample while claiming oracle-exact centroids."""
+    import random
+
+    from cdc_rs_spark.operators.similarity import (
+        EMB_DIM,
+        lloyd_refine_local,
+        refine_centroids,
+    )
+
+    rng = random.Random(99)
+    # float32-quantized values, like the parquet fixture
+    import struct as st
+
+    def f32(x):
+        return st.unpack("f", st.pack("f", x))[0]
+
+    rows = [
+        (i, [f32(rng.uniform(-1, 1)) for _ in range(EMB_DIM)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds_rows = [
+        {"cent_id": i, "c_emb": rows[i][1]} for i in range(4)
+    ]
+    seeds_df = spark.createDataFrame(
+        [(r["cent_id"], r["c_emb"]) for r in seeds_rows],
+        "cent_id bigint, c_emb array<float>",
+    )
+    dist = {
+        r["cent_id"]: list(r["c_emb"])
+        for r in refine_centroids(df, seeds_df, dim=EMB_DIM).collect()
+    }
+    local = {
+        c["cent_id"]: c["c_emb"]
+        for c in lloyd_refine_local(
+            [{"vec_id": i, "embedding": e} for i, e in rows], seeds_rows
+        )
+    }
+    assert dist.keys() == local.keys()
+    for cid in dist:
+        assert dist[cid] == local[cid], f"centroid {cid} diverged"
 
 
 def test_audio_features_checksum_matches_md5(spark):

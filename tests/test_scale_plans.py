@@ -176,6 +176,104 @@ def test_results_invariant_under_partitioning(spark):
         assert a == b, f"{name} changed under repartitioning"
 
 
+def test_two_pass_rank_has_no_single_partition_exchange(spark):
+    """The two-pass range-bucketed rank/cumsum (operators/ranged.py) must
+    never plan an Exchange SinglePartition: the window is partitioned by the
+    quantile bucket, offsets are broadcast literals. This is the round-3 fix
+    for the 'No Partition Defined for Window' scale-killer in
+    pack/curriculum/ntile/deciles."""
+    from cdc_rs_spark.operators.ranged import global_cumsum, global_rank
+
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id", F.length("text").alias("v")
+    )
+    ranked, n = global_rank(docs, "doc_id", [F.asc("doc_id")])
+    plan = _physical_plan(ranked)
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan and "windowspecdefinition(_rbkt" in plan, plan
+    assert n == docs.count()
+
+    cum = global_cumsum(docs, "doc_id", [F.asc("doc_id")], "v")
+    plan2 = _physical_plan(cum)
+    assert "SinglePartition" not in plan2, plan2
+
+
+def test_two_pass_rank_equals_global_window(spark):
+    """Exactness of offset + local rank/cumsum vs the naive unpartitioned
+    window, both orders, including the descending path used by
+    curriculum_batches."""
+    from pyspark.sql import Window
+
+    from cdc_rs_spark.operators.ranged import (
+        global_cumsum,
+        global_rank,
+        ntile_from_rank,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id", (F.length("text") % 7).alias("k"), F.length("text").alias("v")
+    )
+    # ascending rank with tiebreak (k has heavy ties -> exercises shared
+    # buckets + within-bucket tiebreak ordering)
+    two, n = global_rank(docs, "k", [F.asc("k"), F.asc("doc_id")])
+    naive = docs.withColumn(
+        "rk0",
+        F.row_number().over(Window.orderBy(F.asc("k"), F.asc("doc_id"))) - 1,
+    )
+    got = {r["doc_id"]: r["_rk"] for r in two.collect()}
+    want = {r["doc_id"]: r["rk0"] for r in naive.collect()}
+    assert got == want
+    # descending
+    two_d, _ = global_rank(
+        docs, "k", [F.desc("k"), F.asc("doc_id")], descending=True
+    )
+    naive_d = docs.withColumn(
+        "rk0",
+        F.row_number().over(Window.orderBy(F.desc("k"), F.asc("doc_id"))) - 1,
+    )
+    assert {r["doc_id"]: r["_rk"] for r in two_d.collect()} == {
+        r["doc_id"]: r["rk0"] for r in naive_d.collect()
+    }
+    # cumsum
+    cum = global_cumsum(docs, "doc_id", [F.asc("doc_id")], "v")
+    naive_c = docs.withColumn(
+        "c0",
+        F.sum("v").over(
+            Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert {r["doc_id"]: r["_cum"] for r in cum.collect()} == {
+        r["doc_id"]: r["c0"] for r in naive_c.collect()
+    }
+    # ntile reconstruction matches SQL NTILE for a non-divisible n
+    for k in (3, 10):
+        recon = two.select(
+            "doc_id", ntile_from_rank(F.col("_rk"), n, k).alias("t")
+        )
+        sql_t = docs.withColumn(
+            "t", F.ntile(k).over(Window.orderBy(F.asc("k"), F.asc("doc_id")))
+        )
+        assert {r["doc_id"]: r["t"] for r in recon.collect()} == {
+            r["doc_id"]: r["t"] for r in sql_t.collect()
+        }
+
+
+def test_topk_queries_use_take_ordered(spark):
+    """Vocabulary/rank-table top-k queries must plan TakeOrderedAndProject
+    (per-partition heap top-k) — not an unpartitioned row_number over the
+    full input (round-3 one-liner fixes)."""
+    from cdc_rs_spark.registry import load_all
+
+    reg = load_all()
+    for name in (
+        "corpus_shuffle_deterministic",
+        "pagerank_part_graph",
+        "token_drift_stats",
+    ):
+        plan = _physical_plan(reg[name].fn(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, f"{name}: {plan}"
+
+
 def test_no_python_nodes_outside_sanctioned_escape_hatches(spark):
     """Plan-regression guard for the single most important scale property
     (SCALE.md §1): every query's physical plan is pure JVM whole-stage

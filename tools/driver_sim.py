@@ -64,22 +64,34 @@ def digest(rows: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
-def check(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> bool:
+def check(
+    name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str
+) -> tuple[bool, dict]:
     spdf = spark_df.toPandas()
     ddf = con.sql(sql).df()
+    rec = {
+        "rows_match": len(spdf) == len(ddf),
+        "schema_match": sorted(spdf.columns) == sorted(ddf.columns),
+        "hash_match": False,
+        "spark_rows": len(spdf),
+        "oracle_rows": len(ddf),
+        "err": None,
+    }
     ok = True
-    if sorted(spdf.columns) != sorted(ddf.columns):
+    if not rec["schema_match"]:
         print(f"  [{name}] SCHEMA: spark={sorted(spdf.columns)} duck={sorted(ddf.columns)}")
         ok = False
-    if len(spdf) != len(ddf):
+    if not rec["rows_match"]:
         print(f"  [{name}] ROWS: spark={len(spdf)} duck={len(ddf)}")
         ok = False
     try:
         srows, drows = canon(spdf), canon(ddf)
     except TypeError as e:
         print(f"  [{name}] CANON CRASH (driver would record err): {e}")
-        return False
-    if digest(srows) != digest(drows):
+        rec["err"] = f"canon crash: {e}"
+        return False, rec
+    rec["hash_match"] = digest(srows) == digest(drows)
+    if not rec["hash_match"]:
         sset, dset = set(srows), set(drows)
         print(f"  [{name}] HASH mismatch")
         for r in list(sset - dset)[:3]:
@@ -88,12 +100,21 @@ def check(name: str, spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> bool
             print(f"    duck : {r}")
         ok = False
     print(f"  [{name}] {'OK' if ok else 'FAIL'} ({len(spdf)} rows)")
-    return ok
+    return ok, rec
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # --json PATH writes the full per-query snapshot in the driver's
+    # CORRECTNESS_r{N}.json record format (ADVICE r2: back the "all 152
+    # hash-green" claim with a committed artifact)
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from cdc_rs_spark.registry import load_all
     from cdc_rs_spark.session import get_spark
@@ -103,20 +124,35 @@ def main() -> int:
     con = duck_con(sf_dir)
 
     failures, n_run = [], 0
+    records: dict[str, dict] = {}
     for name, q in registry.items():
         if only and name not in only:
             continue
         n_run += 1
         if q.oracle is None:
             n = q.fn(spark, sf_dir).count()
+            records[name] = {"rows_only": True, "spark_rows": n, "err": None}
             print(f"  [{name}] rows-only: {n} rows")
             continue
         try:
-            if not check(name, q.fn(spark, sf_dir), con, q.oracle):
+            ok, rec = check(name, q.fn(spark, sf_dir), con, q.oracle)
+            records[name] = rec
+            if not ok:
                 failures.append(name)
         except Exception as e:  # noqa: BLE001
             print(f"  [{name}] ERROR: {e}")
+            records[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": str(e)[:300],
+            }
             failures.append(name)
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(records, f, indent=1, sort_keys=True)
+        print(f"snapshot -> {json_out}")
     print(f"\n{n_run - len(failures)}/{n_run} hash-OK")
     if failures:
         print("FAILED:", ", ".join(failures))
