@@ -258,3 +258,79 @@ def test_typed_changes_schema_drift(spark):
     assert float(by_id[1]["amount"]) == 10.50
     assert by_id[2]["discount"] == 0.10
     assert "debug" not in by_id[2].asDict()  # undeclared field pruned
+
+
+def test_rhai_script_matches_builtin_builders(spark, sf_dir):
+    """The Rhai-subset compiler (functions/rhai.py) must produce BYTE-equal
+    JSON to the hand-written envelope builders for a script that implements
+    the same two envelopes — proving user scripts of the reference's shape
+    (test.rhai) run declaratively at full parity. Also checks the script
+    `topic` interpolation against the template router, and that the
+    compiled expressions contain no Python plan nodes."""
+    from cdc_rs_spark.envelope import snapshot_changes
+    from cdc_rs_spark.functions.rhai import (
+        RhaiScript,
+        rhai_topic,
+        rhai_transform_json,
+    )
+    from cdc_rs_spark.functions.transforms import (
+        bigquery_json,
+        debezium_json,
+        topic_column,
+    )
+    from cdc_rs_spark.plans.cdc import RHAI_DEMO_SCRIPT
+    from cdc_rs_spark.session import load
+    from cdc_rs_spark.sources.synthetic import live_orders_changes
+
+    orders = load(spark, sf_dir, "orders")
+    merged = snapshot_changes(orders, "testdb", "orders", "o_orderkey").unionByName(
+        live_orders_changes(spark, sf_dir)
+    )
+    script = RhaiScript(RHAI_DEMO_SCRIPT)
+    out = merged.select(
+        rhai_transform_json(merged, script).alias("script_flat"),
+        bigquery_json(merged).alias("builtin_flat"),
+        rhai_transform_json(merged, script, fn="nested").alias("script_nested"),
+        debezium_json(merged).alias("builtin_nested"),
+        rhai_topic(merged, script).alias("script_topic"),
+        topic_column("sink/${db}/changes.${table}").alias("builtin_topic"),
+    )
+    mismatch = out.filter(
+        (F.col("script_flat") != F.col("builtin_flat"))
+        | (F.col("script_nested") != F.col("builtin_nested"))
+        | (F.col("script_topic") != F.col("builtin_topic"))
+    )
+    assert mismatch.count() == 0, mismatch.limit(3).collect()
+    assert out.count() > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_rhai_script_language_features(spark):
+    """Unit coverage of the compiler's language surface beyond the demo
+    script: switch default passthrough, != comparison, nested field writes
+    via fn-call copies (Rhai by-value), interpolation with multiple holes."""
+    from cdc_rs_spark.functions.rhai import MapVal, RhaiScript, _to_col
+
+    df = spark.createDataFrame(
+        [("Weird", "a", "t1"), ("Delete", "b", "t2")], "op string, db string, table string"
+    )
+    s = RhaiScript(
+        """
+        fn tag(op) {
+            switch op {
+                "Delete" => "gone",
+                _ => op,
+            }
+        }
+        fn label(db, table, op) {
+            let t = tag(op);
+            if t != "gone" { `${db}:${table}:${t}` } else { `tomb/${table}` }
+        }
+        """
+    )
+    out = df.select(
+        _to_col(s.call("label", F.col("db"), F.col("table"), F.col("op"))).alias("x")
+    ).collect()
+    assert [r["x"] for r in out] == ["a:t1:Weird", "tomb/t2"]
