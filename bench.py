@@ -46,6 +46,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name, q in sorted(registry.items()):
+        # stderr breadcrumb: correlates engine-log events (codegen
+        # fallbacks, spills) with the query that caused them
+        print(f"[bench] {name}", file=sys.stderr, flush=True)
         samples = []
         for _ in range(n_runs):
             # timer covers plan construction too: iterative operators (e.g.

@@ -709,11 +709,15 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     session contributes (+1 at start, -1 at last event); the running sum
     over (ts, delta) — closings sort before openings at a shared instant,
     so touching sessions don't count as concurrent — IS the concurrency
-    curve, and its per-day max is the capacity-planning number. The sweep
-    window runs over SESSION points (two per session), not events, so the
-    single-partition running sum sees thousands of rows where the corpus
-    has billions of events; at true scale, partition the sweep by day and
-    broadcast per-day carry-in counts (sessions open at midnight)."""
+    curve, and its per-day max is the capacity-planning number. Sweep
+    points number 2x|sessions| — data-sized at scale — so the running sum
+    is the two-pass range-bucketed cumsum (operators/ranged.py, round 3):
+    no Exchange SinglePartition anywhere. The per-day MAX is insensitive
+    to order within equal (ts, delta) tie blocks (a run of m equal +1s
+    contributes the same prefix-value set in any order), so the bucketed
+    form is exactly the oracle's sequential sweep."""
+    from cdc_rs_spark.operators.ranged import global_cumsum, ranked_result
+
     e = load(spark, sf_dir, "events")
     sessions = (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -722,11 +726,21 @@ def events_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     points = sessions.select(
         F.col("s0").alias("pts"), F.lit(1).alias("delta")
     ).unionByName(sessions.select(F.col("s1").alias("pts"), F.lit(-1).alias("delta")))
-    w = Window.orderBy("pts", "delta").rowsBetween(Window.unboundedPreceding, 0)
-    curve = points.withColumn("concurrency", F.sum("delta").over(w))
-    return curve.groupBy(F.to_date("pts").alias("day")).agg(
-        F.max("concurrency").cast("bigint").alias("peak_concurrency")
-    )
+    points = points.withColumn("k", epoch_us("pts"))
+
+    def build(cached):
+        curve = global_cumsum(
+            cached,
+            "k",
+            [F.asc("k"), F.asc("delta")],
+            "delta",
+            out_col="concurrency",
+        )
+        return curve.groupBy(F.to_date("pts").alias("day")).agg(
+            F.max("concurrency").cast("bigint").alias("peak_concurrency")
+        )
+
+    return ranked_result(points, build)
 
 
 @register(

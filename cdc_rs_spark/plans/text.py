@@ -292,35 +292,72 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum/quality binning: ntile(10) over the composite quality
     score — the bucketing a data-mix recipe consumes ("train on top 3
-    deciles first"). Exact NTILE(10) with no single-partition window: the
-    two-pass range-bucketed global rank (operators/ranged.py — sampled
-    quality quantiles ARE the approx decile thresholds, promoted to exact
-    by the per-bucket offset pass) + NTILE's row distribution reconstructed
-    from the rank. Every data-sized stage is partition-parallel (asserted
-    in tests/test_scale_plans.py)."""
-    from cdc_rs_spark.operators.ranged import (
-        global_rank,
-        ntile_from_rank,
-        ranked_result,
-    )
-
+    deciles first"). Exact NTILE(10) with no corpus-sized window and no
+    extra passes: the output (decile, count, min, max) never needs doc
+    identity, so it is computed from the VALUE HISTOGRAM — quality rounds
+    to 6 decimals in [0, 1] by construction, so the histogram is at most
+    10^6 + 1 rows NO MATTER THE CORPUS SIZE. One map-side-combinable
+    shuffle builds it; the cumulative count runs over that bounded
+    relation (aggregate-sized, the pareto/ewma class); each value row then
+    knows its 1-based rank span [cum-c+1, cum] and explodes to the deciles
+    it intersects, with NTILE's exact first-(n%10)-deciles-get-one-extra
+    arithmetic deciding boundaries and per-decile counts. Identical output
+    to the oracle's NTILE incl. tie splitting (a boundary value appears in
+    both deciles' min/max; decile sizes are fixed by n alone)."""
     d = spread(load(spark, sf_dir, "documents"))
-    q = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    q = d.select(quality_score(F.col("text")).alias("quality"))
+    hist = q.groupBy("quality").agg(F.count("*").alias("c"))
+    w_cum = Window.orderBy("quality").rowsBetween(Window.unboundedPreceding, 0)
+    # total as an unbounded frame over the SAME window partitioning: both
+    # frames evaluate in one WindowExec pass — no second aggregation job,
+    # no broadcast build
+    w_all = Window.orderBy("quality").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    h = hist.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
+    q0 = F.expr("n div 10")
+    r0 = F.col("n") % 10
+    b = (q0 + 1) * r0
 
-    def build(cached):
-        ranked, n_total = global_rank(
-            cached, "quality", [F.asc("quality"), F.asc("doc_id")]
+    def idiv(a, b_):
+        # exact integer floor-division as columns: a - a%b is divisible, so
+        # the double division is exactly integral (safe below 2^53 ranks)
+        return ((a - (a % b_)) / b_).cast("long")
+
+    def dec(rank):
+        return (
+            F.when(rank <= b, idiv(rank - 1, q0 + 1))
+            .otherwise(r0 + idiv(rank - b - 1, F.greatest(q0, F.lit(1))))
+            .cast("int")
+            + 1
         )
-        deciled = ranked.withColumn(
-            "decile", ntile_from_rank(F.col("_rk"), n_total, 10)
-        )
-        return deciled.groupBy("decile").agg(
-            F.count("*").alias("n_docs"),
+
+    lo = F.col("cum") - F.col("c") + 1
+    hi = F.col("cum")
+    exploded = h.select(
+        "quality",
+        "n",
+        F.explode(F.sequence(dec(lo), dec(hi))).alias("decile"),
+    )
+    return (
+        exploded.groupBy("decile")
+        .agg(
             F.min("quality").alias("min_quality"),
             F.max("quality").alias("max_quality"),
+            F.first("n").alias("n"),
         )
-
-    return ranked_result(q, build)
+        .select(
+            "decile",
+            F.when(F.col("decile") <= F.col("n") % 10, F.expr("n div 10") + 1)
+            .otherwise(F.expr("n div 10"))
+            .cast("bigint")
+            .alias("n_docs"),
+            "min_quality",
+            "max_quality",
+        )
+    )
 
 
 @register(

@@ -258,6 +258,25 @@ def test_two_pass_rank_equals_global_window(spark):
         }
 
 
+def test_quality_deciles_windows_only_the_bounded_histogram(spark):
+    """text_quality_deciles' NTILE is computed over the VALUE HISTOGRAM
+    (quality rounds to 6dp in [0,1] -> <= 10^6+1 rows by construction), so
+    the plan's only single-partition window must sit ABOVE the
+    histogram-building aggregate on quality — the corpus itself is never
+    moved to one task."""
+    from cdc_rs_spark.registry import load_all
+
+    df = load_all()["text_quality_deciles"].fn(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "hashpartitioning(quality" in plan, plan
+    # the corpus-side aggregate (histogram) appears BELOW (deeper than) the
+    # single-partition exchange in the printed tree
+    assert plan.index("Exchange SinglePartition") < plan.index(
+        "hashpartitioning(quality"
+    ), plan
+
+
 def test_topk_queries_use_take_ordered(spark):
     """Vocabulary/rank-table top-k queries must plan TakeOrderedAndProject
     (per-partition heap top-k) — not an unpartitioned row_number over the
