@@ -134,6 +134,37 @@ def signature_sql(emb: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def band_sql(emb: str, band: int, width: int = 4) -> str:
+    """One band's worth of signature bits (planes [band*width, ...)) as a
+    standalone expression — see with_signature for why bits are staged as
+    separate columns."""
+    terms = [
+        f"(CASE WHEN {dot_sql(emb, _plane_sql(LSH_WEIGHTS[i]), dim=None)} >= 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(band * width, min((band + 1) * width, LSH_PLANES))
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def with_signature(df: DataFrame, emb_col: str, out_col: str) -> DataFrame:
+    """Add the 16-bit hyperplane signature as `out_col`, staging the four
+    4-plane bands as SEPARATE projection columns first. A single 16-CASE
+    "+"-chain is one Catalyst expression — whole-stage codegen cannot split
+    inside an expression, the generated method passes the JVM's 64 KB
+    limit, and the WHOLE stage (including any fused aggregate) falls back
+    to interpreted execution ("Failed to compile" in the logs, observed on
+    dedup_embedding_cosine at sf0.1). Separate columns split into separate
+    generated methods, keeping the stage inside codegen."""
+    bands = [f"_sb{b}" for b in range(SIG_BANDS)]
+    out = df
+    for b, name in enumerate(bands):
+        out = out.withColumn(name, F.expr(band_sql(emb_col, b, LSH_PLANES // SIG_BANDS)))
+    total = F.col(bands[0])
+    for name in bands[1:]:
+        total = total + F.col(name)
+    return out.withColumn(out_col, total).drop(*bands)
+
+
 def lsh_signature(emb: Column | str) -> Column:
     """16-bit signature: bit i set iff dot(emb, plane_i) >= 0. Accepts a
     column-name string (fast SQL-parsed build) or a Column (legacy form,
@@ -207,7 +238,9 @@ def embedding_near_dup_pairs(
     Blocking is lossless for max_hamming <= SIG_BANDS-1. The embedding
     arrays are re-joined by id AFTER pair distinct-ing, so the wide vector
     column never rides through the exploded band rows."""
-    sigs = df.select(id_col, lsh_signature(emb_col).alias("sig"))
+    sigs = with_signature(df.select(id_col, emb_col), emb_col, "sig").select(
+        id_col, "sig"
+    )
     chunks = sig_chunks(sigs, id_col, "sig")
     left = chunks.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "chunk"
@@ -224,10 +257,17 @@ def embedding_near_dup_pairs(
     )
     ea = df.select(F.col(id_col).alias("id_a"), F.col(emb_col).alias("emb_a"))
     eb = df.select(F.col(id_col).alias("id_b"), F.col(emb_col).alias("emb_b"))
+    # verify-cosine stays in FOLD form deliberately: this expression fuses
+    # into the candidate-distinct hashAggregate's output method, and the
+    # dim-unrolled form (192 flat terms) pushed that generated method past
+    # the JVM's 64 KB limit — collapsing the WHOLE stage to interpreted
+    # execution. The fold is evaluated only on candidate pairs (LSH-bounded,
+    # never corpus-sized), so interpreted per-element cost is immaterial
+    # while the rest of the stage keeps whole-stage codegen.
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .select("id_a", "id_b", cosine("emb_a", "emb_b", dim).alias("cos"))
+        .select("id_a", "id_b", cosine("emb_a", "emb_b", None).alias("cos"))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
     )
@@ -510,8 +550,8 @@ def lsh_topk(
     max_hamming of the query signature, then exact cosine top-k among them.
     At scale the signature equality (hamming=0) is a plain bucket join; the
     hamming probe is the multi-probe recall knob."""
-    qs = queries.withColumn("q_sig", lsh_signature("q_emb"))
-    cs = candidates.withColumn("c_sig", lsh_signature("embedding"))
+    qs = with_signature(queries, "q_emb", "q_sig")
+    cs = with_signature(candidates, "embedding", "c_sig")
     joined = cs.join(
         F.broadcast(qs),
         (F.col("vec_id") != F.col("query_id"))

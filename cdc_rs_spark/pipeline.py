@@ -20,7 +20,12 @@ invocation directly:
     ))
 
 The transform defaults to the declarative BigQuery-CDC envelope
-(test.rhai:25-36); pass `transform_fn` for the scripted escape hatch.
+(test.rhai:25-36). `script` is the direct `--script` analog: a Rhai-subset
+source string whose `transform(db, table, op, before, after, ts)` and
+`topic(db, table)` functions replace the built-in envelope and topic
+template — compiled ONCE to Column expressions (functions/rhai.py), so the
+scripted pipeline runs at the same whole-stage-codegen throughput as the
+declarative one (the reference re-enters its scripting VM per row).
 Offset durability: the checkpoint WAL commits per micro-batch — the
 reference's SQLite `log_pos` table with better transactional guarantees.
 """
@@ -49,6 +54,9 @@ class PipelineConfig:
     source_format: str = "json_dir"        # or "change_feed": the Python
     #   DataSource with binlog-style (file, pos) offsets — the closest
     #   restatement of the reference's tail (streaming/datasource.py)
+    script: str | None = None              # --script: Rhai-subset source whose
+    #   transform()/topic() fns replace the built-in envelope + template
+    #   (compiled to Column expressions — no per-row VM)
 
 
 def build_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
@@ -69,6 +77,18 @@ def build_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
             spark, cfg.source_path, max_files_per_trigger=cfg.max_files_per_trigger
         )
     gated = regex_table_filter(changes, cfg.table_regex)
+    if cfg.script is not None:
+        from cdc_rs_spark.functions.rhai import (
+            RhaiScript,
+            rhai_topic,
+            rhai_transform_json,
+        )
+
+        compiled = RhaiScript(cfg.script)
+        return gated.select(
+            rhai_topic(gated, compiled).alias("topic"),
+            rhai_transform_json(gated, compiled).alias("value"),
+        )
     return gated.select(
         topic_column(cfg.topic_template).alias("topic"),
         bigquery_json(gated).alias("value"),

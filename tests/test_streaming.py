@@ -613,6 +613,67 @@ def test_full_pipeline_assembly_matches_reference_loop(spark, tmp_path):
     assert published() == [("projects/p/topics/all_pims.t", 2)]
 
 
+def test_pipeline_with_rhai_script_matches_builtin_config(spark, tmp_path):
+    """--script parity: the same pipeline run with a user Rhai-subset
+    script (transform + topic fns) publishes byte-identical envelopes to
+    the built-in config, with the topic coming from the script's
+    interpolation. The scripted dataflow is compiled to Column expressions
+    (functions/rhai.py) — the plan stays pure JVM."""
+    from cdc_rs_spark.pipeline import PipelineConfig, build_stream, run_pipeline_once
+    from cdc_rs_spark.plans.cdc import RHAI_DEMO_SCRIPT
+
+    src = str(tmp_path / "src")
+    _write_changes(src, "b1.json", [
+        _chg("Insert", "1", "a", 100),
+        _chg("Delete", "2", None, 101),
+    ])
+    import uuid
+
+    pub_dir = tmp_path / "published"
+    pub_dir.mkdir()
+    d = str(pub_dir)
+
+    def capture_publish(topic: str, values: list[str]) -> None:
+        with open(os.path.join(d, f"{uuid.uuid4().hex}.json"), "w") as f:
+            json.dump({"topic": topic, "values": sorted(values)}, f)
+
+    cfg = PipelineConfig(
+        source_path=src,
+        checkpoint_dir=str(tmp_path / "state"),
+        table_regex=r"^testdb\.t$",
+        script=RHAI_DEMO_SCRIPT,
+        publish=capture_publish,
+    )
+    run_pipeline_once(spark, cfg)
+    recs = [json.loads(p.read_text()) for p in pub_dir.iterdir()]
+    assert len(recs) == 1
+    assert recs[0]["topic"] == "sink/testdb/changes.t"  # script's topic()
+    # envelopes equal the builtin bigquery_json output for the same rows
+    builtin = build_stream(
+        spark,
+        PipelineConfig(
+            source_path=src,
+            checkpoint_dir=str(tmp_path / "state2"),
+            table_regex=r"^testdb\.t$",
+        ),
+    )
+    # compare via a batch read of the same files (streaming frames can't
+    # collect) — reuse the scripted/builtin expressions on a static frame
+    from cdc_rs_spark.functions.rhai import rhai_transform_json
+    from cdc_rs_spark.functions.transforms import bigquery_json
+    from cdc_rs_spark.streaming.source import CHANGE_SCHEMA
+
+    static = spark.read.schema(CHANGE_SCHEMA).json(src)
+    both = static.select(
+        rhai_transform_json(static, RHAI_DEMO_SCRIPT).alias("s"),
+        bigquery_json(static).alias("b"),
+    )
+    assert both.filter(F.col("s") != F.col("b")).count() == 0
+    assert sorted(recs[0]["values"]) == sorted(
+        r["b"] for r in both.collect()
+    )
+
+
 def test_arbitration_state_survives_restart(spark, tmp_path):
     """State-store durability: the live-wins winner state must survive a full
     query RESTART (new start(), same checkpoint) — the stale backfill row
