@@ -1123,3 +1123,125 @@ def feature_hashing_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("bucket").cast("bigint").alias("bucket"), "n_tokens", "example_token")
     )
+
+
+@register(
+    "data_mix_temperature_sampling",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source
+    ),
+    mn AS (SELECT MIN(n) AS n_min FROM counts),
+    rates AS (
+        SELECT source, n,
+               CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n) * 1000000) AS BIGINT)
+                   AS keep_ppm
+        FROM counts, mn
+    )
+    SELECT d.source, r.n AS n_total, r.keep_ppm,
+           CAST(COUNT(*) FILTER (
+               WHERE {_oracle_bucket('d.doc_id', 1000000)} < r.keep_ppm
+           ) AS BIGINT) AS n_kept
+    FROM documents d JOIN rates r USING (source)
+    GROUP BY 1, 2, 3
+    """,
+)
+def data_mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-corpus recipe:
+    sample source s at rate ∝ n_s^(alpha-1), alpha=0.5, normalized so the
+    SMALLEST source keeps 100%) — unlike data_mix_by_source's fixed config
+    table, the rates here are DERIVED from the corpus itself. The keep
+    decision stays the deterministic md5 bucket against an integer
+    parts-per-million threshold (floor(sqrt(n_min/n)*1e6) — one
+    correctly-rounded sqrt + multiply + floor, engine-identical), so the
+    mix is retry-stable and nests across re-mixes. Scale shape: per-source
+    counts are ONE map-side-combinable agg (|sources| rows, broadcast
+    back); the keep filter is a map-side expression; the final rollup
+    shuffles |sources| groups."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    n_min = counts.agg(F.min("n").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "source",
+        "n",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n")) * 1_000_000
+        ).cast("bigint").alias("keep_ppm"),
+    )
+    joined = docs.join(F.broadcast(rates), "source")
+    return (
+        joined.groupBy(
+            "source", F.col("n").alias("n_total"), "keep_ppm"
+        )
+        .agg(
+            F.count(
+                F.when(
+                    hash_bucket(F.col("doc_id"), 1_000_000) < F.col("keep_ppm"),
+                    1,
+                )
+            ).cast("bigint").alias("n_kept")
+        )
+    )
+
+
+@register(
+    "k_anonymity_audit_customer",
+    oracle="""
+    WITH q AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT)
+                   AS bal_bucket,
+               CAST(COUNT(*) AS BIGINT) AS grp_n
+        FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CASE WHEN grp_n < 5 THEN 'k<5'
+                WHEN grp_n < 20 THEN '5<=k<20'
+                ELSE 'k>=20' END AS risk_band,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(grp_n) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM customer), 6) AS row_share
+    FROM q GROUP BY 1
+    """,
+)
+def k_anonymity_audit_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit for training-data release: k-anonymity over the
+    quasi-identifier tuple (nation, market segment, coarse balance bucket)
+    — how many equivalence groups fall below k=5 / k=20, and what share of
+    rows they carry. Rows in small groups are re-identifiable and a PII
+    scrub (pii_scrub_documents) doesn't help if the combination itself is
+    identifying; this is the report a release gate consumes. Shape: one
+    map-side-combinable agg on the quasi-identifier key, then a
+    |groups|-sized band rollup; the total is a 1-row broadcast."""
+    cust = load(spark, sf_dir, "customer")
+    grp = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / 1000)
+        .cast("bigint")
+        .alias("bal_bucket"),
+    ).agg(F.count("*").cast("bigint").alias("grp_n"))
+    total = cust.agg(F.count("*").alias("n_total"))
+    band = (
+        F.when(F.col("grp_n") < 5, F.lit("k<5"))
+        .when(F.col("grp_n") < 20, F.lit("5<=k<20"))
+        .otherwise(F.lit("k>=20"))
+    )
+    return (
+        grp.select(band.alias("risk_band"), "grp_n")
+        .groupBy("risk_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum("grp_n").cast("bigint").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "risk_band",
+            "n_groups",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("n_total"), 6
+            ).alias("row_share"),
+        )
+    )

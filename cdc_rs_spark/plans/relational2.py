@@ -1630,3 +1630,72 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
         .select("part", "pr", "rnk")
     )
+
+
+@register(
+    "skew_audit_join_keys",
+    oracle="""
+    WITH li AS (
+        SELECT l_suppkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1
+    ),
+    li_stats AS (
+        SELECT 'lineitem.l_suppkey' AS join_key,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS max_key_share,
+               quantile_cont(n, 0.5) AS p50_n,
+               quantile_cont(n, 0.99) AS p99_n,
+               CAST(ceil(CAST(MAX(n) AS DOUBLE)
+                         / quantile_cont(n, 0.99)) AS BIGINT)
+                   AS recommended_salt
+        FROM li
+    ),
+    ord AS (
+        SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1
+    ),
+    ord_stats AS (
+        SELECT 'orders.o_custkey' AS join_key,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS max_key_share,
+               quantile_cont(n, 0.5) AS p50_n,
+               quantile_cont(n, 0.99) AS p99_n,
+               CAST(ceil(CAST(MAX(n) AS DOUBLE)
+                         / quantile_cont(n, 0.99)) AS BIGINT)
+                   AS recommended_salt
+        FROM ord
+    )
+    SELECT * FROM li_stats UNION ALL SELECT * FROM ord_stats
+    """,
+)
+def skew_audit_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics — the planning report behind the
+    salted-join / AQE-skew story (operators/skew.py, SCALE.md §3): per
+    candidate join key, the hottest key's share of all rows, the p50/p99
+    per-key row counts, and a derived salt factor (ceil(max/p99)) to feed
+    salted_join when AQE's sort-merge-only skew handling doesn't reach.
+    Shape: ONE map-side-combinable count per key (the same shuffle the
+    audited join would do), then percentile/max over the |keys|-sized
+    aggregate — the audit costs what one shuffle of the join costs, run
+    once before committing to a physical strategy."""
+
+    def stats(df, key_col, label):
+        per_key = df.groupBy(F.col(key_col).alias("k")).agg(
+            F.count("*").alias("n")
+        )
+        return per_key.agg(
+            F.lit(label).alias("join_key"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.round(
+                F.max("n").cast("double") / F.sum("n"), 6
+            ).alias("max_key_share"),
+            F.expr("percentile(n, 0.5)").alias("p50_n"),
+            F.expr("percentile(n, 0.99)").alias("p99_n"),
+            F.ceil(
+                F.max("n").cast("double") / F.expr("percentile(n, 0.99)")
+            ).cast("bigint").alias("recommended_salt"),
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    return stats(li, "l_suppkey", "lineitem.l_suppkey").unionByName(
+        stats(orders, "o_custkey", "orders.o_custkey")
+    )

@@ -204,3 +204,54 @@ def test_operators_handle_empty_inputs(spark):
         ).count()
         == 0
     )
+
+
+def test_join_deltas_shuffled_fallback_matches_broadcast(spark):
+    """ADVICE r2: 'dimension tables are small by definition' is a broadcast-
+    threshold contract, not a law — when the dim outgrows the threshold,
+    broadcast_dim=False must yield the IDENTICAL maintained view via a
+    shuffled equi-join (the algebra is unchanged). Also asserts the plan
+    actually switches strategy (BroadcastHashJoin vs shuffle-based join)."""
+    from pyspark.sql import functions as F
+
+    from cdc_rs_spark.operators.incremental import incremental_join_agg
+
+    changes = spark.createDataFrame(
+        [
+            ("Insert", None, {"id": "1", "ck": "1", "v": "10.00"}, 1),
+            ("Insert", None, {"id": "2", "ck": "2", "v": "5.00"}, 2),
+            ("Update", {"id": "1", "ck": "1", "v": "10.00"},
+             {"id": "1", "ck": "2", "v": "10.00"}, 3),
+            ("Delete", {"id": "2", "ck": "2", "v": "5.00"}, None, 4),
+        ],
+        "op string, before map<string,string>, after map<string,string>, ts long",
+    )
+    dim = spark.createDataFrame(
+        [(1, "east"), (2, "west")], "ck long, region string"
+    )
+
+    def build(broadcast_dim):
+        return incremental_join_agg(
+            changes,
+            dim,
+            key_of=lambda img: img["ck"].cast("bigint"),
+            dim_key="ck",
+            group_col="region",
+            value_of=lambda img: img["v"].cast("decimal(18,2)"),
+            broadcast_dim=broadcast_dim,
+        )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bcast = build(True)
+        shuffled = build(False)
+        assert sorted(map(tuple, bcast.collect())) == sorted(
+            map(tuple, shuffled.collect())
+        )
+        p_b = bcast._jdf.queryExecution().executedPlan().toString()
+        p_s = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p_b
+        assert "BroadcastHashJoin" not in p_s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
