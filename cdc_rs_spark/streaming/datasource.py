@@ -158,20 +158,69 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.permissive = options.get("mode", "failfast").lower() == "permissive"
+        # Admission control (the --backfill-batch-size analog,
+        # src/main.rs:35-44): without a cap, a consumer facing a month of
+        # backlog plans ONE micro-batch over the whole backlog — unbounded
+        # batch state, no commit until everything lands, and a mid-batch
+        # failure reprocesses it all. With the cap, latestOffset advances
+        # at most N records past this reader's progress anchor per batch,
+        # so catch-up proceeds in bounded, individually-committed steps.
+        # The anchor comes from initialOffset (fresh stream), partitions()
+        # (every planned batch's start — authoritative engine progress) and
+        # commit(). The Python DataSource API has no read-limit hook and
+        # calls latestOffset BEFORE initialOffset, so the cap's guarantee
+        # is STEADY-STATE continuous operation: a batch planned before the
+        # engine has revealed any position (pre-existing backlog at first
+        # start, or the first batch after a clean restart) is deliberately
+        # uncapped — returning anything below the unseen committed offset
+        # could regress the checkpoint, which is strictly worse than one
+        # large batch. Trigger.AvailableNow snapshots a single end offset
+        # by design and is unaffected.
+        self.max_records = int(options.get("maxRecordsPerBatch", 0)) or None
+        self._anchor: dict | None = None
+
+    @staticmethod
+    def _tup(o: dict) -> tuple:
+        return (o["file_idx"], o["pos"])
+
+    def _advance_anchor(self, off: dict) -> None:
+        if self._anchor is None or self._tup(off) > self._tup(self._anchor):
+            self._anchor = dict(off)
 
     def initialOffset(self) -> dict:
-        return {"file_idx": 0, "pos": 0}
+        off = {"file_idx": 0, "pos": 0}
+        self._advance_anchor(off)
+        return off
 
     def latestOffset(self) -> dict:
         files = _list_files(self.path)
         if not files:
             return {"file_idx": 0, "pos": 0}
-        return {
-            "file_idx": len(files) - 1,
-            "pos": _count_records(files[-1]),
-        }
+        tail = {"file_idx": len(files) - 1, "pos": _count_records(files[-1])}
+        if self.max_records is None or self._anchor is None:
+            return tail
+        budget = self.max_records
+        idx, pos = self._anchor["file_idx"], self._anchor["pos"]
+        while idx <= tail["file_idx"]:
+            avail = (
+                tail["pos"] if idx == tail["file_idx"] else _count_records(files[idx])
+            ) - pos
+            if avail > budget:
+                return {"file_idx": idx, "pos": pos + budget}
+            budget -= avail
+            if idx == tail["file_idx"]:
+                break
+            idx, pos = idx + 1, 0
+        return tail
 
     def partitions(self, start: dict, end: dict):
+        # anchor on the planned END, not start: the engine does not
+        # reliably invoke the Python commit() hook between triggers, and
+        # re-proposing an end we already planned stalls the stream (the
+        # engine sees latest == committed and never triggers again). If
+        # the batch fails, the engine replays the same (start, end) from
+        # its WAL regardless of this in-memory mark.
+        self._advance_anchor(end)
         files = _list_files(self.path)
         out: list[FileSlice] = []
         for idx in range(start["file_idx"], min(end["file_idx"] + 1, len(files))):
@@ -188,8 +237,10 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # offsets live in Spark's checkpoint WAL; nothing to persist here —
         # this is where the reference UPSERTs (server_id, pos, filename)
-        # into SQLite (src/main.rs:242-254)
-        pass
+        # into SQLite (src/main.rs:242-254). The in-memory mark only
+        # anchors the NEXT batch's admission budget; on restart the engine
+        # re-seeds progress through partitions(start, end).
+        self._advance_anchor(end)
 
 
 class ChangeFeedBatchReader(DataSourceReader):

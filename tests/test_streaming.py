@@ -1022,6 +1022,56 @@ def test_python_datasource_change_feed_offsets(spark, tmp_path):
     assert full.count() == 5
 
 
+def test_change_feed_max_records_per_batch_bounds_catchup(spark, tmp_path):
+    """Admission control on the change-feed DataSource: once the reader has
+    an engine-revealed progress anchor (steady-state continuous operation),
+    maxRecordsPerBatch=3 drains a 10-record burst (spanning a file
+    rotation) in >=4 individually-committed micro-batches of <=3 records —
+    the --backfill-batch-size analog. No loss, no duplication. (A batch
+    planned before any anchor exists — pre-existing backlog at first start
+    — is deliberately uncapped; see the reader docstring.)"""
+    import os as _os
+    import time
+
+    from cdc_rs_spark.streaming.datasource import register_change_feed
+
+    register_change_feed(spark)
+    src = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(src, exist_ok=True)  # start against an EMPTY feed
+
+    batches: list[list[int]] = []
+    q = (
+        spark.readStream.format("change_feed")
+        .option("path", src)
+        .option("maxRecordsPerBatch", "3")
+        .load()
+        .writeStream.foreachBatch(
+            lambda bdf, bid: batches.append(sorted(r["ts"] for r in bdf.collect()))
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        time.sleep(2.0)  # first trigger sees the empty feed -> anchor set
+        _write_changes(src, "bin.000001", [_chg("Insert", str(i), "v", 10 + i) for i in range(7)])
+        _write_changes(src, "bin.000002", [_chg("Insert", str(i), "v", 10 + i) for i in range(7, 10)])
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            seen = sorted(t for b in batches for t in b)
+            if seen == list(range(10, 20)):
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    non_empty = [b for b in batches if b]
+    assert sorted(t for b in non_empty for t in b) == list(range(10, 20)), non_empty
+    assert all(len(b) <= 3 for b in non_empty), non_empty
+    assert len(non_empty) >= 4, non_empty
+
+
 def test_change_feed_crash_recovery_exactly_once(spark, tmp_path):
     """Failure injection on the reference's core durability story
     (src/main.rs:204-255: resume from the committed (filename, log_pos)):
