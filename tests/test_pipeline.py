@@ -255,3 +255,52 @@ def test_join_deltas_shuffled_fallback_matches_broadcast(spark):
         assert "BroadcastHashJoin" not in p_s
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_build_training_set_end_to_end(spark, sf_dir, tmp_path):
+    """The composed curation funnel (cdc_rs_spark/training.py): raw docs ->
+    scrub -> quality gate -> exact dedup -> MinHash near-dedup -> shards.
+    Asserts the funnel is monotonically non-increasing, the written shards
+    + manifest agree with the surviving set, no PII pattern survives, and a
+    SECOND run over the same corpus reproduces byte-identical shard
+    manifests (determinism: retries and speculative re-runs are safe)."""
+    import json
+
+    from cdc_rs_spark.session import load
+    from cdc_rs_spark.sources.sinks import spark_read_shards
+    from cdc_rs_spark.training import TrainingSetConfig, build_training_set
+
+    docs = load(spark, sf_dir, "documents")
+    # plant a near-dup pair and a PII doc so every stage provably fires
+    top = docs.orderBy("doc_id").limit(1).collect()[0]
+    extra = spark.createDataFrame(
+        [
+            (9_000_001, top["text"] + " tail", "en", "src0", len(top["text"]) + 5),
+            (9_000_002, "contact me at someone@example.com via https://x.example/z "
+             + top["text"], "en", "src0", 60),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus = docs.select("doc_id", "text", "lang", "source", "n_chars").unionByName(extra)
+
+    out1 = str(tmp_path / "shards1")
+    funnel = build_training_set(corpus, out1, TrainingSetConfig(n_shards=4))
+    stages = [s for s, _ in funnel]
+    counts = [n for _, n in funnel]
+    assert stages == ["raw", "quality_gate", "exact_dedup", "near_dedup", "sharded"]
+    assert counts == sorted(counts, reverse=True), funnel
+    assert counts[-1] > 0
+
+    shards = spark_read_shards(spark, out1)
+    assert shards.count() == counts[-1]
+    manifest = json.load(open(f"{out1}/_manifest.json"))
+    assert sum(s["n_rows"] for s in manifest["shards"].values()) == counts[-1]
+    # PII scrubbed everywhere
+    assert shards.filter(shards["text"].rlike("@[A-Za-z0-9.-]+")).count() == 0
+    assert shards.filter(shards["text"].contains("https://")).count() == 0
+
+    # determinism: second run -> identical manifest digests
+    out2 = str(tmp_path / "shards2")
+    build_training_set(corpus, out2, TrainingSetConfig(n_shards=4))
+    manifest2 = json.load(open(f"{out2}/_manifest.json"))
+    assert manifest["shards"] == manifest2["shards"]
