@@ -914,58 +914,59 @@ def feature_ntile_binning_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
     """Equi-depth feature binning: NTILE(10) deciles of l_extendedprice
     (deterministic total order via key tiebreaks) with per-bin bounds and
     the inverse-frequency weight N/(k*n_bin) used to rebalance skewed
-    features/classes at training time. Exact equi-depth NTILE without a
-    single-partition window: two-pass range-bucketed global rank
-    (operators/ranged.py — sampled price quantiles -> per-bucket counts ->
-    offsets -> partitioned window) + NTILE's exact row distribution
-    reconstructed from the rank (`ntile_from_rank`). Every data-sized stage
-    is partition-parallel; the approx-threshold regime for when exact
-    equi-depth is NOT contractual stays pinned by
+    features/classes at training time.
+
+    No rank is ever materialized: NTILE's exact row distribution is a pure
+    function of n_total (first n%10 bins get one extra row), and each bin's
+    lo/hi is the PRICE at a known global rank — which is identical under any
+    tie-breaking order because price is the leading sort key. Those 20 rank
+    values resolve via distributed selection (operators/quantiles.py
+    exact_rank_values: sketch brackets at b/10 hints + one zone-histogram
+    pass), so the whole query is two codegen'd scans and a 10-row literal
+    result — strictly less work than the previous two-pass range-bucketed
+    global rank, and no data-sized window at ANY scale. The approx-threshold
+    regime for when exact equi-depth is NOT contractual stays pinned by
     outlier_iqr_approx_lineitem."""
-    from cdc_rs_spark.operators.ranged import (
-        global_rank,
-        ntile_from_rank,
-        ranked_result,
+    from cdc_rs_spark.operators.quantiles import exact_rank_values
+
+    li = load(spark, sf_dir, "lineitem")
+    k = 10
+
+    def boundaries(n: int) -> list[tuple[int, int, int]]:
+        """(bin, start_rank, size) per NTILE(k) bin."""
+        q, r = divmod(n, k)
+        out, start = [], 0
+        for b in range(1, k + 1):
+            size = q + 1 if b <= r else q
+            out.append((b, start, size))
+            start += size
+        return out
+
+    def ranks_for_n(n: int):
+        ranks = []
+        for _, start, size in boundaries(n):
+            if size:
+                ranks += [start, start + size - 1]
+        return ranks
+
+    (n_total, rank_val) = exact_rank_values(
+        li,
+        "l_extendedprice",
+        [b / k for b in range(k + 1)],
+        ranks_for_n,
+        accuracy=8000,  # 11 brackets: tighter margins shrink the candidate
+        # collect ~8x for a sketch cost that grows far slower (measured)
+    )[()]
+
+    rows = []
+    for b, start, size in boundaries(n_total):
+        lo, hi = rank_val[start], rank_val[start + size - 1]
+        inv = n_total / (k * size)
+        rows.append(f"({b}, {size}L, {lo!r}D, {hi!r}D, {inv!r}D)")
+    return spark.sql(
+        "SELECT col1 AS bin, col2 AS n, col3 AS lo, col4 AS hi, "
+        "col5 AS inv_freq_weight FROM VALUES " + ", ".join(rows)
     )
-
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-
-    def build(cached):
-        ranked, n_total = global_rank(
-            cached,
-            "l_extendedprice",
-            [
-                F.asc("l_extendedprice"),
-                F.asc("l_orderkey"),
-                F.asc("l_linenumber"),
-            ],
-        )
-        binned = ranked.select(
-            "l_extendedprice",
-            ntile_from_rank(F.col("_rk"), n_total, 10).alias("bin"),
-        )
-        return (
-            binned.groupBy("bin")
-            .agg(
-                F.count("*").alias("n"),
-                F.min("l_extendedprice").alias("lo"),
-                F.max("l_extendedprice").alias("hi"),
-            )
-            .select(
-                "bin",
-                "n",
-                "lo",
-                "hi",
-                (
-                    F.lit(n_total).cast("bigint")
-                    / (10 * F.col("n").cast("double"))
-                ).alias("inv_freq_weight"),
-            )
-        )
-
-    return ranked_result(li, build)
 
 
 @register(

