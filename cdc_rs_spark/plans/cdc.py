@@ -796,3 +796,193 @@ def rhai_script_topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("topic")
         .agg(F.count("*").alias("n"))
     )
+
+
+_ORACLE_OP_RANK = """CASE op WHEN 'Update' THEN 3 WHEN 'Insert' THEN 2
+                             WHEN 'Delete' THEN 1 ELSE 0 END"""
+
+ASOF_POINTS = [50, 150, 250]
+
+
+@register(
+    "cdc_time_travel_asof",
+    oracle=f"""
+    WITH live AS ({ORACLE_LIVE_CHANGES}),
+    backfill AS (
+        SELECT 'Backfill' AS op, o_orderkey AS okey, 1::BIGINT AS ts,
+               o_totalprice AS total
+        FROM orders
+    ),
+    all_changes AS (
+        SELECT op, okey, ts, total FROM backfill
+        UNION ALL SELECT op, okey, ts, total FROM live
+    ),
+    horizons AS (SELECT * FROM (VALUES
+        {", ".join(f"({t}::BIGINT)" for t in ASOF_POINTS)}) t(as_of_ts)),
+    ranked AS (
+        SELECT h.as_of_ts, c.op, c.okey, c.total,
+               row_number() OVER (
+                   PARTITION BY h.as_of_ts, c.okey
+                   ORDER BY c.ts DESC, {_ORACLE_OP_RANK} DESC
+               ) AS rn
+        FROM all_changes c JOIN horizons h ON c.ts <= h.as_of_ts
+    )
+    SELECT as_of_ts, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM ranked WHERE rn = 1 AND op <> 'Delete'
+    GROUP BY as_of_ts
+    """,
+)
+def cdc_time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time replay (time travel): reconstruct the materialized
+    table state AS OF each requested timestamp from the change history —
+    the capability a CDC log + compaction rule implies but the reference
+    binary never materializes (it only streams forward; src/main.rs:162-188
+    has no replay path). For each horizon T the state is latest-per-key over
+    changes with ts <= T, deletes tombstoned — exactly the
+    cdc_compact_latest rule applied to a truncated log, so T before the
+    live feed sees the pure backfill, T mid-feed sees updates/deletes
+    applied but not the later inserts, and T after sees everything.
+
+    Scale shape: one partitioned window per horizon over the ts-filtered
+    log (the filter prunes at the scan); horizons are few and fixed by the
+    audit being run, so the loop is a handful of shared-scan DAG branches,
+    not a data-dimension. The per-state summary (count + exact-decimal sum)
+    keeps the oracle hash cross-engine-stable."""
+    from cdc_rs_spark.plans.relational import dsum
+
+    orders = load(spark, sf_dir, "orders")
+    backfill = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    live = live_orders_changes(spark, sf_dir)
+    log = backfill.unionByName(live)
+    total = F.col("after")["o_totalprice"].cast("double")
+    out = None
+    for t in ASOF_POINTS:
+        state = latest_per_key(
+            log.filter(F.col("ts") <= t), drop_deletes=True
+        )
+        summary = state.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            dsum(total).alias("sum_total"),
+        ).select(
+            F.lit(t).cast("bigint").alias("as_of_ts"), "n_rows", "sum_total"
+        )
+        out = summary if out is None else out.unionByName(summary)
+    return out
+
+
+@register(
+    "cdc_retraction_algebra",
+    oracle="""
+    WITH retractions AS (
+        -- Backfill: +after (the full snapshot)
+        SELECT 1 AS sign, o_orderstatus AS status, o_totalprice AS total
+        FROM orders
+        UNION ALL
+        -- Update (%10=3): -before +after
+        SELECT -1, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT 1, o_orderstatus, o_totalprice + 1000.0
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        -- Delete (%10=7): -before
+        SELECT -1, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 7
+        UNION ALL
+        -- Insert (%10=1, new key): +after
+        SELECT 1, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 1
+    ),
+    net AS (
+        SELECT status, CAST(SUM(sign) AS BIGINT) AS net_rows,
+               CAST(SUM(CAST(sign * total AS DECIMAL(18,2))) AS DOUBLE)
+                   AS net_total
+        FROM retractions GROUP BY status
+    ),
+    state_rows AS (
+        -- survivors: all non-deleted keys with updates applied, plus inserts
+        SELECT o_orderstatus AS status,
+               CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS total
+        FROM orders WHERE o_orderkey % 10 <> 7
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 1
+    ),
+    state AS (
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS state_rows,
+               CAST(SUM(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS state_total
+        FROM state_rows GROUP BY status
+    )
+    SELECT n.status, n.net_rows, n.net_total,
+           (n.net_rows = s.state_rows AND n.net_total = s.state_total)
+               AS consistent
+    FROM net n JOIN state s ON n.status = s.status
+    """,
+)
+def cdc_retraction_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog inversion (Flink-style retraction streams): rewrite the
+    upsert envelope as +1/-1 row deltas — Insert/Backfill emit +after,
+    Update emits -before +after, Delete emits -before — and verify the
+    algebra: summing the deltas per group must reproduce the compacted
+    state's aggregates exactly. This is the building block of incremental
+    view maintenance over NON-append views (downstream aggregates consume
+    the deltas without ever seeing the full log), and the `consistent`
+    column is the cross-check: a wrong before-image or a missed tombstone
+    flips it to false and fails the oracle hash.
+
+    Scale shape: the delta expansion is two narrow union'd projections of
+    the log (no explode of the wide image through a join), the net
+    aggregate is one map-side-combinable shuffle on the group key, and the
+    state side reuses the latest-per-key compaction; deltas make the
+    aggregate maintainable with O(groups) state instead of O(keys). Sums
+    accumulate in exact decimal so +x and -x cancel bit-exactly. The
+    oracle derives both sides independently from the fixture contract
+    (sources/synthetic.py), so Spark's envelope round-trip (build images ->
+    invert to deltas) is checked against first principles."""
+    from cdc_rs_spark.plans.relational import dsum
+
+    orders = load(spark, sf_dir, "orders")
+    backfill = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    live = live_orders_changes(spark, sf_dir)
+    log = backfill.unionByName(live)
+
+    def img(side: str):
+        return (
+            F.col(side)["o_orderstatus"].alias("status"),
+            F.col(side)["o_totalprice"].cast("double").alias("total"),
+        )
+
+    minus = log.filter(F.col("op").isin("Update", "Delete")).select(
+        F.lit(-1).alias("sign"), *img("before")
+    )
+    plus = log.filter(F.col("op").isin("Update", "Insert", "Backfill")).select(
+        F.lit(1).alias("sign"), *img("after")
+    )
+    net = (
+        minus.unionByName(plus)
+        .groupBy("status")
+        .agg(
+            F.sum("sign").cast("bigint").alias("net_rows"),
+            dsum(F.col("sign") * F.col("total")).alias("net_total"),
+        )
+    )
+    state = (
+        latest_per_key(log, drop_deletes=True)
+        .select(*img("after"))
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("state_rows"),
+            dsum(F.col("total")).alias("state_total"),
+        )
+    )
+    return net.join(state, "status").select(
+        "status",
+        "net_rows",
+        "net_total",
+        (
+            (F.col("net_rows") == F.col("state_rows"))
+            & (F.col("net_total") == F.col("state_total"))
+        ).alias("consistent"),
+    )

@@ -554,7 +554,9 @@ def data_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     and re-mixing with new weights re-selects a superset/subset rather than
     an unrelated sample (bucket < rate nests across rates)."""
     docs = load(spark, sf_dir, "documents")
-    weights = spark.createDataFrame(MIX_WEIGHTS, "source string, keep_pct int")
+    from cdc_rs_spark.session import jvm_literal_df
+
+    weights = jvm_literal_df(spark, MIX_WEIGHTS, "source string, keep_pct int")
     return (
         docs.join(F.broadcast(weights), "source")
         .filter(hash_bucket(F.col("doc_id")) < F.col("keep_pct"))

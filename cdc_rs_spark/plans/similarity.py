@@ -133,10 +133,7 @@ def _cos_sql(a: str, b: str) -> str:
     return _COS.format(dot=_dot_sql(a, b), na=_norm_sql(a), nb=_norm_sql(b))
 
 
-@register(
-    "similarity_ivf_topk",
-    oracle=f"""
-    WITH {_QUERIES_SQL},
+_IVF_CHAIN_SQL = f"""
     -- Lloyd trains on a deterministic 1-in-{TRAIN_MOD} hash sample of the
     -- corpus (FAISS-style: a few hundred vectors per centroid suffice);
     -- the sample predicate is the same md5 bucket Spark uses, so the
@@ -200,7 +197,14 @@ def _cos_sql(a: str, b: str) -> str:
                    ) AS prank
             FROM qs q CROSS JOIN cents c
         ) WHERE prank <= {N_PROBE}
-    ),
+    )"""
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH {_QUERIES_SQL},
+    {_IVF_CHAIN_SQL},
     cand AS (
         SELECT p.query_id, a.vec_id,
                {_cos_sql("p.q_emb", "a.embedding")} AS cos
@@ -232,16 +236,26 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces centroids, probes and ranks exactly. The inverted
     list is the cluster-scale partitioning key — a probe touches
     nprobe/nlists of the corpus."""
+    from cdc_rs_spark.operators.similarity import ivf_probe_topk
+
+    raw = load(spark, sf_dir, "embeddings")
+    cents, probes = _ivf_model(spark, raw)
+    return ivf_probe_topk(
+        spread(raw).select("vec_id", "embedding"), cents, probes, k=5, dim=EMB_DIM
+    )
+
+
+def _ivf_model(spark: SparkSession, raw: DataFrame):
+    """Train the IVF index (driver-local Lloyd on the hash sample) and pick
+    each query's probe lists — the shared front half of similarity_ivf_topk
+    and similarity_recall_eval. Returns (cents, probes) DataFrames."""
     import hashlib
 
     from cdc_rs_spark.operators.similarity import (
         _py_cosine,
-        ivf_probe_topk,
         lloyd_refine_local,
     )
     from cdc_rs_spark.plans.pipeline import hash_bucket
-
-    raw = load(spark, sf_dir, "embeddings")
 
     def bucket(vid: int, m: int) -> int:
         # driver-side mirror of hash_bucket / _oracle_bucket
@@ -276,6 +290,11 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in cent_rows
         )[:N_PROBE]
         probe_rows += [(q["vec_id"], q["embedding"], cid) for _, cid in ranked]
+    # deliberately createDataFrame, NOT session.jvm_literal_df: rendering
+    # the 16 x 64 centroid doubles as a VALUES LocalRelation lets Catalyst
+    # constant-fold them INTO the per-row argmax expression — measured 3.5x
+    # slower (codegen blowup), vs the Python-RDD build cost these k-row
+    # tables amortize across the whole family
     cents = spark.createDataFrame(
         [(c["cent_id"], c["c_emb"]) for c in cent_rows],
         "cent_id bigint, c_emb array<double>",
@@ -283,9 +302,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = spark.createDataFrame(
         probe_rows, "query_id bigint, q_emb array<float>, cent_id bigint"
     )
-    return ivf_probe_topk(
-        spread(raw).select("vec_id", "embedding"), cents, probes, k=5, dim=EMB_DIM
-    )
+    return cents, probes
 
 
 _Q8 = """
@@ -483,3 +500,131 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(nrm, 0.5)"), 6).alias("median_norm"),
         )
     )
+
+
+@register(
+    "similarity_recall_eval",
+    oracle=f"""
+    WITH {_QUERIES_SQL},
+    exact_scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_dot_sql("q.q_emb", "c.embedding")}
+               / ({_norm_sql("q.q_emb")} * {_norm_sql("c.embedding")}) AS cos
+        FROM embeddings c CROSS JOIN qs q
+        WHERE c.vec_id <> q.query_id
+    ),
+    exact_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM exact_scored
+        ) WHERE rank <= 10
+    ),
+    qsig AS (SELECT query_id, {_sig_sql("q_emb")} AS q_sig FROM qs),
+    csig AS (SELECT vec_id, {_sig_sql("embedding")} AS c_sig FROM embeddings),
+    {_IVF_CHAIN_SQL},
+    per_q AS (
+        SELECT t.query_id,
+               SUM(CASE WHEN bit_count(xor(q.q_sig, c.c_sig)) <= 2
+                        THEN 1 ELSE 0 END) AS lsh_cnt,
+               SUM(CASE WHEN p.cent_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS ivf_cnt,
+               COUNT(*) AS k
+        FROM exact_top t
+        JOIN qsig q ON q.query_id = t.query_id
+        JOIN csig c ON c.vec_id = t.vec_id
+        JOIN assigned a ON a.vec_id = t.vec_id
+        LEFT JOIN probes p ON p.query_id = t.query_id
+                          AND p.cent_id = a.cent_id
+        GROUP BY t.query_id
+    )
+    SELECT 'ivf' AS method, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(ivf_cnt) AS DOUBLE) / SUM(k), 6) AS mean_recall,
+           ROUND(CAST(MIN(ivf_cnt) AS DOUBLE) / 10.0, 6) AS min_recall
+    FROM per_q
+    UNION ALL
+    SELECT 'lsh' AS method, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(lsh_cnt) AS DOUBLE) / SUM(k), 6) AS mean_recall,
+           ROUND(CAST(MIN(lsh_cnt) AS DOUBLE) / 10.0, 6) AS min_recall
+    FROM per_q
+    """,
+)
+def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: recall@10 of BOTH approximate indexes against
+    the exact cosine top-10 — the measurement loop any production ANN
+    deployment runs before trusting an index (FAISS's own eval protocol).
+    recall = fraction of a query's true top-10 that the index would
+    retrieve: for LSH, the neighbor's 16-bit signature is within hamming 2
+    of the query's (the multi-probe gate of similarity_lsh_ann); for IVF,
+    the neighbor's assigned inverted list is among the query's nprobe
+    probed lists (similarity_ivf_topk's candidate gate).
+
+    Scale shape: the exact baseline runs only over N_QUERIES broadcast
+    queries (the standard sampled-recall protocol — never corpus x corpus);
+    signatures and the 80-member assignment pass are map-side; every join
+    after the baseline touches 80 rows. Both recalls and the whole
+    index-construction chain are reproduced exactly by the DuckDB oracle,
+    so a drifting index (bad centroid math, broken signature) fails the
+    hash gate, not just a threshold. Mean is SUM(hits)/SUM(k) — integer
+    sums, one double division, order-independent."""
+    from cdc_rs_spark.operators.similarity import (
+        _assign_to_centroids,
+        brute_force_topk,
+        with_signature,
+    )
+
+    raw = load(spark, sf_dir, "embeddings")
+    corpus = spread(raw).select("vec_id", "embedding")
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = brute_force_topk(queries, corpus, k=10, dim=EMB_DIM).select(
+        "query_id", "vec_id"
+    )
+    csig = with_signature(corpus, "embedding", "c_sig").select("vec_id", "c_sig")
+    qsig = with_signature(queries, "q_emb", "q_sig").select("query_id", "q_sig")
+    cents, probes = _ivf_model(spark, raw)
+    members = exact.select("vec_id").distinct().join(corpus, "vec_id")
+    assigned = _assign_to_centroids(members, cents, dim=EMB_DIM).select(
+        "vec_id", "cent_id"
+    )
+    probe_hits = probes.select("query_id", "cent_id").withColumn(
+        "hit", F.lit(1)
+    )
+    per_q = (
+        exact.join(qsig, "query_id")
+        .join(csig, "vec_id")
+        .join(assigned, "vec_id")
+        .join(probe_hits, ["query_id", "cent_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (
+                    F.bit_count(F.col("q_sig").bitwiseXOR(F.col("c_sig"))) <= 2
+                ).cast("int")
+            ).alias("lsh_cnt"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias(
+                "ivf_cnt"
+            ),
+            F.count("*").alias("k"),
+        )
+    )
+    summary = per_q.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum("lsh_cnt").alias("sl"),
+        F.min("lsh_cnt").alias("ml"),
+        F.sum("ivf_cnt").alias("si"),
+        F.min("ivf_cnt").alias("mi"),
+        F.sum("k").alias("sk"),
+    )
+    def row(method: str, s: str, m: str) -> DataFrame:
+        return summary.select(
+            F.lit(method).alias("method"),
+            "n_queries",
+            F.round(F.col(s).cast("double") / F.col("sk"), 6).alias(
+                "mean_recall"
+            ),
+            F.round(F.col(m).cast("double") / 10.0, 6).alias("min_recall"),
+        )
+    return row("ivf", "si", "mi").unionByName(row("lsh", "sl", "ml"))

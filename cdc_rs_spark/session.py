@@ -80,3 +80,49 @@ def load(spark: SparkSession, sf_dir: str, name: str):
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df
+
+
+def jvm_literal_df(spark: SparkSession, rows, schema: str):
+    """Build a small literal DataFrame as a pure-JVM VALUES relation.
+
+    ``spark.createDataFrame`` backs even a 3-row literal table with a
+    Python RDD (``Scan ExistingRDD`` → applySchemaToPythonRDD), so the
+    first job that touches it — typically a broadcast build — pays a
+    Python-worker spin-up (measured ~5.5 s cold vs ~0.2 s for a VALUES
+    relation, see operators/quantiles.py). This helper renders the rows as
+    SQL literals instead: the result is a LocalRelation, broadcast builds
+    evaluate driver-side, and no Python worker is ever scheduled.
+
+    ``schema`` is DDL-ish: ``"name type, name type"``; every cell is CAST to
+    its declared type, so int→int vs bigint and array<double>→array<float>
+    land exactly as declared. Supported cell types: None, bool, int, float,
+    str, and (nested) lists thereof. Float literals render via repr — the
+    shortest round-tripping form — so values are bit-identical to the
+    Python doubles passed in."""
+    cols = []
+    for part in schema.split(","):
+        name, typ = part.strip().split(None, 1)
+        cols.append((name, typ))
+
+    def cell(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, int):
+            return f"{v}L"
+        if isinstance(v, float):
+            return f"{v!r}D"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, (list, tuple)):
+            return "array(" + ", ".join(cell(x) for x in v) + ")"
+        raise TypeError(f"jvm_literal_df: unsupported cell type {type(v)}")
+
+    vals = ", ".join(
+        "(" + ", ".join(cell(v) for v in row) + ")" for row in rows
+    )
+    sel = ", ".join(
+        f"CAST(col{i + 1} AS {t}) AS {n}" for i, (n, t) in enumerate(cols)
+    )
+    return spark.sql(f"SELECT {sel} FROM VALUES {vals}")
