@@ -489,3 +489,165 @@ def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("bigint").alias("n_members"),
         )
     )
+
+
+TRUNC_FRACTIONS = [0.25, 0.45, 0.65, 0.85]
+
+
+def _trunc_oracle_sql() -> str:
+    from cdc_rs_spark.plans.pipeline import _oracle_bucket
+
+    fp = fp_sql("t")
+    mins_a = ", ".join(
+        f"list_min(list_transform(fa, x -> ({a}*x + {b}) % {P31}))"
+        for a, b in MINHASH_COEFFS
+    )
+    mins_b = ", ".join(
+        f"list_min(list_transform(fb, x -> ({a}*x + {b}) % {P31}))"
+        for a, b in MINHASH_COEFFS
+    )
+    rows = MINHASH_K // MINHASH_BANDS
+    band_terms = []
+    for b in range(MINHASH_BANDS):
+        eqs = " AND ".join(
+            f"sig[{b * rows + r + 1}] = sigv[{b * rows + r + 1}]"
+            for r in range(rows)
+        )
+        band_terms.append(f"({eqs})")
+    caught = " OR ".join(band_terms)
+    inter = "len(list_filter(s, x -> list_contains(sv, x)))"
+    fracs = ", ".join(f"({f})" for f in TRUNC_FRACTIONS)
+    return f"""
+    base AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE {_oracle_bucket('doc_id', 10)} < 1
+          AND len(string_split(text, ' ')) >= 12
+    ),
+    var AS (
+        SELECT doc_id, f, w,
+               w[1:greatest(3, CAST(floor(f * len(w)) AS INT))] AS wv
+        FROM base, (VALUES {fracs}) t(f)
+    ),
+    sh2 AS (
+        SELECT doc_id, f,
+               list_distinct(list_transform(range(1, len(w)-1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s,
+               list_distinct(list_transform(range(1, len(wv)-1),
+                   i -> wv[i] || ' ' || wv[i+1] || ' ' || wv[i+2])) AS sv
+        FROM var
+    ),
+    fp2 AS (
+        SELECT doc_id, f, s, sv,
+               list_transform(s, t -> {fp} % {P31}) AS fa,
+               list_transform(sv, t -> {fp} % {P31}) AS fb
+        FROM sh2
+    ),
+    sg AS (
+        SELECT doc_id, f, s, sv, [{mins_a}] AS sig, [{mins_b}] AS sigv
+        FROM fp2
+    ),
+    scored AS (
+        SELECT ROUND({inter}::DOUBLE
+                     / (len(s) + len(sv) - {inter}), 6) AS j,
+               CASE WHEN {caught} THEN 1 ELSE 0 END AS caught
+        FROM sg
+    )
+    """
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    oracle=f"""
+    WITH {_trunc_oracle_sql()},
+    banded AS (
+        SELECT CASE WHEN j >= 0.8 THEN 0.8 WHEN j >= 0.6 THEN 0.6
+                    WHEN j >= 0.4 THEN 0.4 WHEN j >= 0.2 THEN 0.2
+                    ELSE 0.0 END AS j_lo,
+               caught
+        FROM scored
+    )
+    SELECT j_lo, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(caught) AS BIGINT) AS n_caught,
+           ROUND(CAST(SUM(caught) AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM banded GROUP BY j_lo
+    """,
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding S-curve, measured with controlled-similarity
+    probe pairs: each doc in a 1-in-10 deterministic hash sample is paired
+    with its own prefix truncations (25/45/65/85% of tokens), which sweep
+    exact Jaccard across the whole [0,1] range — the corpus's organic
+    near-dups all sit above 0.8, so they alone cannot exercise the curve.
+    Per similarity band the query reports what fraction of pairs the
+    production 4x4 banding would emit as candidates (some band's 4
+    signature values all agree) — the empirical 1-(1-j^r)^b curve a dedup
+    threshold choice rests on, and the text-side companion of
+    similarity_recall_eval. A broken permutation family or band layout
+    collapses the high-j rows; the oracle regenerates shingles, signatures
+    and the band predicate from the same constants, so drift fails the
+    hash.
+
+    Scale shape: entirely map-side — signature both sides per row, band
+    agreement as a flat column predicate, NO candidate join at all (the
+    pair construction is the audit's trick: the partner is derived from
+    the row itself), then one tiny aggregation. Runs identically at any
+    corpus size; the sample rate is the cost knob."""
+    from cdc_rs_spark.operators.dedup import minhash_signature
+    from cdc_rs_spark.plans.pipeline import hash_bucket
+
+    d = spread(load(spark, sf_dir, "documents"))
+    w = word_tokens(F.col("text"))
+    base = (
+        d.filter(hash_bucket(F.col("doc_id"), 10) < 1)
+        .select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= 12)
+    )
+    pairs = base.select(
+        "doc_id",
+        "w",
+        F.explode(F.array(*[F.lit(f) for f in TRUNC_FRACTIONS])).alias("f"),
+    )
+    nv = F.greatest(F.lit(3), F.floor(F.col("f") * F.size("w")).cast("int"))
+    pairs = (
+        pairs.withColumn("wv", F.slice(F.col("w"), F.lit(1), nv))
+        .withColumn("s", shingles(F.col("w")))
+        .withColumn("sv", shingles(F.col("wv")))
+    )
+    pairs = pairs.withColumn("fa", shingle_fps(F.col("s"))).withColumn(
+        "fb", shingle_fps(F.col("sv"))
+    )
+    pairs = pairs.withColumn("sig", minhash_signature(F.col("fa"))).withColumn(
+        "sigv", minhash_signature(F.col("fb"))
+    )
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    caught = None
+    for b in range(MINHASH_BANDS):
+        eq = F.lit(True)
+        for r in range(rows_per_band):
+            i = b * rows_per_band + r + 1
+            eq = eq & (
+                F.element_at(F.col("sig"), i) == F.element_at(F.col("sigv"), i)
+            )
+        caught = eq if caught is None else (caught | eq)
+    inter = F.size(F.array_intersect("s", "sv"))
+    union = F.size("s") + F.size("sv") - inter
+    j = F.round(inter.cast("double") / union.cast("double"), 6)
+    scored = pairs.select(j.alias("j"), caught.cast("int").alias("caught"))
+    j_lo = (
+        F.when(F.col("j") >= 0.8, 0.8)
+        .when(F.col("j") >= 0.6, 0.6)
+        .when(F.col("j") >= 0.4, 0.4)
+        .when(F.col("j") >= 0.2, 0.2)
+        .otherwise(0.0)
+    )
+    return (
+        scored.select(j_lo.alias("j_lo"), "caught")
+        .groupBy("j_lo")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("caught").cast("bigint").alias("n_caught"),
+            F.round(
+                F.sum("caught").cast("double") / F.count("*"), 6
+            ).alias("recall"),
+        )
+    )
