@@ -986,3 +986,69 @@ def cdc_retraction_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("net_total") == F.col("state_total"))
         ).alias("consistent"),
     )
+
+
+@register(
+    "cdc_schema_evolution",
+    oracle="""
+    WITH survivors AS (
+        SELECT o_orderkey AS okey, o_orderpriority,
+               (o_orderkey % 10 = 3) AS updated
+        FROM orders WHERE o_orderkey % 10 <> 7
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_orderpriority, FALSE
+        FROM orders WHERE o_orderkey % 10 = 1
+    )
+    SELECT CASE WHEN updated THEN
+               CASE WHEN substring(o_orderpriority, 1, 1) IN ('1', '2')
+                    THEN 'expedite' ELSE 'standard' END
+           END AS priority_class,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MIN(okey) AS BIGINT) AS min_key
+    FROM survivors GROUP BY 1
+    """,
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream schema evolution: the live feed starts emitting an ADDED
+    column (`o_priority_class`, a derivation the upstream app deployed with
+    a DDL) that the backfill snapshot and earlier envelope rows never
+    carried. The reference is schema-on-read by construction (rhai::Map
+    rows, src/main.rs:442-507: column names come from the wire per row) —
+    this query proves the engine's map-typed envelope preserves that
+    property END TO END: v1 and v2 rows flow through the same compaction,
+    and the typed projection over the evolved column yields NULL for every
+    key whose latest image predates the DDL, with no migration step and no
+    job restart.
+
+    Scale shape: the added column is one `map_concat` on the v2 branch —
+    a narrow projection; compaction and the final group-by are unchanged.
+    The oracle derives the same tri-state (never-updated -> NULL,
+    updated -> expedite/standard) from the fixture contract directly."""
+    orders = load(spark, sf_dir, "orders")
+    backfill = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
+    live = live_orders_changes(spark, sf_dir)
+    pclass = F.when(
+        F.substring(F.col("after")["o_orderpriority"], 1, 1).isin("1", "2"),
+        "expedite",
+    ).otherwise("standard")
+    v2_updates = live.filter(F.col("op") == "Update").withColumn(
+        "after",
+        F.map_concat(
+            F.col("after"), F.create_map(F.lit("o_priority_class"), pclass)
+        ),
+    )
+    log = backfill.unionByName(
+        live.filter(F.col("op") != "Update")
+    ).unionByName(v2_updates)
+    state = latest_per_key(log, drop_deletes=True)
+    return (
+        state.select(
+            F.col("after")["o_priority_class"].alias("priority_class"),
+            F.col("after")["o_orderkey"].cast("bigint").alias("okey"),
+        )
+        .groupBy("priority_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.min("okey").cast("bigint").alias("min_key"),
+        )
+    )

@@ -1710,3 +1710,74 @@ def skew_audit_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats(li, "l_suppkey", "lineitem.l_suppkey").unionByName(
         stats(orders, "o_custkey", "orders.o_custkey")
     )
+
+
+@register(
+    "heavy_hitters_cms_lineitem",
+    oracle="""
+    WITH counts AS (
+        SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    top AS (
+        SELECT l_suppkey, n_exact,
+               row_number() OVER (ORDER BY n_exact DESC, l_suppkey) AS rnk
+        FROM counts
+    )
+    SELECT l_suppkey, n_exact, rnk, TRUE AS est_within_bound
+    FROM top WHERE rnk <= 10
+    """,
+)
+def heavy_hitters_cms_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via Count-Min Sketch — the third sketch family beside
+    HLL (approx_distinct_custkeys) and GK quantiles: a fixed-seed CMS over
+    l_suppkey (eps=1%, confidence=99%) is probed for the exact top-10 keys,
+    and each estimate must satisfy the CMS contract — never BELOW the true
+    count (conservative-update property) and within eps*N above it. DuckDB
+    cannot reproduce the sketch, so the oracle carries the exact top-10
+    anchor plus a literal TRUE bound flag (the approx_distinct pattern): a
+    broken sketch or seed drift flips the flag and fails the hash.
+
+    Scale shape: the sketch is a mergeable fixed-size (depth x width)
+    integer grid — partial-aggregated map-side, constant bytes to the
+    driver no matter the corpus; the exact side is one map-side-combinable
+    count + TakeOrderedAndProject top-10. At 100 TB the sketch replaces
+    the exact pass entirely and the anchor runs only in audits."""
+    li = load(spark, sf_dir, "lineitem")
+    eps, conf, seed = 0.01, 0.99, 42
+    # PySpark 4 exposes no Python stat.countMinSketch — call the JVM
+    # DataFrameStatFunctions directly. The probe key must hash with the
+    # same boxed type the sketch ingested: cast the column to int and
+    # probe with 32-bit Python ints (py4j -> Integer on both sides).
+    cms = (
+        li.select(F.col("l_suppkey").cast("int").alias("l_suppkey"))
+        ._jdf.stat()
+        .countMinSketch("l_suppkey", eps, conf, seed)
+    )
+    counts = li.groupBy("l_suppkey").agg(F.count("*").cast("bigint").alias("n_exact"))
+    top = (
+        counts.orderBy(F.desc("n_exact"), F.asc("l_suppkey"))
+        .limit(10)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_exact"), F.asc("l_suppkey"))
+            ),
+        )
+        .collect()
+    )
+    total = sum(r["n_exact"] for r in top)  # lower bound on N; real slack
+    n_rows = li.count()
+    rows = []
+    for r in top:
+        est = cms.estimateCount(int(r["l_suppkey"]))
+        ok = r["n_exact"] <= est <= r["n_exact"] + int(eps * n_rows)
+        rows.append(
+            f"({int(r['l_suppkey'])}L, {int(r['n_exact'])}L, {int(r['rnk'])}, "
+            + ("TRUE" if ok else "FALSE")
+            + ")"
+        )
+    return spark.sql(
+        "SELECT col1 AS l_suppkey, col2 AS n_exact, CAST(col3 AS INT) AS rnk, "
+        "col4 AS est_within_bound FROM VALUES " + ", ".join(rows)
+    )

@@ -316,3 +316,33 @@ def test_no_python_nodes_outside_sanctioned_escape_hatches(spark):
         if r["python"] > 0 and r["query"] not in sanctioned
     ]
     assert offenders == [], f"Python nodes leaked into: {offenders}"
+
+
+def test_selection_quantile_queries_never_plan_percentile(spark):
+    """winsorized/IQR/NTILE run their exact quantiles through the
+    distributed-selection operator (driver-side literals in the final
+    plan), so the buffer-everything Percentile aggregate must not appear
+    anywhere in the returned DataFrame's physical plan."""
+    from cdc_rs_spark.registry import load_all
+
+    reg = load_all()
+    for name in (
+        "winsorized_price_stats",
+        "outlier_iqr_lineitem",
+        "feature_ntile_binning_lineitem",
+    ):
+        plan = _physical_plan(reg[name].fn(spark, SF_DIR))
+        assert "percentile(" not in plan.lower(), f"{name}: {plan[:500]}"
+        assert "SinglePartition" not in plan or "HashAggregate" in plan, name
+
+
+def test_lsh_recall_eval_is_join_free(spark):
+    """The banding S-curve audit derives each probe pair from the row
+    itself — the plan must contain no join operator at all and at most the
+    final aggregation exchange."""
+    from cdc_rs_spark.registry import load_all
+
+    reg = load_all()
+    plan = _physical_plan(reg["dedup_lsh_recall_eval"].fn(spark, SF_DIR))
+    assert "Join" not in plan, plan[:800]
+    assert plan.count("Exchange") <= 2, plan[:800]
