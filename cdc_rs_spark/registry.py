@@ -76,8 +76,8 @@ _DRIVER_WINDOW = [
     # relational breadth
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q13_customer_distribution",
-    "semi_join_customers_per_nation",
+    "cdc_time_travel_asof",
+    "cdc_retraction_algebra",
     "anti_join_customers_without_orders",
     "q12_shipping_priority_class",
     "grouping_sets_lineitem",
@@ -88,7 +88,7 @@ _DRIVER_WINDOW = [
     "winsorized_price_stats",
     "outlier_iqr_approx_lineitem",
     # event-time / streaming batch-forms
-    "events_tumbling_window",
+    "cdc_schema_evolution",
     "events_session_window",
     "events_asof_last_click",
     "events_range_join_bucketed",
@@ -108,15 +108,15 @@ _DRIVER_WINDOW = [
     "similarity_ivf_topk",
     "similarity_quantized_topk",
     # text analysis
-    "text_token_stats",
+    "dedup_lsh_recall_eval",
     "text_cleaning_funnel",
     "text_quality_deciles",
     # multimodal plumbing
-    "multimodal_image_meta",
+    "similarity_recall_eval",
     "multimodal_payload_dedup",
     # training-data pipeline
     "pack_documents_token_budget",
-    "scd2_order_price_history",
+    "heavy_hitters_cms_lineitem",
     "corpus_shuffle_deterministic",
     "curriculum_batches",
     "feature_ntile_binning_lineitem",

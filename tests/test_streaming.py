@@ -1281,3 +1281,67 @@ def test_streaming_join_view_maintenance(spark, tmp_path):
         .collect()
     }
     assert maintained == {"east": (1, "5.00"), "west": (1, "10.00")}
+
+
+def test_change_feed_schema_evolution_mid_stream(spark, tmp_path):
+    """Mid-stream schema evolution through the REAL streaming source: after
+    the first micro-batches commit, the upstream starts emitting records
+    whose after-image carries an added column. The map-typed envelope
+    (schema-on-read, the reference's core data-model property —
+    src/main.rs:442-507) must absorb it across a checkpointed restart: one
+    stable Spark schema throughout, typed projection of the new field is
+    NULL exactly for keys whose latest image predates the DDL, and
+    compaction mixes v1/v2 rows without a migration step."""
+    from cdc_rs_spark.operators.compaction import latest_per_key
+    from cdc_rs_spark.streaming.datasource import register_change_feed
+
+    register_change_feed(spark)
+    src = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def v2(op, key, val, ts, region):
+        row = _chg(op, key, val, ts)
+        row["after"] = dict(row["after"], region=region)
+        return row
+
+    _write_changes(
+        src, "bin.000001",
+        [_chg("Insert", 1, "a", 10), _chg("Insert", 2, "b", 11)],
+    )
+
+    def run_once():
+        q = (
+            spark.readStream.format("change_feed")
+            .option("path", src)
+            .load()
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    schema_v1 = spark.read.parquet(out).schema
+
+    # the "DDL": new records carry after.region; old files untouched
+    _write_changes(
+        src, "bin.000002",
+        [v2("Update", 2, "b2", 12, "emea"), v2("Insert", 3, "c", 13, "apac")],
+    )
+    run_once()
+
+    got = spark.read.parquet(out)
+    assert got.schema == schema_v1  # map-typed envelope: schema is stable
+    assert got.count() == 4
+
+    state = latest_per_key(got, drop_deletes=True).select(
+        F.col("after")["id"].cast("int").alias("id"),
+        F.col("after")["v"].alias("v"),
+        F.col("after")["region"].alias("region"),
+    )
+    rows = {r["id"]: (r["v"], r["region"]) for r in state.collect()}
+    assert rows == {1: ("a", None), 2: ("b2", "emea"), 3: ("c", "apac")}
