@@ -78,3 +78,21 @@ def test_coarse_sketch_still_exact(spark):
 def test_empty_input(spark):
     df = spark.createDataFrame([], "v double")
     assert exact_quantiles(df, "v", [0.5]) == {}
+
+
+def test_partitioning_invariance(spark):
+    """The sketch brackets may shift with partition count (GK merge order);
+    the returned quantiles must not — correctness never depends on the
+    sketch (zone-histogram walk is exact)."""
+    rng = random.Random(23)
+    rows = [(rng.uniform(0, 1e6),) for _ in range(6000)]
+    df = spark.createDataFrame(rows, ["v"])
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = exact_quantiles(df.repartition(32), "v", PROBS)
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = exact_quantiles(df.repartition(3), "v", PROBS)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b

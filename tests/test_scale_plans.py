@@ -346,3 +346,46 @@ def test_lsh_recall_eval_is_join_free(spark):
     plan = _physical_plan(reg["dedup_lsh_recall_eval"].fn(spark, SF_DIR))
     assert "Join" not in plan, plan[:800]
     assert plan.count("Exchange") <= 2, plan[:800]
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """At 100 TB the probe side of a selective join should be pre-filtered
+    before the shuffle: Spark's runtime bloom filter (injected by the
+    optimizer when the build side is selective) plants a might_contain
+    predicate on the fact scan, cutting shuffled rows to ~the join's
+    output. This pins the engine configuration that enables it and that
+    results are unchanged."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "500MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = (
+            load(spark, SF_DIR, "orders")
+            .filter("o_orderpriority = '1-URGENT'")
+            .select("o_orderkey")
+        )
+        li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        n_bloom = j.count()
+        plan = _physical_plan(j)
+        assert "might_contain" in plan, plan[:800]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # results identical without the runtime filter
+    o2 = (
+        load(spark, SF_DIR, "orders")
+        .filter("o_orderpriority = '1-URGENT'")
+        .select("o_orderkey")
+    )
+    li2 = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    assert li2.join(o2, li2.l_orderkey == o2.o_orderkey).count() == n_bloom
