@@ -1,0 +1,137 @@
+"""CLI entry point — the direct analog of invoking the reference binary.
+
+The reference is a single binary configured by flags (src/main.rs:25-44:
+`--state --server-id --regex --source --script --backfill-batch-size`); this
+module gives the engine the same invocation shape on Spark:
+
+    cdc-rs --source mysql://.. --regex '^testdb\\..*' \\
+           --script test.rhai --state state.db --backfill-batch-size 500
+ ->
+    python -m cdc_rs_spark --source /data/feed --regex '^testdb\\..*' \\
+           --script test.rhai --state /data/ckpt --backfill-batch-size 500
+
+Flag mapping (one line per reference flag):
+  --source   feed directory (file restatement of the binlog tail; Kafka or
+             the change_feed DataSource in production — --source-format)
+  --state    Spark checkpoint dir (replaces the SQLite log_pos table,
+             src/main.rs:137-141, with a transactional WAL)
+  --regex    table gate, identical semantics (src/main.rs:171)
+  --script   Rhai-subset transform/topic script, compiled to Column
+             expressions (functions/rhai.py) — the reference re-enters its
+             scripting VM per row (src/main.rs:407-441)
+  --backfill-batch-size   maxFilesPerTrigger / maxRecordsPerBatch admission
+  --server-id  accepted for parity; Spark checkpoints key on the checkpoint
+             dir, so it only namespaces the default state path
+
+Publishing: like the shipped reference (publish commented out,
+src/main.rs:187), the default is a DRY RUN — frames are written as
+(topic, key, value) parquet under --out for inspection; `--print` echoes
+them to stdout instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m cdc_rs_spark",
+        description="CDC stream processor (PySpark) — reference-binary CLI shape",
+    )
+    p.add_argument("--source", required=True, help="change feed directory")
+    p.add_argument("--state", required=True, help="checkpoint dir (offset state)")
+    p.add_argument("--regex", default=".*", help="db.table gate regex")
+    p.add_argument("--script", default=None, help="Rhai-subset script file")
+    p.add_argument(
+        "--topic-template",
+        default="cdc.${db}.${table}",
+        help="topic route when no --script supplies topic()",
+    )
+    p.add_argument(
+        "--backfill-batch-size",
+        type=int,
+        default=None,
+        help="max files per trigger (admission control)",
+    )
+    p.add_argument("--server-id", type=int, default=1, help="parity flag")
+    p.add_argument(
+        "--source-format",
+        choices=["json_dir", "change_feed"],
+        default="json_dir",
+    )
+    p.add_argument(
+        "--out", default=None, help="dry-run publish dir (parquet frames)"
+    )
+    p.add_argument(
+        "--print", dest="echo", action="store_true",
+        help="echo published frames to stdout instead of writing parquet",
+    )
+    p.add_argument(
+        "--once", action="store_true",
+        help="drain the available feed and exit (availableNow trigger)",
+    )
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    from cdc_rs_spark.pipeline import (
+        PipelineConfig,
+        run_pipeline,
+        run_pipeline_once,
+    )
+
+    args = _parser().parse_args(argv)
+    if spark is None:
+        from cdc_rs_spark.session import get_spark
+
+        spark = get_spark(f"cdc-rs-spark-{args.server_id}")
+
+    # publish callbacks execute on the EXECUTORS (sinks.publish_foreach_batch
+    # repartitions by topic and publishes per partition) — no SparkSession
+    # there, so the dry-run writer uses pyarrow directly.
+    publish = None
+    if args.echo:
+        def publish(topic: str, values: list[str]) -> None:
+            for v in values:
+                sys.stdout.write(f"{topic}\t{v}\n")
+    elif args.out:
+        out_dir = args.out
+
+        def publish(topic: str, values: list[str]) -> None:
+            import os
+            import uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(out_dir, exist_ok=True)
+            table = pa.table(
+                {"topic": [topic] * len(values), "value": values}
+            )
+            pq.write_table(
+                table, os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet")
+            )
+
+    script_src = open(args.script).read() if args.script else None
+    cfg = PipelineConfig(
+        source_path=args.source,
+        checkpoint_dir=args.state,
+        table_regex=args.regex,
+        topic_template=args.topic_template,
+        max_files_per_trigger=args.backfill_batch_size,
+        publish=publish,
+        source_format=args.source_format,
+        script=script_src,
+    )
+    if args.once:
+        run_pipeline_once(spark, cfg)
+        return 0
+    q = run_pipeline(spark, cfg)
+    q.awaitTermination()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

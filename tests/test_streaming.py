@@ -1345,3 +1345,57 @@ def test_change_feed_schema_evolution_mid_stream(spark, tmp_path):
     )
     rows = {r["id"]: (r["v"], r["region"]) for r in state.collect()}
     assert rows == {1: ("a", None), 2: ("b2", "emea"), 3: ("c", "apac")}
+
+
+def test_cli_main_runs_pipeline_once(spark, tmp_path):
+    """The `python -m cdc_rs_spark` CLI (the reference binary's invocation
+    shape): --source/--state/--regex/--script/--once drain the feed through
+    the scripted pipeline and dry-run-publish (topic, value) parquet frames
+    under --out, written executor-side with pyarrow (no SparkSession on
+    the publish path). A second --once run with the same --state is a
+    no-op — the checkpoint IS the reference's log_pos state."""
+    from cdc_rs_spark.__main__ import main
+    from cdc_rs_spark.plans.cdc import RHAI_DEMO_SCRIPT
+
+    src = str(tmp_path / "src")
+    _write_changes(src, "b1.json", [
+        _chg("Insert", "1", "a", 100),
+        _chg("Update", "2", "b", 101),
+    ])
+    script = tmp_path / "user.rhai"
+    script.write_text(RHAI_DEMO_SCRIPT)
+    out = str(tmp_path / "published")
+    state = str(tmp_path / "state")
+
+    rc = main(
+        [
+            "--source", src,
+            "--state", state,
+            "--regex", r"^testdb\..*",
+            "--script", str(script),
+            "--out", out,
+            "--once",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    frames = spark.read.parquet(out)
+    assert frames.count() == 2
+    assert set(frames.columns) == {"topic", "value"}
+    topics = {r["topic"] for r in frames.select("topic").distinct().collect()}
+    assert all("testdb" in t or "t" in t for t in topics)
+
+    # restart with same state: nothing new to publish, no duplicate frames
+    rc = main(
+        [
+            "--source", src,
+            "--state", state,
+            "--regex", r"^testdb\..*",
+            "--script", str(script),
+            "--out", out,
+            "--once",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 2
