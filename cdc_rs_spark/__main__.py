@@ -72,6 +72,22 @@ def _parser() -> argparse.ArgumentParser:
         "--once", action="store_true",
         help="drain the available feed and exit (availableNow trigger)",
     )
+    # backfill queue — the reference's second source: users enqueue jobs
+    # (README.md:38-40 does it by SQL INSERT into the sqlite table) and the
+    # engine drains 'todo' jobs through the same transform + publish path
+    p.add_argument(
+        "--backfill-queue", default=None,
+        help="backfill job-queue file (reference `backfill` table analog)",
+    )
+    p.add_argument(
+        "--data-dir", default=None,
+        help="table directory backfill snapshots read from",
+    )
+    p.add_argument(
+        "--enqueue-backfill", default=None, metavar="DB.TABLE:PKEY[:SELECTION]",
+        help="append a todo job to --backfill-queue and exit "
+        "(the reference's `insert into backfill ...`)",
+    )
     return p
 
 
@@ -83,6 +99,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
 
     args = _parser().parse_args(argv)
+    if args.enqueue_backfill:
+        from cdc_rs_spark.sources.backfill import BackfillJob, BackfillQueue
+
+        if not args.backfill_queue:
+            print("--enqueue-backfill requires --backfill-queue", file=sys.stderr)
+            return 2
+        db, rest = args.enqueue_backfill.split(".", 1)
+        parts = rest.split(":")
+        table, pk = parts[0], parts[1]
+        selection = parts[2] if len(parts) > 2 else "*"
+        BackfillQueue(args.backfill_queue).enqueue(
+            [BackfillJob(db=db, relation=table, pkey=pk, selection=selection)]
+        )
+        print(f"enqueued backfill job {db}.{table} (pkey={pk}, selection={selection})")
+        return 0
     if spark is None:
         from cdc_rs_spark.session import get_spark
 
@@ -125,6 +156,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         source_format=args.source_format,
         script=script_src,
     )
+    if args.backfill_queue and args.data_dir:
+        from cdc_rs_spark.pipeline import run_backfill_queue
+
+        n = run_backfill_queue(spark, cfg, args.backfill_queue, args.data_dir)
+        print(f"backfill published {n} rows")
     if args.once:
         run_pipeline_once(spark, cfg)
         return 0

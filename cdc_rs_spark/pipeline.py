@@ -59,23 +59,11 @@ class PipelineConfig:
     #   (compiled to Column expressions — no per-row VM)
 
 
-def build_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
-    """The declarative dataflow: source -> regex gate -> envelope transform ->
-    topic column. Returns the unstarted streaming DataFrame (inspectable /
-    unit-testable)."""
-    if cfg.source_format == "change_feed":
-        from cdc_rs_spark.streaming.datasource import register_change_feed
-
-        register_change_feed(spark)
-        changes = (
-            spark.readStream.format("change_feed")
-            .option("path", cfg.source_path)
-            .load()
-        )
-    else:
-        changes = read_change_stream(
-            spark, cfg.source_path, max_files_per_trigger=cfg.max_files_per_trigger
-        )
+def apply_transform(changes: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """regex gate -> envelope transform -> topic column, over ANY change
+    frame (the streaming tail or a batch backfill snapshot) — the reference
+    pushes both sources through the same script host (src/main.rs:162-188),
+    and so does this."""
     gated = regex_table_filter(changes, cfg.table_regex)
     if cfg.script is not None:
         from cdc_rs_spark.functions.rhai import (
@@ -93,6 +81,46 @@ def build_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
         topic_column(cfg.topic_template).alias("topic"),
         bigquery_json(gated).alias("value"),
     )
+
+
+def build_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
+    """The declarative dataflow: source -> regex gate -> envelope transform ->
+    topic column. Returns the unstarted streaming DataFrame (inspectable /
+    unit-testable)."""
+    if cfg.source_format == "change_feed":
+        from cdc_rs_spark.streaming.datasource import register_change_feed
+
+        register_change_feed(spark)
+        changes = (
+            spark.readStream.format("change_feed")
+            .option("path", cfg.source_path)
+            .load()
+        )
+    else:
+        changes = read_change_stream(
+            spark, cfg.source_path, max_files_per_trigger=cfg.max_files_per_trigger
+        )
+    return apply_transform(changes, cfg)
+
+
+def run_backfill_queue(
+    spark: SparkSession, cfg: PipelineConfig, queue_path: str, data_dir: str
+) -> int:
+    """Drain the backfill job queue through the SAME transform + publish
+    path as the live stream — the reference's second source (its select!
+    loop interleaves backfill rows with binlog rows through one script
+    host, src/main.rs:162-199). Returns the number of published rows.
+    Job status flips to done inside run_todo_jobs only after the unioned
+    scan validates (its isEmpty probe); a failed snapshot leaves the job
+    'todo' for the next poll."""
+    from cdc_rs_spark.sources.backfill import BackfillQueue, run_todo_jobs
+
+    changes = run_todo_jobs(spark, BackfillQueue(queue_path), data_dir)
+    if changes is None:
+        return 0
+    frames = apply_transform(changes, cfg)
+    publish_foreach_batch(cfg.publish)(frames, -1)
+    return frames.count()
 
 
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig):

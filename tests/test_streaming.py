@@ -1399,3 +1399,48 @@ def test_cli_main_runs_pipeline_once(spark, tmp_path):
     )
     assert rc == 0
     assert spark.read.parquet(out).count() == 2
+
+
+def test_cli_backfill_queue_dual_source(spark, tmp_path):
+    """The reference's second source through the CLI: --enqueue-backfill
+    appends a todo job (the `insert into backfill ...` analog), and a
+    --once run with --backfill-queue/--data-dir drains the snapshot
+    through the SAME script transform + publish path as the stream, then
+    marks the job done — a second run publishes no backfill rows."""
+    import shutil
+
+    from cdc_rs_spark.__main__ import main
+    from cdc_rs_spark.sources.backfill import BackfillQueue
+
+    src = str(tmp_path / "src")
+    _write_changes(src, "b1.json", [_chg("Insert", "1", "a", 100)])
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    shutil.copy(
+        "/root/testdata/sf0.001/orders.parquet", data + "/orders.parquet"
+    )
+    queue = str(tmp_path / "queue.json")
+    out = str(tmp_path / "published")
+    state = str(tmp_path / "state")
+
+    rc = main(
+        ["--enqueue-backfill", "testdb.orders:o_orderkey:o_orderkey,o_totalprice",
+         "--backfill-queue", queue, "--source", src, "--state", state],
+        spark=spark,
+    )
+    assert rc == 0
+    assert len(BackfillQueue(queue).todo()) == 1
+
+    common = [
+        "--source", src, "--state", state, "--regex", r"^testdb\..*",
+        "--backfill-queue", queue, "--data-dir", data, "--out", out, "--once",
+    ]
+    assert main(common, spark=spark) == 0
+    assert not BackfillQueue(queue).todo()  # job committed done
+    frames = spark.read.parquet(out)
+    n_orders = spark.read.parquet(data + "/orders.parquet").count()
+    assert frames.count() == n_orders + 1  # snapshot + the live insert
+
+    # second run: queue drained, stream checkpointed -> nothing new
+    assert main(common, spark=spark) == 0
+    assert spark.read.parquet(out).count() == n_orders + 1
