@@ -1444,3 +1444,52 @@ def test_cli_backfill_queue_dual_source(spark, tmp_path):
     # second run: queue drained, stream checkpointed -> nothing new
     assert main(common, spark=spark) == 0
     assert spark.read.parquet(out).count() == n_orders + 1
+
+
+def test_stream_monitor_captures_progress(spark, tmp_path):
+    """Observability: StreamMonitor's listener captures per-batch progress
+    (rows, durations, state size) and the lag_report rollup — the
+    structured analog of the reference's tracing logs (src/main.rs:115-121).
+    Stateful aggregation must surface non-zero state rows."""
+    import time as _time
+
+    from cdc_rs_spark.streaming.metrics import StreamMonitor
+
+    src = str(tmp_path / "src")
+    _write_changes(src, "b1.json", [
+        _chg("Insert", str(i), "x", 100 + i) for i in range(10)
+    ])
+    log_path = str(tmp_path / "progress.jsonl")
+    mon = StreamMonitor(spark, path=log_path)
+    try:
+        from cdc_rs_spark.streaming.source import read_change_stream
+
+        counts = (
+            read_change_stream(spark, src)
+            .groupBy("op")
+            .count()
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("mon_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # listener events are async; give the bus a moment
+        deadline = _time.time() + 20
+        while _time.time() < deadline:
+            if any(r["num_input_rows"] for r in mon.snapshot()):
+                break
+            _time.sleep(0.5)
+        rows = mon.snapshot()
+        assert any(r["num_input_rows"] == 10 for r in rows), rows
+        assert any(r["state_rows"] > 0 for r in rows), rows
+        report = mon.lag_report()
+        assert report and report[0]["rows"] >= 10
+        with open(log_path) as f:
+            assert sum(1 for _ in f) == len(rows)
+    finally:
+        mon.stop()
