@@ -1172,3 +1172,76 @@ def events_quota_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("rn") > 5, 1)).cast("bigint").alias("n_throttled"),
         F.count("*").cast("bigint").alias("n_total"),
     )
+
+
+@register(
+    "events_conversion_latency_quantiles",
+    oracle="""
+    WITH conv AS (
+        SELECT c.event_id, c.ts, MIN(p.ts) AS nts
+        FROM events c LEFT JOIN events p
+          ON p.user_id = c.user_id AND p.event_type = 'purchase'
+         AND p.ts >= c.ts
+        WHERE c.event_type = 'click'
+        GROUP BY c.event_id, c.ts
+    ),
+    lat AS (
+        SELECT (epoch_us(nts) - epoch_us(ts)) / 1000000.0 AS lat_s
+        FROM conv WHERE nts IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(quantile_cont(lat_s, 0.5), 6) AS p50_s,
+           ROUND(quantile_cont(lat_s, 0.9), 6) AS p90_s,
+           ROUND(quantile_cont(lat_s, 0.99), 6) AS p99_s
+    FROM lat
+    """,
+)
+def events_conversion_latency_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-to-conversion SLO percentiles: click -> next purchase latency
+    (forward as-of join), then EXACT p50/p90/p99 over the conversion
+    latencies via the distributed-selection quantile
+    (operators/quantiles.py) — demonstrating the operator over a DERIVED
+    frame, not a base table: the as-of output is persisted so the
+    selection's two passes share one materialization, then released.
+    Latency is a ~unique continuous column (the exact case the
+    buffer-everything percentile aggregate handles worst); the selection
+    form stays bounded at any event volume. Spark's percentile
+    interpolation is reproduced bit-for-bit, so the quantile_cont oracle
+    hash-matches at 6 decimals."""
+    from pyspark.storagelevel import StorageLevel
+
+    from cdc_rs_spark.functions.timeutil import epoch_us
+    from cdc_rs_spark.operators.asof import asof_join_forward
+    from cdc_rs_spark.operators.quantiles import exact_quantiles
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = asof_join_forward(
+        clicks,
+        purchases.withColumn("nts", F.col("p_ts")),
+        ["user_id"],
+        "ts",
+        "p_ts",
+        ["nts"],
+    ).filter(F.col("nts").isNotNull())
+    lat = conv.select(
+        ((epoch_us("nts") - epoch_us("ts")) / F.lit(1_000_000.0)).alias("lat_s")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = lat.count()
+        p50, p90, p99 = exact_quantiles(lat, "lat_s", [0.5, 0.9, 0.99])[()]
+    finally:
+        lat.unpersist(blocking=False)
+    return spark.sql(
+        "SELECT CAST(col1 AS BIGINT) AS n_conversions, "
+        "ROUND(col2, 6) AS p50_s, ROUND(col3, 6) AS p90_s, "
+        "ROUND(col4, 6) AS p99_s FROM VALUES "
+        f"({n}L, {p50!r}D, {p90!r}D, {p99!r}D)"
+    )
