@@ -105,9 +105,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if not args.backfill_queue:
             print("--enqueue-backfill requires --backfill-queue", file=sys.stderr)
             return 2
-        db, rest = args.enqueue_backfill.split(".", 1)
-        parts = rest.split(":")
-        table, pk = parts[0], parts[1]
+        try:
+            db, rest = args.enqueue_backfill.split(".", 1)
+            parts = rest.split(":")
+            table, pk = parts[0], parts[1]
+            if not (db and table and pk):
+                raise ValueError(args.enqueue_backfill)
+        except (ValueError, IndexError):
+            print(
+                "--enqueue-backfill expects DB.TABLE:PKEY[:SELECTION], got "
+                f"{args.enqueue_backfill!r}",
+                file=sys.stderr,
+            )
+            return 2
         selection = parts[2] if len(parts) > 2 else "*"
         BackfillQueue(args.backfill_queue).enqueue(
             [BackfillJob(db=db, relation=table, pkey=pk, selection=selection)]

@@ -50,6 +50,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cdc_rs_spark.session import sql_literal
+
 __all__ = ["exact_quantiles", "exact_rank_values"]
 
 
@@ -82,18 +84,8 @@ def _walk(hist, n_target_ranks):
     return out
 
 
-def _sql_literal(v) -> str:
-    """Render a Python group-key value as a SQL literal for the VALUES
-    bracket relation (pure-JVM build side — see module docstring)."""
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return "TRUE" if v else "FALSE"
-    if isinstance(v, int):
-        return f"{v}L"
-    if isinstance(v, float):
-        return f"{v!r}D"
-    return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+# group-key cells render through the shared session.sql_literal — one
+# escaping implementation for every VALUES relation in the engine
 
 
 def _zone_histograms(
@@ -145,7 +137,7 @@ def _zone_histograms(
     if gcols:
         vals = ", ".join(
             "("
-            + ", ".join(_sql_literal(v) for v in k)
+            + ", ".join(sql_literal(v) for v in k)
             + ", array("
             + ", ".join(f"{v!r}D" for v in brs)
             + "))"

@@ -110,17 +110,34 @@ def run_backfill_queue(
     path as the live stream — the reference's second source (its select!
     loop interleaves backfill rows with binlog rows through one script
     host, src/main.rs:162-199). Returns the number of published rows.
-    Job status flips to done inside run_todo_jobs only after the unioned
-    scan validates (its isEmpty probe); a failed snapshot leaves the job
-    'todo' for the next poll."""
-    from cdc_rs_spark.sources.backfill import BackfillQueue, run_todo_jobs
 
-    changes = run_todo_jobs(spark, BackfillQueue(queue_path), data_dir)
-    if changes is None:
+    Status commits ONLY after the publish pass succeeds (the reference
+    commits after streaming all pages, src/main.rs:352-366) — a failed
+    snapshot OR a failed publish leaves every job 'todo' for the next
+    poll. The transformed frame is persisted so the count (which also
+    validates the scan) and the publish pass share one materialization."""
+    from pyspark.storagelevel import StorageLevel
+
+    from cdc_rs_spark.sources.backfill import BackfillQueue, snapshot_table
+
+    queue = BackfillQueue(queue_path)
+    jobs = queue.todo()
+    if not jobs:
         return 0
-    frames = apply_transform(changes, cfg)
-    publish_foreach_batch(cfg.publish)(frames, -1)
-    return frames.count()
+    changes = None
+    for job in jobs:
+        df = snapshot_table(spark, data_dir, job)
+        changes = df if changes is None else changes.unionByName(df)
+    frames = apply_transform(changes, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = frames.count()  # one validated materialization
+        if cfg.publish is not None:
+            publish_foreach_batch(cfg.publish)(frames, -1)
+        for job in jobs:
+            queue.mark_done(job)
+    finally:
+        frames.unpersist(blocking=False)
+    return n
 
 
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig):

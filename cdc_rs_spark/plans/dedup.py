@@ -579,8 +579,9 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard across the whole [0,1] range — the corpus's organic
     near-dups all sit above 0.8, so they alone cannot exercise the curve.
     Per similarity band the query reports what fraction of pairs the
-    production 4x4 banding would emit as candidates (some band's 4
-    signature values all agree) — the empirical 1-(1-j^r)^b curve a dedup
+    production banding (8 bands x 4 rows over the 32 MinHash values) would
+    emit as candidates (some band's 4 signature values all agree) — the
+    empirical 1-(1-j^4)^8 curve a dedup
     threshold choice rests on, and the text-side companion of
     similarity_recall_eval. A broken permutation family or band layout
     collapses the high-j rows; the oracle regenerates shingles, signatures

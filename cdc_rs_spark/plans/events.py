@@ -1236,12 +1236,16 @@ def events_conversion_latency_quantiles(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         n = lat.count()
-        p50, p90, p99 = exact_quantiles(lat, "lat_s", [0.5, 0.9, 0.99])[()]
+        qs = exact_quantiles(lat, "lat_s", [0.5, 0.9, 0.99])
     finally:
         lat.unpersist(blocking=False)
+    if n == 0:  # mirror the oracle: COUNT=0 row with NULL percentiles
+        vals = "(0L, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))"
+    else:
+        p50, p90, p99 = qs[()]
+        vals = f"({n}L, {p50!r}D, {p90!r}D, {p99!r}D)"
     return spark.sql(
         "SELECT CAST(col1 AS BIGINT) AS n_conversions, "
         "ROUND(col2, 6) AS p50_s, ROUND(col3, 6) AS p90_s, "
-        "ROUND(col4, 6) AS p99_s FROM VALUES "
-        f"({n}L, {p50!r}D, {p90!r}D, {p99!r}D)"
+        "ROUND(col4, 6) AS p99_s FROM VALUES " + vals
     )

@@ -951,17 +951,25 @@ def feature_ntile_binning_lineitem(spark: SparkSession, sf_dir: str) -> DataFram
                 ranks += [start, start + size - 1]
         return ranks
 
-    (n_total, rank_val) = exact_rank_values(
+    resolved = exact_rank_values(
         li,
         "l_extendedprice",
         [b / k for b in range(k + 1)],
         ranks_for_n,
         accuracy=8000,  # 11 brackets: tighter margins shrink the candidate
         # collect ~8x for a sketch cost that grows far slower (measured)
-    )[()]
+    )
+    schema = (
+        "bin int, n bigint, lo double, hi double, inv_freq_weight double"
+    )
+    if not resolved:  # empty table: no bins (matches NTILE-over-nothing)
+        return spark.createDataFrame([], schema)
+    (n_total, rank_val) = resolved[()]
 
     rows = []
     for b, start, size in boundaries(n_total):
+        if size == 0:  # n_total < k: NTILE emits no row for empty bins
+            continue
         lo, hi = rank_val[start], rank_val[start + size - 1]
         inv = n_total / (k * size)
         rows.append(f"({b}, {size}L, {lo!r}D, {hi!r}D, {inv!r}D)")

@@ -259,10 +259,15 @@ def _ivf_model(spark: SparkSession, raw: DataFrame):
     re-prove determinism the oracle already pins. The cache key includes
     the Spark applicationId so a new session (new JVM, new temp dirs) never
     reuses stale DataFrames."""
-    key = (
-        spark.sparkContext.applicationId,
-        tuple(sorted(raw.inputFiles())),
-    )
+    app = spark.sparkContext.applicationId
+    key = (app, tuple(sorted(raw.inputFiles())))
+    # entries from a previous SparkSession hold dead JVM plan state — evict
+    # them (and bound the cache to a handful of fixture dirs) instead of
+    # growing for process lifetime
+    for k in [k for k in _IVF_MODEL_CACHE if k[0] != app]:
+        del _IVF_MODEL_CACHE[k]
+    while len(_IVF_MODEL_CACHE) > 4:
+        del _IVF_MODEL_CACHE[next(iter(_IVF_MODEL_CACHE))]
     if key in _IVF_MODEL_CACHE:
         return _IVF_MODEL_CACHE[key]
     import hashlib

@@ -82,6 +82,44 @@ def load(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
+def sql_literal(v) -> str:
+    """Render a Python value as a Spark SQL literal (the shared cell
+    renderer for VALUES relations — also used by operators/quantiles.py's
+    bracket table). Floats via repr round-trip bit-exactly."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return f"{v}L"
+    if isinstance(v, float):
+        return f"{v!r}D"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(v, (list, tuple)):
+        return "array(" + ", ".join(sql_literal(x) for x in v) + ")"
+    raise TypeError(f"sql_literal: unsupported cell type {type(v)}")
+
+
+def _split_top_level(schema: str) -> list[str]:
+    """Split a DDL column list on commas that are not nested inside
+    (), <> — so decimal(18,2) and map<string,int> survive."""
+    parts, depth, cur = [], 0, []
+    for ch in schema:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        parts.append("".join(cur))
+    return parts
+
+
 def jvm_literal_df(spark: SparkSession, rows, schema: str):
     """Build a small literal DataFrame as a pure-JVM VALUES relation.
 
@@ -93,34 +131,24 @@ def jvm_literal_df(spark: SparkSession, rows, schema: str):
     SQL literals instead: the result is a LocalRelation, broadcast builds
     evaluate driver-side, and no Python worker is ever scheduled.
 
-    ``schema`` is DDL-ish: ``"name type, name type"``; every cell is CAST to
-    its declared type, so int→int vs bigint and array<double>→array<float>
-    land exactly as declared. Supported cell types: None, bool, int, float,
-    str, and (nested) lists thereof. Float literals render via repr — the
-    shortest round-tripping form — so values are bit-identical to the
-    Python doubles passed in."""
+    ``schema`` is DDL-ish: ``"name type, name type"`` (commas inside
+    ``decimal(18,2)`` / ``map<string,int>`` are handled); every cell is CAST
+    to its declared type, so int→int vs bigint and array<double>→
+    array<float> land exactly as declared. Supported cell types: None,
+    bool, int, float, str, and (nested) lists thereof. Float literals
+    render via repr — the shortest round-tripping form — so values are
+    bit-identical to the Python doubles passed in. Empty ``rows`` raises
+    (VALUES cannot express an empty relation; use createDataFrame)."""
+    rows = list(rows)
+    if not rows:
+        raise ValueError("jvm_literal_df: rows must be non-empty")
     cols = []
-    for part in schema.split(","):
+    for part in _split_top_level(schema):
         name, typ = part.strip().split(None, 1)
         cols.append((name, typ))
 
-    def cell(v) -> str:
-        if v is None:
-            return "NULL"
-        if isinstance(v, bool):
-            return "TRUE" if v else "FALSE"
-        if isinstance(v, int):
-            return f"{v}L"
-        if isinstance(v, float):
-            return f"{v!r}D"
-        if isinstance(v, str):
-            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-        if isinstance(v, (list, tuple)):
-            return "array(" + ", ".join(cell(x) for x in v) + ")"
-        raise TypeError(f"jvm_literal_df: unsupported cell type {type(v)}")
-
     vals = ", ".join(
-        "(" + ", ".join(cell(v) for v in row) + ")" for row in rows
+        "(" + ", ".join(sql_literal(v) for v in row) + ")" for row in rows
     )
     sel = ", ".join(
         f"CAST(col{i + 1} AS {t}) AS {n}" for i, (n, t) in enumerate(cols)

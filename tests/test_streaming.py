@@ -1493,3 +1493,16 @@ def test_stream_monitor_captures_progress(spark, tmp_path):
             assert sum(1 for _ in f) == len(rows)
     finally:
         mon.stop()
+
+
+def test_cli_enqueue_backfill_rejects_malformed_spec(spark, tmp_path):
+    """Malformed --enqueue-backfill specs exit 2 with a usage message, not
+    a traceback; the queue file stays untouched."""
+    from cdc_rs_spark.__main__ import main
+
+    queue = str(tmp_path / "q.json")
+    base = ["--source", "x", "--state", "y", "--backfill-queue", queue]
+    for bad in ("testdb.orders", "no_dot:pk", "db.:pk", ".t:pk"):
+        rc = main(["--enqueue-backfill", bad] + base, spark=spark)
+        assert rc == 2, bad
+    assert not os.path.exists(queue)
