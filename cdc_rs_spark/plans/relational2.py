@@ -1781,3 +1781,83 @@ def heavy_hitters_cms_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT col1 AS l_suppkey, col2 AS n_exact, CAST(col3 AS INT) AS rnk, "
         "col4 AS est_within_bound FROM VALUES " + ", ".join(rows)
     )
+
+
+@register(
+    "window_percent_rank_segments",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               percent_rank() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey) AS pr,
+               cume_dist() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey) AS cd
+        FROM customer
+    )
+    SELECT c_mktsegment, c_custkey,
+           ROUND(CAST(c_acctbal AS DOUBLE), 2) AS acctbal,
+           ROUND(pr, 6) AS pct_rank, ROUND(cd, 6) AS cume_dist
+    FROM ranked WHERE pr >= 0.99
+    """,
+)
+def window_percent_rank_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (percent_rank + cume_dist): the top
+    1% of customers per market segment by account balance — the remaining
+    ranking-function family beside row_number/rank/ntile already covered.
+    The order key carries a unique tiebreak so ranks are deterministic.
+    Scale shape: the window partitions on the segment (parallel across
+    partitions; within-segment sort is the unavoidable cost of a
+    within-segment relative rank), and only the top slice survives."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    c = load(spark, sf_dir, "customer")
+    ranked = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.filter(F.col("pr") >= 0.99).select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+        F.round("pr", 6).alias("pct_rank"),
+        F.round("cd", 6).alias("cume_dist"),
+    )
+
+
+@register(
+    "set_ops_intersect_all",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys
+    FROM (
+        SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'
+        INTERSECT ALL
+        SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05
+    )
+    """,
+)
+def set_ops_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection, min-of-multiplicities
+    semantics) — the set-op family's remaining member beside the
+    EXCEPT ALL / UNION coverage in set_ops_multiset_custkeys: order keys
+    appearing in BOTH the returned-flag and the discounted line multisets,
+    each kept min(count_returned, count_discounted) times. One shuffle on the
+    key with map-side partial counts (Spark plans intersectAll as a
+    count-compare aggregate, never a pairwise join explosion)."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k")
+    )
+    b = li.filter(F.col("l_discount") > 0.05).select(
+        F.col("l_orderkey").alias("k")
+    )
+    return a.intersectAll(b).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.countDistinct("k").cast("bigint").alias("n_keys"),
+    )

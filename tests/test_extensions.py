@@ -465,3 +465,28 @@ def test_epoch_us_agnostic_to_timestamp_type(spark):
     ).first()
     assert r.a == r.b == 1704067798778549
     assert r.m == 1704067798778
+
+
+def test_conversion_latency_zero_conversions(spark, tmp_path):
+    """Degenerate-input guard: clicks with no subsequent purchases must
+    return the oracle's (0, NULL, NULL, NULL) row, not crash on the empty
+    quantile input."""
+    import datetime
+
+    from cdc_rs_spark.registry import load_all
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 10, 0), 7, "click", 1.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 11, 0), 8, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    q = load_all()["events_conversion_latency_quantiles"]
+    out = q.fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_conversions"] == 0
+    assert r["p50_s"] is None and r["p90_s"] is None and r["p99_s"] is None
