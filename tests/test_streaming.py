@@ -1506,3 +1506,46 @@ def test_cli_enqueue_backfill_rejects_malformed_spec(spark, tmp_path):
         rc = main(["--enqueue-backfill", bad] + base, spark=spark)
         assert rc == 2, bad
     assert not os.path.exists(queue)
+
+
+def test_backfill_queue_publish_failure_keeps_jobs_todo(spark, tmp_path):
+    """Durability of the backfill drain: if the publish pass fails, job
+    status must stay 'todo' so the next poll retries — the reference
+    commits status only after streaming all pages (src/main.rs:352-366).
+    A subsequent drain with a healthy publisher succeeds and only then
+    flips the job done."""
+    import shutil
+
+    from cdc_rs_spark.pipeline import PipelineConfig, run_backfill_queue
+    from cdc_rs_spark.sources.backfill import (
+        BackfillJob,
+        BackfillQueue,
+    )
+
+    data = str(tmp_path / "data")
+    os.makedirs(data)
+    shutil.copy(
+        "/root/testdata/sf0.001/orders.parquet", data + "/orders.parquet"
+    )
+    queue_path = str(tmp_path / "queue.json")
+    queue = BackfillQueue(queue_path)
+    queue.enqueue([BackfillJob(db="testdb", relation="orders", pkey="o_orderkey")])
+
+    def failing_publish(topic, values):
+        raise RuntimeError("publisher down")
+
+    cfg = PipelineConfig(
+        source_path="unused",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table_regex=r"^testdb\..*",
+        publish=failing_publish,
+    )
+    with pytest.raises(Exception):
+        run_backfill_queue(spark, cfg, queue_path, data)
+    assert len(BackfillQueue(queue_path).todo()) == 1  # NOT lost
+
+    published = []
+    cfg.publish = lambda topic, values: published.append((topic, len(values)))
+    n = run_backfill_queue(spark, cfg, queue_path, data)
+    assert n == spark.read.parquet(data + "/orders.parquet").count()
+    assert not BackfillQueue(queue_path).todo()
