@@ -1256,3 +1256,82 @@ def k_anonymity_audit_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("row_share"),
         )
     )
+
+
+@register(
+    "gdpr_forget_manifest",
+    oracle=f"""
+    WITH forgotten AS (
+        SELECT c_custkey AS k FROM customer
+        WHERE {_oracle_bucket('c_custkey')} < 2
+    ),
+    f_orders AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT k FROM forgotten)
+    ),
+    m AS (
+        SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_subjects
+        FROM customer WHERE c_custkey IN (SELECT k FROM forgotten)
+        UNION ALL
+        SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+        FROM f_orders
+        UNION ALL
+        SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)
+        FROM lineitem l JOIN f_orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'events', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        FROM events WHERE user_id IN (SELECT k FROM forgotten)
+    )
+    SELECT * FROM m
+    """,
+)
+def gdpr_forget_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten purge manifest: given a deterministic set of
+    data subjects (2% hash bucket of customers — standing in for the
+    erasure-request list), report every table's blast radius INCLUDING the
+    indirect cascade: lineitem rows reach the subject only through their
+    orders (no custkey column), exactly the join a real erasure job must
+    follow before issuing deletes. The governance companion of
+    pii_scrub_documents (content redaction) and k_anonymity_audit_customer
+    (re-identification risk): scrub cleans text, this enumerates rows to
+    DELETE — and downstream, the CDC path already handles the deletes
+    themselves (tombstones through compaction and retraction algebra).
+
+    Scale shape: the subject list is request-sized — broadcast semi-joins
+    against every fact scan (no shuffle of fact rows); the cascade is one
+    broadcast-sized hop (the subjects' orders). Counts are
+    map-side-combinable."""
+    c = load(spark, sf_dir, "customer")
+    forgotten = c.filter(hash_bucket(F.col("c_custkey")) < 2).select(
+        F.col("c_custkey").alias("k")
+    )
+    orders = load(spark, sf_dir, "orders")
+    f_orders = orders.join(
+        F.broadcast(forgotten), orders["o_custkey"] == F.col("k")
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem")
+    events = load(spark, sf_dir, "events")
+
+    def row(name: str, df: DataFrame, subject_col: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct(subject_col).cast("bigint").alias("n_subjects"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "n_subjects")
+
+    cust_hit = c.join(F.broadcast(forgotten), c["c_custkey"] == F.col("k"))
+    li_hit = li.join(
+        F.broadcast(f_orders), li["l_orderkey"] == f_orders["o_orderkey"]
+    )
+    ev_hit = events.join(
+        F.broadcast(forgotten), events["user_id"] == F.col("k")
+    )
+    return (
+        row("customer", cust_hit, "c_custkey")
+        .unionByName(row("orders", f_orders, "o_custkey"))
+        .unionByName(row("lineitem", li_hit, "o_custkey"))
+        .unionByName(row("events", ev_hit, "user_id"))
+    )
