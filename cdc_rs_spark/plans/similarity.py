@@ -13,7 +13,6 @@ from cdc_rs_spark.operators.similarity import (
     EMB_DIM,
     LSH_WEIGHTS,
     brute_force_topk,
-    ivf_topk,
     lsh_topk,
 )
 from cdc_rs_spark.registry import register
