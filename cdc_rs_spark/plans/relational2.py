@@ -786,16 +786,26 @@ def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def percentiles_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (sort-based distribution agg) per
-    return flag. Exact percentile is a full-sort-per-group operator — at
-    100 TB use approx_percentile (t-digest, mergeable partial aggs) unless
-    exactness is contractual; this entry pins the exact semantics."""
+    """Exact interpolated percentiles per return flag — each column on its
+    scale-correct path. l_quantity has 50 distinct values, so Spark's exact
+    ``percentile`` buffer IS a bounded histogram (value→count OpenHashMap,
+    partial-aggregates cleanly at any scale) and stays in the agg;
+    l_extendedprice is ~unique (583k/600k at sf0.1), where that buffer
+    becomes the column itself, so its p95 resolves via the
+    distributed-selection quantile (operators/quantiles.py) and re-enters
+    the plan as a per-group literal."""
     li = load(spark, sf_dir, "lineitem")
+    p95 = exact_quantiles(
+        li, "l_extendedprice", [0.95], group_cols=("l_returnflag",)
+    )
+    p95_col = F.create_map(
+        *[F.lit(x) for (k,), (v,) in p95.items() for x in (k, v)]
+    )[F.col("l_returnflag")]
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
         F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50"),
         F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("price_p95"),
+        F.round(F.first(p95_col), 6).alias("price_p95"),
     )
 
 
