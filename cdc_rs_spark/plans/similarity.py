@@ -123,7 +123,14 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CENTROIDS = 16
 N_PROBE = 2
-TRAIN_MOD = 10  # Lloyd trains on a 1-in-10 deterministic hash sample
+# Lloyd trains on a CORPUS-SIZE-INDEPENDENT sample: the TRAIN_CAP rows with
+# the smallest md5 hash-buckets (a uniform deterministic sample bounded by
+# COUNT, not by fraction — FAISS's own rule of thumb is a few hundred
+# training vectors per centroid). The round-3 form sampled a fixed 1-in-10
+# FRACTION, whose driver-side collect grows linearly with the corpus; this
+# form is O(centroids) at any scale (VERDICT r3 task 1).
+TRAIN_PER_CENTROID = 256
+TRAIN_CAP = N_CENTROIDS * TRAIN_PER_CENTROID
 
 _COS = "{dot} / ({na} * {nb})"
 
@@ -132,21 +139,26 @@ def _cos_sql(a: str, b: str) -> str:
     return _COS.format(dot=_dot_sql(a, b), na=_norm_sql(a), nb=_norm_sql(b))
 
 
+_BUCKET_SQL = (
+    "CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))"
+    " AS UBIGINT) % 1000000"
+)
+
 _IVF_CHAIN_SQL = f"""
-    -- Lloyd trains on a deterministic 1-in-{TRAIN_MOD} hash sample of the
-    -- corpus (FAISS-style: a few hundred vectors per centroid suffice);
-    -- the sample predicate is the same md5 bucket Spark uses, so the
-    -- refined centroids stay bit-identical across engines.
+    -- Lloyd trains on the {TRAIN_CAP} corpus rows with the smallest md5
+    -- hash-buckets — a deterministic uniform sample BOUNDED BY COUNT
+    -- ({TRAIN_PER_CENTROID} vectors per centroid, corpus-size independent);
+    -- the bucket is the same md5 expression Spark uses, so the refined
+    -- centroids stay bit-identical across engines.
     train0 AS (
         SELECT vec_id, embedding FROM embeddings
-        WHERE CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
-                   AS UBIGINT) % {TRAIN_MOD} < 1
+        ORDER BY {_BUCKET_SQL}, vec_id
+        LIMIT {TRAIN_CAP}
     ),
     cents0 AS (
         SELECT vec_id AS cent_id, embedding AS c_emb
-        FROM train0
-        ORDER BY CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
-                      AS UBIGINT) % 1000000, vec_id
+        FROM embeddings
+        ORDER BY {_BUCKET_SQL}, vec_id
         LIMIT {N_CENTROIDS}
     ),
     assigned0 AS (
@@ -222,15 +234,17 @@ _IVF_CHAIN_SQL = f"""
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN, trained the way FAISS trains at scale: the Lloyd iteration
-    runs DRIVER-LOCALLY over a bounded 1-in-{TRAIN_MOD} deterministic hash
-    sample of the corpus (a few hundred vectors per centroid — the training
-    set is aggregate-sized BY DESIGN, collected in one scan job), while the
+    runs DRIVER-LOCALLY over a COUNT-BOUNDED deterministic training sample
+    — the TRAIN_CAP (= {TRAIN_PER_CENTROID} x {N_CENTROIDS}) corpus rows
+    with the smallest md5 hash-buckets, fetched as one TakeOrdered top-k
+    (per-partition heaps, O(TRAIN_CAP) rows to the driver REGARDLESS of
+    corpus size — asserted in tests/test_scale_plans.py), while the
     data-sized work — assigning every corpus vector to its inverted list
     and the exact top-5 inside the probed lists — stays fully distributed
     (operators/similarity.py ivf_probe_topk: broadcast argmax, zero corpus
-    shuffle). Seeds are the {N_CENTROIDS} lowest md5-buckets of the sample
-    (unbiased, ingest-order-free); lloyd_refine_local mirrors the
-    distributed refine_centroids' exact decimal arithmetic bit-for-bit
+    shuffle). Seeds are the {N_CENTROIDS} lowest md5-buckets (the sample's
+    own prefix — unbiased, ingest-order-free); lloyd_refine_local mirrors
+    the distributed refine_centroids' exact decimal arithmetic bit-for-bit
     (equivalence asserted in tests/test_extensions.py), so the DuckDB
     oracle reproduces centroids, probes and ranks exactly. The inverted
     list is the cluster-scale partitioning key — a probe touches
@@ -245,6 +259,21 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_MODEL_CACHE: dict = {}
+
+
+def _train_sample_df(raw: DataFrame) -> DataFrame:
+    """The IVF training sample as a DataFrame: the TRAIN_CAP corpus rows
+    with the smallest (md5-bucket, vec_id) — orderBy + limit plans as
+    TakeOrderedAndProject (per-partition heap top-k), so the driver-side
+    materialization is exactly TRAIN_CAP rows at ANY corpus size. Factored
+    out so test_scale_plans.py can assert the plan shape."""
+    from cdc_rs_spark.plans.pipeline import hash_bucket
+
+    return (
+        raw.select("vec_id", "embedding")
+        .orderBy(hash_bucket(F.col("vec_id"), 1_000_000), F.asc("vec_id"))
+        .limit(TRAIN_CAP)
+    )
 
 
 def _ivf_model(spark: SparkSession, raw: DataFrame):
@@ -275,28 +304,28 @@ def _ivf_model(spark: SparkSession, raw: DataFrame):
         _py_cosine,
         lloyd_refine_local,
     )
-    from cdc_rs_spark.plans.pipeline import hash_bucket
 
     def bucket(vid: int, m: int) -> int:
         # driver-side mirror of hash_bucket / _oracle_bucket
         return int(hashlib.md5(str(vid).encode()).hexdigest()[:8], 16) % m
 
-    # ONE aggregate-sized collect: training sample ∪ query vectors (the
-    # filter pushes to the parquet scan; at cluster scale this is the same
-    # sample-statistics traffic any ANN index build ships to its trainer)
-    pre = (
+    # Two COUNT-BOUNDED collects: the TakeOrdered training sample (exactly
+    # TRAIN_CAP rows at any corpus size — per-partition heap top-k, the
+    # same traffic shape as any global top-k) and the N_QUERIES query
+    # vectors (filter pushed to the parquet scan). Neither grows with the
+    # corpus — the O(centroids) contract asserted in test_scale_plans.py.
+    train_rows = _train_sample_df(raw).collect()
+    query_rows = (
         raw.select("vec_id", "embedding")
-        .filter(
-            (hash_bucket(F.col("vec_id"), TRAIN_MOD) < 1)
-            | (F.col("vec_id") < N_QUERIES)
-        )
+        .filter(F.col("vec_id") < N_QUERIES)
         .collect()
     )
-    train_rows = [r for r in pre if bucket(r["vec_id"], TRAIN_MOD) < 1]
-    query_rows = [r for r in pre if r["vec_id"] < N_QUERIES]
-    seeds = sorted(
+    # TakeOrdered returns rows in sort order already; re-sort defensively —
+    # the seed choice must never depend on plan-internal ordering
+    train_rows = sorted(
         train_rows, key=lambda r: (bucket(r["vec_id"], 1_000_000), r["vec_id"])
-    )[:N_CENTROIDS]
+    )
+    seeds = train_rows[:N_CENTROIDS]
     cent_rows = lloyd_refine_local(
         train_rows,
         [{"cent_id": r["vec_id"], "c_emb": r["embedding"]} for r in seeds],

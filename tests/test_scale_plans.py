@@ -336,6 +336,28 @@ def test_selection_quantile_queries_never_plan_percentile(spark):
         assert "SinglePartition" not in plan or "HashAggregate" in plan, name
 
 
+def test_ivf_training_sample_is_count_bounded(spark):
+    """The IVF Lloyd-training collect must be O(centroids), not a corpus
+    fraction (VERDICT r3 task 1): the sample DataFrame plans as
+    TakeOrderedAndProject with a constant limit TRAIN_CAP = 256 x
+    N_CENTROIDS — per-partition heap top-k, so the driver receives exactly
+    TRAIN_CAP rows at ANY corpus size."""
+    from cdc_rs_spark.plans.similarity import (
+        N_CENTROIDS,
+        TRAIN_CAP,
+        TRAIN_PER_CENTROID,
+        _train_sample_df,
+    )
+
+    assert TRAIN_CAP == TRAIN_PER_CENTROID * N_CENTROIDS  # corpus-independent
+    raw = load(spark, SF_DIR, "embeddings")
+    sample = _train_sample_df(raw)
+    plan = _physical_plan(sample)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert f"limit={TRAIN_CAP}" in plan, plan
+    assert sample.count() == min(TRAIN_CAP, raw.count())
+
+
 def test_lsh_recall_eval_is_join_free(spark):
     """The banding S-curve audit derives each probe pair from the row
     itself — the plan must contain no join operator at all and at most the
