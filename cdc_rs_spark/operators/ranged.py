@@ -147,6 +147,55 @@ def global_cumsum(
     ).drop(_BUCKET)
 
 
+def global_rank_cumsum(
+    df: DataFrame,
+    key: str,
+    order_cols: list,
+    value: str,
+    *,
+    descending: bool = False,
+    n_buckets: int = 32,
+    rank_col: str = "_rk",
+    cum_col: str = "_cum",
+) -> tuple[DataFrame, int, int]:
+    """Exact 0-based global rank AND running SUM(value) under ``order_cols``
+    in ONE bucketing pass: a single per-bucket (count, sum) aggregate feeds
+    both exclusive prefixes, and one partitioned window computes both
+    row_number and cumsum. Returns (df + rank_col + cum_col, total rows,
+    total sum) — the totals come free from the bucket statistics, so
+    prefix-share queries (Pareto curves) need no extra global aggregate."""
+    b = _bucketed(df, key, descending, n_buckets)
+    stats = {
+        r[_BUCKET]: (r["n"], int(r["s"] or 0))
+        for r in b.groupBy(_BUCKET)
+        .agg(F.count("*").alias("n"), F.sum(value).alias("s"))
+        .collect()
+    }
+    total_n, total_s = 0, 0
+    n_offsets, s_offsets = {}, {}
+    for bkt in sorted(stats):
+        n_offsets[bkt], s_offsets[bkt] = total_n, total_s
+        total_n += stats[bkt][0]
+        total_s += stats[bkt][1]
+    if not n_offsets:
+        n_offsets, s_offsets = {0: 0}, {0: 0}
+    w = Window.partitionBy(_BUCKET).orderBy(*order_cols)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        b.withColumn(
+            rank_col,
+            (F.row_number().over(w) - 1).cast("bigint")
+            + _offset_lookup(n_offsets),
+        )
+        .withColumn(
+            cum_col,
+            F.sum(value).over(wc).cast("bigint") + _offset_lookup(s_offsets),
+        )
+        .drop(_BUCKET)
+    )
+    return out, total_n, total_s
+
+
 def ranked_result(
     df: DataFrame,
     build: Callable[[DataFrame], DataFrame],

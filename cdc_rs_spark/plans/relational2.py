@@ -1476,14 +1476,18 @@ def corr_quantity_price_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CAST(l_extendedprice * (1 - l_discount)
                         AS DECIMAL(18,4))) AS rev
         FROM lineitem GROUP BY l_suppkey
+    ),
+    scaled AS (
+        SELECT l_suppkey, rev, CAST(rev * 10000 AS BIGINT) AS rev_i
+        FROM per_supp
     )
     SELECT l_suppkey,
-           ROW_NUMBER() OVER (ORDER BY rev DESC, l_suppkey) AS rnk,
+           ROW_NUMBER() OVER (ORDER BY rev_i DESC, l_suppkey) AS rnk,
            CAST(rev AS DOUBLE) AS revenue,
-           CAST(SUM(rev) OVER (ORDER BY rev DESC, l_suppkey
-                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-               / CAST(SUM(rev) OVER () AS DOUBLE) AS cum_share
-    FROM per_supp
+           CAST(SUM(rev_i) OVER (ORDER BY rev_i DESC, l_suppkey
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+               / CAST(SUM(rev_i) OVER () AS DOUBLE) AS cum_share
+    FROM scaled
     """,
 )
 def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1491,10 +1495,19 @@ def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue with each prefix's share of the total — the 'how few suppliers
     cover 80% of revenue' curve that drives stratified sampling and
     hot-partition planning. The fact table collapses to |suppliers| rows
-    through one map-side-combine agg FIRST; both windows (running decimal
-    cumsum — exact at every prefix — and the grand total) run over that
-    aggregate. The single-partition window is |suppliers| rows, never fact
-    rows; shares are exact-decimal casts + one double division each."""
+    through one map-side-combine agg FIRST — but |suppliers| itself scales
+    with the data (TPC-H: 10k x sf), so the rank/cumsum runs on the
+    two-pass range-bucketed primitive (operators/ranged.py
+    global_rank_cumsum): quantile cuts -> per-bucket (count, sum) ->
+    partitioned window + broadcast offsets — no Exchange SinglePartition
+    anywhere (asserted in test_scale_plans.py), exactly as
+    events_cumulative_revenue. Revenue is scaled to integer 1/10000ths
+    (decimal(18,4) x 10^4 — exact) so the running sum accumulates in
+    bigint; the grand total falls out of the bucket statistics, and
+    cum_share is one double division whose 10^4 factors cancel — the
+    oracle mirrors the same scaled arithmetic bit-for-bit."""
+    from cdc_rs_spark.operators.ranged import global_rank_cumsum, ranked_result
+
     li = load(spark, sf_dir, "lineitem")
     per_supp = li.groupBy("l_suppkey").agg(
         F.sum(
@@ -1503,18 +1516,29 @@ def supplier_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rev")
     )
-    w_ord = Window.orderBy(F.desc("rev"), F.asc("l_suppkey"))
-    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    return per_supp.select(
-        "l_suppkey",
-        F.row_number().over(w_ord).alias("rnk"),
-        F.col("rev").cast("double").alias("revenue"),
-        (
-            F.sum("rev").over(w_cum).cast("double")
-            / F.sum("rev").over(w_all).cast("double")
-        ).alias("cum_share"),
+    scaled = per_supp.withColumn(
+        "rev_i", (F.col("rev") * 10000).cast("bigint")
     )
+
+    def build(cached):
+        ranked, _n, total = global_rank_cumsum(
+            cached,
+            "rev_i",
+            [F.desc("rev_i"), F.asc("l_suppkey")],
+            "rev_i",
+            descending=True,
+        )
+        return ranked.select(
+            "l_suppkey",
+            (F.col("_rk") + 1).alias("rnk"),
+            F.col("rev").cast("double").alias("revenue"),
+            (
+                F.col("_cum").cast("double")
+                / F.lit(total).cast("double")
+            ).alias("cum_share"),
+        )
+
+    return ranked_result(scaled, build)
 
 
 @register(

@@ -258,6 +258,47 @@ def test_two_pass_rank_equals_global_window(spark):
         }
 
 
+def test_pareto_rank_cumsum_is_two_pass(spark):
+    """supplier_revenue_pareto's rank + running share must come from the
+    range-bucketed global_rank_cumsum (VERDICT r3 task 2): |suppliers|
+    scales with sf, so no Exchange SinglePartition may appear, the window
+    must be partitioned by the quantile bucket, and the combined
+    (rank, cumsum, totals) must equal the naive unpartitioned window."""
+    from pyspark.sql import Window
+
+    from cdc_rs_spark.operators.ranged import global_rank_cumsum
+
+    li = load(spark, SF_DIR, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("rev")
+    )
+    scaled = per_supp.withColumn("rev_i", (F.col("rev") * 10000).cast("bigint"))
+    order = [F.desc("rev_i"), F.asc("l_suppkey")]
+    ranked, n, total = global_rank_cumsum(
+        scaled, "rev_i", order, "rev_i", descending=True
+    )
+    plan = _physical_plan(ranked)
+    assert "SinglePartition" not in plan, plan
+    assert "windowspecdefinition(_rbkt" in plan, plan
+    naive = scaled.withColumn(
+        "r0", F.row_number().over(Window.orderBy(*order)) - 1
+    ).withColumn(
+        "c0",
+        F.sum("rev_i").over(
+            Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    got = {r["l_suppkey"]: (r["_rk"], r["_cum"]) for r in ranked.collect()}
+    rows = naive.collect()
+    want = {r["l_suppkey"]: (r["r0"], r["c0"]) for r in rows}
+    assert got == want
+    assert n == len(rows) and total == sum(r["rev_i"] for r in rows)
+
+
 def test_quality_deciles_windows_only_the_bounded_histogram(spark):
     """text_quality_deciles' NTILE is computed over the VALUE HISTOGRAM
     (quality rounds to 6dp in [0,1] -> <= 10^6+1 rows by construction), so
