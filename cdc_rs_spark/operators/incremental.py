@@ -68,6 +68,42 @@ def incremental_agg(
     )
 
 
+def _parse_bytes(s: str) -> int:
+    """'10485760b' / '10MB' / '-1' -> bytes (Spark conf size syntax)."""
+    s = str(s).strip().lower()
+    for suf, mult in (
+        ("tb", 1024**4), ("gb", 1024**3), ("mb", 1024**2), ("kb", 1024),
+        ("t", 1024**4), ("g", 1024**3), ("m", 1024**2), ("k", 1024),
+        ("b", 1),
+    ):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)])) * mult
+    return int(float(s))
+
+
+def dim_fits_broadcast(dim: DataFrame) -> bool:
+    """Decide the enrich-join strategy from DATA, not a manual flag: the
+    dim's Catalyst size estimate (file-size-based for scans, propagated
+    through projections) vs spark.sql.autoBroadcastJoinThreshold — the
+    same statistic the planner itself consults. A dim that outgrows the
+    threshold between deploys flips the view to the shuffled join without
+    a code change; threshold <= 0 (broadcast disabled) always says no."""
+    spark = dim.sparkSession
+    try:
+        thresh = _parse_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+        )
+    except (TypeError, ValueError):
+        thresh = 10 * 1024 * 1024
+    if thresh <= 0:
+        return False
+    try:
+        est = int(dim._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable (e.g. Connect) -> historical default
+        return True
+    return est <= thresh
+
+
 def join_deltas(
     changes: DataFrame,
     dim: DataFrame,
@@ -75,7 +111,7 @@ def join_deltas(
     dim_key: str,
     group_col: str,
     value_of: "callable",
-    broadcast_dim: bool = True,
+    broadcast_dim: "bool | str" = "auto",
 ) -> DataFrame:
     """Enriched delta stream for join-view IVM: each change's retract/assert
     row joins the broadcast dimension, yielding (group, dn, dv) deltas in
@@ -100,9 +136,13 @@ def join_deltas(
         part(F.col("after"), 1).alias("d")
     )
     deltas = before.unionByName(after).select("d._k", "d.dn", "d.dv")
-    # broadcast_dim=False for dims past the broadcast threshold: same
-    # algebra, shuffled equi-join (pre-bucket the dim to shuffle only the
-    # delta side) — see incremental_join_agg's scale contract
+    # "auto" (default) sizes the dim against the broadcast threshold via
+    # Catalyst stats (dim_fits_broadcast); False forces the shuffled
+    # equi-join (same algebra — pre-bucket the dim to shuffle only the
+    # delta side), True forces broadcast — see incremental_join_agg's
+    # scale contract
+    if broadcast_dim == "auto":
+        broadcast_dim = dim_fits_broadcast(dim)
     dim_side = F.broadcast(dim) if broadcast_dim else dim
     enriched = deltas.join(dim_side, deltas["_k"] == dim[dim_key], "inner")
     return enriched.groupBy(group_col).agg(
@@ -117,23 +157,26 @@ def incremental_join_agg(
     dim_key: str,
     group_col: str,
     value_of: "callable",
-    broadcast_dim: bool = True,
+    broadcast_dim: "bool | str" = "auto",
 ) -> DataFrame:
     """Maintain an aggregate over fact JOIN dim purely from FACT-side change
     deltas: deltaV = deltaFact JOIN dim, aggregated with retract/assert
     signs — the enriched-materialized-view analog of incremental_agg.
 
-    The dim side is broadcast, so maintenance stays ONE shuffle on the final
-    group key and the cost is O(changes) regardless of fact-table size.
-    CAVEAT (scale contract): "dimension" here means *fits the broadcast
-    threshold* (spark.sql.autoBroadcastJoinThreshold; executors and driver
-    must hold a full copy). TPC-H customer GROWS with scale factor — at the
-    100 TB regime a customer-sized dim would OOM the broadcast. When the
-    dim exceeds the threshold, pass broadcast_dim=False: the algebra is
-    UNCHANGED and the enrich join becomes a shuffled equi-join on the dim
-    key (or, better, pre-bucket the dim on dim_key — operators/skew.py
-    bucket_table — so only the delta side shuffles). Maintenance cost is
-    then O(changes) + one delta-sized shuffle, still never O(fact).
+    A broadcast dim keeps maintenance at ONE shuffle on the final group key
+    with cost O(changes) regardless of fact-table size. CAVEAT (scale
+    contract): "dimension" here means *fits the broadcast threshold*
+    (spark.sql.autoBroadcastJoinThreshold; executors and driver must hold a
+    full copy). TPC-H customer GROWS with scale factor — at the 100 TB
+    regime a customer-sized dim would OOM the broadcast. The default
+    broadcast_dim="auto" therefore derives the strategy from the dim's
+    Catalyst size estimate vs the threshold (dim_fits_broadcast) — a dim
+    that outgrows the threshold flips to the shuffled equi-join on the dim
+    key WITHOUT a code change; both paths are pinned to identical results
+    in tests/test_pipeline.py. Pass True/False to force a side (e.g. False
+    plus a pre-bucketed dim — operators/skew.py bucket_table — so only the
+    delta side shuffles). Maintenance cost in the shuffled form is
+    O(changes) + one delta-sized shuffle, still never O(fact).
 
     A dim-side change requires the complementary fact JOIN deltaDim pass
     (same algebra, swapped roles); with CDC feeds on both sides run both
