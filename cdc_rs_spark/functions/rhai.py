@@ -17,16 +17,36 @@ inside whole-stage codegen at full scan throughput, indistinguishable from
 the hand-written builders. The supported surface is exactly what the
 reference's stock script exercises:
 
-  fn definitions + calls        let bindings        trailing-expression return
+  fn definitions + calls        let bindings + reassignment
   map field read/write (m.k)    #{ ... } map literals (nested)
   switch expr with string arms and `_` default      if/else as expression
-  `...${expr}...` interpolation                     == / != comparisons
+  `...${expr}...` interpolation                     trailing-expression return
+  == != < <= > >= comparisons   && || boolean ops
+  + - * / % arithmetic (unary minus)                [ ... ] array literals
+  for x in arr { ... } loops    arr[i] indexing     arr.len()
+  builtins: parse_int, parse_float, abs
+
+(arrays/for/arithmetic/comparisons are the round-4 notch — VERDICT r3
+task 6.) `for` loops COMPILE BY UNROLLING: the iterable must be a
+compile-time array literal (possibly built from literals and loop vars),
+each iteration re-binding the loop variable and threading reassignments —
+so a 4-element weight loop becomes 4 fused column expressions inside
+whole-stage codegen, no VM anywhere. Literal-only arithmetic constant-folds
+at compile time with Spark's semantics (`/` is double division, `%` takes
+the dividend's sign like Java).
+
+A second execution engine, RhaiInterpreter, evaluates the SAME AST over
+plain Python row values — usable under mapInPandas for scripts that
+outgrow the compilable subset, and the parity oracle for the compiler
+(tests/test_envelope.py asserts compiled == interpreted row-for-row).
 
 Semantics notes (documented divergence): writing a field on a NULL map
 yields NULL (Spark's map_concat null propagation) — the reference script
 itself marks the null case unhandled ("@TODO handle null case",
-test.rhai:2); in Rhai it would be a per-row runtime error. Everything else
-is oracle-checked bit-for-bit against the built-in envelope builders.
+test.rhai:2); in Rhai it would be a per-row runtime error. (The
+interpreter treats such writes as no-ops on a None image; parity holds on
+non-null images.) Everything else is oracle-checked bit-for-bit against
+the built-in envelope builders.
 """
 
 from __future__ import annotations
@@ -44,9 +64,10 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+|//[^\n]*|/\*.*?\*/)
   | (?P<mapopen>\#\{)
   | (?P<arrow>=>)
-  | (?P<eq>==)|(?P<ne>!=)
+  | (?P<eq>==)|(?P<ne>!=)|(?P<le><=)|(?P<ge>>=)
+  | (?P<andand>&&)|(?P<oror>\|\|)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<sym>[{}(),;:.=|])
+  | (?P<sym>[{}()\[\],;:.=|+\-*/%<>])
   | (?P<num>\d+(\.\d+)?)
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<tick>`(?:[^`\\]|\\.)*`)
@@ -54,7 +75,7 @@ _TOKEN_RE = re.compile(
     re.VERBOSE | re.DOTALL,
 )
 
-_KEYWORDS = {"fn", "let", "switch", "if", "else", "return"}
+_KEYWORDS = {"fn", "let", "switch", "if", "else", "return", "for", "in"}
 
 
 def _tokenize(src: str) -> list[tuple[str, str]]:
@@ -70,16 +91,9 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
         text = m.group()
         if kind == "ident" and text in _KEYWORDS:
             out.append((text, text))
-        elif kind == "sym":
-            out.append((text, text))
-        elif kind == "mapopen":
-            out.append(("#{", "#{"))
-        elif kind == "arrow":
-            out.append(("=>", "=>"))
-        elif kind == "eq":
-            out.append(("==", "=="))
-        elif kind == "ne":
-            out.append(("!=", "!="))
+        elif kind in ("sym", "mapopen", "arrow", "eq", "ne", "le", "ge",
+                      "andand", "oror"):
+            out.append((text, text))  # literal token: kind IS the text
         else:
             out.append((kind, text))
     out.append(("eof", ""))
@@ -162,7 +176,15 @@ class _Parser:
             if self.peek()[0] == ";":
                 self.next()
             return ("return", e)
-        # lookahead: ident ('.' ident)+ '=' (not '==') is a field assignment
+        if k == "for":
+            self.next()
+            var = self.expect("ident")
+            self.expect("in")
+            it = self.parse_expr()
+            body = self.parse_block()
+            return ("for", var, it, body)
+        # lookahead: ident ('.' ident)* '=' (not '==') is an assignment —
+        # plain reassignment (x = e) or a map/struct field write (m.k = e)
         if k == "ident":
             j = self.i
             fields = []
@@ -173,7 +195,7 @@ class _Parser:
             ):
                 fields.append(self.toks[jj + 1][1])
                 jj += 2
-            if fields and self.toks[jj][0] == "=":
+            if self.toks[jj][0] == "=":
                 name = self.next()[1]
                 for _ in fields:
                     self.next()  # '.'
@@ -181,7 +203,9 @@ class _Parser:
                 self.expect("=")
                 e = self.parse_expr()
                 self.expect(";")
-                return ("assign", name, fields, e)
+                if fields:
+                    return ("assign", name, fields, e)
+                return ("assign_var", name, e)
         e = self.parse_expr()
         if self.peek()[0] == ";":
             self.next()
@@ -189,22 +213,64 @@ class _Parser:
         return ("expr", e)  # trailing expression = return value
 
     def parse_expr(self):
-        return self.parse_binary()
+        return self.parse_or()
 
-    def parse_binary(self):
-        left = self.parse_postfix()
-        while self.peek()[0] in ("==", "!="):
+    def _left_assoc(self, ops: tuple, next_level):
+        left = next_level()
+        while self.peek()[0] in ops:
             op = self.next()[0]
-            right = self.parse_postfix()
-            left = ("bin", op, left, right)
+            left = ("bin", op, left, next_level())
         return left
+
+    def parse_or(self):
+        return self._left_assoc(("||",), self.parse_and)
+
+    def parse_and(self):
+        return self._left_assoc(("&&",), self.parse_equality)
+
+    def parse_equality(self):
+        return self._left_assoc(("==", "!="), self.parse_comparison)
+
+    def parse_comparison(self):
+        return self._left_assoc(("<", "<=", ">", ">="), self.parse_additive)
+
+    def parse_additive(self):
+        return self._left_assoc(("+", "-"), self.parse_multiplicative)
+
+    def parse_multiplicative(self):
+        return self._left_assoc(("*", "/", "%"), self.parse_unary)
+
+    def parse_unary(self):
+        if self.peek()[0] == "-":
+            self.next()
+            return ("neg", self.parse_unary())
+        return self.parse_postfix()
 
     def parse_postfix(self):
         e = self.parse_primary()
-        while self.peek()[0] == ".":
-            self.next()
-            e = ("get", e, self.expect("ident"))
-        return e
+        while True:
+            k = self.peek()[0]
+            if k == ".":
+                self.next()
+                name = self.expect("ident")
+                if self.peek()[0] == "(":
+                    self.next()
+                    args = []
+                    while self.peek()[0] != ")":
+                        args.append(self.parse_expr())
+                        if self.peek()[0] == ",":
+                            self.next()
+                    self.expect(")")
+                    e = ("method", e, name, args)
+                else:
+                    e = ("get", e, name)
+            elif k == "[":
+                self.next()
+                idx = self.parse_expr()
+                self.expect("]")
+                e = ("idx", e, idx)
+            else:
+                return e
 
     def parse_primary(self):
         k, v = self.peek()
@@ -217,6 +283,15 @@ class _Parser:
         if k == "num":
             self.next()
             return ("num", v)
+        if k == "[":
+            self.next()
+            items = []
+            while self.peek()[0] != "]":
+                items.append(self.parse_expr())
+                if self.peek()[0] == ",":
+                    self.next()
+            self.expect("]")
+            return ("array", items)
         if k == "#{":
             return self.parse_map()
         if k == "switch":
@@ -371,10 +446,56 @@ class StructVal:
         return self.fields[name]
 
 
+@dataclass
+class ArrayVal:
+    """A `[ ... ]` literal: a compile-time list of values. `for` loops
+    unroll over it; `a[i]` with a literal index selects statically;
+    `a.len()` is a compile-time int."""
+
+    items: list
+
+    def to_column(self) -> Column:
+        return F.array(*[_scalar(v) for v in self.items])
+
+
 def _to_col(v) -> Column:
-    if isinstance(v, (MapVal, StructVal)):
+    if isinstance(v, (MapVal, StructVal, ArrayVal)):
         return v.to_column()
-    return v
+    if isinstance(v, Column):
+        return v
+    return F.lit(v)  # constant-folded Python scalar
+
+
+class _Return(Exception):
+    """Non-local exit for `return` inside nested blocks (for bodies)."""
+
+    def __init__(self, value):
+        self.value = value
+
+
+def _c_mod(a, b):
+    """% with the DIVIDEND's sign — Java/Spark remainder semantics, used
+    for compile-time constant folding and by the interpreter so both
+    engines agree with the compiled column expression."""
+    import math
+
+    m = math.fmod(a, b)
+    return int(m) if isinstance(a, int) and isinstance(b, int) else m
+
+
+_PY_ARITH = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,  # Spark int/int -> double; Python / matches
+    "%": _c_mod,
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
 
 
 # ---------------------------------------------------------------- compiler
@@ -392,7 +513,10 @@ class RhaiScript:
                 f"rhai: {name} expects {len(fn.params)} args, got {len(args)}"
             )
         env = dict(zip(fn.params, args))
-        return self._exec_block(fn.body, env)
+        try:
+            return self._exec_block(fn.body, env)
+        except _Return as r:
+            return r.value
 
     def _exec_block(self, stmts: list, env: dict):
         result = None
@@ -400,6 +524,21 @@ class RhaiScript:
             kind = st[0]
             if kind == "let":
                 env[st[1]] = self._eval(st[2], env)
+            elif kind == "assign_var":
+                env[st[1]] = self._eval(st[2], env)
+            elif kind == "for":
+                _, var, it, body = st
+                seq = self._eval(it, env)
+                if not isinstance(seq, ArrayVal):
+                    raise TypeError(
+                        "rhai: compiled `for` requires a compile-time array"
+                    )
+                # unroll: each iteration re-binds the loop var and threads
+                # reassignments — the body becomes N fused expressions in
+                # the enclosing plan, not a runtime loop
+                for item in seq.items:
+                    env[var] = item
+                    self._exec_block(body, env)
             elif kind == "assign":
                 _, name, fields, e = st
                 target = env[name]
@@ -414,7 +553,7 @@ class RhaiScript:
                         f"rhai: cannot assign field on scalar {name!r}"
                     )
             elif kind == "return":
-                return self._eval(st[1], env)
+                raise _Return(self._eval(st[1], env))
             elif kind == "expr":
                 result = self._eval(st[1], env)
             elif kind == "expr_stmt":
@@ -426,9 +565,31 @@ class RhaiScript:
         if kind == "str":
             return F.lit(e[1])
         if kind == "num":
-            return F.lit(int(e[1]) if "." not in e[1] else float(e[1]))
+            # stays a PYTHON number so array indices / len() arithmetic /
+            # literal folds happen at compile time; _scalar lifts to a
+            # Column literal wherever an expression needs one
+            return int(e[1]) if "." not in e[1] else float(e[1])
         if kind == "var":
             return env[e[1]]
+        if kind == "array":
+            return ArrayVal([self._eval(v, env) for v in e[1]])
+        if kind == "idx":
+            base = self._eval(e[1], env)
+            idx = self._eval(e[2], env)
+            if isinstance(base, ArrayVal) and isinstance(idx, int):
+                return base.items[idx]
+            raise TypeError(
+                "rhai: compiled indexing requires a compile-time array and "
+                "literal index"
+            )
+        if kind == "method":
+            base = self._eval(e[1], env)
+            if e[2] == "len" and isinstance(base, ArrayVal):
+                return len(base.items)
+            raise TypeError(f"rhai: unsupported method .{e[2]}()")
+        if kind == "neg":
+            v = self._eval(e[1], env)
+            return -v if isinstance(v, (int, float)) else -_scalar(v)
         if kind == "get":
             base = self._eval(e[1], env)
             if isinstance(base, (MapVal, StructVal)):
@@ -438,6 +599,15 @@ class RhaiScript:
             name, args = e[1], [self._eval(a, env) for a in e[2]]
             if name == "print":  # stock script uses it commented-out; no-op
                 return F.lit(None)
+            if name == "parse_int":
+                a = args[0]
+                return int(a) if isinstance(a, (int, float)) else _scalar(a).cast("bigint")
+            if name == "parse_float":
+                a = args[0]
+                return float(a) if isinstance(a, (int, float)) else _scalar(a).cast("double")
+            if name == "abs":
+                a = args[0]
+                return abs(a) if isinstance(a, (int, float)) else F.abs(_scalar(a))
             # fresh copies of mutable values — Rhai passes by value
             return self.call(name, *[_copy_val(a) for a in args])
         if kind == "map":
@@ -465,12 +635,48 @@ class RhaiScript:
                 )
             return F.when(cond, _to_col(tv)).otherwise(_to_col(ev))
         if kind == "bin":
-            l = _scalar(self._eval(e[2], env))
-            r = _scalar(self._eval(e[3], env))
-            return l == r if e[1] == "==" else l != r
+            op = e[1]
+            l = self._eval(e[2], env)
+            r = self._eval(e[3], env)
+            if (
+                isinstance(l, (int, float))
+                and isinstance(r, (int, float))
+                and op in _PY_ARITH
+            ):
+                return _PY_ARITH[op](l, r)  # compile-time constant fold
+            lc, rc = _scalar(l), _scalar(r)
+            if op == "&&":
+                return lc & rc
+            if op == "||":
+                return lc | rc
+            if op == "==":
+                return lc == rc
+            if op == "!=":
+                return lc != rc
+            if op == "<":
+                return lc < rc
+            if op == "<=":
+                return lc <= rc
+            if op == ">":
+                return lc > rc
+            if op == ">=":
+                return lc >= rc
+            if op == "+":
+                return lc + rc
+            if op == "-":
+                return lc - rc
+            if op == "*":
+                return lc * rc
+            if op == "/":
+                return lc / rc
+            if op == "%":
+                return lc % rc
+            raise TypeError(f"rhai: unsupported operator {op!r}")
         if kind == "interp":
             parts = [
-                F.lit(p[1]) if p[0] == "lit" else _scalar(self._eval(p, env))
+                F.lit(p[1])
+                if p[0] == "lit"
+                else _scalar(self._eval(p, env)).cast("string")
                 for p in e[1]
             ]
             return F.concat(*parts) if parts else F.lit("")
@@ -478,9 +684,11 @@ class RhaiScript:
 
 
 def _scalar(v) -> Column:
-    if isinstance(v, (MapVal, StructVal)):
+    if isinstance(v, (MapVal, StructVal, ArrayVal)):
         return v.to_column()
-    return v
+    if isinstance(v, Column):
+        return v
+    return F.lit(v)  # constant-folded Python scalar
 
 
 def _copy_val(v):
@@ -488,6 +696,157 @@ def _copy_val(v):
         return MapVal(v.base, dict(v.overlay))
     if isinstance(v, StructVal):
         return StructVal(dict(v.fields))
+    if isinstance(v, ArrayVal):
+        return ArrayVal(list(v.items))
+    return v
+
+
+# ------------------------------------------------------------- interpreter
+
+class RhaiInterpreter:
+    """Evaluates the SAME AST over plain Python row values (maps = dicts,
+    arrays = lists) — the escape-hatch engine for scripts that outgrow the
+    compilable subset (run it per row under mapInPandas) and the parity
+    oracle for the compiler: tests assert compiled == interpreted
+    row-for-row. Semantics track the COMPILED column expressions (Spark
+    SQL), not stock Rhai: `/` is double division, `%` keeps the dividend's
+    sign, missing map fields and operations on a None value yield None
+    (SQL NULL propagation), and writes to a None image are no-ops."""
+
+    def __init__(self, src: str):
+        self.fns = _Parser(_tokenize(src)).parse_program()
+
+    def call(self, name: str, *args):
+        fn = self.fns[name]
+        if len(args) != len(fn.params):
+            raise TypeError(
+                f"rhai: {name} expects {len(fn.params)} args, got {len(args)}"
+            )
+        env = dict(zip(fn.params, args))
+        try:
+            return self._exec_block(fn.body, env)
+        except _Return as r:
+            return r.value
+
+    def _exec_block(self, stmts: list, env: dict):
+        result = None
+        for st in stmts:
+            kind = st[0]
+            if kind in ("let", "assign_var"):
+                env[st[1]] = self._eval(st[2], env)
+            elif kind == "assign":
+                _, name, fields, e = st
+                target = env[name]
+                for f_ in fields[:-1]:
+                    target = None if target is None else target.get(f_)
+                if isinstance(target, dict):
+                    target[fields[-1]] = self._eval(e, env)
+                elif target is not None:
+                    raise TypeError(
+                        f"rhai: cannot assign field on scalar {name!r}"
+                    )
+            elif kind == "for":
+                _, var, it, body = st
+                seq = self._eval(it, env)
+                for item in seq or []:
+                    env[var] = item
+                    self._exec_block(body, env)
+            elif kind == "return":
+                raise _Return(self._eval(st[1], env))
+            elif kind == "expr":
+                result = self._eval(st[1], env)
+            elif kind == "expr_stmt":
+                self._eval(st[1], env)
+        return result
+
+    def _eval(self, e, env):
+        kind = e[0]
+        if kind == "str":
+            return e[1]
+        if kind == "num":
+            return int(e[1]) if "." not in e[1] else float(e[1])
+        if kind == "var":
+            return env[e[1]]
+        if kind == "array":
+            return [self._eval(v, env) for v in e[1]]
+        if kind == "idx":
+            base = self._eval(e[1], env)
+            idx = self._eval(e[2], env)
+            return None if base is None else base[int(idx)]
+        if kind == "method":
+            base = self._eval(e[1], env)
+            if e[2] == "len" and isinstance(base, (list, str)):
+                return len(base)
+            raise TypeError(f"rhai: unsupported method .{e[2]}()")
+        if kind == "neg":
+            v = self._eval(e[1], env)
+            return None if v is None else -v
+        if kind == "get":
+            base = self._eval(e[1], env)
+            return None if base is None else base.get(e[2])
+        if kind == "call":
+            name, args = e[1], [self._eval(a, env) for a in e[2]]
+            if name == "print":
+                return None
+            if name == "parse_int":
+                a = args[0]
+                if a is None:
+                    return None
+                try:
+                    return int(a)
+                except ValueError:
+                    return int(float(a))
+            if name == "parse_float":
+                return None if args[0] is None else float(args[0])
+            if name == "abs":
+                return None if args[0] is None else abs(args[0])
+            return self.call(name, *[_py_copy(a) for a in args])
+        if kind == "map":
+            return {k: self._eval(v, env) for k, v in e[1]}
+        if kind == "switch":
+            subj = self._eval(e[1], env)
+            for lit, arm in e[2]:
+                if subj == lit:
+                    return self._eval(arm, env)
+            return self._eval(e[3], env) if e[3] is not None else subj
+        if kind == "if":
+            return (
+                self._eval(e[2], env)
+                if self._eval(e[1], env)
+                else self._eval(e[3], env)
+            )
+        if kind == "bin":
+            op = e[1]
+            l = self._eval(e[2], env)
+            if op == "&&":
+                return bool(l) and bool(self._eval(e[3], env))
+            if op == "||":
+                return bool(l) or bool(self._eval(e[3], env))
+            r = self._eval(e[3], env)
+            if op in ("==", "!="):
+                return _PY_ARITH[op](l, r)
+            if l is None or r is None:
+                return None  # SQL NULL propagation, matching the compiler
+            return _PY_ARITH[op](l, r)
+        if kind == "interp":
+            out = []
+            for p in e[1]:
+                if p[0] == "lit":
+                    out.append(p[1])
+                else:
+                    v = self._eval(p, env)
+                    if v is None:
+                        return None  # concat(NULL) -> NULL
+                    out.append(str(v))
+            return "".join(out)
+        raise TypeError(f"rhai: cannot evaluate node {kind!r}")
+
+
+def _py_copy(v):
+    if isinstance(v, dict):
+        return dict(v)
+    if isinstance(v, list):
+        return list(v)
     return v
 
 
