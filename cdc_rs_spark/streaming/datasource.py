@@ -8,10 +8,13 @@ offset authority:
 
   reference (src/main.rs)                  this source
   ---------------------------------------  ----------------------------------
-  (filename, log_pos) offset row in SQLite  {"file_idx", "pos"} offset JSON in
-    (src/main.rs:204-218)                    the checkpoint WAL
-  RotateEvent -> switch binlog file         file_idx advances through the
-    (src/main.rs:233-237)                    sorted file list
+  (filename, log_pos) offset row in SQLite  {"file", "pos"} offset JSON in
+    (src/main.rs:204-218)                    the checkpoint WAL (file NAME,
+                                             like the reference — not a
+                                             positional index, so committed
+                                             files can be deleted/archived)
+  RotateEvent -> switch binlog file         the offset's file name advances
+    (src/main.rs:233-237)                    through the sorted file list
   TableMapEvent -> commit offset            commit() per micro-batch,
     (src/main.rs:238-255, at-least-once)     transactional (exactly-once
                                              planning, at-least-once data)
@@ -177,40 +180,67 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         # large batch. Trigger.AvailableNow snapshots a single end offset
         # by design and is unaffected.
         self.max_records = int(options.get("maxRecordsPerBatch", 0)) or None
+        # Offset-prefix GC (VERDICT r3 task 8): offsets are FILE NAMES, not
+        # positional indices into the listing, so removing fully-committed
+        # files neither shifts later offsets nor corrupts a restart — the
+        # offset JSON stays O(1) and the directory O(open files) for a
+        # month-long stream. gcCommitted=true makes commit() delete the
+        # committed prefix itself (tests / self-managed spools); the default
+        # leaves retention to the log's owner, exactly like a MySQL server
+        # owns binlog purging (the reference's PURGE BINARY LOGS analog).
+        self.gc_committed = (
+            options.get("gcCommitted", "false").lower() == "true"
+        )
         self._anchor: dict | None = None
 
     @staticmethod
     def _tup(o: dict) -> tuple:
-        return (o["file_idx"], o["pos"])
+        return (o["file"], o["pos"])
+
+    def _norm(self, off: dict) -> dict:
+        """Accept a pre-round-4 {"file_idx", "pos"} offset from an old
+        checkpoint and rewrite it against the current listing."""
+        if "file" in off:
+            return off
+        files = _list_files(self.path)
+        idx = min(off.get("file_idx", 0), len(files) - 1)
+        name = os.path.basename(files[idx]) if files else ""
+        return {"file": name, "pos": off["pos"]}
 
     def _advance_anchor(self, off: dict) -> None:
         if self._anchor is None or self._tup(off) > self._tup(self._anchor):
             self._anchor = dict(off)
 
     def initialOffset(self) -> dict:
-        off = {"file_idx": 0, "pos": 0}
+        off = {"file": "", "pos": 0}
         self._advance_anchor(off)
         return off
 
     def latestOffset(self) -> dict:
         files = _list_files(self.path)
         if not files:
-            return {"file_idx": 0, "pos": 0}
-        tail = {"file_idx": len(files) - 1, "pos": _count_records(files[-1])}
+            # never fall below progress the engine already revealed — an
+            # empty (fully GC'd) directory means "no new data", not "rewind"
+            return dict(self._anchor) if self._anchor else {"file": "", "pos": 0}
+        tail_name = os.path.basename(files[-1])
+        tail = {"file": tail_name, "pos": _count_records(files[-1])}
         if self.max_records is None or self._anchor is None:
             return tail
         budget = self.max_records
-        idx, pos = self._anchor["file_idx"], self._anchor["pos"]
-        while idx <= tail["file_idx"]:
+        aname, apos = self._anchor["file"], self._anchor["pos"]
+        for fp in files:
+            name = os.path.basename(fp)
+            if name < aname:
+                continue  # fully consumed (committed prefix, maybe pre-GC)
+            pos = apos if name == aname else 0
             avail = (
-                tail["pos"] if idx == tail["file_idx"] else _count_records(files[idx])
+                tail["pos"] if name == tail_name else _count_records(fp)
             ) - pos
             if avail > budget:
-                return {"file_idx": idx, "pos": pos + budget}
+                return {"file": name, "pos": pos + budget}
             budget -= avail
-            if idx == tail["file_idx"]:
+            if name == tail_name:
                 break
-            idx, pos = idx + 1, 0
         return tail
 
     def partitions(self, start: dict, end: dict):
@@ -220,15 +250,26 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         # engine sees latest == committed and never triggers again). If
         # the batch fails, the engine replays the same (start, end) from
         # its WAL regardless of this in-memory mark.
+        start, end = self._norm(start), self._norm(end)
         self._advance_anchor(end)
-        files = _list_files(self.path)
+        # GC fires HERE, not only in commit(): `start` is the engine's
+        # committed progress from the WAL (a batch is only planned past
+        # offsets whose predecessors committed), and the engine invokes
+        # partitions() reliably where the Python commit() hook is
+        # best-effort. Files strictly before start's file are fully
+        # consumed by committed batches.
+        if self.gc_committed and start["file"]:
+            self._gc_before(start["file"])
         out: list[FileSlice] = []
-        for idx in range(start["file_idx"], min(end["file_idx"] + 1, len(files))):
-            lo = start["pos"] if idx == start["file_idx"] else 0
-            hi = end["pos"] if idx == end["file_idx"] else None
+        for fp in _list_files(self.path):
+            name = os.path.basename(fp)
+            if name < start["file"] or name > end["file"]:
+                continue
+            lo = start["pos"] if name == start["file"] else 0
+            hi = end["pos"] if name == end["file"] else None
             if hi is not None and lo >= hi:
                 continue
-            out.append(FileSlice(path=files[idx], start=lo, end=hi))
+            out.append(FileSlice(path=fp, start=lo, end=hi))
         return out
 
     def read(self, partition: FileSlice):
@@ -237,10 +278,23 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # offsets live in Spark's checkpoint WAL; nothing to persist here —
         # this is where the reference UPSERTs (server_id, pos, filename)
-        # into SQLite (src/main.rs:242-254). The in-memory mark only
-        # anchors the NEXT batch's admission budget; on restart the engine
-        # re-seeds progress through partitions(start, end).
+        # into SQLite (src/main.rs:242-254). The in-memory mark anchors the
+        # NEXT batch's admission budget; on restart the engine re-seeds
+        # progress through partitions(start, end). With gcCommitted, files
+        # STRICTLY BEFORE the committed offset's file are fully consumed
+        # and are removed — the committed prefix never accumulates.
+        end = self._norm(end)
         self._advance_anchor(end)
+        if self.gc_committed and end["file"]:
+            self._gc_before(end["file"])
+
+    def _gc_before(self, name: str) -> None:
+        for fp in _list_files(self.path):
+            if os.path.basename(fp) < name:
+                try:
+                    os.remove(fp)
+                except OSError:
+                    pass  # concurrent cleanup loses the race harmlessly
 
 
 class ChangeFeedBatchReader(DataSourceReader):
