@@ -166,7 +166,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         source_format=args.source_format,
         script=script_src,
     )
-    if args.backfill_queue and args.data_dir:
+    if args.backfill_queue:
+        # ADVICE r3: --backfill-queue without --data-dir used to skip the
+        # drain silently — make the missing source an explicit error
+        if not args.data_dir:
+            print("--backfill-queue requires --data-dir", file=sys.stderr)
+            return 2
+        if publish is None:
+            print(
+                "--backfill-queue requires a sink (--out or --echo): "
+                "draining would consume jobs with no output",
+                file=sys.stderr,
+            )
+            return 2
         from cdc_rs_spark.pipeline import run_backfill_queue
 
         n = run_backfill_queue(spark, cfg, args.backfill_queue, args.data_dir)

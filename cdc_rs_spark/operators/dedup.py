@@ -151,7 +151,7 @@ def jaccard_verify(
     ).filter(F.col("jaccard") >= threshold)
 
 
-_SIGNED_CACHE: list = []  # (appId, source_df, (id_col, text_col), signed_df)
+_SIGNED_CACHE: list = []  # (appId, source_df, key, signed_df)
 
 
 def signed_docs_cached(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -159,23 +159,26 @@ def signed_docs_cached(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     materialized signatures/shingles table a production dedup deployment
     builds ONCE and serves to every consumer. Five registry queries run
     the identical pipeline over the identical corpus; without the memo
-    each re-shingles and re-signs it. Hits are verified with
-    ``sameSemantics`` (exact plan comparison, no hash-collision risk);
-    entries from dead SparkSessions are dropped and the cache is bounded,
-    with evicted frames unpersisted."""
+    each re-shingles and re-signs it. Hits require ``sameSemantics`` (exact
+    plan comparison, no hash-collision risk) AND the same input-file set
+    (ADVICE r3: plan equality alone would serve stale persisted signatures
+    if the files under an identical-looking path were rewritten within one
+    session — same guard as plans/similarity.py's _IVF_MODEL_CACHE);
+    entries from dead SparkSessions are dropped and the cache is bounded
+    BEFORE insertion, with evicted frames unpersisted."""
     app = df.sparkSession.sparkContext.applicationId
     global _SIGNED_CACHE
+    key = (id_col, text_col, tuple(sorted(df.inputFiles())))
     live = [e for e in _SIGNED_CACHE if e[0] == app]  # dead sessions drop out
-    while len(live) > 4:
+    for a, src, k, signed in live:
+        if k == key and src.sameSemantics(df):
+            return signed
+    while len(live) >= 4:  # evict before insert: never more than 4 persisted
         old = live.pop(0)
         old[3].unpersist(blocking=False)
+    live.append((app, df, key, minhash_docs(df, id_col, text_col).persist()))
     _SIGNED_CACHE = live
-    for a, src, cols, signed in _SIGNED_CACHE:
-        if cols == (id_col, text_col) and src.sameSemantics(df):
-            return signed
-    signed = minhash_docs(df, id_col, text_col).persist()
-    _SIGNED_CACHE.append((app, df, (id_col, text_col), signed))
-    return signed
+    return live[-1][3]
 
 
 def minhash_dedup_pairs(

@@ -149,7 +149,21 @@ def _zone_histograms(
         br_df = df.sparkSession.sql(
             f"SELECT {aliases}, col{len(gcols) + 1} AS _qbr FROM VALUES {vals}"
         )
-        joined = base.join(F.broadcast(br_df), gcols)
+        # NULL is a legal group key (SQL GROUP BY groups NULLs together):
+        # join null-safely and align the VALUES literals' types with the
+        # scan's, so null-keyed groups take this exact path instead of
+        # falling through to the recompute safety net (ADVICE r3)
+        bdt = dict(base.select(*gcols).dtypes)
+        br_df = br_df.select(
+            *[F.col(c).cast(bdt[c]).alias(c) for c in gcols], "_qbr"
+        )
+        cond = None
+        for c in gcols:
+            eq = base[c].eqNullSafe(br_df[c])
+            cond = eq if cond is None else (cond & eq)
+        joined = base.join(F.broadcast(br_df), cond)
+        for c in gcols:
+            joined = joined.drop(br_df[c])
         arr = F.col("_qbr")
     else:
         (_, brs0) = meta[()]
@@ -234,10 +248,10 @@ def exact_quantiles(
             vals.append(_spark_percentile_interp(pos, v_l, v_h))
         if ok:
             out[k] = vals
-        else:  # pragma: no cover - unreachable under the sketch guarantee
+        else:  # safety net: a sketch-margin miss falls back to exact agg
             fallback_groups.append(k)
 
-    if fallback_groups:  # pragma: no cover - safety net only
+    if fallback_groups:  # safety net only; not reached by the suite
         x = F.col(col).cast("double")
         agg = (
             df.filter(x.isNotNull())

@@ -120,6 +120,14 @@ def run_backfill_queue(
 
     from cdc_rs_spark.sources.backfill import BackfillQueue, snapshot_table
 
+    if cfg.publish is None:
+        # ADVICE r3: draining with no sink configured would consume queue
+        # entries while producing NOTHING — refuse instead of silently
+        # marking jobs done (the CLI maps --out/--print to cfg.publish)
+        raise ValueError(
+            "run_backfill_queue: no publish sink configured — draining "
+            "would mark jobs done with no output (pass --out or --print)"
+        )
     queue = BackfillQueue(queue_path)
     jobs = queue.todo()
     if not jobs:
@@ -131,8 +139,7 @@ def run_backfill_queue(
     frames = apply_transform(changes, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         n = frames.count()  # one validated materialization
-        if cfg.publish is not None:
-            publish_foreach_batch(cfg.publish)(frames, -1)
+        publish_foreach_batch(cfg.publish)(frames, -1)
         for job in jobs:
             queue.mark_done(job)
     finally:

@@ -1800,7 +1800,11 @@ def heavy_hitters_cms_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
-    total = sum(r["n_exact"] for r in top)  # lower bound on N; real slack
+    # Bound note (ADVICE r3): est <= n_exact + eps*N holds with probability
+    # `conf` PER PROBE in general; with the pinned (seed, fixture) pair the
+    # flag is deterministic, and the suite's 10 probes at 99% leave ~10%
+    # a-priori risk a NEW fixture/seed pair flips one flag — if that
+    # happens, widen eps or reseed rather than suspect the sketch.
     n_rows = li.count()
     rows = []
     for r in top:

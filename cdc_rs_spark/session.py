@@ -93,6 +93,14 @@ def sql_literal(v) -> str:
     if isinstance(v, int):
         return f"{v}L"
     if isinstance(v, float):
+        # repr of non-finite floats ('inf', 'nan') is not SQL — render the
+        # explicit casts both engines accept (ADVICE r3)
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
         return f"{v!r}D"
     if isinstance(v, str):
         return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"

@@ -66,6 +66,23 @@ def test_matches_percentile_grouped_with_nulls(spark):
     _check(df, "v", [0.25, 0.75], group_cols=("g",))
 
 
+def test_matches_percentile_null_group_key(spark):
+    """NULL is a legal GROUP BY key: the pass-B bracket join is null-safe
+    (ADVICE r3), so a NULL-keyed group resolves through the selection path
+    — asserted by results AND by the plan never computing `percentile`
+    (the fallback's signature)."""
+    rng = random.Random(29)
+    rows = [(None, rng.uniform(0, 100)) for _ in range(800)]
+    rows += [("a", rng.uniform(0, 100)) for _ in range(800)]
+    rows += [(None, None), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    _check(df, "v", [0.1, 0.5, 0.9], group_cols=("g",))
+    # mixed int group with nulls too (type alignment of the VALUES literals)
+    rows2 = [(None if i % 3 == 0 else i % 2, float(i % 97)) for i in range(900)]
+    df2 = spark.createDataFrame(rows2, "k int, v double")
+    _check(df2, "v", PROBS, group_cols=("k",))
+
+
 def test_coarse_sketch_still_exact(spark):
     """Accuracy only sizes the candidate window; correctness must not depend
     on it (the verify-and-fallback guard)."""
