@@ -40,7 +40,9 @@ def get_spark(app_name: str = "cdc-rs-spark", cpus: int | None = None) -> SparkS
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/cdc_rs_spark_warehouse"),
         )
-        .config("spark.ui.enabled", "false")
+        # UI off for test/bench runs; tools/scale_probe.py turns it on to
+        # read per-stage shuffle metrics over the REST API
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .getOrCreate()
     )
 

@@ -1,0 +1,105 @@
+"""Generate documents/embeddings fixtures at arbitrary scale for the
+linear-vs-quadratic scaling validation (VERDICT r3 task 7).
+
+The driver's fixtures stop at sf0.1 (5k docs / 2k vectors); proving that
+the banded-join dedup/ANN queries grow LINEARLY needs a 10x corpus from the
+SAME generator at both scales, so the measured ratio isolates scale (a
+generator change between points would confound candidate rates). The shape
+mirrors the driver's tables (TESTDATA.md): word-salad text over the same
+31-token vocabulary, same language mix, exact-dup and near-dup plants at
+fixed RATES (so dup density is scale-invariant), and unit-norm 64-dim
+label-clustered float vectors.
+
+Usage: python tools/gen_scale_fixtures.py <n_docs> <n_vecs> <out_dir>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "zh", "es", "fr", "de"]
+LANG_P = [0.41, 0.15, 0.15, 0.15, 0.14]
+EXACT_DUP_RATE = 0.0016  # 8 per 5k, like the driver fixture
+NEAR_DUP_RATE = 0.01
+EMB_DIM = 64
+N_LABELS = 10
+
+
+def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
+    texts: list[str] = []
+    for i in range(n):
+        n_words = int(rng.integers(8, 106))
+        words = rng.choice(VOCAB, size=n_words)
+        texts.append(" ".join(words))
+    # plant dups against earlier docs (rate-fixed => density scale-free)
+    for i in range(n):
+        u = rng.random()
+        if i > 10 and u < EXACT_DUP_RATE:
+            texts[i] = texts[int(rng.integers(0, i))]
+        elif i > 10 and u < EXACT_DUP_RATE + NEAR_DUP_RATE:
+            base = texts[int(rng.integers(0, i))].split(" ")
+            j = int(rng.integers(0, len(base)))
+            base[j] = str(rng.choice(VOCAB))
+            texts[i] = " ".join(base)
+    langs = rng.choice(LANGS, size=n, p=LANG_P)
+    sources = [f"src{int(s)}" for s in rng.integers(0, 20, size=n)]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array([str(x) for x in langs]),
+            "source": pa.array(sources),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(n: int, rng: np.random.Generator) -> pa.Table:
+    # clusters loose enough that BACKGROUND pairs stay under the 0.3
+    # verify threshold (mean cos ~ 1/(1+2*sigma^2) ~ 0.18); near-dup PAIRS
+    # are planted at a fixed rate so true-pair density is scale-invariant —
+    # the property that makes a linear-vs-quadratic comparison meaningful
+    centers = rng.normal(size=(N_LABELS, EMB_DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, N_LABELS, size=n)
+    vecs = centers[labels] + rng.normal(scale=1.5, size=(n, EMB_DIM))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    for i in range(10, n):
+        if rng.random() < NEAR_DUP_RATE:
+            j = int(rng.integers(0, i))
+            vecs[i] = vecs[j] + rng.normal(scale=0.05, size=EMB_DIM)
+            vecs[i] /= np.linalg.norm(vecs[i])
+            labels[i] = labels[j]
+    vecs = vecs.astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            "label": pa.array([int(x) for x in labels], pa.int32()),
+        }
+    )
+
+
+def main() -> int:
+    n_docs, n_vecs, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(42)
+    pq.write_table(gen_documents(n_docs, rng), os.path.join(out, "documents.parquet"))
+    pq.write_table(gen_embeddings(n_vecs, rng), os.path.join(out, "embeddings.parquet"))
+    print(f"wrote {n_docs} docs / {n_vecs} vecs to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
