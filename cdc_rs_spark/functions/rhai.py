@@ -24,6 +24,8 @@ reference's stock script exercises:
   == != < <= > >= comparisons   && || boolean ops
   + - * / % arithmetic (unary minus)                [ ... ] array literals
   for x in arr { ... } loops    arr[i] indexing     arr.len()
+  string methods: .len() .to_upper() .to_lower() .trim()
+                  .contains(s) .starts_with(s) .ends_with(s)
   builtins: parse_int, parse_float, abs
 
 (arrays/for/arithmetic/comparisons are the round-4 notch — VERDICT r3
@@ -584,9 +586,34 @@ class RhaiScript:
             )
         if kind == "method":
             base = self._eval(e[1], env)
-            if e[2] == "len" and isinstance(base, ArrayVal):
-                return len(base.items)
-            raise TypeError(f"rhai: unsupported method .{e[2]}()")
+            name = e[2]
+            args = [self._eval(a, env) for a in e[3]]
+            if name == "len":
+                if isinstance(base, ArrayVal):
+                    return len(base.items)
+                if isinstance(base, str):
+                    return len(base)
+                return F.length(_scalar(base))
+            if isinstance(base, str) and not args:  # literal fold
+                if name == "to_upper":
+                    return base.upper()
+                if name == "to_lower":
+                    return base.lower()
+                if name == "trim":
+                    return base.strip()
+            if name == "to_upper":
+                return F.upper(_scalar(base))
+            if name == "to_lower":
+                return F.lower(_scalar(base))
+            if name == "trim":
+                return F.trim(_scalar(base))
+            if name == "contains":
+                return _scalar(base).contains(_scalar(args[0]))
+            if name == "starts_with":
+                return _scalar(base).startswith(_scalar(args[0]))
+            if name == "ends_with":
+                return _scalar(base).endswith(_scalar(args[0]))
+            raise TypeError(f"rhai: unsupported method .{name}()")
         if kind == "neg":
             v = self._eval(e[1], env)
             return -v if isinstance(v, (int, float)) else -_scalar(v)
@@ -775,9 +802,25 @@ class RhaiInterpreter:
             return None if base is None else base[int(idx)]
         if kind == "method":
             base = self._eval(e[1], env)
-            if e[2] == "len" and isinstance(base, (list, str)):
+            name = e[2]
+            args = [self._eval(a, env) for a in e[3]]
+            if base is None:
+                return None  # SQL NULL propagation, matching the compiler
+            if name == "len":
                 return len(base)
-            raise TypeError(f"rhai: unsupported method .{e[2]}()")
+            if name == "to_upper":
+                return base.upper()
+            if name == "to_lower":
+                return base.lower()
+            if name == "trim":
+                return base.strip()
+            if name == "contains":
+                return None if args[0] is None else args[0] in base
+            if name == "starts_with":
+                return None if args[0] is None else base.startswith(args[0])
+            if name == "ends_with":
+                return None if args[0] is None else base.endswith(args[0])
+            raise TypeError(f"rhai: unsupported method .{name}()")
         if kind == "neg":
             v = self._eval(e[1], env)
             return None if v is None else -v

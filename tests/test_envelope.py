@@ -408,3 +408,36 @@ def test_rhai_extended_language_units(spark):
     assert [r["y"] for r in out] == [interp.call("poly", x) for x in (4, -2, -100)]
     # Horner's rule by hand: ((0*4+2)*4-3)*4+5 = 25, +0 (2%2) -> 25
     assert out[0]["y"] == 25
+
+
+def test_rhai_string_methods_compiled_equals_interpreted(spark):
+    """String-method surface (len/to_upper/to_lower/trim/contains/
+    starts_with/ends_with): compiled column expressions equal the
+    interpreter, including SQL NULL propagation on a missing field."""
+    from cdc_rs_spark.functions.rhai import RhaiInterpreter, RhaiScript, _to_col
+
+    src = """
+    fn tag(s, t) {
+        if s.trim().to_lower().contains("urgent") || t.starts_with("pim.") {
+            `HOT:${s.to_upper()}:${s.len()}`
+        } else {
+            if t.ends_with(".log") { "LOG" } else { t.to_lower() }
+        }
+    }
+    """
+    s = RhaiScript(src)
+    rows = [
+        ("  Urgent-1 ", "pim.products"),
+        ("normal", "app.events.log"),
+        ("Other", "APP.Users"),
+    ]
+    df = spark.createDataFrame(rows, "s string, t string")
+    compiled = [
+        r["x"]
+        for r in df.select(
+            _to_col(s.call("tag", F.col("s"), F.col("t"))).alias("x")
+        ).collect()
+    ]
+    interp = RhaiInterpreter(src)
+    assert compiled == [interp.call("tag", a, b) for a, b in rows]
+    assert compiled[0].startswith("HOT:") and compiled[1] == "LOG"
