@@ -1335,3 +1335,125 @@ def gdpr_forget_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("lineitem", li_hit, "o_custkey"))
         .unionByName(row("events", ev_hit, "user_id"))
     )
+
+
+def _z_sql(a: str, b: str, bits: int = 8) -> str:
+    """Morton-interleave SQL for the DuckDB oracle — the same sum of
+    shift/mask terms operators/zorder.py builds as Columns."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "zorder_layout_audit_lineitem",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qv,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS pv
+        FROM lineitem
+    ),
+    mm AS (
+        SELECT MIN(qv) AS lo_q, MAX(qv) AS hi_q,
+               MIN(pv) AS lo_p, MAX(pv) AS hi_p
+        FROM base
+    ),
+    b AS (
+        SELECT ((qv - lo_q) * 255) // GREATEST(hi_q - lo_q, 1) AS qb,
+               ((pv - lo_p) * 255) // GREATEST(hi_p - lo_p, 1) AS pb
+        FROM base, mm
+    ),
+    zf AS (
+        SELECT qb, pb,
+               ({_z_sql("qb", "pb")} >> 10) AS f_z,
+               (qb >> 2) AS f_lin
+        FROM b
+    ),
+    files AS (
+        SELECT 'zorder' AS layout, f_z AS f, MIN(qb) AS minq, MAX(qb) AS maxq,
+               MIN(pb) AS minp, MAX(pb) AS maxp
+        FROM zf GROUP BY f_z
+        UNION ALL
+        SELECT 'linear', f_lin, MIN(qb), MAX(qb), MIN(pb), MAX(pb)
+        FROM zf GROUP BY f_lin
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           ROUND(SUM(maxq - minq + 1) / (COUNT(*) * 256.0), 6) AS avg_span_q,
+           ROUND(SUM(maxp - minp + 1) / (COUNT(*) * 256.0), 6) AS avg_span_p,
+           ROUND(SUM(CASE WHEN minq > 63 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS skip_q_frac,
+           ROUND(SUM(CASE WHEN minp > 63 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS skip_p_frac
+    FROM files GROUP BY layout
+    """,
+)
+def zorder_layout_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs single-column layout, quantified (operators/zorder.py):
+    bucketize (l_quantity, price-cents) to 8 bits each, Morton-interleave,
+    cut 64 z-files (z >> 10) vs 64 quantity-sorted files (qb >> 2), and
+    report each layout's per-file value-span and the fraction of files a
+    zone map can SKIP for a first-quartile predicate on either column.
+    The z-order layout shows balanced small spans on BOTH columns (skip
+    works for either predicate); the linear layout is perfect on its sort
+    column and useless (span ~ 1.0, skip ~ 0) on the other — the
+    data-skipping argument for multi-dimensional layout at 100 TB, as one
+    oracle-checked number.
+
+    Scale shape: one min/max aggregate (4 scalars to the driver), then
+    map-side bucket+interleave bit math (whole-stage codegen, no UDF), one
+    map-side-combinable groupBy over 128 file cells, final 2-row agg. The
+    write path itself (zorder_write) is repartitionByRange(z) — the same
+    single shuffle any layout write pays."""
+    from cdc_rs_spark.operators.zorder import bucket_expr, z_interleave
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("qv"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("pv"),
+    )
+    lo_q, hi_q, lo_p, hi_p = li.agg(
+        F.min("qv"), F.max("qv"), F.min("pv"), F.max("pv")
+    ).first()
+    qb = bucket_expr("qv", lo_q, hi_q)
+    pb = bucket_expr("pv", lo_p, hi_p)
+    zf = li.select(
+        qb.alias("qb"),
+        pb.alias("pb"),
+        F.shiftright(z_interleave(qb, pb), 10).alias("f_z"),
+        F.shiftright(qb, 2).alias("f_lin"),
+    )
+
+    def files(layout: str, key: str) -> DataFrame:
+        return zf.groupBy(F.col(key).alias("f")).agg(
+            F.min("qb").alias("minq"),
+            F.max("qb").alias("maxq"),
+            F.min("pb").alias("minp"),
+            F.max("pb").alias("maxp"),
+        ).select(F.lit(layout).alias("layout"), "f", "minq", "maxq", "minp", "maxp")
+
+    allf = files("zorder", "f_z").unionByName(files("linear", "f_lin"))
+    n = F.count("*")
+    return allf.groupBy("layout").agg(
+        n.cast("bigint").alias("n_files"),
+        F.round(
+            F.sum(F.col("maxq") - F.col("minq") + 1) / (n * 256.0), 6
+        ).alias("avg_span_q"),
+        F.round(
+            F.sum(F.col("maxp") - F.col("minp") + 1) / (n * 256.0), 6
+        ).alias("avg_span_p"),
+        F.round(
+            F.sum(F.when(F.col("minq") > 63, 1).otherwise(0))
+            / n.cast("double"),
+            6,
+        ).alias("skip_q_frac"),
+        F.round(
+            F.sum(F.when(F.col("minp") > 63, 1).otherwise(0))
+            / n.cast("double"),
+            6,
+        ).alias("skip_p_frac"),
+    )

@@ -121,7 +121,7 @@ _DRIVER_WINDOW = [
     "heavy_hitters_cms_lineitem",
     "corpus_shuffle_deterministic",
     "curriculum_batches",
-    "feature_ntile_binning_lineitem",
+    "zorder_layout_audit_lineitem",  # new r4 — pin over twice-green ntile
     "k_anonymity_audit_customer",
     "gdpr_forget_manifest",
 ]

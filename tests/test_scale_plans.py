@@ -467,3 +467,54 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     )
     li2 = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
     assert li2.join(o2, li2.l_orderkey == o2.o_orderkey).count() == n_bloom
+
+
+def test_zorder_write_gives_both_columns_locality(spark, sf_dir, tmp_path):
+    """zorder_write lays files out by the Morton key: parquet footer
+    min/max on EITHER interleaved column must cover only a fraction of its
+    full range for most files (the zone-map skipping property), where a
+    single-column sort gives locality on one column only. Also a lossless
+    round trip."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cdc_rs_spark.operators.zorder import zorder_write
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("qv"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("pv"),
+    )
+    path = str(tmp_path / "zorder")
+    zorder_write(li, path, "qv", "pv", n_files=16)
+
+    def file_spans(col_idx):
+        spans = []
+        los, his = [], []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(col_idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(col_idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append(hi - lo)
+            los.append(lo)
+            his.append(hi)
+        full = max(his) - min(los)
+        return sorted(spans), full
+
+    for idx in (0, 1):  # qv, pv
+        spans, full = file_spans(idx)
+        assert len(spans) >= 8
+        median = spans[len(spans) // 2]
+        assert median <= full * 0.55, (idx, spans, full)
+
+    got = spark.read.parquet(path)
+    assert got.count() == li.count()
+    assert sorted(got.columns) == ["pv", "qv"]
