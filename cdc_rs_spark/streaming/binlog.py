@@ -1,0 +1,265 @@
+"""MySQL binlog BINARY format decoder — the wire-parity half of the
+reference's binlog source, testable without a MySQL server.
+
+The reference tails a live replication socket and receives parsed events
+from its client library (reference src/main.rs:202-303: RotateEvent →
+file switch, TableMapEvent → offset commit, Write/Update/DeleteRows → one
+Change per row). The sandbox has no MySQL, so the NETWORK half (handshake,
+COM_BINLOG_DUMP) stays out of scope — but the EVENT ENCODING is a file
+format, fully decodable offline: this module parses real binlog bytes
+(magic, v4 event headers, FORMAT_DESCRIPTION, ROTATE, TABLE_MAP with
+MySQL-8 optional column-name metadata, WRITE/UPDATE/DELETE_ROWS v2 with
+column bitmaps, null bitmaps and per-type row images) into the same
+Change-envelope rows the JSON feed produces, with the reference's value
+stringification (§1.2 of SURVEY.md):
+
+  integers -> decimal strings           floats -> shortest repr
+  DATE     -> "YYYY-MM-DD" (src/main.rs:457)
+  bytes    -> UTF-8 if valid, else UPPERCASE HEX (src/main.rs:492-501)
+  NULL     -> None (SQL NULL)
+
+`streaming/datasource.py` dispatches on the `.binlog` extension, so a
+directory of real binlog files streams through the same offsets /
+admission-control / GC machinery as the JSON feed. Layout per the public
+binlog-event docs (dev.mysql.com "Binlog Event" internals; format is
+stable since 5.0 for v4). Checksummed files (CRC32 trailer) are handled
+by honoring the FORMAT_DESCRIPTION checksum-algorithm byte.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+MAGIC = b"\xfebin"
+
+# event type codes (enum Log_event_type)
+ROTATE_EVENT = 0x04
+FORMAT_DESCRIPTION_EVENT = 0x0F
+TABLE_MAP_EVENT = 0x13
+WRITE_ROWS_EVENT_V2 = 0x1E
+UPDATE_ROWS_EVENT_V2 = 0x1F
+DELETE_ROWS_EVENT_V2 = 0x20
+
+# column type codes (enum enum_field_types) — the decoded subset
+T_TINY, T_SHORT, T_LONG, T_FLOAT, T_DOUBLE, T_NULL = 1, 2, 3, 4, 5, 6
+T_LONGLONG, T_INT24, T_DATE = 8, 9, 10
+T_VARCHAR = 15
+T_STRING = 254
+
+HEADER_LEN = 19
+
+
+def _u(b: bytes) -> int:
+    return int.from_bytes(b, "little")
+
+
+def _lenenc(buf: bytes, i: int) -> tuple[int, int]:
+    first = buf[i]
+    if first < 0xFB:
+        return first, i + 1
+    if first == 0xFC:
+        return _u(buf[i + 1 : i + 3]), i + 3
+    if first == 0xFD:
+        return _u(buf[i + 1 : i + 4]), i + 4
+    if first == 0xFE:
+        return _u(buf[i + 1 : i + 9]), i + 9
+    raise ValueError(f"binlog: bad length-encoded int prefix {first:#x}")
+
+
+def _signed(v: int, bits: int) -> int:
+    return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+
+def stringify(v) -> str | None:
+    """Reference value stringification (src/main.rs:442-507): see module
+    docstring. Floats use repr (shortest round-trip, like Rust Display)."""
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return v.hex().upper()
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+@dataclass
+class TableMap:
+    table_id: int
+    schema: str
+    table: str
+    col_types: list[int]
+    col_meta: list[int]
+    col_names: list[str] = field(default_factory=list)
+
+    def name(self, idx: int) -> str:
+        if idx < len(self.col_names):
+            return self.col_names[idx]
+        return f"c{idx}"
+
+
+def _parse_table_map(body: bytes) -> TableMap:
+    i = 0
+    table_id = _u(body[i : i + 6]); i += 8  # 6-byte id + 2-byte flags
+    slen = body[i]; i += 1
+    schema = body[i : i + slen].decode(); i += slen + 1  # trailing NUL
+    tlen = body[i]; i += 1
+    table = body[i : i + tlen].decode(); i += tlen + 1
+    n_cols, i = _lenenc(body, i)
+    col_types = list(body[i : i + n_cols]); i += n_cols
+    meta_len, i = _lenenc(body, i)
+    meta_end = i + meta_len
+    col_meta = []
+    for t in col_types:
+        if t in (T_VARCHAR, T_STRING):
+            col_meta.append(_u(body[i : i + 2])); i += 2
+        elif t in (T_FLOAT, T_DOUBLE):
+            col_meta.append(body[i]); i += 1
+        else:
+            col_meta.append(0)
+    i = meta_end
+    i += (n_cols + 7) // 8  # nullability bitmap (declared, not per-row)
+    # MySQL 8 optional metadata: TLV blocks; type 4 = COLUMN_NAME
+    names: list[str] = []
+    while i < len(body):
+        t = body[i]; i += 1
+        ln, i = _lenenc(body, i)
+        val = body[i : i + ln]; i += ln
+        if t == 4:  # COLUMN_NAME: lenenc-prefixed strings
+            j = 0
+            while j < len(val):
+                nl, j = _lenenc(val, j)
+                names.append(val[j : j + nl].decode()); j += nl
+    return TableMap(table_id, schema, table, col_types, col_meta, names)
+
+
+def _decode_value(buf: bytes, i: int, ctype: int, meta: int):
+    if ctype == T_TINY:
+        return _signed(buf[i], 8), i + 1
+    if ctype == T_SHORT:
+        return _signed(_u(buf[i : i + 2]), 16), i + 2
+    if ctype == T_INT24:
+        return _signed(_u(buf[i : i + 3]), 24), i + 3
+    if ctype == T_LONG:
+        return _signed(_u(buf[i : i + 4]), 32), i + 4
+    if ctype == T_LONGLONG:
+        return _signed(_u(buf[i : i + 8]), 64), i + 8
+    if ctype == T_FLOAT:
+        return struct.unpack("<f", buf[i : i + 4])[0], i + 4
+    if ctype == T_DOUBLE:
+        return struct.unpack("<d", buf[i : i + 8])[0], i + 8
+    if ctype == T_DATE:
+        v = _u(buf[i : i + 3])
+        y, m, d = v >> 9, (v >> 5) & 0x0F, v & 0x1F
+        return f"{y:04d}-{m:02d}-{d:02d}", i + 3
+    if ctype in (T_VARCHAR, T_STRING):
+        if meta < 256:
+            ln = buf[i]; i += 1
+        else:
+            ln = _u(buf[i : i + 2]); i += 2
+        return bytes(buf[i : i + ln]), i + ln
+    if ctype == T_NULL:
+        return None, i
+    raise ValueError(f"binlog: unsupported column type {ctype}")
+
+
+def _parse_row_image(
+    buf: bytes, i: int, tme: TableMap, present: list[int]
+) -> tuple[dict, int]:
+    n_present = len(present)
+    null_bitmap = buf[i : i + (n_present + 7) // 8]
+    i += (n_present + 7) // 8
+    img: dict[str, str | None] = {}
+    for k, col in enumerate(present):
+        if null_bitmap[k // 8] & (1 << (k % 8)):
+            img[tme.name(col)] = None
+            continue
+        v, i = _decode_value(buf, i, tme.col_types[col], tme.col_meta[col])
+        img[tme.name(col)] = stringify(v)
+    return img, i
+
+
+def _bitmap_cols(bitmap: bytes, width: int) -> list[int]:
+    return [c for c in range(width) if bitmap[c // 8] & (1 << (c % 8))]
+
+
+def parse_binlog_bytes(data: bytes):
+    """Yield Change dicts (op/db/table/before/after/ts/pkey — the envelope
+    contract of streaming/datasource.py) from one binlog file's bytes.
+    Event loop mirrors the reference's (src/main.rs:231-301): TABLE_MAP
+    tracked per table_id, ROWS events emit one Change per row with the
+    header timestamp; ROTATE/FORMAT_DESCRIPTION/other events advance only.
+    `pkey` is left '' exactly like the reference (@TODO src/main.rs:276)."""
+    if data[:4] != MAGIC:
+        raise ValueError("binlog: bad magic")
+    i = 4
+    tables: dict[int, TableMap] = {}
+    checksum_trailer = 0
+    while i + HEADER_LEN <= len(data):
+        ts = _u(data[i : i + 4])
+        etype = data[i + 4]
+        event_size = _u(data[i + 9 : i + 13])
+        body_start = i + HEADER_LEN
+        body_end = i + event_size
+        body = data[body_start : body_end - checksum_trailer]
+        if etype == FORMAT_DESCRIPTION_EVENT:
+            # binlog-version(2) + server-version(50) + created(4) +
+            # header-len(1) + post-header lengths; last byte (before any
+            # CRC) is the checksum algorithm: 1 = CRC32 -> 4-byte trailers
+            # on every following event
+            # with CRC32 on, the FDE itself carries alg byte + its own CRC,
+            # so the alg byte sits 5 bytes from the end; with checksums off
+            # (alg=0) it is the last byte and no trailers follow
+            if len(body) >= 58 and body[-5] == 1:
+                checksum_trailer = 4
+        elif etype == TABLE_MAP_EVENT:
+            tme = _parse_table_map(body)
+            tables[tme.table_id] = tme
+        elif etype in (
+            WRITE_ROWS_EVENT_V2,
+            UPDATE_ROWS_EVENT_V2,
+            DELETE_ROWS_EVENT_V2,
+        ):
+            j = 0
+            table_id = _u(body[j : j + 6]); j += 8  # id + flags
+            extra_len = _u(body[j : j + 2]); j += extra_len  # incl. itself
+            width, j = _lenenc(body, j)
+            nb = (width + 7) // 8
+            present1 = _bitmap_cols(body[j : j + nb], width); j += nb
+            present2 = present1
+            if etype == UPDATE_ROWS_EVENT_V2:
+                present2 = _bitmap_cols(body[j : j + nb], width); j += nb
+            tme = tables[table_id]
+            while j < len(body):
+                if etype == WRITE_ROWS_EVENT_V2:
+                    after, j = _parse_row_image(body, j, tme, present1)
+                    before = None
+                    op = "Insert"
+                elif etype == DELETE_ROWS_EVENT_V2:
+                    before, j = _parse_row_image(body, j, tme, present1)
+                    after = None
+                    op = "Delete"
+                else:
+                    before, j = _parse_row_image(body, j, tme, present1)
+                    after, j = _parse_row_image(body, j, tme, present2)
+                    op = "Update"
+                yield {
+                    "op": op,
+                    "db": tme.schema,
+                    "table": tme.table,
+                    "before": before,
+                    "after": after,
+                    "ts": ts,
+                    "pkey": "",
+                }
+        # ROTATE and everything else: position bookkeeping only — the
+        # DataSource's (file, pos) offsets already model rotation
+        i = body_end
+
+
+def parse_binlog_file(path: str):
+    with open(path, "rb") as f:
+        yield from parse_binlog_bytes(f.read())

@@ -70,6 +70,10 @@ def _list_files(path: str) -> list[str]:
 
 
 def _count_records(fp: str) -> int:
+    if fp.endswith(".binlog"):
+        from cdc_rs_spark.streaming.binlog import parse_binlog_file
+
+        return sum(1 for _ in parse_binlog_file(fp))
     with open(fp, "rb") as f:
         return sum(1 for line in f if line.strip())
 
@@ -94,6 +98,63 @@ def _arrow_schema():
     )
 
 
+def _malformed(raw: str) -> dict:
+    # poison-record quarantine: one corrupt record must not kill the task
+    # (and with it the whole long-running stream) — surface it as an
+    # inspectable Malformed row, same policy as the multimodal decoder's
+    # bad-bytes rows
+    return {
+        "op": "Malformed",
+        "db": "",
+        "table": "",
+        "before": None,
+        "after": {"raw": raw[:1024]},
+        "ts": 0,
+        "pkey": "",
+    }
+
+
+def _iter_raw(path: str, permissive: bool):
+    """One Change dict per record: JSON-lines feed, or decoded binary
+    binlog events for `.binlog` files (streaming/binlog.py — the wire
+    format of the reference's source)."""
+    if path.endswith(".binlog"):
+        from cdc_rs_spark.streaming.binlog import parse_binlog_file
+
+        it = parse_binlog_file(path)
+        while True:
+            try:
+                rec = next(it)
+            except StopIteration:
+                return
+            except Exception as e:  # noqa: BLE001 — corrupt tail of a file
+                if not permissive:
+                    raise
+                yield _malformed(f"binlog decode error: {e}")
+                return
+            yield rec
+        return
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            try:
+                c = json.loads(line)
+                yield {
+                    "op": c["op"],
+                    "db": c["db"],
+                    "table": c["table"],
+                    "before": c.get("before"),
+                    "after": c.get("after"),
+                    "ts": int(c.get("ts", 0)),
+                    "pkey": c.get("pkey", "id"),
+                }
+            except (ValueError, KeyError, TypeError, AttributeError):
+                if not permissive:
+                    raise
+                yield _malformed(line.strip())
+
+
 def _read_slice(sl: FileSlice, permissive: bool = False):
     """Yield Arrow RecordBatches (NOT per-row tuples): the DataSource read
     contract accepts either, and the RecordBatch form skips per-row Python
@@ -113,46 +174,18 @@ def _read_slice(sl: FileSlice, permissive: bool = False):
         return {str(k): (None if v is None else str(v)) for k, v in m.items()}
 
     buf: list[dict] = []
-    with open(sl.path) as f:
-        i = 0
-        for line in f:
-            if not line.strip():
-                continue
-            if i >= sl.start and (sl.end is None or i < sl.end):
-                try:
-                    c = json.loads(line)
-                    rec = {
-                        "op": c["op"],
-                        "db": c["db"],
-                        "table": c["table"],
-                        "before": img(c.get("before")),
-                        "after": img(c.get("after")),
-                        "ts": int(c.get("ts", 0)),
-                        "pkey": c.get("pkey", "id"),
-                    }
-                except (ValueError, KeyError, TypeError, AttributeError):
-                    if not permissive:
-                        raise
-                    # poison-record quarantine: one corrupt line must not
-                    # kill the task (and with it the whole long-running
-                    # stream) — surface it as an inspectable Malformed row,
-                    # same policy as the multimodal decoder's bad-bytes rows
-                    rec = {
-                        "op": "Malformed",
-                        "db": "",
-                        "table": "",
-                        "before": None,
-                        "after": {"raw": line.strip()[:1024]},
-                        "ts": 0,
-                        "pkey": "",
-                    }
-                buf.append(rec)
-                if len(buf) >= ARROW_BATCH_ROWS:
-                    yield pa.RecordBatch.from_pylist(buf, schema=schema)
-                    buf = []
-            i += 1
-            if sl.end is not None and i >= sl.end:
-                break
+    for i, rec in enumerate(_iter_raw(sl.path, permissive)):
+        if i < sl.start:
+            continue
+        if sl.end is not None and i >= sl.end:
+            break
+        rec = dict(rec)
+        rec["before"] = img(rec["before"])
+        rec["after"] = img(rec["after"])
+        buf.append(rec)
+        if len(buf) >= ARROW_BATCH_ROWS:
+            yield pa.RecordBatch.from_pylist(buf, schema=schema)
+            buf = []
     if buf:
         yield pa.RecordBatch.from_pylist(buf, schema=schema)
 
