@@ -146,8 +146,10 @@ def snapshot_jdbc(
     """JDBC snapshot path — API-compatible scale analog of the reference's
     keyset pagination (src/main.rs:325-349): Spark issues `numPartitions`
     parallel range queries on the pkey column instead of a serial page loop.
-    Untested in this environment (no live database); exercised via the parquet
-    path above which shares all downstream code."""
+    Exercised against a LIVE embedded-Derby database in
+    tests/test_jdbc_backfill.py (partitioned read + selection pushdown);
+    point `url`/`properties` at MySQL/Postgres in production — the code
+    path is identical."""
     reader = spark.read.format("jdbc").option("url", url).option(
         "dbtable", f"{job.db}.{job.relation}"
     )
