@@ -39,8 +39,14 @@ STATUS_DONE = "done"
 @dataclass
 class BackfillJob:
     """One row of the reference `backfill` queue (src/main.rs:143-152).
-    `range`/`position` exist in the reference schema but are unused by its
-    code (src/main.rs:319 discards _range); kept for schema parity."""
+    `range`/`position` exist in the reference schema but are UNUSED by its
+    code (src/main.rs:319 discards _range) — an unfinished design for
+    partitioned/resumable backfill (SURVEY §1.3). This engine FINISHES it:
+    `range` is either 'true' (whole table) or 'lo..hi' (half-open pkey
+    range, lo <= pkey < hi), the queue's primary key is (db, relation,
+    range) exactly like the reference's PK, and a 100 TB table backfills
+    as N independent, individually-committed range jobs (plan_ranges) —
+    a crashed shard is retried alone instead of restarting the table."""
 
     db: str
     relation: str
@@ -55,6 +61,14 @@ class BackfillJob:
         if self.selection.strip() == "*":
             return None
         return [c.strip() for c in self.selection.split(",")]
+
+    def range_bounds(self) -> tuple[int, int] | None:
+        """Parse 'lo..hi' -> (lo, hi); 'true' (reference default) -> None."""
+        r = (self.range or "true").strip()
+        if r in ("", "true", "*"):
+            return None
+        lo, hi = r.split("..", 1)
+        return int(lo), int(hi)
 
 
 class BackfillQueue:
@@ -99,12 +113,58 @@ def snapshot_table(
     """Run one backfill job against the parquet fixtures: partitioned scan ->
     Backfill change stream. The projection (`selection`) reaches the parquet
     reader via Catalyst column pruning — the analog of interpolating
-    `{selection}` into the SELECT (src/main.rs:326,331)."""
+    `{selection}` into the SELECT (src/main.rs:326,331) — and a ranged job's
+    pkey bounds push down as scan predicates (the finished form of the
+    reference's unused `range` column)."""
+    from pyspark.sql import functions as F
+
     df = load(spark, sf_dir, job.relation)
+    bounds = job.range_bounds()
+    if bounds is not None:
+        lo, hi = bounds
+        df = df.filter(
+            (F.col(job.pkey) >= F.lit(lo)) & (F.col(job.pkey) < F.lit(hi))
+        )
     return snapshot_changes(
         df, db=job.db, table=job.relation, pkey=job.pkey,
         selection=job.selection_columns(),
     )
+
+
+def plan_ranges(
+    spark: SparkSession,
+    sf_dir: str,
+    db: str,
+    relation: str,
+    pkey: str,
+    n_jobs: int,
+    selection: str = "*",
+) -> list[BackfillJob]:
+    """Split one table backfill into `n_jobs` half-open pkey-range jobs —
+    the coordinator side of resumable partitioned backfill. Bounds come
+    from one min/max aggregate (two scalars); ranges are equal-width in key
+    space (a production coordinator may prefer equi-depth via
+    percentile_approx — same queue contract either way). Each job commits
+    independently: a crash mid-backfill loses at most one shard's work."""
+    from pyspark.sql import functions as F
+
+    row = load(spark, sf_dir, relation).agg(
+        F.min(pkey).cast("bigint"), F.max(pkey).cast("bigint")
+    ).first()
+    lo, hi = int(row[0]), int(row[1]) + 1
+    width = max(1, (hi - lo + n_jobs - 1) // n_jobs)
+    jobs = []
+    for i in range(n_jobs):
+        a, b = lo + i * width, min(lo + (i + 1) * width, hi)
+        if a >= b:
+            break
+        jobs.append(
+            BackfillJob(
+                db=db, relation=relation, pkey=pkey,
+                selection=selection, range=f"{a}..{b}",
+            )
+        )
+    return jobs
 
 
 def run_todo_jobs(

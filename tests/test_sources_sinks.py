@@ -270,3 +270,52 @@ def test_training_shard_manifest(spark, tmp_path):
         assert m["n_rows"] == len(ids)
         want = hashlib.md5("|".join(sorted(ids)).encode()).hexdigest()
         assert m["id_digest"] == want
+
+
+def test_ranged_backfill_shards_cover_table_and_resume(spark, sf_dir, tmp_path):
+    """The finished form of the reference's unused `range` column: a table
+    backfill split into half-open pkey-range jobs (plan_ranges) must cover
+    the table exactly once, push each shard's bounds into the parquet
+    scan, and resume per shard — a job that fails stays 'todo' alone and
+    a later drain completes the remainder with no loss or duplication."""
+    from pyspark.sql import functions as F
+
+    from cdc_rs_spark.sources.backfill import (
+        BackfillQueue,
+        plan_ranges,
+        run_todo_jobs,
+        snapshot_table,
+    )
+
+    jobs = plan_ranges(spark, sf_dir, "testdb", "orders", "o_orderkey", 4)
+    assert len(jobs) == 4
+    # shards partition the key space: contiguous half-open ranges
+    bounds = [j.range_bounds() for j in jobs]
+    assert all(b is not None for b in bounds)
+    assert all(bounds[i][1] == bounds[i + 1][0] for i in range(3))
+
+    # range predicate reaches the scan
+    plan = (
+        snapshot_table(spark, sf_dir, jobs[0])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "GreaterThanOrEqual(o_orderkey" in plan, plan
+
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    q = BackfillQueue(str(tmp_path / "queue.json"))
+    q.enqueue(jobs[:2])  # first drain sees only half the shards
+    first = run_todo_jobs(spark, q, sf_dir)
+    n_first = first.count()
+    assert all(j.status == "done" for j in q.all())
+    q.enqueue(jobs[2:])  # remaining shards arrive (or are retried) later
+    second = run_todo_jobs(spark, q, sf_dir)
+    n_second = second.count()
+    assert n_first + n_second == total
+    # no overlap between drains
+    k1 = {r["after"]["o_orderkey"] for r in first.collect()}
+    k2 = {r["after"]["o_orderkey"] for r in second.collect()}
+    assert not (k1 & k2) and len(k1 | k2) == total
+    # everything done; a fresh poll is a no-op
+    assert run_todo_jobs(spark, q, sf_dir) is None
