@@ -88,6 +88,12 @@ def _parser() -> argparse.ArgumentParser:
         help="append a todo job to --backfill-queue and exit "
         "(the reference's `insert into backfill ...`)",
     )
+    p.add_argument(
+        "--shards", type=int, default=0, metavar="N",
+        help="with --enqueue-backfill and --data-dir: split the table into "
+        "N pkey-range jobs (resumable partitioned backfill; the finished "
+        "form of the reference's `range` column)",
+    )
     return p
 
 
@@ -119,6 +125,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
             return 2
         selection = parts[2] if len(parts) > 2 else "*"
+        if args.shards > 1:
+            if not args.data_dir:
+                print("--shards requires --data-dir", file=sys.stderr)
+                return 2
+            from cdc_rs_spark.session import get_spark
+            from cdc_rs_spark.sources.backfill import plan_ranges
+
+            sp = spark or get_spark("cdc-rs-spark-enqueue")
+            jobs = plan_ranges(
+                sp, args.data_dir, db, table, pk, args.shards,
+                selection=selection,
+            )
+            BackfillQueue(args.backfill_queue).enqueue(jobs)
+            print(
+                f"enqueued {len(jobs)} range shards for {db}.{table} "
+                f"(pkey={pk}): "
+                + ", ".join(j.range for j in jobs)
+            )
+            return 0
         BackfillQueue(args.backfill_queue).enqueue(
             [BackfillJob(db=db, relation=table, pkey=pk, selection=selection)]
         )
