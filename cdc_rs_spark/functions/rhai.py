@@ -866,10 +866,11 @@ class RhaiInterpreter:
             if op == "||":
                 return bool(l) or bool(self._eval(e[3], env))
             r = self._eval(e[3], env)
-            if op in ("==", "!="):
-                return _PY_ARITH[op](l, r)
             if l is None or r is None:
-                return None  # SQL NULL propagation, matching the compiler
+                # SQL NULL propagation for EVERY comparison/arith operator,
+                # matching the compiled column semantics (a NULL == lands
+                # falsy in if/switch, same as F.when) — not Rhai's () == ()
+                return None
             return _PY_ARITH[op](l, r)
         if kind == "interp":
             out = []
