@@ -469,7 +469,11 @@ def events_salted_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d, rev,
                COUNT(*) OVER w AS n,
                CAST(SUM(rev) OVER w AS DECIMAL(38,2)) AS s,
-               CAST(SUM(CAST(rev * rev AS DECIMAL(38,4))) OVER w
+               -- widen BEFORE squaring: DECIMAL(18) x DECIMAL(18) overflows
+               -- DuckDB's int64 path once daily revenue passes ~9.2e7
+               -- (hit at sf0.1); the int128 product is exact
+               CAST(SUM(CAST(CAST(rev AS DECIMAL(28,2)) * rev
+                             AS DECIMAL(38,4))) OVER w
                     AS DECIMAL(38,4)) AS q
         FROM daily
         WINDOW w AS (ORDER BY (d - DATE '1970-01-01')

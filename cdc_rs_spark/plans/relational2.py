@@ -1923,7 +1923,7 @@ def set_ops_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_nations,
            CAST(MIN(pr.exact_n) AS BIGINT) AS exact_custkeys,
            TRUE AS merged_est_ok,
-           TRUE AS merge_equals_direct
+           TRUE AS merge_close_to_direct
     FROM per_region pr JOIN per_nation pn ON pr.region = pn.region
     GROUP BY pr.region, pr.exact_n
     """,
@@ -1937,10 +1937,14 @@ def hll_sketch_rollup_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, materialized). Two gates, both anchored on exact counts
     the DuckDB oracle recomputes: the merged estimate is within HLL's
     error envelope of the exact region distinct (lgConfigK=14 -> ~0.8%
-    stderr; gate at 5%), and the merged-sketch estimate EQUALS the
-    estimate of a sketch built directly at region grain (merge is lossless
-    for HLL — union of registers). A broken merge or drifting sketch flips
-    a flag and fails the hash. Scale shape: one fact scan, map-side
+    stderr; gate at 5%), and the merged-sketch estimate tracks a sketch
+    built directly at region grain within max(3, 2% of exact). NOT exact
+    equality: Datasketches' union runs HLL_8/coupon promotion internally,
+    so dense-mode union estimates can differ from the direct sketch by a
+    few counts (observed merged 3151 vs direct 3138 at sf0.1; identical
+    in sparse mode at sf0.01 — found by the full sf0.1 oracle sweep). A
+    broken merge or drifting sketch still flips the flag and fails the
+    hash. Scale shape: one fact scan, map-side
     sketch partials, |nations| sketch rows merged to |regions| — the
     rollup never touches the fact table again."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -1975,8 +1979,11 @@ def hll_sketch_rollup_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("merged_est") - F.col("exact_custkeys"))
                 <= F.col("exact_custkeys") * 0.05
             ).alias("merged_est_ok"),
-            (F.col("merged_est") == F.col("direct_est")).alias(
-                "merge_equals_direct"
-            ),
+            (
+                F.abs(F.col("merged_est") - F.col("direct_est"))
+                <= F.greatest(
+                    F.lit(3.0), F.col("exact_custkeys") * 0.02
+                )
+            ).alias("merge_close_to_direct"),
         )
     )
