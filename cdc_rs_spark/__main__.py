@@ -133,10 +133,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from cdc_rs_spark.sources.backfill import plan_ranges
 
             sp = spark or get_spark("cdc-rs-spark-enqueue")
-            jobs = plan_ranges(
-                sp, args.data_dir, db, table, pk, args.shards,
-                selection=selection,
-            )
+            try:
+                jobs = plan_ranges(
+                    sp, args.data_dir, db, table, pk, args.shards,
+                    selection=selection,
+                )
+            except ValueError as e:
+                print(str(e), file=sys.stderr)
+                return 2
             BackfillQueue(args.backfill_queue).enqueue(jobs)
             print(
                 f"enqueued {len(jobs)} range shards for {db}.{table} "
@@ -199,7 +203,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             return 2
         if publish is None:
             print(
-                "--backfill-queue requires a sink (--out or --echo): "
+                "--backfill-queue requires a sink (--out or --print): "
                 "draining would consume jobs with no output",
                 file=sys.stderr,
             )

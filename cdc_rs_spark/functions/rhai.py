@@ -738,7 +738,13 @@ class RhaiInterpreter:
     row-for-row. Semantics track the COMPILED column expressions (Spark
     SQL), not stock Rhai: `/` is double division, `%` keeps the dividend's
     sign, missing map fields and operations on a None value yield None
-    (SQL NULL propagation), and writes to a None image are no-ops."""
+    (SQL NULL propagation), && / || follow SQL three-valued logic,
+    booleans interpolate as 'true'/'false', parse_int is strict like the
+    ANSI cast, and writes to a None image are no-ops. Known remaining
+    divergence: doubles interpolate via Python str(), which formats
+    exponent-range values differently from Java's Double.toString
+    ('1e-07' vs '1.0E-7') — avoid interpolating raw doubles in scripts
+    that must match bit-for-bit across engines."""
 
     def __init__(self, src: str):
         self.fns = _Parser(_tokenize(src)).parse_program()
@@ -835,10 +841,10 @@ class RhaiInterpreter:
                 a = args[0]
                 if a is None:
                     return None
-                try:
-                    return int(a)
-                except ValueError:
-                    return int(float(a))
+                # strict like the compiled ANSI CAST(s AS BIGINT): a
+                # non-integral string ('3.7', 'abc') is an ERROR in both
+                # engines, not a silent truncation
+                return int(a)
             if name == "parse_float":
                 return None if args[0] is None else float(args[0])
             if name == "abs":
@@ -861,10 +867,20 @@ class RhaiInterpreter:
         if kind == "bin":
             op = e[1]
             l = self._eval(e[2], env)
-            if op == "&&":
-                return bool(l) and bool(self._eval(e[3], env))
-            if op == "||":
-                return bool(l) or bool(self._eval(e[3], env))
+            if op in ("&&", "||"):
+                # SQL THREE-VALUED logic, matching the compiled & / |:
+                # FALSE && NULL = FALSE, TRUE || NULL = TRUE, otherwise a
+                # NULL operand yields NULL (bool() coercion would diverge)
+                r = self._eval(e[3], env)
+                lb = None if l is None else bool(l)
+                rb = None if r is None else bool(r)
+                if op == "&&":
+                    if lb is False or rb is False:
+                        return False
+                    return None if lb is None or rb is None else True
+                if lb is True or rb is True:
+                    return True
+                return None if lb is None or rb is None else False
             r = self._eval(e[3], env)
             if l is None or r is None:
                 # SQL NULL propagation for EVERY comparison/arith operator,
@@ -881,7 +897,10 @@ class RhaiInterpreter:
                     v = self._eval(p, env)
                     if v is None:
                         return None  # concat(NULL) -> NULL
-                    out.append(str(v))
+                    if isinstance(v, bool):
+                        out.append("true" if v else "false")  # SQL cast
+                    else:
+                        out.append(str(v))
             return "".join(out)
         raise TypeError(f"rhai: cannot evaluate node {kind!r}")
 

@@ -151,6 +151,11 @@ def plan_ranges(
     row = load(spark, sf_dir, relation).agg(
         F.min(pkey).cast("bigint"), F.max(pkey).cast("bigint")
     ).first()
+    if row[0] is None:
+        raise ValueError(
+            f"plan_ranges: {relation!r} is empty or {pkey!r} is all-NULL — "
+            "nothing to shard"
+        )
     lo, hi = int(row[0]), int(row[1]) + 1
     width = max(1, (hi - lo + n_jobs - 1) // n_jobs)
     jobs = []

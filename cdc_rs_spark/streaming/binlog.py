@@ -114,8 +114,13 @@ def _parse_table_map(body: bytes) -> TableMap:
     meta_end = i + meta_len
     col_meta = []
     for t in col_types:
-        if t in (T_VARCHAR, T_STRING):
-            col_meta.append(_u(body[i : i + 2])); i += 2
+        if t == T_VARCHAR:
+            col_meta.append(_u(body[i : i + 2])); i += 2  # max length, LE
+        elif t == T_STRING:
+            # CHAR metadata is a BIG-ENDIAN byte pair: (real_type, length)
+            # with the length's high bits folded into byte0's 0x30 mask for
+            # CHAR > 255 bytes — unpacked in _char_length
+            col_meta.append((body[i] << 8) | body[i + 1]); i += 2
         elif t in (T_FLOAT, T_DOUBLE):
             col_meta.append(body[i]); i += 1
         else:
@@ -134,6 +139,16 @@ def _parse_table_map(body: bytes) -> TableMap:
                 nl, j = _lenenc(val, j)
                 names.append(val[j : j + nl].decode()); j += nl
     return TableMap(table_id, schema, table, col_types, col_meta, names)
+
+
+def _char_length(meta: int) -> int:
+    """Real declared byte length of a CHAR column from its (real_type,
+    length) metadata pair: lengths > 255 fold their high bits into byte0's
+    0x30 mask (MySQL's log_event encoding for long CHARs)."""
+    byte0, byte1 = meta >> 8, meta & 0xFF
+    if byte0 & 0x30 != 0x30:
+        return byte1 | (((byte0 & 0x30) ^ 0x30) << 4)
+    return byte1
 
 
 def _decode_value(buf: bytes, i: int, ctype: int, meta: int):
@@ -155,8 +170,20 @@ def _decode_value(buf: bytes, i: int, ctype: int, meta: int):
         v = _u(buf[i : i + 3])
         y, m, d = v >> 9, (v >> 5) & 0x0F, v & 0x1F
         return f"{y:04d}-{m:02d}-{d:02d}", i + 3
-    if ctype in (T_VARCHAR, T_STRING):
+    if ctype == T_VARCHAR:
+        # VARCHAR length prefix is 1 byte iff the DECLARED max fits one
         if meta < 256:
+            ln = buf[i]; i += 1
+        else:
+            ln = _u(buf[i : i + 2]); i += 2
+        return bytes(buf[i : i + ln]), i + ln
+    if ctype == T_STRING:
+        # CHAR: prefix size depends on the REAL declared length unpacked
+        # from the (real_type, length) metadata pair — meta >= 256 always
+        # (the pair carries the type byte), so comparing meta itself would
+        # misread every CHAR row
+        max_len = _char_length(meta)
+        if max_len < 256:
             ln = buf[i]; i += 1
         else:
             ln = _u(buf[i : i + 2]); i += 2

@@ -69,11 +69,15 @@ def _list_files(path: str) -> list[str]:
     return [os.path.join(path, n) for n in names]
 
 
-def _count_records(fp: str) -> int:
+def _count_records(fp: str, permissive: bool = False) -> int:
+    """MUST equal the number of records _iter_raw/_read_slice yields for
+    the same (file, mode), or offsets and slice indices misalign: in
+    permissive mode a corrupt binlog tail counts as its one quarantined
+    Malformed row (same +1 the reader emits); JSON counts nonblank lines
+    (exactly one record each in either mode — malformed lines surface at
+    READ time in failfast, by design)."""
     if fp.endswith(".binlog"):
-        from cdc_rs_spark.streaming.binlog import parse_binlog_file
-
-        return sum(1 for _ in parse_binlog_file(fp))
+        return sum(1 for _ in _iter_raw(fp, permissive))
     with open(fp, "rb") as f:
         return sum(1 for line in f if line.strip())
 
@@ -114,6 +118,24 @@ def _malformed(raw: str) -> dict:
     }
 
 
+def _json_rec(line: str, permissive: bool) -> dict:
+    try:
+        c = json.loads(line)
+        return {
+            "op": c["op"],
+            "db": c["db"],
+            "table": c["table"],
+            "before": c.get("before"),
+            "after": c.get("after"),
+            "ts": int(c.get("ts", 0)),
+            "pkey": c.get("pkey", "id"),
+        }
+    except (ValueError, KeyError, TypeError, AttributeError):
+        if not permissive:
+            raise
+        return _malformed(line.strip())
+
+
 def _iter_raw(path: str, permissive: bool):
     """One Change dict per record: JSON-lines feed, or decoded binary
     binlog events for `.binlog` files (streaming/binlog.py — the wire
@@ -136,23 +158,35 @@ def _iter_raw(path: str, permissive: bool):
         return
     with open(path) as f:
         for line in f:
+            if line.strip():
+                yield _json_rec(line, permissive)
+
+
+def _records_in_range(sl: FileSlice, permissive: bool):
+    """Records [start, end) of one file. For JSON feeds the already-consumed
+    prefix is skipped by CHEAP line counting — never parsed — so a tail file
+    growing across many micro-batches costs O(file) per batch in line scans,
+    not O(file) in json.loads (and a corrupt line before the slice cannot
+    fail a batch that doesn't read it). Binlog events must be walked to be
+    counted, so the binary path filters the decoded stream."""
+    if sl.path.endswith(".binlog"):
+        for i, rec in enumerate(_iter_raw(sl.path, permissive)):
+            if i < sl.start:
+                continue
+            if sl.end is not None and i >= sl.end:
+                return
+            yield rec
+        return
+    with open(sl.path) as f:
+        i = 0
+        for line in f:
             if not line.strip():
                 continue
-            try:
-                c = json.loads(line)
-                yield {
-                    "op": c["op"],
-                    "db": c["db"],
-                    "table": c["table"],
-                    "before": c.get("before"),
-                    "after": c.get("after"),
-                    "ts": int(c.get("ts", 0)),
-                    "pkey": c.get("pkey", "id"),
-                }
-            except (ValueError, KeyError, TypeError, AttributeError):
-                if not permissive:
-                    raise
-                yield _malformed(line.strip())
+            if i >= sl.start and (sl.end is None or i < sl.end):
+                yield _json_rec(line, permissive)
+            i += 1
+            if sl.end is not None and i >= sl.end:
+                return
 
 
 def _read_slice(sl: FileSlice, permissive: bool = False):
@@ -174,11 +208,7 @@ def _read_slice(sl: FileSlice, permissive: bool = False):
         return {str(k): (None if v is None else str(v)) for k, v in m.items()}
 
     buf: list[dict] = []
-    for i, rec in enumerate(_iter_raw(sl.path, permissive)):
-        if i < sl.start:
-            continue
-        if sl.end is not None and i >= sl.end:
-            break
+    for rec in _records_in_range(sl, permissive):
         rec = dict(rec)
         rec["before"] = img(rec["before"])
         rec["after"] = img(rec["after"])
@@ -256,7 +286,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
             # empty (fully GC'd) directory means "no new data", not "rewind"
             return dict(self._anchor) if self._anchor else {"file": "", "pos": 0}
         tail_name = os.path.basename(files[-1])
-        tail = {"file": tail_name, "pos": _count_records(files[-1])}
+        tail = {"file": tail_name, "pos": _count_records(files[-1], self.permissive)}
         if self.max_records is None or self._anchor is None:
             return tail
         budget = self.max_records
@@ -267,7 +297,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                 continue  # fully consumed (committed prefix, maybe pre-GC)
             pos = apos if name == aname else 0
             avail = (
-                tail["pos"] if name == tail_name else _count_records(fp)
+                tail["pos"] if name == tail_name else _count_records(fp, self.permissive)
             ) - pos
             if avail > budget:
                 return {"file": name, "pos": pos + budget}

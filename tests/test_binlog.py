@@ -205,3 +205,33 @@ def test_change_feed_datasource_reads_binlog_and_json_mixed(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.read.parquet(out).count() == 6
+
+
+def test_char_column_metadata_and_row_decode():
+    """MYSQL_TYPE_STRING (CHAR) metadata is a big-endian (real_type, length)
+    pair — always >= 256 — while the ROW length prefix follows the REAL
+    declared length: 1 byte for CHAR(10). A decoder comparing the raw meta
+    against 256 misreads every CHAR row (round-4 review finding)."""
+    tid = 7
+    body = tid.to_bytes(6, "little") + b"\x01\x00"
+    body += bytes([2]) + b"db" + b"\x00"
+    body += bytes([1]) + b"t" + b"\x00"
+    body += _lenenc(2)
+    body += bytes([3, 254])  # LONG, STRING(CHAR)
+    meta = bytes([254, 10])  # (real_type=STRING, length=10), big-endian pair
+    body += _lenenc(len(meta)) + meta
+    body += bytes([0])
+    names = b"".join(_lenenc(len(n)) + n for n in (b"k", b"c"))
+    body += bytes([4]) + _lenenc(len(names)) + names
+    tme = _event(1001, TABLE_MAP_EVENT, body, crc=False)
+
+    row = bytes([0]) + struct.pack("<i", 5) + bytes([3]) + b"abc"
+    rbody = tid.to_bytes(6, "little") + b"\x01\x00"
+    rbody += struct.pack("<H", 2)
+    rbody += _lenenc(2) + bytes([0b11])
+    rbody += row
+    ev = _event(1002, WRITE_ROWS_EVENT_V2, rbody, crc=False)
+
+    changes = list(parse_binlog_bytes(MAGIC + _fde(False) + tme + ev))
+    assert len(changes) == 1
+    assert changes[0]["after"] == {"k": "5", "c": "abc"}

@@ -441,3 +441,43 @@ def test_rhai_string_methods_compiled_equals_interpreted(spark):
     interp = RhaiInterpreter(src)
     assert compiled == [interp.call("tag", a, b) for a, b in rows]
     assert compiled[0].startswith("HOT:") and compiled[1] == "LOG"
+
+
+def test_rhai_three_valued_logic_parity(spark):
+    """Round-4 review finding: && / || over a NULL operand must follow SQL
+    three-valued logic in BOTH engines (FALSE && NULL = FALSE,
+    TRUE || NULL = TRUE, else NULL -> falsy in if), and booleans
+    interpolate as 'true'/'false' like the SQL cast."""
+    from cdc_rs_spark.functions.rhai import (
+        MapVal,
+        RhaiInterpreter,
+        RhaiScript,
+        _to_col,
+    )
+
+    src = """
+    fn probe(m) {
+        let g = (m.missing == "x" && m.c == "c") == (m.d == "nope");
+        let h = (m.missing == "x" || m.c == "zzz");
+        let k = (m.c == "zzz" && m.missing == "x");
+        let t = (m.c == "c" || m.missing == "x");
+        #{ g: if g { 1 } else { 0 },
+           h: `${m.c == m.d}:${t}`,
+           k: if k { 1 } else { 0 } }
+    }
+    """
+    df = spark.createDataFrame(
+        [({"c": "c", "d": "d"},)], "m map<string,string>"
+    )
+    s = RhaiScript(src)
+    out = df.select(
+        _to_col(s.call("probe", MapVal(base=F.col("m")))).alias("o")
+    ).collect()[0]["o"]
+    interp = RhaiInterpreter(src).call("probe", {"c": "c", "d": "d"})
+    # compiled: g = (NULL && TRUE) == FALSE = NULL -> else branch -> 0
+    assert out["g"] == 0 and interp["g"] == 0
+    # h column: NULL || FALSE = NULL -> the interpolation of t is fine but
+    # m.c == m.d is FALSE -> 'false'; t = TRUE || NULL = TRUE -> 'true'
+    assert out["h"] == "false:true" and interp["h"] == "false:true"
+    # k = FALSE && NULL = FALSE -> 0 in both
+    assert out["k"] == 0 and interp["k"] == 0
