@@ -91,13 +91,47 @@ def gen_embeddings(n: int, rng: np.random.Generator) -> pa.Table:
     )
 
 
+EVENT_TYPES = ["signup", "purchase", "view", "click", "error"]
+
+
+def gen_events(n: int, rng: np.random.Generator) -> pa.Table:
+    """Driver-shaped events: 30 days of uniform timestamps, |users| and
+    |rows| scaling together (so per-user session counts stay flat — the
+    property that keeps session/as-of work linear in rows)."""
+    n_users = max(1, n * 1500 // 100_000)
+    span_us = 30 * 24 * 3600 * 1_000_000
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = np.sort(rng.integers(0, span_us, size=n))
+    return pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(base + ts.astype("timedelta64[us]")),
+            "user_id": pa.array(
+                rng.integers(0, n_users, size=n), pa.int64()
+            ),
+            "event_type": pa.array(
+                [str(t) for t in rng.choice(EVENT_TYPES, size=n)]
+            ),
+            "value": pa.array(
+                np.round(rng.uniform(0, 560, size=n), 2), pa.float64()
+            ),
+            "props": pa.array(
+                [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, size=n)]
+            ),
+        }
+    )
+
+
 def main() -> int:
     n_docs, n_vecs, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    n_events = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(42)
     pq.write_table(gen_documents(n_docs, rng), os.path.join(out, "documents.parquet"))
     pq.write_table(gen_embeddings(n_vecs, rng), os.path.join(out, "embeddings.parquet"))
-    print(f"wrote {n_docs} docs / {n_vecs} vecs to {out}")
+    if n_events:
+        pq.write_table(gen_events(n_events, rng), os.path.join(out, "events.parquet"))
+    print(f"wrote {n_docs} docs / {n_vecs} vecs / {n_events} events to {out}")
     return 0
 
 
