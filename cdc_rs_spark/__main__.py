@@ -105,6 +105,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
 
     args = _parser().parse_args(argv)
+    if args.shards and not args.enqueue_backfill:
+        print("--shards requires --enqueue-backfill", file=sys.stderr)
+        return 2
+    if args.shards < 0:
+        print("--shards must be positive", file=sys.stderr)
+        return 2
     if args.enqueue_backfill:
         from cdc_rs_spark.sources.backfill import BackfillJob, BackfillQueue
 
@@ -125,7 +131,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
             return 2
         selection = parts[2] if len(parts) > 2 else "*"
-        if args.shards > 1:
+        if args.shards:  # N=1 still yields one RANGED job via plan_ranges
             if not args.data_dir:
                 print("--shards requires --data-dir", file=sys.stderr)
                 return 2

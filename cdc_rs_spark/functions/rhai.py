@@ -841,9 +841,16 @@ class RhaiInterpreter:
                 a = args[0]
                 if a is None:
                     return None
-                # strict like the compiled ANSI CAST(s AS BIGINT): a
-                # non-integral string ('3.7', 'abc') is an ERROR in both
-                # engines, not a silent truncation
+                if isinstance(a, str):
+                    # strict like the compiled ANSI CAST(s AS BIGINT): a
+                    # non-integral string ('3.7', 'abc') is an ERROR in
+                    # both engines — and Python-only liberties ('1_0',
+                    # unicode digits) are rejected too
+                    import re as _re
+
+                    if not _re.fullmatch(r"[+-]?[0-9]+", a.strip()):
+                        raise ValueError(f"parse_int: invalid input {a!r}")
+                    return int(a.strip())
                 return int(a)
             if name == "parse_float":
                 return None if args[0] is None else float(args[0])
@@ -870,15 +877,21 @@ class RhaiInterpreter:
             if op in ("&&", "||"):
                 # SQL THREE-VALUED logic, matching the compiled & / |:
                 # FALSE && NULL = FALSE, TRUE || NULL = TRUE, otherwise a
-                # NULL operand yields NULL (bool() coercion would diverge)
-                r = self._eval(e[3], env)
+                # NULL operand yields NULL — and SHORT-CIRCUIT like Spark's
+                # And/Or eval: a deciding left side never evaluates the
+                # right (so `d != "0" && 1 / d > x` cannot divide by zero)
                 lb = None if l is None else bool(l)
+                if op == "&&" and lb is False:
+                    return False
+                if op == "||" and lb is True:
+                    return True
+                r = self._eval(e[3], env)
                 rb = None if r is None else bool(r)
                 if op == "&&":
-                    if lb is False or rb is False:
+                    if rb is False:
                         return False
                     return None if lb is None or rb is None else True
-                if lb is True or rb is True:
+                if rb is True:
                     return True
                 return None if lb is None or rb is None else False
             r = self._eval(e[3], env)

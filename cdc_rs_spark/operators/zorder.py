@@ -80,9 +80,15 @@ def zorder_write(
         F.min(col_b).cast("bigint"),
         F.max(col_b).cast("bigint"),
     ).first()
-    if lo_a is None or lo_b is None:  # empty input: nothing to order
-        df.write.mode("overwrite").parquet(path)
-        return
+    if lo_a is None or lo_b is None:
+        if df.isEmpty():  # empty input: nothing to order
+            df.write.mode("overwrite").parquet(path)
+            return
+        raise ValueError(
+            "zorder_write: an interleave column is entirely NULL — the "
+            "layout would silently provide no pruning; clean or drop the "
+            "column first"
+        )
     z = z_interleave(
         bucket_expr(col_a, lo_a, hi_a, bits),
         bucket_expr(col_b, lo_b, hi_b, bits),

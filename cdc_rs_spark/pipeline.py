@@ -132,19 +132,24 @@ def run_backfill_queue(
     jobs = queue.todo()
     if not jobs:
         return 0
-    changes = None
-    for job in jobs:
+    # PER-JOB commit (round-4 review): each job snapshots, transforms,
+    # publishes and flips to 'done' independently, so a crash mid-drain
+    # resumes at the failing shard — with plan_ranges shards, a 99%-done
+    # table backfill retries one range, not the whole table. The batch id
+    # encodes the job index so each shard's dry-run frames are
+    # distinguishable and an idempotent sink keys per shard.
+    total = 0
+    for idx, job in enumerate(jobs):
         df = snapshot_table(spark, data_dir, job)
-        changes = df if changes is None else changes.unionByName(df)
-    frames = apply_transform(changes, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        n = frames.count()  # one validated materialization
-        publish_foreach_batch(cfg.publish)(frames, -1)
-        for job in jobs:
+        frames = apply_transform(df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n = frames.count()  # one validated materialization per shard
+            publish_foreach_batch(cfg.publish)(frames, -(idx + 1))
             queue.mark_done(job)
-    finally:
-        frames.unpersist(blocking=False)
-    return n
+            total += n
+        finally:
+            frames.unpersist(blocking=False)
+    return total
 
 
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig):

@@ -80,7 +80,21 @@ class BackfillQueue:
         self.path = path
 
     def enqueue(self, jobs: list[BackfillJob]) -> None:
+        """Append jobs, enforcing the (db, relation, range) PRIMARY KEY the
+        reference's schema declares (src/main.rs:151) — a duplicate INSERT
+        fails there, so a duplicate enqueue (e.g. a retried --shards run)
+        raises here instead of silently double-publishing every row. All
+        keys are validated BEFORE anything is written."""
         existing = self.all()
+        seen = {(j.db, j.relation, j.range) for j in existing}
+        for j in jobs:
+            key = (j.db, j.relation, j.range)
+            if key in seen:
+                raise ValueError(
+                    f"backfill queue: duplicate job {key} (primary key "
+                    "(db, relation, range) already enqueued)"
+                )
+            seen.add(key)
         existing.extend(jobs)
         self._write(existing)
 
@@ -179,23 +193,22 @@ def run_todo_jobs(
     mark jobs done. Returns None when the queue has no work (the reference
     sleeps 1s and re-polls, src/main.rs:384 — callers loop as needed).
 
-    Status flips to done only after the unioned plan's first action succeeds
-    (the reference commits status only after streaming all pages,
-    src/main.rs:352-366): the lazy DataFrame is validated with a cheap
-    `isEmpty()` probe before marking, so a job whose scan fails stays 'todo'
-    and is retried on the next poll instead of being lost."""
+    Status flips PER JOB, each only after that job's scan is validated
+    with a cheap `isEmpty()` probe (the reference commits a job's status
+    only after streaming all its pages, src/main.rs:352-366). A failure
+    mid-drain leaves the failing job and everything after it 'todo' while
+    KEEPING earlier jobs' commits — the per-shard resume contract that
+    makes ranged backfills of huge tables restartable at shard
+    granularity instead of table granularity."""
     jobs = queue.todo()
     if not jobs:
         return None
     out: DataFrame | None = None
     for job in jobs:
         df = snapshot_table(spark, sf_dir, job)
-        out = df if out is None else out.unionByName(df)
-    # force one action over the union before committing status; a failure
-    # here propagates and leaves every job still 'todo'
-    out.isEmpty()
-    for job in jobs:
+        df.isEmpty()  # validate THIS shard's scan before committing it
         queue.mark_done(job)
+        out = df if out is None else out.unionByName(df)
     return out
 
 

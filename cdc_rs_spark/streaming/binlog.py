@@ -229,8 +229,19 @@ def parse_binlog_bytes(data: bytes):
         ts = _u(data[i : i + 4])
         etype = data[i + 4]
         event_size = _u(data[i + 9 : i + 13])
+        if event_size < HEADER_LEN:
+            raise ValueError(f"binlog: corrupt event header (size {event_size})")
         body_start = i + HEADER_LEN
         body_end = i + event_size
+        if body_end > len(data):
+            # INCOMPLETE trailing event: the writer has not finished
+            # appending it — stop cleanly so the record is neither counted
+            # nor quarantined; the next poll sees it complete. (A corrupt
+            # event WITHIN the file still raises below and is quarantined
+            # by the permissive reader.) Without this, a mid-append race
+            # would commit the half-event as Malformed and permanently
+            # skip the real record once flushed.
+            return
         body = data[body_start : body_end - checksum_trailer]
         if etype == FORMAT_DESCRIPTION_EVENT:
             # binlog-version(2) + server-version(50) + created(4) +

@@ -235,3 +235,63 @@ def test_char_column_metadata_and_row_decode():
     changes = list(parse_binlog_bytes(MAGIC + _fde(False) + tme + ev))
     assert len(changes) == 1
     assert changes[0]["after"] == {"k": "5", "c": "abc"}
+
+
+def test_incomplete_trailing_event_waits_instead_of_quarantining(spark, tmp_path):
+    """Round-4 review: a half-appended trailing event (writer mid-flush)
+    must be treated as NOT YET WRITTEN — neither counted nor quarantined —
+    so the record is consumed exactly once after the writer completes it.
+    Committing it as Malformed would skip the real record forever."""
+    import os
+
+    from cdc_rs_spark.streaming.datasource import (
+        _count_records,
+        register_change_feed,
+    )
+
+    full = _feed(crc=False)
+    # cut the final DELETE event in half
+    delete_ev = _rows_event(
+        DELETE_ROWS_EVENT_V2, 99, [_row(8, None, -0.25, (1999, 12, 31))],
+        False, ts=1004,
+    )
+    truncated = full[: len(full) - len(delete_ev) // 2 - 1]
+    src = tmp_path / "feed"
+    os.makedirs(src)
+    fp = str(src / "bin.000001.binlog")
+    with open(fp, "wb") as f:
+        f.write(truncated)
+    # 4 complete records visible; the partial 5th neither counts nor errors
+    assert _count_records(fp, permissive=True) == 4
+    assert _count_records(fp, permissive=False) == 4
+    assert len(list(parse_binlog_bytes(truncated))) == 4
+
+    register_change_feed(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("change_feed")
+            .option("path", str(src))
+            .option("mode", "permissive")
+            .load()
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 4 and "Malformed" not in {r["op"] for r in got1.collect()}
+    # writer completes the event; a later poll delivers it exactly once
+    with open(fp, "wb") as f:
+        f.write(full)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 5
+    assert sum(1 for r in rows if r["op"] == "Delete") == 1

@@ -319,3 +319,77 @@ def test_ranged_backfill_shards_cover_table_and_resume(spark, sf_dir, tmp_path):
     assert not (k1 & k2) and len(k1 | k2) == total
     # everything done; a fresh poll is a no-op
     assert run_todo_jobs(spark, q, sf_dir) is None
+
+
+def test_backfill_drain_commits_per_shard(spark, sf_dir, tmp_path):
+    """Round-4 review: a crash mid-drain must keep COMPLETED shards
+    committed — publish fails (executor-side) on the second shard's key
+    range, the first stays done, the rest stay todo, and a re-drain
+    finishes exactly the remainder with no duplication."""
+    import glob
+    import pytest as _pytest
+
+    from cdc_rs_spark.pipeline import PipelineConfig, run_backfill_queue
+    from cdc_rs_spark.sources.backfill import BackfillQueue, plan_ranges
+
+    jobs = plan_ranges(spark, sf_dir, "testdb", "orders", "o_orderkey", 3)
+    q = BackfillQueue(str(tmp_path / "q.json"))
+    q.enqueue(jobs)
+    out_dir = str(tmp_path / "published")
+    fail_lo, fail_hi = jobs[1].range_bounds()
+
+    def make_publish(fail: bool):
+        def publish(topic: str, values: list[str]) -> None:
+            # runs on EXECUTORS: all state via the shared local FS
+            import os as _os
+            import re as _re
+            import uuid as _uuid
+
+            if fail:
+                for v in values:
+                    m = _re.search(r'"o_orderkey":\s*"?(\d+)', v)
+                    if m and fail_lo <= int(m.group(1)) < fail_hi:
+                        raise RuntimeError("sink outage")
+            _os.makedirs(out_dir, exist_ok=True)
+            with open(_os.path.join(out_dir, _uuid.uuid4().hex), "w") as f:
+                f.write(str(len(values)))
+
+        return publish
+
+    def cfg(fail: bool) -> PipelineConfig:
+        return PipelineConfig(
+            source_path=str(tmp_path / "nofeed"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            publish=make_publish(fail),
+        )
+
+    with _pytest.raises(Exception, match="sink outage"):
+        run_backfill_queue(spark, cfg(True), str(tmp_path / "q.json"), sf_dir)
+    statuses = [j.status for j in q.all()]
+    assert statuses == ["done", "todo", "todo"], statuses
+
+    n2 = run_backfill_queue(spark, cfg(False), str(tmp_path / "q.json"), sf_dir)
+    assert [j.status for j in q.all()] == ["done"] * 3
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    published = sum(
+        int(open(f).read()) for f in glob.glob(f"{out_dir}/*")
+    )
+    # shard 1 published once in drain 1; shards 2+3 in drain 2 — no dupes
+    assert published == total and n2 < total
+
+
+def test_backfill_queue_rejects_duplicate_primary_key(tmp_path):
+    """(db, relation, range) is the queue's PRIMARY KEY, like the
+    reference's schema — a duplicate enqueue raises instead of silently
+    double-publishing."""
+    import pytest as _pytest
+
+    from cdc_rs_spark.sources.backfill import BackfillJob, BackfillQueue
+
+    q = BackfillQueue(str(tmp_path / "q.json"))
+    q.enqueue([BackfillJob(db="d", relation="t", pkey="k", range="0..10")])
+    with _pytest.raises(ValueError, match="duplicate job"):
+        q.enqueue([BackfillJob(db="d", relation="t", pkey="k", range="0..10")])
+    # a different range is a different key
+    q.enqueue([BackfillJob(db="d", relation="t", pkey="k", range="10..20")])
+    assert len(q.all()) == 2
