@@ -1620,3 +1620,65 @@ def test_backfill_queue_publish_failure_keeps_jobs_todo(spark, tmp_path):
     n = run_backfill_queue(spark, cfg, queue_path, data)
     assert n == spark.read.parquet(data + "/orders.parquet").count()
     assert not BackfillQueue(queue_path).todo()
+
+
+def test_parallel_filtered_pipelines_partition_one_feed(spark, tmp_path):
+    """The reference's scale-out model is N deployments with disjoint
+    --regex over one source (flake.nix:125-151, different server-ids).
+    Two pipelines with disjoint table regexes and SEPARATE checkpoints
+    over the SAME feed directory must each deliver exactly their tables —
+    together covering the feed once, independently resumable."""
+    import json as _json
+    import os
+
+    from cdc_rs_spark.pipeline import PipelineConfig, run_pipeline_once
+
+    src = str(tmp_path / "feed")
+    rows = []
+    for i in range(6):
+        table = "orders" if i % 2 == 0 else "audit_log"
+        rows.append(
+            {
+                "op": "Insert", "db": "testdb", "table": table,
+                "before": None, "after": {"id": i, "v": f"x{i}"},
+                "ts": 10 + i, "pkey": "id",
+            }
+        )
+    _write_changes(src, "feed.json", rows)
+
+    outs = {}
+    for name, regex in (
+        ("orders_pipe", r"^testdb\.orders$"),
+        ("audit_pipe", r"^testdb\.audit_log$"),
+    ):
+        out_dir = str(tmp_path / f"out_{name}")
+        outs[name] = out_dir
+
+        def publish(topic: str, values: list[str], _d=out_dir) -> None:
+            os.makedirs(_d, exist_ok=True)
+            import uuid as _uuid
+
+            with open(os.path.join(_d, _uuid.uuid4().hex), "w") as f:
+                for v in values:
+                    f.write(v + "\n")
+
+        cfg = PipelineConfig(
+            source_path=src,
+            checkpoint_dir=str(tmp_path / f"ckpt_{name}"),
+            table_regex=regex,
+            publish=publish,
+        )
+        run_pipeline_once(spark, cfg)
+
+    def published(out_dir):
+        recs = []
+        for fn in os.listdir(out_dir):
+            with open(os.path.join(out_dir, fn)) as f:
+                recs += [_json.loads(line) for line in f if line.strip()]
+        return recs
+
+    got_orders = published(outs["orders_pipe"])
+    got_audit = published(outs["audit_pipe"])
+    assert len(got_orders) == 3 and len(got_audit) == 3
+    assert {r["id"] for r in got_orders} == {"0", "2", "4"}
+    assert {r["id"] for r in got_audit} == {"1", "3", "5"}
