@@ -69,6 +69,11 @@ def _parser() -> argparse.ArgumentParser:
         help="echo published frames to stdout instead of writing parquet",
     )
     p.add_argument(
+        "--gc-committed", action="store_true",
+        help="change_feed source: delete fully-committed feed files when "
+        "planning each batch (self-managed spools; PURGE BINARY LOGS analog)",
+    )
+    p.add_argument(
         "--once", action="store_true",
         help="drain the available feed and exit (availableNow trigger)",
     )
@@ -200,6 +205,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         publish=publish,
         source_format=args.source_format,
         script=script_src,
+        gc_committed=args.gc_committed,
     )
     if args.backfill_queue:
         # ADVICE r3: --backfill-queue without --data-dir used to skip the

@@ -57,6 +57,9 @@ class PipelineConfig:
     script: str | None = None              # --script: Rhai-subset source whose
     #   transform()/topic() fns replace the built-in envelope + template
     #   (compiled to Column expressions — no per-row VM)
+    gc_committed: bool = False             # change_feed only: delete fully
+    #   committed feed files when planning each batch (PURGE BINARY LOGS
+    #   analog for self-managed spools; see streaming/datasource.py)
 
 
 def apply_transform(changes: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -91,11 +94,17 @@ def build_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
         from cdc_rs_spark.streaming.datasource import register_change_feed
 
         register_change_feed(spark)
-        changes = (
+        reader = (
             spark.readStream.format("change_feed")
             .option("path", cfg.source_path)
-            .load()
         )
+        if cfg.gc_committed:
+            reader = reader.option("gcCommitted", "true")
+        if cfg.max_files_per_trigger:
+            reader = reader.option(
+                "maxRecordsPerBatch", str(cfg.max_files_per_trigger)
+            )
+        changes = reader.load()
     else:
         changes = read_change_stream(
             spark, cfg.source_path, max_files_per_trigger=cfg.max_files_per_trigger
@@ -111,11 +120,12 @@ def run_backfill_queue(
     loop interleaves backfill rows with binlog rows through one script
     host, src/main.rs:162-199). Returns the number of published rows.
 
-    Status commits ONLY after the publish pass succeeds (the reference
-    commits after streaming all pages, src/main.rs:352-366) — a failed
-    snapshot OR a failed publish leaves every job 'todo' for the next
-    poll. The transformed frame is persisted so the count (which also
-    validates the scan) and the publish pass share one materialization."""
+    Each job's status commits ONLY after ITS publish pass succeeds (the
+    reference commits a job after streaming all its pages,
+    src/main.rs:352-366) — a failed snapshot or publish leaves that job
+    and everything after it 'todo' for the next poll while completed
+    shards stay done. Each shard's transformed frame is persisted so its
+    validating count and publish pass share one materialization."""
     from pyspark.storagelevel import StorageLevel
 
     from cdc_rs_spark.sources.backfill import BackfillQueue, snapshot_table
