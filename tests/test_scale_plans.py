@@ -518,3 +518,35 @@ def test_zorder_write_gives_both_columns_locality(spark, sf_dir, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == li.count()
     assert sorted(got.columns) == ["pv", "qv"]
+
+
+def test_zorder_primitives_properties(spark):
+    """bucket_expr is monotone with exact endpoint mapping (0 and 2^bits-1),
+    and z_interleave is a bijection on the bucket grid whose bits
+    de-interleave back to the inputs — the properties the data-skipping
+    guarantees rest on."""
+    from cdc_rs_spark.operators.zorder import bucket_expr, z_interleave
+
+    vals = spark.createDataFrame(
+        [(v,) for v in range(100, 1101, 10)], "x long"
+    )
+    rows = vals.select(
+        "x", bucket_expr("x", 100, 1100, 8).alias("b")
+    ).orderBy("x").collect()
+    buckets = [r["b"] for r in rows]
+    assert buckets[0] == 0 and buckets[-1] == 255
+    assert all(b1 <= b2 for b1, b2 in zip(buckets, buckets[1:]))
+    assert all(0 <= b <= 255 for b in buckets)
+
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(32) for b in range(32)], "a long, b long"
+    )
+    got = grid.select(
+        "a", "b", z_interleave(F.col("a"), F.col("b"), 8).alias("z")
+    ).collect()
+    assert len({r["z"] for r in got}) == 32 * 32  # bijective on the grid
+    for r in got:
+        z = r["z"]
+        a = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+        b = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (a, b) == (r["a"], r["b"])
