@@ -14,6 +14,8 @@ Change-envelope rows the JSON feed produces, with the reference's value
 stringification (§1.2 of SURVEY.md):
 
   integers -> decimal strings           floats -> shortest repr
+  DATETIME2/TIMESTAMP2 -> "YYYY-MM-DD HH:MM:SS[.ffffff]"
+  TIME2 -> "[-]HH:MM:SS[.ffffff]"        NEWDECIMAL -> exact text form
   DATE     -> "YYYY-MM-DD" (src/main.rs:457)
   bytes    -> UTF-8 if valid, else UPPERCASE HEX (src/main.rs:492-501)
   NULL     -> None (SQL NULL)
@@ -45,6 +47,8 @@ DELETE_ROWS_EVENT_V2 = 0x20
 T_TINY, T_SHORT, T_LONG, T_FLOAT, T_DOUBLE, T_NULL = 1, 2, 3, 4, 5, 6
 T_LONGLONG, T_INT24, T_DATE = 8, 9, 10
 T_VARCHAR = 15
+T_TIMESTAMP2, T_DATETIME2, T_TIME2 = 17, 18, 19
+T_NEWDECIMAL = 246
 T_STRING = 254
 
 HEADER_LEN = 19
@@ -121,8 +125,11 @@ def _parse_table_map(body: bytes) -> TableMap:
             # with the length's high bits folded into byte0's 0x30 mask for
             # CHAR > 255 bytes — unpacked in _char_length
             col_meta.append((body[i] << 8) | body[i + 1]); i += 2
-        elif t in (T_FLOAT, T_DOUBLE):
-            col_meta.append(body[i]); i += 1
+        elif t in (T_FLOAT, T_DOUBLE, T_TIMESTAMP2, T_DATETIME2, T_TIME2):
+            col_meta.append(body[i]); i += 1  # size / fractional precision
+        elif t == T_NEWDECIMAL:
+            # (precision, scale) byte pair
+            col_meta.append((body[i] << 8) | body[i + 1]); i += 2
         else:
             col_meta.append(0)
     i = meta_end
@@ -139,6 +146,129 @@ def _parse_table_map(body: bytes) -> TableMap:
                 nl, j = _lenenc(val, j)
                 names.append(val[j : j + nl].decode()); j += nl
     return TableMap(table_id, schema, table, col_types, col_meta, names)
+
+
+def _be(b: bytes) -> int:
+    return int.from_bytes(b, "big")
+
+
+def _frac_micros(buf: bytes, i: int, fsp: int) -> tuple[int, int]:
+    """Fractional-seconds part shared by DATETIME2/TIMESTAMP2/TIME2: fsp
+    decimal digits stored in ceil(fsp/2) BIG-ENDIAN bytes; scale to
+    microseconds."""
+    nb = (fsp + 1) // 2
+    if nb == 0:
+        return 0, i
+    frac = _be(buf[i : i + nb])
+    return frac * 10 ** (6 - 2 * nb), i + nb
+
+
+def _fmt_dt(y, mo, d, h, mi, s, micros, fsp) -> str:
+    """Reference temporal stringification (src/main.rs:457-465): datetimes
+    with a fractional-seconds column carry exactly 6 digits of micros."""
+    base = f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
+    return f"{base}.{micros:06d}" if fsp else base
+
+
+def _decode_datetime2(buf: bytes, i: int, fsp: int) -> tuple[str, int]:
+    """DATETIME2: 5-byte big-endian packed field — sign(1) |
+    year*13+month(17) | day(5) | hour(5) | minute(6) | second(6) — plus
+    the fractional tail."""
+    packed = _be(buf[i : i + 5]) & ((1 << 39) - 1)  # drop the sign bit
+    i += 5
+    ym = (packed >> 22) & 0x1FFFF
+    y, mo = ym // 13, ym % 13
+    d = (packed >> 17) & 0x1F
+    h = (packed >> 12) & 0x1F
+    mi = (packed >> 6) & 0x3F
+    s = packed & 0x3F
+    micros, i = _frac_micros(buf, i, fsp)
+    return _fmt_dt(y, mo, d, h, mi, s, micros, fsp), i
+
+
+def _decode_timestamp2(buf: bytes, i: int, fsp: int) -> tuple[str, int]:
+    """TIMESTAMP2: 4-byte big-endian unix seconds (UTC) + fractional
+    tail; rendered as a UTC datetime string like the reference's Date
+    formatting."""
+    import datetime as _dt
+
+    secs = _be(buf[i : i + 4])
+    i += 4
+    micros, i = _frac_micros(buf, i, fsp)
+    t = _dt.datetime.fromtimestamp(secs, _dt.timezone.utc)
+    return _fmt_dt(t.year, t.month, t.day, t.hour, t.minute, t.second,
+                   micros, fsp), i
+
+
+def _decode_time2(buf: bytes, i: int, fsp: int) -> tuple[str, int]:
+    """TIME2: 3-byte big-endian packed — sign(1) | reserved(1) | hour(10) |
+    minute(6) | second(6); negative times store the two's complement of the
+    whole packed+fraction quantity. Rendered '±HH:MM:SS[.ffffff]' with days
+    folded into hours like the reference (src/main.rs:466-491)."""
+    nb = (fsp + 1) // 2
+    raw = _be(buf[i : i + 3 + nb])
+    i += 3 + nb
+    total_bits = (3 + nb) * 8
+    negative = not (raw >> (total_bits - 1))  # sign bit 1 = non-negative
+    if negative:
+        raw = ((1 << total_bits) - raw) & ((1 << total_bits) - 1)
+    frac = raw & ((1 << (nb * 8)) - 1) if nb else 0
+    packed = raw >> (nb * 8)
+    h = (packed >> 12) & 0x3FF
+    mi = (packed >> 6) & 0x3F
+    s = packed & 0x3F
+    micros = frac * 10 ** (6 - 2 * nb) if nb else 0
+    out = f"{'-' if negative else ''}{h:02d}:{mi:02d}:{s:02d}"
+    return (f"{out}.{micros:06d}" if fsp else out), i
+
+
+_DEC_BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]  # bytes for N leftover digits
+
+
+def _decode_newdecimal(buf: bytes, i: int, precision: int, scale: int):
+    """NEWDECIMAL: MySQL's packed base-10^9 decimal — digits in 4-byte
+    big-endian groups of 9 with a shorter leading/trailing group
+    (_DEC_BYTES), the first byte's MSB is the sign (stored flipped), and a
+    NEGATIVE value stores every byte inverted. Rendered as the exact text
+    form with `scale` fractional digits — the same string the reference
+    gets on its text-protocol wire (src/main.rs:492-501 receives decimals
+    as Bytes and passes the UTF-8 through)."""
+    intg = precision - scale
+    intg_full, intg_rest = divmod(intg, 9)
+    frac_full, frac_rest = divmod(scale, 9)
+    size = (
+        intg_full * 4 + _DEC_BYTES[intg_rest]
+        + frac_full * 4 + _DEC_BYTES[frac_rest]
+    )
+    raw = bytearray(buf[i : i + size])
+    i += size
+    positive = bool(raw[0] & 0x80)
+    raw[0] ^= 0x80
+    if not positive:
+        for j in range(len(raw)):
+            raw[j] = (~raw[j]) & 0xFF
+    pos = 0
+    int_digits = ""
+    if intg_rest:
+        nb = _DEC_BYTES[intg_rest]
+        int_digits += str(_be(bytes(raw[pos : pos + nb]))).rjust(intg_rest, "0")
+        pos += nb
+    for _ in range(intg_full):
+        int_digits += str(_be(bytes(raw[pos : pos + 4]))).rjust(9, "0")
+        pos += 4
+    frac_digits = ""
+    for _ in range(frac_full):
+        frac_digits += str(_be(bytes(raw[pos : pos + 4]))).rjust(9, "0")
+        pos += 4
+    if frac_rest:
+        nb = _DEC_BYTES[frac_rest]
+        frac_digits += str(_be(bytes(raw[pos : pos + nb]))).rjust(frac_rest, "0")
+        pos += nb
+    int_part = int_digits.lstrip("0") or "0"
+    out = f"{'' if positive else '-'}{int_part}"
+    if scale:
+        out += "." + frac_digits
+    return out, i
 
 
 def _char_length(meta: int) -> int:
@@ -170,6 +300,14 @@ def _decode_value(buf: bytes, i: int, ctype: int, meta: int):
         v = _u(buf[i : i + 3])
         y, m, d = v >> 9, (v >> 5) & 0x0F, v & 0x1F
         return f"{y:04d}-{m:02d}-{d:02d}", i + 3
+    if ctype == T_DATETIME2:
+        return _decode_datetime2(buf, i, meta)
+    if ctype == T_TIMESTAMP2:
+        return _decode_timestamp2(buf, i, meta)
+    if ctype == T_TIME2:
+        return _decode_time2(buf, i, meta)
+    if ctype == T_NEWDECIMAL:
+        return _decode_newdecimal(buf, i, meta >> 8, meta & 0xFF)
     if ctype == T_VARCHAR:
         # VARCHAR length prefix is 1 byte iff the DECLARED max fits one
         if meta < 256:

@@ -295,3 +295,90 @@ def test_incomplete_trailing_event_waits_instead_of_quarantining(spark, tmp_path
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 5
     assert sum(1 for r in rows if r["op"] == "Delete") == 1
+
+
+def test_temporal_and_decimal_wire_decoding():
+    """DATETIME2/TIMESTAMP2/TIME2/NEWDECIMAL row images decoded from
+    hand-computed wire bytes with the reference's stringification."""
+    from cdc_rs_spark.streaming.binlog import (
+        _decode_datetime2,
+        _decode_newdecimal,
+        _decode_time2,
+        _decode_timestamp2,
+    )
+
+    # DATETIME2 2024-03-09 14:30:45 (fsp=0): 5-byte BE packed
+    ym = 2024 * 13 + 3
+    packed = (1 << 39) | (ym << 22) | (9 << 17) | (14 << 12) | (30 << 6) | 45
+    s, i = _decode_datetime2(packed.to_bytes(5, "big"), 0, 0)
+    assert (s, i) == ("2024-03-09 14:30:45", 5)
+    # fsp=3: frac .123 stored as 1230 in 2 BE bytes -> micros 123000
+    buf = packed.to_bytes(5, "big") + (1230).to_bytes(2, "big")
+    s, i = _decode_datetime2(buf, 0, 3)
+    assert (s, i) == ("2024-03-09 14:30:45.123000", 7)
+
+    # TIMESTAMP2: epoch 1609556645 = 2021-01-02 03:04:05 UTC, fsp=6
+    buf = (1609556645).to_bytes(4, "big") + (123456).to_bytes(3, "big")
+    s, i = _decode_timestamp2(buf, 0, 6)
+    assert (s, i) == ("2021-01-02 03:04:05.123456", 7)
+
+    # TIME2 +12:34:56 and -00:00:01 (fsp=0)
+    pos = (1 << 23) | (12 << 12) | (34 << 6) | 56
+    assert _decode_time2(pos.to_bytes(3, "big"), 0, 0)[0] == "12:34:56"
+    neg = (1 << 24) - ((1 << 23) | 1)
+    assert _decode_time2(neg.to_bytes(3, "big"), 0, 0)[0] == "-00:00:01"
+
+    # NEWDECIMAL(10,2): 1234567.89 -> [80 12 D6 87 59]; negative inverts
+    raw = bytes([0x80, 0x12, 0xD6, 0x87, 0x59])
+    assert _decode_newdecimal(raw, 0, 10, 2) == ("1234567.89", 5)
+    negd = bytes((~b) & 0xFF for b in raw)
+    assert _decode_newdecimal(negd, 0, 10, 2) == ("-1234567.89", 5)
+    # multi-group precision 20, scale 9: 12345678901.234567891
+    # intg=11 -> group(2 digits,1B)+group(9,4B); frac=9 -> one 4B group
+    intg_rest, intg_full9 = 12, 345678901
+    frac9 = 234567891
+    body = bytes([0x80 | 0x00, intg_rest]) + b""
+    body = bytearray(
+        (intg_rest).to_bytes(1, "big")
+        + (intg_full9).to_bytes(4, "big")
+        + (frac9).to_bytes(4, "big")
+    )
+    body[0] |= 0x80
+    assert _decode_newdecimal(bytes(body), 0, 20, 9) == (
+        "12345678901.234567891",
+        9,
+    )
+
+
+def test_rows_with_datetime2_and_decimal_columns():
+    """End-to-end through TABLE_MAP + WRITE_ROWS with the new types."""
+    tid = 11
+    body = tid.to_bytes(6, "little") + b"\x01\x00"
+    body += bytes([2]) + b"db" + b"\x00"
+    body += bytes([1]) + b"t" + b"\x00"
+    body += _lenenc(3)
+    body += bytes([3, 18, 246])  # LONG, DATETIME2, NEWDECIMAL
+    meta = bytes([0]) + bytes([10, 2])  # fsp=0; (precision=10, scale=2)
+    body += _lenenc(len(meta)) + meta
+    body += bytes([0])
+    names = b"".join(_lenenc(len(n)) + n for n in (b"k", b"dt", b"amt"))
+    body += bytes([4]) + _lenenc(len(names)) + names
+    tme = _event(1001, TABLE_MAP_EVENT, body, crc=False)
+
+    ym = 2025 * 13 + 12
+    packed = (1 << 39) | (ym << 22) | (31 << 17) | (23 << 12) | (59 << 6) | 58
+    row = (
+        bytes([0])
+        + struct.pack("<i", 42)
+        + packed.to_bytes(5, "big")
+        + bytes([0x80, 0x12, 0xD6, 0x87, 0x59])
+    )
+    rbody = tid.to_bytes(6, "little") + b"\x01\x00"
+    rbody += struct.pack("<H", 2) + _lenenc(3) + bytes([0b111]) + row
+    ev = _event(1002, WRITE_ROWS_EVENT_V2, rbody, crc=False)
+    changes = list(parse_binlog_bytes(MAGIC + _fde(False) + tme + ev))
+    assert changes[0]["after"] == {
+        "k": "42",
+        "dt": "2025-12-31 23:59:58",
+        "amt": "1234567.89",
+    }
