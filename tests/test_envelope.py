@@ -481,3 +481,16 @@ def test_rhai_three_valued_logic_parity(spark):
     assert out["h"] == "false:true" and interp["h"] == "false:true"
     # k = FALSE && NULL = FALSE -> 0 in both
     assert out["k"] == 0 and interp["k"] == 0
+
+
+def test_rhai_concat_builtin_parity(spark):
+    from cdc_rs_spark.functions.rhai import RhaiInterpreter, RhaiScript, _to_col
+
+    src = 'fn j(a, b) { concat(a, "-", b.len(), "-", a == b) }'
+    df = spark.createDataFrame([("x", "yy")], "a string, b string")
+    s = RhaiScript(src)
+    got = df.select(
+        _to_col(s.call("j", F.col("a"), F.col("b"))).alias("o")
+    ).collect()[0]["o"]
+    assert got == "x-2-false"
+    assert RhaiInterpreter(src).call("j", "x", "yy") == got
