@@ -60,13 +60,33 @@ class PipelineConfig:
     gc_committed: bool = False             # change_feed only: delete fully
     #   committed feed files when planning each batch (PURGE BINARY LOGS
     #   analog for self-managed spools; see streaming/datasource.py)
+    dead_letter_topic: str | None = "deadletter"  # permissive-mode
+    #   quarantine rows (op='Malformed', empty db/table) would otherwise be
+    #   SILENTLY dropped by the regex gate; they route here with their raw
+    #   payload instead. None restores the silent-drop behavior.
 
 
 def apply_transform(changes: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """regex gate -> envelope transform -> topic column, over ANY change
     frame (the streaming tail or a batch backfill snapshot) — the reference
     pushes both sources through the same script host (src/main.rs:162-188),
-    and so does this."""
+    and so does this. Permissive-mode quarantine rows (op='Malformed')
+    bypass the gate and the envelope to a dead-letter topic with their raw
+    payload — a poison record is INSPECTABLE downstream, never silently
+    swallowed by a table regex it can't match."""
+    from pyspark.sql import functions as F
+
+    if cfg.dead_letter_topic is not None:
+        dead = changes.filter(F.col("op") == "Malformed").select(
+            F.lit(cfg.dead_letter_topic).alias("topic"),
+            F.to_json(
+                F.struct(
+                    F.element_at("after", "raw").alias("raw"),
+                    F.col("ts").alias("ts"),
+                )
+            ).alias("value"),
+        )
+        changes = changes.filter(F.col("op") != "Malformed")
     gated = regex_table_filter(changes, cfg.table_regex)
     if cfg.script is not None:
         from cdc_rs_spark.functions.rhai import (
@@ -76,14 +96,18 @@ def apply_transform(changes: DataFrame, cfg: PipelineConfig) -> DataFrame:
         )
 
         compiled = RhaiScript(cfg.script)
-        return gated.select(
+        out = gated.select(
             rhai_topic(gated, compiled).alias("topic"),
             rhai_transform_json(gated, compiled).alias("value"),
         )
-    return gated.select(
-        topic_column(cfg.topic_template).alias("topic"),
-        bigquery_json(gated).alias("value"),
-    )
+    else:
+        out = gated.select(
+            topic_column(cfg.topic_template).alias("topic"),
+            bigquery_json(gated).alias("value"),
+        )
+    if cfg.dead_letter_topic is not None:
+        out = out.unionByName(dead)
+    return out
 
 
 def build_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:

@@ -1682,3 +1682,81 @@ def test_parallel_filtered_pipelines_partition_one_feed(spark, tmp_path):
     assert len(got_orders) == 3 and len(got_audit) == 3
     assert {r["id"] for r in got_orders} == {"0", "2", "4"}
     assert {r["id"] for r in got_audit} == {"1", "3", "5"}
+
+
+def test_poison_records_route_to_dead_letter_topic(spark, tmp_path):
+    """Permissive-mode quarantine rows must NOT be silently swallowed by
+    the table-regex gate: they bypass gate + envelope to the dead-letter
+    topic carrying the raw payload, while healthy rows flow normally."""
+    import json as _json
+    import os
+
+    from cdc_rs_spark.pipeline import PipelineConfig, run_pipeline_once
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    with open(os.path.join(src, "f.json"), "w") as f:
+        f.write(_json.dumps({
+            "op": "Insert", "db": "testdb", "table": "orders",
+            "before": None, "after": {"id": 1, "v": "a"}, "ts": 10,
+            "pkey": "id",
+        }) + "\n")
+        f.write("{this is not json\n")
+        f.write(_json.dumps({
+            "op": "Insert", "db": "testdb", "table": "ignored_tbl",
+            "before": None, "after": {"id": 2, "v": "b"}, "ts": 11,
+            "pkey": "id",
+        }) + "\n")
+
+    out_dir = str(tmp_path / "published")
+
+    def publish(topic: str, values: list[str]) -> None:
+        import uuid as _uuid
+
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, _uuid.uuid4().hex), "w") as fh:
+            for v in values:
+                fh.write(topic + "\t" + v + "\n")
+
+    # permissive change_feed source: the bad line becomes a Malformed row
+    from cdc_rs_spark.streaming.datasource import register_change_feed
+
+    register_change_feed(spark)
+    cfg = PipelineConfig(
+        source_path=src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table_regex=r"^testdb\.orders$",  # drops ignored_tbl, NOT poison
+        publish=publish,
+        source_format="change_feed",
+    )
+    # permissive mode comes from the source option; wire it directly
+    from cdc_rs_spark.pipeline import apply_transform
+
+    changes = (
+        spark.readStream.format("change_feed")
+        .option("path", src)
+        .option("mode", "permissive")
+        .load()
+    )
+    frames = apply_transform(changes, cfg)
+    q = (
+        frames.writeStream.foreachBatch(
+            lambda bdf, bid: bdf.write.mode("append").parquet(
+                str(tmp_path / "frames")
+            )
+        )
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    rows = spark.read.parquet(str(tmp_path / "frames")).collect()
+    by_topic = {}
+    for r in rows:
+        by_topic.setdefault(r["topic"], []).append(r["value"])
+    assert any(t == "deadletter" for t in by_topic), by_topic
+    dead = _json.loads(by_topic["deadletter"][0])
+    assert "{this is not json" in dead["raw"]
+    normal = [t for t in by_topic if t != "deadletter"]
+    assert len(normal) == 1 and "orders" in normal[0]
+    assert len(by_topic[normal[0]]) == 1  # ignored_tbl gated out, id=1 kept
