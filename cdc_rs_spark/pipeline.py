@@ -76,7 +76,11 @@ def apply_transform(changes: DataFrame, cfg: PipelineConfig) -> DataFrame:
     swallowed by a table regex it can't match."""
     from pyspark.sql import functions as F
 
-    if cfg.dead_letter_topic is not None:
+    # streaming inputs only: batch backfill snapshots are built from typed
+    # tables and cannot carry Malformed rows — the extra filter leg would
+    # just re-scan the snapshot
+    route_dead = cfg.dead_letter_topic is not None and changes.isStreaming
+    if route_dead:
         dead = changes.filter(F.col("op") == "Malformed").select(
             F.lit(cfg.dead_letter_topic).alias("topic"),
             F.to_json(
@@ -86,7 +90,7 @@ def apply_transform(changes: DataFrame, cfg: PipelineConfig) -> DataFrame:
                 )
             ).alias("value"),
         )
-        changes = changes.filter(F.col("op") != "Malformed")
+        changes = changes.filter(F.col("op") != "Malformed")  # gate sees clean rows
     gated = regex_table_filter(changes, cfg.table_regex)
     if cfg.script is not None:
         from cdc_rs_spark.functions.rhai import (
@@ -105,7 +109,7 @@ def apply_transform(changes: DataFrame, cfg: PipelineConfig) -> DataFrame:
             topic_column(cfg.topic_template).alias("topic"),
             bigquery_json(gated).alias("value"),
         )
-    if cfg.dead_letter_topic is not None:
+    if route_dead:
         out = out.unionByName(dead)
     return out
 
