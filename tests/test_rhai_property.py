@@ -73,3 +73,75 @@ def test_random_programs_compiled_equals_interpreted(spark, body):
     }
     interp = RhaiInterpreter(src)
     assert compiled == {v: interp.call("f", v) for v in X_VALUES}, src
+
+
+def _str_grammar():
+    lit = st.sampled_from(['"Xy"', '"z"', '""', '"URGENT-9"'])
+    fields = st.sampled_from(["m.a", "m.b", "m.missing"])
+    base = st.one_of(lit, fields)
+
+    def extend_str(children):
+        return st.one_of(
+            children.map(lambda s: f"{s}.to_upper()"),
+            children.map(lambda s: f"{s}.to_lower()"),
+            children.map(lambda s: f"{s}.trim()"),
+            st.tuples(children, children).map(
+                lambda t: f"concat({t[0]}, {t[1]})"
+            ),
+        )
+
+    str_expr = st.recursive(base, extend_str, max_leaves=4)
+
+    def bool_base():
+        return st.one_of(
+            st.tuples(str_expr, st.sampled_from(["==", "!="]), str_expr).map(
+                lambda t: f"({t[0]} {t[1]} {t[2]})"
+            ),
+            st.tuples(str_expr, st.sampled_from(['"X"', '"z"'])).map(
+                lambda t: f"{t[0]}.contains({t[1]})"
+            ),
+        )
+
+    bool_expr = st.recursive(
+        bool_base(),
+        lambda kids: st.tuples(kids, st.sampled_from(["&&", "||"]), kids).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        max_leaves=4,
+    )
+    return st.tuples(bool_expr, str_expr, str_expr).map(
+        lambda t: f"if {t[0]} {{ {t[1]} }} else {{ {t[2]} }}"
+    )
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(body=_str_grammar())
+def test_random_string_null_programs_compiled_equals_interpreted(spark, body):
+    """String/NULL fuzz: random programs over map fields (one MISSING ->
+    SQL NULL), string methods, concat, ==/!=, && / || with three-valued
+    logic and if-branching — the compiled engine and the interpreter must
+    agree row-for-row, including NULL results."""
+    from pyspark.sql import functions as F
+
+    from cdc_rs_spark.functions.rhai import (
+        MapVal,
+        RhaiInterpreter,
+        RhaiScript,
+        _to_col,
+    )
+
+    src = f"fn f(m) {{ {body} }}"
+    rows = [{"a": " Xy ", "b": "z"}, {"a": "", "b": "URGENT-9"}, {"b": "q"}]
+    df = spark.createDataFrame([(r,) for r in rows], "m map<string,string>")
+    compiled = [
+        r["y"]
+        for r in df.select(
+            _to_col(RhaiScript(src).call("f", MapVal(base=F.col("m")))).alias("y")
+        ).collect()
+    ]
+    interp = RhaiInterpreter(src)
+    assert compiled == [interp.call("f", dict(r)) for r in rows], src
