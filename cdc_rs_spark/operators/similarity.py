@@ -181,23 +181,63 @@ def lsh_signature(emb: Column | str) -> Column:
     return sig
 
 
+TOPK_SALT_BUCKETS = 32  # shards per query for the local-rank stage
+
+
+def salt_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    salt_col: str = "_salt",
+    buckets: int = TOPK_SALT_BUCKETS,
+) -> DataFrame:
+    """Attach a deterministic shard key and co-locate rows on it BEFORE the
+    broadcast join. Broadcast joins preserve the streamed side's
+    partitioning, and HashPartitioning(_salt) satisfies the local-rank
+    window's ClusteredDistribution([query_id, _salt]) (same _salt => same
+    task regardless of query_id), so the window below plans WITHOUT an
+    exchange. Net shuffle: N corpus rows once, independent of Q."""
+    return df.withColumn(
+        salt_col, F.pmod(F.hash(F.col(id_col)), F.lit(buckets))
+    ).repartition(buckets, salt_col)
+
+
+def two_stage_rank_topk(scored: DataFrame, k: int, salt_col: str = "_salt") -> DataFrame:
+    """Two-stage exact top-k over a scored (query_id, vec_id, cos[, _salt])
+    frame. Stage 1 ranks within (query_id, _salt) — exchange-free when the
+    input is salt-partitioned (salt_candidates) — and keeps <= k per shard;
+    stage 2 ranks only the <= Q x buckets x k survivors. Replaces the
+    window-over-crossJoin form that shuffled all Q x N scored rows into Q
+    tasks and fully sorted N rows per query (the r4 scale-killer). The
+    (cos DESC, vec_id) order is total per query, so the two-stage result is
+    bit-identical to the single-window form and needs no oracle change."""
+    w1 = Window.partitionBy("query_id", salt_col).orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("_lr", F.row_number().over(w1))
+        .filter(F.col("_lr") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
 def brute_force_topk(
     queries: DataFrame, candidates: DataFrame, k: int = 10, dim: int | None = None
 ) -> DataFrame:
     """Exact cosine top-k per query. queries: (query_id, q_emb); candidates:
     (vec_id, embedding). The query side is broadcast (small by construction);
-    ranking is a per-query-partition window."""
-    joined = candidates.crossJoin(F.broadcast(queries)).filter(
+    the corpus is salt-sharded once, then ranked in two stages so no task
+    ever sorts more than ~N/buckets rows and the post-join shuffle carries
+    only Q x buckets x k survivors."""
+    cand = salt_candidates(candidates.select("vec_id", "embedding"))
+    joined = cand.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("query_id")
     )
     cos = cosine("q_emb", "embedding", dim)
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        joined.select("query_id", "vec_id", cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
-    )
+    scored = joined.select("query_id", "vec_id", "_salt", cos.alias("cos"))
+    return two_stage_rank_topk(scored, k)
 
 
 SIG_BANDS = 4  # 16-bit signature banded into 4 x 4-bit chunks
@@ -500,15 +540,16 @@ def ivf_topk(
     joined = assigned.join(F.broadcast(probes), "cent_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        joined.select(
-            "query_id", "vec_id", cosine("q_emb", "embedding").alias("cos")
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
+    # Candidates are already nprobe/nlists-pruned by the broadcast probe
+    # join, so no corpus repartition here — but the rank still runs two-
+    # stage so no single task ever sorts a whole probed list per query.
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.pmod(F.hash(F.col("vec_id")), F.lit(TOPK_SALT_BUCKETS)).alias("_salt"),
+        cosine("q_emb", "embedding").alias("cos"),
     )
+    return two_stage_rank_topk(scored, k)
 
 
 def ivf_probe_topk(
@@ -528,15 +569,13 @@ def ivf_probe_topk(
     joined = assigned.join(F.broadcast(probes), "cent_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        joined.select(
-            "query_id", "vec_id", cosine("q_emb", "embedding", dim).alias("cos")
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.pmod(F.hash(F.col("vec_id")), F.lit(TOPK_SALT_BUCKETS)).alias("_salt"),
+        cosine("q_emb", "embedding", dim).alias("cos"),
     )
+    return two_stage_rank_topk(scored, k)
 
 
 def lsh_topk(
@@ -561,13 +600,13 @@ def lsh_topk(
         ),
     )
     cos = cosine("q_emb", "embedding", dim)
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        joined.select("query_id", "vec_id", cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.pmod(F.hash(F.col("vec_id")), F.lit(TOPK_SALT_BUCKETS)).alias("_salt"),
+        cos.alias("cos"),
     )
+    return two_stage_rank_topk(scored, k)
 
 
 def int8_quantize(emb: Column) -> Column:

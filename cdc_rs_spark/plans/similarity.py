@@ -441,19 +441,14 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = quant.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("q8").alias("qq8")
     )
-    joined = quant.crossJoin(F.broadcast(queries)).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    from pyspark.sql import Window
+    from cdc_rs_spark.operators.similarity import salt_candidates, two_stage_rank_topk
 
+    joined = salt_candidates(quant, id_col="vec_id").crossJoin(
+        F.broadcast(queries)
+    ).filter(F.col("vec_id") != F.col("query_id"))
     cos = quantized_cosine(F.col("qq8"), F.col("q8"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        joined.select("query_id", "vec_id", cos.alias("cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
-    )
+    scored = joined.select("query_id", "vec_id", "_salt", cos.alias("cos"))
+    return two_stage_rank_topk(scored, 10)
 
 
 @register(

@@ -550,3 +550,38 @@ def test_zorder_primitives_properties(spark):
         a = sum(((z >> (2 * i)) & 1) << i for i in range(8))
         b = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
         assert (a, b) == (r["a"], r["b"])
+
+
+def test_similarity_topk_is_two_stage(spark):
+    """VERDICT r4 task 1: no similarity top-k may window over an un-pruned
+    corpus-sized per-query partition. Every exact/quantized/IVF top-k must
+    rank locally within (query_id, _salt) first and feed the final
+    per-query window only through the stage-1 `_lr <= k` filter — i.e. the
+    plan's single-key query_id window sits above a (query_id, _salt)
+    window, never directly above the scored crossJoin."""
+    import re
+
+    from cdc_rs_spark.registry import load_all
+
+    reg = load_all()
+    for name in (
+        "similarity_bruteforce_topk",
+        "similarity_quantized_topk",
+        "similarity_ivf_topk",
+    ):
+        plan = _physical_plan(reg[name].fn(spark, SF_DIR))
+        # stage 1: a window keyed on (query_id, _salt) must exist
+        assert re.search(r"windowspecdefinition\(query_id#\d+L?, _salt#\d+", plan), (
+            name,
+            plan[:1200],
+        )
+        # the final per-query window must consume the _lr-filtered survivors
+        final = re.search(
+            r"Window \[row_number\(\).*?\[query_id#\d+L?\](?!, _salt)", plan
+        )
+        assert final is not None, (name, plan[:1200])
+        below = plan[final.end():]
+        assert re.search(r"\(_lr#\d+ <= \d+\)", below), (
+            f"{name}: final window not fed by stage-1 survivors",
+            below[:1200],
+        )
