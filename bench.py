@@ -45,6 +45,7 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    colds: dict[str, float] = {}
     for name, q in sorted(registry.items()):
         # stderr breadcrumb: correlates engine-log events (codegen
         # fallbacks, spills) with the query that caused them
@@ -58,6 +59,11 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(min(samples), 3)
+        # cold = FIRST sample: for session-memoized families (exact-ANN
+        # baseline, IVF model) min-of-N reports the memo hit and can mask a
+        # plan regression in the recompute path (VERDICT r4 finding 3) —
+        # the first sample is the only one that pays the real plan cost
+        colds[name] = round(samples[0], 3)
         # max/min spread: >2 flags a query whose first sample pays one-time
         # costs (codegen compile, broadcast build) — read best, not mean
         spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
@@ -71,6 +77,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": colds,
                 "runs_per_query": n_runs,
                 "order": "alphabetical (fixed; suite position = sorted rank)",
                 "noise_spread_maxmin": spreads,

@@ -228,3 +228,63 @@ def ntile_from_rank(rk, n_total: int, k: int):
         .cast("int")
         + 1
     )
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    key: str,
+    order_cols: list,
+    *,
+    descending: bool = False,
+    n_buckets: int = 32,
+    out_col: str = "_rk",
+    count_col: str | None = None,
+) -> DataFrame:
+    """Exact 0-based PER-GROUP rank under ``order_cols`` (leading column =
+    the numeric ``key``) without a stratum-sized single-task sort — the
+    grouped form of :func:`global_rank` (VERDICT r4 task 2).
+
+    ``Window.partitionBy(stratum)`` over a raw corpus is the skewed cousin
+    of the single-partition window: a 5-value ``lang`` column with 'en' at
+    41 % funnels ~half the corpus through ONE task. Here every stratum is
+    additionally split by the range bucket, the per-(group, bucket) counts
+    are aggregated (|groups| x B rows — stays distributed, broadcast-joined
+    back, never collected), and the window partitions on
+    ``(group, bucket)`` so no task sorts more than ~|stratum|/B rows.
+
+    ``count_col``, if given, also emits the exact group size (free from the
+    same statistics) — callers derive percent_rank as rk/(n-1).
+
+    Intended for stratified ops whose group cardinality is dimension-like
+    (languages, labels, sources): the broadcast side is |groups| x B rows.
+    A group column with data-sized cardinality means tiny strata — use the
+    plain per-group window there."""
+    b = _bucketed(df, key, descending, n_buckets)
+    stats = b.groupBy(*group_cols, _BUCKET).agg(F.count("*").alias("_bn"))
+    wo = Window.partitionBy(*group_cols).orderBy(_BUCKET)
+    wg = Window.partitionBy(*group_cols)
+    offs = stats.select(
+        *group_cols,
+        _BUCKET,
+        (F.sum("_bn").over(wo) - F.col("_bn")).alias("_off"),
+        F.sum("_bn").over(wg).alias("_gn"),
+    )
+    # eqNullSafe on the group keys: a NULL stratum is still a stratum
+    cond = F.col(f"l.{_BUCKET}") == F.col(f"r.{_BUCKET}")
+    for g in group_cols:
+        cond = cond & F.col(f"l.{g}").eqNullSafe(F.col(f"r.{g}"))
+    joined = b.alias("l").join(F.broadcast(offs.alias("r")), cond).select(
+        "l.*", "r._off", "r._gn"
+    )
+    w = Window.partitionBy(
+        *[F.col(f"l.{g}") for g in group_cols], F.col(f"l.{_BUCKET}")
+    ).orderBy(*order_cols)
+    out = joined.withColumn(
+        out_col, (F.row_number().over(w) - 1).cast("bigint") + F.col("_off")
+    )
+    if count_col:
+        out = out.withColumnRenamed("_gn", count_col)
+    else:
+        out = out.drop("_gn")
+    return out.drop(_BUCKET, "_off")

@@ -388,23 +388,33 @@ def scd2_order_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-balanced sampling: cap every language at 50 documents, chosen by
     a deterministic hash order (not file order, which is load-dependent; not
-    rand(), which is retry-unstable). The per-stratum row_number sorts only
-    within each lang partition; at 100 TB strata that exceed executor memory
-    use the two-pass variant — count per stratum, then filter by hash rank
-    threshold — with the same selection contract."""
-    docs = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(
-        hash_bucket(F.col("doc_id"), 1_000_000), F.col("doc_id")
-    )
-    ranked = docs.withColumn("rn", F.row_number().over(w))
-    return (
-        ranked.filter(F.col("rn") <= 50)
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.sum("n_chars").alias("chars_kept"),
+    rand(), which is retry-unstable). The per-stratum rank comes from
+    operators/ranged.grouped_rank (VERDICT r4 task 2): a raw
+    Window.partitionBy(lang) funnels the 41 %-of-corpus 'en' stratum through
+    ONE task; the grouped two-pass form splits every stratum across the
+    hash-key range buckets, so no task ever sorts more than ~|stratum|/B
+    rows at any corpus size. Selection contract is unchanged (same hash
+    order, same cap)."""
+    from cdc_rs_spark.operators.ranged import grouped_rank, ranked_result
+
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", "n_chars", "doc_id"
+    ).withColumn("_hk", hash_bucket(F.col("doc_id"), 1_000_000))
+
+    def build(d: DataFrame) -> DataFrame:
+        ranked = grouped_rank(
+            d, ["lang"], "_hk", [F.col("_hk"), F.col("doc_id")], out_col="_rk"
         )
-    )
+        return (
+            ranked.filter(F.col("_rk") < 50)
+            .groupBy("lang")
+            .agg(
+                F.count("*").alias("n_kept"),
+                F.sum("n_chars").alias("chars_kept"),
+            )
+        )
+
+    return ranked_result(docs, build)
 
 
 @register(
