@@ -64,6 +64,36 @@ def _enc_datetime2(v):
     return packed.to_bytes(5, "big")
 
 
+def _fmt_datetime(v):
+    # reference row_to_map arms (src/main.rs:458-465): all-zero time ->
+    # date-only; no fraction when micros == 0 (fsp=0 here, so always)
+    y, mo, d, h, mi, s = v
+    if h == mi == s == 0:
+        return f"{y:04d}-{mo:02d}-{d:02d}"
+    return f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
+
+
+def _exp_bytes(v: bytes):
+    # reference generic Bytes arm (src/main.rs:492-501)
+    try:
+        return v.decode("utf-8")
+    except UnicodeDecodeError:
+        return v.hex().upper()
+
+
+def _enc_time2_fsp0(v):
+    neg, h, mi, s = v
+    packed = (1 << 23) | (h << 12) | (mi << 6) | s
+    if neg:
+        packed = (1 << 24) - packed
+    return packed.to_bytes(3, "big")
+
+
+def _fmt_time2(v):
+    neg, h, mi, s = v
+    return f"{'-' if neg else ''}{h:03d}:{mi:02d}:{s:02d}"
+
+
 def _enc_newdecimal_10_2(v):
     # value in hundredths; precision 10, scale 2 -> 4B int group + 1B frac
     neg = v < 0
@@ -115,8 +145,7 @@ COLUMN_KINDS = {
             st.integers(0, 23), st.integers(0, 59), st.integers(0, 59),
         ),
         _enc_datetime2,
-        lambda v: f"{v[0]:04d}-{v[1]:02d}-{v[2]:02d} "
-        f"{v[3]:02d}:{v[4]:02d}:{v[5]:02d}",
+        _fmt_datetime,
     ),
     "decimal_10_2": (
         246,
@@ -124,6 +153,73 @@ COLUMN_KINDS = {
         st.integers(-(10**9), 10**9),  # hundredths
         _enc_newdecimal_10_2,
         lambda v: f"{'-' if v < 0 else ''}{abs(v) // 100}.{abs(v) % 100:02d}",
+    ),
+    # --- the generic-Bytes family (VERDICT r4 task 3) -------------------
+    "time2": (
+        19,
+        bytes([0]),
+        st.tuples(
+            st.booleans(), st.integers(0, 838), st.integers(0, 59),
+            st.integers(0, 59),
+        ).filter(lambda v: not (v[0] and v[1] == v[2] == v[3] == 0)),
+        _enc_time2_fsp0,
+        _fmt_time2,
+    ),
+    "year": (
+        13,
+        b"",
+        st.integers(0, 255),
+        lambda v: bytes([v]),
+        lambda v: "0000" if v == 0 else str(1900 + v),
+    ),
+    "text_1b": (  # TEXT = BLOB with a charset; 1-byte length prefix
+        252,
+        bytes([1]),
+        st.text(max_size=40),
+        lambda v: bytes([len(v.encode())]) + v.encode(),
+        str,
+    ),
+    "blob_2b": (
+        252,
+        bytes([2]),
+        st.binary(max_size=64),
+        lambda v: struct.pack("<H", len(v)) + v,
+        _exp_bytes,
+    ),
+    "json_4b": (  # MySQL JSON binary payload -> raw bytes (hex unless UTF-8)
+        245,
+        bytes([4]),
+        st.binary(max_size=48),
+        lambda v: struct.pack("<I", len(v)) + v,
+        _exp_bytes,
+    ),
+    "geometry_4b": (
+        255,
+        bytes([4]),
+        st.binary(max_size=48),
+        lambda v: struct.pack("<I", len(v)) + v,
+        _exp_bytes,
+    ),
+    "bit_12": (  # 12 bits -> meta (12%8, 12//8), 2 BE value bytes
+        16,
+        bytes([4, 1]),
+        st.binary(min_size=2, max_size=2),
+        lambda v: v,
+        _exp_bytes,
+    ),
+    "enum_1b": (  # logged under T_STRING with real_type 247 metadata
+        254,
+        bytes([247, 1]),
+        st.integers(0, 255),
+        lambda v: bytes([v]),
+        str,
+    ),
+    "set_2b": (  # real_type 248, 2-byte LE bitmask
+        254,
+        bytes([248, 2]),
+        st.integers(0, 2**16 - 1),
+        lambda v: struct.pack("<H", v),
+        str,
     ),
 }
 
