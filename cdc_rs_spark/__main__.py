@@ -19,7 +19,8 @@ Flag mapping (one line per reference flag):
   --script   Rhai-subset transform/topic script, compiled to Column
              expressions (functions/rhai.py) — the reference re-enters its
              scripting VM per row (src/main.rs:407-441)
-  --backfill-batch-size   maxFilesPerTrigger / maxRecordsPerBatch admission
+  --backfill-batch-size   json_dir maxFilesPerTrigger admission (FILES)
+  --max-records-per-batch change_feed maxRecordsPerBatch admission (RECORDS)
   --server-id  accepted for parity; Spark checkpoints key on the checkpoint
              dir, so it only namespaces the default state path
 
@@ -53,7 +54,15 @@ def _parser() -> argparse.ArgumentParser:
         "--backfill-batch-size",
         type=int,
         default=None,
-        help="max files per trigger (admission control)",
+        help="json_dir source: max FILES per trigger (admission control)",
+    )
+    p.add_argument(
+        "--max-records-per-batch",
+        type=int,
+        default=None,
+        help="change_feed source: max RECORDS per micro-batch (admission "
+        "control; explicit unit, ADVICE r4 — --backfill-batch-size counts "
+        "files and only applies to json_dir)",
     )
     p.add_argument("--server-id", type=int, default=1, help="parity flag")
     p.add_argument(
@@ -202,6 +211,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         table_regex=args.regex,
         topic_template=args.topic_template,
         max_files_per_trigger=args.backfill_batch_size,
+        max_records_per_batch=args.max_records_per_batch,
         publish=publish,
         source_format=args.source_format,
         script=script_src,

@@ -50,6 +50,12 @@ class PipelineConfig:
     table_regex: str = ".*"                # --regex
     topic_template: str = "cdc.${db}.${table}"  # script's topic() fn
     max_files_per_trigger: int | None = None    # --backfill-batch-size analog
+    #   (json_dir source: maxFilesPerTrigger — FILES per micro-batch)
+    max_records_per_batch: int | None = None    # change_feed source:
+    #   maxRecordsPerBatch — RECORDS per micro-batch. Separate field from
+    #   max_files_per_trigger (ADVICE r4): one knob silently changing units
+    #   by source format meant a '--backfill-batch-size 100' feed cap of
+    #   100 files in one mode and 100 rows in the other
     publish: Callable[[str, list[str]], None] | None = None  # None = dry-run
     source_format: str = "json_dir"        # or "change_feed": the Python
     #   DataSource with binlog-style (file, pos) offsets — the closest
@@ -66,7 +72,9 @@ class PipelineConfig:
     #   payload instead. None restores the silent-drop behavior.
 
 
-def apply_transform(changes: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def apply_transform(
+    changes: DataFrame, cfg: PipelineConfig, *, can_carry_malformed: bool | None = None
+) -> DataFrame:
     """regex gate -> envelope transform -> topic column, over ANY change
     frame (the streaming tail or a batch backfill snapshot) — the reference
     pushes both sources through the same script host (src/main.rs:162-188),
@@ -76,10 +84,17 @@ def apply_transform(changes: DataFrame, cfg: PipelineConfig) -> DataFrame:
     swallowed by a table regex it can't match."""
     from pyspark.sql import functions as F
 
-    # streaming inputs only: batch backfill snapshots are built from typed
-    # tables and cannot carry Malformed rows — the extra filter leg would
-    # just re-scan the snapshot
-    route_dead = cfg.dead_letter_topic is not None and changes.isStreaming
+    # Route the dead-letter leg whenever the frame CAN carry Malformed rows
+    # (ADVICE r4): that's any streaming input AND batch change_feed reads
+    # (spark.read.format('change_feed'), mode=permissive, quarantines the
+    # same way). Backfill snapshots are built from typed tables and cannot
+    # carry them — run_backfill_queue passes False so the extra filter leg
+    # doesn't re-scan every snapshot.
+    if can_carry_malformed is None:
+        can_carry_malformed = (
+            changes.isStreaming or cfg.source_format == "change_feed"
+        )
+    route_dead = cfg.dead_letter_topic is not None and can_carry_malformed
     if route_dead:
         dead = changes.filter(F.col("op") == "Malformed").select(
             F.lit(cfg.dead_letter_topic).alias("topic"),
@@ -128,9 +143,9 @@ def build_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
         )
         if cfg.gc_committed:
             reader = reader.option("gcCommitted", "true")
-        if cfg.max_files_per_trigger:
+        if cfg.max_records_per_batch:
             reader = reader.option(
-                "maxRecordsPerBatch", str(cfg.max_files_per_trigger)
+                "maxRecordsPerBatch", str(cfg.max_records_per_batch)
             )
         changes = reader.load()
     else:
@@ -179,7 +194,9 @@ def run_backfill_queue(
     total = 0
     for idx, job in enumerate(jobs):
         df = snapshot_table(spark, data_dir, job)
-        frames = apply_transform(df, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+        frames = apply_transform(
+            df, cfg, can_carry_malformed=False
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             n = frames.count()  # one validated materialization per shard
             publish_foreach_batch(cfg.publish)(frames, -(idx + 1))

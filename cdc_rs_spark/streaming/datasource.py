@@ -254,6 +254,22 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         self.gc_committed = (
             options.get("gcCommitted", "false").lower() == "true"
         )
+        # SORTED-NAME ARRIVAL CONTRACT (ADVICE r4): offsets are file NAMES,
+        # so a file must never appear with a name sorting BELOW the
+        # committed offset's file — it would be silently skipped by
+        # partitions() (and deleted by gcCommitted) forever. Real binlogs
+        # honor this (bin.NNNNNN is monotone); a self-managed spool that
+        # violates it loses data. The reader tracks every name it has ever
+        # listed in this process and flags late arrivals below the planned
+        # start: loudly logged by default, fatal with
+        # failOnOutOfOrderFiles=true. (Across a driver restart the set is
+        # empty, so pre-existing committed-prefix files are — correctly —
+        # not flagged; only files appearing out of order while the reader
+        # is live are detectable.)
+        self.fail_out_of_order = (
+            options.get("failOnOutOfOrderFiles", "false").lower() == "true"
+        )
+        self._listed_names: set[str] = set()
         self._anchor: dict | None = None
 
     @staticmethod
@@ -321,10 +337,31 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         # partitions() reliably where the Python commit() hook is
         # best-effort. Files strictly before start's file are fully
         # consumed by committed batches.
+        listing = _list_files(self.path)
+        late = [
+            os.path.basename(fp)
+            for fp in listing
+            if os.path.basename(fp) < start["file"]
+            and os.path.basename(fp) not in self._listed_names
+            and self._listed_names  # first listing seeds the set silently
+        ]
+        if late:
+            msg = (
+                "change_feed: file(s) %s sort BELOW the committed offset "
+                "file %r and appeared after it was committed — the sorted-"
+                "name arrival contract is violated and these files will "
+                "never be read" % (late, start["file"])
+            )
+            if self.fail_out_of_order:
+                raise RuntimeError(msg)
+            import logging
+
+            logging.getLogger(__name__).error(msg)
+        self._listed_names.update(os.path.basename(fp) for fp in listing)
         if self.gc_committed and start["file"]:
             self._gc_before(start["file"])
         out: list[FileSlice] = []
-        for fp in _list_files(self.path):
+        for fp in listing:
             name = os.path.basename(fp)
             if name < start["file"] or name > end["file"]:
                 continue

@@ -549,3 +549,72 @@ def test_fde_checksum_byte_false_positive_rejected():
     )
     changes = list(parse_binlog_bytes(data))
     assert len(changes) == 1 and changes[0]["after"]["name"] == "alpha"
+
+
+def test_growing_binlog_feed_with_mid_event_appends(spark, tmp_path):
+    """VERDICT r4 task 7: drive the streaming source against a LIVE growing
+    binlog file the way a replication spool grows — append half an event,
+    poll, append the rest plus more, poll again — and assert every record
+    lands exactly once, in order, with no Malformed quarantine. This is the
+    socket-shaped arrival pattern: the writer's flush boundary lands
+    mid-event, and the incomplete-tail handling must hold across MULTIPLE
+    incremental appends, not just one rewrite."""
+    import os
+
+    from cdc_rs_spark.streaming.datasource import register_change_feed
+
+    register_change_feed(spark)
+    src = tmp_path / "feed"
+    os.makedirs(src)
+    fp = str(src / "bin.000001.binlog")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    tid = 99
+    events = [
+        _rows_event(
+            WRITE_ROWS_EVENT_V2, tid, [_row(i, f"r{i}".encode(), float(i), (2024, 1, 1 + i))],
+            False, ts=2000 + i,
+        )
+        for i in range(1, 7)
+    ]
+    prefix = MAGIC + _fde(False) + _table_map(tid, False)
+
+    def poll():
+        q = (
+            spark.readStream.format("change_feed")
+            .option("path", str(src))
+            .option("mode", "permissive")
+            .load()
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # append schedule: (bytes to append, expected cumulative complete rows)
+    half2 = len(events[1]) // 2
+    schedule = [
+        (prefix + events[0], 1),                      # one full event
+        (events[1][:half2], 1),                       # half of #2: no new row
+        (events[1][half2:] + events[2], 3),           # rest of #2 + #3
+        (events[3] + events[4][: len(events[4]) - 3], 4),  # #4 full, #5 cut
+        (events[4][len(events[4]) - 3 :] + events[5], 6),  # finish #5, #6
+    ]
+    seen_ids = []
+    for chunk, want in schedule:
+        with open(fp, "ab") as f:
+            f.write(chunk)
+        poll()
+        rows = (
+            spark.read.parquet(out).collect()
+            if os.path.exists(out)
+            else []
+        )
+        assert len(rows) == want, (len(rows), want)
+        assert all(r["op"] == "Insert" for r in rows)
+        seen_ids = sorted(int(r["after"]["id"]) for r in rows)
+    assert seen_ids == [1, 2, 3, 4, 5, 6]  # exactly once each, no dup/loss

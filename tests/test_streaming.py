@@ -1760,3 +1760,83 @@ def test_poison_records_route_to_dead_letter_topic(spark, tmp_path):
     normal = [t for t in by_topic if t != "deadletter"]
     assert len(normal) == 1 and "orders" in normal[0]
     assert len(by_topic[normal[0]]) == 1  # ignored_tbl gated out, id=1 kept
+
+
+def test_batch_change_feed_malformed_routes_to_dead_letter(spark, tmp_path):
+    """ADVICE r4: a BATCH change_feed read in permissive mode emits the
+    same op='Malformed' quarantine rows as the stream — apply_transform
+    must route them to the dead-letter topic there too, not silently drop
+    them at the regex gate (the old changes.isStreaming key did)."""
+    import json as _json
+    import os
+
+    from cdc_rs_spark.pipeline import PipelineConfig, apply_transform
+    from cdc_rs_spark.streaming.datasource import register_change_feed
+
+    register_change_feed(spark)
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    with open(os.path.join(src, "f.json"), "w") as f:
+        f.write(_json.dumps({
+            "op": "Insert", "db": "testdb", "table": "orders",
+            "before": None, "after": {"id": 1, "v": "a"}, "ts": 10,
+            "pkey": "id",
+        }) + "\n")
+        f.write("not json at all\n")
+    cfg = PipelineConfig(
+        source_path=src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table_regex=r"^testdb\.orders$",
+        source_format="change_feed",
+    )
+    changes = (
+        spark.read.format("change_feed")
+        .option("path", src)
+        .option("mode", "permissive")
+        .load()
+    )
+    rows = apply_transform(changes, cfg).collect()
+    topics = {r["topic"] for r in rows}
+    assert "deadletter" in topics, topics
+    dead = [r for r in rows if r["topic"] == "deadletter"]
+    assert len(dead) == 1 and "not json at all" in dead[0]["value"]
+    assert len(rows) == 2  # healthy row still published normally
+
+
+def test_out_of_order_feed_file_is_flagged(tmp_path):
+    """ADVICE r4: a file whose name sorts BELOW the committed offset's file
+    and that appears AFTER commit violates the sorted-name arrival
+    contract — partitions() must flag it (error log by default, fatal with
+    failOnOutOfOrderFiles=true) instead of silently never reading it."""
+    import os
+
+    import pytest
+
+    from cdc_rs_spark.streaming.datasource import ChangeFeedStreamReader
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    with open(os.path.join(src, "b.json"), "w") as f:
+        f.write('{"op":"Insert","db":"d","table":"t","after":{},"ts":1}\n')
+    reader = ChangeFeedStreamReader(
+        {"path": src, "failOnOutOfOrderFiles": "true"}
+    )
+    # batch 1: the listing seeds the known-name set
+    end = reader.latestOffset()
+    assert reader.partitions({"file": "", "pos": 0}, end)
+    # a LATE file sorting below the committed offset appears
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write('{"op":"Insert","db":"d","table":"t","after":{},"ts":2}\n')
+    with pytest.raises(RuntimeError, match="sorted-name arrival"):
+        reader.partitions({"file": "b.json", "pos": 1}, {"file": "b.json", "pos": 1})
+    # default mode: same situation only logs — partitions still plans
+    reader2 = ChangeFeedStreamReader({"path": src})
+    # simulate: seed with a listing that lacks a.json by removing it first
+    os.remove(os.path.join(src, "a.json"))
+    reader2.partitions({"file": "", "pos": 0}, reader2.latestOffset())
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write('{"op":"Insert","db":"d","table":"t","after":{},"ts":2}\n')
+    out = reader2.partitions(
+        {"file": "b.json", "pos": 1}, {"file": "b.json", "pos": 1}
+    )
+    assert out == []  # planned past it; flagged in the log, not fatal
