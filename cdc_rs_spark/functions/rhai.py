@@ -24,6 +24,8 @@ reference's stock script exercises:
   == != < <= > >= comparisons   && || boolean ops
   + - * / % arithmetic (unary minus)                [ ... ] array literals
   for x in arr { ... } loops    arr[i] indexing     arr.len()
+  lo..hi ranges (compile-time bounds unroll; runtime bounds and `while`
+  loops run on the interpreter engine only — round-5 notch)
   string methods: .len() .to_upper() .to_lower() .trim()
                   .contains(s) .starts_with(s) .ends_with(s)
   builtins: parse_int, parse_float, abs, concat (string + is numeric-
@@ -69,6 +71,7 @@ _TOKEN_RE = re.compile(
   | (?P<arrow>=>)
   | (?P<eq>==)|(?P<ne>!=)|(?P<le><=)|(?P<ge>>=)
   | (?P<andand>&&)|(?P<oror>\|\|)
+  | (?P<range>\.\.)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<sym>[{}()\[\],;:.=|+\-*/%<>])
   | (?P<num>\d+(\.\d+)?)
@@ -78,7 +81,7 @@ _TOKEN_RE = re.compile(
     re.VERBOSE | re.DOTALL,
 )
 
-_KEYWORDS = {"fn", "let", "switch", "if", "else", "return", "for", "in"}
+_KEYWORDS = {"fn", "let", "switch", "if", "else", "return", "for", "in", "while"}
 
 
 def _tokenize(src: str) -> list[tuple[str, str]]:
@@ -95,7 +98,7 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
         if kind == "ident" and text in _KEYWORDS:
             out.append((text, text))
         elif kind in ("sym", "mapopen", "arrow", "eq", "ne", "le", "ge",
-                      "andand", "oror"):
+                      "andand", "oror", "range"):
             out.append((text, text))  # literal token: kind IS the text
         else:
             out.append((kind, text))
@@ -186,6 +189,11 @@ class _Parser:
             it = self.parse_expr()
             body = self.parse_block()
             return ("for", var, it, body)
+        if k == "while":
+            self.next()
+            cond = self.parse_expr()
+            body = self.parse_block()
+            return ("while", cond, body)
         # lookahead: ident ('.' ident)* '=' (not '==') is an assignment —
         # plain reassignment (x = e) or a map/struct field write (m.k = e)
         if k == "ident":
@@ -216,7 +224,13 @@ class _Parser:
         return ("expr", e)  # trailing expression = return value
 
     def parse_expr(self):
-        return self.parse_or()
+        # Rhai's `lo..hi` range binds loosest (exclusive hi, like stock
+        # Rhai): `for i in 0..n { ... }`
+        left = self.parse_or()
+        if self.peek()[0] == "..":
+            self.next()
+            return ("rangeexpr", left, self.parse_or())
+        return left
 
     def _left_assoc(self, ops: tuple, next_level):
         left = next_level()
@@ -529,6 +543,16 @@ class RhaiScript:
                 env[st[1]] = self._eval(st[2], env)
             elif kind == "assign_var":
                 env[st[1]] = self._eval(st[2], env)
+            elif kind == "while":
+                # a data-dependent loop has no bounded unrolling — this is
+                # the documented edge of the compilable subset; the SAME
+                # script runs unmodified on the RhaiInterpreter engine
+                # (per row under mapInPandas)
+                raise TypeError(
+                    "rhai: `while` outgrows the compilable subset — run "
+                    "this script through the RhaiInterpreter engine "
+                    "(mapInPandas) instead"
+                )
             elif kind == "for":
                 _, var, it, body = st
                 seq = self._eval(it, env)
@@ -576,6 +600,16 @@ class RhaiScript:
             return env[e[1]]
         if kind == "array":
             return ArrayVal([self._eval(v, env) for v in e[1]])
+        if kind == "rangeexpr":
+            lo, hi = self._eval(e[1], env), self._eval(e[2], env)
+            if isinstance(lo, int) and isinstance(hi, int):
+                # compile-time bounds unroll like an array literal
+                return ArrayVal(list(range(lo, hi)))
+            raise TypeError(
+                "rhai: compiled `lo..hi` requires compile-time integer "
+                "bounds — runtime-length iteration outgrows the compilable "
+                "subset (use the RhaiInterpreter engine)"
+            )
         if kind == "idx":
             base = self._eval(e[1], env)
             idx = self._eval(e[2], env)
@@ -740,6 +774,9 @@ def _copy_val(v):
 
 # ------------------------------------------------------------- interpreter
 
+MAX_WHILE_ITERATIONS = 1_000_000  # per-row runaway guard for `while`
+
+
 class RhaiInterpreter:
     """Evaluates the SAME AST over plain Python row values (maps = dicts,
     arrays = lists) — the escape-hatch engine for scripts that outgrow the
@@ -794,6 +831,21 @@ class RhaiInterpreter:
                 for item in seq or []:
                     env[var] = item
                     self._exec_block(body, env)
+            elif kind == "while":
+                _, cond, body = st
+                iters = 0
+                # a NULL condition is falsy (ends the loop), matching how a
+                # NULL lands in if/switch across both engines
+                while bool(self._eval(cond, env) or False):
+                    self._exec_block(body, env)
+                    iters += 1
+                    if iters > MAX_WHILE_ITERATIONS:
+                        # executor-side runaway guard: an unbounded script
+                        # loop must fail the row loudly, not wedge a task
+                        raise RuntimeError(
+                            "rhai: while loop exceeded "
+                            f"{MAX_WHILE_ITERATIONS} iterations"
+                        )
             elif kind == "return":
                 raise _Return(self._eval(st[1], env))
             elif kind == "expr":
@@ -812,6 +864,11 @@ class RhaiInterpreter:
             return env[e[1]]
         if kind == "array":
             return [self._eval(v, env) for v in e[1]]
+        if kind == "rangeexpr":
+            lo, hi = self._eval(e[1], env), self._eval(e[2], env)
+            if lo is None or hi is None:
+                return None
+            return list(range(int(lo), int(hi)))
         if kind == "idx":
             base = self._eval(e[1], env)
             idx = self._eval(e[2], env)

@@ -494,3 +494,80 @@ def test_rhai_concat_builtin_parity(spark):
     ).collect()[0]["o"]
     assert got == "x-2-false"
     assert RhaiInterpreter(src).call("j", "x", "yy") == got
+
+
+def test_rhai_while_loop_interpreted_and_compiler_rejects(spark):
+    """VERDICT r4 task 8: `while` + runtime-length `lo..hi` iteration run
+    on the INTERPRETER engine (here: digit-count via a data-dependent loop,
+    executed per row under mapInPandas) and match a hand-built expected
+    frame; the COMPILER rejects the same script with the documented
+    outgrows-the-subset error instead of miscompiling it. Compile-time
+    `lo..hi` bounds, by contrast, unroll like an array literal in BOTH
+    engines."""
+    import pandas as pd
+    import pytest
+
+    from cdc_rs_spark.functions.rhai import RhaiInterpreter, RhaiScript
+
+    src = """
+    fn digit_count(n) {
+        let d = 1;
+        let p = 10;
+        while p <= n {
+            d = d + 1;
+            p = p * 10;
+        }
+        d
+    }
+    """
+    with pytest.raises(TypeError, match="outgrows the compilable subset"):
+        RhaiScript(src).call("digit_count", 91)
+
+    interp = RhaiInterpreter(src)
+    vals = [0, 7, 91, 4096, 987654]
+    expect = [len(str(v)) for v in vals]
+    assert [interp.call("digit_count", v) for v in vals] == expect
+
+    # distributed form: the same interpreter per row under mapInPandas
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+
+    def run(batches):
+        it = RhaiInterpreter(src)
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"n": pdf["n"], "s": [it.call("digit_count", int(v)) for v in pdf["n"]]}
+            )
+
+    got = {r["n"]: r["s"] for r in df.mapInPandas(run, "n long, s long").collect()}
+    assert got == dict(zip(vals, expect))
+
+    # runtime-length range: interpreter iterates, compiler refuses
+    rng = """
+    fn triangle(n) {
+        let total = 0;
+        for i in 0..n { total = total + i; }
+        total
+    }
+    """
+    assert RhaiInterpreter(rng).call("triangle", 10) == 45
+    # a literal bound constant-folds (the compiler CAN unroll it); a
+    # runtime Column bound is the uncompilable case
+    assert RhaiScript(rng).call("triangle", 10) == 45
+    with pytest.raises(TypeError, match="compile-time integer bounds"):
+        RhaiScript(rng).call("triangle", F.col("ts"))
+    # compile-time bounds unroll in both engines
+    fixed = "fn t() { let total = 0; for i in 0..5 { total = total + i; } total }"
+    assert RhaiScript(fixed).call("t") == 10
+    assert RhaiInterpreter(fixed).call("t") == 10
+
+    # the runaway guard fails loudly instead of wedging an executor task
+    from cdc_rs_spark.functions import rhai as rhai_mod
+
+    loop = "fn spin() { let i = 0; while 1 == 1 { i = i + 1; } i }"
+    old = rhai_mod.MAX_WHILE_ITERATIONS
+    rhai_mod.MAX_WHILE_ITERATIONS = 1000
+    try:
+        with pytest.raises(RuntimeError, match="exceeded 1000 iterations"):
+            RhaiInterpreter(loop).call("spin")
+    finally:
+        rhai_mod.MAX_WHILE_ITERATIONS = old
