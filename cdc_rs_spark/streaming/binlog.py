@@ -360,12 +360,22 @@ def _decode_value(buf: bytes, i: int, ctype: int, meta: int):
         # Generic bytes family (reference src/main.rs:492-501 handles ALL
         # of these through Value::Bytes -> UTF-8 or uppercase hex): meta is
         # the length-prefix width (1-4 bytes LE). TEXT columns are BLOBs
-        # with a charset, so valid UTF-8 passes through as text; JSON
-        # columns carry MySQL's JSON *binary* format, which is not UTF-8,
-        # so they surface as hex until a dedicated JSONB decode lands
-        # (documented gap, VERDICT r4 missing #1).
+        # with a charset, so valid UTF-8 passes through as text.
         ln = _u(buf[i : i + meta]); i += meta
-        return bytes(buf[i : i + ln]), i + ln
+        raw = bytes(buf[i : i + ln])
+        if ctype == T_JSON and raw:
+            # JSON columns carry MySQL's *binary* JSON serialization; the
+            # reference's text-protocol client sees the JSON TEXT, so
+            # parity means decoding the tree back to that text
+            # (streaming/jsonb.py). Opaque/corrupt payloads fall back to
+            # the generic bytes rule instead of failing the stream.
+            from cdc_rs_spark.streaming.jsonb import JsonbError, decode_mysql_json
+
+            try:
+                return decode_mysql_json(raw), i + ln
+            except JsonbError:
+                pass
+        return raw, i + ln
     if ctype == T_YEAR:
         # 1 byte, year-1900; 0 means the literal YEAR 0000
         v = buf[i]

@@ -17,6 +17,7 @@ from cdc_rs_spark.streaming.binlog import (
     WRITE_ROWS_EVENT_V2,
     parse_binlog_bytes,
 )
+from tests.test_jsonb import jenc as _jenc
 
 # (type_code, metadata bytes, value strategy, encoder, expected-string fn)
 
@@ -186,12 +187,26 @@ COLUMN_KINDS = {
         lambda v: struct.pack("<H", len(v)) + v,
         _exp_bytes,
     ),
-    "json_4b": (  # MySQL JSON binary payload -> raw bytes (hex unless UTF-8)
+    "json_4b": (  # MySQL binary JSON -> the JSON TEXT MySQL would print
         245,
         bytes([4]),
-        st.binary(max_size=48),
-        lambda v: struct.pack("<I", len(v)) + v,
-        _exp_bytes,
+        st.recursive(
+            st.one_of(
+                st.none(),
+                st.booleans(),
+                st.integers(-(2**31), 2**31 - 1),
+                st.text(max_size=8),
+            ),
+            lambda ch: st.one_of(
+                st.lists(ch, max_size=3),
+                st.dictionaries(st.text(max_size=5), ch, max_size=3),
+            ),
+            max_leaves=8,
+        ),
+        lambda v: (lambda p: struct.pack("<I", len(p)) + p)(_jenc(v)),
+        lambda v: __import__("json").dumps(
+            v, ensure_ascii=False, separators=(", ", ": ")
+        ),
     ),
     "geometry_4b": (
         255,
