@@ -1253,3 +1253,51 @@ def events_conversion_latency_quantiles(
         "ROUND(col2, 6) AS p50_s, ROUND(col3, 6) AS p90_s, "
         "ROUND(col4, 6) AS p99_s FROM VALUES " + vals
     )
+
+
+@register(
+    "events_late_arrival_audit",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_type, ts,
+               MAX(ts) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS high_water
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN ts < high_water THEN 1 END) AS n_late,
+           ROUND(COUNT(CASE WHEN ts < high_water THEN 1 END)::DOUBLE
+                 / COUNT(*), 6) AS late_frac
+    FROM ordered GROUP BY event_type
+    """,
+)
+def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order-arrival audit (round 5): per event type, how many
+    events arrive BEHIND their user's event-time high-water mark (ts below
+    the running max over ingestion order = event_id)? This is the number a
+    streaming operator needs before choosing a watermark delay — the late
+    fraction IS the data loss a zero-delay watermark would cause. One
+    shuffle on user_id (per-user partitions are naturally bounded, unlike
+    lang strata); the running max is a rows-frame window, the rollup a
+    map-side-combinable aggregate."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.col("ts") < F.max("ts").over(w)
+    return (
+        ev.select("event_type", late.alias("late"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("late"), 1)).alias("n_late"),
+            F.round(
+                F.count(F.when(F.col("late"), 1)).cast("double") / F.count("*"), 6
+            ).alias("late_frac"),
+        )
+    )

@@ -827,3 +827,54 @@ def modality_agreement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("cos"), 6).alias("min_cos"),
         F.round(F.max("cos"), 6).alias("max_cos"),
     )
+
+
+@register(
+    "similarity_margin_stats",
+    oracle=f"""
+    WITH {_QUERIES_SQL},
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_dot_sql("q.q_emb", "c.embedding")}
+               / ({_norm_sql("q.q_emb")} * {_norm_sql("c.embedding")}) AS cos
+        FROM embeddings c CROSS JOIN qs q
+        WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, ROUND(cos, 6) AS cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM scored
+    )
+    SELECT query_id,
+           MAX(CASE WHEN rank = 1 THEN cosine END) AS top1,
+           ROUND(MAX(CASE WHEN rank = 1 THEN cosine END)
+                 - MAX(CASE WHEN rank = 2 THEN cosine END), 6) AS margin12,
+           ROUND(MAX(CASE WHEN rank = 1 THEN cosine END)
+                 - MAX(CASE WHEN rank = 10 THEN cosine END), 6) AS margin1k
+    FROM ranked WHERE rank <= 10
+    GROUP BY query_id
+    """,
+)
+def similarity_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor CONFIDENCE audit (round 5): the top1-top2 cosine
+    margin is the standard ambiguity signal for retrieval/dedup decisions —
+    a near-zero margin means the 'nearest' neighbor is interchangeable with
+    the runner-up and any ANN index will flip them. Rides the memoized
+    exact baseline (one conditional aggregate over Q x k rows), so the
+    whole audit adds no corpus pass; margins are computed from the SAME
+    rounded cosines in both engines, so the hash is exact."""
+    t = _exact_topk(spark, load(spark, sf_dir, "embeddings"))
+    return t.groupBy("query_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("cosine"))).alias("top1"),
+        F.round(
+            F.max(F.when(F.col("rank") == 1, F.col("cosine")))
+            - F.max(F.when(F.col("rank") == 2, F.col("cosine"))),
+            6,
+        ).alias("margin12"),
+        F.round(
+            F.max(F.when(F.col("rank") == 1, F.col("cosine")))
+            - F.max(F.when(F.col("rank") == 10, F.col("cosine"))),
+            6,
+        ).alias("margin1k"),
+    )

@@ -875,3 +875,73 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("declared", "predicted")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+@register(
+    "text_quality_quartiles_by_lang",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               ROUND(0.4 * ({_hits_sql("en")}::DOUBLE / len(w))
+                     + 0.3 * least(len(w)::DOUBLE / 100.0, 1.0)
+                     + 0.3 * (len(list_distinct(w))::DOUBLE / len(w)), 6)
+                   AS quality
+        FROM t
+    ),
+    ranked AS (
+        SELECT lang, quality,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY quality, doc_id) - 1 AS rk,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM scored
+    )
+    SELECT lang, MAX(n)::BIGINT AS n_docs,
+           MAX(CASE WHEN rk = floor((n - 1) * 0.25) THEN quality END) AS q25,
+           MAX(CASE WHEN rk = floor((n - 1) * 0.5) THEN quality END) AS median,
+           MAX(CASE WHEN rk = floor((n - 1) * 0.75) THEN quality END) AS q75
+    FROM ranked GROUP BY lang
+    """,
+)
+def text_quality_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language EXACT quality quartiles (round 5) — the distribution
+    summary a curation dashboard tracks per stratum, computed as
+    percentile_disc-style rank selection over operators/ranged.grouped_rank
+    (lower-value-at-floor((n-1)q) discipline). Like the median filter, the
+    rank never funnels a 41%-of-corpus stratum through one task: ranks come
+    from (lang, range-bucket) windows, and the quartile PICK is a
+    conditional aggregate — no additional shuffle. The oracle mirrors the
+    exact same rank positions, so the hash is exact (no approx-percentile
+    tolerance needed)."""
+    from cdc_rs_spark.operators.ranged import grouped_rank, ranked_result
+
+    d = spread(load(spark, sf_dir, "documents"))
+    scored = d.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+
+    def build(s: DataFrame) -> DataFrame:
+        ranked = grouped_rank(
+            s,
+            ["lang"],
+            "quality",
+            [F.col("quality"), F.col("doc_id")],
+            out_col="_rk",
+            count_col="_gn",
+        )
+        pick = lambda q: F.max(  # noqa: E731 — value at the exact rank
+            F.when(
+                F.col("_rk") == F.floor((F.col("_gn") - 1) * F.lit(q)),
+                F.col("quality"),
+            )
+        )
+        return ranked.groupBy("lang").agg(
+            F.max("_gn").cast("bigint").alias("n_docs"),
+            pick(0.25).alias("q25"),
+            pick(0.5).alias("median"),
+            pick(0.75).alias("q75"),
+        )
+
+    return ranked_result(scored, build)
