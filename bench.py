@@ -46,10 +46,40 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     colds: dict[str, float] = {}
+
+    def clear_memos() -> None:
+        """Purge the session memos (exact-ANN baseline, IVF model, MinHash
+        signatures) before EACH query's sample loop: they legitimately
+        dedupe work within one query chain, but across the bench they'd
+        turn every family member after the alphabetically-first into a
+        memo hit in BOTH the cold and min columns (round-5 review) — a
+        recompute-path regression would stay invisible. With the purge,
+        queries_cold is genuinely cold per query and min-of-N shows the
+        intra-query warm path."""
+        try:
+            from cdc_rs_spark.operators import dedup as od
+            from cdc_rs_spark.plans import similarity as ps
+
+            for cache in (ps._EXACT_TOPK_CACHE, ps._IVF_MODEL_CACHE):
+                for k in list(cache):
+                    v = cache.pop(k)
+                    try:
+                        v.unpersist(blocking=False)
+                    except Exception:  # noqa: BLE001 — model tuples etc.
+                        pass
+            for entry in od._SIGNED_CACHE:
+                try:
+                    entry[-1].unpersist(blocking=False)
+                except Exception:  # noqa: BLE001
+                    pass
+            od._SIGNED_CACHE.clear()
+        except Exception:  # noqa: BLE001 — memo layout drift never kills bench
+            pass
     for name, q in sorted(registry.items()):
         # stderr breadcrumb: correlates engine-log events (codegen
         # fallbacks, spills) with the query that caused them
         print(f"[bench] {name}", file=sys.stderr, flush=True)
+        clear_memos()
         samples = []
         for _ in range(n_runs):
             # timer covers plan construction too: iterative operators (e.g.

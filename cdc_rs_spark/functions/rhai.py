@@ -868,7 +868,20 @@ class RhaiInterpreter:
             lo, hi = self._eval(e[1], env), self._eval(e[2], env)
             if lo is None or hi is None:
                 return None
-            return list(range(int(lo), int(hi)))
+            # stock Rhai rejects float ranges; silently truncating here
+            # would diverge from the compiled engine, which raises
+            if not isinstance(lo, int) or not isinstance(hi, int):
+                raise TypeError(
+                    f"rhai: range bounds must be integers, got {lo!r}..{hi!r}"
+                )
+            if hi - lo > MAX_WHILE_ITERATIONS:
+                # same runaway guard as `while`: a corrupt row value must
+                # fail the row loudly, not materialize a 10^10-element list
+                raise RuntimeError(
+                    f"rhai: range {lo}..{hi} exceeds "
+                    f"{MAX_WHILE_ITERATIONS} elements"
+                )
+            return list(range(lo, hi))
         if kind == "idx":
             base = self._eval(e[1], env)
             idx = self._eval(e[2], env)

@@ -181,14 +181,34 @@ def lsh_signature(emb: Column | str) -> Column:
     return sig
 
 
-TOPK_SALT_BUCKETS = 32  # shards per query for the local-rank stage
+TOPK_SALT_BUCKETS = 32  # FLOOR for shards per query in the local-rank stage
+
+
+def _n_salt_buckets(df: DataFrame) -> int:
+    """Shard count for the two-stage rank: max(floor, cluster parallelism,
+    shuffle partitions). A constant would hard-cap the dominant stage (the
+    Q x N cosine scoring runs in exactly this many tasks after the pre-join
+    repartition) at 32 tasks on a 1000-executor cluster — round-5 review.
+    Any count gives the same result (the rank is exact per shard union)."""
+    sc = df.sparkSession.sparkContext
+    try:
+        shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle = 0
+    return max(TOPK_SALT_BUCKETS, sc.defaultParallelism, shuffle)
+
+
+def salt_expr(id_col: str, buckets: int) -> Column:
+    """The deterministic shard key shared by every two-stage rank site —
+    one definition so the scheme can never drift between functions."""
+    return F.pmod(F.hash(F.col(id_col)), F.lit(buckets))
 
 
 def salt_candidates(
     df: DataFrame,
     id_col: str = "vec_id",
     salt_col: str = "_salt",
-    buckets: int = TOPK_SALT_BUCKETS,
+    buckets: int | None = None,
 ) -> DataFrame:
     """Attach a deterministic shard key and co-locate rows on it BEFORE the
     broadcast join. Broadcast joins preserve the streamed side's
@@ -196,9 +216,11 @@ def salt_candidates(
     window's ClusteredDistribution([query_id, _salt]) (same _salt => same
     task regardless of query_id), so the window below plans WITHOUT an
     exchange. Net shuffle: N corpus rows once, independent of Q."""
-    return df.withColumn(
-        salt_col, F.pmod(F.hash(F.col(id_col)), F.lit(buckets))
-    ).repartition(buckets, salt_col)
+    if buckets is None:
+        buckets = _n_salt_buckets(df)
+    return df.withColumn(salt_col, salt_expr(id_col, buckets)).repartition(
+        buckets, salt_col
+    )
 
 
 def two_stage_rank_topk(scored: DataFrame, k: int, salt_col: str = "_salt") -> DataFrame:
@@ -546,7 +568,7 @@ def ivf_topk(
     scored = joined.select(
         "query_id",
         "vec_id",
-        F.pmod(F.hash(F.col("vec_id")), F.lit(TOPK_SALT_BUCKETS)).alias("_salt"),
+        salt_expr("vec_id", _n_salt_buckets(joined)).alias("_salt"),
         cosine("q_emb", "embedding").alias("cos"),
     )
     return two_stage_rank_topk(scored, k)
@@ -572,7 +594,7 @@ def ivf_probe_topk(
     scored = joined.select(
         "query_id",
         "vec_id",
-        F.pmod(F.hash(F.col("vec_id")), F.lit(TOPK_SALT_BUCKETS)).alias("_salt"),
+        salt_expr("vec_id", _n_salt_buckets(joined)).alias("_salt"),
         cosine("q_emb", "embedding", dim).alias("cos"),
     )
     return two_stage_rank_topk(scored, k)
@@ -603,7 +625,7 @@ def lsh_topk(
     scored = joined.select(
         "query_id",
         "vec_id",
-        F.pmod(F.hash(F.col("vec_id")), F.lit(TOPK_SALT_BUCKETS)).alias("_salt"),
+        salt_expr("vec_id", _n_salt_buckets(joined)).alias("_salt"),
         cos.alias("cos"),
     )
     return two_stage_rank_topk(scored, k)

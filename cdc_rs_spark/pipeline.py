@@ -143,6 +143,17 @@ def build_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
         )
         if cfg.gc_committed:
             reader = reader.option("gcCommitted", "true")
+        if cfg.max_files_per_trigger and not cfg.max_records_per_batch:
+            # Pre-round-5 invocations passed this knob as records-per-batch
+            # for change_feed; silently ignoring it now would hand an
+            # operator with a month of backlog ONE unbounded micro-batch
+            # (round-5 review) — fail with the migration instead.
+            raise ValueError(
+                "change_feed admission control is RECORDS-based: use "
+                "max_records_per_batch / --max-records-per-batch "
+                "(max_files_per_trigger counts FILES and only applies to "
+                "the json_dir source)"
+            )
         if cfg.max_records_per_batch:
             reader = reader.option(
                 "maxRecordsPerBatch", str(cfg.max_records_per_batch)

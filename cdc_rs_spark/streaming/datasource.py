@@ -295,8 +295,44 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         self._advance_anchor(off)
         return off
 
+    def _flag_late_arrivals(self, listing: list[str], floor_name: str) -> None:
+        """Detect sorted-name-contract violations: a file sorting below
+        ``floor_name`` that was NOT in any earlier listing appeared after
+        that progress point and will never be read. Runs from BOTH
+        latestOffset (the engine polls it even when no batch is planned —
+        round-5 review: a caught-up stream never calls partitions(), so a
+        late file arriving while idle was undetectable) and partitions().
+        The first listing seeds the known-name set silently (a restart
+        cannot distinguish the committed prefix from late arrivals)."""
+        if not floor_name:
+            self._listed_names.update(os.path.basename(f) for f in listing)
+            return
+        late = [
+            os.path.basename(fp)
+            for fp in listing
+            if os.path.basename(fp) < floor_name
+            and os.path.basename(fp) not in self._listed_names
+            and self._listed_names
+        ]
+        self._listed_names.update(os.path.basename(f) for f in listing)
+        if late:
+            msg = (
+                "change_feed: file(s) %s sort BELOW the committed offset "
+                "file %r and appeared after it was committed — the sorted-"
+                "name arrival contract is violated and these files will "
+                "never be read" % (late, floor_name)
+            )
+            if self.fail_out_of_order:
+                raise RuntimeError(msg)
+            import logging
+
+            logging.getLogger(__name__).error(msg)
+
     def latestOffset(self) -> dict:
         files = _list_files(self.path)
+        self._flag_late_arrivals(
+            files, self._anchor["file"] if self._anchor else ""
+        )
         if not files:
             # never fall below progress the engine already revealed — an
             # empty (fully GC'd) directory means "no new data", not "rewind"
@@ -338,26 +374,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         # best-effort. Files strictly before start's file are fully
         # consumed by committed batches.
         listing = _list_files(self.path)
-        late = [
-            os.path.basename(fp)
-            for fp in listing
-            if os.path.basename(fp) < start["file"]
-            and os.path.basename(fp) not in self._listed_names
-            and self._listed_names  # first listing seeds the set silently
-        ]
-        if late:
-            msg = (
-                "change_feed: file(s) %s sort BELOW the committed offset "
-                "file %r and appeared after it was committed — the sorted-"
-                "name arrival contract is violated and these files will "
-                "never be read" % (late, start["file"])
-            )
-            if self.fail_out_of_order:
-                raise RuntimeError(msg)
-            import logging
-
-            logging.getLogger(__name__).error(msg)
-        self._listed_names.update(os.path.basename(fp) for fp in listing)
+        self._flag_late_arrivals(listing, start["file"])
         if self.gc_committed and start["file"]:
             self._gc_before(start["file"])
         out: list[FileSlice] = []

@@ -99,10 +99,6 @@ def _decode_value(jtype: int, data: bytes) -> object:
     raise JsonbError(f"jsonb: unsupported type {jtype:#04x}")
 
 
-class _Literal:
-    """Sentinel wrapper so None (JSON null) survives dict/list plumbing."""
-
-
 def _literal(b: int):
     if b == 0x00:
         return None
@@ -194,8 +190,16 @@ def _render(v) -> str:
 
 def decode_mysql_json(data: bytes) -> str:
     """Binary JSON column value -> the JSON TEXT MySQL would print.
-    Raises JsonbError on opaque/unknown payloads; the binlog decoder falls
-    back to the generic bytes rule then."""
+    Raises JsonbError on ANY opaque/unknown/corrupt payload — truncated
+    structs, invalid UTF-8, short literals and the like are normalized to
+    JsonbError here (round-5 review: letting UnicodeDecodeError /
+    struct.error / IndexError escape would skip the binlog decoder's
+    bytes-rule fallback and abort the rest of the file)."""
     if not data:
         raise JsonbError("jsonb: empty payload")
-    return _render(_decode_value(data[0], data[1:]))
+    try:
+        return _render(_decode_value(data[0], data[1:]))
+    except JsonbError:
+        raise
+    except (UnicodeDecodeError, struct.error, IndexError, OverflowError) as e:
+        raise JsonbError(f"jsonb: corrupt payload ({e})") from e

@@ -569,5 +569,13 @@ def test_rhai_while_loop_interpreted_and_compiler_rejects(spark):
     try:
         with pytest.raises(RuntimeError, match="exceeded 1000 iterations"):
             RhaiInterpreter(loop).call("spin")
+        # round-5 review: a corrupt row value must not materialize a
+        # billion-element range list either
+        with pytest.raises(RuntimeError, match="exceeds 1000 elements"):
+            RhaiInterpreter(rng).call("triangle", 10_000_000_000)
     finally:
         rhai_mod.MAX_WHILE_ITERATIONS = old
+    # float range bounds: stock Rhai errors, the compiler raises — the
+    # interpreter must not silently truncate (round-5 review)
+    with pytest.raises(TypeError, match="range bounds must be integers"):
+        RhaiInterpreter(rng).call("triangle", 4.5)

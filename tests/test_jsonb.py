@@ -120,6 +120,15 @@ def test_jsonb_unsupported_falls_back():
         decode_mysql_json(b"\x0f\x05\x00abc")  # opaque: not decoded
     with pytest.raises(JsonbError):
         decode_mysql_json(b"\xff\x00")  # unknown type
+    # round-5 review: CORRUPT payloads must normalize to JsonbError too —
+    # an escaping UnicodeDecodeError/struct.error/IndexError would skip the
+    # binlog decoder's bytes-rule fallback and abort the rest of the file
+    with pytest.raises(JsonbError):
+        decode_mysql_json(b"\x0c\x02\xff\xfe")  # string: invalid UTF-8
+    with pytest.raises(JsonbError):
+        decode_mysql_json(b"\x0b\x00\x00")  # double: short payload
+    with pytest.raises(JsonbError):
+        decode_mysql_json(b"\x04")  # literal: empty payload
 
 
 _json_scalars = st.one_of(

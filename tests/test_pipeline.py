@@ -354,3 +354,28 @@ def test_build_training_set_end_to_end(spark, sf_dir, tmp_path):
     build_training_set(corpus, out2, TrainingSetConfig(n_shards=4))
     manifest2 = json.load(open(f"{out2}/_manifest.json"))
     assert manifest["shards"] == manifest2["shards"]
+
+
+def test_change_feed_rejects_files_based_batch_knob(spark, tmp_path):
+    """Round-5 review: --backfill-batch-size used to reach change_feed as
+    records-per-batch; now that the units are split, silently ignoring it
+    would give a backlogged operator one unbounded micro-batch — the
+    misconfiguration must fail with the migration hint instead."""
+    import os
+
+    import pytest
+
+    from cdc_rs_spark.pipeline import PipelineConfig, build_stream
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    cfg = PipelineConfig(
+        source_path=src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_format="change_feed",
+        max_files_per_trigger=100,
+    )
+    with pytest.raises(ValueError, match="max_records_per_batch"):
+        build_stream(spark, cfg)
+    cfg.max_records_per_batch = 100
+    assert build_stream(spark, cfg) is not None  # explicit knob works

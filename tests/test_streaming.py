@@ -1840,3 +1840,30 @@ def test_out_of_order_feed_file_is_flagged(tmp_path):
         {"file": "b.json", "pos": 1}, {"file": "b.json", "pos": 1}
     )
     assert out == []  # planned past it; flagged in the log, not fatal
+
+
+def test_out_of_order_file_detected_while_idle(tmp_path):
+    """Round-5 review: a caught-up stream never calls partitions(), so the
+    late-file check must also run from latestOffset(), which the engine
+    polls continuously."""
+    import os
+
+    import pytest
+
+    from cdc_rs_spark.streaming.datasource import ChangeFeedStreamReader
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    with open(os.path.join(src, "b.json"), "w") as f:
+        f.write('{"op":"Insert","db":"d","table":"t","after":{},"ts":1}\n')
+    reader = ChangeFeedStreamReader(
+        {"path": src, "failOnOutOfOrderFiles": "true"}
+    )
+    end = reader.latestOffset()
+    reader.partitions({"file": "", "pos": 0}, end)  # stream catches up
+    # idle poll: no new data, engine only calls latestOffset()
+    assert reader.latestOffset() == end
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write('{"op":"Insert","db":"d","table":"t","after":{},"ts":2}\n')
+    with pytest.raises(RuntimeError, match="sorted-name arrival"):
+        reader.latestOffset()
