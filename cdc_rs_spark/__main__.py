@@ -108,6 +108,16 @@ def _parser() -> argparse.ArgumentParser:
         "N pkey-range jobs (resumable partitioned backfill; the finished "
         "form of the reference's `range` column)",
     )
+    p.add_argument(
+        "--replicate", default=None, metavar="mysql://user:pw@host:port[/FILE[:POS]]",
+        help="drain a live MySQL replication stream (COM_BINLOG_DUMP, "
+        "streaming/replication.py) into --source as sorted JSON-lines "
+        "spool files, then exit; run the pipeline against the same "
+        "--source dir to consume them. --server-id is the replica id; "
+        "--once maps to a NON_BLOCK dump (drain available, then stop). "
+        "Needs a reachable MySQL endpoint (the protocol itself is fully "
+        "tested against an in-process server, tests/test_replication.py)",
+    )
     return p
 
 
@@ -119,6 +129,46 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
 
     args = _parser().parse_args(argv)
+    if args.replicate:
+        from urllib.parse import urlparse
+
+        from cdc_rs_spark.streaming.replication import (
+            BinlogReplicationClient,
+            ReplicationConfig,
+            spool_to_feed,
+        )
+
+        u = urlparse(args.replicate)
+        if u.scheme != "mysql" or not u.hostname:
+            print(
+                "--replicate expects mysql://user:pw@host:port[/FILE[:POS]]",
+                file=sys.stderr,
+            )
+            return 2
+        filename, pos = "", 4
+        if u.path and u.path != "/":
+            fspec = u.path.lstrip("/")
+            filename, _, p = fspec.partition(":")
+            pos = int(p) if p else 4
+        client = BinlogReplicationClient(
+            ReplicationConfig(
+                host=u.hostname,
+                port=u.port or 3306,
+                user=u.username or "repl",
+                password=u.password or "",
+                server_id=args.server_id,
+                filename=filename,
+                pos=pos,
+                non_block=args.once,
+            )
+        )
+        client.connect()
+        n = spool_to_feed(client, args.source)
+        print(
+            f"spooled {n} changes to {args.source} "
+            f"(at {client.state.filename}:{client.state.pos})"
+        )
+        return 0
     if args.shards and not args.enqueue_backfill:
         print("--shards requires --enqueue-backfill", file=sys.stderr)
         return 2

@@ -462,36 +462,25 @@ def _parse_query_event(body: bytes, ts: int) -> dict | None:
     }
 
 
-def parse_binlog_bytes(data: bytes):
-    """Yield Change dicts (op/db/table/before/after/ts/pkey — the envelope
-    contract of streaming/datasource.py) from one binlog file's bytes.
-    Event loop mirrors the reference's (src/main.rs:231-301): TABLE_MAP
-    tracked per table_id, ROWS events emit one Change per row with the
-    header timestamp; ROTATE/FORMAT_DESCRIPTION/other events advance only.
-    `pkey` is left '' exactly like the reference (@TODO src/main.rs:276)."""
-    if data[:4] != MAGIC:
-        raise ValueError("binlog: bad magic")
-    i = 4
-    tables: dict[int, TableMap] = {}
-    checksum_trailer = 0
-    while i + HEADER_LEN <= len(data):
-        ts = _u(data[i : i + 4])
-        etype = data[i + 4]
-        event_size = _u(data[i + 9 : i + 13])
-        if event_size < HEADER_LEN:
-            raise ValueError(f"binlog: corrupt event header (size {event_size})")
-        body_start = i + HEADER_LEN
-        body_end = i + event_size
-        if body_end > len(data):
-            # INCOMPLETE trailing event: the writer has not finished
-            # appending it — stop cleanly so the record is neither counted
-            # nor quarantined; the next poll sees it complete. (A corrupt
-            # event WITHIN the file still raises below and is quarantined
-            # by the permissive reader.) Without this, a mid-append race
-            # would commit the half-event as Malformed and permanently
-            # skip the real record once flushed.
-            return
-        body = data[body_start : body_end - checksum_trailer]
+class EventDecoder:
+    """Stateful per-event decoder shared by the FILE path
+    (parse_binlog_bytes) and the NETWORK path (streaming/replication.py):
+    tracks TABLE_MAPs per table_id and the CRC32-trailer width across
+    events, and turns one complete event (19-byte header + body) into
+    Change dicts. Event handling mirrors the reference's loop
+    (src/main.rs:231-301); `pkey` is left '' exactly like the reference
+    (@TODO src/main.rs:276)."""
+
+    def __init__(self) -> None:
+        self.tables: dict[int, TableMap] = {}
+        self.checksum_trailer = 0
+
+    def decode(self, event: bytes):
+        """Yield Change dicts from ONE complete event (header + body [+
+        CRC trailer])."""
+        ts = _u(event[0:4])
+        etype = event[4]
+        body = event[HEADER_LEN : len(event) - self.checksum_trailer]
         if etype == FORMAT_DESCRIPTION_EVENT:
             # binlog-version(2) + server-version(50) + created(4) +
             # header-len(1) + post-header lengths; last byte (before any
@@ -502,12 +491,13 @@ def parse_binlog_bytes(data: bytes):
             # server does it (log_event.cc): CRC32 over the whole event
             # minus the trailer must equal the trailer. A false positive
             # would silently strip 4 real bytes off every later event.
+            # (the FDE arrives with trailer=0 state, so body == full body)
             if len(body) >= 62 and body[-5] == 1:
                 import zlib
 
-                claimed = _u(data[body_end - 4 : body_end])
-                if zlib.crc32(data[i : body_end - 4]) == claimed:
-                    checksum_trailer = 4
+                claimed = _u(event[-4:])
+                if zlib.crc32(event[:-4]) == claimed:
+                    self.checksum_trailer = 4
         elif etype == QUERY_EVENT:
             # A real stream interleaves DDL with row events (VERDICT r4
             # task 4): surface ALTER/CREATE/DROP/RENAME/TRUNCATE as a
@@ -520,7 +510,7 @@ def parse_binlog_bytes(data: bytes):
                 yield rec
         elif etype == TABLE_MAP_EVENT:
             tme = _parse_table_map(body)
-            tables[tme.table_id] = tme
+            self.tables[tme.table_id] = tme
         elif etype in (
             WRITE_ROWS_EVENT_V2,
             UPDATE_ROWS_EVENT_V2,
@@ -535,7 +525,7 @@ def parse_binlog_bytes(data: bytes):
             present2 = present1
             if etype == UPDATE_ROWS_EVENT_V2:
                 present2 = _bitmap_cols(body[j : j + nb], width); j += nb
-            tme = tables[table_id]
+            tme = self.tables[table_id]
             while j < len(body):
                 if etype == WRITE_ROWS_EVENT_V2:
                     after, j = _parse_row_image(body, j, tme, present1)
@@ -559,7 +549,33 @@ def parse_binlog_bytes(data: bytes):
                     "pkey": "",
                 }
         # ROTATE and everything else: position bookkeeping only — the
-        # DataSource's (file, pos) offsets already model rotation
+        # DataSource's (file, pos) offsets / the replication client's
+        # file-name tracking already model rotation
+
+
+def parse_binlog_bytes(data: bytes):
+    """Yield Change dicts (op/db/table/before/after/ts/pkey — the envelope
+    contract of streaming/datasource.py) from one binlog file's bytes, via
+    the shared EventDecoder."""
+    if data[:4] != MAGIC:
+        raise ValueError("binlog: bad magic")
+    i = 4
+    decoder = EventDecoder()
+    while i + HEADER_LEN <= len(data):
+        event_size = _u(data[i + 9 : i + 13])
+        if event_size < HEADER_LEN:
+            raise ValueError(f"binlog: corrupt event header (size {event_size})")
+        body_end = i + event_size
+        if body_end > len(data):
+            # INCOMPLETE trailing event: the writer has not finished
+            # appending it — stop cleanly so the record is neither counted
+            # nor quarantined; the next poll sees it complete. (A corrupt
+            # event WITHIN the file still raises below and is quarantined
+            # by the permissive reader.) Without this, a mid-append race
+            # would commit the half-event as Malformed and permanently
+            # skip the real record once flushed.
+            return
+        yield from decoder.decode(data[i:body_end])
         i = body_end
 
 
