@@ -78,6 +78,12 @@ def _parser() -> argparse.ArgumentParser:
         help="echo published frames to stdout instead of writing parquet",
     )
     p.add_argument(
+        "--pubsub", action="store_true",
+        help="publish for real over the Pub/Sub REST API "
+        "(sources/pubsub.py) — topics must be full resource names; honors "
+        "PUBSUB_EMULATOR_HOST, needs credentials against the live service",
+    )
+    p.add_argument(
         "--gc-committed", action="store_true",
         help="change_feed source: delete fully-committed feed files when "
         "planning each batch (self-managed spools; PURGE BINARY LOGS analog)",
@@ -232,7 +238,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     # repartitions by topic and publishes per partition) — no SparkSession
     # there, so the dry-run writer uses pyarrow directly.
     publish = None
-    if args.echo:
+    if args.pubsub:
+        # real Pub/Sub REST publishing (sources/pubsub.py): topic column
+        # values must be full resource names (the stock template
+        # 'projects/<p>/topics/<t>' form). Honors PUBSUB_EMULATOR_HOST;
+        # against the live service wire a token provider here.
+        from cdc_rs_spark.sources.pubsub import make_pubsub_publish
+
+        publish = make_pubsub_publish()
+    elif args.echo:
         def publish(topic: str, values: list[str]) -> None:
             for v in values:
                 sys.stdout.write(f"{topic}\t{v}\n")
