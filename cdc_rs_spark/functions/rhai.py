@@ -24,8 +24,9 @@ reference's stock script exercises:
   == != < <= > >= comparisons   && || boolean ops
   + - * / % arithmetic (unary minus)                [ ... ] array literals
   for x in arr { ... } loops    arr[i] indexing     arr.len()
-  lo..hi ranges (compile-time bounds unroll; runtime bounds and `while`
-  loops run on the interpreter engine only — round-5 notch)
+  lo..hi ranges (compile-time bounds unroll; runtime bounds, `while`
+  loops, and closures `|x| expr` with map/filter/reduce/some/all run on
+  the interpreter engine only — round-5 notch)
   string methods: .len() .to_upper() .to_lower() .trim()
                   .contains(s) .starts_with(s) .ends_with(s)
   builtins: parse_int, parse_float, abs, concat (string + is numeric-
@@ -291,6 +292,24 @@ class _Parser:
 
     def parse_primary(self):
         k, v = self.peek()
+        if k == "|":
+            # Rhai closure `|a, b| expr` or `|a| { stmts }` — the language
+            # has no binary `|`, so a pipe in expression position always
+            # opens a parameter list. (`||` lexes as the boolean operator,
+            # so zero-parameter closures are written `| | ...` — documented
+            # dialect corner.)
+            self.next()
+            params = []
+            while self.peek()[0] != "|":
+                params.append(self.expect("ident"))
+                if self.peek()[0] == ",":
+                    self.next()
+            self.expect("|")
+            if self.peek()[0] == "{":
+                body = self.parse_block()
+            else:
+                body = [("expr", self.parse_expr())]
+            return ("closure", params, body)
         if k == "str":
             self.next()
             return ("str", _unquote(v))
@@ -610,6 +629,12 @@ class RhaiScript:
                 "bounds — runtime-length iteration outgrows the compilable "
                 "subset (use the RhaiInterpreter engine)"
             )
+        if kind == "closure":
+            raise TypeError(
+                "rhai: closures outgrow the compilable subset — run this "
+                "script through the RhaiInterpreter engine (mapInPandas) "
+                "instead"
+            )
         if kind == "idx":
             base = self._eval(e[1], env)
             idx = self._eval(e[2], env)
@@ -777,6 +802,32 @@ def _copy_val(v):
 MAX_WHILE_ITERATIONS = 1_000_000  # per-row runaway guard for `while`
 
 
+class _Closure:
+    """Interpreter closure value: captures the defining scope by SNAPSHOT
+    (stock Rhai captures by shared reference — a documented dialect
+    divergence in the same spirit as the engine's other value-semantics
+    choices; scripts that mutate captured variables from inside a closure
+    need the shared form and are out of scope)."""
+
+    def __init__(self, params, body, env, interp):
+        self.params = params
+        self.body = body
+        self.env = dict(env)
+        self.interp = interp
+
+    def __call__(self, *args):
+        if len(args) != len(self.params):
+            raise TypeError(
+                f"rhai: closure expects {len(self.params)} args, got {len(args)}"
+            )
+        env = dict(self.env)
+        env.update(zip(self.params, args))
+        try:
+            return self.interp._exec_block(self.body, env)
+        except _Return as r:
+            return r.value
+
+
 class RhaiInterpreter:
     """Evaluates the SAME AST over plain Python row values (maps = dicts,
     arrays = lists) — the escape-hatch engine for scripts that outgrow the
@@ -894,6 +945,31 @@ class RhaiInterpreter:
                 return None  # SQL NULL propagation, matching the compiler
             if name == "len":
                 return len(base)
+            if isinstance(base, _Closure) and name == "call":
+                return base(*args)
+            if isinstance(base, list):
+                # Rhai's closure-taking array methods (interpreter engine
+                # only — closures don't compile)
+                if name == "map":
+                    return [args[0](x) for x in base]
+                if name == "filter":
+                    return [x for x in base if bool(args[0](x) or False)]
+                if name == "reduce":
+                    # explicit initial value required (Rhai's optional-()
+                    # seed has no SQL analog): arr.reduce(|acc, x| .., 0)
+                    if len(args) != 2:
+                        raise TypeError(
+                            "rhai: reduce(closure, initial) requires an "
+                            "explicit initial value"
+                        )
+                    acc = args[1]
+                    for x in base:
+                        acc = args[0](acc, x)
+                    return acc
+                if name == "some":
+                    return any(bool(args[0](x) or False) for x in base)
+                if name == "all":
+                    return all(bool(args[0](x) or False) for x in base)
             if name == "to_upper":
                 return base.upper()
             if name == "to_lower":
@@ -947,6 +1023,8 @@ class RhaiInterpreter:
                         out.append(str(a))
                 return "".join(out)
             return self.call(name, *[_py_copy(a) for a in args])
+        if kind == "closure":
+            return _Closure(e[1], e[2], env, self)
         if kind == "map":
             return {k: self._eval(v, env) for k, v in e[1]}
         if kind == "switch":

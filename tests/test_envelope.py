@@ -579,3 +579,44 @@ def test_rhai_while_loop_interpreted_and_compiler_rejects(spark):
     # interpreter must not silently truncate (round-5 review)
     with pytest.raises(TypeError, match="range bounds must be integers"):
         RhaiInterpreter(rng).call("triangle", 4.5)
+
+
+def test_rhai_closures_on_interpreter_engine():
+    """Round 5: Rhai closures (`|x| expr`, `|a, b| { .. }`) and the
+    closure-taking array methods map/filter/reduce/some/all run on the
+    INTERPRETER engine; the compiler rejects them with the documented
+    outgrows-the-subset error. Capture is by snapshot of the defining
+    scope."""
+    import pytest
+
+    from cdc_rs_spark.functions.rhai import RhaiInterpreter, RhaiScript
+
+    src = """
+    fn pipeline(xs, floor) {
+        let squared = xs.map(|x| x * x);
+        let kept = squared.filter(|x| x >= floor);
+        let total = kept.reduce(|acc, x| acc + x, 0);
+        #{
+            "kept": kept.len(),
+            "total": total,
+            "any_big": kept.some(|x| x > 100),
+            "all_pos": kept.all(|x| x > 0),
+        }
+    }
+    fn twice(f, v) { f.call(f.call(v)) }
+    fn adder(n) { |x| x + n }
+    """
+    interp = RhaiInterpreter(src)
+    out = interp.call("pipeline", [1, 2, 3, 4, 5, -12], 4)
+    assert out == {"kept": 5, "total": 4 + 9 + 16 + 25 + 144,
+                   "any_big": True, "all_pos": True}
+    # closures are first-class: passed as args and returned (captured n)
+    inc = interp.call("adder", 10)
+    assert inc(5) == 15
+    assert interp.call("twice", inc, 1) == 21
+    with pytest.raises(TypeError, match="closures outgrow the compilable"):
+        RhaiScript(src).call("pipeline", [1, 2], 0)
+    with pytest.raises(TypeError, match="reduce\\(closure, initial\\)"):
+        RhaiInterpreter(
+            "fn f(xs) { xs.reduce(|a, x| a + x) }"
+        ).call("f", [1, 2])
