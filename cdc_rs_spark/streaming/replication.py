@@ -340,6 +340,20 @@ class BinlogReplicationClient:
             log_pos = struct.unpack_from("<I", event, 13)[0]
             if log_pos:
                 self.state.pos = log_pos
+            if etype == 0x21:  # GTID_LOG_EVENT
+                # flags(1) + SID (16-byte UUID) + GNO (8 LE). The reference
+                # runs with GTID mode stubbed OFF (src/main.rs:225) and so
+                # does this client (positions are (file, pos)), but the
+                # last-seen GTID is tracked as bookkeeping so a GTID-mode
+                # resume has the value to start from.
+                body = event[19:]
+                sid = body[1:17]
+                gno = int.from_bytes(body[17:25], "little")
+                uuid = (
+                    f"{sid[0:4].hex()}-{sid[4:6].hex()}-{sid[6:8].hex()}-"
+                    f"{sid[8:10].hex()}-{sid[10:16].hex()}"
+                )
+                self.state.extra["gtid"] = f"{uuid}:{gno}"
             if etype == ROTATE_EVENT:
                 # body: position(8) + next file name. The dump's FIRST
                 # rotate arrives BEFORE the FDE, so the decoder's trailer

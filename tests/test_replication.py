@@ -167,11 +167,18 @@ def _net_rotate(next_file: bytes, pos: int = 4, crc=False) -> bytes:
     return _event(0, 0x04, body, crc)
 
 
+def _gtid_event(gno: int, crc=False) -> bytes:
+    sid = bytes(range(16))
+    body = bytes([1]) + sid + gno.to_bytes(8, "little") + bytes(8)
+    return _event(0, 0x21, body, crc)
+
+
 def _dump_events(crc: bool) -> list[bytes]:
     tid = 99
     return [
         _net_rotate(b"bin.000007", 4, crc),
         _fde(crc),
+        _gtid_event(12345, crc),
         _table_map(tid, crc),
         _rows_event(
             WRITE_ROWS_EVENT_V2,
@@ -234,6 +241,11 @@ def test_replication_dump_end_to_end(crc):
     assert client.state.filename == "bin.000007"
     assert client.state.events == len(_dump_events(crc))
     assert client.state.changes == 4
+    # GTID bookkeeping: last seen transaction id tracked for a GTID-mode
+    # resume even though positions stay (file, pos) like the reference
+    assert client.state.extra["gtid"] == (
+        "00010203-0405-0607-0809-0a0b0c0d0e0f:12345"
+    )
     # the dump command carried our (file, pos, server_id)
     dump = [p for p in server.received if p[:1] == b"\x12"][0]
     pos, flags, sid = struct.unpack_from("<IHI", dump, 1)
