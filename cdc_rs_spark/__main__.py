@@ -144,22 +144,29 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             spool_to_feed,
         )
 
-        u = urlparse(args.replicate)
+        usage = "--replicate expects mysql://user:pw@host:port[/FILE[:POS]]"
+        try:
+            u = urlparse(args.replicate)
+            port = u.port  # raises ValueError on a non-numeric port
+        except ValueError:
+            print(usage, file=sys.stderr)
+            return 2
         if u.scheme != "mysql" or not u.hostname:
-            print(
-                "--replicate expects mysql://user:pw@host:port[/FILE[:POS]]",
-                file=sys.stderr,
-            )
+            print(usage, file=sys.stderr)
             return 2
         filename, pos = "", 4
         if u.path and u.path != "/":
             fspec = u.path.lstrip("/")
             filename, _, p = fspec.partition(":")
-            pos = int(p) if p else 4
+            try:
+                pos = int(p) if p else 4
+            except ValueError:
+                print(usage + f" (bad POS {p!r})", file=sys.stderr)
+                return 2
         client = BinlogReplicationClient(
             ReplicationConfig(
                 host=u.hostname,
-                port=u.port or 3306,
+                port=port or 3306,
                 user=u.username or "repl",
                 password=u.password or "",
                 server_id=args.server_id,

@@ -950,6 +950,12 @@ class RhaiInterpreter:
             if isinstance(base, list):
                 # Rhai's closure-taking array methods (interpreter engine
                 # only — closures don't compile)
+                if name in ("map", "filter", "reduce", "some", "all") and (
+                    not args or not callable(args[0])
+                ):
+                    raise TypeError(
+                        f"rhai: .{name}() requires a closure argument"
+                    )
                 if name == "map":
                     return [args[0](x) for x in base]
                 if name == "filter":

@@ -174,6 +174,10 @@ def make_pubsub_publish(
     environment predates the caller's configuration, so a lazy worker-side
     env read would silently miss it."""
     endpoint = (endpoint or _default_endpoint()).rstrip("/")
+    # fail fast DRIVER-SIDE: a missing credential should stop the CLI at
+    # startup, not surface as a foreachBatch task error mid-stream after
+    # the query is already running (round-5 review)
+    PubSubPublisher(endpoint, token_provider)
 
     def publish(topic: str, values: list[str]) -> None:
         key = (endpoint, id(token_provider))

@@ -480,7 +480,17 @@ class EventDecoder:
         CRC trailer])."""
         ts = _u(event[0:4])
         etype = event[4]
-        body = event[HEADER_LEN : len(event) - self.checksum_trailer]
+        if etype == FORMAT_DESCRIPTION_EVENT:
+            # The FDE DEFINES the trailer width for what follows, so it
+            # must be parsed from its FULL body, not sliced with the
+            # PREVIOUS file's trailer state (round-5 review: a long-lived
+            # network decoder crossing a checksum-on -> checksum-off
+            # rotation would misindex the algorithm byte and never reset,
+            # corrupting every later event). Detection also RESETS to 0
+            # when the new FDE does not validate as checksummed.
+            body = event[HEADER_LEN:]
+        else:
+            body = event[HEADER_LEN : len(event) - self.checksum_trailer]
         if etype == FORMAT_DESCRIPTION_EVENT:
             # binlog-version(2) + server-version(50) + created(4) +
             # header-len(1) + post-header lengths; last byte (before any
@@ -491,13 +501,15 @@ class EventDecoder:
             # server does it (log_event.cc): CRC32 over the whole event
             # minus the trailer must equal the trailer. A false positive
             # would silently strip 4 real bytes off every later event.
-            # (the FDE arrives with trailer=0 state, so body == full body)
             if len(body) >= 62 and body[-5] == 1:
                 import zlib
 
                 claimed = _u(event[-4:])
-                if zlib.crc32(event[:-4]) == claimed:
-                    self.checksum_trailer = 4
+                self.checksum_trailer = (
+                    4 if zlib.crc32(event[:-4]) == claimed else 0
+                )
+            else:
+                self.checksum_trailer = 0
         elif etype == QUERY_EVENT:
             # A real stream interleaves DDL with row events (VERDICT r4
             # task 4): surface ALTER/CREATE/DROP/RENAME/TRUNCATE as a

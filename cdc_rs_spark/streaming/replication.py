@@ -128,6 +128,9 @@ def parse_handshake(payload: bytes) -> Handshake:
     return Handshake(0x0A, version, thread_id, auth1 + auth2, caps, plugin)
 
 
+CLIENT_CONNECT_WITH_DB = 0x00000008
+
+
 def build_handshake_response(
     user: str, password: str, nonce: bytes, database: str | None = None
 ) -> bytes:
@@ -137,12 +140,17 @@ def build_handshake_response(
         | CLIENT_SECURE_CONNECTION
         | CLIENT_PLUGIN_AUTH
     )
+    if database:
+        # the database field is only parsed when the capability bit says
+        # it's there — without it the server would read the db bytes as
+        # the auth-plugin name (round-5 review)
+        caps |= CLIENT_CONNECT_WITH_DB
     auth = scramble_native_password(password, nonce)
     out = struct.pack("<IIB23x", caps, 1 << 24, 0x21)  # utf8_general_ci
     out += user.encode() + b"\x00"
     out += bytes([len(auth)]) + auth
     if database:
-        out += database.encode() + b"\x00"  # CLIENT_CONNECT_WITH_DB omitted
+        out += database.encode() + b"\x00"
     out += NATIVE_PLUGIN + b"\x00"
     return out
 
@@ -190,26 +198,34 @@ class PacketConn:
     def __init__(self, sock: socket.socket):
         self.sock = sock
         self.seq = 0
-        self._buf = b""
+        # bytearray, consumed by offset: `bytes += chunk` would copy the
+        # whole growing buffer per recv — quadratic on a 16 MiB event
+        # (round-5 review)
+        self._buf = bytearray()
+        self._off = 0
 
     def _recv_exact(self, n: int) -> bytes:
-        while len(self._buf) < n:
+        while len(self._buf) - self._off < n:
             chunk = self.sock.recv(65536)
             if not chunk:
                 raise ProtocolError("connection closed mid-packet")
-            self._buf += chunk
-        out, self._buf = self._buf[:n], self._buf[n:]
+            self._buf.extend(chunk)
+        out = bytes(self._buf[self._off : self._off + n])
+        self._off += n
+        if self._off > 1 << 20:  # reclaim consumed prefix occasionally
+            del self._buf[: self._off]
+            self._off = 0
         return out
 
     def read_packet(self) -> bytes:
-        payload = b""
+        parts: list[bytes] = []
         while True:
             hdr = self._recv_exact(4)
             ln = int.from_bytes(hdr[:3], "little")
             self.seq = (hdr[3] + 1) & 0xFF
-            payload += self._recv_exact(ln)
+            parts.append(self._recv_exact(ln))
             if ln < 0xFFFFFF:
-                return payload
+                return parts[0] if len(parts) == 1 else b"".join(parts)
 
     def write_packet(self, payload: bytes) -> None:
         i = 0
@@ -232,6 +248,16 @@ class PacketConn:
         p = self.read_packet()
         if p[:1] == b"\xff":
             raise _err_from_payload(p)
+        if p[:1] == b"\xfe" and len(p) >= 9:
+            # AuthSwitchRequest (0xFE + plugin name + nonce) — the account
+            # uses a different auth plugin than the advertised default.
+            # Treating it as OK would desync the session (the next command
+            # would be parsed as the auth-switch reply) — round-5 review.
+            plugin = p[1:].split(b"\x00", 1)[0].decode("utf-8", "replace")
+            raise ProtocolError(
+                f"server requested auth switch to {plugin!r} — only "
+                "mysql_native_password is supported"
+            )
         if p[:1] not in (b"\x00", b"\xfe"):
             raise ProtocolError(f"expected OK, got {p[:1]!r}")
         return p
@@ -338,8 +364,6 @@ class BinlogReplicationClient:
             self.state.events += 1
             etype = event[4]
             log_pos = struct.unpack_from("<I", event, 13)[0]
-            if log_pos:
-                self.state.pos = log_pos
             if etype == 0x21:  # GTID_LOG_EVENT
                 # flags(1) + SID (16-byte UUID) + GNO (8 LE). The reference
                 # runs with GTID mode stubbed OFF (src/main.rs:225) and so
@@ -376,6 +400,15 @@ class BinlogReplicationClient:
             for change in self.decoder.decode(event):
                 self.state.changes += 1
                 yield change
+            # ONLY NOW advance the position past this event (round-5
+            # review): the consumer (spool_to_feed) commits (file, pos)
+            # between yields — advancing before the event's rows are all
+            # out would let a mid-event commit skip the remaining rows on
+            # resume, turning at-least-once into data loss. Committing the
+            # PREVIOUS event's end instead re-fetches this event whole
+            # (duplicates possible, loss impossible).
+            if log_pos and etype != ROTATE_EVENT:
+                self.state.pos = log_pos
 
 
 def spool_to_feed(
@@ -408,8 +441,28 @@ def spool_to_feed(
         with open(state_path) as f:
             st = json.load(f)
         seq = int(st.get("spool_seq", 0))
-        client.state.filename = st.get("filename", client.state.filename)
-        client.state.pos = int(st.get("pos", client.state.pos))
+        if client.state.filename:
+            # an EXPLICIT start position (FILE[:POS] on the CLI) wins over
+            # the sidecar — silently resuming from the saved position when
+            # the user asked for another one re-spools or skips data with
+            # no diagnostic (round-5 review). Flag the conflict.
+            if (st.get("filename"), int(st.get("pos", 4))) != (
+                client.state.filename,
+                client.state.pos,
+            ):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "spool_to_feed: explicit start %s:%s overrides the "
+                    "sidecar's saved position %s:%s",
+                    client.state.filename,
+                    client.state.pos,
+                    st.get("filename"),
+                    st.get("pos"),
+                )
+        else:
+            client.state.filename = st.get("filename", "")
+            client.state.pos = int(st.get("pos", client.state.pos))
     total = 0
     buf: list[str] = []
 

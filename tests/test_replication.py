@@ -396,3 +396,94 @@ def test_cli_replicate_drains_to_spool(tmp_path):
     assert spooled == ["spool.000000000.json"]
     lines = open(os.path.join(feed, spooled[0])).read().strip().splitlines()
     assert len(lines) == 4
+
+
+def _event_at(ts, etype, body, crc, log_pos):
+    import zlib as _zlib
+
+    size = 19 + len(body) + (4 if crc else 0)
+    hdr = struct.pack("<IBIIIH", ts, etype, 1, size, log_pos, 0)
+    ev = hdr + body
+    if crc:
+        ev += struct.pack("<I", _zlib.crc32(ev))
+    return ev
+
+
+def test_position_advances_only_after_event_fully_yields():
+    """Round-5 review: state.pos must NOT reach an event's end log_pos
+    until every row of that event has been yielded — a consumer committing
+    (file, pos) between rows would otherwise skip the event's tail on
+    resume (loss); committing the previous event's end merely re-fetches
+    the whole event (at-least-once)."""
+    tid = 99
+    rows_body = _rows_event(
+        WRITE_ROWS_EVENT_V2, tid,
+        [_row(1, b"a", 1.0, (2024, 1, 1)), _row(2, b"b", 2.0, (2024, 1, 2))],
+        False,
+    )[19:]
+    events = [
+        _net_rotate(b"bin.000009", 4),
+        _event_at(1000, 0x0F, _fde(False)[19:], False, 400),
+        _event_at(1001, 0x13, _table_map(tid, False)[19:], False, 700),
+        _event_at(1002, WRITE_ROWS_EVENT_V2, rows_body, False, 1300),
+    ]
+    server_sock, client_sock = socket.socketpair()
+    server = FakeServer(server_sock, events)
+    threading.Thread(target=server.run, daemon=True).start()
+    client = BinlogReplicationClient(
+        ReplicationConfig(user=USER, password=PASSWORD, non_block=True)
+    )
+    client.connect(sock=client_sock)
+    seen = []
+    for change in client.stream_changes():
+        seen.append((change["after"]["id"], client.state.pos))
+    # while row 1 is in the consumer's hands, pos is still the TABLE_MAP's
+    # end (700); only after the final row does it advance to 1300
+    assert seen == [("1", 700), ("2", 700)]
+    assert client.state.pos == 1300
+
+
+def test_decoder_resets_trailer_on_checksum_off_fde():
+    """Round-5 review: a long-lived decoder crossing a checksum-on ->
+    checksum-off rotation must parse the new FDE from its FULL body and
+    reset the trailer, or every later event loses 4 real bytes."""
+    from cdc_rs_spark.streaming.binlog import EventDecoder
+
+    tid = 99
+    dec = EventDecoder()
+    list(dec.decode(_fde(True)))
+    assert dec.checksum_trailer == 4
+    list(dec.decode(_table_map(tid, True)))
+    ev = _rows_event(
+        WRITE_ROWS_EVENT_V2, tid, [_row(5, b"x", 1.5, (2024, 2, 2))], True
+    )
+    assert [c["after"]["id"] for c in dec.decode(ev)] == ["5"]
+    # server reconfigured: checksum-off FDE arrives (new file post-rotate)
+    list(dec.decode(_fde(False)))
+    assert dec.checksum_trailer == 0
+    ev2 = _rows_event(
+        WRITE_ROWS_EVENT_V2, tid, [_row(6, b"y", 2.5, (2024, 3, 3))], False
+    )
+    # TABLE_MAP must be re-sent post-rotate in real streams; reuse state
+    assert [c["after"]["id"] for c in dec.decode(ev2)] == ["6"]
+
+
+def test_auth_switch_request_is_explicit_error():
+    """An AuthSwitchRequest (0xFE, len >= 9) after the handshake response
+    must raise a clear unsupported-plugin error, not be swallowed as OK
+    and desync the session."""
+    server_sock, client_sock = socket.socketpair()
+
+    def run():
+        s = FakeServer(server_sock, [])
+        s.send_packet(s.handshake_payload())
+        s.read_packet()
+        s.send_packet(b"\xfe" + b"caching_sha2_password\x00" + bytes(20))
+        server_sock.close()
+
+    threading.Thread(target=run, daemon=True).start()
+    client = BinlogReplicationClient(
+        ReplicationConfig(user=USER, password=PASSWORD)
+    )
+    with pytest.raises(ProtocolError, match="auth switch to 'caching_sha2"):
+        client.connect(sock=client_sock)
