@@ -878,3 +878,77 @@ def similarity_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("margin1k"),
     )
+
+
+@register(
+    "embedding_quantization_error_audit",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label, embedding,
+               (CASE WHEN list_max(list_transform(embedding,
+                         x -> abs(x::DOUBLE))) = 0.0 THEN 1.0
+                     ELSE list_max(list_transform(embedding,
+                         x -> abs(x::DOUBLE))) END) AS safe
+        FROM embeddings
+    ),
+    deq AS (
+        SELECT vec_id, label, embedding,
+               list_transform(embedding,
+                   x -> floor(x::DOUBLE / safe * 127.0 + 0.5)
+                        * safe / 127.0) AS d
+        FROM q
+    ),
+    scored AS (
+        SELECT label,
+               ROUND({_dot_sql("embedding", "d")}
+                     / ({_norm_sql("embedding")}
+                        * sqrt({_dot_sql("d", "d")})), 6) AS fidelity
+        FROM deq
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           MIN(fidelity) AS worst_fidelity,
+           CAST(SUM(CAST(fidelity AS DECIMAL(18,6))) AS DECIMAL(38,6))
+               AS total_fidelity
+    FROM scored GROUP BY label
+    """,
+)
+def embedding_quantization_error_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compressed-index fidelity audit (round 5): cosine between each
+    vector and its int8 quantize->dequantize round trip, rolled up per
+    label — the go/no-go number before switching retrieval to the 4x-
+    smaller quantized path (similarity_quantized_topk). Worst-case
+    fidelity is the column that matters: an average hides the one label
+    whose scale is dominated by an outlier dimension. Pure map-side
+    expression + one |labels|-group aggregate; the oracle reproduces the
+    identical quantizer (explicit half-up) and left-fold float math, so
+    the hash is exact with no tolerance."""
+    from pyspark.sql import Column
+
+    emb = spread(load(spark, sf_dir, "embeddings"))
+
+    def deq(e: Column) -> Column:
+        scale = F.array_max(F.transform(e, lambda x: F.abs(x.cast("double"))))
+        safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+        return F.transform(
+            e,
+            lambda x: F.floor(x.cast("double") / safe * 127.0 + 0.5)
+            * safe / F.lit(127.0),
+        )
+
+    from cdc_rs_spark.operators.similarity import cosine
+
+    scored = emb.select(
+        "label",
+        F.round(cosine(F.col("embedding"), deq(F.col("embedding"))), 6).alias(
+            "fidelity"
+        ),
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.min("fidelity").alias("worst_fidelity"),
+        F.sum(F.col("fidelity").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("total_fidelity"),
+    )
