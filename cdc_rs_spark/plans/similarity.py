@@ -924,26 +924,29 @@ def embedding_quantization_error_audit(
     expression + one |labels|-group aggregate; the oracle reproduces the
     identical quantizer (explicit half-up) and left-fold float math, so
     the hash is exact with no tolerance."""
-    from pyspark.sql import Column
-
-    emb = spread(load(spark, sf_dir, "embeddings"))
-
-    def deq(e: Column) -> Column:
-        scale = F.array_max(F.transform(e, lambda x: F.abs(x.cast("double"))))
-        safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
-        return F.transform(
-            e,
-            lambda x: F.floor(x.cast("double") / safe * 127.0 + 0.5)
-            * safe / F.lit(127.0),
-        )
-
     from cdc_rs_spark.operators.similarity import cosine
 
-    scored = emb.select(
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    # hoist the per-row scale into its OWN column (mirroring the oracle's
+    # CTE): embedded inside the transform lambda, the array_max
+    # sub-expression is re-evaluated for every element — O(d^2) abs/compare
+    # ops per row instead of O(d) (round-5 review)
+    scale = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    staged = emb.select(
         "label",
-        F.round(cosine(F.col("embedding"), deq(F.col("embedding"))), 6).alias(
-            "fidelity"
-        ),
+        "embedding",
+        F.when(scale == 0.0, F.lit(1.0)).otherwise(scale).alias("_safe"),
+    )
+    deq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") / F.col("_safe") * 127.0 + 0.5)
+        * F.col("_safe") / F.lit(127.0),
+    )
+    scored = staged.select(
+        "label",
+        F.round(cosine(F.col("embedding"), deq), 6).alias("fidelity"),
     )
     return scored.groupBy("label").agg(
         F.count("*").alias("n_vecs"),

@@ -481,26 +481,21 @@ class EventDecoder:
         ts = _u(event[0:4])
         etype = event[4]
         if etype == FORMAT_DESCRIPTION_EVENT:
-            # The FDE DEFINES the trailer width for what follows, so it
-            # must be parsed from its FULL body, not sliced with the
-            # PREVIOUS file's trailer state (round-5 review: a long-lived
-            # network decoder crossing a checksum-on -> checksum-off
-            # rotation would misindex the algorithm byte and never reset,
-            # corrupting every later event). Detection also RESETS to 0
-            # when the new FDE does not validate as checksummed.
+            # The FDE DEFINES the trailer width for what follows, so it is
+            # parsed from its FULL body — never sliced with the PREVIOUS
+            # file's trailer state (round-5 review: a long-lived network
+            # decoder crossing a checksum-on -> checksum-off rotation
+            # would misindex the algorithm byte and never reset,
+            # corrupting every later event). Layout: binlog-version(2) +
+            # server-version(50) + created(4) + header-len(1) +
+            # post-header lengths; last byte (before any CRC) is the
+            # checksum algorithm: 1 = CRC32 -> 4-byte trailers on every
+            # following event. body[-5] == 1 alone is a HEURISTIC (on a
+            # checksum-off file that byte is a post-header-length entry,
+            # ADVICE r4), so the claim is VERIFIED the way the server does
+            # it (log_event.cc): CRC32 over the whole event minus the
+            # trailer must equal the trailer; anything else RESETS to 0.
             body = event[HEADER_LEN:]
-        else:
-            body = event[HEADER_LEN : len(event) - self.checksum_trailer]
-        if etype == FORMAT_DESCRIPTION_EVENT:
-            # binlog-version(2) + server-version(50) + created(4) +
-            # header-len(1) + post-header lengths; last byte (before any
-            # CRC) is the checksum algorithm: 1 = CRC32 -> 4-byte trailers
-            # on every following event. body[-5] == 1 alone is a HEURISTIC
-            # (on a checksum-off file that byte is a post-header-length
-            # entry, ADVICE r4), so the claim is VERIFIED the way the
-            # server does it (log_event.cc): CRC32 over the whole event
-            # minus the trailer must equal the trailer. A false positive
-            # would silently strip 4 real bytes off every later event.
             if len(body) >= 62 and body[-5] == 1:
                 import zlib
 
@@ -510,7 +505,9 @@ class EventDecoder:
                 )
             else:
                 self.checksum_trailer = 0
-        elif etype == QUERY_EVENT:
+            return
+        body = event[HEADER_LEN : len(event) - self.checksum_trailer]
+        if etype == QUERY_EVENT:
             # A real stream interleaves DDL with row events (VERDICT r4
             # task 4): surface ALTER/CREATE/DROP/RENAME/TRUNCATE as a
             # SchemaChange marker row so a mid-stream ALTER is detectable

@@ -43,7 +43,20 @@ import socket
 import struct
 from dataclasses import dataclass, field
 
-from cdc_rs_spark.streaming.binlog import ROTATE_EVENT, EventDecoder
+from cdc_rs_spark.streaming.binlog import (
+    FORMAT_DESCRIPTION_EVENT,
+    QUERY_EVENT,
+    ROTATE_EVENT,
+    EventDecoder,
+)
+
+XID_EVENT = 0x10  # transaction commit marker
+
+# events whose end_log_pos is a transaction-safe resume point (see
+# stream_changes): no TABLE_MAP context can be pending after them
+_SAFE_POS_EVENTS = frozenset(
+    {FORMAT_DESCRIPTION_EVENT, QUERY_EVENT, XID_EVENT}
+)
 
 CLIENT_LONG_PASSWORD = 0x00000001
 CLIENT_PROTOCOL_41 = 0x00000200
@@ -210,7 +223,8 @@ class PacketConn:
             if not chunk:
                 raise ProtocolError("connection closed mid-packet")
             self._buf.extend(chunk)
-        out = bytes(self._buf[self._off : self._off + n])
+        # memoryview: one copy, not bytearray-slice-then-bytes (two)
+        out = bytes(memoryview(self._buf)[self._off : self._off + n])
         self._off += n
         if self._off > 1 << 20:  # reclaim consumed prefix occasionally
             del self._buf[: self._off]
@@ -244,16 +258,21 @@ class PacketConn:
         self.seq = 0
         self.write_packet(payload)
 
-    def expect_ok(self) -> bytes:
+    def expect_ok(self, in_auth: bool = False) -> bytes:
         p = self.read_packet()
         if p[:1] == b"\xff":
             raise _err_from_payload(p)
-        if p[:1] == b"\xfe" and len(p) >= 9:
-            # AuthSwitchRequest (0xFE + plugin name + nonce) — the account
-            # uses a different auth plugin than the advertised default.
-            # Treating it as OK would desync the session (the next command
-            # would be parsed as the auth-switch reply) — round-5 review.
-            plugin = p[1:].split(b"\x00", 1)[0].decode("utf-8", "replace")
+        if p[:1] == b"\xfe" and (in_auth or len(p) >= 9):
+            # AuthSwitchRequest (0xFE + plugin + nonce), or — during the
+            # auth phase only — the legacy single-byte OldAuthSwitchRequest.
+            # Treating either as OK would desync the session (the next
+            # command would be parsed as the auth-switch reply) — round-5
+            # reviews. Outside auth, a SHORT 0xFE stays the EOF/OK form.
+            plugin = (
+                p[1:].split(b"\x00", 1)[0].decode("utf-8", "replace")
+                if len(p) > 1
+                else "mysql_old_password"
+            )
             raise ProtocolError(
                 f"server requested auth switch to {plugin!r} — only "
                 "mysql_native_password is supported"
@@ -321,7 +340,7 @@ class BinlogReplicationClient:
                 self.cfg.user, self.cfg.password, hs.nonce
             )
         )
-        self.conn.expect_ok()
+        self.conn.expect_ok(in_auth=True)
         # The server refuses/poisons a dump if the client has not declared
         # its checksum awareness — same statement every client lib issues.
         self.conn.command(
@@ -400,14 +419,19 @@ class BinlogReplicationClient:
             for change in self.decoder.decode(event):
                 self.state.changes += 1
                 yield change
-            # ONLY NOW advance the position past this event (round-5
-            # review): the consumer (spool_to_feed) commits (file, pos)
-            # between yields — advancing before the event's rows are all
-            # out would let a mid-event commit skip the remaining rows on
-            # resume, turning at-least-once into data loss. Committing the
-            # PREVIOUS event's end instead re-fetches this event whole
-            # (duplicates possible, loss impossible).
-            if log_pos and etype != ROTATE_EVENT:
+            # ONLY NOW advance the position, and only at TRANSACTION-SAFE
+            # boundaries (round-5 reviews): the consumer commits
+            # (file, pos) between yields, and a resume replays from the
+            # committed pos with a FRESH decoder (the server re-sends the
+            # fake ROTATE + FDE on every dump, but NOT mid-transaction
+            # TABLE_MAPs). A pos after a ROWS or TABLE_MAP event can
+            # therefore resume into a rows event whose TABLE_MAP was
+            # consumed before the commit — a deterministic KeyError loop.
+            # Safe boundaries: after FDE (nothing pending), after
+            # QUERY_EVENT (BEGIN/DDL — precedes any TABLE_MAP), after XID
+            # (transaction commit). Everything in between re-fetches whole
+            # on resume: duplicates possible, loss and crash impossible.
+            if log_pos and etype in _SAFE_POS_EVENTS:
                 self.state.pos = log_pos
 
 

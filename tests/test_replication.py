@@ -409,12 +409,13 @@ def _event_at(ts, etype, body, crc, log_pos):
     return ev
 
 
-def test_position_advances_only_after_event_fully_yields():
-    """Round-5 review: state.pos must NOT reach an event's end log_pos
-    until every row of that event has been yielded — a consumer committing
-    (file, pos) between rows would otherwise skip the event's tail on
-    resume (loss); committing the previous event's end merely re-fetches
-    the whole event (at-least-once)."""
+def test_position_advances_only_at_transaction_safe_boundaries():
+    """Round-5 reviews: state.pos may only land on TRANSACTION-SAFE resume
+    points (post-FDE, post-QUERY, post-XID) — never after a TABLE_MAP or
+    between/after a rows event's rows. A consumer committing (file, pos)
+    anywhere the generator yields must resume WITHOUT losing rows or
+    KeyError-ing on a missing TABLE_MAP (the server re-sends ROTATE+FDE on
+    every dump, but not mid-transaction TABLE_MAPs)."""
     tid = 99
     rows_body = _rows_event(
         WRITE_ROWS_EVENT_V2, tid,
@@ -426,6 +427,7 @@ def test_position_advances_only_after_event_fully_yields():
         _event_at(1000, 0x0F, _fde(False)[19:], False, 400),
         _event_at(1001, 0x13, _table_map(tid, False)[19:], False, 700),
         _event_at(1002, WRITE_ROWS_EVENT_V2, rows_body, False, 1300),
+        _event_at(1003, 0x10, bytes(8), False, 1320),  # XID commit
     ]
     server_sock, client_sock = socket.socketpair()
     server = FakeServer(server_sock, events)
@@ -437,10 +439,11 @@ def test_position_advances_only_after_event_fully_yields():
     seen = []
     for change in client.stream_changes():
         seen.append((change["after"]["id"], client.state.pos))
-    # while row 1 is in the consumer's hands, pos is still the TABLE_MAP's
-    # end (700); only after the final row does it advance to 1300
-    assert seen == [("1", 700), ("2", 700)]
-    assert client.state.pos == 1300
+    # while the transaction's rows are in flight, pos is pinned at the
+    # last safe boundary (post-FDE, 400) — a commit there re-fetches the
+    # TABLE_MAP with its rows; the XID commit advances it to 1320
+    assert seen == [("1", 400), ("2", 400)]
+    assert client.state.pos == 1320
 
 
 def test_decoder_resets_trailer_on_checksum_off_fde():
