@@ -70,6 +70,12 @@ class PipelineConfig:
     #   quarantine rows (op='Malformed', empty db/table) would otherwise be
     #   SILENTLY dropped by the regex gate; they route here with their raw
     #   payload instead. None restores the silent-drop behavior.
+    schema_change_topic: str | None = "schemachanges"  # binlog DDL markers
+    #   (op='SchemaChange', streaming/binlog.py QUERY_EVENT surface): a
+    #   mid-stream ALTER for a GATED table routes here with the raw DDL
+    #   statement, instead of being mangled through the row envelope as an
+    #   UPSERT whose payload is the query text. Consumers use it to evolve
+    #   their sinks in step with the source schema. None drops markers.
 
 
 def apply_transform(
@@ -106,6 +112,26 @@ def apply_transform(
             ).alias("value"),
         )
         changes = changes.filter(F.col("op") != "Malformed")  # gate sees clean rows
+    # DDL markers take their own leg AFTER the regex gate (an ALTER for an
+    # ignored table is dropped like its rows) and BEFORE the envelope: a
+    # SchemaChange row has no before/after images to envelope — its payload
+    # is the statement itself.
+    route_ddl = cfg.schema_change_topic is not None and can_carry_malformed
+    if route_ddl:
+        ddl = regex_table_filter(
+            changes.filter(F.col("op") == "SchemaChange"), cfg.table_regex
+        ).select(
+            F.lit(cfg.schema_change_topic).alias("topic"),
+            F.to_json(
+                F.struct(
+                    F.col("db"),
+                    F.col("table"),
+                    F.element_at("after", "query").alias("query"),
+                    F.col("ts"),
+                )
+            ).alias("value"),
+        )
+        changes = changes.filter(F.col("op") != "SchemaChange")
     gated = regex_table_filter(changes, cfg.table_regex)
     if cfg.script is not None:
         from cdc_rs_spark.functions.rhai import (
@@ -124,6 +150,8 @@ def apply_transform(
             topic_column(cfg.topic_template).alias("topic"),
             bigquery_json(gated).alias("value"),
         )
+    if route_ddl:
+        out = out.unionByName(ddl)
     if route_dead:
         out = out.unionByName(dead)
     return out

@@ -25,6 +25,7 @@ from cdc_rs_spark.streaming.replication import (
 from tests.test_binlog import (
     _event,
     _fde,
+    _feed,
     _query_event,
     _row,
     _rows_event,
@@ -490,3 +491,50 @@ def test_auth_switch_request_is_explicit_error():
     )
     with pytest.raises(ProtocolError, match="auth switch to 'caching_sha2"):
         client.connect(sock=client_sock)
+
+
+def test_schema_change_markers_route_to_ddl_topic(spark, tmp_path):
+    """A binlog feed with a mid-stream ALTER: the SchemaChange marker for a
+    GATED table routes to the schema-change topic carrying the raw DDL
+    (not through the row envelope as a fake UPSERT); an ALTER for an
+    ignored table is dropped like its rows; row events publish normally."""
+    import json as _json
+    import os
+
+    from cdc_rs_spark.pipeline import PipelineConfig, apply_transform
+    from cdc_rs_spark.streaming.datasource import register_change_feed
+
+    register_change_feed(spark)
+    tid = 99
+    data = (
+        _feed(False)  # testdb.orders rows (MAGIC + fde + table_map + rows)
+        + _query_event(
+            b"testdb", b"ALTER TABLE orders ADD COLUMN note TEXT", ts=1010
+        )
+        + _query_event(
+            b"otherdb", b"ALTER TABLE ignored ADD COLUMN x INT", ts=1011
+        )
+    )
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    with open(os.path.join(src, "bin.000001.binlog"), "wb") as f:
+        f.write(data)
+    cfg = PipelineConfig(
+        source_path=src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table_regex=r"^testdb\.orders$",
+        source_format="change_feed",
+    )
+    changes = spark.read.format("change_feed").option("path", src).load()
+    rows = apply_transform(changes, cfg).collect()
+    by_topic: dict[str, list[str]] = {}
+    for r in rows:
+        by_topic.setdefault(r["topic"], []).append(r["value"])
+    assert "schemachanges" in by_topic, sorted(by_topic)
+    ddl = [_json.loads(v) for v in by_topic["schemachanges"]]
+    assert len(ddl) == 1  # otherdb.ignored gated out
+    assert ddl[0]["table"] == "orders"
+    assert ddl[0]["query"].startswith("ALTER TABLE orders")
+    # row events took the normal envelope path; no UPSERT carries the DDL
+    normal = [v for t, vs in by_topic.items() if t != "schemachanges" for v in vs]
+    assert len(normal) == 5 and not any("ALTER TABLE" in v for v in normal)
