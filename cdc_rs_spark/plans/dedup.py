@@ -652,3 +652,71 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "dedup_line_level_report",
+    oracle="""
+    WITH segs AS (
+        SELECT d.doc_id, d.source, s.seg
+        FROM (
+            SELECT doc_id, source,
+                   list_transform(
+                       range(0, CAST(ceil(len(string_split(text, ' '))
+                                          / 10.0) AS BIGINT)),
+                       i -> array_to_string(
+                           list_slice(string_split(text, ' '),
+                                      i * 10 + 1, i * 10 + 10), ' ')
+                   ) AS segments
+            FROM documents
+        ) d, UNNEST(d.segments) AS s(seg)
+    ),
+    freq AS (SELECT seg, COUNT(*) AS n FROM segs GROUP BY seg)
+    SELECT segs.source,
+           COUNT(*) AS n_segments,
+           COUNT(CASE WHEN freq.n > 1 THEN 1 END) AS n_dup_segments,
+           ROUND(COUNT(CASE WHEN freq.n > 1 THEN 1 END)::DOUBLE
+                 / COUNT(*), 6) AS dup_frac
+    FROM segs JOIN freq USING (seg)
+    GROUP BY segs.source
+    """,
+)
+def dedup_line_level_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (line-level) duplication audit (round 5) — the
+    CCNet/RefinedWeb-style pass that doc-level dedup misses: boilerplate
+    repeated ACROSS documents (headers, footers, templates) shows up as
+    10-word segments with corpus frequency > 1. Reported per source cohort
+    as the duplicated-segment fraction — the number that decides whether a
+    source needs line-level scrubbing before training. Shape at 100 TB:
+    explode to ~|words|/10 narrow segment rows, one hash aggregate on the
+    segment (at real scale the shuffle key would be a segment HASH, same
+    note as dedup_exact), and the frequency re-join lands on the same key
+    partitioning the aggregate produced (exchange reuse) — no document
+    bodies ride any shuffle twice."""
+    d = spread(load(spark, sf_dir, "documents"))
+    words = F.split(F.col("text"), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    segs = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+            )
+        ).alias("seg"),
+    )
+    freq = segs.groupBy("seg").agg(F.count("*").alias("n"))
+    joined = segs.join(freq, "seg")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.count(F.when(F.col("n") > 1, 1)).alias("n_dup_segments"),
+            F.round(
+                F.count(F.when(F.col("n") > 1, 1)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -1301,3 +1301,90 @@ def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late_frac"),
         )
     )
+
+
+@register(
+    "events_watermark_recommendation",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_id, event_type, ts,
+               MAX(ts) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS high_water
+        FROM events
+    ),
+    late AS (
+        SELECT event_id, event_type,
+               CAST(epoch(high_water) - epoch(ts) AS BIGINT) AS late_s
+        FROM ordered WHERE ts < high_water
+    ),
+    ranked AS (
+        SELECT event_type, late_s,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY late_s, event_id) - 1 AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM late
+    )
+    SELECT event_type, MAX(n)::BIGINT AS n_late,
+           MAX(CASE WHEN rk = floor((n - 1) * 0.5) THEN late_s END)
+               AS p50_lateness_s,
+           MAX(CASE WHEN rk = floor((n - 1) * 0.99) THEN late_s END)
+               AS p99_lateness_s,
+           MAX(late_s) AS max_lateness_s
+    FROM ranked GROUP BY event_type
+    """,
+)
+def events_watermark_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable half of events_late_arrival_audit (round 5): for each
+    event type, the EXACT p50/p99/max lateness behind the user's event-time
+    high-water mark — p99_lateness_s IS the `withWatermark` delay that
+    captures 99 % of stragglers, max is the lossless bound. Exact
+    percentile-disc rank selection runs on operators/ranged.grouped_rank
+    (the per-stratum two-pass primitive), so a dominant event type never
+    funnels its lateness values through one task; lateness derivation is
+    one per-user rows-frame window (bounded per-user partitions)."""
+    from cdc_rs_spark.operators.ranged import grouped_rank, ranked_result
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hw = F.max("ts").over(w)
+    late = (
+        ev.select("event_id", "event_type", "ts", hw.alias("high_water"))
+        .filter(F.col("ts") < F.col("high_water"))
+        .select(
+            "event_id",
+            "event_type",
+            (
+                F.unix_timestamp("high_water") - F.unix_timestamp("ts")
+            ).cast("bigint").alias("late_s"),
+        )
+    )
+
+    def build(s: DataFrame) -> DataFrame:
+        ranked = grouped_rank(
+            s,
+            ["event_type"],
+            "late_s",
+            [F.col("late_s"), F.col("event_id")],
+            out_col="_rk",
+            count_col="_gn",
+        )
+        pick = lambda q: F.max(  # noqa: E731 — value at the exact rank
+            F.when(
+                F.col("_rk") == F.floor((F.col("_gn") - 1) * F.lit(q)),
+                F.col("late_s"),
+            )
+        )
+        return ranked.groupBy("event_type").agg(
+            F.max("_gn").cast("bigint").alias("n_late"),
+            pick(0.5).alias("p50_lateness_s"),
+            pick(0.99).alias("p99_lateness_s"),
+            F.max("late_s").alias("max_lateness_s"),
+        )
+
+    return ranked_result(late, build)
