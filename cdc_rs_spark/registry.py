@@ -67,7 +67,11 @@ def register(name: str, oracle: str | None = None):
 # text_quality_filter_median — both first-time pins), and the rhai compiler
 # (tokenizer grew `..`/`while`) flagships. Rotated-out queries keep their
 # module order after slot 50 and stay verified by tools/oracle_check.py +
-# tools/driver_sim.py locally (CORRECTNESS_LOCAL_FULL.json).
+# tools/driver_sim.py locally (CORRECTNESS_LOCAL_FULL.json). Late-r5 swap:
+# six slots from doubly-covered families gave way to the six queries built
+# AFTER the rotation (margin stats, per-lang quartiles, late-arrival audit,
+# watermark recommendation, line-level dedup, quantization fidelity) so the
+# driver verifies the round's new surface first-hand.
 _DRIVER_WINDOW = [
     # user-script compiler (tokenizer/parser changed this round)
     "rhai_script_bigquery_envelope",
@@ -79,11 +83,11 @@ _DRIVER_WINDOW = [
     "cdc_typed_projection",
     "cdc_snapshot_diff",
     "cdc_audit_trail",
-    "cdc_change_rate_stats",
+    "similarity_margin_stats",  # r5 new — driver-pin
     # relational breadth — first-time TPC-H picks + never-pinned extras
     "q2_min_cost_supplier",
     "q8_market_share",
-    "q13_customer_distribution",
+    "text_quality_quartiles_by_lang",  # r5 new — driver-pin
     "q17_small_quantity_revenue",
     "q20_excess_suppliers",
     "q21_late_suppliers",
@@ -96,14 +100,14 @@ _DRIVER_WINDOW = [
     "hll_sketch_rollup_custkeys",
     "benford_digit_audit_orders",
     "customer_cohort_ltv",
-    "supplier_fuzzy_match",
-    "nation_revenue_share_of_region",
+    "dedup_line_level_report",  # r5 new — driver-pin
+    "embedding_quantization_error_audit",  # r5 new — driver-pin
     # event-time — first-time picks (as-of joins per the verdict)
     "events_asof_last_click",
     "events_asof_next_purchase",
     "events_funnel_conversion",
-    "events_weekly_retention",
-    "events_daily_gapfill",
+    "events_late_arrival_audit",  # r5 new — driver-pin
+    "events_watermark_recommendation",  # r5 new — driver-pin
     "events_attribution_last_touch",
     "events_conversion_latency_quantiles",
     "anomaly_zscore_daily_revenue",
