@@ -131,6 +131,10 @@ def apply_transform(
                 )
             ).alias("value"),
         )
+    if can_carry_malformed:
+        # markers leave the row path EITHER WAY (round-5 review): with
+        # schema_change_topic=None they are dropped, never pushed through
+        # the row envelope as a fake UPSERT whose payload is the statement
         changes = changes.filter(F.col("op") != "SchemaChange")
     gated = regex_table_filter(changes, cfg.table_regex)
     if cfg.script is not None:

@@ -688,16 +688,17 @@ def dedup_line_level_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-word segments with corpus frequency > 1. Reported per source cohort
     as the duplicated-segment fraction — the number that decides whether a
     source needs line-level scrubbing before training. Shape at 100 TB:
-    explode to ~|words|/10 narrow segment rows, one hash aggregate on the
-    segment (at real scale the shuffle key would be a segment HASH, same
-    note as dedup_exact), and the frequency re-join lands on the same key
-    partitioning the aggregate produced (exchange reuse) — no document
-    bodies ride any shuffle twice."""
+    explode to ~|words|/10 narrow segment rows, then aggregate ONCE to
+    (seg, source) occurrence counts — corpus frequency and the per-source
+    rollup both derive from that pre-aggregate, so the per-occurrence rows
+    ride exactly one shuffle and the documents scan runs once (round-5
+    review: aggregating and re-joining the raw occurrence rows scanned and
+    shuffled everything twice). At real scale the shuffle key would be a
+    segment HASH, same note as dedup_exact."""
     d = spread(load(spark, sf_dir, "documents"))
     words = F.split(F.col("text"), " ")
     n_segs = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
     segs = d.select(
-        "doc_id",
         "source",
         F.explode(
             F.transform(
@@ -706,17 +707,15 @@ def dedup_line_level_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("seg"),
     )
-    freq = segs.groupBy("seg").agg(F.count("*").alias("n"))
-    joined = segs.join(freq, "seg")
+    pair = segs.groupBy("seg", "source").agg(F.count("*").alias("k"))
+    freq = pair.groupBy("seg").agg(F.sum("k").alias("n"))
+    joined = pair.join(freq, "seg")
+    dup_k = F.sum(F.when(F.col("n") > 1, F.col("k")).otherwise(F.lit(0)))
     return (
         joined.groupBy("source")
         .agg(
-            F.count("*").alias("n_segments"),
-            F.count(F.when(F.col("n") > 1, 1)).alias("n_dup_segments"),
-            F.round(
-                F.count(F.when(F.col("n") > 1, 1)).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("dup_frac"),
+            F.sum("k").cast("bigint").alias("n_segments"),
+            dup_k.cast("bigint").alias("n_dup_segments"),
+            F.round(dup_k.cast("double") / F.sum("k"), 6).alias("dup_frac"),
         )
     )

@@ -1261,7 +1261,9 @@ def events_conversion_latency_quantiles(
     WITH ordered AS (
         SELECT event_type, ts,
                MAX(ts) OVER (
-                   PARTITION BY user_id ORDER BY event_id
+                   PARTITION BY user_id
+                   ORDER BY CAST(('0x' || substring(md5(CAST(event_id AS
+                       VARCHAR)), 1, 8)) AS UBIGINT) % 1000000, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ) AS high_water
         FROM events
@@ -1276,17 +1278,23 @@ def events_conversion_latency_quantiles(
 )
 def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-order-arrival audit (round 5): per event type, how many
-    events arrive BEHIND their user's event-time high-water mark (ts below
-    the running max over ingestion order = event_id)? This is the number a
-    streaming operator needs before choosing a watermark delay — the late
-    fraction IS the data loss a zero-delay watermark would cause. One
-    shuffle on user_id (per-user partitions are naturally bounded, unlike
-    lang strata); the running max is a rows-frame window, the rollup a
-    map-side-combinable aggregate."""
+    events arrive BEHIND their user's event-time high-water mark? The
+    fixture generator emits events already time-ordered per user (verified:
+    ZERO naturally-late rows at every scale — an audit keyed on event_id
+    order would be vacuous, round-5 review), so the INGESTION order is
+    simulated with the engine's deterministic md5 shuffle
+    (corpus_shuffle_deterministic's permutation applied per user): the
+    audit then measures a real lateness distribution through the exact
+    same plan a production feed would use — on a real feed, swap the order
+    key for the ingestion sequence. One shuffle on user_id (per-user
+    partitions are naturally bounded, unlike lang strata); the running max
+    is a rows-frame window, the rollup a map-side-combinable aggregate."""
+    from cdc_rs_spark.plans.pipeline import hash_bucket
+
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy(hash_bucket(F.col("event_id"), 1_000_000), F.col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     late = F.col("ts") < F.max("ts").over(w)
@@ -1309,47 +1317,55 @@ def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
         SELECT event_id, event_type, ts,
                MAX(ts) OVER (
-                   PARTITION BY user_id ORDER BY event_id
+                   PARTITION BY user_id
+                   ORDER BY CAST(('0x' || substring(md5(CAST(event_id AS
+                       VARCHAR)), 1, 8)) AS UBIGINT) % 1000000, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ) AS high_water
         FROM events
     ),
     late AS (
         SELECT event_id, event_type,
-               CAST(epoch(high_water) - epoch(ts) AS BIGINT) AS late_s
+               epoch_us(high_water) - epoch_us(ts) AS late_us
         FROM ordered WHERE ts < high_water
     ),
     ranked AS (
-        SELECT event_type, late_s,
+        SELECT event_type, late_us,
                row_number() OVER (PARTITION BY event_type
-                                  ORDER BY late_s, event_id) - 1 AS rk,
+                                  ORDER BY late_us, event_id) - 1 AS rk,
                COUNT(*) OVER (PARTITION BY event_type) AS n
         FROM late
     )
     SELECT event_type, MAX(n)::BIGINT AS n_late,
-           MAX(CASE WHEN rk = floor((n - 1) * 0.5) THEN late_s END)
-               AS p50_lateness_s,
-           MAX(CASE WHEN rk = floor((n - 1) * 0.99) THEN late_s END)
-               AS p99_lateness_s,
-           MAX(late_s) AS max_lateness_s
+           MAX(CASE WHEN rk = floor((n - 1) * 0.5) THEN late_us END)
+               AS p50_lateness_us,
+           MAX(CASE WHEN rk = floor((n - 1) * 0.99) THEN late_us END)
+               AS p99_lateness_us,
+           MAX(late_us) AS max_lateness_us
     FROM ranked GROUP BY event_type
     """,
 )
 def events_watermark_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actionable half of events_late_arrival_audit (round 5): for each
     event type, the EXACT p50/p99/max lateness behind the user's event-time
-    high-water mark — p99_lateness_s IS the `withWatermark` delay that
-    captures 99 % of stragglers, max is the lossless bound. Exact
-    percentile-disc rank selection runs on operators/ranged.grouped_rank
-    (the per-stratum two-pass primitive), so a dominant event type never
-    funnels its lateness values through one task; lateness derivation is
-    one per-user rows-frame window (bounded per-user partitions)."""
+    high-water mark under the simulated ingestion order (see the audit's
+    docstring for why the order is a deterministic md5 shuffle) —
+    p99_lateness_us IS the `withWatermark` delay that captures 99 % of
+    stragglers, max is the lossless bound. Lateness is integer MICROSECONDS
+    on both engines (epoch_us both sides — a seconds-truncating
+    unix_timestamp against DuckDB's rounding epoch() diverged by ±1 s,
+    round-5 review). Exact percentile-disc rank selection runs on
+    operators/ranged.grouped_rank (the per-stratum two-pass primitive), so
+    a dominant event type never funnels its lateness values through one
+    task."""
+    from cdc_rs_spark.functions.timeutil import epoch_us
     from cdc_rs_spark.operators.ranged import grouped_rank, ranked_result
+    from cdc_rs_spark.plans.pipeline import hash_bucket
 
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy(hash_bucket(F.col("event_id"), 1_000_000), F.col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     hw = F.max("ts").over(w)
@@ -1359,9 +1375,7 @@ def events_watermark_recommendation(spark: SparkSession, sf_dir: str) -> DataFra
         .select(
             "event_id",
             "event_type",
-            (
-                F.unix_timestamp("high_water") - F.unix_timestamp("ts")
-            ).cast("bigint").alias("late_s"),
+            (epoch_us("high_water") - epoch_us("ts")).alias("late_us"),
         )
     )
 
@@ -1369,22 +1383,22 @@ def events_watermark_recommendation(spark: SparkSession, sf_dir: str) -> DataFra
         ranked = grouped_rank(
             s,
             ["event_type"],
-            "late_s",
-            [F.col("late_s"), F.col("event_id")],
+            "late_us",
+            [F.col("late_us"), F.col("event_id")],
             out_col="_rk",
             count_col="_gn",
         )
         pick = lambda q: F.max(  # noqa: E731 — value at the exact rank
             F.when(
                 F.col("_rk") == F.floor((F.col("_gn") - 1) * F.lit(q)),
-                F.col("late_s"),
+                F.col("late_us"),
             )
         )
         return ranked.groupBy("event_type").agg(
             F.max("_gn").cast("bigint").alias("n_late"),
-            pick(0.5).alias("p50_lateness_s"),
-            pick(0.99).alias("p99_lateness_s"),
-            F.max("late_s").alias("max_lateness_s"),
+            pick(0.5).alias("p50_lateness_us"),
+            pick(0.99).alias("p99_lateness_us"),
+            F.max("late_us").alias("max_lateness_us"),
         )
 
     return ranked_result(late, build)

@@ -566,11 +566,11 @@ def test_spool_resume_is_at_least_once(tmp_path):
             t.join(timeout=5)
         except Exception:
             pass
-        return n, client
+        return n, client, server
 
     # first session "crashes" after 2 records (max_records aborts the
     # drain mid-stream, like a kill would)
-    n1, c1 = drain(max_records=2)
+    n1, c1, _ = drain(max_records=2)
     assert n1 == 2
     st = _json.load(open(os.path.join(feed, "_replication_state.json")))
     # the committed pos is a transaction-safe boundary (the fixture has no
@@ -580,7 +580,13 @@ def test_spool_resume_is_at_least_once(tmp_path):
     # second session resumes from the sidecar (fresh decoder; the fake
     # server, like a real one, replays from its log — here from the start,
     # the worst case for duplication)
-    n2, c2 = drain()
+    n2, c2, srv2 = drain()
+    # the resumed COM_BINLOG_DUMP actually carried the sidecar's committed
+    # (file, pos) — not a silent restart from scratch (round-5 review)
+    dump2 = [p for p in srv2.received if p[:1] == b"\x12"][0]
+    pos2 = struct.unpack_from("<I", dump2, 1)[0]
+    assert dump2[11:] == st["filename"].encode()
+    assert pos2 == max(int(st["pos"]), 4)
     spooled = []
     for name in sorted(os.listdir(feed)):
         if name.startswith("spool."):
