@@ -136,7 +136,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     args = _parser().parse_args(argv)
     if args.replicate:
-        from urllib.parse import urlparse
+        from urllib.parse import unquote, urlparse
 
         from cdc_rs_spark.streaming.replication import (
             BinlogReplicationClient,
@@ -167,8 +167,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ReplicationConfig(
                 host=u.hostname,
                 port=port or 3306,
-                user=u.username or "repl",
-                password=u.password or "",
+                # urlparse leaves %xx escapes literal, so credentials
+                # containing '@' ':' '/' '%' must be percent-encoded in the
+                # URL and decoded here (round-6 advice)
+                user=unquote(u.username) if u.username else "repl",
+                password=unquote(u.password) if u.password else "",
                 server_id=args.server_id,
                 filename=filename,
                 pos=pos,

@@ -192,6 +192,17 @@ def build_stream(spark: SparkSession, cfg: PipelineConfig) -> DataFrame:
             )
         changes = reader.load()
     else:
+        if cfg.max_records_per_batch:
+            # mirror of the change_feed check above: json_dir admission is
+            # FILE-based, and silently dropping the records knob would run
+            # an invocation that asked for admission control with none at
+            # all (round-6 advice)
+            raise ValueError(
+                "json_dir admission control is FILES-based: use "
+                "max_files_per_trigger / --max-files-per-trigger "
+                "(max_records_per_batch counts RECORDS and only applies "
+                "to the change_feed source)"
+            )
         changes = read_change_stream(
             spark, cfg.source_path, max_files_per_trigger=cfg.max_files_per_trigger
         )

@@ -133,7 +133,12 @@ def parse_handshake(payload: bytes) -> Handshake:
         i += 1 + 10  # reserved
         if caps & CLIENT_SECURE_CONNECTION:
             n2 = max(13, auth_len - 8) if auth_len else 13
-            auth2 = payload[i : i + n2].rstrip(b"\x00")
+            # drop ONLY the single trailing NUL terminator — rstrip would
+            # also eat legitimate 0x00 bytes at the end of the scramble and
+            # derive a wrong 20-byte nonce (round-6 advice)
+            auth2 = payload[i : i + n2]
+            if auth2.endswith(b"\x00"):
+                auth2 = auth2[:-1]
             i += n2
         if caps & CLIENT_PLUGIN_AUTH:
             end = payload.find(0, i)
@@ -457,6 +462,7 @@ def spool_to_feed(
     machinery."""
     import json
     import os
+    import re
 
     os.makedirs(feed_dir, exist_ok=True)
     state_path = os.path.join(feed_dir, "_replication_state.json")
@@ -465,6 +471,23 @@ def spool_to_feed(
         with open(state_path) as f:
             st = json.load(f)
         seq = int(st.get("spool_seq", 0))
+        # a crash BETWEEN a spool-file os.replace and its sidecar commit
+        # leaves the sidecar one behind the directory; resuming from the
+        # sidecar alone would REWRITE the orphan spool.N with re-fetched
+        # (position-shifted) content, breaking the change_feed source's
+        # immutable-file assumption for a reader that already listed it.
+        # Never overwrite: start past the highest existing index too
+        # (round-6 advice).
+        existing = [
+            int(m.group(1))
+            for m in (
+                re.match(r"spool\.(\d+)\.json$", n)
+                for n in os.listdir(feed_dir)
+            )
+            if m
+        ]
+        if existing:
+            seq = max(seq, max(existing) + 1)
         if client.state.filename:
             # an EXPLICIT start position (FILE[:POS] on the CLI) wins over
             # the sidecar — silently resuming from the saved position when

@@ -379,3 +379,28 @@ def test_change_feed_rejects_files_based_batch_knob(spark, tmp_path):
         build_stream(spark, cfg)
     cfg.max_records_per_batch = 100
     assert build_stream(spark, cfg) is not None  # explicit knob works
+
+
+def test_json_dir_rejects_records_based_batch_knob(spark, tmp_path):
+    """Round-6 advice: the mirror of the check above — json_dir admission
+    is FILE-based, so an invocation carrying only max_records_per_batch
+    would otherwise run with no admission control at all."""
+    import os
+
+    import pytest
+
+    from cdc_rs_spark.pipeline import PipelineConfig, build_stream
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    cfg = PipelineConfig(
+        source_path=src,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_format="json_dir",
+        max_records_per_batch=100,
+    )
+    with pytest.raises(ValueError, match="max_files_per_trigger"):
+        build_stream(spark, cfg)
+    cfg.max_records_per_batch = None
+    cfg.max_files_per_trigger = 100
+    assert build_stream(spark, cfg) is not None  # correct knob works

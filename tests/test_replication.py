@@ -603,3 +603,68 @@ def test_spool_resume_is_at_least_once(tmp_path):
     assert sum(1 for c in spooled if c["op"] == "Insert") >= 2
     assert sum(1 for c in spooled if c["op"] == "Update") >= 1
     assert len(keys) == 4  # full set survives dedup by content
+
+
+def test_handshake_nonce_keeps_legit_trailing_zero_byte():
+    """Round-6 advice: part 2 of the auth data is NUL-terminated, but a
+    scramble byte may legitimately BE 0x00 — only the single terminator
+    must be dropped, or the derived 20-byte nonce (and thus the auth
+    token) is wrong."""
+    from cdc_rs_spark.streaming.replication import parse_handshake
+
+    caps = 0x00008000 | 0x00000200 | 0x00080000
+    part2 = b"9012345678\x00\x00"  # 12 scramble bytes ending in 0x00 0x00
+    p = bytes([0x0A]) + b"8.0.99-fake\x00"
+    p += struct.pack("<I", 7)
+    p += NONCE1 + b"\x00"
+    p += struct.pack("<H", caps & 0xFFFF)
+    p += bytes([0x21]) + struct.pack("<H", 2)
+    p += struct.pack("<H", caps >> 16)
+    p += bytes([21])  # 8 + 12 + NUL
+    p += bytes(10)
+    p += part2 + b"\x00"  # server's single NUL terminator
+    p += b"mysql_native_password\x00"
+    hs = parse_handshake(p)
+    assert hs.nonce == NONCE1 + part2
+    assert len(hs.nonce) == 20
+
+
+def test_spool_resume_never_overwrites_orphan_file(tmp_path):
+    """Round-6 advice: a crash between a spool-file rename and its sidecar
+    commit leaves the sidecar one behind the directory; the resumed
+    session must start PAST the orphan, never rewrite a file a reader may
+    already have listed (immutable-file contract of change_feed)."""
+    import json as _json
+    import os
+
+    from cdc_rs_spark.streaming.replication import spool_to_feed
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    # simulate the crash window: spool.000000000 was renamed into place
+    # but the sidecar still says spool_seq=0
+    orphan = os.path.join(feed, "spool.000000000.json")
+    marker = '{"op": "Marker", "sentinel": true}\n'
+    with open(orphan, "w") as f:
+        f.write(marker)
+    with open(os.path.join(feed, "_replication_state.json"), "w") as f:
+        _json.dump({"spool_seq": 0, "filename": "", "pos": 4}, f)
+
+    server_sock, client_sock = socket.socketpair()
+    server = FakeServer(server_sock, _dump_events(False))
+    t = threading.Thread(target=server.run, daemon=True)
+    t.start()
+    client = BinlogReplicationClient(
+        ReplicationConfig(user=USER, password=PASSWORD, non_block=True)
+    )
+    client.connect(sock=client_sock)
+    n = spool_to_feed(client, feed, records_per_file=1)
+    t.join(timeout=5)
+    assert n > 0
+    # the orphan is byte-identical, and every new file sorts after it
+    assert open(orphan).read() == marker
+    new = sorted(
+        f for f in os.listdir(feed)
+        if f.startswith("spool.") and f != "spool.000000000.json"
+    )
+    assert new and all(f > "spool.000000000.json" for f in new)
