@@ -140,15 +140,30 @@ def apply_transform(
     if cfg.script is not None:
         from cdc_rs_spark.functions.rhai import (
             RhaiScript,
+            rhai_interpret_pipeline,
             rhai_topic,
             rhai_transform_json,
         )
 
-        compiled = RhaiScript(cfg.script)
-        out = gated.select(
-            rhai_topic(gated, compiled).alias("topic"),
-            rhai_transform_json(gated, compiled).alias("value"),
-        )
+        compiled = RhaiScript(cfg.script)  # parse errors surface eagerly
+        try:
+            out = gated.select(
+                rhai_topic(gated, compiled).alias("topic"),
+                rhai_transform_json(gated, compiled).alias("value"),
+            )
+        except TypeError as exc:
+            # the script outgrows the compilable subset (round-6 advice:
+            # the documented interpreter engine must actually be WIRED,
+            # not a dead-end error message) — run it per row instead, the
+            # same cost model the reference pays for every script
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "rhai script outgrows the compilable subset (%s); "
+                "falling back to the RhaiInterpreter engine (mapInPandas)",
+                exc,
+            )
+            out = rhai_interpret_pipeline(gated, cfg.script)
     else:
         out = gated.select(
             topic_column(cfg.topic_template).alias("topic"),

@@ -496,18 +496,20 @@ def test_rhai_concat_builtin_parity(spark):
     assert RhaiInterpreter(src).call("j", "x", "yy") == got
 
 
-def test_rhai_while_loop_interpreted_and_compiler_rejects(spark):
-    """VERDICT r4 task 8: `while` + runtime-length `lo..hi` iteration run
-    on the INTERPRETER engine (here: digit-count via a data-dependent loop,
-    executed per row under mapInPandas) and match a hand-built expected
-    frame; the COMPILER rejects the same script with the documented
-    outgrows-the-subset error instead of miscompiling it. Compile-time
-    `lo..hi` bounds, by contrast, unroll like an array literal in BOTH
-    engines."""
-    import pandas as pd
+def test_rhai_while_and_runtime_ranges_compile(spark):
+    """Round 6 (VERDICT r5 task 1): `while` loops and runtime-bound
+    `lo..hi` ranges COMPILE. A compile-time condition constant-folds by
+    static execution; a runtime one becomes an aggregate() fold over a
+    WHILE_COMPILE_CAP sequence with a live-flag; runtime range bounds
+    become a guarded sequence() column. Both engines agree row for row,
+    and a row that fails to terminate within the cap raises loudly."""
     import pytest
 
-    from cdc_rs_spark.functions.rhai import RhaiInterpreter, RhaiScript
+    from cdc_rs_spark.functions.rhai import (
+        RhaiInterpreter,
+        RhaiScript,
+        _to_col,
+    )
 
     src = """
     fn digit_count(n) {
@@ -520,28 +522,24 @@ def test_rhai_while_loop_interpreted_and_compiler_rejects(spark):
         d
     }
     """
-    with pytest.raises(TypeError, match="outgrows the compilable subset"):
-        RhaiScript(src).call("digit_count", 91)
-
-    interp = RhaiInterpreter(src)
     vals = [0, 7, 91, 4096, 987654]
     expect = [len(str(v)) for v in vals]
+    interp = RhaiInterpreter(src)
     assert [interp.call("digit_count", v) for v in vals] == expect
-
-    # distributed form: the same interpreter per row under mapInPandas
+    # compile-time argument: static constant-fold, no columns anywhere
+    assert [RhaiScript(src).call("digit_count", v) for v in vals] == expect
+    # runtime argument: the while-fold — same values through the JVM
     df = spark.createDataFrame([(v,) for v in vals], "n long")
-
-    def run(batches):
-        it = RhaiInterpreter(src)
-        for pdf in batches:
-            yield pd.DataFrame(
-                {"n": pdf["n"], "s": [it.call("digit_count", int(v)) for v in pdf["n"]]}
-            )
-
-    got = {r["n"]: r["s"] for r in df.mapInPandas(run, "n long, s long").collect()}
+    got = {
+        r["n"]: r["s"]
+        for r in df.select(
+            F.col("n"),
+            _to_col(RhaiScript(src).call("digit_count", F.col("n"))).alias("s"),
+        ).collect()
+    }
     assert got == dict(zip(vals, expect))
 
-    # runtime-length range: interpreter iterates, compiler refuses
+    # runtime-length range: BOTH engines iterate now
     rng = """
     fn triangle(n) {
         let total = 0;
@@ -550,17 +548,21 @@ def test_rhai_while_loop_interpreted_and_compiler_rejects(spark):
     }
     """
     assert RhaiInterpreter(rng).call("triangle", 10) == 45
-    # a literal bound constant-folds (the compiler CAN unroll it); a
-    # runtime Column bound is the uncompilable case
-    assert RhaiScript(rng).call("triangle", 10) == 45
-    with pytest.raises(TypeError, match="compile-time integer bounds"):
-        RhaiScript(rng).call("triangle", F.col("ts"))
-    # compile-time bounds unroll in both engines
+    assert RhaiScript(rng).call("triangle", 10) == 45  # static unroll
+    got = [
+        r["t"]
+        for r in df.select(
+            _to_col(RhaiScript(rng).call("triangle", F.col("n") % 10)).alias("t")
+        ).collect()
+    ]
+    assert got == [RhaiInterpreter(rng).call("triangle", v % 10) for v in vals]
+
+    # compile-time bounds still unroll in both engines
     fixed = "fn t() { let total = 0; for i in 0..5 { total = total + i; } total }"
     assert RhaiScript(fixed).call("t") == 10
     assert RhaiInterpreter(fixed).call("t") == 10
 
-    # the runaway guard fails loudly instead of wedging an executor task
+    # the runaway guards fail loudly instead of wedging an executor task
     from cdc_rs_spark.functions import rhai as rhai_mod
 
     loop = "fn spin() { let i = 0; while 1 == 1 { i = i + 1; } i }"
@@ -569,27 +571,51 @@ def test_rhai_while_loop_interpreted_and_compiler_rejects(spark):
     try:
         with pytest.raises(RuntimeError, match="exceeded 1000 iterations"):
             RhaiInterpreter(loop).call("spin")
-        # round-5 review: a corrupt row value must not materialize a
-        # billion-element range list either
+        # the compiled STATIC path hits the same guard
+        with pytest.raises(RuntimeError, match="exceeded 1000 iterations"):
+            RhaiScript(loop).call("spin")
+        # a corrupt row value must not materialize a billion-element list
         with pytest.raises(RuntimeError, match="exceeds 1000 elements"):
             RhaiInterpreter(rng).call("triangle", 10_000_000_000)
+        with pytest.raises(RuntimeError, match="exceeds 1000 elements"):
+            RhaiScript(rng).call("triangle", 10_000_000_000)
     finally:
         rhai_mod.MAX_WHILE_ITERATIONS = old
-    # float range bounds: stock Rhai errors, the compiler raises — the
-    # interpreter must not silently truncate (round-5 review)
+
+    # the compiled WHILE-FOLD cap: a row needing more iterations than
+    # WHILE_COMPILE_CAP raises at runtime (never silently truncates)
+    old_cap = rhai_mod.WHILE_COMPILE_CAP
+    rhai_mod.WHILE_COMPILE_CAP = 4
+    try:
+        capped = df.select(
+            _to_col(RhaiScript(src).call("digit_count", F.col("n"))).alias("s")
+        )
+        with pytest.raises(Exception, match="WHILE_COMPILE_CAP=4"):
+            capped.collect()  # 987654 needs 6 iterations
+    finally:
+        rhai_mod.WHILE_COMPILE_CAP = old_cap
+
+    # float range bounds error in both engines (never silent truncation)
     with pytest.raises(TypeError, match="range bounds must be integers"):
         RhaiInterpreter(rng).call("triangle", 4.5)
+    with pytest.raises(TypeError, match="range bounds must be integers"):
+        RhaiScript(rng).call("triangle", 4.5)
 
 
-def test_rhai_closures_on_interpreter_engine():
-    """Round 5: Rhai closures (`|x| expr`, `|a, b| { .. }`) and the
-    closure-taking array methods map/filter/reduce/some/all run on the
-    INTERPRETER engine; the compiler rejects them with the documented
-    outgrows-the-subset error. Capture is by snapshot of the defining
-    scope."""
+def test_rhai_closures_compile_and_match_interpreter(spark):
+    """Round 6: closures and the closure-taking array methods
+    map/filter/reduce/some/all COMPILE — statically over array literals,
+    via transform/filter/aggregate/exists/forall over runtime arrays.
+    Capture is by snapshot in both engines; reduce still requires an
+    explicit initial value in both."""
     import pytest
 
-    from cdc_rs_spark.functions.rhai import RhaiInterpreter, RhaiScript
+    from cdc_rs_spark.functions.rhai import (
+        RhaiInterpreter,
+        RhaiScript,
+        StructVal,
+        _to_col,
+    )
 
     src = """
     fn pipeline(xs, floor) {
@@ -606,17 +632,116 @@ def test_rhai_closures_on_interpreter_engine():
     fn twice(f, v) { f.call(f.call(v)) }
     fn adder(n) { |x| x + n }
     """
+    expected = {"kept": 5, "total": 4 + 9 + 16 + 25 + 144,
+                "any_big": True, "all_pos": True}
     interp = RhaiInterpreter(src)
-    out = interp.call("pipeline", [1, 2, 3, 4, 5, -12], 4)
-    assert out == {"kept": 5, "total": 4 + 9 + 16 + 25 + 144,
-                   "any_big": True, "all_pos": True}
-    # closures are first-class: passed as args and returned (captured n)
+    assert interp.call("pipeline", [1, 2, 3, 4, 5, -12], 4) == expected
+    # the COMPILED engine now constant-folds the same literal call
+    out = RhaiScript(src).call("pipeline", [1, 2, 3, 4, 5, -12], 4)
+    assert isinstance(out, StructVal) and out.fields == expected
+    # first-class closures: passed as args and returned (captured n)
     inc = interp.call("adder", 10)
     assert inc(5) == 15
     assert interp.call("twice", inc, 1) == 21
-    with pytest.raises(TypeError, match="closures outgrow the compilable"):
-        RhaiScript(src).call("pipeline", [1, 2], 0)
+    cinc = RhaiScript(src).call("adder", 10)
+    assert cinc(5) == 15
+    assert RhaiScript(src).call("twice", cinc, 1) == 21
+
+    # runtime arrays: higher-order functions, row-for-row parity
+    hof = """
+    fn f(n) {
+        let xs = (0..n).map(|x| x * x + 1);
+        let kept = xs.filter(|x| x % 2 == 1);
+        let r = kept.reduce(|acc, x| acc + x, 0) + kept.len();
+        if xs.some(|x| x > 20) && xs.all(|x| x >= 1) { r } else { -r }
+    }
+    """
+    vals = [0, 3, 7, 12]
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    got = [
+        r["y"]
+        for r in df.select(
+            _to_col(RhaiScript(hof).call("f", F.col("n"))).alias("y")
+        ).collect()
+    ]
+    assert got == [RhaiInterpreter(hof).call("f", v) for v in vals]
+
+    # reduce without an explicit initial value: both engines refuse
     with pytest.raises(TypeError, match="reduce\\(closure, initial\\)"):
-        RhaiInterpreter(
-            "fn f(xs) { xs.reduce(|a, x| a + x) }"
-        ).call("f", [1, 2])
+        RhaiInterpreter("fn f(xs) { xs.reduce(|a, x| a + x) }").call("f", [1, 2])
+    with pytest.raises(TypeError, match="reduce\\(closure, initial\\)"):
+        RhaiScript("fn f(xs) { xs.reduce(|a, x| a + x) }").call("f", [1, 2])
+
+
+def test_rhai_compiled_loop_plan_is_pure_column(spark):
+    """The VERDICT r5 'done' bar: a script using filter/map closures AND a
+    runtime-bound while compiles to a plan with NO Python evaluation node
+    — the whole script rides whole-stage codegen / JVM expression eval."""
+    from cdc_rs_spark.functions.rhai import RhaiScript, _to_col
+
+    src = """
+    fn f(n) {
+        let xs = (0..n).map(|x| x * x);
+        let odd = xs.filter(|x| x % 2 == 1);
+        let s = odd.reduce(|acc, x| acc + x, 0);
+        let i = 0;
+        while i * i < s {
+            i = i + 1;
+        }
+        i
+    }
+    """
+    df = spark.createDataFrame([(v,) for v in [0, 5, 9]], "n long")
+    out = df.select(
+        _to_col(RhaiScript(src).call("f", F.col("n"))).alias("isqrt")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("Python", "MapInPandas", "EvalPython", "ArrowEval"):
+        assert marker not in plan, f"Python node {marker!r} in plan:\n{plan}"
+    # and it computes the right thing: ceil(sqrt(sum of odd squares))
+    from cdc_rs_spark.functions.rhai import RhaiInterpreter
+
+    got = [r["isqrt"] for r in out.collect()]
+    assert got == [RhaiInterpreter(src).call("f", v) for v in [0, 5, 9]]
+
+
+def test_rhai_pipeline_interpreter_fallback_is_wired(spark):
+    """Round-6 advice (medium): a script that outgrows the compilable
+    subset must not dead-end in an error telling the user about an engine
+    nothing wires up — apply_transform falls back to RhaiInterpreter under
+    mapInPandas automatically and produces (topic, value) rows."""
+    import json as _json
+
+    from cdc_rs_spark.envelope import CHANGE_SCHEMA
+    from cdc_rs_spark.pipeline import PipelineConfig, apply_transform
+
+    # field write inside a runtime-bound while: compilable-subset edge
+    script = """
+    fn transform(db, table, op, before, after, ts) {
+        let m = after;
+        let i = 0;
+        while i < ts {
+            m.hops = `${i + 1}`;
+            i = i + 1;
+        }
+        m
+    }
+    fn topic(db, table) { `${db}.${table}` }
+    """
+    rows = [
+        ("Insert", "testdb", "orders", None, {"id": "1"}, 2, "1"),
+        ("Insert", "testdb", "orders", None, {"id": "2"}, 3, "2"),
+    ]
+    changes = spark.createDataFrame(rows, CHANGE_SCHEMA)
+    cfg = PipelineConfig(
+        source_path="/nonexistent", checkpoint_dir="/nonexistent",
+        script=script,
+    )
+    got = sorted(
+        (r["topic"], r["value"])
+        for r in apply_transform(changes, cfg, can_carry_malformed=False).collect()
+    )
+    assert [t for t, _ in got] == ["testdb.orders", "testdb.orders"]
+    payloads = [_json.loads(v) for _, v in got]
+    assert payloads[0] == {"id": "1", "hops": "2"}
+    assert payloads[1] == {"id": "2", "hops": "3"}
