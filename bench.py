@@ -37,6 +37,33 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # round-6 (VERDICT r5 task 3): one representative WARM-UP QUERY before
+    # the alphabetical sweep, excluded from the table. The r5 driver tail
+    # indicted innocent early-alphabet queries with 4-7 s cold-start
+    # artifacts (q6: 4.54 s in-suite vs 0.41 s isolated-warm) because
+    # fresh-JVM JIT, whole-stage-codegen compilation, shuffle machinery and
+    # big-table parquet footers all first fire inside whichever query sorts
+    # first. Exercise those paths once here: scan+filter+join+hash-agg+
+    # distinct over the two largest tables, then a window.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    ords = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    (
+        li.filter(F.col("l_quantity") > 0)
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("l_extendedprice").alias("s"),
+            F.countDistinct("o_custkey").alias("c"),
+        )
+    ).write.format("noop").mode("overwrite").save()
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    ords.select(F.row_number().over(w).alias("rn")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     # best-of-N per query, N >= 3 (BENCH_NOTES.md: in-suite vs isolated
     # timings diverged up to 2x at N=2 — JIT/GC/page-cache state depends on
     # suite position; the min of >=3 back-to-back runs is the stable

@@ -1671,6 +1671,9 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # surviving rows see a window to number them.
     order = [F.desc("pr"), F.asc("part")]
     top = pr.orderBy(*order).limit(20)
+    # NOTE: the `WindowExec: No Partition Defined` warning this emits is
+    # BENIGN — the frame is the 20-row limit() above, not a data-sized
+    # relation (r5 verdict: worth a comment so auditors don't chase it)
     return (
         top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
         .select("part", "pr", "rnk")
@@ -1792,6 +1795,8 @@ def heavy_hitters_cms_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         counts.orderBy(F.desc("n_exact"), F.asc("l_suppkey"))
         .limit(10)
+        # benign `WindowExec: No Partition Defined` warning: the window
+        # ranks the 10-row limit() result, not a data-sized relation
         .withColumn(
             "rnk",
             F.row_number().over(

@@ -171,20 +171,25 @@ _BUCKET_SQL = (
     " AS UBIGINT) % 1000000"
 )
 
-_IVF_CHAIN_SQL = f"""
+def _ivf_chain_sql(train_where: str = "") -> str:
+    """The shared training+assignment+probe oracle chain; `train_where`
+    restricts the TRAINING corpus (the incremental-index query trains on
+    the pre-stream base while assigning the full corpus — round 6)."""
+    tw = f"WHERE {train_where}" if train_where else ""
+    return f"""
     -- Lloyd trains on the {TRAIN_CAP} corpus rows with the smallest md5
     -- hash-buckets — a deterministic uniform sample BOUNDED BY COUNT
     -- ({TRAIN_PER_CENTROID} vectors per centroid, corpus-size independent);
     -- the bucket is the same md5 expression Spark uses, so the refined
     -- centroids stay bit-identical across engines.
     train0 AS (
-        SELECT vec_id, embedding FROM embeddings
+        SELECT vec_id, embedding FROM embeddings {tw}
         ORDER BY {_BUCKET_SQL}, vec_id
         LIMIT {TRAIN_CAP}
     ),
     cents0 AS (
         SELECT vec_id AS cent_id, embedding AS c_emb
-        FROM embeddings
+        FROM embeddings {tw}
         ORDER BY {_BUCKET_SQL}, vec_id
         LIMIT {N_CENTROIDS}
     ),
@@ -238,6 +243,9 @@ _IVF_CHAIN_SQL = f"""
     )"""
 
 
+_IVF_CHAIN_SQL = _ivf_chain_sql()
+
+
 @register(
     "similarity_ivf_topk",
     oracle=f"""
@@ -282,6 +290,79 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, probes = _ivf_model(spark, raw)
     return ivf_probe_topk(
         spread(raw).select("vec_id", "embedding"), cents, probes, k=5, dim=EMB_DIM
+    )
+
+
+@register(
+    "similarity_ivf_incremental_topk",
+    oracle=f"""
+    WITH {_QUERIES_SQL},
+    {_ivf_chain_sql("vec_id % 3 <> 0")},
+    cand AS (
+        SELECT p.query_id, a.vec_id,
+               {_cos_sql("p.q_emb", "a.embedding")} AS cos
+        FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+        WHERE a.vec_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM cand
+    )
+    SELECT query_id, vec_id, rank, ROUND(cos, 6) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF index maintenance (round 6, VERDICT r5 task 5),
+    exercised through the REAL persisted-index path (streaming/ivf.py):
+    the index is bootstrapped on the pre-stream 2/3 of the corpus
+    (init_index: count-bounded reservoir -> driver-local Lloyd ->
+    broadcast-argmax assignment -> lists parquet partitioned by
+    (version, cent_id)), then the remaining third arrives as TWO
+    micro-batches through append_batch — each batch is assigned against
+    the CURRENT centroids and appended, touching |batch| + TRAIN_CAP rows
+    and NEVER the lists store — and finally probe_index answers top-5
+    against the maintained index with partition-pruned probe joins and the
+    two-stage rank. With no re-train triggered, the result must equal an
+    IVF whose centroids were trained on the base corpus but whose lists
+    cover everything — which is exactly what the DuckDB oracle computes
+    (the shared chain with the training CTEs restricted to the base).
+    Re-train triggering, centroid versioning and the cross-batch streaming
+    form are covered by tests/test_streaming_ivf.py."""
+    import tempfile
+
+    from cdc_rs_spark.streaming.ivf import (
+        append_batch,
+        init_index,
+        probe_index,
+    )
+
+    raw = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    base = raw.filter(F.col("vec_id") % 3 != 0)
+    batch1 = raw.filter(F.col("vec_id") % 6 == 0)
+    batch2 = raw.filter(F.col("vec_id") % 6 == 3)
+    index_dir = tempfile.mkdtemp(prefix="ivf_incremental_")
+    init_index(
+        spark, base, index_dir,
+        n_centroids=N_CENTROIDS, train_cap=TRAIN_CAP,
+        kmeans_iters=1, dim=EMB_DIM,
+    )
+    # ratio/drift thresholds set so no re-train fires here (the oracle is
+    # the single-generation geometry); the triggering path is pytest-proven
+    for b in (batch1, batch2):
+        append_batch(
+            spark, b, index_dir,
+            retrain_ratio=1e9, drift_margin=10.0, dim=EMB_DIM,
+        )
+    queries = raw.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return probe_index(
+        spark, queries, index_dir, nprobe=N_PROBE, k=5, dim=EMB_DIM
     )
 
 

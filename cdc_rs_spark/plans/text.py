@@ -326,6 +326,9 @@ def text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load(spark, sf_dir, "documents"))
     q = d.select(quality_score(F.col("text")).alias("quality"))
     hist = q.groupBy("quality").agg(F.count("*").alias("c"))
+    # benign `No Partition Defined` warnings here: both windows run over
+    # the VALUE HISTOGRAM (quality rounds to a bounded set of buckets),
+    # never the document-sized relation
     w_cum = Window.orderBy("quality").rowsBetween(Window.unboundedPreceding, 0)
     # total as an unbounded frame over the SAME window partitioning: both
     # frames evaluate in one WindowExec pass — no second aggregation job,
@@ -785,6 +788,7 @@ def token_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the 20 surviving rows see a window to number them.
     order = [F.desc("chi2"), F.asc("token")]
     top = scored.orderBy(*order).limit(20)
+    # benign `No Partition Defined` warning: the frame is 20 rows (above)
     return (
         top.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
         .select("token", "c_a", "c_b", F.round("chi2", 8).alias("chi2_contrib"), "rnk")

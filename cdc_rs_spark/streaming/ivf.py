@@ -1,0 +1,410 @@
+"""Incremental (streaming) IVF index maintenance — the ANN counterpart of
+streaming/dedup.py's persisted band store (VERDICT r5 task 5): embeddings
+arrive as a stream, each micro-batch is ASSIGNED against the current
+centroids and appended to the inverted lists, and centroid drift triggers a
+re-train that never re-scans the corpus. This is the piece a 100 TB
+training pipeline needs that batch IVF (plans/similarity.py) lacks: the
+corpus index is built ONCE and then maintained at ingest cost.
+
+Index directory layout (parquet + one JSON sidecar):
+
+  centroids.parquet   (version, cent_id, c_emb) — every LIVE centroid
+                      generation; tiny (versions x n_centroids rows)
+  lists/              the assigned corpus, parquet PARTITIONED BY
+                      (version, cent_id): a probe join prunes to
+                      nprobe/nlists of ONE version's files
+  sample_<seq>.parquet  the bounded TRAINING RESERVOIR: the TRAIN_CAP
+                      corpus rows with the smallest (md5-bucket, vec_id)
+                      seen so far — maintained incrementally (union the
+                      batch, keep the smallest TRAIN_CAP), so a re-train
+                      reads TRAIN_CAP rows at ANY corpus size
+  _ivf_meta.json      {version, trained_on, appended_since_train,
+                      base_cos, sample_seq}
+
+Scale contract (the whole point):
+  - append_batch touches |batch| rows (assignment is the broadcast-argmax
+    map-side pass of operators/similarity._assign_to_centroids) plus the
+    TRAIN_CAP-row reservoir — NEVER the lists store;
+  - re-train (Lloyd on the reservoir, driver-local like plans/similarity's
+    _ivf_model) is O(TRAIN_CAP), NEVER a corpus scan;
+  - after a re-train, rows already assigned under an older centroid
+    generation STAY in their version's lists — queries probe the nprobe
+    nearest lists of EVERY live version (each version's geometry explains
+    its own rows), so recall does not silently degrade; compact_index is
+    the explicit, deliberate corpus-rewrite that collapses versions.
+
+No counterpart in the reference (its stream is CDC rows, not embeddings) —
+this is the EXTENSION family's streaming form, same spirit as
+streaming/dedup.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.operators.similarity import (
+    _assign_to_centroids,
+    _py_cosine,
+    lloyd_refine_local,
+    salt_expr,
+    two_stage_rank_topk,
+    _n_salt_buckets,
+    cosine,
+)
+
+_META = "_ivf_meta.json"
+_CENT_SCHEMA = "version bigint, cent_id bigint, c_emb array<double>"
+
+
+def _meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, _META)
+
+
+def _read_meta(index_dir: str) -> dict:
+    with open(_meta_path(index_dir)) as f:
+        return json.load(f)
+
+
+def _write_meta(index_dir: str, meta: dict) -> None:
+    tmp = _meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(index_dir))
+
+
+def _sample_path(index_dir: str, seq: int) -> str:
+    return os.path.join(index_dir, f"sample_{seq:06d}.parquet")
+
+
+def _bucket_col(c: F.col) -> F.col:
+    from cdc_rs_spark.plans.pipeline import hash_bucket
+
+    return hash_bucket(c, 1_000_000)
+
+
+def _py_bucket(vid: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(vid).encode()).hexdigest()[:8], 16) % 1_000_000
+
+
+def _take_sample(df: DataFrame, cap: int) -> DataFrame:
+    """The deterministic count-bounded reservoir predicate: smallest
+    (md5-bucket, vec_id) first. Plans as TakeOrderedAndProject — a
+    per-partition heap top-k, O(cap) rows to the driver at any size."""
+    return (
+        df.select("vec_id", "embedding")
+        .orderBy(_bucket_col(F.col("vec_id")), F.asc("vec_id"))
+        .limit(cap)
+    )
+
+
+def _train_centroids(sample_rows, n_centroids: int, kmeans_iters: int):
+    """Driver-local training on the bounded reservoir, mirroring
+    plans/similarity._ivf_model: seeds are the reservoir's own smallest-
+    bucket prefix, then `kmeans_iters` exact-arithmetic Lloyd iterations
+    (lloyd_refine_local — bit-identical to the distributed refine)."""
+    rows = sorted(
+        sample_rows, key=lambda r: (_py_bucket(r["vec_id"]), r["vec_id"])
+    )
+    cents = [
+        {"cent_id": r["vec_id"], "c_emb": list(r["embedding"])}
+        for r in rows[:n_centroids]
+    ]
+    for _ in range(kmeans_iters):
+        cents = lloyd_refine_local(rows, cents)
+    return cents
+
+
+def _mean_assign_cos(sample_rows, cents) -> float:
+    """Drift metric: mean best-cosine of the RESERVOIR rows to their
+    nearest centroid — corpus-size-independent by construction, and
+    computed driver-side over rows already in hand."""
+    if not sample_rows:
+        return 0.0
+    total = 0.0
+    for r in sample_rows:
+        total += max(
+            (_py_cosine(r["embedding"], c["c_emb"]), -c["cent_id"])
+            for c in cents
+        )[0]
+    return total / len(sample_rows)
+
+
+def _cents_df(spark: SparkSession, version: int, cents) -> DataFrame:
+    return spark.createDataFrame(
+        [(version, c["cent_id"], [float(x) for x in c["c_emb"]]) for c in cents],
+        _CENT_SCHEMA,
+    )
+
+
+def _load_cents(spark: SparkSession, index_dir: str, version: int | None = None):
+    df = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    if version is not None:
+        df = df.filter(F.col("version") == version)
+    return df
+
+
+def _append_lists(assigned: DataFrame, index_dir: str, version: int) -> None:
+    (
+        assigned.withColumn("version", F.lit(version))
+        .write.mode("append")
+        .partitionBy("version", "cent_id")
+        .parquet(os.path.join(index_dir, "lists"))
+    )
+
+
+def init_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    train_cap: int | None = None,
+    kmeans_iters: int = 1,
+    dim: int | None = None,
+) -> dict:
+    """Batch bootstrap: train on the count-bounded reservoir, assign every
+    corpus vector (broadcast argmax — zero corpus shuffle), write the
+    partitioned lists + reservoir + centroids + sidecar. Returns the
+    meta dict. `corpus` must have (vec_id, embedding)."""
+    os.makedirs(index_dir, exist_ok=True)
+    cap = train_cap if train_cap is not None else n_centroids * 256
+    sample = _take_sample(corpus, cap)
+    sample.write.mode("overwrite").parquet(_sample_path(index_dir, 0))
+    sample_rows = spark.read.parquet(_sample_path(index_dir, 0)).collect()
+    cents = _train_centroids(sample_rows, n_centroids, kmeans_iters)
+    _cents_df(spark, 0, cents).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids.parquet")
+    )
+    cents_b = spark.createDataFrame(
+        [(c["cent_id"], c["c_emb"]) for c in cents],
+        "cent_id bigint, c_emb array<double>",
+    )
+    assigned = _assign_to_centroids(
+        corpus.select("vec_id", "embedding"), cents_b, dim
+    )
+    _append_lists(assigned, index_dir, 0)
+    trained_on = corpus.count()
+    meta = {
+        "version": 0,
+        "n_centroids": n_centroids,
+        "train_cap": cap,
+        "kmeans_iters": kmeans_iters,
+        "trained_on": trained_on,
+        "appended_since_train": 0,
+        "base_cos": _mean_assign_cos(sample_rows, cents),
+        "sample_seq": 0,
+    }
+    _write_meta(index_dir, meta)
+    return meta
+
+
+def append_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    retrain_ratio: float = 0.5,
+    drift_margin: float = 0.05,
+    dim: int | None = None,
+) -> dict:
+    """One micro-batch of (vec_id, embedding): assign against the CURRENT
+    centroids (map-side broadcast argmax over |batch| rows), append to the
+    lists store, fold the batch into the bounded reservoir, and re-train
+    when either trigger fires:
+
+      ratio: appended_since_train / trained_on >= retrain_ratio (the
+             index has grown past what the centroids were trained on), or
+      drift: the reservoir's mean assignment cosine under the CURRENT
+             centroids fell more than drift_margin below the value at
+             train time (the distribution moved, wherever it moved to).
+
+    Per-batch cost: |batch| + TRAIN_CAP rows. The lists store is NEVER
+    read. Returns stats: {batch_rows, version, retrained, mean_cos}."""
+    meta = _read_meta(index_dir)
+    version = int(meta["version"])
+    cap = int(meta["train_cap"])
+    cents_rows = _load_cents(spark, index_dir, version).collect()
+    cents = [
+        {"cent_id": r["cent_id"], "c_emb": list(r["c_emb"])}
+        for r in sorted(cents_rows, key=lambda r: r["cent_id"])
+    ]
+    cents_b = spark.createDataFrame(
+        [(c["cent_id"], c["c_emb"]) for c in cents],
+        "cent_id bigint, c_emb array<double>",
+    )
+    batch = batch.select("vec_id", "embedding")
+    assigned = _assign_to_centroids(batch, cents_b, dim)
+    _append_lists(assigned, index_dir, version)
+    n = batch.count()
+    # fold the batch into the reservoir: union with the CURRENT reservoir,
+    # keep the smallest TRAIN_CAP — bounded work, written to a NEW seq path
+    # (immutable files; the sidecar flips after the write completes)
+    old_sample = spark.read.parquet(
+        _sample_path(index_dir, int(meta["sample_seq"]))
+    )
+    new_seq = int(meta["sample_seq"]) + 1
+    _take_sample(old_sample.unionByName(batch), cap).write.mode(
+        "overwrite"
+    ).parquet(_sample_path(index_dir, new_seq))
+    meta["sample_seq"] = new_seq
+    meta["appended_since_train"] = int(meta["appended_since_train"]) + n
+    sample_rows = spark.read.parquet(_sample_path(index_dir, new_seq)).collect()
+    mean_cos = _mean_assign_cos(sample_rows, cents)
+    ratio_fire = meta["appended_since_train"] >= retrain_ratio * max(
+        int(meta["trained_on"]), 1
+    )
+    drift_fire = mean_cos < float(meta["base_cos"]) - drift_margin
+    retrained = False
+    if ratio_fire or drift_fire:
+        new_cents = _train_centroids(
+            sample_rows, int(meta["n_centroids"]), int(meta["kmeans_iters"])
+        )
+        version += 1
+        _cents_df(spark, version, new_cents).write.mode("append").parquet(
+            os.path.join(index_dir, "centroids.parquet")
+        )
+        meta["version"] = version
+        meta["trained_on"] = int(meta["trained_on"]) + int(
+            meta["appended_since_train"]
+        )
+        meta["appended_since_train"] = 0
+        meta["base_cos"] = _mean_assign_cos(sample_rows, new_cents)
+        retrained = True
+    _write_meta(index_dir, meta)
+    return {
+        "batch_rows": n,
+        "version": meta["version"],
+        "retrained": retrained,
+        "mean_cos": mean_cos,
+    }
+
+
+def probe_index(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_dir: str,
+    nprobe: int = 2,
+    k: int = 5,
+    dim: int | None = None,
+) -> DataFrame:
+    """ANN top-k against the maintained index: per LIVE centroid version,
+    pick each query's nprobe nearest lists (driver-side over the tiny
+    centroid table — versions x n_centroids cosines per query), then join
+    the probe table against the lists store on (version, cent_id) —
+    partition-pruned to the probed directories — and exact-rank inside
+    them (two-stage, no single-task sorts). Rows assigned under an old
+    generation are probed under THAT generation's geometry, so a re-train
+    never silently orphans them. `queries` must have (query_id, q_emb)."""
+    cents_rows = _load_cents(spark, index_dir).collect()
+    by_version: dict[int, list] = {}
+    for r in cents_rows:
+        by_version.setdefault(int(r["version"]), []).append(r)
+    query_rows = queries.collect()
+    probe_rows = []
+    for q in query_rows:
+        for ver, cl in by_version.items():
+            ranked = sorted(
+                (-_py_cosine(q["q_emb"], c["c_emb"]), c["cent_id"])
+                for c in cl
+            )[:nprobe]
+            probe_rows += [
+                (ver, cid, q["query_id"], list(q["q_emb"]))
+                for _, cid in ranked
+            ]
+    probes = spark.createDataFrame(
+        probe_rows,
+        "version bigint, cent_id bigint, query_id bigint, q_emb array<float>",
+    )
+    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    # STATIC partition pruning: the probed (version, cent_id) pairs are
+    # known driver-side (they were just computed), so push them as a
+    # literal disjunction — the scan reads ONLY the probed directories at
+    # any scale, with no reliance on dynamic partition pruning kicking in
+    pairs = sorted({(r[0], r[1]) for r in probe_rows})
+    pred = None
+    for ver, cid in pairs:
+        leg = (F.col("version") == ver) & (F.col("cent_id") == cid)
+        pred = leg if pred is None else (pred | leg)
+    if pred is not None:
+        lists = lists.filter(pred)
+    joined = lists.join(F.broadcast(probes), ["version", "cent_id"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        salt_expr("vec_id", _n_salt_buckets(joined)).alias("_salt"),
+        cosine("q_emb", "embedding", dim).alias("cos"),
+    )
+    return two_stage_rank_topk(scored, k)
+
+
+def compact_index(
+    spark: SparkSession, index_dir: str, dim: int | None = None
+) -> int:
+    """The DELIBERATE corpus rewrite: reassign every stored vector to the
+    LATEST centroid generation and rewrite the lists as one version. This
+    is the only operation here that scans the lists store — run it like a
+    table OPTIMIZE, not per batch. Returns the number of rows rewritten."""
+    meta = _read_meta(index_dir)
+    version = int(meta["version"])
+    cents_rows = _load_cents(spark, index_dir, version).collect()
+    cents_b = spark.createDataFrame(
+        [(r["cent_id"], list(r["c_emb"])) for r in cents_rows],
+        "cent_id bigint, c_emb array<double>",
+    )
+    lists_path = os.path.join(index_dir, "lists")
+    rows = spark.read.parquet(lists_path).select("vec_id", "embedding")
+    assigned = _assign_to_centroids(rows, cents_b, dim)
+    tmp = os.path.join(index_dir, "lists_compact")
+    (
+        assigned.withColumn("version", F.lit(version))
+        .write.mode("overwrite")
+        .partitionBy("version", "cent_id")
+        .parquet(tmp)
+    )
+    n = spark.read.parquet(tmp).count()
+    import shutil
+
+    shutil.rmtree(lists_path)
+    os.rename(tmp, lists_path)
+    # collapse centroid generations to the survivor
+    _cents_df(
+        spark,
+        version,
+        [{"cent_id": r["cent_id"], "c_emb": list(r["c_emb"])} for r in cents_rows],
+    ).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "centroids.parquet")
+    )
+    return n
+
+
+def ivf_foreach_batch(
+    index_dir: str,
+    retrain_ratio: float = 0.5,
+    drift_margin: float = 0.05,
+    dim: int | None = None,
+    on_stats: Callable[[dict, int], None] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch form: per micro-batch of (vec_id, embedding), run
+    append_batch against the persisted index; `on_stats` receives the
+    stats dict and batch id (drive alerts/metrics from it)."""
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        stats = append_batch(
+            batch.sparkSession,
+            batch,
+            index_dir,
+            retrain_ratio=retrain_ratio,
+            drift_margin=drift_margin,
+            dim=dim,
+        )
+        if on_stats is not None:
+            on_stats(stats, batch_id)
+
+    return step

@@ -1,0 +1,226 @@
+"""Incremental IVF index maintenance (streaming/ivf.py, round 6):
+bootstrap an index, stream embedding micro-batches through foreachBatch
+appends, and verify the three contracts — cross-batch catch (a probe finds
+neighbors from every generation of the store), re-train triggering with
+centroid versioning (old rows stay probed under their own geometry), and
+the scale shape (appends never read the lists store; probes scan only the
+probed (version, cent_id) partitions)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.streaming.ivf import (
+    _read_meta,
+    append_batch,
+    compact_index,
+    init_index,
+    ivf_foreach_batch,
+    probe_index,
+)
+
+DIM = 4
+A = [1.0, 0.05, 0.0, 0.0]  # cluster A center
+B = [0.05, 1.0, 0.0, 0.0]  # cluster B center
+
+
+def _vecs(ids, center, jitter=0.02):
+    rows = []
+    for i, vid in enumerate(ids):
+        v = list(center)
+        v[2] = jitter * ((i % 5) - 2)
+        v[3] = jitter * ((vid % 7) - 3)
+        rows.append((vid, [float(x) for x in v]))
+    return rows
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def _queries(spark, qid, center):
+    return spark.createDataFrame(
+        [(qid, [float(x) for x in center])],
+        "query_id bigint, q_emb array<float>",
+    )
+
+
+def test_incremental_index_cross_batch_catch(spark, tmp_path):
+    """Two streamed micro-batches append into the index built on a base
+    corpus; a probe afterwards returns neighbors drawn from the BASE and
+    BOTH batches — the store accumulates across batches, it is not
+    per-batch state."""
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 4), A) + _vecs(range(10, 14), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=8, dim=DIM)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for fname, rows in [
+        ("b1.json", _vecs(range(100, 104), A)),
+        ("b2.json", _vecs(range(200, 204), A)),
+    ]:
+        with open(os.path.join(src, fname), "w") as f:
+            for vid, emb in rows:
+                f.write(json.dumps({"vec_id": vid, "embedding": emb}) + "\n")
+
+    stats_seen = []
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            ivf_foreach_batch(
+                index_dir, retrain_ratio=1e9, drift_margin=10.0, dim=DIM,
+                on_stats=lambda s, b: stats_seen.append((b, s)),
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert sum(s["batch_rows"] for _, s in stats_seen) == 8
+    assert len(stats_seen) >= 2  # really arrived as separate micro-batches
+
+    top = probe_index(
+        spark, _queries(spark, 999, A), index_dir, nprobe=1, k=8, dim=DIM
+    ).collect()
+    got = {r["vec_id"] for r in top}
+    # cross-batch catch: the one probed list holds base + batch1 + batch2
+    assert got & set(range(0, 4)), got
+    assert got & set(range(100, 104)), got
+    assert got & set(range(200, 204)), got
+    assert not got & set(range(10, 14))  # cluster B list not probed
+
+
+def test_retrain_trigger_and_centroid_versioning(spark, tmp_path):
+    """Appending past retrain_ratio bumps the centroid generation; rows
+    assigned under v0 STAY in v0 lists and remain probed under v0
+    geometry, while post-retrain appends land in v1 — no orphaned rows,
+    no corpus rewrite."""
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 3), A) + _vecs(range(10, 13), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=16, dim=DIM)
+    assert _read_meta(index_dir)["version"] == 0
+
+    big = _df(spark, _vecs(range(100, 106), A))  # 6 rows vs trained_on=6
+    stats = append_batch(
+        spark, big, index_dir, retrain_ratio=0.5, drift_margin=10.0, dim=DIM
+    )
+    assert stats["retrained"] is True and stats["version"] == 1
+    meta = _read_meta(index_dir)
+    assert meta["trained_on"] == 12 and meta["appended_since_train"] == 0
+
+    after = _df(spark, _vecs(range(300, 303), B))
+    append_batch(
+        spark, after, index_dir, retrain_ratio=1e9, drift_margin=10.0, dim=DIM
+    )
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    assert {r["version"] for r in cents.select("version").distinct().collect()} == {0, 1}
+    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    vers = {
+        r["version"]: r["n"]
+        for r in lists.groupBy("version").agg(F.count("*").alias("n")).collect()
+    }
+    # the big batch was assigned under v0 (retrain happens AFTER its
+    # append); only post-retrain rows carry v1
+    assert vers[0] == 12 and vers[1] == 3
+
+    # probes see rows from BOTH generations
+    got_a = {
+        r["vec_id"]
+        for r in probe_index(
+            spark, _queries(spark, 999, A), index_dir, nprobe=1, k=10, dim=DIM
+        ).collect()
+    }
+    got_b = {
+        r["vec_id"]
+        for r in probe_index(
+            spark, _queries(spark, 998, B), index_dir, nprobe=1, k=10, dim=DIM
+        ).collect()
+    }
+    assert got_a & set(range(100, 106))  # v0 rows still found
+    assert got_b & set(range(300, 303))  # v1 rows found
+    assert got_b & set(range(10, 13))  # v0 B-cluster rows found too
+
+
+def test_append_batch_never_reads_lists(spark, tmp_path, monkeypatch):
+    """The per-batch scale contract: append_batch touches the batch, the
+    centroid table and the bounded reservoir — NEVER the lists store (no
+    corpus re-scan per micro-batch). Asserted by spying every parquet
+    read the append issues."""
+    import pyspark.sql.readwriter as rw
+
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 4), A) + _vecs(range(10, 14), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=8, dim=DIM)
+
+    seen: list[str] = []
+    orig = rw.DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        seen.extend(str(p) for p in paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", spy)
+    append_batch(
+        spark, _df(spark, _vecs(range(100, 104), A)), index_dir,
+        retrain_ratio=1e9, drift_margin=10.0, dim=DIM,
+    )
+    assert seen, "spy saw no reads — instrumentation broke"
+    assert not any("lists" in p for p in seen), seen
+
+
+def test_probe_scan_is_partition_pruned(spark, tmp_path):
+    """probe_index pushes the probed (version, cent_id) pairs as STATIC
+    partition filters — the parquet scan reads only the probed
+    directories (nprobe/nlists of one generation here), not the whole
+    store."""
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 6), A) + _vecs(range(10, 16), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=12, dim=DIM)
+    out = probe_index(
+        spark, _queries(spark, 999, A), index_dir, nprobe=1, k=5, dim=DIM
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        (seg for seg in plan.split("+-") if "lists" in seg and "FileScan" in seg),
+        plan,
+    )
+    assert "PartitionFilters" in scan
+    # the pruning predicate really references both partition columns
+    pf = scan.split("PartitionFilters")[1][:400]
+    assert "cent_id" in pf and "version" in pf, pf
+
+
+def test_compact_rewrites_to_single_generation(spark, tmp_path):
+    """compact_index is the deliberate corpus rewrite: after it, every row
+    is assigned under the LATEST centroids, one generation remains, and
+    probes still find everything."""
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 3), A) + _vecs(range(10, 13), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=16, dim=DIM)
+    append_batch(  # trigger retrain -> two generations
+        spark, _df(spark, _vecs(range(100, 106), A)), index_dir,
+        retrain_ratio=0.5, drift_margin=10.0, dim=DIM,
+    )
+    n = compact_index(spark, index_dir, dim=DIM)
+    assert n == 12
+    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    assert lists.select("version").distinct().count() == 1
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    assert cents.select("version").distinct().count() == 1
+    got = {
+        r["vec_id"]
+        for r in probe_index(
+            spark, _queries(spark, 999, A), index_dir, nprobe=1, k=12, dim=DIM
+        ).collect()
+    }
+    assert got & set(range(0, 3)) and got & set(range(100, 106))
