@@ -1013,14 +1013,32 @@ class RhaiScript:
                 )
             # runtime bound(s): a guarded sequence column. The guard order
             # matters — a NULL bound must yield NULL (like the
-            # interpreter), an inverted range an EMPTY array (sequence's
-            # default step would count DOWN); exclusive hi like Rhai.
+            # interpreter), an oversized range must FAIL THE ROW LOUDLY
+            # (same MAX_WHILE_ITERATIONS guard as the interpreter and the
+            # compile-time path — round-6 review: a corrupt row value must
+            # not materialize a multi-GB per-row array in the JVM), an
+            # inverted range an EMPTY array (sequence's default step would
+            # count DOWN); exclusive hi like Rhai.
             lo_c = _scalar(lo).cast("bigint")
             hi_c = _scalar(hi).cast("bigint")
             return ColArray(
                 F.when(
                     lo_c.isNull() | hi_c.isNull(),
                     F.lit(None).cast("array<bigint>"),
+                )
+                .when(
+                    hi_c - lo_c > F.lit(int(MAX_WHILE_ITERATIONS)),
+                    F.raise_error(
+                        F.concat(
+                            F.lit("rhai: range "),
+                            lo_c.cast("string"),
+                            F.lit(".."),
+                            hi_c.cast("string"),
+                            F.lit(
+                                f" exceeds {MAX_WHILE_ITERATIONS} elements"
+                            ),
+                        )
+                    ).cast("array<bigint>"),
                 )
                 .when(
                     hi_c > lo_c,

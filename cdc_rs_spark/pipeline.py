@@ -145,17 +145,24 @@ def apply_transform(
             rhai_transform_json,
         )
 
+        from pyspark.errors import AnalysisException
+
         compiled = RhaiScript(cfg.script)  # parse errors surface eagerly
         try:
             out = gated.select(
                 rhai_topic(gated, compiled).alias("topic"),
                 rhai_transform_json(gated, compiled).alias("value"),
             )
-        except TypeError as exc:
-            # the script outgrows the compilable subset (round-6 advice:
-            # the documented interpreter engine must actually be WIRED,
-            # not a dead-end error message) — run it per row instead, the
-            # same cost model the reference pays for every script
+        except (TypeError, AnalysisException) as exc:
+            # TypeError: a construct the compiler rejects outright.
+            # AnalysisException: the script compiled but Catalyst refused
+            # the plan — e.g. a loop-to-fold accumulator initialized as an
+            # int and mutated with double arithmetic mismatches aggregate()
+            # zero/merge types (round-6 review). Either way the interpreter
+            # engine runs the script fine (round-6 advice: the documented
+            # engine must actually be WIRED, not a dead-end error message)
+            # — run it per row instead, the same cost model the reference
+            # pays for every script.
             import logging
 
             logging.getLogger(__name__).warning(

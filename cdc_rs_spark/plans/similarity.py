@@ -361,9 +361,18 @@ def similarity_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFra
     queries = raw.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    return probe_index(
+    result = probe_index(
         spark, queries, index_dir, nprobe=N_PROBE, k=5, dim=EMB_DIM
     )
+    # materialize the (queries x k)-row answer — count-bounded — so the
+    # scratch index can be deleted NOW instead of leaking a corpus-sized
+    # parquet tree per invocation (round-6 review); the returned frame is
+    # a LocalRelation of 40 rows, not a lazy scan over the removed files
+    rows = result.collect()
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
 
 
 _IVF_MODEL_CACHE: dict = {}

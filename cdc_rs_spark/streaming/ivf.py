@@ -150,13 +150,53 @@ def _load_cents(spark: SparkSession, index_dir: str, version: int | None = None)
     return df
 
 
-def _append_lists(assigned: DataFrame, index_dir: str, version: int) -> None:
+def _append_lists(
+    assigned: DataFrame, index_dir: str, version: int, ingest: str
+) -> None:
+    """Append assigned rows under lists/version=V/cent_id=C/ingest=TAG.
+    The third partition level is the IDEMPOTENCE unit: a retried
+    micro-batch purges its own ingest=TAG directories before re-appending
+    (round-6 review: foreachBatch is at-least-once — without the tag a
+    retry would duplicate vectors in the index)."""
     (
         assigned.withColumn("version", F.lit(version))
+        .withColumn("ingest", F.lit(ingest))
         .write.mode("append")
-        .partitionBy("version", "cent_id")
+        .partitionBy("version", "cent_id", "ingest")
         .parquet(os.path.join(index_dir, "lists"))
     )
+
+
+def _purge_ingest(index_dir: str, ingest: str) -> None:
+    """Remove every lists/.../ingest=TAG directory — the partial residue of
+    a crashed append attempt for this tag."""
+    import shutil
+
+    lists = os.path.join(index_dir, "lists")
+    if not os.path.isdir(lists):
+        return
+    for vdir in os.listdir(lists):
+        vpath = os.path.join(lists, vdir)
+        if not os.path.isdir(vpath):
+            continue
+        for cdir in os.listdir(vpath):
+            tgt = os.path.join(vpath, cdir, f"ingest={ingest}")
+            if os.path.isdir(tgt):
+                shutil.rmtree(tgt)
+
+
+def _gc_samples(index_dir: str, live_seq: int) -> None:
+    """Delete superseded reservoir directories (round-6 review: a
+    long-running stream would otherwise accumulate one TRAIN_CAP-row
+    parquet dir per micro-batch, unbounded). Runs AFTER the sidecar flip,
+    so a crash leaves at worst one stale extra dir."""
+    import re
+    import shutil
+
+    for name in os.listdir(index_dir):
+        m = re.match(r"sample_(\d+)\.parquet$", name)
+        if m and int(m.group(1)) < live_seq:
+            shutil.rmtree(os.path.join(index_dir, name))
 
 
 def init_index(
@@ -188,7 +228,7 @@ def init_index(
     assigned = _assign_to_centroids(
         corpus.select("vec_id", "embedding"), cents_b, dim
     )
-    _append_lists(assigned, index_dir, 0)
+    _append_lists(assigned, index_dir, 0, "init")
     trained_on = corpus.count()
     meta = {
         "version": 0,
@@ -199,6 +239,7 @@ def init_index(
         "appended_since_train": 0,
         "base_cos": _mean_assign_cos(sample_rows, cents),
         "sample_seq": 0,
+        "last_batch": None,
     }
     _write_meta(index_dir, meta)
     return meta
@@ -211,6 +252,7 @@ def append_batch(
     retrain_ratio: float = 0.5,
     drift_margin: float = 0.05,
     dim: int | None = None,
+    batch_id: int | None = None,
 ) -> dict:
     """One micro-batch of (vec_id, embedding): assign against the CURRENT
     centroids (map-side broadcast argmax over |batch| rows), append to the
@@ -224,8 +266,22 @@ def append_batch(
              train time (the distribution moved, wherever it moved to).
 
     Per-batch cost: |batch| + TRAIN_CAP rows. The lists store is NEVER
-    read. Returns stats: {batch_rows, version, retrained, mean_cos}."""
+    read. Returns stats: {batch_rows, version, retrained, mean_cos}.
+
+    `batch_id` (foreachBatch's epoch) makes retries IDEMPOTENT (round-6
+    review: foreachBatch is at-least-once): a batch whose id equals the
+    committed `last_batch` is skipped outright, and a retry of a batch
+    that crashed mid-append first purges its own ingest=bN partition
+    directories before re-appending — no duplicate vectors either way."""
     meta = _read_meta(index_dir)
+    if batch_id is not None and meta.get("last_batch") == str(batch_id):
+        return {
+            "batch_rows": 0,
+            "version": meta["version"],
+            "retrained": False,
+            "mean_cos": float(meta["base_cos"]),
+            "skipped_duplicate": True,
+        }
     version = int(meta["version"])
     cap = int(meta["train_cap"])
     cents_rows = _load_cents(spark, index_dir, version).collect()
@@ -239,7 +295,10 @@ def append_batch(
     )
     batch = batch.select("vec_id", "embedding")
     assigned = _assign_to_centroids(batch, cents_b, dim)
-    _append_lists(assigned, index_dir, version)
+    new_seq = int(meta["sample_seq"]) + 1
+    ingest = f"b{batch_id}" if batch_id is not None else f"s{new_seq}"
+    _purge_ingest(index_dir, ingest)  # residue of a crashed prior attempt
+    _append_lists(assigned, index_dir, version, ingest)
     n = batch.count()
     # fold the batch into the reservoir: union with the CURRENT reservoir,
     # keep the smallest TRAIN_CAP — bounded work, written to a NEW seq path
@@ -247,7 +306,6 @@ def append_batch(
     old_sample = spark.read.parquet(
         _sample_path(index_dir, int(meta["sample_seq"]))
     )
-    new_seq = int(meta["sample_seq"]) + 1
     _take_sample(old_sample.unionByName(batch), cap).write.mode(
         "overwrite"
     ).parquet(_sample_path(index_dir, new_seq))
@@ -275,7 +333,10 @@ def append_batch(
         meta["appended_since_train"] = 0
         meta["base_cos"] = _mean_assign_cos(sample_rows, new_cents)
         retrained = True
+    if batch_id is not None:
+        meta["last_batch"] = str(batch_id)
     _write_meta(index_dir, meta)
+    _gc_samples(index_dir, new_seq)
     return {
         "batch_rows": n,
         "version": meta["version"],
@@ -364,15 +425,25 @@ def compact_index(
     tmp = os.path.join(index_dir, "lists_compact")
     (
         assigned.withColumn("version", F.lit(version))
+        .withColumn("ingest", F.lit("compact"))
         .write.mode("overwrite")
-        .partitionBy("version", "cent_id")
+        .partitionBy("version", "cent_id", "ingest")
         .parquet(tmp)
     )
     n = spark.read.parquet(tmp).count()
     import shutil
 
-    shutil.rmtree(lists_path)
+    # swap with a RECOVERABLE window (round-6 review: rmtree-then-rename
+    # loses the whole store if the process dies between the two): rename
+    # the live store aside first, promote the compacted one, then delete
+    # the backup. A crash mid-swap leaves lists_old and/or lists_compact
+    # on disk — both complete, recoverable by a rename.
+    backup = os.path.join(index_dir, "lists_old")
+    if os.path.isdir(backup):
+        shutil.rmtree(backup)  # residue of an earlier crashed compact
+    os.rename(lists_path, backup)
     os.rename(tmp, lists_path)
+    shutil.rmtree(backup)
     # collapse centroid generations to the survivor
     _cents_df(
         spark,
@@ -403,6 +474,7 @@ def ivf_foreach_batch(
             retrain_ratio=retrain_ratio,
             drift_margin=drift_margin,
             dim=dim,
+            batch_id=batch_id,
         )
         if on_stats is not None:
             on_stats(stats, batch_id)

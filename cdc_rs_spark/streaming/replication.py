@@ -382,24 +382,20 @@ class PacketConn:
         self.seq = 0
         self.write_packet(payload)
 
-    def expect_ok(self, in_auth: bool = False) -> bytes:
+    def expect_ok(self) -> bytes:
+        """Post-authentication OK/EOF check (the auth phase itself runs
+        through BinlogReplicationClient._finish_auth, which handles
+        AuthMoreData and AuthSwitchRequest — round-6 review trimmed the
+        dead in_auth parameter this method used to carry)."""
         p = self.read_packet()
         if p[:1] == b"\xff":
             raise _err_from_payload(p)
-        if p[:1] == b"\xfe" and (in_auth or len(p) >= 9):
-            # AuthSwitchRequest (0xFE + plugin + nonce), or — during the
-            # auth phase only — the legacy single-byte OldAuthSwitchRequest.
-            # Treating either as OK would desync the session (the next
-            # command would be parsed as the auth-switch reply) — round-5
-            # reviews. Outside auth, a SHORT 0xFE stays the EOF/OK form.
-            plugin = (
-                p[1:].split(b"\x00", 1)[0].decode("utf-8", "replace")
-                if len(p) > 1
-                else "mysql_old_password"
-            )
+        if p[:1] == b"\xfe" and len(p) >= 9:
+            # a LONG 0xFE outside the auth phase is not the EOF/OK form —
+            # treating it as OK would desync the session (round-5 review)
             raise ProtocolError(
-                f"server requested auth switch to {plugin!r} — only "
-                "mysql_native_password is supported"
+                "unexpected auth-switch-shaped packet outside the "
+                "authentication phase"
             )
         if p[:1] not in (b"\x00", b"\xfe"):
             raise ProtocolError(f"expected OK, got {p[:1]!r}")
@@ -650,27 +646,28 @@ def spool_to_feed(
     os.makedirs(feed_dir, exist_ok=True)
     state_path = os.path.join(feed_dir, "_replication_state.json")
     seq = 0
+    # a crash BETWEEN a spool-file os.replace and its sidecar commit leaves
+    # the sidecar BEHIND the directory (or, on the very first flush, not
+    # written at all); resuming from the sidecar alone would REWRITE the
+    # orphan spool.N with re-fetched (position-shifted) content, breaking
+    # the change_feed source's immutable-file assumption for a reader that
+    # already listed it. Never overwrite: start past the highest existing
+    # index REGARDLESS of whether the sidecar exists (round-6 advice +
+    # round-6 review: the first-flush crash window has no sidecar yet).
+    existing = [
+        int(m.group(1))
+        for m in (
+            re.match(r"spool\.(\d+)\.json$", n)
+            for n in os.listdir(feed_dir)
+        )
+        if m
+    ]
+    if existing:
+        seq = max(existing) + 1
     if os.path.exists(state_path):
         with open(state_path) as f:
             st = json.load(f)
-        seq = int(st.get("spool_seq", 0))
-        # a crash BETWEEN a spool-file os.replace and its sidecar commit
-        # leaves the sidecar one behind the directory; resuming from the
-        # sidecar alone would REWRITE the orphan spool.N with re-fetched
-        # (position-shifted) content, breaking the change_feed source's
-        # immutable-file assumption for a reader that already listed it.
-        # Never overwrite: start past the highest existing index too
-        # (round-6 advice).
-        existing = [
-            int(m.group(1))
-            for m in (
-                re.match(r"spool\.(\d+)\.json$", n)
-                for n in os.listdir(feed_dir)
-            )
-            if m
-        ]
-        if existing:
-            seq = max(seq, max(existing) + 1)
+        seq = max(seq, int(st.get("spool_seq", 0)))
         if client.state.filename:
             # an EXPLICIT start position (FILE[:POS] on the CLI) wins over
             # the sidecar — silently resuming from the saved position when

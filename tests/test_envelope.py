@@ -745,3 +745,63 @@ def test_rhai_pipeline_interpreter_fallback_is_wired(spark):
     payloads = [_json.loads(v) for _, v in got]
     assert payloads[0] == {"id": "1", "hops": "2"}
     assert payloads[1] == {"id": "2", "hops": "3"}
+
+
+def test_rhai_fold_type_mismatch_falls_back_to_interpreter(spark):
+    """Round-6 review: an int-initialized accumulator mutated with
+    double-producing arithmetic inside a runtime-bound loop compiles to an
+    aggregate() whose zero/merge types mismatch — Catalyst raises
+    AnalysisException, not TypeError, and the pipeline must STILL fall
+    back to the interpreter instead of dying."""
+    import json as _json
+
+    from cdc_rs_spark.envelope import CHANGE_SCHEMA
+    from cdc_rs_spark.pipeline import PipelineConfig, apply_transform
+
+    script = """
+    fn transform(db, table, op, before, after, ts) {
+        let acc = 0;
+        for i in 0..ts { acc = acc + 0.5; }
+        #{ "acc": `${acc}` }
+    }
+    fn topic(db, table) { `${db}.${table}` }
+    """
+    changes = spark.createDataFrame(
+        [("Insert", "testdb", "orders", None, {"id": "1"}, 3, "1")],
+        CHANGE_SCHEMA,
+    )
+    cfg = PipelineConfig(
+        source_path="/nonexistent", checkpoint_dir="/nonexistent",
+        script=script,
+    )
+    rows = apply_transform(changes, cfg, can_carry_malformed=False).collect()
+    assert len(rows) == 1
+    assert _json.loads(rows[0]["value"]) == {"acc": "1.5"}
+
+
+def test_rhai_runtime_range_cap_guard_fails_row_loudly(spark):
+    """Round-6 review: the compiled runtime `lo..hi` must carry the same
+    MAX_WHILE_ITERATIONS element guard as the interpreter — a corrupt row
+    value raises instead of materializing a multi-GB per-row array."""
+    import pytest
+
+    from cdc_rs_spark.functions import rhai as rhai_mod
+    from cdc_rs_spark.functions.rhai import RhaiScript, _to_col
+
+    src = "fn f(n) { let t = 0; for i in 0..n { t = t + 1; } t }"
+    old = rhai_mod.MAX_WHILE_ITERATIONS
+    rhai_mod.MAX_WHILE_ITERATIONS = 1000
+    try:
+        df = spark.createDataFrame([(10,), (2_000_000_000,)], "n long")
+        out = df.select(
+            _to_col(RhaiScript(src).call("f", F.col("n"))).alias("t")
+        )
+        with pytest.raises(Exception, match="exceeds 1000 elements"):
+            out.collect()
+        # sane rows still compute once the corrupt one is filtered
+        ok = df.filter(F.col("n") < 100).select(
+            _to_col(RhaiScript(src).call("f", F.col("n"))).alias("t")
+        )
+        assert [r["t"] for r in ok.collect()] == [10]
+    finally:
+        rhai_mod.MAX_WHILE_ITERATIONS = old

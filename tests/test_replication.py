@@ -925,3 +925,37 @@ def test_rsa_key_parse_both_pem_forms():
         + "\n-----END RSA PUBLIC KEY-----\n"
     ).encode()
     assert parse_rsa_public_key(pem) == (RSA_N, RSA_E)
+
+
+def test_spool_first_flush_crash_never_overwrites_orphan(tmp_path):
+    """Round-6 review: the orphan-protection scan must run even when the
+    SIDECAR DOES NOT EXIST — the first-flush crash window (spool file
+    renamed, sidecar never written) leaves exactly that state."""
+    import os
+
+    from cdc_rs_spark.streaming.replication import spool_to_feed
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    orphan = os.path.join(feed, "spool.000000000.json")
+    marker = '{"op": "Marker", "sentinel": true}\n'
+    with open(orphan, "w") as f:
+        f.write(marker)
+    # NO sidecar: the crash happened before the first _replication_state
+    server_sock, client_sock = socket.socketpair()
+    server = FakeServer(server_sock, _dump_events(False))
+    t = threading.Thread(target=server.run, daemon=True)
+    t.start()
+    client = BinlogReplicationClient(
+        ReplicationConfig(user=USER, password=PASSWORD, non_block=True)
+    )
+    client.connect(sock=client_sock)
+    n = spool_to_feed(client, feed, records_per_file=1)
+    t.join(timeout=5)
+    assert n > 0
+    assert open(orphan).read() == marker  # byte-identical
+    new = [
+        f for f in os.listdir(feed)
+        if f.startswith("spool.") and f != "spool.000000000.json"
+    ]
+    assert new and all(f > "spool.000000000.json" for f in new)

@@ -224,3 +224,64 @@ def test_compact_rewrites_to_single_generation(spark, tmp_path):
         ).collect()
     }
     assert got & set(range(0, 3)) and got & set(range(100, 106))
+
+
+def test_append_batch_retry_is_idempotent(spark, tmp_path):
+    """Round-6 review: foreachBatch is at-least-once — a redelivered batch
+    id must not duplicate vectors. Fully-committed retries are skipped via
+    the meta's last_batch; a crashed-mid-append retry purges its own
+    ingest partitions before re-appending."""
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 4), A) + _vecs(range(10, 14), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=8, dim=DIM)
+    batch = _df(spark, _vecs(range(100, 104), A))
+    s1 = append_batch(
+        spark, batch, index_dir, retrain_ratio=1e9, drift_margin=10.0,
+        dim=DIM, batch_id=7,
+    )
+    assert s1["batch_rows"] == 4 and not s1.get("skipped_duplicate")
+    # full redelivery of the committed batch: skipped outright
+    s2 = append_batch(
+        spark, batch, index_dir, retrain_ratio=1e9, drift_margin=10.0,
+        dim=DIM, batch_id=7,
+    )
+    assert s2.get("skipped_duplicate") is True and s2["batch_rows"] == 0
+    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    assert lists.filter(F.col("vec_id") >= 100).count() == 4  # no dupes
+
+    # crashed-mid-append shape: lists rows exist for batch 8 but the meta
+    # commit never happened — the retry must purge and land exactly once
+    from cdc_rs_spark.streaming.ivf import _append_lists, _load_cents
+    from cdc_rs_spark.operators.similarity import _assign_to_centroids
+
+    nxt = _df(spark, _vecs(range(200, 203), A))
+    cents_rows = _load_cents(spark, index_dir, 0).collect()
+    cents_b = spark.createDataFrame(
+        [(r["cent_id"], list(r["c_emb"])) for r in cents_rows],
+        "cent_id bigint, c_emb array<double>",
+    )
+    _append_lists(  # simulate the partial write of a crashed attempt
+        _assign_to_centroids(nxt, cents_b, DIM), index_dir, 0, "b8"
+    )
+    append_batch(
+        spark, nxt, index_dir, retrain_ratio=1e9, drift_margin=10.0,
+        dim=DIM, batch_id=8,
+    )
+    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    assert lists.filter(F.col("vec_id") >= 200).count() == 3  # purged, once
+
+
+def test_reservoir_gc_keeps_one_sample_dir(spark, tmp_path):
+    """Round-6 review: superseded reservoir directories are deleted after
+    each sidecar flip — a long stream must not accumulate one
+    TRAIN_CAP-row parquet dir per micro-batch."""
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 4), A) + _vecs(range(10, 14), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=8, dim=DIM)
+    for i, ids in enumerate([range(100, 103), range(110, 113), range(120, 123)]):
+        append_batch(
+            spark, _df(spark, _vecs(ids, A)), index_dir,
+            retrain_ratio=1e9, drift_margin=10.0, dim=DIM, batch_id=i,
+        )
+    samples = [n for n in os.listdir(index_dir) if n.startswith("sample_")]
+    assert samples == ["sample_000003.parquet"], samples
