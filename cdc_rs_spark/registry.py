@@ -73,60 +73,72 @@ def register(name: str, oracle: str | None = None):
 # watermark recommendation, line-level dedup, quantization fidelity) so the
 # driver verifies the round's new surface first-hand.
 _DRIVER_WINDOW = [
-    # user-script compiler (tokenizer/parser changed this round)
-    "rhai_script_bigquery_envelope",
-    "rhai_script_debezium_envelope",
+    # ROUND-6 ROTATION: the 27 slots that were driver-green twice or more
+    # rotate out for 26 NEVER-pinned queries (events windowing/retention
+    # family, the multimodal escape hatches, the text-analysis long tail,
+    # pivot/unpivot/profile relational extras, embedding audits, pipeline
+    # mix/hashing) — plus the two queries BUILT this round and the rhai
+    # flagships whose compiler gained closures/runtime loops. The 23 slots
+    # with only one green stay for their second. Rotated-out queries keep
+    # their module order after slot 50 and stay verified locally
+    # (CORRECTNESS_LOCAL_FULL.json via tools/driver_sim.py).
+    #
+    # user-script compiler (closures + runtime-bound loops compile now —
+    # pin the new flagship and the two widest existing scripts)
+    "rhai_script_closure_while_scoring",  # r6 new — driver-pin
     "rhai_script_array_loop_scoring",
-    # CDC depth — never-pinned members of the family
-    "cdc_regex_filter",
-    "cdc_topic_routing",
+    "rhai_script_bigquery_envelope",  # engine changed — re-pin
+    # CDC core second-green
     "cdc_typed_projection",
-    "cdc_snapshot_diff",
-    "cdc_audit_trail",
-    "similarity_margin_stats",  # r5 new — driver-pin
-    # relational breadth — first-time TPC-H picks + never-pinned extras
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "text_quality_quartiles_by_lang",  # r5 new — driver-pin
-    "q17_small_quantity_revenue",
-    "q20_excess_suppliers",
-    "q21_late_suppliers",
-    "parts_above_brand_avg",
-    "top_k_orders",
-    "percentiles_per_flag",
-    "approx_distinct_custkeys",
-    "suppliers_per_nation_sorted",
+    # incremental ANN index (r6 new subsystem) + embedding audits
+    "similarity_ivf_incremental_topk",  # r6 new — driver-pin
+    "similarity_margin_stats",
+    "embedding_quantization_error_audit",
+    "embedding_label_centroids",  # first pin
+    "embedding_norm_stats",  # first pin
+    # relational breadth — first-time picks
+    "sql_api_nation_counts",  # first pin
+    "pivot_status_by_priority",  # first pin
+    "unpivot_priority_metrics",  # first pin
+    "profile_orders_columns",  # first pin
+    "nation_revenue_share_of_region",  # first pin
+    "orders_rolling_7day_revenue",  # first pin
     "window_percent_rank_segments",
     "hll_sketch_rollup_custkeys",
     "benford_digit_audit_orders",
     "customer_cohort_ltv",
-    "dedup_line_level_report",  # r5 new — driver-pin
-    "embedding_quantization_error_audit",  # r5 new — driver-pin
-    # event-time — first-time picks (as-of joins per the verdict)
-    "events_asof_last_click",
+    # event-time — first-time windowing/retention picks + second-greens
+    "events_sliding_window",  # first pin
+    "events_markov_transitions",  # first pin
+    "events_weekly_retention",  # first pin
+    "events_daily_gapfill",  # first pin
+    "events_debounce",  # first pin
+    "events_user_growth_accounting",  # first pin
     "events_asof_next_purchase",
-    "events_funnel_conversion",
-    "events_late_arrival_audit",  # r5 new — driver-pin
-    "events_watermark_recommendation",  # r5 new — driver-pin
+    "events_late_arrival_audit",
+    "events_watermark_recommendation",
     "events_attribution_last_touch",
     "events_conversion_latency_quantiles",
     "anomaly_zscore_daily_revenue",
-    # dedup — never-pinned variants
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "decontaminate_eval_overlap",
+    # dedup second-greens
     "dedup_cluster_report",
-    # similarity / ANN — ALL changed this round (two-stage top-k)
-    "similarity_bruteforce_topk",
-    "similarity_quantized_topk",
-    "similarity_ivf_topk",
-    "similarity_recall_eval",
-    "similarity_lsh_ann",
-    # text — grouped-rank rewrite + first-time picks
+    "dedup_line_level_report",
+    # multimodal escape hatches — never driver-checked before
+    "multimodal_video_frames",  # first pin
+    "multimodal_image_decode",  # first pin
+    # text — first-time long-tail picks + second-greens
+    "text_fingerprint",  # first pin
+    "text_bpe_token_estimate",  # first pin
+    "text_repetition_stats",  # first pin
+    "text_boilerplate_ngrams",  # first pin
+    "text_char_gini_score",  # first pin
+    "text_langid_confusion",  # first pin
+    "text_quality_quartiles_by_lang",
     "text_quality_filter_median",
     "text_top_tokens_per_lang",
-    "text_cleaning_funnel",
-    # pipeline / governance — grouped-rank rewrite + first-time picks
+    # pipeline / governance — first-time picks + second-greens
+    "data_mix_by_source",  # first pin
+    "feature_hashing_buckets",  # first pin
     "sample_stratified_cap",
     "sample_weighted_priority",
     "dq_expectations_orders",
