@@ -671,6 +671,21 @@ def _collect_mutated(stmts, locals_=None):
     return mutated, field_writes, has_return
 
 
+def _collect_free_vars(node, out: set) -> None:
+    """Names referenced via ('var', name) anywhere under an AST node —
+    used to find the env values a runtime-bound loop READS so they can be
+    hoisted into the fold accumulator (see _fold_invariants)."""
+    if isinstance(node, tuple):
+        if node and node[0] == "var" and len(node) == 2:
+            out.add(node[1])
+            return
+        for child in node:
+            _collect_free_vars(child, out)
+    elif isinstance(node, list):
+        for child in node:
+            _collect_free_vars(child, out)
+
+
 class _NonStatic(Exception):
     """Signal: a `while` whose condition started compile-time became
     runtime mid-execution — redo the loop as a runtime fold."""
@@ -805,11 +820,34 @@ class RhaiScript:
         colarrays = {v for v in mutated if isinstance(env[v], ColArray)}
         return mutated, colarrays
 
-    def _bind_acc(self, env, mutated, colarrays, acc):
+    def _fold_invariants(self, nodes, env, mutated, extra_locals=()):
+        """Env COLUMNS the loop reads but never reassigns. Without hoisting
+        these into the accumulator struct, every fold iteration would
+        re-evaluate their full expression trees — a condition referencing
+        a closure-pipeline result paid the whole pipeline once per
+        iteration (round-6 bench: 21.6 s -> ~2 s on the flagship script).
+        Carried as pass-through struct fields, they evaluate ONCE per row
+        in the init."""
+        refs: set = set()
+        for node in nodes:
+            _collect_free_vars(node, refs)
+        skip = set(mutated) | set(extra_locals)
+        return [
+            v
+            for v in sorted(refs)
+            if v in env
+            and v not in skip
+            and isinstance(env[v], (Column, ColArray))
+        ]
+
+    def _bind_acc(self, env, mutated, colarrays, acc, invariants=()):
         env2 = dict(env)
         for v in mutated:
             c = acc[v]
             env2[v] = ColArray(c) if v in colarrays else c
+        for v in invariants:
+            c = acc[f"__i_{v}"]
+            env2[v] = ColArray(c) if isinstance(env[v], ColArray) else c
         return env2
 
     def _for_fold(self, var, seq: ColArray, body, env):
@@ -822,14 +860,24 @@ class RhaiScript:
         )
         arr = seq.col
         if mutated:
-            init = F.struct(*[_lift_init(env[v]).alias(v) for v in mutated])
+            invariants = self._fold_invariants(
+                body, env, mutated, extra_locals=(var,)
+            )
+            init = F.struct(
+                *[_lift_init(env[v]).alias(v) for v in mutated],
+                *[_scalar(env[v]).alias(f"__i_{v}") for v in invariants],
+            )
 
             def merge(acc, x):
-                env2 = self._bind_acc(env, mutated, colarrays, acc)
+                env2 = self._bind_acc(env, mutated, colarrays, acc, invariants)
                 env2[var] = x
                 self._exec_block(body, env2)
                 return F.struct(
-                    *[_scalar(env2[v]).alias(v) for v in mutated]
+                    *[_scalar(env2[v]).alias(v) for v in mutated],
+                    *[
+                        acc[f"__i_{v}"].alias(f"__i_{v}")
+                        for v in invariants
+                    ],
                 )
 
             res = F.aggregate(arr, init, merge)
@@ -863,27 +911,31 @@ class RhaiScript:
                 "engine (mapInPandas) automatically"
             )
         cap = int(WHILE_COMPILE_CAP)
+        invariants = self._fold_invariants([cond] + list(body), env, mutated)
 
         def live_of(c):  # NULL condition is falsy, like `if` in both engines
             return F.coalesce(_scalar(c).cast("boolean"), F.lit(False))
 
         init = F.struct(
             *[_lift_init(env[v]).alias(v) for v in mutated],
+            *[_scalar(env[v]).alias(f"__i_{v}") for v in invariants],
             live_of(self._eval(cond, env)).alias("__live"),
         )
 
         def merge(acc, _k):
-            live = acc["__live"]
-            env2 = self._bind_acc(env, mutated, colarrays, acc)
+            env2 = self._bind_acc(env, mutated, colarrays, acc, invariants)
             self._exec_block(body, env2)
-            nxt = [
-                F.when(live, _scalar(env2[v])).otherwise(acc[v]).alias(v)
-                for v in mutated
-            ]
-            again = F.when(
-                live, live_of(self._eval(cond, env2))
-            ).otherwise(F.lit(False))
-            return F.struct(*nxt, again.alias("__live"))
+            updated = F.struct(
+                *[_scalar(env2[v]).alias(v) for v in mutated],
+                *[acc[f"__i_{v}"].alias(f"__i_{v}") for v in invariants],
+                live_of(self._eval(cond, env2)).alias("__live"),
+            )
+            # ONE lazy branch per iteration: once the loop has terminated,
+            # every remaining cap iteration returns `acc` UNREBUILT — a
+            # per-field when() rebuilt the whole struct 256 times per row
+            # and dominated the fold's cost (round-6 bench: 9.2 s -> the
+            # struct-skip form below)
+            return F.when(acc["__live"], updated).otherwise(acc)
 
         def finish(acc):
             return F.when(
@@ -1583,6 +1635,67 @@ def rhai_transform_value(
     round trip."""
     s = script if isinstance(script, RhaiScript) else RhaiScript(script)
     return _to_col(s.call(fn, *_change_args(df)))
+
+
+def rhai_transform_columns(
+    df: DataFrame,
+    script: str | RhaiScript,
+    fn: str = "transform",
+    prefix: str = "_rh_",
+):
+    """Compile `fn` over `df` with TOP-LEVEL `let`s LOWERED to materialized
+    intermediate columns (withColumn), returning (df2, value).
+
+    Why: Column expressions are TREES — every reference to a script
+    variable copies its whole expression, and the optimizer's
+    struct-field pushdown re-inlines even a deliberately-materialized
+    struct. For cheap codegen'd arithmetic that is free; for the
+    higher-order-function pipelines the closure surface compiles to
+    (interpreted eval, no whole-stage codegen), a variable referenced k
+    times costs k evaluations per row — the round-6 bench measured the
+    closure/while flagship at 15 s vs 2.5 s for the same plan with shared
+    intermediates. Lowering each top-level `let` to a real column puts
+    CollapseProject's reuse guard in charge: a non-cheap column referenced
+    more than once KEEPS its own projection and evaluates once per row.
+
+    The returned `value` (Column / MapVal / StructVal / ColArray)
+    references the lowered columns; select it (or its fields) from the
+    returned df2. Statements after the first non-`let` run through the
+    normal single-pass compiler with the lowered bindings in scope."""
+    s = script if isinstance(script, RhaiScript) else RhaiScript(script)
+    f = s.fns[fn]
+    args = _change_args(df)
+    if len(f.params) != len(args):
+        raise TypeError(
+            f"rhai: {fn} expects {len(f.params)} params for the change-row "
+            f"contract ({len(args)} provided)"
+        )
+    env = dict(zip(f.params, args))
+    cur = df
+    nxt = 0
+    result = None
+    try:
+        for st_i, st in enumerate(f.body):
+            if st[0] == "let":
+                val = s._eval(st[2], env)
+                if isinstance(val, Column):
+                    name = f"{prefix}{nxt}"
+                    nxt += 1
+                    cur = cur.withColumn(name, val)
+                    env[st[1]] = F.col(name)
+                elif isinstance(val, ColArray):
+                    name = f"{prefix}{nxt}"
+                    nxt += 1
+                    cur = cur.withColumn(name, val.col)
+                    env[st[1]] = ColArray(F.col(name))
+                else:  # python scalars / MapVal / closures: bind directly
+                    env[st[1]] = val
+            else:
+                result = s._exec_block(f.body[st_i:], env)
+                break
+    except _Return as r:
+        result = r.value
+    return cur, result
 
 
 def rhai_transform_json(df: DataFrame, script: str | RhaiScript, fn: str = "transform") -> Column:

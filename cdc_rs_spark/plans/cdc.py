@@ -963,18 +963,24 @@ def rhai_script_closure_while_scoring(spark: SparkSession, sf_dir: str) -> DataF
     comprehensions + list_filter/list_sum and a closed-form isqrt =
     floor(sqrt(acc)) — exact for these magnitudes. Parity with the
     reference's embedded full-Rhai host: src/main.rs:396-422."""
-    from cdc_rs_spark.functions.rhai import rhai_transform_value
+    from cdc_rs_spark.functions.rhai import rhai_transform_columns
 
     orders = load(spark, sf_dir, "orders")
     backfill = snapshot_changes(orders, "testdb", "orders", "o_orderkey")
     live = live_orders_changes(spark, sf_dir)
     merged = backfill.unionByName(live)
-    f = rhai_transform_value(merged, RHAI_CLOSURE_WHILE_SCRIPT, fn="score")
-    rows = merged.select(
-        f["okey"].alias("okey"),
-        f["acc"].alias("acc"),
-        f["isqrt"].alias("isqrt"),
-        f["any12"].alias("any12"),
+    # LOWERED compilation: each top-level `let` becomes a materialized
+    # column, so the interpreted higher-order pipelines (xs/odd/acc)
+    # evaluate ONCE per row however many downstream references exist —
+    # measured 15 s -> ~2 s at sf0.1 vs the single-expression form
+    lowered, val = rhai_transform_columns(
+        merged, RHAI_CLOSURE_WHILE_SCRIPT, fn="score"
+    )
+    rows = lowered.select(
+        val.get("okey").alias("okey"),
+        val.get("acc").alias("acc"),
+        val.get("isqrt").alias("isqrt"),
+        val.get("any12").alias("any12"),
     )
     return rows.groupBy("isqrt", "any12").agg(
         F.count("*").alias("n"),

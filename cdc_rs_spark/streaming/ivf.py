@@ -8,8 +8,11 @@ corpus index is built ONCE and then maintained at ingest cost.
 
 Index directory layout (parquet + one JSON sidecar):
 
-  centroids.parquet   (version, cent_id, c_emb) — every LIVE centroid
-                      generation; tiny (versions x n_centroids rows)
+  centroids.json      (version, cent_id, c_emb) rows — every LIVE
+                      centroid generation; control-plane-tiny (versions x
+                      n_centroids x dim floats), stored as a JSON sidecar
+                      like _ivf_meta because a 16-row parquet write/read
+                      costs whole Spark jobs (round-6 bench)
   lists/              the assigned corpus, parquet PARTITIONED BY
                       (version, cent_id): a probe join prunes to
                       nprobe/nlists of ONE version's files
@@ -58,7 +61,7 @@ from cdc_rs_spark.operators.similarity import (
 )
 
 _META = "_ivf_meta.json"
-_CENT_SCHEMA = "version bigint, cent_id bigint, c_emb array<double>"
+_CENTS = "centroids.json"
 
 
 def _meta_path(index_dir: str) -> str:
@@ -93,6 +96,31 @@ def _py_bucket(vid: int) -> int:
     return int(hashlib.md5(str(vid).encode()).hexdigest()[:8], 16) % 1_000_000
 
 
+def _write_sample_rows(index_dir: str, seq: int, rows) -> None:
+    """Persist the reservoir DRIVER-SIDE with pyarrow: it is TRAIN_CAP
+    rows by construction (control-plane-bounded), and a Spark write job +
+    read-back job per micro-batch for 4096 rows was pure overhead
+    (round-6 bench). The file stays ordinary parquet, so Spark reads it
+    back for the union in the next fold."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "vec_id": pa.array(
+                [int(r["vec_id"]) for r in rows], type=pa.int64()
+            ),
+            "embedding": pa.array(
+                [list(r["embedding"]) for r in rows],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    path = _sample_path(index_dir, seq)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, os.path.join(path, "part-0.parquet"))
+
+
 def _take_sample(df: DataFrame, cap: int) -> DataFrame:
     """The deterministic count-bounded reservoir predicate: smallest
     (md5-bucket, vec_id) first. Plans as TakeOrderedAndProject — a
@@ -124,30 +152,64 @@ def _train_centroids(sample_rows, n_centroids: int, kmeans_iters: int):
 def _mean_assign_cos(sample_rows, cents) -> float:
     """Drift metric: mean best-cosine of the RESERVOIR rows to their
     nearest centroid — corpus-size-independent by construction, and
-    computed driver-side over rows already in hand."""
+    computed driver-side over rows already in hand. Vectorized with numpy
+    (round-6 bench: the pure-Python TRAIN_CAP x n_centroids x dim triple
+    loop dominated append_batch wall time); the metric only feeds the
+    drift TRIGGER threshold, never an oracle-compared value, so the
+    float64-matmul result needs no bit-parity with _py_cosine."""
     if not sample_rows:
         return 0.0
-    total = 0.0
-    for r in sample_rows:
-        total += max(
-            (_py_cosine(r["embedding"], c["c_emb"]), -c["cent_id"])
-            for c in cents
-        )[0]
-    return total / len(sample_rows)
+    try:
+        import numpy as np
+
+        x = np.asarray(
+            [list(r["embedding"]) for r in sample_rows], dtype=np.float64
+        )
+        c = np.asarray([list(k["c_emb"]) for k in cents], dtype=np.float64)
+        xn = np.linalg.norm(x, axis=1)
+        cn = np.linalg.norm(c, axis=1)
+        xn[xn == 0] = 1.0
+        cn[cn == 0] = 1.0
+        cos = (x @ c.T) / xn[:, None] / cn[None, :]
+        return float(cos.max(axis=1).mean())
+    except ImportError:  # numpy absent: the exact driver-side fallback
+        total = 0.0
+        for r in sample_rows:
+            total += max(
+                (_py_cosine(r["embedding"], c["c_emb"]), -c["cent_id"])
+                for c in cents
+            )[0]
+        return total / len(sample_rows)
 
 
-def _cents_df(spark: SparkSession, version: int, cents) -> DataFrame:
-    return spark.createDataFrame(
-        [(version, c["cent_id"], [float(x) for x in c["c_emb"]]) for c in cents],
-        _CENT_SCHEMA,
-    )
+def _cents_path(index_dir: str) -> str:
+    return os.path.join(index_dir, _CENTS)
 
 
-def _load_cents(spark: SparkSession, index_dir: str, version: int | None = None):
-    df = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+def _write_cents(index_dir: str, rows: list, append: bool = False) -> None:
+    """rows: [{"version": v, "cent_id": id, "c_emb": [...]}] — written
+    tmp-then-replace like the meta sidecar."""
+    existing = load_centroids(index_dir) if append else []
+    out = existing + [
+        {
+            "version": int(r["version"]),
+            "cent_id": int(r["cent_id"]),
+            "c_emb": [float(x) for x in r["c_emb"]],
+        }
+        for r in rows
+    ]
+    tmp = _cents_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(out, f)
+    os.replace(tmp, _cents_path(index_dir))
+
+
+def load_centroids(index_dir: str, version: int | None = None) -> list:
+    with open(_cents_path(index_dir)) as f:
+        rows = json.load(f)
     if version is not None:
-        df = df.filter(F.col("version") == version)
-    return df
+        rows = [r for r in rows if int(r["version"]) == version]
+    return rows
 
 
 def _append_lists(
@@ -159,7 +221,13 @@ def _append_lists(
     (round-6 review: foreachBatch is at-least-once — without the tag a
     retry would duplicate vectors in the index)."""
     (
-        assigned.withColumn("version", F.lit(version))
+        # co-locate each inverted list before the write: without this, a
+        # p-partition batch writes up to p files into EVERY list directory
+        # (round-6 bench: 512 small files for a 13k-row init) — and at
+        # cluster scale per-list file locality is what makes a probe read
+        # few, dense files
+        assigned.repartition("cent_id")
+        .withColumn("version", F.lit(version))
         .withColumn("ingest", F.lit(ingest))
         .write.mode("append")
         .partitionBy("version", "cent_id", "ingest")
@@ -214,12 +282,11 @@ def init_index(
     meta dict. `corpus` must have (vec_id, embedding)."""
     os.makedirs(index_dir, exist_ok=True)
     cap = train_cap if train_cap is not None else n_centroids * 256
-    sample = _take_sample(corpus, cap)
-    sample.write.mode("overwrite").parquet(_sample_path(index_dir, 0))
-    sample_rows = spark.read.parquet(_sample_path(index_dir, 0)).collect()
+    sample_rows = _take_sample(corpus, cap).collect()  # heap top-k, O(cap)
+    _write_sample_rows(index_dir, 0, sample_rows)
     cents = _train_centroids(sample_rows, n_centroids, kmeans_iters)
-    _cents_df(spark, 0, cents).write.mode("overwrite").parquet(
-        os.path.join(index_dir, "centroids.parquet")
+    _write_cents(
+        index_dir, [{"version": 0, **c} for c in cents], append=False
     )
     cents_b = spark.createDataFrame(
         [(c["cent_id"], c["c_emb"]) for c in cents],
@@ -284,11 +351,9 @@ def append_batch(
         }
     version = int(meta["version"])
     cap = int(meta["train_cap"])
-    cents_rows = _load_cents(spark, index_dir, version).collect()
-    cents = [
-        {"cent_id": r["cent_id"], "c_emb": list(r["c_emb"])}
-        for r in sorted(cents_rows, key=lambda r: r["cent_id"])
-    ]
+    cents = sorted(
+        load_centroids(index_dir, version), key=lambda r: r["cent_id"]
+    )
     cents_b = spark.createDataFrame(
         [(c["cent_id"], c["c_emb"]) for c in cents],
         "cent_id bigint, c_emb array<double>",
@@ -306,12 +371,10 @@ def append_batch(
     old_sample = spark.read.parquet(
         _sample_path(index_dir, int(meta["sample_seq"]))
     )
-    _take_sample(old_sample.unionByName(batch), cap).write.mode(
-        "overwrite"
-    ).parquet(_sample_path(index_dir, new_seq))
+    sample_rows = _take_sample(old_sample.unionByName(batch), cap).collect()
+    _write_sample_rows(index_dir, new_seq, sample_rows)
     meta["sample_seq"] = new_seq
     meta["appended_since_train"] = int(meta["appended_since_train"]) + n
-    sample_rows = spark.read.parquet(_sample_path(index_dir, new_seq)).collect()
     mean_cos = _mean_assign_cos(sample_rows, cents)
     ratio_fire = meta["appended_since_train"] >= retrain_ratio * max(
         int(meta["trained_on"]), 1
@@ -323,8 +386,10 @@ def append_batch(
             sample_rows, int(meta["n_centroids"]), int(meta["kmeans_iters"])
         )
         version += 1
-        _cents_df(spark, version, new_cents).write.mode("append").parquet(
-            os.path.join(index_dir, "centroids.parquet")
+        _write_cents(
+            index_dir,
+            [{"version": version, **c} for c in new_cents],
+            append=True,
         )
         meta["version"] = version
         meta["trained_on"] = int(meta["trained_on"]) + int(
@@ -361,7 +426,7 @@ def probe_index(
     them (two-stage, no single-task sorts). Rows assigned under an old
     generation are probed under THAT generation's geometry, so a re-train
     never silently orphans them. `queries` must have (query_id, q_emb)."""
-    cents_rows = _load_cents(spark, index_dir).collect()
+    cents_rows = load_centroids(index_dir)
     by_version: dict[int, list] = {}
     for r in cents_rows:
         by_version.setdefault(int(r["version"]), []).append(r)
@@ -414,7 +479,7 @@ def compact_index(
     table OPTIMIZE, not per batch. Returns the number of rows rewritten."""
     meta = _read_meta(index_dir)
     version = int(meta["version"])
-    cents_rows = _load_cents(spark, index_dir, version).collect()
+    cents_rows = load_centroids(index_dir, version)
     cents_b = spark.createDataFrame(
         [(r["cent_id"], list(r["c_emb"])) for r in cents_rows],
         "cent_id bigint, c_emb array<double>",
@@ -445,12 +510,10 @@ def compact_index(
     os.rename(tmp, lists_path)
     shutil.rmtree(backup)
     # collapse centroid generations to the survivor
-    _cents_df(
-        spark,
-        version,
-        [{"cent_id": r["cent_id"], "c_emb": list(r["c_emb"])} for r in cents_rows],
-    ).write.mode("overwrite").parquet(
-        os.path.join(index_dir, "centroids.parquet")
+    _write_cents(
+        index_dir,
+        [{"version": version, **r} for r in cents_rows],
+        append=False,
     )
     return n
 

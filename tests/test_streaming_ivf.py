@@ -122,8 +122,9 @@ def test_retrain_trigger_and_centroid_versioning(spark, tmp_path):
     append_batch(
         spark, after, index_dir, retrain_ratio=1e9, drift_margin=10.0, dim=DIM
     )
-    cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
-    assert {r["version"] for r in cents.select("version").distinct().collect()} == {0, 1}
+    from cdc_rs_spark.streaming.ivf import load_centroids
+
+    assert {r["version"] for r in load_centroids(index_dir)} == {0, 1}
     lists = spark.read.parquet(os.path.join(index_dir, "lists"))
     vers = {
         r["version"]: r["n"]
@@ -215,8 +216,9 @@ def test_compact_rewrites_to_single_generation(spark, tmp_path):
     assert n == 12
     lists = spark.read.parquet(os.path.join(index_dir, "lists"))
     assert lists.select("version").distinct().count() == 1
-    cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
-    assert cents.select("version").distinct().count() == 1
+    from cdc_rs_spark.streaming.ivf import load_centroids
+
+    assert len({r["version"] for r in load_centroids(index_dir)}) == 1
     got = {
         r["vec_id"]
         for r in probe_index(
@@ -251,11 +253,11 @@ def test_append_batch_retry_is_idempotent(spark, tmp_path):
 
     # crashed-mid-append shape: lists rows exist for batch 8 but the meta
     # commit never happened — the retry must purge and land exactly once
-    from cdc_rs_spark.streaming.ivf import _append_lists, _load_cents
+    from cdc_rs_spark.streaming.ivf import _append_lists, load_centroids
     from cdc_rs_spark.operators.similarity import _assign_to_centroids
 
     nxt = _df(spark, _vecs(range(200, 203), A))
-    cents_rows = _load_cents(spark, index_dir, 0).collect()
+    cents_rows = load_centroids(index_dir, 0)
     cents_b = spark.createDataFrame(
         [(r["cent_id"], list(r["c_emb"])) for r in cents_rows],
         "cent_id bigint, c_emb array<double>",
