@@ -1637,11 +1637,14 @@ def rhai_transform_value(
     return _to_col(s.call(fn, *_change_args(df)))
 
 
+_LOWER_SEQ = __import__("itertools").count()
+
+
 def rhai_transform_columns(
     df: DataFrame,
     script: str | RhaiScript,
     fn: str = "transform",
-    prefix: str = "_rh_",
+    prefix: str | None = None,
 ):
     """Compile `fn` over `df` with TOP-LEVEL `let`s LOWERED to materialized
     intermediate columns (withColumn), returning (df2, value).
@@ -1663,6 +1666,16 @@ def rhai_transform_columns(
     returned df2. Statements after the first non-`let` run through the
     normal single-pass compiler with the lowered bindings in scope."""
     s = script if isinstance(script, RhaiScript) else RhaiScript(script)
+    if prefix is None:
+        # unique per call: a fixed prefix would let a second lowered
+        # script silently REPLACE the first one's materialized columns
+        # (withColumn replaces same-named columns), corrupting its still-
+        # live references (round-6 review #7)
+        prefix = f"_rh{next(_LOWER_SEQ)}_"
+    if any(c.startswith(prefix) for c in df.columns):
+        raise ValueError(
+            f"rhai_transform_columns: input already has {prefix}* columns"
+        )
     f = s.fns[fn]
     args = _change_args(df)
     if len(f.params) != len(args):

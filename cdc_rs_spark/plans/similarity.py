@@ -346,33 +346,40 @@ def similarity_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFra
     batch1 = raw.filter(F.col("vec_id") % 6 == 0)
     batch2 = raw.filter(F.col("vec_id") % 6 == 3)
     index_dir = tempfile.mkdtemp(prefix="ivf_incremental_")
-    init_index(
-        spark, base, index_dir,
-        n_centroids=N_CENTROIDS, train_cap=TRAIN_CAP,
-        kmeans_iters=1, dim=EMB_DIM,
-    )
-    # ratio/drift thresholds set so no re-train fires here (the oracle is
-    # the single-generation geometry); the triggering path is pytest-proven
-    for b in (batch1, batch2):
-        append_batch(
-            spark, b, index_dir,
-            retrain_ratio=1e9, drift_margin=10.0, dim=EMB_DIM,
+    try:
+        init_index(
+            spark, base, index_dir,
+            n_centroids=N_CENTROIDS, train_cap=TRAIN_CAP,
+            kmeans_iters=1, dim=EMB_DIM,
         )
-    queries = raw.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
-    result = probe_index(
-        spark, queries, index_dir, nprobe=N_PROBE, k=5, dim=EMB_DIM
-    )
-    # materialize the (queries x k)-row answer — count-bounded — so the
-    # scratch index can be deleted NOW instead of leaking a corpus-sized
-    # parquet tree per invocation (round-6 review); the returned frame is
-    # a LocalRelation of 40 rows, not a lazy scan over the removed files
-    rows = result.collect()
-    import shutil
+        # ratio/drift thresholds set so no re-train fires here (the oracle
+        # is the single-generation geometry); the triggering path is
+        # pytest-proven
+        for b in (batch1, batch2):
+            append_batch(
+                spark, b, index_dir,
+                retrain_ratio=1e9, drift_margin=10.0, dim=EMB_DIM,
+            )
+        queries = raw.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        result = probe_index(
+            spark, queries, index_dir, nprobe=N_PROBE, k=5, dim=EMB_DIM
+        )
+        # materialize the (queries x k)-row answer — count-bounded — so
+        # the scratch index can be deleted NOW instead of leaking a
+        # corpus-sized parquet tree per invocation (round-6 review); the
+        # returned frame is a LocalRelation of 40 rows, not a lazy scan
+        # over the removed files
+        rows = result.collect()
+        schema = result.schema
+    finally:
+        # failure paths must not leak the tree either (round-6 review #2)
+        import shutil
 
-    shutil.rmtree(index_dir, ignore_errors=True)
-    return spark.createDataFrame(rows, result.schema)
+        shutil.rmtree(index_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 _IVF_MODEL_CACHE: dict = {}

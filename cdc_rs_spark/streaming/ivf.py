@@ -188,8 +188,20 @@ def _cents_path(index_dir: str) -> str:
 
 def _write_cents(index_dir: str, rows: list, append: bool = False) -> None:
     """rows: [{"version": v, "cent_id": id, "c_emb": [...]}] — written
-    tmp-then-replace like the meta sidecar."""
-    existing = load_centroids(index_dir) if append else []
+    tmp-then-replace like the meta sidecar. On append, any EXISTING rows
+    with a version >= the incoming one are dropped first: a crash between
+    a retrain's centroid append and its meta commit leaves an orphan
+    generation, and the retried retrain must REPLACE it, not duplicate
+    the version number (round-6 review #2)."""
+    if append:
+        new_min = min(int(r["version"]) for r in rows)
+        existing = [
+            r
+            for r in load_centroids(index_dir)
+            if int(r["version"]) < new_min
+        ]
+    else:
+        existing = []
     out = existing + [
         {
             "version": int(r["version"]),
@@ -205,6 +217,16 @@ def _write_cents(index_dir: str, rows: list, append: bool = False) -> None:
 
 
 def load_centroids(index_dir: str, version: int | None = None) -> list:
+    if not os.path.exists(_cents_path(index_dir)) and os.path.isdir(
+        os.path.join(index_dir, "centroids.parquet")
+    ):
+        raise FileNotFoundError(
+            "this index was written by a pre-round-6 build that stored "
+            "centroids as parquet; migrate once with: rows = [r.asDict() "
+            "for r in spark.read.parquet(f'{index_dir}/centroids.parquet')"
+            ".collect()]; cdc_rs_spark.streaming.ivf._write_cents("
+            "index_dir, rows)"
+        )
     with open(_cents_path(index_dir)) as f:
         rows = json.load(f)
     if version is not None:
@@ -267,6 +289,29 @@ def _gc_samples(index_dir: str, live_seq: int) -> None:
             shutil.rmtree(os.path.join(index_dir, name))
 
 
+def _recover_lists(index_dir: str) -> None:
+    """Repair the compact-swap crash windows before touching the lists
+    store (round-6 review #3): a death between compact_index's two
+    renames leaves lists/ missing with lists_old/ (the complete
+    pre-compact state) and/or lists_compact/ (the complete compacted
+    state — it is only reachable after its write and count finished) on
+    disk. Promote the compacted store if present, else restore the
+    backup; with lists/ healthy, stale residue is deleted."""
+    import shutil
+
+    lists = os.path.join(index_dir, "lists")
+    tmp = os.path.join(index_dir, "lists_compact")
+    backup = os.path.join(index_dir, "lists_old")
+    if os.path.isdir(lists):
+        return  # healthy; stale residue (if any) is cleared by compact
+    if os.path.isdir(tmp):
+        os.rename(tmp, lists)
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
+    elif os.path.isdir(backup):
+        os.rename(backup, lists)
+
+
 def init_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -295,6 +340,7 @@ def init_index(
     assigned = _assign_to_centroids(
         corpus.select("vec_id", "embedding"), cents_b, dim
     )
+    _purge_ingest(index_dir, "init")  # crashed/re-run bootstrap residue
     _append_lists(assigned, index_dir, 0, "init")
     trained_on = corpus.count()
     meta = {
@@ -320,6 +366,7 @@ def append_batch(
     drift_margin: float = 0.05,
     dim: int | None = None,
     batch_id: int | None = None,
+    stream_id: str | None = None,
 ) -> dict:
     """One micro-batch of (vec_id, embedding): assign against the CURRENT
     centroids (map-side broadcast argmax over |batch| rows), append to the
@@ -338,10 +385,19 @@ def append_batch(
     `batch_id` (foreachBatch's epoch) makes retries IDEMPOTENT (round-6
     review: foreachBatch is at-least-once): a batch whose id equals the
     committed `last_batch` is skipped outright, and a retry of a batch
-    that crashed mid-append first purges its own ingest=bN partition
-    directories before re-appending — no duplicate vectors either way."""
+    that crashed mid-append first purges its own ingest partition
+    directories before re-appending — no duplicate vectors either way.
+    `stream_id` namespaces the tags: epoch ids RESET when a stream is
+    restarted with a fresh checkpoint, and without a namespace the new
+    run's batch 0 would purge the old run's committed batch-0 rows
+    (round-6 review #2) — point each new checkpoint at a new stream_id
+    (ivf_foreach_batch's docstring spells out the contract)."""
+    _recover_lists(index_dir)
     meta = _read_meta(index_dir)
-    if batch_id is not None and meta.get("last_batch") == str(batch_id):
+    batch_key = (
+        None if batch_id is None else f"{stream_id or 'b'}:{batch_id}"
+    )
+    if batch_key is not None and meta.get("last_batch") == batch_key:
         return {
             "batch_rows": 0,
             "version": meta["version"],
@@ -361,7 +417,11 @@ def append_batch(
     batch = batch.select("vec_id", "embedding")
     assigned = _assign_to_centroids(batch, cents_b, dim)
     new_seq = int(meta["sample_seq"]) + 1
-    ingest = f"b{batch_id}" if batch_id is not None else f"s{new_seq}"
+    ingest = (
+        f"{stream_id or 'b'}{batch_id}"
+        if batch_id is not None
+        else f"s{new_seq}"
+    )
     _purge_ingest(index_dir, ingest)  # residue of a crashed prior attempt
     _append_lists(assigned, index_dir, version, ingest)
     n = batch.count()
@@ -398,8 +458,8 @@ def append_batch(
         meta["appended_since_train"] = 0
         meta["base_cos"] = _mean_assign_cos(sample_rows, new_cents)
         retrained = True
-    if batch_id is not None:
-        meta["last_batch"] = str(batch_id)
+    if batch_key is not None:
+        meta["last_batch"] = batch_key
     _write_meta(index_dir, meta)
     _gc_samples(index_dir, new_seq)
     return {
@@ -426,6 +486,7 @@ def probe_index(
     them (two-stage, no single-task sorts). Rows assigned under an old
     generation are probed under THAT generation's geometry, so a re-train
     never silently orphans them. `queries` must have (query_id, q_emb)."""
+    _recover_lists(index_dir)
     cents_rows = load_centroids(index_dir)
     by_version: dict[int, list] = {}
     for r in cents_rows:
@@ -477,6 +538,7 @@ def compact_index(
     LATEST centroid generation and rewrite the lists as one version. This
     is the only operation here that scans the lists store — run it like a
     table OPTIMIZE, not per batch. Returns the number of rows rewritten."""
+    _recover_lists(index_dir)
     meta = _read_meta(index_dir)
     version = int(meta["version"])
     cents_rows = load_centroids(index_dir, version)
@@ -524,10 +586,18 @@ def ivf_foreach_batch(
     drift_margin: float = 0.05,
     dim: int | None = None,
     on_stats: Callable[[dict, int], None] | None = None,
+    stream_id: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch form: per micro-batch of (vec_id, embedding), run
     append_batch against the persisted index; `on_stats` receives the
-    stats dict and batch id (drive alerts/metrics from it)."""
+    stats dict and batch id (drive alerts/metrics from it).
+
+    `stream_id` IS the idempotence contract: epoch ids are scoped to a
+    CHECKPOINT, so resuming from the same checkpoint may pass any
+    stream_id (or none) consistently, but pointing a FRESH checkpoint at
+    an existing index requires a NEW stream_id (e.g. the query's runId) —
+    otherwise the new run's epoch 0 retry-purge would delete the old
+    run's committed epoch-0 rows."""
 
     def step(batch: DataFrame, batch_id: int) -> None:
         stats = append_batch(
@@ -538,6 +608,7 @@ def ivf_foreach_batch(
             drift_margin=drift_margin,
             dim=dim,
             batch_id=batch_id,
+            stream_id=stream_id,
         )
         if on_stats is not None:
             on_stats(stats, batch_id)

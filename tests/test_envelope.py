@@ -805,3 +805,35 @@ def test_rhai_runtime_range_cap_guard_fails_row_loudly(spark):
         assert [r["t"] for r in ok.collect()] == [10]
     finally:
         rhai_mod.MAX_WHILE_ITERATIONS = old
+
+
+def test_rhai_lowered_scripts_chain_without_collision(spark):
+    """Round-6 review: rhai_transform_columns must mint UNIQUE intermediate
+    column names per call — chaining two lowered scripts over one frame
+    must not let the second silently replace the first's materialized
+    columns."""
+    from cdc_rs_spark.envelope import CHANGE_SCHEMA
+    from cdc_rs_spark.functions.rhai import rhai_transform_columns
+
+    s1 = """
+    fn transform(db, table, op, before, after, ts) {
+        let xs = (0..ts).map(|x| x + 1);
+        xs.reduce(|a, x| a + x, 0)
+    }
+    """
+    s2 = """
+    fn transform(db, table, op, before, after, ts) {
+        let xs = (0..ts).map(|x| x * 10);
+        xs.reduce(|a, x| a + x, 0)
+    }
+    """
+    df = spark.createDataFrame(
+        [("Insert", "d", "t", None, {"id": "1"}, 3, "1")], CHANGE_SCHEMA
+    )
+    low1, v1 = rhai_transform_columns(df, s1)
+    low2, v2 = rhai_transform_columns(low1, s2)
+    row = low2.select(
+        F.col(v1._jc.toString()) if False else v1.alias("a"), v2.alias("b")
+    ).collect()[0]
+    assert row["a"] == 1 + 2 + 3  # first script's value survives
+    assert row["b"] == 0 + 10 + 20

@@ -287,3 +287,102 @@ def test_reservoir_gc_keeps_one_sample_dir(spark, tmp_path):
         )
     samples = [n for n in os.listdir(index_dir) if n.startswith("sample_")]
     assert samples == ["sample_000003.parquet"], samples
+
+
+def test_retrain_retry_replaces_orphan_generation(spark, tmp_path):
+    """Round-6 review #2: a crash between the retrain's centroid append
+    and the meta commit leaves an orphan generation — the retried retrain
+    must REPLACE it, never duplicate the version number."""
+    from cdc_rs_spark.streaming.ivf import _write_cents, load_centroids
+
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 3), A) + _vecs(range(10, 13), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=16, dim=DIM)
+    # simulate the orphan: version 1 appended, meta never flipped
+    orphan = [{"version": 1, "cent_id": 77, "c_emb": [1.0] * DIM}]
+    _write_cents(index_dir, orphan, append=True)
+    assert _read_meta(index_dir)["version"] == 0
+    # the retried batch fires the real retrain — version 1 must appear
+    # EXACTLY once per centroid, with the orphan gone
+    append_batch(
+        spark, _df(spark, _vecs(range(100, 106), A)), index_dir,
+        retrain_ratio=0.5, drift_margin=10.0, dim=DIM, batch_id=9,
+    )
+    rows = load_centroids(index_dir, 1)
+    ids = [r["cent_id"] for r in rows]
+    assert len(ids) == len(set(ids)) and 77 not in ids
+    per_ver = {}
+    for r in load_centroids(index_dir):
+        per_ver.setdefault(r["version"], []).append(r["cent_id"])
+    assert all(len(v) == len(set(v)) for v in per_ver.values())
+
+
+def test_stream_id_namespaces_epoch_retry_purge(spark, tmp_path):
+    """Round-6 review #2: epoch ids reset when a stream restarts with a
+    fresh checkpoint — a second stream's batch 0 must not purge the first
+    stream's committed batch-0 rows."""
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 4), A) + _vecs(range(10, 14), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=8, dim=DIM)
+    append_batch(
+        spark, _df(spark, _vecs(range(100, 103), A)), index_dir,
+        retrain_ratio=1e9, drift_margin=10.0, dim=DIM,
+        batch_id=0, stream_id="runA",
+    )
+    append_batch(  # new stream, fresh checkpoint, epoch restarts at 0
+        spark, _df(spark, _vecs(range(200, 203), A)), index_dir,
+        retrain_ratio=1e9, drift_margin=10.0, dim=DIM,
+        batch_id=0, stream_id="runB",
+    )
+    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    assert lists.filter(F.col("vec_id") >= 100).count() == 6  # both runs
+
+
+def test_recover_lists_after_compact_crash(spark, tmp_path):
+    """Round-6 review #3: a death between compact's two renames must be
+    self-healing — the next index operation promotes the complete
+    compacted store (or restores the backup), it does not path-not-found."""
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 4), A) + _vecs(range(10, 14), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=8, dim=DIM)
+    lists = os.path.join(index_dir, "lists")
+    # crash window A: lists renamed aside, compacted store not promoted
+    os.rename(lists, os.path.join(index_dir, "lists_old"))
+    got = probe_index(
+        spark, _queries(spark, 999, A), index_dir, nprobe=1, k=4, dim=DIM
+    ).collect()
+    assert got and os.path.isdir(lists)
+    # crash window B: only a complete lists_compact remains
+    os.rename(lists, os.path.join(index_dir, "lists_compact"))
+    append_batch(
+        spark, _df(spark, _vecs(range(300, 302), A)), index_dir,
+        retrain_ratio=1e9, drift_margin=10.0, dim=DIM,
+    )
+    assert os.path.isdir(lists)
+    assert not os.path.isdir(os.path.join(index_dir, "lists_compact"))
+
+
+def test_init_index_rerun_does_not_duplicate(spark, tmp_path):
+    """Round-6 review #5: re-running the bootstrap (crash recovery) purges
+    the prior attempt's ingest=init rows instead of appending a duplicate
+    corpus."""
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 4), A) + _vecs(range(10, 14), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=8, dim=DIM)
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=8, dim=DIM)
+    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    assert lists.count() == 8  # not 16
+
+
+def test_pre_round6_parquet_centroids_get_migration_error(tmp_path):
+    """Round-6 review #4: an index written by the old build (parquet
+    centroids) fails with a message naming the migration, not a bare
+    missing-file error."""
+    import pytest
+
+    from cdc_rs_spark.streaming.ivf import load_centroids
+
+    index_dir = str(tmp_path / "idx")
+    os.makedirs(os.path.join(index_dir, "centroids.parquet"))
+    with pytest.raises(FileNotFoundError, match="pre-round-6"):
+        load_centroids(index_dir)
