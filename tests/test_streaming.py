@@ -725,33 +725,48 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
         return {"event_id": eid, "ts": ts, "user_id": 1,
                 "event_type": "click", "value": 1.0, "props": "{}"}
 
-    # batch 1: one event in [00:00, 01:00) and one at 03:00 that will push
-    # the watermark (10 min lag) far past the first window's end
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+
+    sink = str(tmp_path / "sink")
+
+    def run_pass() -> None:
+        # parquet sink, not memory: the memory sink cannot RESUME from a
+        # checkpoint, and resuming is the point of the two-pass shape
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).json(src)
+        out = tumbling_counts(stream, "1 hour", "10 minutes")
+        q = (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    # PASS 1: one event in [00:00, 01:00) and one at 03:00 that pushes the
+    # watermark (10 min lag) far past the first window's end. Running this
+    # as its own availableNow pass COMMITS the watermark to the checkpoint
+    # before the straggler exists — the test no longer depends on
+    # maxFilesPerTrigger slicing files into separate micro-batches, which
+    # made it flaky under suite load (round-6: one in-suite false failure,
+    # green in isolation; r5 saw the same class).
     _write_changes(src, "b1.json", [
         ev(1, "2024-01-01 00:10:00"), ev(2, "2024-01-01 03:00:00"),
     ])
-    # batch 2: straggler for the already-finalized first window -> dropped
+    run_pass()
+    # PASS 2 (restart from the checkpoint, watermark restored at 02:50):
+    # the straggler for the finalized first window MUST drop; the 06:00
+    # event advances the watermark so remaining windows flush
     _write_changes(src, "b2.json", [ev(3, "2024-01-01 00:20:00")])
-    # batch 3: advance watermark again so remaining windows flush
     _write_changes(src, "b3.json", [ev(4, "2024-01-01 06:00:00")])
-
-    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
-              "value double, props string")
-    stream = spark.readStream.schema(schema).option(
-        "maxFilesPerTrigger", 1
-    ).json(src)
-    out = tumbling_counts(stream, "1 hour", "10 minutes")
-    q = (
-        out.writeStream.format("memory").queryName("late_drop")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(240)
+    run_pass()
     counts = {
         str(r["window_start"]): r["n"]
-        for r in spark.sql("SELECT * FROM late_drop").collect()
+        for r in spark.read.parquet(sink).collect()
     }
     # the 00:00 window closed with ONE event; the late event_id=3 is gone
     assert counts.get("2024-01-01 00:00:00") == 1
