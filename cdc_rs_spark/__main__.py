@@ -144,7 +144,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             spool_to_feed,
         )
 
-        usage = "--replicate expects mysql://user:pw@host:port[/FILE[:POS]]"
+        usage = ("--replicate expects mysql://user:pw@host:port[/FILE[:POS]][?ssl-mode=required[&ssl-ca=/ca.pem]]")
         try:
             u = urlparse(args.replicate)
             port = u.port  # raises ValueError on a non-numeric port
@@ -163,6 +163,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             except ValueError:
                 print(usage + f" (bad POS {p!r})", file=sys.stderr)
                 return 2
+        from urllib.parse import parse_qs
+
+        q = parse_qs(u.query)
+        ssl_mode = q.get("ssl-mode", ["disabled"])[0]
+        ssl_ca = unquote(q["ssl-ca"][0]) if "ssl-ca" in q else None
         client = BinlogReplicationClient(
             ReplicationConfig(
                 host=u.hostname,
@@ -176,6 +181,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 filename=filename,
                 pos=pos,
                 non_block=args.once,
+                # mysql://u:p@h:3306/FILE?ssl-mode=required&ssl-ca=/ca.pem
+                ssl_mode=ssl_mode,
+                ssl_ca=ssl_ca,
             )
         )
         client.connect()

@@ -32,6 +32,13 @@ Wire layout implemented here:
                 RSAES-OAEP(SHA-1) — the plain-socket full-auth exchange.
                 AuthSwitchRequest (0xFE plugin NUL nonce) to either
                 supported plugin is honored once.
+  TLS upgrade = Protocol::SSLRequest (the 32-byte HandshakeResponse41
+                prefix with CLIENT_SSL) in plaintext, then the TLS
+                handshake on the same socket (stdlib ssl; VERIFY_CA via
+                ssl_ca, REQUIRED = encrypted-unauthenticated without),
+                then the full HandshakeResponse41 encrypted — packet
+                sequence carries across (round 6). Over TLS, caching_sha2
+                full auth sends the NUL-terminated password directly.
   COM_QUERY   = 0x03 sql              (used for the checksum handshake:
                 SET @master_binlog_checksum = @@global.binlog_checksum —
                 required before DUMP or a CRC32 server closes the stream)
@@ -67,6 +74,7 @@ _SAFE_POS_EVENTS = frozenset(
 
 CLIENT_LONG_PASSWORD = 0x00000001
 CLIENT_PROTOCOL_41 = 0x00000200
+CLIENT_SSL = 0x00000800
 CLIENT_SECURE_CONNECTION = 0x00008000
 CLIENT_PLUGIN_AUTH = 0x00080000
 
@@ -264,12 +272,28 @@ def _auth_token(plugin: str, password: str, nonce: bytes) -> bytes:
     )
 
 
+def build_ssl_request() -> bytes:
+    """Protocol::SSLRequest — the 32-byte prefix of HandshakeResponse41
+    (caps incl. CLIENT_SSL, max packet, charset, 23 zero bytes) sent in
+    PLAINTEXT; the TLS handshake runs immediately after it and the full
+    HandshakeResponse41 follows over the encrypted channel (round 6)."""
+    caps = (
+        CLIENT_LONG_PASSWORD
+        | CLIENT_PROTOCOL_41
+        | CLIENT_SECURE_CONNECTION
+        | CLIENT_PLUGIN_AUTH
+        | CLIENT_SSL
+    )
+    return struct.pack("<IIB23x", caps, 1 << 24, 0x21)
+
+
 def build_handshake_response(
     user: str,
     password: str,
     nonce: bytes,
     database: str | None = None,
     plugin: str = "mysql_native_password",
+    with_ssl: bool = False,
 ) -> bytes:
     caps = (
         CLIENT_LONG_PASSWORD
@@ -277,6 +301,10 @@ def build_handshake_response(
         | CLIENT_SECURE_CONNECTION
         | CLIENT_PLUGIN_AUTH
     )
+    if with_ssl:
+        # the caps MUST repeat the SSLRequest's CLIENT_SSL bit — the
+        # server cross-checks both packets' capability words
+        caps |= CLIENT_SSL
     if database:
         # the database field is only parsed when the capability bit says
         # it's there — without it the server would read the db bytes as
@@ -377,6 +405,23 @@ class PacketConn:
             if len(chunk) < 0xFFFFFF:
                 return
 
+    def start_tls(self, context, server_hostname: str | None = None) -> None:
+        """Upgrade the underlying socket to TLS (after an SSLRequest). The
+        packet SEQUENCE carries across the upgrade — the encrypted
+        HandshakeResponse41 continues where the plaintext SSLRequest left
+        off, per the protocol."""
+        if len(self._buf) - self._off:
+            raise ProtocolError(
+                "plaintext bytes buffered at TLS upgrade — server spoke "
+                "out of turn"
+            )
+        if server_hostname:
+            self.sock = context.wrap_socket(
+                self.sock, server_hostname=server_hostname
+            )
+        else:
+            self.sock = context.wrap_socket(self.sock)
+
     def command(self, payload: bytes) -> None:
         """Commands reset the sequence to 0."""
         self.seq = 0
@@ -413,6 +458,12 @@ class ReplicationConfig:
     pos: int = 4
     non_block: bool = False  # NON_BLOCK: EOF at end-of-log instead of wait
     register_slave: bool = True
+    ssl_mode: str = "disabled"  # "disabled" | "required" (encrypt, no peer
+    #   auth — MySQL --ssl-mode=REQUIRED) | with ssl_ca set, the peer cert
+    #   is verified against it (VERIFY_CA semantics; hostname not checked,
+    #   matching MySQL — use VERIFY_IDENTITY-style checks via a custom
+    #   context if needed)
+    ssl_ca: str | None = None
 
 
 @dataclass
@@ -451,12 +502,31 @@ class BinlogReplicationClient:
         self.conn = PacketConn(sock)
         hs = parse_handshake(self.conn.read_packet())
         plugin = hs.auth_plugin or NATIVE_PLUGIN.decode()
+        secure = False
+        if self.cfg.ssl_mode == "required":
+            if not hs.capabilities & CLIENT_SSL:
+                raise ProtocolError(
+                    "ssl_mode=required but the server did not announce "
+                    "CLIENT_SSL — refusing to authenticate in plaintext"
+                )
+            self.conn.write_packet(build_ssl_request())
+            self.conn.start_tls(self._ssl_context())
+            secure = True
+        elif self.cfg.ssl_mode != "disabled":
+            raise ProtocolError(
+                f"unsupported ssl_mode {self.cfg.ssl_mode!r} "
+                "(disabled | required)"
+            )
         self.conn.write_packet(
             build_handshake_response(
-                self.cfg.user, self.cfg.password, hs.nonce, plugin=plugin
+                self.cfg.user,
+                self.cfg.password,
+                hs.nonce,
+                plugin=plugin,
+                with_ssl=secure,
             )
         )
-        self._finish_auth(hs.nonce, plugin)
+        self._finish_auth(hs.nonce, plugin, secure=secure)
         # The server refuses/poisons a dump if the client has not declared
         # its checksum awareness — same statement every client lib issues.
         self.conn.command(
@@ -471,7 +541,21 @@ class BinlogReplicationClient:
             )
             self.conn.expect_ok()
 
-    def _finish_auth(self, nonce: bytes, plugin: str) -> None:
+    def _ssl_context(self):
+        import ssl
+
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        ctx.check_hostname = False  # MySQL verifies the CA, not the name
+        if self.cfg.ssl_ca:
+            ctx.verify_mode = ssl.CERT_REQUIRED
+            ctx.load_verify_locations(self.cfg.ssl_ca)  # VERIFY_CA
+        else:
+            ctx.verify_mode = ssl.CERT_NONE  # REQUIRED: encrypted only
+        return ctx
+
+    def _finish_auth(
+        self, nonce: bytes, plugin: str, secure: bool = False
+    ) -> None:
         """Drive the post-HandshakeResponse auth state machine to the
         terminal OK (round 6): caching_sha2's fast-auth (0x01 0x03),
         perform_full_authentication (0x01 0x04) -> request the server's
@@ -494,6 +578,13 @@ class BinlogReplicationClient:
                 if code == b"\x03":  # fast-auth success; OK packet follows
                     continue
                 if code == b"\x04":  # perform full authentication
+                    if secure:
+                        # over TLS the protocol sends the password in the
+                        # clear (NUL-terminated) — no RSA exchange needed
+                        self.conn.write_packet(
+                            self.cfg.password.encode() + b"\x00"
+                        )
+                        continue
                     self.conn.write_packet(b"\x02")  # request public key
                     k = self.conn.read_packet()
                     if k[:1] == b"\xff":
