@@ -166,8 +166,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from urllib.parse import parse_qs
 
         q = parse_qs(u.query)
-        ssl_mode = q.get("ssl-mode", ["disabled"])[0]
-        ssl_ca = unquote(q["ssl-ca"][0]) if "ssl-ca" in q else None
+        # parse_qs already percent-decodes values — a second unquote would
+        # double-decode paths containing literal % (round-6 review)
+        ssl_mode = q.get("ssl-mode", ["disabled"])[0].strip().lower()
+        ssl_ca = q["ssl-ca"][0] if "ssl-ca" in q else None
+        # MySQL's VERIFY_CA spelling maps onto required+ca here; accept
+        # both hyphen/underscore forms and any case
+        if ssl_mode in ("verify-ca", "verify_ca"):
+            if not ssl_ca:
+                print(usage + " (ssl-mode=verify-ca needs ssl-ca=)",
+                      file=sys.stderr)
+                return 2
+            ssl_mode = "required"
+        if ssl_mode not in ("disabled", "required"):
+            print(usage + f" (bad ssl-mode {ssl_mode!r})", file=sys.stderr)
+            return 2
+        if ssl_ca and ssl_mode == "disabled":
+            # a CA with no mode must never silently fall back to
+            # PLAINTEXT auth (round-6 review) — imply encryption
+            ssl_mode = "required"
         client = BinlogReplicationClient(
             ReplicationConfig(
                 host=u.hostname,

@@ -272,19 +272,37 @@ def _auth_token(plugin: str, password: str, nonce: bytes) -> bytes:
     )
 
 
-def build_ssl_request() -> bytes:
-    """Protocol::SSLRequest — the 32-byte prefix of HandshakeResponse41
-    (caps incl. CLIENT_SSL, max packet, charset, 23 zero bytes) sent in
-    PLAINTEXT; the TLS handshake runs immediately after it and the full
-    HandshakeResponse41 follows over the encrypted channel (round 6)."""
+def _client_caps(with_ssl: bool = False, with_db: bool = False) -> int:
+    """ONE source of truth for the client capability word: the server
+    cross-checks the SSLRequest's caps against the encrypted
+    HandshakeResponse41's, so both packets must derive them identically
+    (round-6 review)."""
     caps = (
         CLIENT_LONG_PASSWORD
         | CLIENT_PROTOCOL_41
         | CLIENT_SECURE_CONNECTION
         | CLIENT_PLUGIN_AUTH
-        | CLIENT_SSL
     )
-    return struct.pack("<IIB23x", caps, 1 << 24, 0x21)
+    if with_ssl:
+        caps |= CLIENT_SSL
+    if with_db:
+        # the database field is only parsed when the capability bit says
+        # it's there — without it the server would read the db bytes as
+        # the auth-plugin name (round-5 review)
+        caps |= CLIENT_CONNECT_WITH_DB
+    return caps
+
+
+def build_ssl_request(database: bool = False) -> bytes:
+    """Protocol::SSLRequest — the 32-byte prefix of HandshakeResponse41
+    (caps incl. CLIENT_SSL, max packet, charset, 23 zero bytes) sent in
+    PLAINTEXT; the TLS handshake runs immediately after it and the full
+    HandshakeResponse41 follows over the encrypted channel (round 6).
+    `database` must mirror the upcoming response's database field so the
+    two capability words match."""
+    return struct.pack(
+        "<IIB23x", _client_caps(with_ssl=True, with_db=database), 1 << 24, 0x21
+    )
 
 
 def build_handshake_response(
@@ -295,21 +313,7 @@ def build_handshake_response(
     plugin: str = "mysql_native_password",
     with_ssl: bool = False,
 ) -> bytes:
-    caps = (
-        CLIENT_LONG_PASSWORD
-        | CLIENT_PROTOCOL_41
-        | CLIENT_SECURE_CONNECTION
-        | CLIENT_PLUGIN_AUTH
-    )
-    if with_ssl:
-        # the caps MUST repeat the SSLRequest's CLIENT_SSL bit — the
-        # server cross-checks both packets' capability words
-        caps |= CLIENT_SSL
-    if database:
-        # the database field is only parsed when the capability bit says
-        # it's there — without it the server would read the db bytes as
-        # the auth-plugin name (round-5 review)
-        caps |= CLIENT_CONNECT_WITH_DB
+    caps = _client_caps(with_ssl=with_ssl, with_db=bool(database))
     auth = _auth_token(plugin, password, nonce)
     out = struct.pack("<IIB23x", caps, 1 << 24, 0x21)  # utf8_general_ci
     out += user.encode() + b"\x00"
@@ -510,7 +514,11 @@ class BinlogReplicationClient:
                     "CLIENT_SSL — refusing to authenticate in plaintext"
                 )
             self.conn.write_packet(build_ssl_request())
-            self.conn.start_tls(self._ssl_context())
+            # SNI carries the configured host (OpenSSL omits it for IP
+            # literals); verification stays CA-level per _ssl_context
+            self.conn.start_tls(
+                self._ssl_context(), server_hostname=self.cfg.host
+            )
             secure = True
         elif self.cfg.ssl_mode != "disabled":
             raise ProtocolError(

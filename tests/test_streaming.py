@@ -745,7 +745,9 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(240)
+        # a timed-out pass would leave the query live and break pass 2's
+        # start on the same checkpoint — fail HERE instead (round-6 review)
+        assert q.awaitTermination(240), "availableNow pass did not finish"
 
     # PASS 1: one event in [00:00, 01:00) and one at 03:00 that pushes the
     # watermark (10 min lag) far past the first window's end. Running this
