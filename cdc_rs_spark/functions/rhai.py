@@ -1272,14 +1272,30 @@ def _scalar(v) -> Column:
 def _idx_col(arr: Column, idx) -> Column:
     """Rhai 0-based indexing over a runtime array column: element_at is
     1-based for non-negative indices and already Rhai-compatible for
-    negative ones (-1 = last). ANSI mode makes out-of-range an error, the
-    same contract as the interpreter's IndexError."""
-    if isinstance(idx, int):
-        return F.element_at(arr, idx + 1 if idx >= 0 else idx)
-    i = _scalar(idx).cast("int")
-    return F.when(i >= 0, F.element_at(arr, i + 1)).otherwise(
+    negative ones (-1 = last). Out-of-range (or a NULL index) raises at
+    runtime via an explicit raise_error guard — the same contract as the
+    interpreter's IndexError on EVERY Spark config, rather than relying
+    on spark.sql.ansi.enabled being set (round-7 review: under default
+    non-ANSI, element_at silently returns NULL, so the same script gave
+    different results depending on which engine ran it). A NULL *array*
+    still propagates NULL, matching column semantics on both engines."""
+    i = F.lit(idx) if isinstance(idx, int) else _scalar(idx).cast("int")
+    n = F.size(arr)
+    oob = i.isNull() | (i >= n) | (i < -n)
+    value = F.when(i >= 0, F.element_at(arr, i + 1)).otherwise(
         F.element_at(arr, i)
     )
+    return F.when(
+        arr.isNull(), F.lit(None).cast("void")
+    ).when(
+        oob,
+        F.raise_error(
+            F.concat(
+                F.lit("rhai: array index out of range: "),
+                F.coalesce(i.cast("string"), F.lit("null")),
+            )
+        ),
+    ).otherwise(value)
 
 
 def _copy_val(v):
@@ -1774,6 +1790,11 @@ def rhai_interpret_pipeline(
             topics, values = [], []
             for r in pdf.itertuples(index=False):
                 topics.append(interp.call(topic_fn, r.db, r.table))
+                # Arrow->pandas turns a nullable long ts into float64 with
+                # NaN; int(NaN) raises and kills the stream, whereas the
+                # compiled engine just propagates null (round-7 review) —
+                # pass None through like the compiled path does.
+                ts = None if pd.isna(r.ts) else int(r.ts)
                 out = interp.call(
                     transform_fn,
                     r.db,
@@ -1781,7 +1802,7 @@ def rhai_interpret_pipeline(
                     r.op,
                     _as_dict(r.before),
                     _as_dict(r.after),
-                    int(r.ts),
+                    ts,
                 )
                 values.append(None if out is None else _json_py(out))
             yield pd.DataFrame({"topic": topics, "value": values})

@@ -78,6 +78,28 @@ class PipelineConfig:
     #   their sinks in step with the source schema. None drops markers.
 
 
+# Observable degradation signal (round-7 review): operators can poll this
+# to tell that a script silently left the compiled Column engine for the
+# per-row interpreter — an order-of-magnitude perf cliff that a WARNING
+# line alone is easy to miss.
+INTERPRETER_FALLBACKS = 0
+
+
+def _interpreter_fallback(gated: DataFrame, script: str, exc: Exception) -> DataFrame:
+    from cdc_rs_spark.functions.rhai import rhai_interpret_pipeline
+
+    import logging
+
+    global INTERPRETER_FALLBACKS
+    INTERPRETER_FALLBACKS += 1
+    logging.getLogger(__name__).warning(
+        "rhai script outgrows the compilable subset; falling back to the "
+        "RhaiInterpreter engine (mapInPandas, per-row cost). Cause: %r",
+        exc,
+    )
+    return rhai_interpret_pipeline(gated, script)
+
+
 def apply_transform(
     changes: DataFrame, cfg: PipelineConfig, *, can_carry_malformed: bool | None = None
 ) -> DataFrame:
@@ -153,24 +175,31 @@ def apply_transform(
                 rhai_topic(gated, compiled).alias("topic"),
                 rhai_transform_json(gated, compiled).alias("value"),
             )
-        except (TypeError, AnalysisException) as exc:
-            # TypeError: a construct the compiler rejects outright.
-            # AnalysisException: the script compiled but Catalyst refused
-            # the plan — e.g. a loop-to-fold accumulator initialized as an
-            # int and mutated with double arithmetic mismatches aggregate()
-            # zero/merge types (round-6 review). Either way the interpreter
+        except TypeError as exc:
+            # A construct the compiler rejects outright: the interpreter
             # engine runs the script fine (round-6 advice: the documented
             # engine must actually be WIRED, not a dead-end error message)
             # — run it per row instead, the same cost model the reference
             # pays for every script.
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "rhai script outgrows the compilable subset (%s); "
-                "falling back to the RhaiInterpreter engine (mapInPandas)",
-                exc,
+            out = _interpreter_fallback(gated, cfg.script, exc)
+        except AnalysisException as exc:
+            # The script compiled but Catalyst refused the plan. Only the
+            # EXPECTED fallback shape is downgraded to the interpreter:
+            # type mismatches from the loop-to-fold lowering (e.g. an
+            # accumulator initialized as int then mutated with double
+            # arithmetic mismatches aggregate() zero/merge types —
+            # round-6 review). A genuine script bug — a misspelled field
+            # Catalyst flags as unresolved — must NOT silently switch the
+            # stream to per-row mapInPandas, where the same bug resurfaces
+            # as an opaque executor-side failure (round-7 review): re-raise
+            # it here, at plan time, with Catalyst's message intact.
+            cls = exc.getCondition() or ""
+            expected = cls.startswith("DATATYPE_MISMATCH") or (
+                not cls and "DATATYPE_MISMATCH" in str(exc)
             )
-            out = rhai_interpret_pipeline(gated, cfg.script)
+            if not expected:
+                raise
+            out = _interpreter_fallback(gated, cfg.script, exc)
     else:
         out = gated.select(
             topic_column(cfg.topic_template).alias("topic"),

@@ -358,6 +358,26 @@ def init_index(
     return meta
 
 
+_RESERVED_INGEST = {"init", "compact", "seq", "b"}
+
+
+def _validate_stream_id(stream_id: str) -> None:
+    """The ingest tag is `{stream_id}-{batch_id}` and doubles as a
+    partition directory name, so the stream id must not contain the
+    separator (tag aliasing => a retry purge deletes another run's rows),
+    filesystem/partition metacharacters, or a reserved tag prefix."""
+    bad = set("-=/\\ \t\n")
+    if not stream_id or any(ch in bad for ch in stream_id):
+        raise ValueError(
+            f"stream_id {stream_id!r} must be non-empty and free of "
+            "'-', '=', '/', '\\\\' and whitespace"
+        )
+    if stream_id in _RESERVED_INGEST:
+        raise ValueError(
+            f"stream_id {stream_id!r} is reserved (init/compact/seq/b)"
+        )
+
+
 def append_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -392,10 +412,12 @@ def append_batch(
     run's batch 0 would purge the old run's committed batch-0 rows
     (round-6 review #2) — point each new checkpoint at a new stream_id
     (ivf_foreach_batch's docstring spells out the contract)."""
+    if stream_id is not None:
+        _validate_stream_id(stream_id)
     _recover_lists(index_dir)
     meta = _read_meta(index_dir)
     batch_key = (
-        None if batch_id is None else f"{stream_id or 'b'}:{batch_id}"
+        None if batch_id is None else f"{stream_id or 'b'}-{batch_id}"
     )
     if batch_key is not None and meta.get("last_batch") == batch_key:
         return {
@@ -417,10 +439,16 @@ def append_batch(
     batch = batch.select("vec_id", "embedding")
     assigned = _assign_to_centroids(batch, cents_b, dim)
     new_seq = int(meta["sample_seq"]) + 1
+    # '-' separates namespace from id so distinct (stream_id, batch_id)
+    # pairs can never alias one tag (round-7 review: 'a1'+2 vs 'a'+12 both
+    # read 'a12' unseparated, and a retry purge under the aliased tag
+    # deletes ANOTHER run's committed rows); the batch-less path gets the
+    # reserved 'seq-' prefix, and _validate_stream_id rejects stream ids
+    # that contain the separator or shadow a reserved prefix.
     ingest = (
-        f"{stream_id or 'b'}{batch_id}"
+        f"{stream_id or 'b'}-{batch_id}"
         if batch_id is not None
-        else f"s{new_seq}"
+        else f"seq-{new_seq}"
     )
     _purge_ingest(index_dir, ingest)  # residue of a crashed prior attempt
     _append_lists(assigned, index_dir, version, ingest)
@@ -598,6 +626,8 @@ def ivf_foreach_batch(
     an existing index requires a NEW stream_id (e.g. the query's runId) —
     otherwise the new run's epoch 0 retry-purge would delete the old
     run's committed epoch-0 rows."""
+    if stream_id is not None:
+        _validate_stream_id(stream_id)  # fail at wiring, not mid-stream
 
     def step(batch: DataFrame, batch_id: int) -> None:
         stats = append_batch(

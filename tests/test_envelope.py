@@ -779,6 +779,134 @@ def test_rhai_fold_type_mismatch_falls_back_to_interpreter(spark):
     assert _json.loads(rows[0]["value"]) == {"acc": "1.5"}
 
 
+def test_rhai_interpreter_pipeline_null_ts_does_not_kill_stream(spark):
+    """Round-7 advice: Arrow->pandas converts a nullable long ts to
+    float64 with NaN; int(NaN) raised inside mapInPandas and killed the
+    stream on the FIRST null-ts row, whereas the compiled engine
+    propagates null. The interpreter path must pass None through."""
+    import json as _json
+
+    from cdc_rs_spark.functions.rhai import rhai_interpret_pipeline
+
+    script = (
+        'fn transform(db, table, op, before, after, ts) '
+        '{ #{ "id": after.id } }\n'
+        "fn topic(db, table) { `${db}.${table}` }"
+    )
+    changes = spark.createDataFrame(
+        [
+            ("Insert", "db", "t", None, {"id": "1"}, None, "1"),
+            ("Insert", "db", "t", None, {"id": "2"}, 7, "2"),
+        ],
+        "op string, db string, table string, before map<string,string>, "
+        "after map<string,string>, ts long, pkey string",
+    )
+    rows = rhai_interpret_pipeline(changes, script).collect()
+    assert sorted(_json.loads(r["value"])["id"] for r in rows) == ["1", "2"]
+
+
+def test_rhai_genuine_analysis_bug_reraises_not_degrades(spark, monkeypatch):
+    """Round-7 advice: only the expected DATATYPE_MISMATCH shape (the
+    loop-to-fold zero/merge mismatch) may degrade to the interpreter. An
+    arbitrary AnalysisException — a genuine plan bug like an unresolved
+    column — must re-raise at plan time with Catalyst's message intact,
+    not resurface as an opaque executor-side mapInPandas failure."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    import cdc_rs_spark.functions.rhai as rhai_mod
+    from cdc_rs_spark.envelope import CHANGE_SCHEMA
+    from cdc_rs_spark.pipeline import PipelineConfig, apply_transform
+
+    def unresolved(df, compiled):
+        return df.select("no_such_column_zzz")  # real UNRESOLVED_COLUMN
+
+    monkeypatch.setattr(rhai_mod, "rhai_topic", unresolved)
+    script = (
+        "fn transform(db, table, op, before, after, ts) { after }\n"
+        'fn topic(db, table) { "t" }'
+    )
+    changes = spark.createDataFrame(
+        [("Insert", "testdb", "orders", None, {"id": "1"}, 3, "1")],
+        CHANGE_SCHEMA,
+    )
+    cfg = PipelineConfig(
+        source_path="/nonexistent", checkpoint_dir="/nonexistent",
+        script=script,
+    )
+    with pytest.raises(AnalysisException):
+        apply_transform(changes, cfg, can_carry_malformed=False)
+
+
+def test_rhai_fallback_increments_observable_counter(spark):
+    """Round-7 advice: a WARNING line alone is easy to miss — the silent
+    order-of-magnitude engine degradation must also surface as a counter
+    operators can poll."""
+    import json as _json
+
+    import cdc_rs_spark.pipeline as pipeline_mod
+    from cdc_rs_spark.envelope import CHANGE_SCHEMA
+    from cdc_rs_spark.pipeline import PipelineConfig, apply_transform
+
+    script = """
+    fn transform(db, table, op, before, after, ts) {
+        let m = after;
+        let i = 0;
+        while i < ts { m.hops = `${i + 1}`; i = i + 1; }
+        m
+    }
+    fn topic(db, table) { `${db}.${table}` }
+    """
+    changes = spark.createDataFrame(
+        [("Insert", "testdb", "orders", None, {"id": "1"}, 2, "1")],
+        CHANGE_SCHEMA,
+    )
+    cfg = PipelineConfig(
+        source_path="/nonexistent", checkpoint_dir="/nonexistent",
+        script=script,
+    )
+    before = pipeline_mod.INTERPRETER_FALLBACKS
+    rows = apply_transform(changes, cfg, can_carry_malformed=False).collect()
+    assert pipeline_mod.INTERPRETER_FALLBACKS == before + 1
+    assert _json.loads(rows[0]["value"]) == {"id": "1", "hops": "2"}
+
+
+def test_rhai_compiled_index_out_of_range_raises(spark):
+    """Round-7 advice: compiled out-of-range indexing must fail loudly on
+    EVERY Spark config — under default non-ANSI, element_at silently
+    returns NULL, so the same script diverged between engines. The
+    explicit raise_error guard restores the interpreter's IndexError
+    contract; in-range (including Rhai's negative -1 = last) still
+    computes."""
+    import pytest
+
+    from cdc_rs_spark.functions.rhai import (
+        RhaiInterpreter,
+        RhaiScript,
+        _to_col,
+    )
+
+    src = "fn f(n) { let a = [10, 20, 30]; a[n] }"
+
+    def run(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "n long")
+        out = df.select(
+            _to_col(RhaiScript(src).call("f", F.col("n"))).alias("v")
+        )
+        return [r["v"] for r in out.collect()]
+
+    assert run([0, 2, -1]) == [10, 30, 30]
+    with pytest.raises(Exception, match="out of range"):
+        run([5])
+    with pytest.raises(Exception, match="out of range"):
+        run([-4])
+    with pytest.raises(Exception, match="out of range"):
+        run([None])
+    # interpreter contract the guard mirrors
+    with pytest.raises(IndexError):
+        RhaiInterpreter(src).call("f", 5)
+
+
 def test_rhai_runtime_range_cap_guard_fails_row_loudly(spark):
     """Round-6 review: the compiled runtime `lo..hi` must carry the same
     MAX_WHILE_ITERATIONS element guard as the interpreter — a corrupt row

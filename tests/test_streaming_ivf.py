@@ -263,7 +263,7 @@ def test_append_batch_retry_is_idempotent(spark, tmp_path):
         "cent_id bigint, c_emb array<double>",
     )
     _append_lists(  # simulate the partial write of a crashed attempt
-        _assign_to_centroids(nxt, cents_b, DIM), index_dir, 0, "b8"
+        _assign_to_centroids(nxt, cents_b, DIM), index_dir, 0, "b-8"
     )
     append_batch(
         spark, nxt, index_dir, retrain_ratio=1e9, drift_margin=10.0,
@@ -338,7 +338,54 @@ def test_stream_id_namespaces_epoch_retry_purge(spark, tmp_path):
     assert lists.filter(F.col("vec_id") >= 100).count() == 6  # both runs
 
 
-def test_recover_lists_after_compact_crash(spark, tmp_path):
+def test_ingest_tags_cannot_alias_across_streams(spark, tmp_path):
+    """Round-7 advice (medium): unseparated tags aliased — stream 'a1'
+    batch 2 and stream 'a' batch 12 both read 'a12', so a retry purge
+    under one deleted the OTHER run's committed rows. The '-' separator
+    keeps them disjoint: a retry of ('a', 12) must leave ('a1', 2)'s rows
+    intact."""
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 4), A) + _vecs(range(10, 14), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=8, dim=DIM)
+    append_batch(
+        spark, _df(spark, _vecs(range(100, 103), A)), index_dir,
+        retrain_ratio=1e9, drift_margin=10.0, dim=DIM,
+        batch_id=2, stream_id="a1",
+    )
+    append_batch(
+        spark, _df(spark, _vecs(range(200, 203), A)), index_dir,
+        retrain_ratio=1e9, drift_margin=10.0, dim=DIM,
+        batch_id=12, stream_id="a",
+    )
+    # simulate a RETRY of ('a', 12): clear last_batch so the skip-guard
+    # doesn't short-circuit, forcing the retry down the purge path
+    meta_path = os.path.join(index_dir, "_ivf_meta.json")
+    meta = json.loads(open(meta_path).read())
+    meta["last_batch"] = None
+    with open(meta_path, "w") as fh:
+        fh.write(json.dumps(meta))
+    append_batch(
+        spark, _df(spark, _vecs(range(200, 203), A)), index_dir,
+        retrain_ratio=1e9, drift_margin=10.0, dim=DIM,
+        batch_id=12, stream_id="a",
+    )
+    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    # stream a1's 3 rows survived; stream a's retry did not duplicate
+    assert lists.filter(F.col("vec_id").between(100, 102)).count() == 3
+    assert lists.filter(F.col("vec_id").between(200, 202)).count() == 3
+
+
+def test_stream_id_separator_and_reserved_names_rejected(spark, tmp_path):
+    """The separator contract only holds if stream ids cannot contain the
+    separator or shadow the reserved init/compact/seq tags — both reject
+    eagerly, at wiring time for the foreachBatch form."""
+    with pytest.raises(ValueError, match="free of"):
+        append_batch(
+            spark, _df(spark, []), "/nonexistent",
+            batch_id=0, stream_id="run-1",
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        ivf_foreach_batch("/nonexistent", stream_id="compact")
     """Round-6 review #3: a death between compact's two renames must be
     self-healing — the next index operation promotes the complete
     compacted store (or restores the backup), it does not path-not-found."""
