@@ -144,7 +144,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             spool_to_feed,
         )
 
-        usage = ("--replicate expects mysql://user:pw@host:port[/FILE[:POS]][?ssl-mode=required[&ssl-ca=/ca.pem]]")
+        usage = (
+            "--replicate expects mysql://user:pw@host:port[/FILE[:POS]]"
+            "[?ssl-mode=required[&ssl-ca=/ca.pem]]"
+            "[&gtid=1|&gtid=uuid:1-5,...]"
+        )
         try:
             u = urlparse(args.replicate)
             port = u.port  # raises ValueError on a non-numeric port
@@ -185,6 +189,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             # a CA with no mode must never silently fall back to
             # PLAINTEXT auth (round-6 review) — imply encryption
             ssl_mode = "required"
+        # gtid=1 turns on auto-positioning (resume by the sidecar's
+        # gtid_executed set — survives a source failover); gtid=<set>
+        # additionally pins the STARTING set explicitly
+        gtid_raw = q.get("gtid", [""])[0].strip()
+        gtid_mode = bool(gtid_raw)
+        gtid_set = "" if gtid_raw in ("1", "true", "on") else gtid_raw
+        if gtid_mode and filename:
+            print(
+                usage + " (gtid auto-positioning and FILE[:POS] are "
+                "mutually exclusive)",
+                file=sys.stderr,
+            )
+            return 2
         client = BinlogReplicationClient(
             ReplicationConfig(
                 host=u.hostname,
@@ -201,14 +218,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 # mysql://u:p@h:3306/FILE?ssl-mode=required&ssl-ca=/ca.pem
                 ssl_mode=ssl_mode,
                 ssl_ca=ssl_ca,
+                gtid_mode=gtid_mode,
+                gtid_set=gtid_set,
             )
         )
         client.connect()
         n = spool_to_feed(client, args.source)
-        print(
-            f"spooled {n} changes to {args.source} "
-            f"(at {client.state.filename}:{client.state.pos})"
+        at = (
+            f"gtid {client.state.gtid_executed}"
+            if gtid_mode
+            else f"{client.state.filename}:{client.state.pos}"
         )
+        print(f"spooled {n} changes to {args.source} (at {at})")
         return 0
     if args.shards and not args.enqueue_backfill:
         print("--shards requires --enqueue-backfill", file=sys.stderr)

@@ -1191,3 +1191,268 @@ def test_cli_ssl_param_validation(tmp_path):
         ])
     lst.close()
     assert servers and servers[0].received == []
+
+
+# --- GTID-mode resume (round 7: COM_BINLOG_DUMP_GTID auto-positioning) ----
+
+from cdc_rs_spark.streaming.replication import (  # noqa: E402
+    GtidSet,
+    build_com_binlog_dump_gtid,
+)
+
+SID = bytes(range(16))
+SID_UUID = "00010203-0405-0607-0809-0a0b0c0d0e0f"
+
+
+def _gtid_ev(gno: int, crc=False) -> bytes:
+    body = bytes([1]) + SID + gno.to_bytes(8, "little") + bytes(8)
+    return _event(0, 0x21, body, crc)
+
+
+def _xid_ev(crc=False) -> bytes:
+    return _event(0, 0x10, (77).to_bytes(8, "little"), crc)
+
+
+def _txn(gno: int, id_v: int, name: bytes, crc=False) -> list[bytes]:
+    """One complete row transaction: GTID, BEGIN, TABLE_MAP, WRITE, XID."""
+    tid = 99
+    return [
+        _gtid_ev(gno, crc),
+        _query_event(b"testdb", b"BEGIN", crc=crc),
+        _table_map(tid, crc),
+        _rows_event(
+            WRITE_ROWS_EVENT_V2, tid,
+            [_row(id_v, name, 1.0, (2024, 1, 1))], crc,
+        ),
+        _xid_ev(crc),
+    ]
+
+
+class GtidFakeServer(FakeServer):
+    """A master in GTID mode: answers COM_BINLOG_DUMP_GTID by decoding the
+    client's gtid_executed set and streaming only the transactions NOT in
+    it (the real master's auto-skip), prefixed by the fake ROTATE + FDE +
+    PREVIOUS_GTIDS every dump starts with. `cut_in_txn` simulates a master
+    death mid-transaction: that transaction is sent WITHOUT its XID and
+    the socket closes."""
+
+    def __init__(self, sock, txns, filename=b"bin.000001", prev=None,
+                 cut_in_txn=None, **kw):
+        super().__init__(sock, [], **kw)
+        self.txns = txns  # list of (gno, [event, ...])
+        self.filename = filename
+        self.prev = prev or GtidSet()
+        self.cut_in_txn = cut_in_txn  # gno to truncate at
+        self.client_set: GtidSet | None = None
+
+    def run(self) -> None:
+        try:
+            self.seq = 0
+            self.send_packet(self.handshake_payload())
+            if not self.authenticate():
+                return
+            q = self.read_packet()
+            assert q[0] == 0x03
+            self.seq = 1
+            self.send_packet(b"\x00\x00\x00\x02\x00\x00\x00")
+            r = self.read_packet()
+            assert r[0] == 0x15
+            self.seq = 1
+            self.send_packet(b"\x00\x00\x00\x02\x00\x00\x00")
+            d = self.read_packet()
+            self.received.append(d)
+            # COM_BINLOG_DUMP_GTID wire layout
+            assert d[0] == 0x1E, f"expected DUMP_GTID, got {d[0]:#x}"
+            flags, _server_id = struct.unpack_from("<HI", d, 1)
+            assert flags & 0x04, "BINLOG_THROUGH_GTID flag missing"
+            (name_len,) = struct.unpack_from("<I", d, 7)
+            off = 11 + name_len
+            (_pos,) = struct.unpack_from("<Q", d, off)
+            off += 8
+            (data_len,) = struct.unpack_from("<I", d, off)
+            off += 4
+            self.client_set = GtidSet.decode(d[off : off + data_len])
+            self.seq = 1
+            self.send_packet(b"\x00" + _net_rotate(self.filename, 4, self.crc))
+            self.send_packet(b"\x00" + _fde(self.crc))
+            self.send_packet(
+                b"\x00" + _event(0, 0x23, self.prev.encode(), self.crc)
+            )
+            for gno, events in self.txns:
+                if self.client_set.contains(SID_UUID, gno):
+                    continue  # master-side auto-skip of applied txns
+                if gno == self.cut_in_txn:
+                    for ev in events[:-1]:  # everything but the XID
+                        self.send_packet(b"\x00" + ev)
+                    return  # die mid-transaction
+                for ev in events:
+                    self.send_packet(b"\x00" + ev)
+            self.send_packet(b"\xfe\x00\x00\x02\x00")  # EOF
+        except Exception as e:  # noqa: BLE001
+            self.error = f"{type(e).__name__}: {e}"
+        finally:
+            try:
+                self.sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            self.sock.close()
+
+
+def test_gtid_set_text_binary_roundtrip_and_merge():
+    """The SID-block codec round-trips, and interval arithmetic merges
+    overlaps/adjacency the way gtid_executed must (out-of-order commits
+    from parallel appliers still collapse to one range)."""
+    s = GtidSet.from_text(f"{SID_UUID}:1-3:7,{'f' * 8}-ffff-ffff-ffff-{'f' * 12}:2")
+    assert GtidSet.decode(s.encode()) == s
+    s.add(SID_UUID, 5)
+    assert str(s).startswith(f"{SID_UUID}:1-3:5:7")
+    s.add(SID_UUID, 4)  # bridges 1-3 and 5 and... then 6 bridges to 7
+    s.add(SID_UUID, 6)
+    assert f"{SID_UUID}:1-7" in str(s)
+    assert s.contains(SID_UUID, 6) and not s.contains(SID_UUID, 8)
+    # wire end is exclusive: 1-7 encodes as [1, 8)
+    enc = s.encode()
+    assert GtidSet.decode(enc) == s
+    with pytest.raises(ProtocolError):
+        GtidSet.from_text("no-ranges-here")
+    with pytest.raises(ProtocolError):
+        s.add_range(SID_UUID, 5, 2)
+
+
+@pytest.mark.parametrize("crc", [False, True])
+def test_gtid_failover_rename_resume_no_loss_no_dupes(crc):
+    """THE GTID-mode contract (VERDICT r6 next #1): the master dies
+    mid-transaction; the client reconnects to a PROMOTED REPLICA whose
+    binlog files have different names. A (file, pos) resume would be
+    useless there — the GTID resume sends the accumulated gtid_executed
+    set and receives exactly the missing transactions: the one that was
+    cut mid-flight (its GTID never committed) and the one it never saw.
+    No duplicates, no loss."""
+    txns = {g: _txn(g, 100 + g, b"n%d" % g, crc) for g in (1, 2, 3, 4)}
+    # master A: has txns 1-3, dies inside txn 3
+    sa, ca = socket.socketpair()
+    server_a = GtidFakeServer(
+        sa, [(g, txns[g]) for g in (1, 2, 3)],
+        filename=b"master-bin.000007", cut_in_txn=3, crc=crc,
+    )
+    threading.Thread(target=server_a.run, daemon=True).start()
+    client = BinlogReplicationClient(
+        ReplicationConfig(user=USER, password=PASSWORD, gtid_mode=True)
+    )
+    client.connect(sock=ca)
+    got = []
+    with pytest.raises(ProtocolError, match="closed"):
+        for ch in client.stream_changes():
+            got.append(ch["after"]["id"])
+    assert got == ["101", "102", "103"]  # txn3's row arrived pre-crash...
+    # ...but its GTID is NOT committed (no XID) — resume re-fetches it
+    assert str(client.state.gtid_executed) == f"{SID_UUID}:1-2"
+    assert client.state.pending_gtid == (SID_UUID, 3)
+
+    # promoted replica B: RENAMED binlog files, holds all of 1-4
+    sb, cb = socket.socketpair()
+    server_b = GtidFakeServer(
+        sb, [(g, txns[g]) for g in (1, 2, 3, 4)],
+        filename=b"replica-bin.000001",
+        prev=GtidSet(), crc=crc,
+    )
+    threading.Thread(target=server_b.run, daemon=True).start()
+    resumed = BinlogReplicationClient(
+        ReplicationConfig(
+            user=USER, password=PASSWORD, gtid_mode=True, non_block=True,
+            gtid_set=str(client.state.gtid_executed),
+        )
+    )
+    resumed.connect(sock=cb)
+    got2 = [ch["after"]["id"] for ch in resumed.stream_changes()]
+    assert server_b.error is None, server_b.error
+    # the replica auto-skipped 1-2 (already in the client's set) and sent
+    # exactly the missing 3 and 4 — and told us so via the request it saw
+    assert str(server_b.client_set) == f"{SID_UUID}:1-2"
+    assert got2 == ["103", "104"]
+    assert str(resumed.state.gtid_executed) == f"{SID_UUID}:1-4"
+    assert resumed.state.filename == "replica-bin.000001"
+
+
+def test_gtid_ddl_commits_without_xid():
+    """A DDL statement is its own transaction: its GTID commits at the
+    QUERY event (there is no XID), while BEGIN must NOT commit the
+    pending GTID of a row transaction."""
+    ddl = [
+        _gtid_ev(9),
+        _query_event(b"testdb", b"ALTER TABLE orders ADD COLUMN note TEXT"),
+    ]
+    sa, ca = socket.socketpair()
+    server = GtidFakeServer(sa, [(9, ddl)], crc=False)
+    threading.Thread(target=server.run, daemon=True).start()
+    client = BinlogReplicationClient(
+        ReplicationConfig(
+            user=USER, password=PASSWORD, gtid_mode=True, non_block=True,
+        )
+    )
+    client.connect(sock=ca)
+    changes = list(client.stream_changes())
+    assert [c["op"] for c in changes] == ["SchemaChange"]
+    assert str(client.state.gtid_executed) == f"{SID_UUID}:9"
+    assert client.state.pending_gtid is None
+
+
+def test_gtid_previous_gtids_union_repairs_understated_set():
+    """PREVIOUS_GTIDS from the dump's first file unions into the client's
+    set — a user-supplied starting set that under-states history cannot
+    shrink what the next resume claims as applied."""
+    sa, ca = socket.socketpair()
+    prev = GtidSet.from_text(f"{SID_UUID}:1-5")
+    server = GtidFakeServer(
+        sa, [(6, _txn(6, 106, b"six"))], prev=prev, crc=False,
+    )
+    threading.Thread(target=server.run, daemon=True).start()
+    client = BinlogReplicationClient(
+        ReplicationConfig(
+            user=USER, password=PASSWORD, gtid_mode=True, non_block=True,
+            gtid_set=f"{SID_UUID}:1-3",  # understated
+        )
+    )
+    client.connect(sock=ca)
+    got = [ch["after"]["id"] for ch in client.stream_changes()]
+    assert got == ["106"]
+    assert str(client.state.gtid_executed) == f"{SID_UUID}:1-6"
+
+
+def test_gtid_spool_sidecar_resume(tmp_path):
+    """spool_to_feed persists gtid_executed in the sidecar and a fresh
+    GTID-mode client resumes from it — the full production loop for a
+    restart (same master) or failover (promoted replica)."""
+    import json as _json
+
+    from cdc_rs_spark.streaming.replication import spool_to_feed
+
+    feed = str(tmp_path / "feed")
+    txns = {g: _txn(g, 100 + g, b"n%d" % g) for g in (1, 2, 3)}
+
+    def session(server_txns, cfg_extra=None):
+        sa, ca = socket.socketpair()
+        server = GtidFakeServer(sa, server_txns, crc=False)
+        threading.Thread(target=server.run, daemon=True).start()
+        client = BinlogReplicationClient(
+            ReplicationConfig(
+                user=USER, password=PASSWORD, gtid_mode=True,
+                non_block=True, **(cfg_extra or {}),
+            )
+        )
+        client.connect(sock=ca)
+        n = spool_to_feed(client, feed, records_per_file=1)
+        return server, client, n
+
+    _, c1, n1 = session([(1, txns[1]), (2, txns[2])])
+    assert n1 == 2
+    sidecar = _json.load(open(tmp_path / "feed" / "_replication_state.json"))
+    assert sidecar["gtid_executed"] == f"{SID_UUID}:1-2"
+    # restart: no explicit set — the sidecar's set drives the resume, and
+    # the server (which now also has txn 3) auto-skips 1-2
+    server2, c2, n2 = session([(g, txns[g]) for g in (1, 2, 3)])
+    assert n2 == 1
+    assert str(server2.client_set) == f"{SID_UUID}:1-2"
+    assert str(c2.state.gtid_executed) == f"{SID_UUID}:1-3"
+    sidecar = _json.load(open(tmp_path / "feed" / "_replication_state.json"))
+    assert sidecar["gtid_executed"] == f"{SID_UUID}:1-3"
