@@ -520,6 +520,13 @@ def probe_index(
     for r in cents_rows:
         by_version.setdefault(int(r["version"]), []).append(r)
     query_rows = queries.collect()
+    if not query_rows:
+        # an empty micro-batch of queries must not fall through to an
+        # UNFILTERED lists scan (pred stays None below) — short-circuit
+        # with the result schema
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, rank int, cosine double"
+        )
     probe_rows = []
     for q in query_rows:
         for ver, cl in by_version.items():
@@ -557,6 +564,82 @@ def probe_index(
         cosine("q_emb", "embedding", dim).alias("cos"),
     )
     return two_stage_rank_topk(scored, k)
+
+
+def live_versions(index_dir: str) -> list[int]:
+    """The centroid generations a probe fans out across, sorted. Probe
+    cost is linear in this count (nprobe lists scanned PER live version),
+    which is why ivf_foreach_batch bounds it via compact_after_versions."""
+    return sorted({int(r["version"]) for r in load_centroids(index_dir)})
+
+
+def assert_probe_pruned(result: DataFrame, allow_empty: bool = False) -> None:
+    """Plan-shape guard for a probe result: the lists FileScan must carry
+    PartitionFilters over BOTH partition columns — the static (version,
+    cent_id) disjunction probe_index pushed. Raises AssertionError with
+    the offending plan segment otherwise. Cheap (string inspection of the
+    already-built plan), so the streaming probe can afford it per batch.
+    `allow_empty` accepts the empty-query-batch short-circuit (a
+    LocalTableScan that never touches the lists store)."""
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    # the lists store is the ONLY parquet FileScan in a probe plan (the
+    # query/probe side is an in-memory relation); match on that rather
+    # than the directory name, which the plan printer truncates out of
+    # long tmp paths
+    scans = [
+        seg
+        for seg in plan.split("+-")
+        if "FileScan parquet" in seg
+    ]
+    if not scans and allow_empty and "FileScan" not in plan:
+        return
+    assert scans, f"no lists FileScan in probe plan:\n{plan}"
+    for seg in scans:
+        assert "PartitionFilters" in seg, seg
+        pf = seg.split("PartitionFilters")[1][:400]
+        assert "version" in pf and "cent_id" in pf, seg
+
+
+def probe_foreach_batch(
+    index_dir: str,
+    nprobe: int = 2,
+    k: int = 5,
+    dim: int | None = None,
+    on_result: Callable[[DataFrame, int], None] | None = None,
+    check_pruning: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """The QUERY-STREAM form (VERDICT r6 next #3): each micro-batch of
+    (query_id, q_emb) rows probes the LIVE index — the generation set is
+    re-read per batch, so queries arriving after a retrain automatically
+    probe the new generation alongside the old ones, and `on_result`
+    receives the top-k DataFrame plus the batch id.
+
+    Consistency contract with a CONCURRENT ingest stream: probe_index
+    snapshots the centroid sidecar once per batch and scans only the
+    (version, cent_id) partition directories derived from that snapshot.
+    List files are append-only between compactions and a generation's
+    centroids are written BEFORE any row is assigned under it, so every
+    probed partition is explained by a centroid the snapshot already had
+    — a probe landing between an append and a retrain (or between a
+    retrain's centroid append and its meta flip) sees a consistent,
+    possibly slightly stale, index; never a torn one. The one rewriting
+    operation, compact_index, swaps directories atomically-with-backup
+    and _recover_lists (called at probe start) heals the crash window.
+
+    `check_pruning` keeps the per-batch plan assertion on (the r6 scale
+    guard) — the probe never silently degrades to a full lists scan."""
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        result = probe_index(
+            batch.sparkSession, batch, index_dir, nprobe=nprobe, k=k,
+            dim=dim,
+        )
+        if check_pruning:
+            assert_probe_pruned(result, allow_empty=True)
+        if on_result is not None:
+            on_result(result, batch_id)
+
+    return step
 
 
 def compact_index(
@@ -615,6 +698,7 @@ def ivf_foreach_batch(
     dim: int | None = None,
     on_stats: Callable[[dict, int], None] | None = None,
     stream_id: str | None = None,
+    compact_after_versions: int | None = 4,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch form: per micro-batch of (vec_id, embedding), run
     append_batch against the persisted index; `on_stats` receives the
@@ -625,9 +709,23 @@ def ivf_foreach_batch(
     stream_id (or none) consistently, but pointing a FRESH checkpoint at
     an existing index requires a NEW stream_id (e.g. the query's runId) —
     otherwise the new run's epoch 0 retry-purge would delete the old
-    run's committed epoch-0 rows."""
+    run's committed epoch-0 rows.
+
+    `compact_after_versions` is the COMPACTION POLICY (VERDICT r6 next
+    #4): probe cost fans out linearly in live centroid generations
+    (nprobe lists scanned per version), so unbounded retrains under
+    continuous ingest grow every probe. After a retrain pushes the live
+    generation count ABOVE this bound, the batch runs compact_index —
+    the deliberate corpus rewrite — collapsing to one generation. The
+    trigger rides the retrain (generations only grow there), so steady
+    non-retraining ingest never pays a compaction scan. None disables
+    (operate compaction out-of-band like a table OPTIMIZE). Probe
+    fan-out is thus bounded by compact_after_versions x nprobe file
+    groups (SCALE.md §16)."""
     if stream_id is not None:
         _validate_stream_id(stream_id)  # fail at wiring, not mid-stream
+    if compact_after_versions is not None and compact_after_versions < 1:
+        raise ValueError("compact_after_versions must be >= 1 or None")
 
     def step(batch: DataFrame, batch_id: int) -> None:
         stats = append_batch(
@@ -640,6 +738,14 @@ def ivf_foreach_batch(
             batch_id=batch_id,
             stream_id=stream_id,
         )
+        stats["compacted"] = False
+        if (
+            stats["retrained"]
+            and compact_after_versions is not None
+            and len(live_versions(index_dir)) > compact_after_versions
+        ):
+            compact_index(batch.sparkSession, index_dir, dim=dim)
+            stats["compacted"] = True
         if on_stats is not None:
             on_stats(stats, batch_id)
 

@@ -190,15 +190,12 @@ def test_probe_scan_is_partition_pruned(spark, tmp_path):
     out = probe_index(
         spark, _queries(spark, 999, A), index_dir, nprobe=1, k=5, dim=DIM
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    scan = next(
-        (seg for seg in plan.split("+-") if "lists" in seg and "FileScan" in seg),
-        plan,
-    )
-    assert "PartitionFilters" in scan
-    # the pruning predicate really references both partition columns
-    pf = scan.split("PartitionFilters")[1][:400]
-    assert "cent_id" in pf and "version" in pf, pf
+    # shared plan guard (round 7): finds the lists FileScan by node type —
+    # the old "lists" substring match silently fell back to the whole plan
+    # when the printer truncated the tmp path out of the Location field
+    from cdc_rs_spark.streaming.ivf import assert_probe_pruned
+
+    assert_probe_pruned(out)
 
 
 def test_compact_rewrites_to_single_generation(spark, tmp_path):
@@ -433,3 +430,155 @@ def test_pre_round6_parquet_centroids_get_migration_error(tmp_path):
     os.makedirs(os.path.join(index_dir, "centroids.parquet"))
     with pytest.raises(FileNotFoundError, match="pre-round-6"):
         load_centroids(index_dir)
+
+
+# --- round 7: streaming probe path + compaction policy ---------------------
+
+from cdc_rs_spark.streaming.ivf import (  # noqa: E402
+    _write_cents,
+    assert_probe_pruned,
+    live_versions,
+    probe_foreach_batch,
+)
+
+
+def test_streaming_probe_across_retrain_matches_batch(spark, tmp_path):
+    """VERDICT r6 next #3: the query-STREAM form. A probe batch before an
+    ingest-triggered retrain sees generation {0}; a probe batch after it
+    (same checkpointed stream) probes BOTH generations and finds the
+    new-generation neighbors — with the partition-pruning plan assertion
+    running per batch — and every streamed result equals the batch
+    probe_index on the same query set (the oracle equivalence)."""
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 4), A) + _vecs(range(10, 14), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=8, dim=DIM)
+
+    qdir = str(tmp_path / "queries")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(qdir)
+    results: dict[int, list] = {}
+
+    def write_query_file(name, qid, center):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "query_id": pa.array([qid], type=pa.int64()),
+                    "q_emb": pa.array(
+                        [[float(x) for x in center]],
+                        type=pa.list_(pa.float32()),
+                    ),
+                }
+            ),
+            os.path.join(qdir, name),
+        )
+
+    def on_result(df, bid):
+        results[bid] = df.collect()
+
+    def run_stream():
+        (
+            spark.readStream.schema("query_id bigint, q_emb array<float>")
+            .parquet(qdir)
+            .writeStream.foreachBatch(
+                probe_foreach_batch(
+                    index_dir, nprobe=1, k=3, dim=DIM,
+                    on_result=on_result, check_pruning=True,
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    write_query_file("q1.parquet", 1, A)
+    run_stream()
+    assert {r["vec_id"] for r in results[0]} <= set(range(0, 4))
+
+    # ingest enough of a NEW cluster C to trip the ratio retrain
+    C = [0.0, 0.0, 1.0, 0.05]
+    append_batch(
+        spark, _df(spark, _vecs(range(200, 206), C)), index_dir,
+        retrain_ratio=0.5, drift_margin=10.0, dim=DIM, batch_id=0,
+    )
+    assert live_versions(index_dir) == [0, 1]
+
+    write_query_file("q2.parquet", 2, C)
+    run_stream()
+    got2 = {r["vec_id"] for r in results[1]}
+    assert got2 & set(range(200, 206)), got2  # new generation probed
+    # oracle equivalence: the streamed batch == the batch-mode probe
+    batch_rows = probe_index(
+        spark, _queries(spark, 2, C), index_dir, nprobe=1, k=3, dim=DIM
+    ).collect()
+    assert sorted(map(tuple, results[1])) == sorted(map(tuple, batch_rows))
+
+    # an EMPTY trailing batch (no new files) must not degrade to a full
+    # scan nor crash the pruning assertion
+    run_stream()
+
+
+def test_probe_during_retrain_crash_window_is_consistent(spark, tmp_path):
+    """The mid-retrain window: generation 1's centroids are appended
+    BEFORE the meta flips (and before any row lands under it). A probe in
+    that window must return the same consistent result as before — the
+    orphan generation has no list partitions, so its probes scan nothing
+    — never an error or a torn read."""
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 4), A) + _vecs(range(10, 14), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=8, dim=DIM)
+    before = probe_index(
+        spark, _queries(spark, 9, A), index_dir, nprobe=1, k=4, dim=DIM
+    ).collect()
+    from cdc_rs_spark.streaming.ivf import load_centroids
+
+    orphan = [
+        {"version": 1, "cent_id": r["cent_id"], "c_emb": r["c_emb"]}
+        for r in load_centroids(index_dir, 0)
+    ]
+    _write_cents(index_dir, orphan, append=True)  # meta NOT flipped
+    assert live_versions(index_dir) == [0, 1]
+    mid = probe_index(
+        spark, _queries(spark, 9, A), index_dir, nprobe=1, k=4, dim=DIM
+    )
+    assert_probe_pruned(mid)
+    assert sorted(map(tuple, mid.collect())) == sorted(map(tuple, before))
+
+
+def test_compaction_policy_bounds_generations(spark, tmp_path):
+    """VERDICT r6 next #4: under continuous ingest with aggressive
+    retrain triggers, live generations stay bounded by
+    compact_after_versions — the step compacts when a retrain pushes the
+    count over the bound, and probe fan-out stays
+    <= compact_after_versions x nprobe file groups."""
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 4), A) + _vecs(range(10, 14), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=8, dim=DIM)
+    seen: list[dict] = []
+    step = ivf_foreach_batch(
+        index_dir, retrain_ratio=0.3, drift_margin=10.0, dim=DIM,
+        on_stats=lambda s, b: seen.append(s), stream_id="run7",
+        compact_after_versions=2,
+    )
+    counts = []
+    for i in range(6):
+        step(_df(spark, _vecs(range(300 + 10 * i, 306 + 10 * i), A)), i)
+        counts.append(len(live_versions(index_dir)))
+    assert any(s["retrained"] for s in seen)
+    assert any(s["compacted"] for s in seen)
+    assert max(counts) <= 2, counts
+    # everything ever ingested is still probe-able after the compactions
+    got = {
+        r["vec_id"]
+        for r in probe_index(
+            spark, _queries(spark, 999, A), index_dir, nprobe=2, k=60,
+            dim=DIM,
+        ).collect()
+    }
+    assert set(range(0, 4)) <= got
+    assert {300, 335} <= got  # first and last batch both present
+    with pytest.raises(ValueError, match="compact_after_versions"):
+        ivf_foreach_batch(index_dir, compact_after_versions=0)
