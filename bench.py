@@ -1,6 +1,11 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value", "unit", "queries", "sf"}.
+COMPACT JSON line on stdout: {"metric", "value", "unit", "queries" (warm,
+2 dp), "sf", "n_queries", "worst5", "note"} — sized to survive the
+driver's tail-capture window whole (round 7; the former giant line left
+BENCH_r*.json with parsed:null). The full detail (3 dp warm, cold
+samples, noise spreads) goes to $SPARK_GRAFT_BENCH_DETAIL (default
+./BENCH_DETAIL.json) and stderr.
 
 Each query is forced through full execution with the noop sink (count()
 would let Catalyst prune the projections and under-report). Session startup
@@ -127,21 +132,47 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": colds,
-                "runs_per_query": n_runs,
-                "order": "alphabetical (fixed; suite position = sorted rank)",
-                "noise_spread_maxmin": spreads,
-                "sf": float(sf) if sf else sf_dir,
-            }
-        )
+    worst5 = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    # STDOUT carries ONE compact JSON line (VERDICT r6 next #5: the
+    # driver keeps only a tail window of stdout, and the former giant
+    # line — three 180-entry dicts — overflowed it mid-line, leaving
+    # BENCH_r*.json unparseable). Per-query warm times at 2 dp keep the
+    # line a few KB; cold samples and noise spreads move to the DETAIL
+    # artifact + stderr.
+    compact = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": float(sf) if sf else sf_dir,
+        "n_queries": len(timings),
+        "runs_per_query": n_runs,
+        "worst5": [[k, v] for k, v in worst5],
+        # memo-order disclosure (VERDICT r6 "what's wrong" #2): the FIRST
+        # similarity_* query of a session builds the memoized exact-ANN
+        # baseline (~7 s at sf0.1); the rest of the family rides it. The
+        # suite purges memos per query, so these numbers are memo-free;
+        # a driver tail that shows one big similarity time is the memo
+        # build, not a plan regression.
+        "note": "similarity family: first query per session pays the "
+        "exact-baseline memo build; details in BENCH_NOTES.md",
+    }
+    detail = {
+        **compact,
+        "queries": timings,
+        "queries_cold": colds,
+        "order": "alphabetical (fixed; suite position = sorted rank)",
+        "noise_spread_maxmin": spreads,
+    }
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f)
+    print(json.dumps(detail), file=sys.stderr)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -73,76 +73,70 @@ def register(name: str, oracle: str | None = None):
 # watermark recommendation, line-level dedup, quantization fidelity) so the
 # driver verifies the round's new surface first-hand.
 _DRIVER_WINDOW = [
-    # ROUND-6 ROTATION: the 27 slots that were driver-green twice or more
-    # rotate out for 26 NEVER-pinned queries (events windowing/retention
-    # family, the multimodal escape hatches, the text-analysis long tail,
-    # pivot/unpivot/profile relational extras, embedding audits, pipeline
-    # mix/hashing) — plus the two queries BUILT this round and the rhai
-    # flagships whose compiler gained closures/runtime loops. The 23 slots
-    # with only one green stay for their second. Rotated-out queries keep
-    # their module order after slot 50 and stay verified locally
-    # (CORRECTNESS_LOCAL_FULL.json via tools/driver_sim.py).
+    # ROUND-7 ROTATION — finish the sweep (VERDICT r6 next #2): the 19
+    # queries never driver-checked in r1-r6 all pin now, completing
+    # 180/180 cumulative driver coverage. Alongside them: the 4 queries
+    # whose implementation changed this round (the rhai indexing guard
+    # touched all three script flagships; streaming/ivf.py gained the
+    # probe/compaction paths), and second greens for r6's 24 first-pins.
+    # Rotated-out queries keep their module order after slot 50 and stay
+    # verified locally (CORRECTNESS_LOCAL_FULL.json via driver_sim).
     #
-    # user-script compiler (closures + runtime-bound loops compile now —
-    # pin the new flagship and the two widest existing scripts)
-    "rhai_script_closure_while_scoring",  # r6 new — driver-pin
+    # changed this round (re-pin)
+    "rhai_script_closure_while_scoring",
     "rhai_script_array_loop_scoring",
-    "rhai_script_bigquery_envelope",  # engine changed — re-pin
-    # CDC core second-green
-    "cdc_typed_projection",
-    # incremental ANN index (r6 new subsystem) + embedding audits
-    "similarity_ivf_incremental_topk",  # r6 new — driver-pin
+    "rhai_script_bigquery_envelope",
+    "similarity_ivf_incremental_topk",
+    # never driver-checked before round 7 — the last 19
+    "part_cooccurrence_basket",  # first pin
+    "supplier_fuzzy_match",  # first pin
+    "skew_key_diagnostics_orders",  # first pin
+    "corr_quantity_price_per_flag",  # first pin
+    "skew_audit_join_keys",  # first pin
+    "events_rate_per_type_window",  # first pin
+    "events_hierarchical_rollup",  # first pin
+    "events_next_event_training_pairs",  # first pin
+    "events_ab_test_ztest",  # first pin
+    "events_user_gap_stats",  # first pin
+    "modality_agreement_audit",  # first pin
+    "explode_tokens_top_terms",  # first pin
+    "sample_contrastive_negatives",  # first pin
+    "zone_map_manifest_lineitem",  # first pin
+    "data_mix_temperature_sampling",  # first pin
+    "text_chunk_overlap",  # first pin
+    "text_length_histogram",  # first pin
+    "token_drift_stats",  # first pin
+    "text_rare_bigram_score",  # first pin
+    # continuity picks: the memo-order query the bench note discloses,
+    # the arbitration core, and the margin audit riding the ANN memo
+    "similarity_bruteforce_topk",
+    "cdc_merge_live_wins",
     "similarity_margin_stats",
-    "embedding_quantization_error_audit",
-    "embedding_label_centroids",  # first pin
-    "embedding_norm_stats",  # first pin
-    # relational breadth — first-time picks
-    "sql_api_nation_counts",  # first pin
-    "pivot_status_by_priority",  # first pin
-    "unpivot_priority_metrics",  # first pin
-    "profile_orders_columns",  # first pin
-    "nation_revenue_share_of_region",  # first pin
-    "orders_rolling_7day_revenue",  # first pin
-    "window_percent_rank_segments",
-    "hll_sketch_rollup_custkeys",
-    "benford_digit_audit_orders",
-    "customer_cohort_ltv",
-    # event-time — first-time windowing/retention picks + second-greens
-    "events_sliding_window",  # first pin
-    "events_markov_transitions",  # first pin
-    "events_weekly_retention",  # first pin
-    "events_daily_gapfill",  # first pin
-    "events_debounce",  # first pin
-    "events_user_growth_accounting",  # first pin
-    "events_asof_next_purchase",
-    "events_late_arrival_audit",
-    "events_watermark_recommendation",
-    "events_attribution_last_touch",
-    "events_conversion_latency_quantiles",
-    "anomaly_zscore_daily_revenue",
-    # dedup second-greens
-    "dedup_cluster_report",
-    "dedup_line_level_report",
-    # multimodal escape hatches — never driver-checked before
-    "multimodal_video_frames",  # first pin
-    "multimodal_image_decode",  # first pin
-    # text — first-time long-tail picks + second-greens
-    "text_fingerprint",  # first pin
-    "text_bpe_token_estimate",  # first pin
-    "text_repetition_stats",  # first pin
-    "text_boilerplate_ngrams",  # first pin
-    "text_char_gini_score",  # first pin
-    "text_langid_confusion",  # first pin
-    "text_quality_quartiles_by_lang",
-    "text_quality_filter_median",
-    "text_top_tokens_per_lang",
-    # pipeline / governance — first-time picks + second-greens
-    "data_mix_by_source",  # first pin
-    "feature_hashing_buckets",  # first pin
-    "sample_stratified_cap",
-    "sample_weighted_priority",
-    "dq_expectations_orders",
-    "dq_referential_integrity",
+    # second greens for round-6's first-pins
+    "embedding_label_centroids",
+    "embedding_norm_stats",
+    "sql_api_nation_counts",
+    "pivot_status_by_priority",
+    "unpivot_priority_metrics",
+    "profile_orders_columns",
+    "nation_revenue_share_of_region",
+    "orders_rolling_7day_revenue",
+    "events_sliding_window",
+    "events_markov_transitions",
+    "events_weekly_retention",
+    "events_daily_gapfill",
+    "events_debounce",
+    "events_user_growth_accounting",
+    "multimodal_video_frames",
+    "multimodal_image_decode",
+    "text_fingerprint",
+    "text_bpe_token_estimate",
+    "text_repetition_stats",
+    "text_boilerplate_ngrams",
+    "text_char_gini_score",
+    "text_langid_confusion",
+    "data_mix_by_source",
+    "feature_hashing_buckets",
 ]
 
 
