@@ -339,8 +339,15 @@ def similarity_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFra
         probe_index,
     )
 
-    raw = spread(load(spark, sf_dir, "embeddings")).select(
-        "vec_id", "embedding"
+    # the corpus feeds SIX actions in this invocation (init's reservoir +
+    # lists write, two appends' top-k + lists writes, the query set) —
+    # persist the spread embedding rows once instead of re-decoding the
+    # parquet per action (round 7; unpersisted before return so bench
+    # memo-purging semantics are unaffected)
+    raw = (
+        spread(load(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding")
+        .persist()
     )
     base = raw.filter(F.col("vec_id") % 3 != 0)
     batch1 = raw.filter(F.col("vec_id") % 6 == 0)
@@ -379,6 +386,7 @@ def similarity_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFra
         import shutil
 
         shutil.rmtree(index_dir, ignore_errors=True)
+        raw.unpersist(blocking=False)
     return spark.createDataFrame(rows, schema)
 
 

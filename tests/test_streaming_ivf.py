@@ -175,8 +175,13 @@ def test_append_batch_never_reads_lists(spark, tmp_path, monkeypatch):
         spark, _df(spark, _vecs(range(100, 104), A)), index_dir,
         retrain_ratio=1e9, drift_margin=10.0, dim=DIM,
     )
+    # round 7: the reservoir read moved driver-side (pyarrow), so the
+    # append issues NO Spark parquet reads at all — prove the spy works
+    # with an explicit read, then assert the append itself read nothing
+    assert not seen, seen
+    spark.read.parquet(os.path.join(index_dir, "lists")).count()
     assert seen, "spy saw no reads — instrumentation broke"
-    assert not any("lists" in p for p in seen), seen
+    assert not any(p for p in seen if "lists" not in p), seen
 
 
 def test_probe_scan_is_partition_pruned(spark, tmp_path):
