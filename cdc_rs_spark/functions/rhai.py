@@ -951,8 +951,32 @@ class RhaiScript:
                 ),
             ).otherwise(F.struct(*[acc[v].alias(v) for v in mutated]))
 
+        # STAGED ESCALATION (round 7, VERDICT r6 next #6): a flat
+        # cap-element fold paid ~cap pass-through iterations per row even
+        # when the loop terminates in a handful — the dominant cost of
+        # while-heavy scripts (interpreted HOF iterations are not free
+        # even when the merge short-circuits). Instead fold over
+        # GEOMETRIC stage sizes; each stage's inner aggregate only
+        # evaluates while the row is still live, and because the outer
+        # accumulator is a lambda variable the gate costs O(1) — nothing
+        # re-evaluates. A row terminating in <= 8 iterations pays ~8
+        # merges instead of cap; worst case is exactly cap merges, and
+        # the merge sequence (hence the result) is identical.
+        sizes: list[int] = []
+        prev = 0
+        for bound in (8, 64, cap):
+            bound = min(bound, cap)
+            if bound > prev:
+                sizes.append(bound - prev)
+                prev = bound
         res = F.aggregate(
-            F.sequence(F.lit(1), F.lit(cap)), init, merge, finish
+            F.array(*[F.lit(s) for s in sizes]),
+            init,
+            lambda acc, n: F.when(
+                acc["__live"],
+                F.aggregate(F.sequence(F.lit(1), n), acc, merge),
+            ).otherwise(acc),
+            finish,
         )
         for v in mutated:
             env[v] = ColArray(res[v]) if v in colarrays else res[v]
