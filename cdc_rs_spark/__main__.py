@@ -195,6 +195,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         gtid_raw = q.get("gtid", [""])[0].strip()
         gtid_mode = bool(gtid_raw)
         gtid_set = "" if gtid_raw in ("1", "true", "on") else gtid_raw
+        if gtid_set:
+            # validate at the CLI boundary like every other param — a
+            # typo'd set must print usage + exit 2, not traceback
+            # (round-7 review #4)
+            from cdc_rs_spark.streaming.replication import (
+                GtidSet,
+                ProtocolError,
+            )
+
+            try:
+                GtidSet.from_text(gtid_set)
+            except (ProtocolError, ValueError):
+                print(
+                    usage + f" (bad gtid value {gtid_raw!r}: use gtid=1 "
+                    "or gtid=<uuid:ranges set>)",
+                    file=sys.stderr,
+                )
+                return 2
         if gtid_mode and filename:
             print(
                 usage + " (gtid auto-positioning and FILE[:POS] are "

@@ -402,14 +402,19 @@ _RESERVED_INGEST = {"init", "compact", "seq", "b"}
 
 def _validate_stream_id(stream_id: str) -> None:
     """The ingest tag is `{stream_id}-{batch_id}` and doubles as a
-    partition directory name, so the stream id must not contain the
-    separator (tag aliasing => a retry purge deletes another run's rows),
-    filesystem/partition metacharacters, or a reserved tag prefix."""
-    bad = set("-=/\\ \t\n")
-    if not stream_id or any(ch in bad for ch in stream_id):
+    partition DIRECTORY name, so the stream id is WHITELISTED to
+    [A-Za-z0-9_.]: beyond the '-' separator (tag aliasing => a retry
+    purge deletes another run's rows), any character Spark's partition
+    writer URL-escapes (':', '%', '#', quotes, ...) would make the
+    written directory (`ingest=run%3A1-0`) differ from the raw tag
+    _purge_ingest joins — the purge would silently miss and a crashed
+    retry would duplicate vectors (round-7 review)."""
+    import re
+
+    if not stream_id or not re.fullmatch(r"[A-Za-z0-9_.]+", stream_id):
         raise ValueError(
-            f"stream_id {stream_id!r} must be non-empty and free of "
-            "'-', '=', '/', '\\\\' and whitespace"
+            f"stream_id {stream_id!r} must be non-empty and contain only "
+            "[A-Za-z0-9_.] (the tag becomes a partition directory name)"
         )
     if stream_id in _RESERVED_INGEST:
         raise ValueError(
@@ -458,7 +463,16 @@ def append_batch(
     batch_key = (
         None if batch_id is None else f"{stream_id or 'b'}-{batch_id}"
     )
-    if batch_key is not None and meta.get("last_batch") == batch_key:
+    # pre-round-7 builds committed last_batch as '{stream}:{id}' — honor
+    # it so an index written before the upgrade keeps its skip-guard
+    # across the format change (round-7 review #3)
+    legacy_key = (
+        None if batch_id is None else f"{stream_id or 'b'}:{batch_id}"
+    )
+    if batch_key is not None and meta.get("last_batch") in (
+        batch_key,
+        legacy_key,
+    ):
         return {
             "batch_rows": 0,
             "version": meta["version"],
@@ -490,6 +504,13 @@ def append_batch(
         else f"seq-{new_seq}"
     )
     _purge_ingest(index_dir, ingest)  # residue of a crashed prior attempt
+    if batch_id is not None:
+        # a crashed attempt from a PRE-round-7 build wrote its residue
+        # under the unseparated tag layout — purge that too, or the retry
+        # appends on top of it (round-7 review #3). This touches only the
+        # legacy layout, which was alias-unsafe by construction; new-form
+        # tags are never affected.
+        _purge_ingest(index_dir, f"{stream_id or 'b'}{batch_id}")
     from pyspark.sql import Observation
 
     obs = Observation()  # batch count rides the write job (round 7)

@@ -67,10 +67,32 @@ from cdc_rs_spark.streaming.binlog import (
 XID_EVENT = 0x10  # transaction commit marker
 
 # events whose end_log_pos is a transaction-safe resume point (see
-# stream_changes): no TABLE_MAP context can be pending after them
-_SAFE_POS_EVENTS = frozenset(
-    {FORMAT_DESCRIPTION_EVENT, QUERY_EVENT, XID_EVENT}
+# stream_changes); QUERY_EVENTs qualify only when the statement is not a
+# MID-TRANSACTION marker — see _is_mid_txn_query (round-7 review:
+# SAVEPOINT / ROLLBACK TO / XA START all arrive as QUERY_EVENTs INSIDE a
+# transaction, and committing pos or the pending GTID there loses the
+# transaction's remaining rows on resume)
+_SAFE_POS_EVENTS = frozenset({FORMAT_DESCRIPTION_EVENT, XID_EVENT})
+
+# statement prefixes that mark a QUERY_EVENT as mid-transaction: the
+# transaction is still open, so neither (file, pos) nor the pending GTID
+# may commit at it
+_MID_TXN_PREFIXES = (
+    b"BEGIN",
+    b"SAVEPOINT",
+    b"ROLLBACK TO",
+    b"XA START",
+    b"XA END",
+    b"XA PREPARE",
 )
+
+
+def _sid_to_uuid(sid: bytes) -> str:
+    """16-byte binlog SID -> dashed lowercase UUID text."""
+    return (
+        f"{sid[0:4].hex()}-{sid[4:6].hex()}-{sid[6:8].hex()}-"
+        f"{sid[8:10].hex()}-{sid[10:16].hex()}"
+    )
 
 CLIENT_LONG_PASSWORD = 0x00000001
 CLIENT_PROTOCOL_41 = 0x00000200
@@ -135,12 +157,8 @@ class GtidSet:
         (n_sids,) = struct.unpack_from("<Q", data, off)
         off += 8
         for _ in range(n_sids):
-            sid = data[off : off + 16]
+            uuid = _sid_to_uuid(data[off : off + 16])
             off += 16
-            uuid = (
-                f"{sid[0:4].hex()}-{sid[4:6].hex()}-{sid[6:8].hex()}-"
-                f"{sid[8:10].hex()}-{sid[10:16].hex()}"
-            )
             (n_iv,) = struct.unpack_from("<Q", data, off)
             off += 8
             for _ in range(n_iv):
@@ -851,12 +869,8 @@ class BinlogReplicationClient:
                 # (src/main.rs:225); this client tracks and resumes by it
                 # when cfg.gtid_mode is on (round 7).
                 body = event[19:]
-                sid = body[1:17]
+                uuid = _sid_to_uuid(body[1:17])
                 gno = int.from_bytes(body[17:25], "little")
-                uuid = (
-                    f"{sid[0:4].hex()}-{sid[4:6].hex()}-{sid[6:8].hex()}-"
-                    f"{sid[8:10].hex()}-{sid[10:16].hex()}"
-                )
                 self.state.extra["gtid"] = f"{uuid}:{gno}"
                 self.state.pending_gtid = (uuid, gno)
             if etype == PREVIOUS_GTIDS_LOG_EVENT:
@@ -908,33 +922,41 @@ class BinlogReplicationClient:
             # QUERY_EVENT (BEGIN/DDL — precedes any TABLE_MAP), after XID
             # (transaction commit). Everything in between re-fetches whole
             # on resume: duplicates possible, loss and crash impossible.
-            if log_pos and etype in _SAFE_POS_EVENTS:
+            txn_boundary = etype in _SAFE_POS_EVENTS or (
+                etype == QUERY_EVENT and not self._is_mid_txn_query(event)
+            )
+            if log_pos and txn_boundary:
                 self.state.pos = log_pos
-            if self.state.pending_gtid is not None and (
-                etype == XID_EVENT
-                or (
-                    etype == QUERY_EVENT
-                    and not self._is_begin_query(event)
-                )
+            if (
+                self.state.pending_gtid is not None
+                and txn_boundary
+                and etype != FORMAT_DESCRIPTION_EVENT
             ):
                 # the announced transaction is now COMPLETE: XID commits a
-                # row transaction; a QUERY other than BEGIN (DDL etc.) is
-                # its own transaction. BEGIN merely opens one — committing
-                # there would mark the transaction applied before its rows
-                # arrived, and a crash inside it would lose rows on a
-                # GTID-mode resume.
+                # row transaction; a TERMINAL query (DDL, COMMIT under
+                # statement formats) is its own transaction. BEGIN /
+                # SAVEPOINT / ROLLBACK TO / XA START arrive as
+                # QUERY_EVENTs INSIDE an open transaction (round-7
+                # review) — committing there would mark the transaction
+                # applied before its rows arrived, and a crash inside it
+                # would silently lose rows on a GTID-mode resume.
                 self.state.gtid_executed.add(*self.state.pending_gtid)
                 self.state.pending_gtid = None
 
-    def _is_begin_query(self, event: bytes) -> bool:
-        """QUERY_EVENT body: thread_id(4) exec_time(4) schema_len(1)
+    def _is_mid_txn_query(self, event: bytes) -> bool:
+        """True when the QUERY_EVENT's statement leaves the transaction
+        OPEN (BEGIN / SAVEPOINT / ROLLBACK TO savepoint / XA
+        START|END|PREPARE) — neither pos nor the pending GTID may commit
+        at it. QUERY_EVENT body: thread_id(4) exec_time(4) schema_len(1)
         error_code(2) status_vars_len(2) status_vars schema NUL query."""
         trailer = self.decoder.checksum_trailer
         body = event[19 : len(event) - trailer]
         schema_len = body[8]
         status_len = int.from_bytes(body[11:13], "little")
-        query = body[13 + status_len + schema_len + 1 :]
-        return query.strip().upper() == b"BEGIN"
+        query = body[13 + status_len + schema_len + 1 :].strip().upper()
+        # normalize repeated whitespace so 'XA  START' still matches
+        query = b" ".join(query.split())
+        return any(query.startswith(p) for p in _MID_TXN_PREFIXES)
 
 
 def spool_to_feed(

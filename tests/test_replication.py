@@ -1456,3 +1456,94 @@ def test_gtid_spool_sidecar_resume(tmp_path):
     assert str(c2.state.gtid_executed) == f"{SID_UUID}:1-3"
     sidecar = _json.load(open(tmp_path / "feed" / "_replication_state.json"))
     assert sidecar["gtid_executed"] == f"{SID_UUID}:1-3"
+
+
+def test_gtid_mid_transaction_query_events_do_not_commit():
+    """Round-7 review #1: SAVEPOINT / ROLLBACK TO / XA START arrive as
+    QUERY_EVENTs INSIDE an open transaction — committing the pending GTID
+    (or pos) there would mark the transaction applied before its rows
+    arrived, losing them on resume. Only XID (or a terminal query)
+    commits."""
+    tid = 99
+    events = [
+        _gtid_ev(5),
+        _query_event(b"testdb", b"BEGIN"),
+        _query_event(b"testdb", b"SAVEPOINT sp1"),
+        _table_map(tid, False),
+        _rows_event(
+            WRITE_ROWS_EVENT_V2, tid,
+            [_row(105, b"x", 1.0, (2024, 1, 1))], False,
+        ),
+        _query_event(b"testdb", b"ROLLBACK TO sp1"),
+        _query_event(b"testdb", b"XA  START 'x1'"),  # doubled space too
+    ]
+    sa, ca = socket.socketpair()
+    server = GtidFakeServer(sa, [(5, events)], crc=False)
+    threading.Thread(target=server.run, daemon=True).start()
+    client = BinlogReplicationClient(
+        ReplicationConfig(
+            user=USER, password=PASSWORD, gtid_mode=True, non_block=True,
+        )
+    )
+    client.connect(sock=ca)
+    list(client.stream_changes())
+    # transaction never saw its XID: the GTID must still be PENDING
+    assert str(client.state.gtid_executed) == ""
+    assert client.state.pending_gtid == (SID_UUID, 5)
+
+
+def test_pos_does_not_advance_at_savepoint_inside_transaction():
+    """Round-7 review #1 (pos half): a SAVEPOINT between TABLE_MAP and
+    the rows event must not advance pos past the TABLE_MAP — a resume
+    from there would KeyError on the missing table context."""
+    tid = 99
+    rows_body = _rows_event(
+        WRITE_ROWS_EVENT_V2, tid, [_row(1, b"a", 1.0, (2024, 1, 1))], False
+    )[19:]
+    sp_body = _query_event(b"testdb", b"SAVEPOINT sp1")[19:]
+    begin_body = _query_event(b"testdb", b"BEGIN")[19:]
+    events = [
+        _net_rotate(b"bin.000009", 4),
+        _event_at(1000, 0x0F, _fde(False)[19:], False, 400),
+        _event_at(1001, 0x02, begin_body, False, 500),
+        _event_at(1001, 0x13, _table_map(tid, False)[19:], False, 700),
+        _event_at(1001, 0x02, sp_body, False, 900),  # mid-txn SAVEPOINT
+        _event_at(1002, WRITE_ROWS_EVENT_V2, rows_body, False, 1300),
+        _event_at(1003, 0x10, bytes(8), False, 1320),  # XID
+    ]
+    server_sock, client_sock = socket.socketpair()
+    server = FakeServer(server_sock, events)
+    threading.Thread(target=server.run, daemon=True).start()
+    client = BinlogReplicationClient(
+        ReplicationConfig(user=USER, password=PASSWORD, non_block=True)
+    )
+    client.connect(sock=client_sock)
+    seen = []
+    for change in client.stream_changes():
+        seen.append((change["after"]["id"], client.state.pos))
+    # pos pinned at the FDE boundary (400) while the transaction is open
+    # — BEGIN and SAVEPOINT no longer advance it — then XID moves it
+    assert seen == [("1", 400)]
+    assert client.state.pos == 1320
+
+
+def test_cli_replicate_bad_gtid_value_exits_2(tmp_path):
+    """Round-7 review #4: a typo'd ?gtid= set prints usage and exits 2
+    like every other bad --replicate parameter, instead of an unhandled
+    ProtocolError traceback."""
+    from cdc_rs_spark.__main__ import main
+
+    base = [
+        "--source", str(tmp_path / "feed"),
+        "--state", str(tmp_path / "ckpt"),
+        "--server-id", "42", "--once",
+    ]
+    assert main(base + [
+        "--replicate", "mysql://u:p@127.0.0.1:3306?gtid=yes",
+    ]) == 2
+    assert main(base + [
+        "--replicate", "mysql://u:p@127.0.0.1:3306?gtid=uuid;1-5",
+    ]) == 2
+    assert main(base + [
+        "--replicate", "mysql://u:p@127.0.0.1:3306/bin.1:4?gtid=1",
+    ]) == 2  # gtid + FILE[:POS] are mutually exclusive

@@ -381,7 +381,7 @@ def test_stream_id_separator_and_reserved_names_rejected(spark, tmp_path):
     """The separator contract only holds if stream ids cannot contain the
     separator or shadow the reserved init/compact/seq tags — both reject
     eagerly, at wiring time for the foreachBatch form."""
-    with pytest.raises(ValueError, match="free of"):
+    with pytest.raises(ValueError, match="A-Za-z0-9"):
         append_batch(
             spark, _df(spark, []), "/nonexistent",
             batch_id=0, stream_id="run-1",
@@ -587,3 +587,55 @@ def test_compaction_policy_bounds_generations(spark, tmp_path):
     assert {300, 335} <= got  # first and last batch both present
     with pytest.raises(ValueError, match="compact_after_versions"):
         ivf_foreach_batch(index_dir, compact_after_versions=0)
+
+
+def test_stream_id_partition_metachars_rejected(spark):
+    """Round-7 review #2: characters Spark's partition writer URL-escapes
+    (':', '%', '#', ...) would make the written directory differ from the
+    raw tag the purge joins — whitelist [A-Za-z0-9_.] only."""
+    for bad in ("run:1", "run%2", "run#3", "run'4", "run 5", "run-6"):
+        with pytest.raises(ValueError, match="A-Za-z0-9"):
+            ivf_foreach_batch("/nonexistent", stream_id=bad)
+    ivf_foreach_batch("/nonexistent", stream_id="run_7.ok")  # fine
+
+
+def test_legacy_pre_round7_tags_still_idempotent(spark, tmp_path):
+    """Round-7 review #3: an index persisted by the pre-round-7 build
+    (last_batch 'b:5', ingest dirs 'b5') keeps BOTH halves of retry
+    idempotence across the upgrade — the skip-guard honors the legacy
+    key form, and a legacy crashed-attempt residue dir is purged before
+    the retry appends."""
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 4), A) + _vecs(range(10, 14), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=8, dim=DIM)
+
+    # 1) legacy last_batch form: redelivery of epoch 5 is skipped
+    meta_path = os.path.join(index_dir, "_ivf_meta.json")
+    meta = json.loads(open(meta_path).read())
+    meta["last_batch"] = "b:5"
+    with open(meta_path, "w") as fh:
+        fh.write(json.dumps(meta))
+    s = append_batch(
+        spark, _df(spark, _vecs(range(100, 103), A)), index_dir,
+        retrain_ratio=1e9, drift_margin=10.0, dim=DIM, batch_id=5,
+    )
+    assert s.get("skipped_duplicate") is True
+
+    # 2) legacy residue dirs: a crashed pre-upgrade attempt left rows
+    # under the unseparated tag 'b8'; the post-upgrade retry purges them
+    from cdc_rs_spark.operators.similarity import _assign_to_centroids
+    from cdc_rs_spark.streaming.ivf import _append_lists, load_centroids
+
+    nxt = _df(spark, _vecs(range(200, 203), A))
+    cents_rows = load_centroids(index_dir, 0)
+    cents_b = spark.createDataFrame(
+        [(r["cent_id"], list(r["c_emb"])) for r in cents_rows],
+        "cent_id bigint, c_emb array<double>",
+    )
+    _append_lists(_assign_to_centroids(nxt, cents_b, DIM), index_dir, 0, "b8")
+    append_batch(
+        spark, nxt, index_dir,
+        retrain_ratio=1e9, drift_margin=10.0, dim=DIM, batch_id=8,
+    )
+    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    assert lists.filter(F.col("vec_id").between(200, 202)).count() == 3
