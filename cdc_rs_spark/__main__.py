@@ -124,6 +124,14 @@ def _parser() -> argparse.ArgumentParser:
         "Needs a reachable MySQL endpoint (the protocol itself is fully "
         "tested against an in-process server, tests/test_replication.py)",
     )
+    p.add_argument(
+        "--retries", type=int, default=0, metavar="N",
+        help="with --replicate: reconnect up to N consecutive times on a "
+        "transport failure (exponential backoff), resuming from the "
+        "sidecar's committed position — or the gtid_executed set with "
+        "?gtid=, which survives a failover to a renamed-binlog replica. "
+        "-1 = retry forever. 0 (default) = single session",
+    )
     return p
 
 
@@ -220,33 +228,41 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 file=sys.stderr,
             )
             return 2
-        client = BinlogReplicationClient(
-            ReplicationConfig(
-                host=u.hostname,
-                port=port or 3306,
-                # urlparse leaves %xx escapes literal, so credentials
-                # containing '@' ':' '/' '%' must be percent-encoded in the
-                # URL and decoded here (round-6 advice)
-                user=unquote(u.username) if u.username else "repl",
-                password=unquote(u.password) if u.password else "",
-                server_id=args.server_id,
-                filename=filename,
-                pos=pos,
-                non_block=args.once,
-                # mysql://u:p@h:3306/FILE?ssl-mode=required&ssl-ca=/ca.pem
-                ssl_mode=ssl_mode,
-                ssl_ca=ssl_ca,
-                gtid_mode=gtid_mode,
-                gtid_set=gtid_set,
+        rep_cfg = ReplicationConfig(
+            host=u.hostname,
+            port=port or 3306,
+            # urlparse leaves %xx escapes literal, so credentials
+            # containing '@' ':' '/' '%' must be percent-encoded in the
+            # URL and decoded here (round-6 advice)
+            user=unquote(u.username) if u.username else "repl",
+            password=unquote(u.password) if u.password else "",
+            server_id=args.server_id,
+            filename=filename,
+            pos=pos,
+            non_block=args.once,
+            # mysql://u:p@h:3306/FILE?ssl-mode=required&ssl-ca=/ca.pem
+            ssl_mode=ssl_mode,
+            ssl_ca=ssl_ca,
+            gtid_mode=gtid_mode,
+            gtid_set=gtid_set,
+        )
+        if args.retries:
+            from cdc_rs_spark.streaming.replication import spool_with_retry
+
+            n = spool_with_retry(
+                rep_cfg, args.source,
+                retries=None if args.retries < 0 else args.retries,
             )
-        )
-        client.connect()
-        n = spool_to_feed(client, args.source)
-        at = (
-            f"gtid {client.state.gtid_executed}"
-            if gtid_mode
-            else f"{client.state.filename}:{client.state.pos}"
-        )
+            at = "sidecar state"
+        else:
+            client = BinlogReplicationClient(rep_cfg)
+            client.connect()
+            n = spool_to_feed(client, args.source)
+            at = (
+                f"gtid {client.state.gtid_executed}"
+                if gtid_mode
+                else f"{client.state.filename}:{client.state.pos}"
+            )
         print(f"spooled {n} changes to {args.source} (at {at})")
         return 0
     if args.shards and not args.enqueue_backfill:

@@ -1067,13 +1067,24 @@ def spool_to_feed(
             )
         os.replace(state_path + ".tmp", state_path)
 
-    for change in client.stream_changes():
-        buf.append(json.dumps(change))
-        total += 1
-        if len(buf) >= records_per_file:
-            flush()
-        if max_records is not None and total >= max_records:
-            break
+    try:
+        for change in client.stream_changes():
+            buf.append(json.dumps(change))
+            total += 1
+            client.state.extra["spooled"] = total  # read by spool_with_retry
+            if len(buf) >= records_per_file:
+                flush()
+            if max_records is not None and total >= max_records:
+                break
+    except Exception:
+        # a transport failure mid-dump must not DROP the buffered rows —
+        # flush what was fetched (their duplicates-on-resume are covered
+        # by the at-least-once contract) and commit the state sidecar
+        # (even with zero rows, the ROTATE/FDE boundary position is real
+        # progress) so spool_with_retry resumes from it (round 7)
+        flush()
+        commit_state()
+        raise
     flush()
     # the last transaction's terminal events (XID) are processed AFTER its
     # final row was yielded and flushed, so the in-loop sidecar commit can
@@ -1081,3 +1092,82 @@ def spool_to_feed(
     # stream end so a clean shutdown resumes without re-fetching it
     commit_state()
     return total
+
+
+def spool_with_retry(
+    cfg: ReplicationConfig,
+    feed_dir: str,
+    records_per_file: int = 10_000,
+    max_records: int | None = None,
+    retries: int | None = None,
+    backoff: float = 0.5,
+    max_backoff: float = 30.0,
+    sock_factory=None,
+    sleep=None,
+) -> int:
+    """The PRODUCTION spool loop (round 7): run spool_to_feed and, on a
+    transport failure mid-dump (server death, network partition, mid-
+    transaction cutoff), reconnect with exponential backoff and resume
+    from the sidecar's committed state — (file, pos) against the same
+    server, or in GTID mode the gtid_executed set, which also survives a
+    FAILOVER to a promoted replica with renamed binlog files. The
+    reference has no reconnect loop at all (src/main.rs:222-255 runs one
+    session and exits on error); a long-lived CDC feed needs one.
+
+    Retry scope is deliberate: ProtocolError/OSError (transport-shaped,
+    heal on reconnect) retry; ServerError (auth denial, 1236 bad
+    position) raises immediately — a server that REJECTS the request
+    will reject the identical retry forever. An attempt that ADVANCES
+    the committed resume state (pos or gtid_executed) resets the
+    attempt counter, so `retries` bounds consecutive STUCK attempts,
+    not total reconnects over the feed's lifetime — re-fetching the
+    same uncommitted transaction every time is NOT progress and does
+    burn the budget (a server that always dies mid-transaction must not
+    retry forever).
+
+    After the first attempt, an explicit cfg start position (FILE[:POS]
+    or gtid_set text) is dropped in favor of the sidecar: re-sending the
+    user's original start on every reconnect would re-spool from the
+    beginning instead of resuming. `sock_factory`/`sleep` are test
+    seams (a factory yielding fake-server sockets; a no-op sleep)."""
+    import dataclasses
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
+    total = 0
+    attempt = 0
+    prev_fp: tuple | None = None
+    effective = cfg
+    while True:
+        if max_records is not None and total >= max_records:
+            return total
+        client = BinlogReplicationClient(effective)
+        try:
+            client.connect(sock=sock_factory() if sock_factory else None)
+            remaining = None if max_records is None else max_records - total
+            total += spool_to_feed(
+                client, feed_dir, records_per_file, remaining
+            )
+            return total  # clean EOF (non_block) or max_records reached
+        except ServerError:
+            raise  # the identical retry would be rejected identically
+        except (ProtocolError, OSError):
+            total += int(client.state.extra.get("spooled", 0))
+            fp = (
+                client.state.filename,
+                client.state.pos,
+                str(client.state.gtid_executed),
+            )
+            if prev_fp is not None and fp != prev_fp:
+                attempt = 0  # committed state ADVANCED — reset the budget
+            prev_fp = fp
+            attempt += 1
+            if retries is not None and attempt > retries:
+                raise
+            do_sleep(min(backoff * (2 ** (attempt - 1)), max_backoff))
+        finally:
+            # resume from the SIDECAR, not the user's original start
+            if effective.filename or effective.gtid_set:
+                effective = dataclasses.replace(
+                    effective, filename="", pos=4, gtid_set=""
+                )

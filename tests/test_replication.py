@@ -43,12 +43,13 @@ class FakeServer:
 
     def __init__(
         self, sock, events, crc=False, dump_err=None, drip=False,
-        certfile=None, keyfile=None,
+        certfile=None, keyfile=None, die=False,
     ):
         self.sock = sock
         self.events = events
         self.crc = crc
         self.dump_err = dump_err
+        self.die = die  # close after the events WITHOUT the EOF packet
         self.drip = drip  # fragment every send into 3-byte chunks
         self.certfile = certfile  # set -> handshake announces CLIENT_SSL
         self.keyfile = keyfile
@@ -193,7 +194,8 @@ class FakeServer:
                     )
                     return
                 self.send_packet(b"\x00" + ev)
-            self.send_packet(b"\xfe\x00\x00\x02\x00")  # EOF
+            if not self.die:
+                self.send_packet(b"\xfe\x00\x00\x02\x00")  # EOF
         except Exception as e:  # noqa: BLE001 — surfaced via self.error
             self.error = f"{type(e).__name__}: {e}"
         finally:
@@ -1547,3 +1549,155 @@ def test_cli_replicate_bad_gtid_value_exits_2(tmp_path):
     assert main(base + [
         "--replicate", "mysql://u:p@127.0.0.1:3306/bin.1:4?gtid=1",
     ]) == 2  # gtid + FILE[:POS] are mutually exclusive
+
+
+def test_spool_with_retry_reconnects_and_resumes(tmp_path):
+    """Round 7: the production spool loop — a server death mid-dump is
+    healed by reconnect + sidecar resume. GTID mode makes the resume
+    exactly-once per committed transaction: the second server (a
+    promoted replica with RENAMED files holding all four transactions)
+    auto-skips what the first session committed."""
+    from cdc_rs_spark.streaming.replication import spool_with_retry
+
+    feed = str(tmp_path / "feed")
+    txns = {g: _txn(g, 100 + g, b"n%d" % g) for g in (1, 2, 3, 4)}
+    sessions = []
+
+    def factory():
+        sa, ca = socket.socketpair()
+        if not sessions:  # master A: dies inside txn 3
+            server = GtidFakeServer(
+                sa, [(g, txns[g]) for g in (1, 2, 3)],
+                filename=b"master-bin.000007", cut_in_txn=3,
+            )
+        else:  # replica B: renamed files, full history
+            server = GtidFakeServer(
+                sa, [(g, txns[g]) for g in (1, 2, 3, 4)],
+                filename=b"replica-bin.000001",
+            )
+        sessions.append(server)
+        threading.Thread(target=server.run, daemon=True).start()
+        return ca
+
+    slept = []
+    n = spool_with_retry(
+        ReplicationConfig(
+            user=USER, password=PASSWORD, gtid_mode=True, non_block=True,
+        ),
+        feed, records_per_file=1, retries=3,
+        sock_factory=factory, sleep=slept.append,
+    )
+    assert len(sessions) == 2 and slept  # reconnected once, backed off
+    # replica saw the committed set and sent only the missing txns
+    assert str(sessions[1].client_set) == f"{SID_UUID}:1-2"
+    import json as _json
+    import os
+
+    rows = []
+    for f in sorted(os.listdir(feed)):
+        if f.startswith("spool."):
+            rows += [
+                _json.loads(ln)["after"]["id"]
+                for ln in open(os.path.join(feed, f))
+                if ln.strip()
+            ]
+    # txn3's row appears twice (fetched pre-crash, re-fetched after — the
+    # documented at-least-once window); every transaction is present
+    assert sorted(set(rows)) == ["101", "102", "103", "104"]
+    assert n == len(rows)
+    st = _json.load(open(os.path.join(feed, "_replication_state.json")))
+    assert st["gtid_executed"] == f"{SID_UUID}:1-4"
+
+
+def test_spool_with_retry_gives_up_after_budget(tmp_path):
+    """Consecutive transport failures beyond `retries` re-raise; a
+    ServerError (auth denial) is NEVER retried — the identical retry
+    would be rejected identically."""
+    from cdc_rs_spark.streaming.replication import spool_with_retry
+
+    attempts = []
+
+    def dying_factory():
+        sa, ca = socket.socketpair()
+        server = GtidFakeServer(sa, [(1, _txn(1, 101, b"x"))], cut_in_txn=1)
+        attempts.append(server)
+        threading.Thread(target=server.run, daemon=True).start()
+        return ca
+
+    with pytest.raises(ProtocolError):
+        spool_with_retry(
+            ReplicationConfig(
+                user=USER, password=PASSWORD, gtid_mode=True,
+                non_block=True,
+            ),
+            str(tmp_path / "feed1"), retries=2,
+            sock_factory=dying_factory, sleep=lambda s: None,
+        )
+    assert len(attempts) == 3  # initial + 2 retries
+
+    denied = []
+
+    def denying_factory():
+        sa, ca = socket.socketpair()
+        server = FakeServer(sa, [])
+        denied.append(server)
+        threading.Thread(target=server.run, daemon=True).start()
+        return ca
+
+    with pytest.raises(ServerError, match="Access denied"):
+        spool_with_retry(
+            ReplicationConfig(
+                user=USER, password="wrong", non_block=True,
+            ),
+            str(tmp_path / "feed2"), retries=5,
+            sock_factory=denying_factory, sleep=lambda s: None,
+        )
+    assert len(denied) == 1  # no retry on a clean rejection
+
+
+def test_spool_with_retry_drops_explicit_start_on_reconnect(tmp_path):
+    """An explicit FILE[:POS] start applies to the FIRST attempt only —
+    re-sending it on reconnect would re-spool from the user's original
+    position instead of resuming from the sidecar."""
+    from cdc_rs_spark.streaming.replication import spool_with_retry
+
+    feed = str(tmp_path / "feed")
+    dumps = []
+
+    class RecordingServer(FakeServer):
+        def run(self):
+            super().run()
+            for p in self.received:
+                if p and p[0] == 0x12:
+                    # COM_BINLOG_DUMP: pos(4) flags(2) sid(4) filename
+                    dumps.append(
+                        (p[11:].decode(), struct.unpack_from("<I", p, 1)[0])
+                    )
+
+    calls = []
+
+    def factory():
+        sa, ca = socket.socketpair()
+        if not calls:
+            server = RecordingServer(
+                sa, [_net_rotate(b"bin.9", 4), _fde(False)], die=True,
+            )
+        else:
+            server = RecordingServer(
+                sa, _dump_events(False),
+            )
+        calls.append(server)
+        threading.Thread(target=server.run, daemon=True).start()
+        return ca
+
+    n = spool_with_retry(
+        ReplicationConfig(
+            user=USER, password=PASSWORD, non_block=True,
+            filename="bin.9", pos=777,
+        ),
+        feed, retries=3, sock_factory=factory, sleep=lambda s: None,
+    )
+    assert n == 4
+    assert dumps[0] == ("bin.9", 777)  # explicit start honored once
+    # reconnect resumed from the sidecar (bin.9's committed pos), not 777
+    assert dumps[1][0] == "bin.9" and dumps[1][1] != 777
