@@ -72,19 +72,27 @@ XID_EVENT = 0x10  # transaction commit marker
 # SAVEPOINT / ROLLBACK TO / XA START all arrive as QUERY_EVENTs INSIDE a
 # transaction, and committing pos or the pending GTID there loses the
 # transaction's remaining rows on resume)
-_SAFE_POS_EVENTS = frozenset({FORMAT_DESCRIPTION_EVENT, XID_EVENT})
+_SAFE_POS_EVENTS = frozenset(
+    {FORMAT_DESCRIPTION_EVENT, XID_EVENT, 0x26}  # 0x26 = XA_PREPARE_LOG_EVENT
+)
 
 # statement prefixes that mark a QUERY_EVENT as mid-transaction: the
 # transaction is still open, so neither (file, pos) nor the pending GTID
-# may commit at it
+# may commit at it. XA PREPARE is NOT here (round-7 review #2): in MySQL
+# semantics it TERMINATES its binlog event group — the prepared
+# transaction's GTID counts as executed at prepare — and classifying it
+# mid-transaction would leave a permanent hole in gtid_executed (the
+# next GTID_LOG_EVENT overwrites the still-pending one, and every
+# reconnect would re-fetch transaction n forever).
 _MID_TXN_PREFIXES = (
     b"BEGIN",
     b"SAVEPOINT",
     b"ROLLBACK TO",
     b"XA START",
     b"XA END",
-    b"XA PREPARE",
 )
+
+XA_PREPARE_LOG_EVENT = 0x26  # row-format XA prepare: also a group boundary
 
 
 def _sid_to_uuid(sid: bytes) -> str:
@@ -181,10 +189,28 @@ class GtidSet:
     def add(self, uuid: str, gno: int) -> None:
         self.add_range(uuid, gno, gno)
 
+    @staticmethod
+    def _norm_uuid(uuid: str) -> str:
+        """Validate + canonicalize a source id to dashed lowercase: the
+        binary codec turns this back into exactly 16 bytes, so a non-hex
+        or wrong-length uuid must fail HERE with a clean error — not as
+        a bytes.fromhex ValueError deep inside encode() at dump time, or
+        worse a short SID silently corrupting the wire request (round-7
+        review #2)."""
+        raw = uuid.replace("-", "").lower()
+        if len(raw) != 32 or any(c not in "0123456789abcdef" for c in raw):
+            raise ProtocolError(
+                f"malformed GTID source id {uuid!r} (need 32 hex chars)"
+            )
+        return (
+            f"{raw[:8]}-{raw[8:12]}-{raw[12:16]}-{raw[16:20]}-{raw[20:]}"
+        )
+
     def add_range(self, uuid: str, lo: int, hi: int) -> None:
         if lo < 1 or hi < lo:
             raise ProtocolError(f"invalid GTID interval {lo}-{hi}")
-        ivs = self._sids.setdefault(uuid.lower(), [])
+        key = self._norm_uuid(uuid)
+        ivs = self._sids.setdefault(key, [])
         ivs.append([lo, hi])
         ivs.sort()
         merged = [ivs[0]]
@@ -193,7 +219,7 @@ class GtidSet:
                 merged[-1][1] = max(merged[-1][1], nxt[1])
             else:
                 merged.append(nxt)
-        self._sids[uuid.lower()] = merged
+        self._sids[key] = merged
 
     def union(self, other: "GtidSet") -> None:
         for uuid, ivs in other._sids.items():
@@ -202,7 +228,11 @@ class GtidSet:
 
     # -- queries -----------------------------------------------------------
     def contains(self, uuid: str, gno: int) -> bool:
-        for lo, hi in self._sids.get(uuid.lower(), ()):
+        try:
+            key = self._norm_uuid(uuid)
+        except ProtocolError:
+            return False  # a malformed id is in no set
+        for lo, hi in self._sids.get(key, ()):
             if lo <= gno <= hi:
                 return True
         return False
@@ -234,6 +264,13 @@ class ServerError(ProtocolError):
         super().__init__(f"mysql error {code}: {message}")
         self.code = code
         self.message = message
+
+
+class SpoolStorageError(RuntimeError):
+    """A LOCAL write to the spool directory failed (disk full, perms).
+    Deliberately not a ProtocolError/OSError so spool_with_retry never
+    mistakes it for a transport failure — reconnecting to the server
+    cannot heal the local disk (round-7 review #5)."""
 
 
 def scramble_native_password(password: str, nonce: bytes) -> bytes:
@@ -1047,25 +1084,35 @@ def spool_to_feed(
             return
         name = f"spool.{seq:09d}.json"
         tmp = os.path.join(feed_dir, f"_tmp.{name}")
-        with open(tmp, "w") as f:
-            f.write("\n".join(buf) + "\n")
-        os.replace(tmp, os.path.join(feed_dir, name))
+        try:
+            with open(tmp, "w") as f:
+                f.write("\n".join(buf) + "\n")
+            os.replace(tmp, os.path.join(feed_dir, name))
+        except OSError as exc:
+            # a LOCAL write failure must not look like a transport error
+            # to the reconnect loop (round-7 review #5)
+            raise SpoolStorageError(f"cannot write {name}: {exc}") from exc
         seq += 1
         buf = []
         commit_state()
 
     def commit_state() -> None:
-        with open(state_path + ".tmp", "w") as f:
-            json.dump(
-                {
-                    "spool_seq": seq,
-                    "filename": client.state.filename,
-                    "pos": client.state.pos,
-                    "gtid_executed": str(client.state.gtid_executed),
-                },
-                f,
-            )
-        os.replace(state_path + ".tmp", state_path)
+        try:
+            with open(state_path + ".tmp", "w") as f:
+                json.dump(
+                    {
+                        "spool_seq": seq,
+                        "filename": client.state.filename,
+                        "pos": client.state.pos,
+                        "gtid_executed": str(client.state.gtid_executed),
+                    },
+                    f,
+                )
+            os.replace(state_path + ".tmp", state_path)
+        except OSError as exc:
+            raise SpoolStorageError(
+                f"cannot commit {state_path}: {exc}"
+            ) from exc
 
     try:
         for change in client.stream_changes():
@@ -1125,22 +1172,57 @@ def spool_with_retry(
     burn the budget (a server that always dies mid-transaction must not
     retry forever).
 
-    After the first attempt, an explicit cfg start position (FILE[:POS]
-    or gtid_set text) is dropped in favor of the sidecar: re-sending the
-    user's original start on every reconnect would re-spool from the
-    beginning instead of resuming. `sock_factory`/`sleep` are test
-    seams (a factory yielding fake-server sockets; a no-op sleep)."""
+    Once a sidecar commit exists, an explicit cfg start position
+    (FILE[:POS] or gtid_set text) is dropped in its favor: re-sending
+    the user's original start on every reconnect would re-spool from
+    the beginning instead of resuming. Before ANY sidecar exists (e.g.
+    the first attempt died in connect()), the explicit start is kept —
+    dropping it there would silently replace the user's requested
+    position with the server's default (round-7 review). A local
+    STORAGE failure (disk full while flushing) raises SpoolStorageError
+    and is never retried — reconnecting cannot heal the local disk.
+    `sock_factory`/`sleep` are test seams (a factory yielding
+    fake-server sockets; a no-op sleep)."""
     import dataclasses
+    import json
+    import os
     import time as _time
 
     do_sleep = sleep if sleep is not None else _time.sleep
+    state_path = os.path.join(feed_dir, "_replication_state.json")
+
+    def sidecar_fp() -> tuple | None:
+        # budget-reset decisions read the COMMITTED sidecar, never the
+        # failed client's in-memory state: a connect-stage failure hands
+        # back a freshly-initialized state whose fingerprint DIFFERS
+        # from the last streamed one, and alternating failure modes
+        # would reset the budget forever with zero real progress
+        # (round-7 review #4)
+        if not os.path.exists(state_path):
+            return None
+        with open(state_path) as f:
+            st = json.load(f)
+        return (
+            st.get("filename", ""),
+            int(st.get("pos", 4)),
+            st.get("gtid_executed", ""),
+        )
+
     total = 0
     attempt = 0
-    prev_fp: tuple | None = None
+    prev_fp = sidecar_fp()
     effective = cfg
     while True:
         if max_records is not None and total >= max_records:
             return total
+        if (effective.filename or effective.gtid_set) and (
+            sidecar_fp() is not None
+        ):
+            # a committed resume point exists — the explicit start was
+            # honored (or superseded); from here the sidecar drives
+            effective = dataclasses.replace(
+                effective, filename="", pos=4, gtid_set=""
+            )
         client = BinlogReplicationClient(effective)
         try:
             client.connect(sock=sock_factory() if sock_factory else None)
@@ -1153,12 +1235,8 @@ def spool_with_retry(
             raise  # the identical retry would be rejected identically
         except (ProtocolError, OSError):
             total += int(client.state.extra.get("spooled", 0))
-            fp = (
-                client.state.filename,
-                client.state.pos,
-                str(client.state.gtid_executed),
-            )
-            if prev_fp is not None and fp != prev_fp:
+            fp = sidecar_fp()
+            if fp is not None and fp != prev_fp:
                 attempt = 0  # committed state ADVANCED — reset the budget
             prev_fp = fp
             attempt += 1
@@ -1166,8 +1244,8 @@ def spool_with_retry(
                 raise
             do_sleep(min(backoff * (2 ** (attempt - 1)), max_backoff))
         finally:
-            # resume from the SIDECAR, not the user's original start
-            if effective.filename or effective.gtid_set:
-                effective = dataclasses.replace(
-                    effective, filename="", pos=4, gtid_set=""
-                )
+            if client.conn is not None:
+                try:  # don't leak one socket per failed attempt
+                    client.conn.sock.close()
+                except OSError:
+                    pass

@@ -1675,6 +1675,7 @@ def test_spool_with_retry_drops_explicit_start_on_reconnect(tmp_path):
                     )
 
     calls = []
+    threads = []
 
     def factory():
         sa, ca = socket.socketpair()
@@ -1687,7 +1688,9 @@ def test_spool_with_retry_drops_explicit_start_on_reconnect(tmp_path):
                 sa, _dump_events(False),
             )
         calls.append(server)
-        threading.Thread(target=server.run, daemon=True).start()
+        t = threading.Thread(target=server.run, daemon=True)
+        threads.append(t)
+        t.start()
         return ca
 
     n = spool_with_retry(
@@ -1697,7 +1700,109 @@ def test_spool_with_retry_drops_explicit_start_on_reconnect(tmp_path):
         ),
         feed, retries=3, sock_factory=factory, sleep=lambda s: None,
     )
+    for t in threads:  # RecordingServer appends to `dumps` after run()
+        t.join(timeout=10)
     assert n == 4
     assert dumps[0] == ("bin.9", 777)  # explicit start honored once
     # reconnect resumed from the sidecar (bin.9's committed pos), not 777
     assert dumps[1][0] == "bin.9" and dumps[1][1] != 777
+
+
+def test_xa_prepare_commits_pending_gtid():
+    """Round-7 review (pass 2): XA PREPARE TERMINATES its binlog event
+    group — the prepared transaction's GTID counts as executed at
+    prepare. Classifying it mid-transaction left a permanent hole in
+    gtid_executed that every reconnect re-fetched forever."""
+    tid = 99
+    xa_txn = [
+        _gtid_ev(7),
+        _query_event(b"testdb", b"XA START 'x1'"),
+        _table_map(tid, False),
+        _rows_event(
+            WRITE_ROWS_EVENT_V2, tid,
+            [_row(107, b"xa", 1.0, (2024, 1, 1))], False,
+        ),
+        _query_event(b"testdb", b"XA END 'x1'"),
+        _query_event(b"testdb", b"XA PREPARE 'x1'"),
+        _gtid_ev(8),  # next group announces — 7 must already be committed
+        _query_event(b"testdb", b"ALTER TABLE orders ADD COLUMN q INT"),
+    ]
+    sa, ca = socket.socketpair()
+    server = GtidFakeServer(sa, [(7, xa_txn)], crc=False)
+    threading.Thread(target=server.run, daemon=True).start()
+    client = BinlogReplicationClient(
+        ReplicationConfig(
+            user=USER, password=PASSWORD, gtid_mode=True, non_block=True,
+        )
+    )
+    client.connect(sock=ca)
+    list(client.stream_changes())
+    assert str(client.state.gtid_executed) == f"{SID_UUID}:7-8"
+    assert client.state.pending_gtid is None
+
+
+def test_gtid_set_rejects_malformed_uuid_eagerly():
+    """Round-7 review (pass 2): a non-hex or short source id must fail
+    with a clean ProtocolError at construction — not a bytes.fromhex
+    ValueError inside encode() at dump time, or a short SID silently
+    corrupting the wire request."""
+    with pytest.raises(ProtocolError, match="32 hex"):
+        GtidSet.from_text("nothex:1-5")
+    with pytest.raises(ProtocolError, match="32 hex"):
+        GtidSet.from_text("abcd:1-5")
+    s = GtidSet.from_text(SID_UUID.replace("-", "").upper() + ":3")
+    assert s.contains(SID_UUID, 3)  # dashes/case normalize
+    assert len(s.encode()) == 8 + 16 + 8 + 16
+    # CLI surfaces the same as usage + exit 2
+    from cdc_rs_spark.__main__ import main
+
+    assert main([
+        "--source", "/tmp/f", "--state", "/tmp/ck", "--once",
+        "--replicate", "mysql://u:p@127.0.0.1:3306?gtid=nothex:1-5",
+    ]) == 2
+
+
+def test_spool_with_retry_keeps_explicit_start_before_any_sidecar(tmp_path):
+    """Round-7 review (pass 2): when the FIRST attempt dies in connect()
+    (unreachable server), no sidecar exists yet — the retry must re-send
+    the user's explicit FILE[:POS], not silently fall back to the
+    server's default position."""
+    from cdc_rs_spark.streaming.replication import spool_with_retry
+
+    feed = str(tmp_path / "feed")
+    dumps = []
+
+    class RecordingServer2(FakeServer):
+        def run(self):
+            super().run()
+            for p in self.received:
+                if p and p[0] == 0x12:
+                    dumps.append(
+                        (p[11:].decode(), struct.unpack_from("<I", p, 1)[0])
+                    )
+
+    calls = []
+    threads = []
+
+    def factory():
+        calls.append(1)
+        if len(calls) == 1:
+            raise OSError("connection refused")  # server down
+        sa, ca = socket.socketpair()
+        server = RecordingServer2(sa, _dump_events(False))
+        t = threading.Thread(target=server.run, daemon=True)
+        threads.append(t)
+        t.start()
+        return ca
+
+    n = spool_with_retry(
+        ReplicationConfig(
+            user=USER, password=PASSWORD, non_block=True,
+            filename="bin.9", pos=777,
+        ),
+        feed, retries=3, sock_factory=factory, sleep=lambda s: None,
+    )
+    for t in threads:
+        t.join(timeout=10)
+    assert n == 4 and len(calls) == 2
+    assert dumps == [("bin.9", 777)]  # explicit start SURVIVED the retry
