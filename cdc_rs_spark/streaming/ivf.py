@@ -13,9 +13,14 @@ Index directory layout (parquet + one JSON sidecar):
                       n_centroids x dim floats), stored as a JSON sidecar
                       like _ivf_meta because a 16-row parquet write/read
                       costs whole Spark jobs (round-6 bench)
-  lists/              the assigned corpus, parquet PARTITIONED BY
-                      (version, cent_id): a probe join prunes to
-                      nprobe/nlists of ONE version's files
+  lists/ (epoch 0),   the assigned corpus, parquet PARTITIONED BY
+  lists-NNNNNN/       (version, cent_id): a probe join prunes to
+                      nprobe/nlists of ONE version's files. Each
+                      compaction writes a NEW epoch directory and
+                      publishes it via the meta sidecar (atomic flip);
+                      superseded epochs are retained for keep_epochs
+                      further compactions so in-flight probes never
+                      lose their files (Iceberg-style snapshot expiry)
   sample_<seq>.parquet  the bounded TRAINING RESERVOIR: the TRAIN_CAP
                       corpus rows with the smallest (md5-bucket, vec_id)
                       seen so far — maintained incrementally (union the
@@ -78,6 +83,41 @@ def _write_meta(index_dir: str, meta: dict) -> None:
     with open(tmp, "w") as f:
         json.dump(meta, f)
     os.replace(tmp, _meta_path(index_dir))
+
+
+def _lists_path(index_dir: str, epoch: int) -> str:
+    """Path of one lists-store EPOCH. Epoch 0 keeps the pre-epoch name
+    ("lists") so indexes written before the snapshot scheme stay readable
+    with no migration."""
+    return os.path.join(
+        index_dir, "lists" if epoch == 0 else f"lists-{epoch:06d}"
+    )
+
+
+def _current_lists(index_dir: str) -> tuple[int, str]:
+    """Snapshot the live lists epoch from the meta sidecar (atomic file,
+    so this is a consistent point-in-time read)."""
+    epoch = int(_read_meta(index_dir).get("lists_epoch", 0))
+    return epoch, _lists_path(index_dir, epoch)
+
+
+def current_lists_path(index_dir: str) -> str:
+    """Public form for tests/tools: the directory the live epoch's rows
+    are stored under."""
+    return _current_lists(index_dir)[1]
+
+
+def _epoch_dirs(index_dir: str) -> list[tuple[int, str]]:
+    import re
+
+    out = []
+    for name in os.listdir(index_dir):
+        m = re.fullmatch(r"lists(?:-(\d{6}))?", name)
+        if m and os.path.isdir(os.path.join(index_dir, name)):
+            out.append(
+                (int(m.group(1) or 0), os.path.join(index_dir, name))
+            )
+    return sorted(out)
 
 
 def _sample_path(index_dir: str, seq: int) -> str:
@@ -253,7 +293,7 @@ def load_centroids(index_dir: str, version: int | None = None) -> list:
 
 def _append_lists(
     assigned: DataFrame,
-    index_dir: str,
+    lists_path: str,
     version: int,
     ingest: str,
     n_parts: int | None = None,
@@ -285,16 +325,16 @@ def _append_lists(
         .withColumn("ingest", F.lit(ingest))
         .write.mode("append")
         .partitionBy("version", "cent_id", "ingest")
-        .parquet(os.path.join(index_dir, "lists"))
+        .parquet(lists_path)
     )
 
 
-def _purge_ingest(index_dir: str, ingest: str) -> None:
-    """Remove every lists/.../ingest=TAG directory — the partial residue of
-    a crashed append attempt for this tag."""
+def _purge_ingest(lists_path: str, ingest: str) -> None:
+    """Remove every <epoch>/.../ingest=TAG directory — the partial residue
+    of a crashed append attempt for this tag."""
     import shutil
 
-    lists = os.path.join(index_dir, "lists")
+    lists = lists_path
     if not os.path.isdir(lists):
         return
     for vdir in os.listdir(lists):
@@ -322,15 +362,21 @@ def _gc_samples(index_dir: str, live_seq: int) -> None:
 
 
 def _recover_lists(index_dir: str) -> None:
-    """Repair the compact-swap crash windows before touching the lists
-    store (round-6 review #3): a death between compact_index's two
-    renames leaves lists/ missing with lists_old/ (the complete
-    pre-compact state) and/or lists_compact/ (the complete compacted
-    state — it is only reachable after its write and count finished) on
-    disk. Promote the compacted store if present, else restore the
-    backup; with lists/ healthy, stale residue is deleted."""
+    """LEGACY heal only: pre-epoch builds compacted by renaming the live
+    store aside (lists_old) and promoting a rewrite (lists_compact) in
+    place, so a crash between the renames could leave lists/ missing.
+    The epoch scheme has no such window — compact_index writes a NEW
+    epoch directory and publishes it with one atomic meta flip — but an
+    index whose last writer was a pre-epoch build may still carry the
+    residue, so promote/restore it here exactly as that build would
+    have. No-op (one isdir check) on healthy epoch-scheme indexes."""
     import shutil
 
+    try:
+        if int(_read_meta(index_dir).get("lists_epoch", 0)) != 0:
+            return  # epoch scheme: legacy swap dirs can no longer exist
+    except FileNotFoundError:
+        pass  # bootstrap crashed before the first meta write
     lists = os.path.join(index_dir, "lists")
     tmp = os.path.join(index_dir, "lists_compact")
     backup = os.path.join(index_dir, "lists_old")
@@ -372,7 +418,8 @@ def init_index(
     assigned = _assign_to_centroids(
         corpus.select("vec_id", "embedding"), cents_b, dim
     )
-    _purge_ingest(index_dir, "init")  # crashed/re-run bootstrap residue
+    # crashed/re-run bootstrap residue (a fresh index is always epoch 0)
+    _purge_ingest(_lists_path(index_dir, 0), "init")
     # fold the corpus count into the lists WRITE job via an Observation —
     # a separate .count() re-scanned the whole corpus (round-7, VERDICT
     # r6 next #6: one fewer action in init)
@@ -380,10 +427,13 @@ def init_index(
 
     obs = Observation()
     assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
-    _append_lists(assigned, index_dir, 0, "init", n_parts=n_centroids)
+    _append_lists(
+        assigned, _lists_path(index_dir, 0), 0, "init", n_parts=n_centroids
+    )
     trained_on = int(obs.get["n"])
     meta = {
         "version": 0,
+        "lists_epoch": 0,
         "n_centroids": n_centroids,
         "train_cap": cap,
         "kmeans_iters": kmeans_iters,
@@ -481,6 +531,7 @@ def append_batch(
             "skipped_duplicate": True,
         }
     version = int(meta["version"])
+    lists_path = _lists_path(index_dir, int(meta.get("lists_epoch", 0)))
     cap = int(meta["train_cap"])
     cents = sorted(
         load_centroids(index_dir, version), key=lambda r: r["cent_id"]
@@ -503,19 +554,19 @@ def append_batch(
         if batch_id is not None
         else f"seq-{new_seq}"
     )
-    _purge_ingest(index_dir, ingest)  # residue of a crashed prior attempt
+    _purge_ingest(lists_path, ingest)  # residue of a crashed prior attempt
     if batch_id is not None:
         # a crashed attempt from a PRE-round-7 build wrote its residue
         # under the unseparated tag layout — purge that too, or the retry
         # appends on top of it (round-7 review #3). This touches only the
         # legacy layout, which was alias-unsafe by construction; new-form
         # tags are never affected.
-        _purge_ingest(index_dir, f"{stream_id or 'b'}{batch_id}")
+        _purge_ingest(lists_path, f"{stream_id or 'b'}{batch_id}")
     from pyspark.sql import Observation
 
     obs = Observation()  # batch count rides the write job (round 7)
     assigned = assigned.observe(obs, F.count(F.lit(1)).alias("n"))
-    _append_lists(assigned, index_dir, version, ingest, n_parts=len(cents))
+    _append_lists(assigned, lists_path, version, ingest, n_parts=len(cents))
     n = int(obs.get["n"])
     # fold the batch into the reservoir: the distributed part is only the
     # batch's own heap top-k (TakeOrdered, one job); the CURRENT reservoir
@@ -583,7 +634,17 @@ def probe_index(
     partition-pruned to the probed directories — and exact-rank inside
     them (two-stage, no single-task sorts). Rows assigned under an old
     generation are probed under THAT generation's geometry, so a re-train
-    never silently orphans them. `queries` must have (query_id, q_emb)."""
+    never silently orphans them. `queries` must have (query_id, q_emb).
+
+    Snapshot discipline vs a concurrent compaction: centroids are read
+    FIRST, the lists epoch second. compact_index publishes in the
+    opposite order (new epoch flip, THEN centroid collapse), so every
+    interleaving leaves this probe with a centroid set that is a
+    SUPERSET of the generations its snapshotted epoch stores — a probe
+    leg for a generation the epoch lacks scans an empty partition and
+    contributes nothing; rows are never missed, files never vanish
+    (superseded epochs are retained for `keep_epochs` further
+    compactions, Iceberg-style snapshot expiry)."""
     _recover_lists(index_dir)
     cents_rows = load_centroids(index_dir)
     by_version: dict[int, list] = {}
@@ -612,7 +673,7 @@ def probe_index(
         probe_rows,
         "version bigint, cent_id bigint, query_id bigint, q_emb array<float>",
     )
-    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    lists = spark.read.parquet(_current_lists(index_dir)[1])
     # STATIC partition pruning: the probed (version, cent_id) pairs are
     # known driver-side (they were just computed), so push them as a
     # literal disjunction — the scan reads ONLY the probed directories at
@@ -685,16 +746,18 @@ def probe_foreach_batch(
     receives the top-k DataFrame plus the batch id.
 
     Consistency contract with a CONCURRENT ingest stream: probe_index
-    snapshots the centroid sidecar once per batch and scans only the
-    (version, cent_id) partition directories derived from that snapshot.
-    List files are append-only between compactions and a generation's
-    centroids are written BEFORE any row is assigned under it, so every
-    probed partition is explained by a centroid the snapshot already had
-    — a probe landing between an append and a retrain (or between a
-    retrain's centroid append and its meta flip) sees a consistent,
-    possibly slightly stale, index; never a torn one. The one rewriting
-    operation, compact_index, swaps directories atomically-with-backup
-    and _recover_lists (called at probe start) heals the crash window.
+    snapshots the centroid sidecar, then the lists epoch, and scans only
+    the (version, cent_id) partition directories derived from that
+    snapshot. List files are append-only WITHIN an epoch and a
+    generation's centroids are written BEFORE any row is assigned under
+    it, so every probed partition is explained by a centroid the
+    snapshot already had — a probe landing between an append and a
+    retrain sees a consistent, possibly slightly stale, index; never a
+    torn one. The one rewriting operation, compact_index, publishes a
+    NEW epoch with an atomic meta flip and retains superseded epochs
+    for keep_epochs further compactions, so a probe mid-scan on the old
+    epoch keeps its files (the round-7 stress test pins exactly this
+    race).
 
     `check_pruning` keeps the per-batch plan assertion on (the r6 scale
     guard) — the probe never silently degrades to a full lists scan."""
@@ -713,24 +776,44 @@ def probe_foreach_batch(
 
 
 def compact_index(
-    spark: SparkSession, index_dir: str, dim: int | None = None
+    spark: SparkSession,
+    index_dir: str,
+    dim: int | None = None,
+    keep_epochs: int = 2,
 ) -> int:
     """The DELIBERATE corpus rewrite: reassign every stored vector to the
     LATEST centroid generation and rewrite the lists as one version. This
     is the only operation here that scans the lists store — run it like a
-    table OPTIMIZE, not per batch. Returns the number of rows rewritten."""
+    table OPTIMIZE, not per batch. Returns the number of rows rewritten.
+
+    Publication is SNAPSHOT-ISOLATED from concurrent probes (the round-7
+    stress test caught the in-place swap racing a mid-scan probe into
+    FileNotFoundException): the rewrite lands in a brand-new epoch
+    directory, one atomic meta flip makes it live, the centroid sidecar
+    collapses AFTER the flip (so a probe that snapshotted the old epoch
+    still sees every generation its files need — see probe_index), and
+    superseded epochs are deleted only once they are `keep_epochs`
+    compactions old. A reader therefore has a whole compaction cycle (x
+    keep_epochs) to finish its scan — the same retention contract as
+    Iceberg's expire-snapshots, bought with keep_epochs extra corpus
+    copies on disk. Crash windows: before the flip, an orphan next-epoch
+    directory (overwritten by the retried compact); after it, at worst
+    uncollapsed centroids and un-GC'd epochs — all heal on the next
+    compact, no recovery rename dance."""
     _recover_lists(index_dir)
     meta = _read_meta(index_dir)
     version = int(meta["version"])
+    epoch = int(meta.get("lists_epoch", 0))
     cents_rows = load_centroids(index_dir, version)
     cents_b = spark.createDataFrame(
         [(r["cent_id"], list(r["c_emb"])) for r in cents_rows],
         "cent_id bigint, c_emb array<double>",
     )
-    lists_path = os.path.join(index_dir, "lists")
-    rows = spark.read.parquet(lists_path).select("vec_id", "embedding")
+    rows = spark.read.parquet(_lists_path(index_dir, epoch)).select(
+        "vec_id", "embedding"
+    )
     assigned = _assign_to_centroids(rows, cents_b, dim)
-    tmp = os.path.join(index_dir, "lists_compact")
+    new_epoch = epoch + 1
     from pyspark.sql import Observation
 
     obs = Observation()  # count rides the rewrite, no re-read job (r7)
@@ -739,30 +822,29 @@ def compact_index(
         .repartition(max(len(cents_rows), 1), "cent_id")
         .withColumn("version", F.lit(version))
         .withColumn("ingest", F.lit("compact"))
+        # overwrite clears the residue of a crashed prior attempt at this
+        # epoch (the dir is unpublished until the meta flip below)
         .write.mode("overwrite")
         .partitionBy("version", "cent_id", "ingest")
-        .parquet(tmp)
+        .parquet(_lists_path(index_dir, new_epoch))
     )
     n = int(obs.get["n"])
-    import shutil
-
-    # swap with a RECOVERABLE window (round-6 review: rmtree-then-rename
-    # loses the whole store if the process dies between the two): rename
-    # the live store aside first, promote the compacted one, then delete
-    # the backup. A crash mid-swap leaves lists_old and/or lists_compact
-    # on disk — both complete, recoverable by a rename.
-    backup = os.path.join(index_dir, "lists_old")
-    if os.path.isdir(backup):
-        shutil.rmtree(backup)  # residue of an earlier crashed compact
-    os.rename(lists_path, backup)
-    os.rename(tmp, lists_path)
-    shutil.rmtree(backup)
-    # collapse centroid generations to the survivor
+    meta["lists_epoch"] = new_epoch  # THE publish point (atomic replace)
+    _write_meta(index_dir, meta)
+    # collapse centroid generations to the survivor — strictly after the
+    # flip, so (cents-then-epoch) probe snapshots can never pair collapsed
+    # centroids with a pre-compact epoch
     _write_cents(
         index_dir,
         [{"version": version, **r} for r in cents_rows],
         append=False,
     )
+    import shutil
+
+    # deferred GC: expire epochs superseded > keep_epochs compactions ago
+    for e, path in _epoch_dirs(index_dir):
+        if e < new_epoch - keep_epochs:
+            shutil.rmtree(path)
     return n
 
 

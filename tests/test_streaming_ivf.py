@@ -216,7 +216,9 @@ def test_compact_rewrites_to_single_generation(spark, tmp_path):
     )
     n = compact_index(spark, index_dir, dim=DIM)
     assert n == 12
-    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    from cdc_rs_spark.streaming.ivf import current_lists_path
+
+    lists = spark.read.parquet(current_lists_path(index_dir))
     assert lists.select("version").distinct().count() == 1
     from cdc_rs_spark.streaming.ivf import load_centroids
 
@@ -265,7 +267,10 @@ def test_append_batch_retry_is_idempotent(spark, tmp_path):
         "cent_id bigint, c_emb array<double>",
     )
     _append_lists(  # simulate the partial write of a crashed attempt
-        _assign_to_centroids(nxt, cents_b, DIM), index_dir, 0, "b-8"
+        _assign_to_centroids(nxt, cents_b, DIM),
+        os.path.join(index_dir, "lists"),
+        0,
+        "b-8",
     )
     append_batch(
         spark, nxt, index_dir, retrain_ratio=1e9, drift_margin=10.0,
@@ -632,7 +637,12 @@ def test_legacy_pre_round7_tags_still_idempotent(spark, tmp_path):
         [(r["cent_id"], list(r["c_emb"])) for r in cents_rows],
         "cent_id bigint, c_emb array<double>",
     )
-    _append_lists(_assign_to_centroids(nxt, cents_b, DIM), index_dir, 0, "b8")
+    _append_lists(
+        _assign_to_centroids(nxt, cents_b, DIM),
+        os.path.join(index_dir, "lists"),
+        0,
+        "b8",
+    )
     append_batch(
         spark, nxt, index_dir,
         retrain_ratio=1e9, drift_margin=10.0, dim=DIM, batch_id=8,
@@ -686,3 +696,49 @@ def test_concurrent_ingest_and_probe_stress(spark, tmp_path):
         t.join(timeout=60)
     assert not failures, failures
     assert probes_done[0] > 0  # the prober really overlapped the ingest
+
+
+def test_compaction_epochs_retained_then_expired(spark, tmp_path):
+    """Round-7 stress-test fix: compact_index publishes a NEW epoch via an
+    atomic meta flip and keeps superseded epochs for keep_epochs further
+    compactions (a reader mid-scan on the old epoch keeps its files),
+    then expires them — bounded disk, never a FileNotFound under a
+    concurrent probe."""
+    import glob
+
+    from cdc_rs_spark.streaming.ivf import current_lists_path
+
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 4), A) + _vecs(range(10, 14), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=8, dim=DIM)
+    epoch0 = current_lists_path(index_dir)
+
+    # a reader plans its scan against epoch 0 BEFORE the compactions
+    stale_reader = spark.read.parquet(epoch0).select("vec_id")
+
+    compact_index(spark, index_dir, dim=DIM, keep_epochs=2)
+    epoch1 = current_lists_path(index_dir)
+    assert epoch1 != epoch0
+    # superseded epoch retained: the stale reader still completes
+    assert os.path.isdir(epoch0)
+    assert stale_reader.count() == 8
+
+    compact_index(spark, index_dir, dim=DIM, keep_epochs=2)
+    assert os.path.isdir(epoch0)  # still within retention
+    compact_index(spark, index_dir, dim=DIM, keep_epochs=2)
+    assert not os.path.isdir(epoch0)  # expired: 3 compactions old
+    # exactly keep_epochs + 1 epoch dirs remain
+    remaining = [
+        p
+        for p in glob.glob(os.path.join(index_dir, "lists*"))
+        if os.path.isdir(p)
+    ]
+    assert len(remaining) == 3, remaining
+    # the index is still fully probe-able on the live epoch
+    got = {
+        r["vec_id"]
+        for r in probe_index(
+            spark, _queries(spark, 999, A), index_dir, nprobe=2, k=8, dim=DIM
+        ).collect()
+    }
+    assert set(range(0, 4)) <= got
