@@ -290,3 +290,50 @@ def exploded_ngrams(d, id_col: str, text_col: str, n: int, alias: str = "gram"):
         " ", *[F.element_at(F.col("_w"), F.col("_i") + j) for j in range(n)]
     )
     return base.select(id_col, gram.alias(alias))
+
+
+def semantic_cluster_assign(emb: DataFrame, k: int, dim: int) -> DataFrame:
+    """Seed-anchored cluster assignment for SemDeDup-style semantic dedup
+    (plans/dedup.py dedup_semantic_clustered): broadcast the K lowest-id
+    vectors as anchors, score every vector against each (unrolled
+    whole-stage-codegen cosine), and argmax via max(struct(cos, -seed_id,
+    embedding)) — the K scored rows per vector sit in the scan partition,
+    so partial aggregation collapses them map-side and the shuffle
+    carries exactly N rows. The production path swaps the anchor frame
+    for trained IVF centroids (operators/similarity.py) — identical
+    algebra. Returns (vec_id, cluster_id, embedding, nrm); the norm is
+    computed HERE so the downstream pair cosine costs one dot instead of
+    a dot plus two norm folds."""
+    from cdc_rs_spark.operators.similarity import cosine_sql, norm_sql
+
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed")
+        )
+    )
+    # FOLD-form cosine/norm here (dim=None), deliberately: the assignment
+    # scores only N x K rows, so interpreted higher-order-function
+    # evaluation is cheap, while the unrolled 65-term trees made Catalyst
+    # planning + codegen dominate the whole query's wall (measured ~3 s of
+    # the 8.5 s planning cost at sf0.1). Bit-identical either way — the
+    # unrolled form reproduces the fold's IEEE operation order exactly
+    # (operators/similarity.py dot_sql) — so the oracle still matches.
+    scored = emb.crossJoin(F.broadcast(seeds)).withColumn(
+        "cos", F.expr(cosine_sql("embedding", "seed", None))
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos").alias("cos"),
+                (-F.col("seed_id")).alias("nseed"),
+                F.col("embedding").alias("emb"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("m.nseed")).alias("cluster_id"),
+        F.col("m.emb").alias("embedding"),
+    ).withColumn("nrm", F.expr(norm_sql("embedding", None)))

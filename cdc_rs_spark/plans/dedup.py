@@ -719,3 +719,222 @@ def dedup_line_level_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dup_k.cast("double") / F.sum("k"), 6).alias("dup_frac"),
         )
     )
+
+
+# ---- round 7: cluster-pruned semantic dedup (SemDeDup) ---------------------
+
+SEMDEDUP_K = 8  # seed-anchored cluster count (fixture-scaled; see docstring)
+SEMDEDUP_TAU = 0.40  # near-dup cosine threshold (fixture-scaled)
+
+
+def _semdedup_oracle() -> str:
+    from cdc_rs_spark.plans.similarity import _dot_sql, _norm_sql
+
+    def cos(a: str, b: str) -> str:
+        return f"{_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)})"
+
+    return f"""
+    WITH seeds AS (
+        SELECT vec_id AS seed_id, embedding AS seed
+        FROM embeddings ORDER BY vec_id LIMIT {SEMDEDUP_K}
+    ),
+    scored AS (
+        SELECT e.vec_id, s.seed_id, e.embedding,
+               {cos("e.embedding", "s.seed")} AS cos
+        FROM embeddings e CROSS JOIN seeds s
+    ),
+    assigned AS (
+        SELECT vec_id, seed_id AS cluster_id, embedding
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY cos DESC, seed_id) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+               {cos("a.embedding", "b.embedding")} AS cos
+        FROM assigned a JOIN assigned b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    ),
+    pc AS (SELECT cluster_id, COUNT(*) AS n_vecs FROM assigned GROUP BY 1),
+    pa AS (
+        SELECT cluster_id,
+               COUNT(*) AS n_pairs,
+               COUNT(CASE WHEN cos >= {SEMDEDUP_TAU} THEN 1 END) AS n_dup_pairs,
+               COUNT(DISTINCT CASE WHEN cos >= {SEMDEDUP_TAU} THEN id_b END)
+                   AS n_removed,
+               ROUND(MAX(cos), 6) AS max_cos
+        FROM pairs GROUP BY 1
+    )
+    SELECT pc.cluster_id, pc.n_vecs,
+           COALESCE(pa.n_pairs, 0) AS n_pairs,
+           COALESCE(pa.n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(pa.n_removed, 0) AS n_removed,
+           ROUND((pc.n_vecs - COALESCE(pa.n_removed, 0))::DOUBLE / pc.n_vecs,
+                 6) AS keep_frac,
+           pa.max_cos
+    FROM pc LEFT JOIN pa USING (cluster_id)
+    """
+
+
+@register("dedup_semantic_clustered", oracle=_semdedup_oracle())
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-pruned semantic dedup (SemDeDup, Abbas et al. 2023): assign
+    every embedding to its nearest anchor, compare pairs ONLY within a
+    cluster, drop the higher vec_id of any pair with cosine >= tau. Reported
+    per cluster as (n_vecs, candidate pairs, dup pairs, removed, keep_frac,
+    max observed cosine). Anchors here are the K lowest vec_ids so the
+    DuckDB oracle reproduces the assignment exactly; the production path
+    plugs in the IVF k-means centroids (operators/similarity.py) — the
+    algebra is identical. tau=0.40 is fixture-scaled (the synthetic vectors
+    are near-orthogonal; real text embeddings use ~0.95+).
+
+    Scale shape: assignment is a broadcast cross of K anchor rows — and
+    because the K scored rows per vector stay in the scan partition, the
+    struct-max collapses them map-side, so the assignment shuffle carries
+    exactly N rows. The pairwise stage shuffles on cluster_id and scores
+    O(sum nc^2) ~ N^2/K pairs instead of N^2/2 — the SemDeDup pruning that
+    makes 100 TB semantic dedup feasible (K grows ~sqrt(N) in production,
+    so per-cluster work stays bounded; AQE skew-split handles hot
+    clusters). Cosines ride the unrolled whole-stage-codegen dot product
+    (operators/similarity.py dot_sql).
+
+    Materialize-once discipline: the assignment table (N rows of
+    vec_id/cluster_id/embedding/norm) is localCheckpoint'ed before the
+    three consumers (pair join left+right, per-cluster sizes) — without
+    it Catalyst re-plans the broadcast-argmax subtree with its 65-term
+    unrolled folds once PER CONSUMER and plan+codegen dominates wall
+    (measured 8.5 s planning vs 0.3 s execution at sf0.1). At 100 TB
+    this is the persisted cluster-assignment table every SemDeDup
+    implementation materializes between the assign and compare passes
+    (same discipline as pagerank's edge table and operators/graph.py)."""
+    from cdc_rs_spark.operators.dedup import semantic_cluster_assign
+    from cdc_rs_spark.operators.similarity import EMB_DIM, dot_sql
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = semantic_cluster_assign(emb, SEMDEDUP_K, EMB_DIM)
+    # repartition before the checkpoint so the pair-scoring stage isn't
+    # pinned to the scan's single row group; at scale the cluster-id
+    # partitioning this lands on is exactly the shuffle the compare pass
+    # needs
+    assigned = assigned.repartition(
+        spark.sparkContext.defaultParallelism, "cluster_id"
+    ).localCheckpoint(eager=True)
+    pairs = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            F.col("a.cluster_id") == F.col("b.cluster_id"),
+        )
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.cluster_id").alias("cluster_id"),
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            # FOLD-form dot (dim=None), bit-identical to the unrolled
+            # form: at sum-nc^2 pair volume the unrolled 65-term tree's
+            # codegen COMPILE dominated (measured 4.5 s vs 1.9 s per
+            # invocation at sf0.1) — the opposite tradeoff from the ANN
+            # family, where a memoized plan amortizes the compile
+            (
+                F.expr(dot_sql("a.embedding", "b.embedding", None))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
+        )
+    )
+    dup = F.col("cos") >= F.lit(SEMDEDUP_TAU)
+    pa = pairs.groupBy("cluster_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.count(F.when(dup, 1)).alias("n_dup_pairs"),
+        F.countDistinct(F.when(dup, F.col("id_b"))).alias("n_removed"),
+        F.round(F.max("cos"), 6).alias("max_cos"),
+    )
+    pc = assigned.groupBy("cluster_id").agg(F.count("*").alias("n_vecs"))
+    removed = F.coalesce(F.col("pa.n_removed"), F.lit(0))
+    return pc.alias("pc").join(pa.alias("pa"), "cluster_id", "left").select(
+        "cluster_id",
+        "n_vecs",
+        F.coalesce(F.col("pa.n_pairs"), F.lit(0)).alias("n_pairs"),
+        F.coalesce(F.col("pa.n_dup_pairs"), F.lit(0)).alias("n_dup_pairs"),
+        removed.alias("n_removed"),
+        F.round(
+            (F.col("n_vecs") - removed).cast("double") / F.col("n_vecs"), 6
+        ).alias("keep_frac"),
+        "max_cos",
+    )
+
+
+# ---- round 7: exact duplicate substring spans (Lee et al. 2021) ------------
+
+SPAN_LEN = 40  # chars per window
+SPAN_STRIDE = 10  # window stride
+
+
+@register(
+    "dedup_exact_substring_spans",
+    oracle=f"""
+    WITH spans AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, length(text) - {SPAN_LEN - 2}, {SPAN_STRIDE}),
+                   i -> substr(text, i, {SPAN_LEN}))) AS span
+        FROM documents WHERE length(text) >= {SPAN_LEN}
+    ),
+    pair AS (SELECT span, doc_id, COUNT(*) AS k FROM spans GROUP BY 1, 2),
+    freq AS (SELECT span, COUNT(*) AS nd FROM pair GROUP BY 1),
+    per_doc AS (
+        SELECT pair.doc_id,
+               SUM(pair.k) AS n_spans,
+               SUM(CASE WHEN freq.nd >= 2 THEN pair.k ELSE 0 END)
+                   AS n_dup_spans
+        FROM pair JOIN freq USING (span) GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+           ROUND(n_dup_spans::DOUBLE / n_spans, 6) AS dup_frac
+    FROM per_doc WHERE n_dup_spans > 0
+    """,
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring detection (the ExactSubstr pass of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better"):
+    a 40-char window every 10 chars (SPAN_LEN/SPAN_STRIDE); a window whose text
+    occurs in >= 2 DISTINCT documents is a duplicated span. Per affected
+    document: window count, duplicated-window count, duplicated fraction —
+    the signal that drives span-level cutting (vs doc-level dropping).
+
+    Scale shape: the explode is linear (len/stride windows per doc); one
+    aggregate to (span, doc_id) occurrence counts collapses within-doc
+    repeats map-side, cross-doc frequency derives from that pre-aggregate
+    (never re-shuffling raw occurrences — same shape as
+    dedup_line_level_report), and boilerplate mega-spans are exactly what
+    partial aggregation absorbs. At 100 TB the shuffle key would be
+    xxhash64(span) with a verify join, and the suffix-array formulation
+    would replace stride sampling only if byte-exact span boundaries are
+    required."""
+    d = spread(load(spark, sf_dir, "documents")).filter(
+        F.length("text") >= SPAN_LEN
+    )
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {SPAN_LEN - 1}, "
+                f"{SPAN_STRIDE}), i -> substring(text, i, {SPAN_LEN}))"
+            )
+        ).alias("span"),
+    )
+    pair = spans.groupBy("span", "doc_id").agg(F.count("*").alias("k"))
+    freq = pair.groupBy("span").agg(F.count("*").alias("nd"))
+    dup_k = F.sum(F.when(F.col("nd") >= 2, F.col("k")).otherwise(F.lit(0)))
+    return (
+        pair.join(freq, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_spans"),
+            dup_k.cast("bigint").alias("n_dup_spans"),
+            F.round(dup_k.cast("double") / F.sum("k"), 6).alias("dup_frac"),
+        )
+        .filter(F.col("n_dup_spans") > 0)
+    )

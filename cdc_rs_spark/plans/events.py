@@ -1402,3 +1402,98 @@ def events_watermark_recommendation(spark: SparkSession, sf_dir: str) -> DataFra
         )
 
     return ranked_result(late, build)
+
+
+# ---- round 7: session journey (path) mining --------------------------------
+
+PATH_GAP_MIN = 30  # session inactivity gap, minutes
+PATH_PREFIX = 4  # events per session kept in the path
+PATH_TOP = 25  # report size
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                    WHEN ts - lag(ts) OVER w
+                         > INTERVAL {PATH_GAP_MIN} MINUTE THEN 1
+                    ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, session_no
+                                     ORDER BY ts, event_id) AS rn
+        FROM sess
+    ),
+    paths AS (
+        SELECT user_id, session_no,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM ranked WHERE rn <= {PATH_PREFIX}
+        GROUP BY user_id, session_no
+    )
+    SELECT path, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOP}
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session journey mining: the top user paths, where a path is the
+    '>'-joined sequence of the first PATH_PREFIX event types of a session
+    (30-minute inactivity gap, gaps-and-islands sessionization shared with
+    events_session_window). The clickstream analysis every product funnel
+    audit starts from, and the sequence-mining counterpart of
+    events_next_event_training_pairs (which emits pairwise transitions).
+
+    Scale shape: sessionization is ONE shuffle on user_id and all three
+    window functions ride it; the rn <= PATH_PREFIX filter caps collect_list
+    at PATH_PREFIX elements per session BEFORE the session groupBy, so no
+    unbounded per-session buffering exists anywhere (a pathological
+    always-active user can make a session arbitrarily long — the cap is
+    what survives that at 100 TB). The path-frequency aggregate is
+    partial-agg'd map-side; the final top-25 is TakeOrderedAndProject, no
+    global sort materialization."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    gap_us = epoch_us("ts") - epoch_us(lag_ts)
+    is_new = (
+        F.when(lag_ts.isNull(), 1)
+        .when(gap_us > F.lit(PATH_GAP_MIN * 60 * 1_000_000), 1)
+        .otherwise(0)
+    )
+    sess = e.withColumn("is_new", is_new).withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    )
+    head = sess.withColumn("rn", rn).filter(F.col("rn") <= PATH_PREFIX)
+    paths = head.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOP)
+    )

@@ -82,6 +82,13 @@ _DRIVER_WINDOW = [
     # Rotated-out queries keep their module order after slot 50 and stay
     # verified locally (CORRECTNESS_LOCAL_FULL.json via driver_sim).
     #
+    # NEW this round — the three round-7 operators pin first so the
+    # driver verifies them first-hand (SemDeDup cluster-pruned semantic
+    # dedup, Lee-et-al exact duplicate substring spans, session journey
+    # mining)
+    "dedup_semantic_clustered",
+    "dedup_exact_substring_spans",
+    "events_top_paths",
     # changed this round (re-pin)
     "rhai_script_closure_while_scoring",
     "rhai_script_array_loop_scoring",
@@ -112,9 +119,11 @@ _DRIVER_WINDOW = [
     "similarity_bruteforce_topk",
     "cdc_merge_live_wins",
     "similarity_margin_stats",
-    # second greens for round-6's first-pins
+    # second greens for round-6's first-pins (embedding_norm_stats,
+    # text_fingerprint and events_daily_gapfill gave up their slots to
+    # the three new round-7 queries — their families keep other pins and
+    # all three stay locally verified in CORRECTNESS_LOCAL_FULL.json)
     "embedding_label_centroids",
-    "embedding_norm_stats",
     "sql_api_nation_counts",
     "pivot_status_by_priority",
     "unpivot_priority_metrics",
@@ -124,12 +133,10 @@ _DRIVER_WINDOW = [
     "events_sliding_window",
     "events_markov_transitions",
     "events_weekly_retention",
-    "events_daily_gapfill",
     "events_debounce",
     "events_user_growth_accounting",
     "multimodal_video_frames",
     "multimodal_image_decode",
-    "text_fingerprint",
     "text_bpe_token_estimate",
     "text_repetition_stats",
     "text_boilerplate_ngrams",

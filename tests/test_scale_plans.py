@@ -637,3 +637,52 @@ def test_stratified_rank_windows_are_bucket_partitioned(spark):
     assert specs, plan[:800]
     for s in specs:
         assert "_rbkt" in s, (s, plan[:800])
+
+
+def test_semdedup_assignment_broadcasts_and_combines_mapside(spark):
+    """dedup_semantic_clustered's scale contract (SCALE.md): the K anchor
+    rows broadcast (never shuffling the corpus for assignment) and the
+    argmax collapses the K scored rows per vector with a PARTIAL max
+    before the exchange — the assignment shuffle carries exactly N rows.
+    Asserted on the assignment fragment (the registered query
+    localCheckpoints it before the pair join, truncating lineage out of
+    the final plan — the materialize-once discipline its docstring
+    explains), plus no-Python on the full query."""
+    from cdc_rs_spark.operators.dedup import semantic_cluster_assign
+    from cdc_rs_spark.operators.similarity import EMB_DIM
+    from cdc_rs_spark.plans.dedup import SEMDEDUP_K, dedup_semantic_clustered
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    frag = _physical_plan(semantic_cluster_assign(emb, SEMDEDUP_K, EMB_DIM))
+    assert "BroadcastNestedLoopJoin" in frag, frag  # K-row anchor cross
+    assert "partial_max" in frag, frag  # map-side argmax combine
+    plan = _physical_plan(dedup_semantic_clustered(spark, SF_DIR))
+    for p in (frag, plan):
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_exact_substring_spans_preaggregates_occurrences(spark):
+    """dedup_exact_substring_spans: the exploded span occurrences are
+    aggregated ONCE to (span, doc_id) counts — corpus frequency and the
+    per-doc rollup both derive from that pre-aggregate (same shape as
+    dedup_line_level_report), so boilerplate mega-spans are absorbed by
+    map-side partial aggregation, not shuffled row-by-row."""
+    from cdc_rs_spark.plans.dedup import dedup_exact_substring_spans
+
+    df = dedup_exact_substring_spans(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "Generate explode" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_top_paths_is_take_ordered_not_global_sort(spark):
+    """events_top_paths: the final top-25 must plan as
+    TakeOrderedAndProject (per-partition heap + driver merge of 25-row
+    heads), never a global Sort materialization of every distinct path."""
+    from cdc_rs_spark.plans.events import events_top_paths
+
+    df = events_top_paths(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
