@@ -1454,16 +1454,20 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit starts from, and the sequence-mining counterpart of
     events_next_event_training_pairs (which emits pairwise transitions).
 
-    Scale shape: sessionization is ONE shuffle on user_id and all three
-    window functions ride it; the rn <= PATH_PREFIX filter caps collect_list
-    at PATH_PREFIX elements per session BEFORE the session groupBy, so no
-    unbounded per-session buffering exists anywhere (a pathological
-    always-active user can make a session arbitrarily long — the cap is
-    what survives that at 100 TB). The path-frequency aggregate is
-    partial-agg'd map-side; the final top-25 is TakeOrderedAndProject, no
-    global sort materialization."""
+    Scale shape: sessionization is ONE shuffle on user_id and EVERY window
+    function rides that one sort — the within-session rank is derived from
+    the same ordered pass (rn_sess = rn_user - running_max(is_new *
+    rn_user) + 1) instead of a second (user_id, session_no) partitioning,
+    which would re-shuffle and re-sort the full event stream. The rank
+    filter caps collect_list at PATH_PREFIX elements per session BEFORE
+    the session groupBy, so no unbounded per-session buffering exists
+    anywhere (a pathological always-active user can make a session
+    arbitrarily long — the cap is what survives that at 100 TB). The
+    path-frequency aggregate is partial-agg'd map-side; the final top-25
+    is TakeOrderedAndProject, no global sort materialization."""
     e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lag_ts = F.lag("ts").over(w)
     gap_us = epoch_us("ts") - epoch_us(lag_ts)
     is_new = (
@@ -1471,14 +1475,21 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(gap_us > F.lit(PATH_GAP_MIN * 60 * 1_000_000), 1)
         .otherwise(0)
     )
-    sess = e.withColumn("is_new", is_new).withColumn(
-        "session_no",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    sess = (
+        e.withColumn("is_new", is_new)
+        .withColumn("rn_user", F.row_number().over(w))
+        .withColumn("session_no", F.sum("is_new").over(wcum))
+        # rank within session, derived from the SAME sorted pass: the
+        # session's first row has is_new=1, so its rn_user is the running
+        # max of is_new*rn_user for every row of the session
+        .withColumn(
+            "start_rn",
+            F.max(F.when(F.col("is_new") == 1, F.col("rn_user"))).over(wcum),
+        )
     )
-    rn = F.row_number().over(
-        Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    head = sess.filter(
+        F.col("rn_user") - F.col("start_rn") < PATH_PREFIX
     )
-    head = sess.withColumn("rn", rn).filter(F.col("rn") <= PATH_PREFIX)
     paths = head.groupBy("user_id", "session_no").agg(
         F.array_join(
             F.transform(

@@ -490,3 +490,92 @@ def test_conversion_latency_zero_conversions(spark, tmp_path):
     r = out[0]
     assert r["n_conversions"] == 0
     assert r["p50_s"] is None and r["p90_s"] is None and r["p99_s"] is None
+
+
+# ---- round 7: SemDeDup assignment + exact-substring spans properties ------
+
+
+def test_semantic_cluster_assign_matches_numpy_argmax(spark):
+    """Property: the broadcast+struct-max assignment equals a NumPy
+    nearest-anchor argmax (cos DESC, seed_id ASC tie-break) on a random
+    corpus — the distributed argmax encoding (max of (cos, -seed_id,
+    emb)) is easy to get subtly wrong."""
+    import numpy as np
+
+    from cdc_rs_spark.operators.dedup import semantic_cluster_assign
+
+    rng = np.random.default_rng(7)
+    n, k, dim = 60, 4, 8
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in semantic_cluster_assign(df, k, dim).collect()
+    }
+    seeds = vecs[:k].astype("float64")
+    v64 = vecs.astype("float64")
+    cos = (v64 @ seeds.T) / (
+        np.linalg.norm(v64, axis=1, keepdims=True)
+        * np.linalg.norm(seeds, axis=1)
+    )
+    # argmax with seed_id ASC tie-break == first max index
+    expect = {i: int(np.argmax(cos[i])) for i in range(n)}
+    assert got == expect
+
+
+def test_exact_substring_spans_matches_python_reference(spark, tmp_path):
+    """Property: the distributed span report equals a pure-Python
+    reference (dict-of-sets over the same stride windows) on a corpus
+    with planted cross-document duplicates."""
+    import collections
+    import random
+
+    from cdc_rs_spark.plans.dedup import (
+        SPAN_LEN,
+        SPAN_STRIDE,
+        dedup_exact_substring_spans,
+    )
+
+    rng = random.Random(13)
+    alphabet = "abcdefg "
+    shared = "".join(rng.choice(alphabet) for _ in range(90))
+    docs = []
+    for i in range(30):
+        body = "".join(rng.choice(alphabet) for _ in range(rng.randint(10, 200)))
+        if i % 3 == 0:  # plant the shared run in every third doc
+            body = body[:20] + shared + body[20:]
+        docs.append((i, body))
+
+    # pure-Python reference over the same windows
+    span_docs = collections.defaultdict(set)
+    per_doc = collections.Counter()
+    occurrences = collections.defaultdict(list)
+    for doc_id, text in docs:
+        if len(text) < SPAN_LEN:
+            continue
+        for pos in range(0, len(text) - SPAN_LEN + 1, SPAN_STRIDE):
+            span = text[pos : pos + SPAN_LEN]
+            span_docs[span].add(doc_id)
+            per_doc[doc_id] += 1
+            occurrences[doc_id].append(span)
+    expect = {}
+    for doc_id, spans in occurrences.items():
+        dup = sum(1 for s in spans if len(span_docs[s]) >= 2)
+        if dup:
+            expect[doc_id] = (per_doc[doc_id], dup)
+
+    import os
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id bigint, text string").write.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in dedup_exact_substring_spans(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect, "vacuous: no planted duplicates found"
