@@ -292,18 +292,19 @@ def exploded_ngrams(d, id_col: str, text_col: str, n: int, alias: str = "gram"):
     return base.select(id_col, gram.alias(alias))
 
 
-def semantic_cluster_assign(emb: DataFrame, k: int, dim: int) -> DataFrame:
+def semantic_cluster_assign(emb: DataFrame, k: int) -> DataFrame:
     """Seed-anchored cluster assignment for SemDeDup-style semantic dedup
     (plans/dedup.py dedup_semantic_clustered): broadcast the K lowest-id
-    vectors as anchors, score every vector against each (unrolled
-    whole-stage-codegen cosine), and argmax via max(struct(cos, -seed_id,
-    embedding)) — the K scored rows per vector sit in the scan partition,
-    so partial aggregation collapses them map-side and the shuffle
-    carries exactly N rows. The production path swaps the anchor frame
-    for trained IVF centroids (operators/similarity.py) — identical
-    algebra. Returns (vec_id, cluster_id, embedding, nrm); the norm is
-    computed HERE so the downstream pair cosine costs one dot instead of
-    a dot plus two norm folds."""
+    vectors as anchors, score every vector against each (fold-form
+    cosine — see the in-body comment for why not the unrolled form), and
+    argmax via max(struct(cos, -seed_id, embedding)) — the K scored rows
+    per vector sit in the scan partition, so partial aggregation
+    collapses them map-side and the shuffle carries exactly N rows. The
+    production path swaps the anchor frame for trained IVF centroids
+    (operators/similarity.py) — identical algebra. Returns (vec_id,
+    cluster_id, embedding, nrm); the norm is computed HERE so the
+    downstream pair cosine costs one dot instead of a dot plus two norm
+    folds."""
     from cdc_rs_spark.operators.similarity import cosine_sql, norm_sql
 
     seeds = (

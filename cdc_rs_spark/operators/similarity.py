@@ -407,7 +407,12 @@ def lloyd_refine_local(train_rows, cent_rows, scale: int = 1 << 44):
     return out
 
 
-def _assign_to_centroids(candidates: DataFrame, cents: DataFrame, dim: int | None = None) -> DataFrame:
+def _assign_to_centroids(
+    candidates: DataFrame,
+    cents: DataFrame,
+    dim: int | None = None,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """(vec_id, embedding) x broadcast centroids -> nearest-centroid
     assignment (cosine, cent_id tiebreak). The centroid set is packed into
     ONE array-of-structs row and broadcast, and the argmax runs per-vector
@@ -434,7 +439,7 @@ def _assign_to_centroids(candidates: DataFrame, cents: DataFrame, dim: int | Non
     return (
         candidates.withColumn("_vn", F.expr(norm_sql("embedding", dim)))
         .crossJoin(packed)
-        .select("vec_id", "embedding", (-best["nid"]).alias("cent_id"))
+        .select("vec_id", "embedding", *keep, (-best["nid"]).alias("cent_id"))
     )
 
 

@@ -812,7 +812,7 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_rs_spark.operators.similarity import EMB_DIM, dot_sql
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    assigned = semantic_cluster_assign(emb, SEMDEDUP_K, EMB_DIM)
+    assigned = semantic_cluster_assign(emb, SEMDEDUP_K)
     # repartition before the checkpoint so the pair-scoring stage isn't
     # pinned to the scan's single row group; at scale the cluster-id
     # partitioning this lands on is exactly the shuffle the compare pass

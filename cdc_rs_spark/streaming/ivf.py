@@ -112,7 +112,10 @@ def _epoch_dirs(index_dir: str) -> list[tuple[int, str]]:
 
     out = []
     for name in os.listdir(index_dir):
-        m = re.fullmatch(r"lists(?:-(\d{6}))?", name)
+        # \d+ not \d{6}: {epoch:06d} PADS to 6 digits but never truncates,
+        # so epoch >= 10^6 writes 7+ digits — a {6} match would hide those
+        # directories from retention GC forever (round-7 review)
+        m = re.fullmatch(r"lists(?:-(\d+))?", name)
         if m and os.path.isdir(os.path.join(index_dir, name)):
             out.append(
                 (int(m.group(1) or 0), os.path.join(index_dir, name))
@@ -799,7 +802,20 @@ def compact_index(
     copies on disk. Crash windows: before the flip, an orphan next-epoch
     directory (overwritten by the retried compact); after it, at worst
     uncollapsed centroids and un-GC'd epochs — all heal on the next
-    compact, no recovery rename dance."""
+    compact, no recovery rename dance.
+
+    WRITER-EXCLUSIVE: safe under concurrent PROBES (that is the epoch
+    scheme's whole point), but NOT under concurrent APPENDS — a batch
+    appended to the superseded epoch during the rewrite would be absent
+    from the published one, and the meta/centroid collapse would clobber
+    a concurrent retrain's commit. Run it from the ingest loop
+    (ivf_foreach_batch does) or with ingest paused, exactly like a table
+    OPTIMIZE.
+
+    Rows KEEP their original ingest tags through the rewrite: a crashed
+    append's partial residue must stay purgeable by the retry's
+    _purge_ingest in the new epoch — rewriting it under one 'compact'
+    tag would launder it into unpurgeable duplicates (round-7 review)."""
     _recover_lists(index_dir)
     meta = _read_meta(index_dir)
     version = int(meta["version"])
@@ -810,9 +826,9 @@ def compact_index(
         "cent_id bigint, c_emb array<double>",
     )
     rows = spark.read.parquet(_lists_path(index_dir, epoch)).select(
-        "vec_id", "embedding"
+        "vec_id", "embedding", "ingest"
     )
-    assigned = _assign_to_centroids(rows, cents_b, dim)
+    assigned = _assign_to_centroids(rows, cents_b, dim, keep=("ingest",))
     new_epoch = epoch + 1
     from pyspark.sql import Observation
 
@@ -821,7 +837,6 @@ def compact_index(
         assigned.observe(obs, F.count(F.lit(1)).alias("n"))
         .repartition(max(len(cents_rows), 1), "cent_id")
         .withColumn("version", F.lit(version))
-        .withColumn("ingest", F.lit("compact"))
         # overwrite clears the residue of a crashed prior attempt at this
         # epoch (the dir is unpublished until the meta flip below)
         .write.mode("overwrite")
@@ -829,6 +844,10 @@ def compact_index(
         .parquet(_lists_path(index_dir, new_epoch))
     )
     n = int(obs.get["n"])
+    # re-read meta at the publish point: the rewrite is a long job, and
+    # flipping a dict read before it would revert anything committed since
+    # (belt-and-braces under the writer-exclusive contract above)
+    meta = _read_meta(index_dir)
     meta["lists_epoch"] = new_epoch  # THE publish point (atomic replace)
     _write_meta(index_dir, meta)
     # collapse centroid generations to the survivor — strictly after the

@@ -513,7 +513,7 @@ def test_semantic_cluster_assign_matches_numpy_argmax(spark):
     )
     got = {
         r["vec_id"]: r["cluster_id"]
-        for r in semantic_cluster_assign(df, k, dim).collect()
+        for r in semantic_cluster_assign(df, k).collect()
     }
     seeds = vecs[:k].astype("float64")
     v64 = vecs.astype("float64")

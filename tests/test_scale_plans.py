@@ -653,7 +653,7 @@ def test_semdedup_assignment_broadcasts_and_combines_mapside(spark):
     from cdc_rs_spark.plans.dedup import SEMDEDUP_K, dedup_semantic_clustered
 
     emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
-    frag = _physical_plan(semantic_cluster_assign(emb, SEMDEDUP_K, EMB_DIM))
+    frag = _physical_plan(semantic_cluster_assign(emb, SEMDEDUP_K))
     assert "BroadcastNestedLoopJoin" in frag, frag  # K-row anchor cross
     assert "partial_max" in frag, frag  # map-side argmax combine
     plan = _physical_plan(dedup_semantic_clustered(spark, SF_DIR))

@@ -742,3 +742,57 @@ def test_compaction_epochs_retained_then_expired(spark, tmp_path):
         ).collect()
     }
     assert set(range(0, 4)) <= got
+
+
+def test_compaction_preserves_ingest_tags_for_retry_purge(spark, tmp_path):
+    """Round-7 review: compact must NOT launder a crashed append's partial
+    residue under one 'compact' tag — rows keep their original ingest
+    tags through the rewrite, so a post-compaction retry's purge still
+    finds and replaces the residue (no duplicate vectors)."""
+    from cdc_rs_spark.operators.similarity import _assign_to_centroids
+    from cdc_rs_spark.streaming.ivf import (
+        _append_lists,
+        current_lists_path,
+        load_centroids,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 4), A) + _vecs(range(10, 14), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=8, dim=DIM)
+
+    # simulate a crashed append: partial rows under stress-7, meta uncommitted
+    nxt = _df(spark, _vecs(range(200, 203), A))
+    cents_rows = load_centroids(index_dir, 0)
+    cents_b = spark.createDataFrame(
+        [(r["cent_id"], list(r["c_emb"])) for r in cents_rows],
+        "cent_id bigint, c_emb array<double>",
+    )
+    _append_lists(
+        _assign_to_centroids(nxt.limit(2), cents_b, DIM),
+        current_lists_path(index_dir),
+        0,
+        "stress-7",
+    )
+    compact_index(spark, index_dir, dim=DIM)
+
+    # the retry after the operator's OPTIMIZE: must purge the laundered
+    # residue in the NEW epoch and land the batch exactly once
+    append_batch(
+        spark, nxt, index_dir, retrain_ratio=1e9, drift_margin=10.0,
+        dim=DIM, batch_id=7, stream_id="stress",
+    )
+    lists = spark.read.parquet(current_lists_path(index_dir))
+    assert lists.filter(F.col("vec_id").between(200, 202)).count() == 3
+
+
+def test_epoch_dirs_sees_seven_digit_epochs(tmp_path):
+    """Round-7 review: {epoch:06d} pads but never truncates, so epoch
+    10^6 writes 7 digits — the retention GC's directory listing must
+    still see it or every later compaction leaks a corpus copy."""
+    from cdc_rs_spark.streaming.ivf import _epoch_dirs, _lists_path
+
+    for e in (0, 1, 999999, 1000000, 12345678):
+        os.makedirs(_lists_path(str(tmp_path), e))
+    assert [e for e, _ in _epoch_dirs(str(tmp_path))] == [
+        0, 1, 999999, 1000000, 12345678
+    ]
