@@ -579,3 +579,25 @@ def test_exact_substring_spans_matches_python_reference(spark, tmp_path):
     }
     assert got == expect
     assert expect, "vacuous: no planted duplicates found"
+
+
+def test_semantic_cluster_assign_tie_breaks_to_lowest_seed(spark):
+    """Directed tie case: identical anchor vectors produce EQUAL cosines,
+    and the (cos, -seed_id) struct-max must resolve to the LOWEST seed_id
+    — the oracle's row_number(ORDER BY cos DESC, seed_id) contract."""
+    from cdc_rs_spark.operators.dedup import semantic_cluster_assign
+
+    base = [1.0, 0.0, 0.0, 0.0]
+    other = [0.0, 1.0, 0.0, 0.0]
+    rows = [(0, base), (1, base), (2, other), (5, base)]  # seeds: 0,1,2
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in semantic_cluster_assign(df, 3).collect()
+    }
+    # vec 0, 1 and 5 all tie between seeds 0 and 1 (identical anchors):
+    # lowest seed wins every time
+    assert got == {0: 0, 1: 0, 2: 2, 5: 0}

@@ -92,3 +92,54 @@ def test_asof_forward_matches_naive_scan(spark):
     )
     res = {r.lid: r.rid for r in got.collect()}
     assert res == _expected_forward(left, right)
+
+
+def test_top_paths_derived_rank_equals_row_number(spark):
+    """Property (round 7): events_top_paths derives the within-session
+    rank from one sorted pass (rn_user - running_max(is_new * rn_user))
+    — randomized event streams must agree with the naive second
+    row_number window it replaced."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for user in range(8):
+        t = 0
+        for _ in range(rng.randint(1, 40)):
+            t += rng.choice([1, 60, 1799, 1800, 1801, 7200])
+            rows.append((eid, user, t))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lag_ts = F.lag("ts").over(w)
+    is_new = (
+        F.when(lag_ts.isNull(), 1)
+        .when(F.col("ts") - lag_ts > 1800, 1)
+        .otherwise(0)
+    )
+    sess = (
+        df.withColumn("is_new", is_new)
+        .withColumn("rn_user", F.row_number().over(w))
+        .withColumn("session_no", F.sum("is_new").over(wcum))
+        .withColumn(
+            "start_rn",
+            F.max(F.when(F.col("is_new") == 1, F.col("rn_user"))).over(wcum),
+        )
+        .withColumn("rank_derived", F.col("rn_user") - F.col("start_rn") + 1)
+        .withColumn(
+            "rank_naive",
+            F.row_number().over(
+                Window.partitionBy("user_id", "session_no").orderBy(
+                    "ts", "event_id"
+                )
+            ),
+        )
+    )
+    bad = sess.filter(F.col("rank_derived") != F.col("rank_naive")).count()
+    assert bad == 0
