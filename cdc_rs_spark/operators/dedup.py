@@ -338,3 +338,28 @@ def semantic_cluster_assign(emb: DataFrame, k: int) -> DataFrame:
         (-F.col("m.nseed")).alias("cluster_id"),
         F.col("m.emb").alias("embedding"),
     ).withColumn("nrm", F.expr(norm_sql("embedding", None)))
+
+
+SPAN_LEN = 40  # exact-substring window length (chars)
+SPAN_STRIDE = 10  # window stride
+
+
+def doc_spans(
+    d: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Explode each document into its exact-substring windows: SPAN_LEN
+    chars every SPAN_STRIDE (Lee et al. 2021 ExactSubstr sampling; docs
+    shorter than one window contribute nothing). Linear explode —
+    len/stride rows per doc — built JVM-side (sequence + substring, no
+    Python). Shared by the batch report (plans/dedup.py
+    dedup_exact_substring_spans) and the streaming probe
+    (streaming/spans.py)."""
+    return d.filter(F.length(text_col) >= SPAN_LEN).select(
+        id_col,
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {SPAN_LEN - 1}, "
+                f"{SPAN_STRIDE}), i -> substring({text_col}, i, {SPAN_LEN}))"
+            )
+        ).alias("span"),
+    )

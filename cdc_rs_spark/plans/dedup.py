@@ -866,8 +866,11 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- round 7: exact duplicate substring spans (Lee et al. 2021) ------------
 
-SPAN_LEN = 40  # chars per window
-SPAN_STRIDE = 10  # window stride
+from cdc_rs_spark.operators.dedup import (  # noqa: E402 — grouped with its queries
+    SPAN_LEN,
+    SPAN_STRIDE,
+    doc_spans,
+)
 
 
 @register(
@@ -913,18 +916,7 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64(span) with a verify join, and the suffix-array formulation
     would replace stride sampling only if byte-exact span boundaries are
     required."""
-    d = spread(load(spark, sf_dir, "documents")).filter(
-        F.length("text") >= SPAN_LEN
-    )
-    spans = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length(text) - {SPAN_LEN - 1}, "
-                f"{SPAN_STRIDE}), i -> substring(text, i, {SPAN_LEN}))"
-            )
-        ).alias("span"),
-    )
+    spans = doc_spans(spread(load(spark, sf_dir, "documents")))
     pair = spans.groupBy("span", "doc_id").agg(F.count("*").alias("k"))
     freq = pair.groupBy("span").agg(F.count("*").alias("nd"))
     dup_k = F.sum(F.when(F.col("nd") >= 2, F.col("k")).otherwise(F.lit(0)))

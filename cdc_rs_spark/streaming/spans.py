@@ -1,0 +1,105 @@
+"""Incremental (streaming) exact-substring dedup against a persisted span
+store — the ingestion-time shape of dedup_exact_substring_spans (Lee et
+al. 2021 ExactSubstr), same pattern as streaming/dedup.py's persisted LSH
+band store: documents arrive as a stream, each micro-batch's windows are
+checked against the EXISTING corpus' windows plus the batch's own
+cross-document collisions, and the batch's windows are appended so later
+batches are caught.
+
+The persisted index is one relation:
+  - span store: (span, doc_id) rows — each document's SPAN_LEN-char
+    windows at SPAN_STRIDE (operators/dedup.py doc_spans), DISTINCT per
+    (span, doc_id).
+
+Scale: per micro-batch work is |batch| x len/stride skinny rows joined
+against the store on span — never a corpus self-scan; the store grows
+append-only. At warehouse scale the store is bucketed by span hash so
+the probe join co-locates, and the stored key becomes xxhash64(span)
+with a verify join (same note as the batch query). Idempotence: the
+probe is EXISTENCE-based (semi-join on another doc's span), so an
+at-least-once replay appending duplicate (span, doc_id) rows cannot
+change any report.
+
+No counterpart in the reference (its stream is CDC rows, not documents) —
+this is the EXTENSION family's streaming form.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.operators.dedup import doc_spans
+
+
+def probe_spans_against_store(
+    new_docs: DataFrame, span_store: DataFrame
+) -> DataFrame:
+    """Batch core of the incremental check: window the new docs and count,
+    per document, the windows that exist under ANOTHER doc_id — in the
+    persisted store or elsewhere in this batch. Returns (doc_id, n_spans,
+    n_dup_spans, dup_frac) for affected docs, the same report shape as
+    the batch query. Pure DataFrame logic — usable in batch or inside
+    foreachBatch.
+
+    Shape: one aggregate to (span, doc_id) counts; the store probe is a
+    per-span (min_doc, max_doc) aggregate joined 1:1 — existence of
+    ANOTHER doc is `matched and not (min==max==this doc)`, so a
+    boilerplate span stored under a million docs joins as ONE row instead
+    of exploding (the skew case a plain store join would hit), and a
+    replayed doc can never match its own stored spans."""
+    spans = doc_spans(new_docs)
+    pair = spans.groupBy("span", "doc_id").agg(F.count("*").alias("k"))
+    # intra-batch: how many batch docs carry each span
+    batch_freq = pair.groupBy("span").agg(F.count("*").alias("nd_batch"))
+    store_agg = span_store.groupBy("span").agg(
+        F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max")
+    )
+    joined = pair.join(store_agg, "span", "left").join(batch_freq, "span")
+    in_store = F.col("d_min").isNotNull() & ~(
+        (F.col("d_min") == F.col("doc_id"))
+        & (F.col("d_max") == F.col("doc_id"))
+    )
+    dup = in_store | (F.col("nd_batch") >= 2)
+    dup_k = F.sum(F.when(dup, F.col("k")).otherwise(F.lit(0)))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_spans"),
+            dup_k.cast("bigint").alias("n_dup_spans"),
+            F.round(dup_k.cast("double") / F.sum("k"), 6).alias("dup_frac"),
+        )
+        .filter(F.col("n_dup_spans") > 0)
+    )
+
+
+def spans_foreach_batch(
+    span_store_path: str,
+    on_report: Callable[[DataFrame, int], None] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch form: per micro-batch of (doc_id, text), probe the
+    parquet span store, hand the duplication report to
+    `on_report(df, batch_id)`, then append the batch's own DISTINCT
+    (span, doc_id) rows so later batches (and later duplicates of these
+    docs) are caught. Existence semantics make replays idempotent —
+    duplicate store rows from an at-least-once redelivery cannot flip
+    any report (and a replayed doc never matches its own stored spans,
+    so it is not suddenly reported as a duplicate of itself)."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        store = spark.read.parquet(span_store_path)
+        report = probe_spans_against_store(batch_df, store)
+        if on_report is not None:
+            on_report(report, batch_id)
+        (
+            doc_spans(batch_df)
+            .select("span", "doc_id")
+            .distinct()
+            .write.mode("append")
+            .parquet(span_store_path)
+        )
+
+    return fn
