@@ -522,9 +522,16 @@ def append_batch(
     legacy_key = (
         None if batch_id is None else f"{stream_id or 'b'}:{batch_id}"
     )
-    if batch_key is not None and meta.get("last_batch") in (
-        batch_key,
-        legacy_key,
+    # committed-batch LEDGER (round-7 review): one entry per stream with
+    # the highest committed batch id. It widens the skip-guard from "the
+    # very last batch" to "any batch at or below the stream's commit
+    # line" — required once compaction collapses committed ingest tags
+    # (below), because a replay of an older batch can no longer find its
+    # tag directories to purge and MUST be skipped instead.
+    ledger = meta.get("last_batch_by_stream") or {}
+    if batch_key is not None and (
+        meta.get("last_batch") in (batch_key, legacy_key)
+        or int(batch_id) <= int(ledger.get(stream_id or "b", -1))
     ):
         return {
             "batch_rows": 0,
@@ -612,6 +619,10 @@ def append_batch(
         retrained = True
     if batch_key is not None:
         meta["last_batch"] = batch_key
+        led = dict(meta.get("last_batch_by_stream") or {})
+        skey = stream_id or "b"
+        led[skey] = max(int(led.get(skey, -1)), int(batch_id))
+        meta["last_batch_by_stream"] = led
     _write_meta(index_dir, meta)
     _gc_samples(index_dir, new_seq)
     return {
@@ -812,10 +823,17 @@ def compact_index(
     (ivf_foreach_batch does) or with ingest paused, exactly like a table
     OPTIMIZE.
 
-    Rows KEEP their original ingest tags through the rewrite: a crashed
-    append's partial residue must stay purgeable by the retry's
-    _purge_ingest in the new epoch — rewriting it under one 'compact'
-    tag would launder it into unpurgeable duplicates (round-7 review)."""
+    Ingest-tag policy through the rewrite (round-7 review, both halves):
+    tags of COMMITTED batches (at or below their stream's ledger line,
+    plus init/compact/superseded seq tags) collapse into one 'compact'
+    partition — preserving every per-batch tag forever would leave the
+    compacted epoch with O(n_batches x n_centroids) directories and
+    probes opening thousands of tiny files, defeating the OPTIMIZE.
+    Tags ABOVE the commit line (a crashed append's residue, which a
+    retry will purge) and unparseable legacy tags are preserved, so the
+    retry's _purge_ingest still finds them in the new epoch; replays of
+    collapsed batches are skipped outright by append_batch's ledger
+    guard instead of relying on a purge."""
     _recover_lists(index_dir)
     meta = _read_meta(index_dir)
     version = int(meta["version"])
@@ -829,6 +847,35 @@ def compact_index(
         "vec_id", "embedding", "ingest"
     )
     assigned = _assign_to_centroids(rows, cents_b, dim, keep=("ingest",))
+    # collapse committed tags, preserve possibly-retryable ones (policy
+    # in the docstring). Tag grammar: '{stream}-{id}' (stream contains no
+    # '-', enforced by _validate_stream_id), 'seq-{n}', 'init',
+    # 'compact', or an unparseable legacy tag.
+    sample_seq = int(meta.get("sample_seq", 0))
+    ledger = meta.get("last_batch_by_stream") or {}
+    sid = F.regexp_extract("ingest", r"^(.+)-(\d+)$", 1)
+    bid = F.regexp_extract("ingest", r"^(.+)-(\d+)$", 2)
+    bid_i = F.when(bid != F.lit(""), bid.cast("bigint"))
+    if ledger:
+        commap = F.create_map(
+            *[
+                x
+                for k, v in sorted(ledger.items())
+                for x in (F.lit(k), F.lit(int(v)))
+            ]
+        )
+        committed = F.coalesce(F.element_at(commap, sid), F.lit(-1))
+    else:
+        committed = F.lit(-1)
+    keep_tag = (
+        F.when(F.col("ingest").isin("init", "compact"), F.lit(False))
+        .when(sid == F.lit(""), F.lit(True))  # legacy/unknown: preserve
+        .when(sid == F.lit("seq"), bid_i > F.lit(sample_seq))
+        .otherwise(bid_i > committed)
+    )
+    assigned = assigned.withColumn(
+        "ingest", F.when(keep_tag, F.col("ingest")).otherwise(F.lit("compact"))
+    )
     new_epoch = epoch + 1
     from pyspark.sql import Observation
 
@@ -850,12 +897,20 @@ def compact_index(
     meta = _read_meta(index_dir)
     meta["lists_epoch"] = new_epoch  # THE publish point (atomic replace)
     _write_meta(index_dir, meta)
-    # collapse centroid generations to the survivor — strictly after the
-    # flip, so (cents-then-epoch) probe snapshots can never pair collapsed
-    # centroids with a pre-compact epoch
+    # collapse centroid generations — strictly after the flip, so
+    # (cents-then-epoch) probe snapshots can never pair collapsed
+    # centroids with a pre-compact epoch. Generations NEWER than the
+    # compacted one are preserved: under the writer-exclusive contract
+    # none exist, but if an out-of-band compact ever races a retrain,
+    # dropping the racing generation would leave the index's live
+    # version with zero centroids (round-7 review) — keeping it degrades
+    # the race to a stale-but-consistent index instead.
+    newer = [
+        r for r in load_centroids(index_dir) if int(r["version"]) > version
+    ]
     _write_cents(
         index_dir,
-        [{"version": version, **r} for r in cents_rows],
+        [{"version": version, **r} for r in cents_rows] + newer,
         append=False,
     )
     import shutil

@@ -54,8 +54,18 @@ def probe_spans_against_store(
     pair = spans.groupBy("span", "doc_id").agg(F.count("*").alias("k"))
     # intra-batch: how many batch docs carry each span
     batch_freq = pair.groupBy("span").agg(F.count("*").alias("nd_batch"))
-    store_agg = span_store.groupBy("span").agg(
-        F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max")
+    # restrict the store scan to the BATCH's spans before aggregating:
+    # without the broadcast semi-filter the min/max aggregate hashes the
+    # whole append-only store every micro-batch — O(|store|) per batch,
+    # O(stream^2) over its life (round-7 review). The filter keys are
+    # batch-bounded, so the aggregate state is too; parquet row groups
+    # whose span range misses the batch are skipped at scan time once the
+    # store is written sorted/bucketed by span.
+    batch_spans = F.broadcast(pair.select("span").distinct())
+    store_agg = (
+        span_store.join(batch_spans, "span")
+        .groupBy("span")
+        .agg(F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max"))
     )
     joined = pair.join(store_agg, "span", "left").join(batch_freq, "span")
     in_store = F.col("d_min").isNotNull() & ~(

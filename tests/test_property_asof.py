@@ -143,3 +143,73 @@ def test_top_paths_derived_rank_equals_row_number(spark):
     )
     bad = sess.filter(F.col("rank_derived") != F.col("rank_naive")).count()
     assert bad == 0
+
+
+def test_events_top_paths_equals_naive_double_window(spark):
+    """Round-7 review: the derived-rank property must be checked against
+    the PRODUCTION function, not a private copy of its formula — run
+    events_top_paths on the real fixture and compare to a naive
+    reimplementation that uses the second (user_id, session_no)
+    row_number window the optimized form replaced."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cdc_rs_spark.functions.timeutil import epoch_us
+    from cdc_rs_spark.plans.events import (
+        PATH_GAP_MIN,
+        PATH_PREFIX,
+        PATH_TOP,
+        events_top_paths,
+    )
+    from cdc_rs_spark.session import load
+    from tests.conftest import SF_DIR
+
+    got = [tuple(r) for r in events_top_paths(spark, SF_DIR).collect()]
+
+    e = load(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    is_new = (
+        F.when(lag_ts.isNull(), 1)
+        .when(
+            epoch_us("ts") - epoch_us(lag_ts)
+            > PATH_GAP_MIN * 60 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+    )
+    sess = e.withColumn("is_new", is_new).withColumn(
+        "session_no",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    )
+    head = sess.withColumn("rn", rn).filter(F.col("rn") <= PATH_PREFIX)
+    paths = head.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    want = [
+        tuple(r)
+        for r in paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATH_TOP)
+        .collect()
+    ]
+    assert got == want and len(got) > 0

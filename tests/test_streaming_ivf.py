@@ -796,3 +796,54 @@ def test_epoch_dirs_sees_seven_digit_epochs(tmp_path):
     assert [e for e, _ in _epoch_dirs(str(tmp_path))] == [
         0, 1, 999999, 1000000, 12345678
     ]
+
+
+def test_compaction_collapses_committed_tags_and_ledger_skips_replays(
+    spark, tmp_path
+):
+    """Round-7 review (second pass): committed ingest tags collapse into
+    ONE 'compact' partition (no O(n_batches) directory growth across
+    compactions), and a replay of a collapsed batch is SKIPPED by the
+    ledger guard instead of purging tags that no longer exist — no
+    duplicates either way."""
+    from cdc_rs_spark.streaming.ivf import current_lists_path
+
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 4), A) + _vecs(range(10, 14), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=8, dim=DIM)
+    for b in (0, 1):
+        append_batch(
+            spark, _df(spark, _vecs(range(100 + 3 * b, 103 + 3 * b), A)),
+            index_dir, retrain_ratio=1e9, drift_margin=10.0, dim=DIM,
+            batch_id=b, stream_id="run",
+        )
+    compact_index(spark, index_dir, dim=DIM)
+
+    lists_path = current_lists_path(index_dir)
+    tags = {
+        r["ingest"]
+        for r in spark.read.parquet(lists_path).select("ingest").distinct().collect()
+    }
+    assert tags == {"compact"}, tags  # init + run-0 + run-1 all collapsed
+
+    # replay of the collapsed batch 0: ledger says committed -> skipped
+    s = append_batch(
+        spark, _df(spark, _vecs(range(100, 103), A)), index_dir,
+        retrain_ratio=1e9, drift_margin=10.0, dim=DIM,
+        batch_id=0, stream_id="run",
+    )
+    assert s.get("skipped_duplicate") is True
+    lists = spark.read.parquet(current_lists_path(index_dir))
+    assert lists.filter(F.col("vec_id").between(100, 105)).count() == 6
+    # a genuinely NEW batch still lands normally
+    append_batch(
+        spark, _df(spark, _vecs(range(300, 302), A)), index_dir,
+        retrain_ratio=1e9, drift_margin=10.0, dim=DIM,
+        batch_id=2, stream_id="run",
+    )
+    assert (
+        spark.read.parquet(current_lists_path(index_dir))
+        .filter(F.col("vec_id") >= 300)
+        .count()
+        == 2
+    )

@@ -117,4 +117,6 @@ def test_streaming_end_to_end_file_source(spark, tmp_path):
     q.awaitTermination(240)
     assert len(seen) == 2
     flagged = {d for _, rep in seen for d in rep}
-    assert flagged == {2}  # whichever order, only the second arrival flags
+    # file-source batch order is timestamp-based and may tie — the
+    # order-free property is that EXACTLY the second arrival is flagged
+    assert len(flagged) == 1 and flagged <= {1, 2}, seen
