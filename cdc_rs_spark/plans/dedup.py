@@ -930,3 +930,67 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_dup_spans") > 0)
     )
+
+
+def _span_store_probe_oracle() -> str:
+    win = (
+        f"unnest(list_transform(range(1, length(text) - {SPAN_LEN - 2}, "
+        f"{SPAN_STRIDE}), i -> substr(text, i, {SPAN_LEN})))"
+    )
+    return f"""
+    WITH store_spans AS (
+        SELECT DISTINCT doc_id, span FROM (
+            SELECT doc_id, {win} AS span
+            FROM documents WHERE doc_id % 2 = 0 AND length(text) >= {SPAN_LEN}
+        )
+    ),
+    batch_spans AS (
+        SELECT doc_id, {win} AS span
+        FROM documents WHERE doc_id % 2 = 1 AND length(text) >= {SPAN_LEN}
+    ),
+    pair AS (SELECT span, doc_id, COUNT(*) AS k FROM batch_spans GROUP BY 1, 2),
+    batch_freq AS (SELECT span, COUNT(*) AS nd_batch FROM pair GROUP BY 1),
+    store_agg AS (
+        SELECT span, MIN(doc_id) AS d_min, MAX(doc_id) AS d_max
+        FROM store_spans GROUP BY 1
+    ),
+    joined AS (
+        SELECT pair.doc_id, pair.k,
+               (store_agg.d_min IS NOT NULL
+                AND NOT (store_agg.d_min = pair.doc_id
+                         AND store_agg.d_max = pair.doc_id))
+               OR batch_freq.nd_batch >= 2 AS dup
+        FROM pair LEFT JOIN store_agg USING (span)
+                  JOIN batch_freq USING (span)
+    )
+    SELECT doc_id,
+           CAST(SUM(k) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN dup THEN k ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           ROUND(SUM(CASE WHEN dup THEN k ELSE 0 END)::DOUBLE / SUM(k), 6)
+               AS dup_frac
+    FROM joined GROUP BY doc_id
+    HAVING SUM(CASE WHEN dup THEN k ELSE 0 END) > 0
+    """
+
+
+@register("dedup_span_store_probe", oracle=_span_store_probe_oracle())
+def dedup_span_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch core of streaming/spans.py exercised as an oracle-checked
+    query: even-doc_id documents play the persisted span STORE, odd ones
+    the arriving micro-BATCH, and the report is the incremental
+    duplicated-span audit (n_spans / n_dup_spans / dup_frac per affected
+    batch doc — duplicated = the span exists in the store or in another
+    batch doc). Same scale shape as the streaming form: one (span,
+    doc_id) aggregate, a broadcast semi-filter before the store's
+    (min_doc, max_doc) existence aggregate (no row explosion on
+    boilerplate spans, no full-store rehash per batch)."""
+    from cdc_rs_spark.streaming.spans import probe_spans_against_store
+
+    d = load(spark, sf_dir, "documents")
+    store = (
+        doc_spans(spread(d.filter(F.col("doc_id") % 2 == 0)))
+        .select("span", "doc_id")
+        .distinct()
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    return probe_spans_against_store(batch, store)

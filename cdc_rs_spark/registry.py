@@ -88,6 +88,7 @@ _DRIVER_WINDOW = [
     # mining)
     "dedup_semantic_clustered",
     "dedup_exact_substring_spans",
+    "dedup_span_store_probe",
     "events_top_paths",
     # changed this round (re-pin)
     "rhai_script_closure_while_scoring",
@@ -135,7 +136,9 @@ _DRIVER_WINDOW = [
     "events_weekly_retention",
     "events_debounce",
     "events_user_growth_accounting",
-    "multimodal_video_frames",
+    # (multimodal_video_frames gave its slot to dedup_span_store_probe —
+    # the multimodal family keeps image_decode pinned; video_frames stays
+    # locally hash-verified)
     "multimodal_image_decode",
     "text_bpe_token_estimate",
     "text_repetition_stats",

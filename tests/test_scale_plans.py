@@ -686,3 +686,18 @@ def test_top_paths_is_take_ordered_not_global_sort(spark):
     plan = _physical_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_store_probe_semifilters_before_store_aggregate(spark):
+    """dedup_span_store_probe / streaming spans: the store side must be
+    broadcast-semi-filtered to the batch's spans BEFORE its (min_doc,
+    max_doc) aggregate — the aggregate state stays batch-bounded instead
+    of rehashing the whole store (round-7 review) — and the whole plan
+    stays JVM-side."""
+    from cdc_rs_spark.plans.dedup import dedup_span_store_probe
+
+    df = dedup_span_store_probe(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan  # the batch-spans semi filter
+    assert "partial_min" in plan and "partial_max" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
