@@ -872,15 +872,20 @@ from cdc_rs_spark.operators.dedup import (  # noqa: E402 — grouped with its qu
     doc_spans,
 )
 
+# the ONE DuckDB form of the stride windowing, shared by both span
+# oracles (second-pass review: the range-exclusive "SPAN_LEN - 2" stop
+# bound is subtle enough that two inlined copies could silently diverge)
+_SPAN_WIN_SQL = (
+    f"unnest(list_transform(range(1, length(text) - {SPAN_LEN - 2}, "
+    f"{SPAN_STRIDE}), i -> substr(text, i, {SPAN_LEN})))"
+)
+
 
 @register(
     "dedup_exact_substring_spans",
     oracle=f"""
     WITH spans AS (
-        SELECT doc_id,
-               unnest(list_transform(
-                   range(1, length(text) - {SPAN_LEN - 2}, {SPAN_STRIDE}),
-                   i -> substr(text, i, {SPAN_LEN}))) AS span
+        SELECT doc_id, {_SPAN_WIN_SQL} AS span
         FROM documents WHERE length(text) >= {SPAN_LEN}
     ),
     pair AS (SELECT span, doc_id, COUNT(*) AS k FROM spans GROUP BY 1, 2),
@@ -933,10 +938,7 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _span_store_probe_oracle() -> str:
-    win = (
-        f"unnest(list_transform(range(1, length(text) - {SPAN_LEN - 2}, "
-        f"{SPAN_STRIDE}), i -> substr(text, i, {SPAN_LEN})))"
-    )
+    win = _SPAN_WIN_SQL
     return f"""
     WITH store_spans AS (
         SELECT DISTINCT doc_id, span FROM (

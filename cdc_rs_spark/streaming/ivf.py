@@ -500,10 +500,16 @@ def append_batch(
     read. Returns stats: {batch_rows, version, retrained, mean_cos}.
 
     `batch_id` (foreachBatch's epoch) makes retries IDEMPOTENT (round-6
-    review: foreachBatch is at-least-once): a batch whose id equals the
-    committed `last_batch` is skipped outright, and a retry of a batch
-    that crashed mid-append first purges its own ingest partition
-    directories before re-appending — no duplicate vectors either way.
+    review: foreachBatch is at-least-once): a batch at or below its
+    stream's committed ledger line (`last_batch_by_stream`, round 7 —
+    required once compaction collapses committed ingest tags, whose
+    purge directories then no longer exist) or equal to the committed
+    `last_batch` is skipped outright, and a retry of a batch that
+    crashed mid-append first purges its own ingest partition directories
+    before re-appending — no duplicate vectors either way. Corollary for
+    direct callers: batch ids must be MONOTONIC per stream (foreachBatch
+    epochs are); re-submitting an older id is treated as a replay and
+    dropped, not re-indexed.
     `stream_id` namespaces the tags: epoch ids RESET when a stream is
     restarted with a fresh checkpoint, and without a namespace the new
     run's batch 0 would purge the old run's committed batch-0 rows

@@ -55,13 +55,15 @@ def probe_spans_against_store(
     # intra-batch: how many batch docs carry each span
     batch_freq = pair.groupBy("span").agg(F.count("*").alias("nd_batch"))
     # restrict the store scan to the BATCH's spans before aggregating:
-    # without the broadcast semi-filter the min/max aggregate hashes the
-    # whole append-only store every micro-batch — O(|store|) per batch,
-    # O(stream^2) over its life (round-7 review). The filter keys are
-    # batch-bounded, so the aggregate state is too; parquet row groups
-    # whose span range misses the batch are skipped at scan time once the
-    # store is written sorted/bucketed by span.
-    batch_spans = F.broadcast(pair.select("span").distinct())
+    # without the semi-filter the min/max aggregate hashes the whole
+    # append-only store every micro-batch — O(|store|) per batch,
+    # O(stream^2) over its life (round-7 review). No forced broadcast
+    # hint: a micro-batch's distinct spans sit far under the
+    # auto-broadcast threshold so the planner broadcasts them anyway,
+    # while a corpus-sized caller (dedup_span_store_probe hands half the
+    # fixture as the "batch") degrades to a shuffled semi-join instead
+    # of blowing the 8 GB broadcast limit (second-pass review).
+    batch_spans = pair.select("span").distinct()
     store_agg = (
         span_store.join(batch_spans, "span")
         .groupBy("span")

@@ -364,11 +364,14 @@ def test_ingest_tags_cannot_alias_across_streams(spark, tmp_path):
         retrain_ratio=1e9, drift_margin=10.0, dim=DIM,
         batch_id=12, stream_id="a",
     )
-    # simulate a RETRY of ('a', 12): clear last_batch so the skip-guard
-    # doesn't short-circuit, forcing the retry down the purge path
+    # simulate a RETRY of ('a', 12): rewind BOTH skip-guards — the legacy
+    # last_batch AND the per-stream ledger (second-pass review: leaving
+    # the ledger at 12 short-circuits the retry with skipped_duplicate
+    # and the purge path this test exists to exercise never runs)
     meta_path = os.path.join(index_dir, "_ivf_meta.json")
     meta = json.loads(open(meta_path).read())
     meta["last_batch"] = None
+    meta["last_batch_by_stream"]["a"] = 11
     with open(meta_path, "w") as fh:
         fh.write(json.dumps(meta))
     append_batch(
