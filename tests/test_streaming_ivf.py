@@ -850,3 +850,92 @@ def test_compaction_collapses_committed_tags_and_ledger_skips_replays(
         .count()
         == 2
     )
+
+
+def test_exactly_once_random_walk_across_compactions(spark, tmp_path):
+    """Model-based walk over the ledger/tag-collapse machinery (round-7
+    second pass): a seeded random sequence of appends, replays,
+    crash-then-retry batches and compactions, with the EXACTLY-ONCE
+    invariant checked after every step — every committed vector appears
+    exactly once in the live epoch, regardless of how tags were
+    collapsed, residue was purged, or replays were skipped."""
+    import collections
+    import random
+
+    from cdc_rs_spark.operators.similarity import _assign_to_centroids
+    from cdc_rs_spark.streaming.ivf import (
+        _append_lists,
+        _lists_path,
+        _read_meta,
+        current_lists_path,
+        load_centroids,
+    )
+
+    rng = random.Random(11)
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 4), A) + _vecs(range(10, 14), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=8, dim=DIM)
+    model = collections.Counter(list(range(0, 4)) + list(range(10, 14)))
+
+    def do_append(ids, bid):
+        append_batch(
+            spark, _df(spark, _vecs(ids, A)), index_dir,
+            retrain_ratio=1e9, drift_margin=10.0, dim=DIM,
+            batch_id=bid, stream_id="walk",
+        )
+
+    committed: list[tuple[int, list[int]]] = []
+    next_id, bid, n_compacts = 100, 0, 0
+    for step in range(14):
+        op = rng.choices(
+            ["append", "replay", "crash_retry", "compact"],
+            weights=[4, 2, 3, 3],
+        )[0]
+        if op == "append":
+            ids = list(range(next_id, next_id + 3))
+            next_id += 10
+            do_append(ids, bid)
+            committed.append((bid, ids))
+            model.update(ids)
+            bid += 1
+        elif op == "replay" and committed:
+            rb, rids = committed[rng.randrange(len(committed))]
+            do_append(rids, rb)  # must be skipped or purge-idempotent
+        elif op == "crash_retry":
+            ids = list(range(next_id, next_id + 3))
+            next_id += 10
+            # simulate a crashed attempt: partial rows under this batch's
+            # tag, meta never committed
+            cents_rows = load_centroids(
+                index_dir, int(_read_meta(index_dir)["version"])
+            )
+            cents_b = spark.createDataFrame(
+                [(r["cent_id"], list(r["c_emb"])) for r in cents_rows],
+                "cent_id bigint, c_emb array<double>",
+            )
+            _append_lists(
+                _assign_to_centroids(
+                    _df(spark, _vecs(ids[:2], A)), cents_b, DIM
+                ),
+                current_lists_path(index_dir),
+                int(_read_meta(index_dir)["version"]),
+                f"walk-{bid}",
+            )
+            do_append(ids, bid)  # the retry
+            committed.append((bid, ids))
+            model.update(ids)
+            bid += 1
+        else:
+            compact_index(spark, index_dir, dim=DIM)
+            n_compacts += 1
+        got = collections.Counter(
+            r["vec_id"]
+            for r in spark.read.parquet(current_lists_path(index_dir))
+            .select("vec_id")
+            .collect()
+        )
+        assert got == model, (
+            f"step {step} op {op}: "
+            f"extra={got - model} missing={model - got}"
+        )
+    assert n_compacts >= 2 and len(committed) >= 4  # the walk was real
