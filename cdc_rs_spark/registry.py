@@ -90,6 +90,7 @@ _DRIVER_WINDOW = [
     "dedup_exact_substring_spans",
     "dedup_span_store_probe",
     "events_top_paths",
+    "part_triangle_count",
     # changed this round (re-pin)
     "rhai_script_closure_while_scoring",
     "rhai_script_array_loop_scoring",
@@ -143,7 +144,8 @@ _DRIVER_WINDOW = [
     "text_bpe_token_estimate",
     "text_repetition_stats",
     "text_boilerplate_ngrams",
-    "text_char_gini_score",
+    # (text_char_gini_score gave its slot to part_triangle_count — the
+    # text family keeps five other pins; gini stays locally hash-verified)
     "text_langid_confusion",
     "data_mix_by_source",
     "feature_hashing_buckets",

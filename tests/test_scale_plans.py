@@ -701,3 +701,18 @@ def test_span_store_probe_semifilters_before_store_aggregate(spark):
     assert "BroadcastHashJoin" in plan, plan  # the batch-spans semi filter
     assert "partial_min" in plan and "partial_max" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangle_count_is_take_ordered_and_jvm_pure(spark):
+    """part_triangle_count: the top-10 must plan as TakeOrderedAndProject
+    (never a global sort of the per-node table) and the whole pipeline
+    stays JVM-side; the edge list is checkpoint-materialized once (the
+    pagerank discipline), so the four consumers plan against an RDD scan
+    instead of re-running the order self-join."""
+    from cdc_rs_spark.plans.relational2 import part_triangle_count
+
+    df = part_triangle_count(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan  # the checkpointed edge list
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
