@@ -1,10 +1,11 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-COMPACT JSON line on stdout: {"metric", "value", "unit", "queries" (warm,
-2 dp), "sf", "n_queries", "worst5", "note"} — sized to survive the
-driver's tail-capture window whole (round 7; the former giant line left
-BENCH_r*.json with parsed:null). The full detail (3 dp warm, cold
-samples, noise spreads) goes to $SPARK_GRAFT_BENCH_DETAIL (default
+SUMMARY-ONLY JSON line on stdout: {"metric", "value", "unit", "sf",
+"n_queries", "worst5", "note"} — under 1 KB so the driver's tail-capture
+window always holds it whole (rounds 7-8; lines that embedded the
+per-query dict were clipped mid-dict, leaving BENCH_r*.json with
+parsed:null). The per-query table and full detail (3 dp warm, cold
+samples, noise spreads) go to $SPARK_GRAFT_BENCH_DETAIL (default
 ./BENCH_DETAIL.json) and stderr.
 
 Each query is forced through full execution with the noop sink (count()
@@ -133,17 +134,17 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     worst5 = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
-    # STDOUT carries ONE compact JSON line (VERDICT r6 next #5: the
-    # driver keeps only a tail window of stdout, and the former giant
-    # line — three 180-entry dicts — overflowed it mid-line, leaving
-    # BENCH_r*.json unparseable). Per-query warm times at 2 dp keep the
-    # line a few KB; cold samples and noise spreads move to the DETAIL
-    # artifact + stderr.
+    # STDOUT carries ONE compact SUMMARY-ONLY JSON line (<1 KB). Round 8,
+    # VERDICT r7 next #4: the driver keeps only a TAIL window of stdout,
+    # and even the round-7 "compact" line still embedded the full
+    # per-query dict (~6 KB) — the window clipped it mid-dict and
+    # BENCH_r*.json stayed parsed:null. The per-query table now lives
+    # ONLY in the DETAIL artifact ($SPARK_GRAFT_BENCH_DETAIL) + stderr;
+    # stdout's one short line always fits the tail whole.
     compact = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": float(sf) if sf else sf_dir,
         "n_queries": len(timings),
         "runs_per_query": n_runs,
@@ -154,8 +155,10 @@ def main() -> None:
         # suite purges memos per query, so these numbers are memo-free;
         # a driver tail that shows one big similarity time is the memo
         # build, not a plan regression.
-        "note": "similarity family: first query per session pays the "
-        "exact-baseline memo build; details in BENCH_NOTES.md",
+        "note": "per-query table in BENCH_DETAIL.json (stdout is "
+        "summary-only so the driver tail parses whole); similarity "
+        "family: first query per session pays the exact-baseline memo "
+        "build, see BENCH_NOTES.md",
     }
     detail = {
         **compact,

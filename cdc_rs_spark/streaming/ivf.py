@@ -27,7 +27,8 @@ Index directory layout (parquet + one JSON sidecar):
                       batch, keep the smallest TRAIN_CAP), so a re-train
                       reads TRAIN_CAP rows at ANY corpus size
   _ivf_meta.json      {version, trained_on, appended_since_train,
-                      base_cos, sample_seq}
+                      base_cos, sample_seq, seq_committed,
+                      last_batch_by_stream}
 
 Scale contract (the whole point):
   - append_batch touches |batch| rows (assignment is the broadcast-argmax
@@ -444,6 +445,7 @@ def init_index(
         "appended_since_train": 0,
         "base_cos": _mean_assign_cos(sample_rows, cents),
         "sample_seq": 0,
+        "seq_committed": 0,
         "last_batch": None,
     }
     _write_meta(index_dir, meta)
@@ -565,10 +567,27 @@ def append_batch(
     # deletes ANOTHER run's committed rows); the batch-less path gets the
     # reserved 'seq-' prefix, and _validate_stream_id rejects stream ids
     # that contain the separator or shadow a reserved prefix.
+    #
+    # Batch-less tag numbering rides its OWN committed watermark
+    # (`seq_committed`), NOT the reservoir's sample_seq (round-8 review):
+    # sample_seq advances on EVERY append, so a crashed batch-less
+    # attempt's tag (seq-{s+1}) could be overtaken by interleaved
+    # batch-id'd appends — the retry would recompute a DIFFERENT tag and
+    # miss its own residue, and compaction would launder the orphan into
+    # the permanent 'compact' partition once sample_seq passed it. The
+    # watermark only advances when a batch-less append COMMITS, so a
+    # retry always recomputes the same tag (purge finds the residue),
+    # and compact_index collapses only seq tags at or below the
+    # watermark — uncommitted residue stays purgeable in the new epoch.
+    # Legacy indexes (no seq_committed in meta) inherit sample_seq as
+    # the watermark: every legacy seq tag was numbered <= sample_seq at
+    # commit time, and new tags start strictly above it.
+    seq_committed = int(meta.get("seq_committed", meta["sample_seq"]))
+    tag_seq = seq_committed + 1
     ingest = (
         f"{stream_id or 'b'}-{batch_id}"
         if batch_id is not None
-        else f"seq-{new_seq}"
+        else f"seq-{tag_seq}"
     )
     _purge_ingest(lists_path, ingest)  # residue of a crashed prior attempt
     if batch_id is not None:
@@ -629,6 +648,10 @@ def append_batch(
         skey = stream_id or "b"
         led[skey] = max(int(led.get(skey, -1)), int(batch_id))
         meta["last_batch_by_stream"] = led
+    # persist the batch-less commit watermark: advance it on a batch-less
+    # commit, and pin the legacy-inherited value on any other append so
+    # the upgrade point can't drift with later sample_seq growth
+    meta["seq_committed"] = tag_seq if batch_id is None else seq_committed
     _write_meta(index_dir, meta)
     _gc_samples(index_dir, new_seq)
     return {
@@ -656,17 +679,35 @@ def probe_index(
     generation are probed under THAT generation's geometry, so a re-train
     never silently orphans them. `queries` must have (query_id, q_emb).
 
-    Snapshot discipline vs a concurrent compaction: centroids are read
-    FIRST, the lists epoch second. compact_index publishes in the
-    opposite order (new epoch flip, THEN centroid collapse), so every
-    interleaving leaves this probe with a centroid set that is a
-    SUPERSET of the generations its snapshotted epoch stores — a probe
-    leg for a generation the epoch lacks scans an empty partition and
-    contributes nothing; rows are never missed, files never vanish
-    (superseded epochs are retained for `keep_epochs` further
-    compactions, Iceberg-style snapshot expiry)."""
+    Snapshot discipline vs a concurrent compaction (compare-and-retry,
+    round-8 review): the lists epoch is read FIRST, centroids second,
+    and the epoch is RE-READ after the centroid load — if it moved, a
+    compaction published between the reads and the pair is retaken.
+    A stable epoch across the centroid load guarantees the centroid
+    snapshot is a SUPERSET of the generations that epoch stores: rows
+    are only ever assigned under a generation whose centroids were
+    written first (append_batch/init), and compact_index collapses the
+    sidecar strictly AFTER its epoch flip — which the re-read would
+    have caught. The previous order (centroids first, epoch second) had
+    a hole: a retrain + compaction completing BETWEEN the two reads
+    left the new epoch's rows under a generation the stale centroid
+    snapshot lacked, and the probe silently scanned nothing. A probe
+    leg for a generation the epoch lacks still scans an empty partition
+    and contributes nothing; files never vanish mid-scan (superseded
+    epochs are retained for `keep_epochs` further compactions,
+    Iceberg-style snapshot expiry)."""
     _recover_lists(index_dir)
-    cents_rows = load_centroids(index_dir)
+    for _ in range(8):
+        epoch = int(_read_meta(index_dir).get("lists_epoch", 0))
+        cents_rows = load_centroids(index_dir)
+        if int(_read_meta(index_dir).get("lists_epoch", 0)) == epoch:
+            break
+    else:  # 8 compactions during 8 snapshot attempts: not a live race
+        raise RuntimeError(
+            f"probe_index could not take a stable (epoch, centroids) "
+            f"snapshot of {index_dir}: the lists epoch moved on every "
+            "of 8 attempts (is a compaction loop running unpaced?)"
+        )
     by_version: dict[int, list] = {}
     for r in cents_rows:
         by_version.setdefault(int(r["version"]), []).append(r)
@@ -693,7 +734,7 @@ def probe_index(
         probe_rows,
         "version bigint, cent_id bigint, query_id bigint, q_emb array<float>",
     )
-    lists = spark.read.parquet(_current_lists(index_dir)[1])
+    lists = spark.read.parquet(_lists_path(index_dir, epoch))
     # STATIC partition pruning: the probed (version, cent_id) pairs are
     # known driver-side (they were just computed), so push them as a
     # literal disjunction — the scan reads ONLY the probed directories at
@@ -831,7 +872,8 @@ def compact_index(
 
     Ingest-tag policy through the rewrite (round-7 review, both halves):
     tags of COMMITTED batches (at or below their stream's ledger line,
-    plus init/compact/superseded seq tags) collapse into one 'compact'
+    plus init/compact and seq tags at or below the batch-less commit
+    watermark `seq_committed`) collapse into one 'compact'
     partition — preserving every per-batch tag forever would leave the
     compacted epoch with O(n_batches x n_centroids) directories and
     probes opening thousands of tiny files, defeating the OPTIMIZE.
@@ -857,7 +899,16 @@ def compact_index(
     # in the docstring). Tag grammar: '{stream}-{id}' (stream contains no
     # '-', enforced by _validate_stream_id), 'seq-{n}', 'init',
     # 'compact', or an unparseable legacy tag.
-    sample_seq = int(meta.get("sample_seq", 0))
+    # seq tags collapse against the batch-less COMMIT watermark, not the
+    # reservoir's sample_seq (round-8 review): sample_seq advances on
+    # every append, so comparing against it laundered a crashed
+    # batch-less attempt's residue into the permanent 'compact'
+    # partition as soon as any later append committed. Legacy indexes
+    # (no seq_committed) inherit sample_seq — their seq tags were all
+    # numbered at or below it at commit time.
+    seq_committed = int(
+        meta.get("seq_committed", meta.get("sample_seq", 0))
+    )
     ledger = meta.get("last_batch_by_stream") or {}
     sid = F.regexp_extract("ingest", r"^(.+)-(\d+)$", 1)
     bid = F.regexp_extract("ingest", r"^(.+)-(\d+)$", 2)
@@ -876,7 +927,7 @@ def compact_index(
     keep_tag = (
         F.when(F.col("ingest").isin("init", "compact"), F.lit(False))
         .when(sid == F.lit(""), F.lit(True))  # legacy/unknown: preserve
-        .when(sid == F.lit("seq"), bid_i > F.lit(sample_seq))
+        .when(sid == F.lit("seq"), bid_i > F.lit(seq_committed))
         .otherwise(bid_i > committed)
     )
     assigned = assigned.withColumn(

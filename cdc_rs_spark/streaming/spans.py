@@ -6,19 +6,43 @@ checked against the EXISTING corpus' windows plus the batch's own
 cross-document collisions, and the batch's windows are appended so later
 batches are caught.
 
-The persisted index is one relation:
-  - span store: (span, doc_id) rows — each document's SPAN_LEN-char
-    windows at SPAN_STRIDE (operators/dedup.py doc_spans), DISTINCT per
-    (span, doc_id).
+Two store layouts:
+
+  LEGACY (round 7): one bare parquet directory of (span, doc_id) rows,
+  append-only, pre-created by the caller. Kept working verbatim.
+
+  EPOCH'D (round 8, VERDICT r7 next #3 — the scheme is streaming/ivf.py's):
+  a root directory holding store-NNNNNN epoch subdirectories plus a
+  _span_meta.json sidecar {epoch, hashed, last_batch_by_stream}. Appends
+  land in the live epoch; compact_span_store() rewrites the live epoch
+  DISTINCT into a NEW epoch directory and publishes it with one atomic
+  sidecar replace (tmp + os.replace), so a probe mid-scan on the old
+  epoch keeps its files; superseded epochs are retained for `keep_epochs`
+  further compactions (Iceberg-style snapshot expiry), then GC'd. The
+  sidecar also carries a per-stream committed-batch ledger: a replayed
+  batch id at or below its stream's ledger line still PROBES and
+  re-emits its report (at-least-once delivery downstream) but skips the
+  append, so replays don't grow the store; a crash between append and
+  ledger commit leaves duplicate rows, which existence semantics ignore
+  and the next compaction collapses.
+
+Keys (round 8): `hashed=True` stores (h1, h2, doc_id) instead of the raw
+40-char span — h1 = xxhash64(span), h2 = xxhash64(seed2, span), two
+INDEPENDENT 64-bit keys, 16 bytes a row instead of ~40 chars. The second
+hash IS the verify join: a candidate duplicate must match on BOTH keys,
+so a false positive needs a simultaneous 2^-64 x 2^-64 collision —
+~1e-39 per pair, negligible at any corpus size (a raw-span recheck would
+need the original document text, which the store deliberately does not
+carry). Hash VALUES are engine-specific (xxhash64), so the DuckDB oracle
+checks the hashed path by REPORT equality with the raw-span SQL — equal
+per-doc counts absent collisions, which the dual key guarantees.
 
 Scale: per micro-batch work is |batch| x len/stride skinny rows joined
-against the store on span — never a corpus self-scan; the store grows
-append-only. At warehouse scale the store is bucketed by span hash so
-the probe join co-locates, and the stored key becomes xxhash64(span)
-with a verify join (same note as the batch query). Idempotence: the
-probe is EXISTENCE-based (semi-join on another doc's span), so an
-at-least-once replay appending duplicate (span, doc_id) rows cannot
-change any report.
+against the store on the key — never a corpus self-scan. At warehouse
+scale the store is bucketed by the key hash so the probe join co-locates.
+Idempotence: the probe is EXISTENCE-based (semi-join on another doc's
+span), so an at-least-once replay appending duplicate (key, doc_id) rows
+cannot change any report.
 
 No counterpart in the reference (its stream is CDC rows, not documents) —
 this is the EXTENSION family's streaming form.
@@ -26,50 +50,69 @@ this is the EXTENSION family's streaming form.
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_rs_spark.operators.dedup import doc_spans
 
+_SPAN_META = "_span_meta.json"
+_H2_SEED = 0x5BD1E995  # any constant != xxhash64's default seed path
 
-def probe_spans_against_store(
-    new_docs: DataFrame, span_store: DataFrame
+
+def span_keys(d: DataFrame, hashed: bool) -> tuple[DataFrame, list[str]]:
+    """Window the documents (operators/dedup.py doc_spans) and project the
+    store key: the raw span, or the dual xxhash64 pair (see module doc).
+    Returns (frame with doc_id + key columns, key column names)."""
+    spans = doc_spans(d)
+    if not hashed:
+        return spans.select("doc_id", "span"), ["span"]
+    return (
+        spans.select(
+            "doc_id",
+            F.xxhash64("span").alias("h1"),
+            F.xxhash64(F.lit(_H2_SEED), F.col("span")).alias("h2"),
+        ),
+        ["h1", "h2"],
+    )
+
+
+def _probe_keyed(
+    keyed_batch: DataFrame, span_store: DataFrame, keys: list[str]
 ) -> DataFrame:
-    """Batch core of the incremental check: window the new docs and count,
-    per document, the windows that exist under ANOTHER doc_id — in the
+    """Shared probe core over an arbitrary key tuple: per batch document,
+    count the windows whose key exists under ANOTHER doc_id — in the
     persisted store or elsewhere in this batch. Returns (doc_id, n_spans,
-    n_dup_spans, dup_frac) for affected docs, the same report shape as
-    the batch query. Pure DataFrame logic — usable in batch or inside
-    foreachBatch.
+    n_dup_spans, dup_frac) for affected docs.
 
-    Shape: one aggregate to (span, doc_id) counts; the store probe is a
-    per-span (min_doc, max_doc) aggregate joined 1:1 — existence of
+    Shape: one aggregate to (key, doc_id) counts; the store probe is a
+    per-key (min_doc, max_doc) aggregate joined 1:1 — existence of
     ANOTHER doc is `matched and not (min==max==this doc)`, so a
     boilerplate span stored under a million docs joins as ONE row instead
     of exploding (the skew case a plain store join would hit), and a
     replayed doc can never match its own stored spans."""
-    spans = doc_spans(new_docs)
-    pair = spans.groupBy("span", "doc_id").agg(F.count("*").alias("k"))
-    # intra-batch: how many batch docs carry each span
-    batch_freq = pair.groupBy("span").agg(F.count("*").alias("nd_batch"))
-    # restrict the store scan to the BATCH's spans before aggregating:
+    pair = keyed_batch.groupBy(*keys, "doc_id").agg(F.count("*").alias("k"))
+    # intra-batch: how many batch docs carry each key
+    batch_freq = pair.groupBy(*keys).agg(F.count("*").alias("nd_batch"))
+    # restrict the store scan to the BATCH's keys before aggregating:
     # without the semi-filter the min/max aggregate hashes the whole
     # append-only store every micro-batch — O(|store|) per batch,
     # O(stream^2) over its life (round-7 review). No forced broadcast
-    # hint: a micro-batch's distinct spans sit far under the
+    # hint: a micro-batch's distinct keys sit far under the
     # auto-broadcast threshold so the planner broadcasts them anyway,
     # while a corpus-sized caller (dedup_span_store_probe hands half the
     # fixture as the "batch") degrades to a shuffled semi-join instead
     # of blowing the 8 GB broadcast limit (second-pass review).
-    batch_spans = pair.select("span").distinct()
+    batch_keys = pair.select(*keys).distinct()
     store_agg = (
-        span_store.join(batch_spans, "span")
-        .groupBy("span")
+        span_store.join(batch_keys, keys)
+        .groupBy(*keys)
         .agg(F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max"))
     )
-    joined = pair.join(store_agg, "span", "left").join(batch_freq, "span")
+    joined = pair.join(store_agg, keys, "left").join(batch_freq, keys)
     in_store = F.col("d_min").isNotNull() & ~(
         (F.col("d_min") == F.col("doc_id"))
         & (F.col("d_max") == F.col("doc_id"))
@@ -87,31 +130,217 @@ def probe_spans_against_store(
     )
 
 
+def probe_spans_against_store(
+    new_docs: DataFrame, span_store: DataFrame
+) -> DataFrame:
+    """Raw-span probe (the round-7 surface, unchanged semantics): window
+    the new docs and report per-doc duplicated-window counts against a
+    (span, doc_id) store. Pure DataFrame logic — usable in batch or
+    inside foreachBatch."""
+    keyed, keys = span_keys(new_docs, hashed=False)
+    return _probe_keyed(keyed, span_store, keys)
+
+
+def probe_hashed_spans_against_store(
+    new_docs: DataFrame, span_store: DataFrame
+) -> DataFrame:
+    """Dual-hash probe against an (h1, h2, doc_id) store — same report as
+    the raw-span probe absent a simultaneous two-key collision (see
+    module doc for the 1e-39 bound)."""
+    keyed, keys = span_keys(new_docs, hashed=True)
+    return _probe_keyed(keyed, span_store, keys)
+
+
+# ---- epoch'd store (round 8) ------------------------------------------------
+
+
+def _span_meta_path(root: str) -> str:
+    return os.path.join(root, _SPAN_META)
+
+
+def _read_span_meta(root: str) -> dict:
+    with open(_span_meta_path(root)) as f:
+        return json.load(f)
+
+
+def _write_span_meta(root: str, meta: dict) -> None:
+    tmp = _span_meta_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _span_meta_path(root))
+
+
+def _epoch_path(root: str, epoch: int) -> str:
+    return os.path.join(root, f"store-{epoch:06d}")
+
+
+def _store_schema(hashed: bool) -> str:
+    return (
+        "h1 bigint, h2 bigint, doc_id bigint"
+        if hashed
+        else "span string, doc_id bigint"
+    )
+
+
+def is_epoch_store(root: str) -> bool:
+    return os.path.exists(_span_meta_path(root))
+
+
+def init_span_store(
+    spark: SparkSession, root: str, hashed: bool = False
+) -> dict:
+    """Create an empty epoch'd span store (idempotent: an existing store
+    is returned as-is). The epoch-0 directory is written with the store
+    schema so the first batch's read needs no special case."""
+    if is_epoch_store(root):
+        return _read_span_meta(root)
+    os.makedirs(root, exist_ok=True)
+    spark.createDataFrame([], _store_schema(hashed)).write.mode(
+        "overwrite"
+    ).parquet(_epoch_path(root, 0))
+    meta = {"epoch": 0, "hashed": bool(hashed), "last_batch_by_stream": {}}
+    _write_span_meta(root, meta)
+    return meta
+
+
+def live_span_store(spark: SparkSession, root: str) -> DataFrame:
+    """The live epoch's rows (consistent point-in-time read: the sidecar
+    replace is atomic, and superseded epochs are retained through
+    `keep_epochs` further compactions so a scan never loses files)."""
+    meta = _read_span_meta(root)
+    return spark.read.parquet(_epoch_path(root, int(meta["epoch"])))
+
+
+def compact_span_store(
+    spark: SparkSession, root: str, keep_epochs: int = 2
+) -> int:
+    """DISTINCT-rewrite the live epoch into a NEW epoch directory and
+    publish it with one atomic sidecar flip — bounding the store at its
+    distinct (key, doc_id) size no matter how many duplicate rows
+    replays and crash-retries appended. Superseded epochs are GC'd once
+    they are `keep_epochs` compactions old (a mid-scan reader has whole
+    compaction cycles to finish — streaming/ivf.py's retention
+    contract). WRITER-EXCLUSIVE like ivf's compact: run it from the
+    ingest loop (spans_foreach_batch's compact_every does) or with
+    ingest paused. Returns the distinct row count published.
+
+    Crash windows: before the flip, an orphan next-epoch directory
+    (overwritten by the retried compact); after it, at worst un-GC'd
+    epochs — both heal on the next compact."""
+    if not is_epoch_store(root):
+        raise ValueError(
+            f"{root} is a legacy bare-parquet span store; compaction "
+            "requires the epoch'd layout (init_span_store). Migrate by "
+            "writing its rows into a fresh epoch'd root."
+        )
+    meta = _read_span_meta(root)
+    epoch = int(meta["epoch"])
+    new_epoch = epoch + 1
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        spark.read.parquet(_epoch_path(root, epoch))
+        .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        # overwrite clears a crashed prior attempt's residue (the dir is
+        # unpublished until the sidecar flip below)
+        .write.mode("overwrite")
+        .parquet(_epoch_path(root, new_epoch))
+    )
+    n = int(obs.get["n"])
+    # re-read at the publish point (belt-and-braces under the
+    # writer-exclusive contract: never revert a ledger line committed
+    # while the rewrite job ran)
+    meta = _read_span_meta(root)
+    meta["epoch"] = new_epoch
+    _write_span_meta(root, meta)
+    import re
+    import shutil
+
+    for name in os.listdir(root):
+        m = re.fullmatch(r"store-(\d+)", name)
+        if m and int(m.group(1)) < new_epoch - keep_epochs:
+            shutil.rmtree(os.path.join(root, name))
+    return n
+
+
 def spans_foreach_batch(
     span_store_path: str,
     on_report: Callable[[DataFrame, int], None] | None = None,
+    hashed: bool = False,
+    compact_every: int | None = None,
+    stream_id: str = "s",
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch form: per micro-batch of (doc_id, text), probe the
-    parquet span store, hand the duplication report to
-    `on_report(df, batch_id)`, then append the batch's own DISTINCT
-    (span, doc_id) rows so later batches (and later duplicates of these
-    docs) are caught. Existence semantics make replays idempotent —
-    duplicate store rows from an at-least-once redelivery cannot flip
-    any report (and a replayed doc never matches its own stored spans,
-    so it is not suddenly reported as a duplicate of itself)."""
+    span store, hand the duplication report to `on_report(df, batch_id)`,
+    then append the batch's own DISTINCT key rows so later batches (and
+    later duplicates of these docs) are caught.
+
+    Store bootstrap: if `span_store_path` does not exist yet it is
+    created as an EPOCH'D store on the first batch (no caller pre-write
+    needed — round-8 review; the round-7 form raised AnalysisException
+    unless the caller pre-created an empty parquet store). A path that
+    already holds a legacy bare-parquet store keeps the legacy behavior
+    verbatim: plain appends, `hashed`/`compact_every` must be off.
+
+    Epoch'd extras: `compact_every=N` runs compact_span_store after
+    every N appended batches (the DISTINCT-rewrite bounds the store
+    under replays); the sidecar ledger skips the APPEND of a replayed
+    batch id (at or below its stream's committed line) while still
+    emitting its report — existence semantics make the report identical
+    either way. `stream_id` namespaces ledger lines exactly like
+    streaming/ivf.py: point a FRESH checkpoint at an existing store with
+    a NEW stream_id, or its restarted batch 0 would be ledger-skipped.
+    """
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be >= 1 or None")
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        store = spark.read.parquet(span_store_path)
-        report = probe_spans_against_store(batch_df, store)
+        legacy = os.path.exists(span_store_path) and not is_epoch_store(
+            span_store_path
+        )
+        if legacy:
+            if hashed or compact_every is not None:
+                raise ValueError(
+                    "hashed keys / compaction need the epoch'd store "
+                    f"layout, but {span_store_path} is a legacy "
+                    "bare-parquet store"
+                )
+            store = spark.read.parquet(span_store_path)
+            report = probe_spans_against_store(batch_df, store)
+            if on_report is not None:
+                on_report(report, batch_id)
+            keyed, keys = span_keys(batch_df, hashed=False)
+            keyed.select(*keys, "doc_id").distinct().write.mode(
+                "append"
+            ).parquet(span_store_path)
+            return
+        meta = init_span_store(spark, span_store_path, hashed=hashed)
+        if bool(meta.get("hashed", False)) != bool(hashed):
+            raise ValueError(
+                f"store {span_store_path} was created with "
+                f"hashed={meta.get('hashed')}, got hashed={hashed}"
+            )
+        store = live_span_store(spark, span_store_path)
+        keyed, keys = span_keys(batch_df, hashed=hashed)
+        report = _probe_keyed(keyed, store, keys)
         if on_report is not None:
             on_report(report, batch_id)
-        (
-            doc_spans(batch_df)
-            .select("span", "doc_id")
-            .distinct()
-            .write.mode("append")
-            .parquet(span_store_path)
-        )
+        ledger = meta.get("last_batch_by_stream") or {}
+        if int(batch_id) <= int(ledger.get(stream_id, -1)):
+            return  # replay: report re-emitted above, append skipped
+        keyed.select(*keys, "doc_id").distinct().write.mode(
+            "append"
+        ).parquet(_epoch_path(span_store_path, int(meta["epoch"])))
+        meta = _read_span_meta(span_store_path)
+        led = dict(meta.get("last_batch_by_stream") or {})
+        led[stream_id] = max(int(led.get(stream_id, -1)), int(batch_id))
+        meta["last_batch_by_stream"] = led
+        meta["n_appends"] = int(meta.get("n_appends", 0)) + 1
+        _write_span_meta(span_store_path, meta)
+        if compact_every is not None and meta["n_appends"] % compact_every == 0:
+            compact_span_store(spark, span_store_path)
 
     return fn

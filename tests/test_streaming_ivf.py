@@ -939,3 +939,142 @@ def test_exactly_once_random_walk_across_compactions(spark, tmp_path):
             f"extra={got - model} missing={model - got}"
         )
     assert n_compacts >= 2 and len(committed) >= 4  # the walk was real
+
+
+def test_probe_snapshot_retries_across_concurrent_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """The round-8 ADVICE race: a retrain + compact_index completing
+    between the probe's epoch read and its centroid read leaves the new
+    epoch's rows under a generation the stale centroid snapshot lacks —
+    the pre-fix probe scanned only empty partitions and silently
+    returned nothing. probe_index now snapshots (epoch, centroids,
+    epoch) and retries when the epoch moved, so the interleaving
+    resolves to a fresh consistent pair."""
+    import cdc_rs_spark.streaming.ivf as ivf
+
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 6), A) + _vecs(range(10, 16), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=16, dim=DIM)
+    stale_cents = ivf.load_centroids(index_dir)  # pre-retrain snapshot
+
+    real_load = ivf.load_centroids
+    calls = {"n": 0}
+
+    def racing_load(index_dir_, version=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # between the probe's first epoch read and this centroid
+            # read, a retrain commits a new generation AND a compaction
+            # rewrites every row under it, flipping the epoch
+            append_batch(
+                spark,
+                _df(spark, _vecs(range(100, 103), A)),
+                index_dir_,
+                retrain_ratio=0.0,  # force the ratio trigger
+                dim=DIM,
+            )
+            compact_index(spark, index_dir_, dim=DIM)
+            return stale_cents  # the read raced: pre-retrain view
+        return real_load(index_dir_, version)
+
+    monkeypatch.setattr(ivf, "load_centroids", racing_load)
+    top = probe_index(
+        spark, _queries(spark, 999, A), index_dir, nprobe=1, k=8, dim=DIM
+    ).collect()
+    assert calls["n"] >= 2, "snapshot was not retaken after the epoch flip"
+    got = {r["vec_id"] for r in top}
+    # the compacted epoch stores everything under the NEW generation; a
+    # stale-centroid probe would have returned an empty result here
+    assert got & set(range(0, 6)), got
+    assert got & set(range(100, 103)), got
+
+
+def test_crashed_batchless_residue_survives_compaction_and_retry_purges(
+    spark, tmp_path, monkeypatch
+):
+    """Round-8 ADVICE: the batch-less ingest tag rides its own commit
+    watermark (seq_committed), not the reservoir's sample_seq. A crashed
+    batch-less append's residue (a) is NOT laundered into the permanent
+    'compact' partition by a compaction that runs after interleaved
+    batch-id'd appends, and (b) IS found and purged by the retry, which
+    recomputes the same tag — no duplicate vectors either way."""
+    import collections
+
+    import cdc_rs_spark.streaming.ivf as ivf
+
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 4), A) + _vecs(range(10, 14), B))
+    init_index(spark, base, index_dir, n_centroids=2, train_cap=16, dim=DIM)
+
+    # 1. batch-less append crashes AFTER the lists write, BEFORE meta
+    real_read = ivf._read_sample_rows
+
+    def boom(index_dir_, seq):
+        raise RuntimeError("injected crash after lists append")
+
+    monkeypatch.setattr(ivf, "_read_sample_rows", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        append_batch(
+            spark, _df(spark, _vecs(range(50, 53), A)), index_dir,
+            retrain_ratio=1e9, dim=DIM,
+        )
+    monkeypatch.setattr(ivf, "_read_sample_rows", real_read)
+
+    # 2. interleaved batch-id'd appends commit, advancing sample_seq past
+    #    the crashed attempt's tag number
+    append_batch(
+        spark, _df(spark, _vecs(range(60, 63), B)), index_dir,
+        retrain_ratio=1e9, dim=DIM, batch_id=0, stream_id="s",
+    )
+    append_batch(
+        spark, _df(spark, _vecs(range(70, 73), B)), index_dir,
+        retrain_ratio=1e9, dim=DIM, batch_id=1, stream_id="s",
+    )
+    meta = _read_meta(index_dir)
+    assert int(meta["sample_seq"]) >= 1 > int(meta["seq_committed"])
+
+    # 3. compaction must PRESERVE the uncommitted seq-1 residue tag (the
+    #    pre-fix code compared against sample_seq and collapsed it)
+    compact_index(spark, index_dir, dim=DIM)
+    from cdc_rs_spark.streaming.ivf import current_lists_path
+
+    tags = set(
+        r["ingest"]
+        for r in spark.read.parquet(current_lists_path(index_dir))
+        .select("ingest")
+        .distinct()
+        .collect()
+    )
+    assert "seq-1" in tags, tags
+
+    # 4. the retry recomputes tag seq-1 (watermark, not sample_seq),
+    #    purges its own residue, and commits — exactly one copy of each
+    #    batch-less vector in the store
+    append_batch(
+        spark, _df(spark, _vecs(range(50, 53), A)), index_dir,
+        retrain_ratio=1e9, dim=DIM,
+    )
+    assert int(_read_meta(index_dir)["seq_committed"]) == 1
+    counts = collections.Counter(
+        r["vec_id"]
+        for r in spark.read.parquet(current_lists_path(index_dir))
+        .select("vec_id")
+        .collect()
+    )
+    assert max(counts.values()) == 1, {
+        v: c for v, c in counts.items() if c > 1
+    }
+    assert {50, 51, 52} <= set(counts)
+
+    # 5. a COMMITTED batch-less tag is at/below the watermark and does
+    #    collapse on the next compaction
+    compact_index(spark, index_dir, dim=DIM)
+    tags = set(
+        r["ingest"]
+        for r in spark.read.parquet(current_lists_path(index_dir))
+        .select("ingest")
+        .distinct()
+        .collect()
+    )
+    assert "seq-1" not in tags, tags

@@ -120,3 +120,171 @@ def test_streaming_end_to_end_file_source(spark, tmp_path):
     # file-source batch order is timestamp-based and may tie — the
     # order-free property is that EXACTLY the second arrival is flagged
     assert len(flagged) == 1 and flagged <= {1, 2}, seen
+
+
+def test_epoch_store_bootstraps_without_precreate(spark, tmp_path):
+    """Round-8 ADVICE: a missing store path no longer needs the caller's
+    empty-parquet pre-write — the first batch bootstraps an epoch'd
+    store."""
+    store_path = str(tmp_path / "fresh_store")  # never created
+    reports = []
+    fn = spans_foreach_batch(
+        store_path, lambda df, b: reports.append((b, df.collect()))
+    )
+    fn(_docs(spark, [(1, SHARED + UNIQUE1)]), 0)
+    fn(_docs(spark, [(2, SHARED + UNIQUE2)]), 1)
+    assert reports[0][1] == []
+    assert {r["doc_id"] for r in reports[1][1]} == {2}
+    from cdc_rs_spark.streaming.spans import is_epoch_store
+
+    assert is_epoch_store(store_path)
+
+
+def test_hashed_store_report_equals_raw(spark, tmp_path):
+    """Dual-xxhash64 keys (16 bytes/row) must report exactly what the
+    raw-span store reports — the two-key match IS the verify join."""
+    raw_path = str(tmp_path / "raw")
+    hashed_path = str(tmp_path / "hashed")
+    raw_reports, hashed_reports = [], []
+    fn_raw = spans_foreach_batch(
+        raw_path, lambda df, b: raw_reports.append(sorted(map(tuple, df.collect())))
+    )
+    fn_hashed = spans_foreach_batch(
+        hashed_path,
+        lambda df, b: hashed_reports.append(sorted(map(tuple, df.collect()))),
+        hashed=True,
+    )
+    batches = [
+        _docs(spark, [(1, SHARED + UNIQUE1), (3, UNIQUE2 + "z" * 40)]),
+        _docs(spark, [(2, SHARED + UNIQUE2), (4, UNIQUE2 + "w" * 40)]),
+        _docs(spark, [(7, UNIQUE1 + "fresh tail material here")]),
+    ]
+    for i, b in enumerate(batches):
+        fn_raw(b, i)
+        fn_hashed(b, i)
+    assert raw_reports == hashed_reports
+    # and the hashed store really stores hashes, not text
+    from cdc_rs_spark.streaming.spans import live_span_store
+
+    assert set(live_span_store(spark, hashed_path).columns) == {
+        "h1", "h2", "doc_id",
+    }
+
+
+def test_replays_bounded_by_ledger_and_compaction(spark, tmp_path):
+    """Store size under at-least-once replays: the ledger skips replayed
+    appends, a crash between append and ledger commit leaves duplicates,
+    and compaction's DISTINCT rewrite collapses them — the store is
+    bounded at its distinct (key, doc_id) size."""
+    from cdc_rs_spark.streaming.spans import (
+        _epoch_path,
+        _read_span_meta,
+        compact_span_store,
+        live_span_store,
+    )
+
+    store_path = str(tmp_path / "store")
+    fn = spans_foreach_batch(store_path)
+    b0 = _docs(spark, [(1, SHARED + UNIQUE1)])
+    b1 = _docs(spark, [(2, SHARED + UNIQUE2)])
+    fn(b0, 0)
+    fn(b1, 1)
+    clean = live_span_store(spark, store_path).count()
+    # ledger-skipped replays: size unchanged
+    for _ in range(3):
+        fn(b1, 1)
+        fn(b0, 0)
+    assert live_span_store(spark, store_path).count() == clean
+    # crash-window duplicates (append landed, ledger didn't) simulated by
+    # appending the batch's keys directly, then compaction collapses them
+    from cdc_rs_spark.streaming.spans import span_keys
+
+    meta = _read_span_meta(store_path)
+    keyed, keys = span_keys(b1, hashed=False)
+    for _ in range(2):
+        keyed.select(*keys, "doc_id").distinct().write.mode("append").parquet(
+            _epoch_path(store_path, int(meta["epoch"]))
+        )
+    assert live_span_store(spark, store_path).count() > clean
+    n = compact_span_store(spark, store_path)
+    assert n == clean == live_span_store(spark, store_path).count()
+
+
+def test_probe_equivalent_before_and_after_compaction(spark, tmp_path):
+    """The report for a fresh batch must be identical probed against the
+    pre-compaction store (with duplicate rows) and the post-compaction
+    epoch."""
+    from cdc_rs_spark.streaming.spans import (
+        _epoch_path,
+        _read_span_meta,
+        compact_span_store,
+        live_span_store,
+        probe_spans_against_store,
+        span_keys,
+    )
+
+    store_path = str(tmp_path / "store")
+    fn = spans_foreach_batch(store_path)
+    fn(_docs(spark, [(1, SHARED + UNIQUE1)]), 0)
+    # inject replay duplicates straight into the live epoch
+    meta = _read_span_meta(store_path)
+    keyed, keys = span_keys(_docs(spark, [(1, SHARED + UNIQUE1)]), False)
+    keyed.select(*keys, "doc_id").distinct().write.mode("append").parquet(
+        _epoch_path(store_path, int(meta["epoch"]))
+    )
+    probe = _docs(spark, [(2, SHARED + UNIQUE2), (5, "all fresh " + UNIQUE1[::-1])])
+    before = sorted(
+        map(tuple, probe_spans_against_store(
+            probe, live_span_store(spark, store_path)
+        ).collect())
+    )
+    compact_span_store(spark, store_path)
+    after = sorted(
+        map(tuple, probe_spans_against_store(
+            probe, live_span_store(spark, store_path)
+        ).collect())
+    )
+    assert before == after and {r[0] for r in before} == {2}
+
+
+def test_epoch_retention_and_gc(spark, tmp_path):
+    """Superseded epochs are retained keep_epochs compactions, then GC'd
+    — and a legacy bare store refuses compaction with guidance."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from cdc_rs_spark.streaming.spans import compact_span_store
+
+    store_path = str(tmp_path / "store")
+    fn = spans_foreach_batch(store_path)
+    fn(_docs(spark, [(1, SHARED + UNIQUE1)]), 0)
+    for _ in range(3):
+        compact_span_store(spark, store_path, keep_epochs=1)
+    dirs = sorted(
+        d for d in _os.listdir(store_path) if d.startswith("store-")
+    )
+    assert dirs == ["store-000002", "store-000003"], dirs
+
+    legacy = str(tmp_path / "legacy")
+    spark.createDataFrame([], "span string, doc_id bigint").write.parquet(
+        legacy
+    )
+    with _pytest.raises(ValueError, match="legacy"):
+        compact_span_store(spark, legacy)
+
+
+def test_compact_every_policy_runs_inline(spark, tmp_path):
+    """compact_every=2 compacts after every second appended batch (the
+    in-loop OPTIMIZE policy, mirroring ivf_foreach_batch's
+    compact_after_versions)."""
+    from cdc_rs_spark.streaming.spans import _read_span_meta
+
+    store_path = str(tmp_path / "store")
+    fn = spans_foreach_batch(store_path, compact_every=2)
+    fn(_docs(spark, [(1, SHARED + UNIQUE1)]), 0)
+    assert int(_read_span_meta(store_path)["epoch"]) == 0
+    fn(_docs(spark, [(2, SHARED + UNIQUE2)]), 1)
+    assert int(_read_span_meta(store_path)["epoch"]) == 1
+    fn(_docs(spark, [(2, SHARED + UNIQUE2)]), 1)  # replay: no compact
+    assert int(_read_span_meta(store_path)["epoch"]) == 1
