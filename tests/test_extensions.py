@@ -601,3 +601,49 @@ def test_semantic_cluster_assign_tie_breaks_to_lowest_seed(spark):
     # vec 0, 1 and 5 all tie between seeds 0 and 1 (identical anchors):
     # lowest seed wins every time
     assert got == {0: 0, 1: 0, 2: 2, 5: 0}
+
+
+def test_semdedup_ivf_variant_is_anchor_parity_modulo_anchor_table(spark):
+    """dedup_semantic_ivf_centroids differs from dedup_semantic_clustered
+    ONLY in the anchor table (VERDICT r7 next #5): feeding the IVF
+    variant's assignment path (_assign_to_centroids + shared
+    _semdedup_report) the SAME K-lowest-id anchors the seed-based query
+    uses must reproduce its report exactly."""
+    from cdc_rs_spark.operators.dedup import semantic_cluster_assign
+    from cdc_rs_spark.operators.similarity import (
+        EMB_DIM,
+        _assign_to_centroids,
+        norm_sql,
+    )
+    from cdc_rs_spark.plans.dedup import SEMDEDUP_K, _semdedup_report
+    from cdc_rs_spark.session import load
+    from tests.conftest import SF_DIR
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    seed_anchors = (
+        emb.orderBy("vec_id")
+        .limit(SEMDEDUP_K)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.expr(
+                "transform(embedding, x -> CAST(x AS DOUBLE))"
+            ).alias("c_emb"),
+        )
+    )
+    via_ivf_path = (
+        _assign_to_centroids(emb, seed_anchors, EMB_DIM)
+        .select("vec_id", F.col("cent_id").alias("cluster_id"), "embedding")
+        .withColumn("nrm", F.expr(norm_sql("embedding", None)))
+    )
+    report_ivf = {
+        tuple(r)
+        for r in _semdedup_report(spark, via_ivf_path).collect()
+    }
+    report_seed = {
+        tuple(r)
+        for r in _semdedup_report(
+            spark, semantic_cluster_assign(emb, SEMDEDUP_K)
+        ).collect()
+    }
+    assert report_ivf == report_seed
+    assert len(report_ivf) > 0

@@ -716,3 +716,28 @@ def test_triangle_count_is_take_ordered_and_jvm_pure(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Scan ExistingRDD" in plan, plan  # the checkpointed edge list
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangle_full_closes_by_adjacency_intersect_on_oriented_keys(spark):
+    """part_triangle_count_full (round 8): the O(m^1.5) guarantee rests on
+    (a) joins keyed on the ORIENTED edge endpoints s / d — never a join
+    producing the wedge multiset to shuffle, (b) the closing test riding
+    array_intersect over the degree-bounded out-adjacency arrays inside
+    the stage, and (c) the top-10 staying TakeOrderedAndProject. The
+    checkpointed adjacency table is the plan's only RDD scan; everything
+    is JVM-side."""
+    from cdc_rs_spark.plans.relational2 import part_triangle_count_full
+
+    df = part_triangle_count_full(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan  # checkpointed adjacency
+    assert "array_intersect" in plan, plan  # in-stage closing test
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # no cartesian/broadcast-nested-loop anywhere (the wedge-free shape)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    # the two adjacency joins key on the oriented endpoints
+    import re
+
+    join_keys = re.findall(r"Join [^,]*, \[(\w+)#", plan)
+    assert set(join_keys) <= {"s", "d", "node", "ok"}, (join_keys, plan)
