@@ -106,6 +106,13 @@ def main() -> None:
                 except Exception:  # noqa: BLE001
                     pass
             od._SIGNED_CACHE.clear()
+            import shutil
+
+            from cdc_rs_spark.plans import dedup as pdd
+
+            for path in pdd._INC_BOOT_CACHE.values():
+                shutil.rmtree(path, ignore_errors=True)
+            pdd._INC_BOOT_CACHE.clear()
         except Exception:  # noqa: BLE001 — memo layout drift never kills bench
             pass
     for name, q in sorted(registry.items()):

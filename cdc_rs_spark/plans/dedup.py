@@ -878,6 +878,124 @@ def _semdedup_report(spark: SparkSession, assigned: DataFrame) -> DataFrame:
     )
 
 
+_INC_BOOT_CACHE: dict = {}  # (appId, input files) -> bootstrap dir path
+
+
+def _inc_bootstrap_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Session-memoized PRE-STREAM state for dedup_incremental_clusters:
+    the even-half corpus' band store, shingle store and epoch-0 cluster
+    map (self-bootstrapped through fold_pairs — the union-find computes
+    exactly the batch CC labels, streaming/clusters.py module doc). In
+    production these are persisted tables that exist long before any
+    micro-batch arrives; rebuilding them per invocation only re-proved a
+    determinism the oracle already pins (the _IVF_MODEL_CACHE rationale,
+    with the same appId + input-file key). Callers COPY the directory
+    per invocation — folds mutate the stores, the memo must stay
+    pristine. bench.py's clear_memos purges this cache, so cold samples
+    still pay the true build cost."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_rs_spark.operators.dedup import (
+        band_explode,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_docs,
+    )
+    from cdc_rs_spark.streaming.clusters import fold_pairs, init_cluster_store
+
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    app = spark.sparkContext.applicationId
+    key = (app, tuple(sorted(d.inputFiles())))
+    for k in [k for k in _INC_BOOT_CACHE if k[0] != app]:
+        shutil.rmtree(_INC_BOOT_CACHE.pop(k), ignore_errors=True)
+    got = _INC_BOOT_CACHE.get(key)
+    if got and os.path.isdir(got):
+        return got
+    boot = tempfile.mkdtemp(prefix="inc_boot_")
+    base = d.filter(F.col("doc_id") % 2 == 0)
+    signed = minhash_docs(base, "doc_id", "text").persist()
+    try:
+        band_explode(signed.select("doc_id", "sig")).write.parquet(
+            os.path.join(boot, "sig")
+        )
+        signed.select("doc_id", "sh").write.parquet(os.path.join(boot, "sh"))
+        pairs0 = jaccard_verify(
+            lsh_candidate_pairs(signed.select("doc_id", "sig")),
+            signed.select("doc_id", "sh"),
+            0.5,
+        )
+        init_cluster_store(spark, os.path.join(boot, "clusters"))
+        fold_pairs(spark, os.path.join(boot, "clusters"), pairs0)
+    except BaseException:
+        shutil.rmtree(boot, ignore_errors=True)
+        raise
+    finally:
+        signed.unpersist(blocking=False)
+    _INC_BOOT_CACHE[key] = boot
+    return boot
+
+
+@register("dedup_incremental_clusters", oracle=_cc_oracle())
+def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup-cluster maintenance exercised through the REAL
+    persisted-store path (streaming/clusters.py — VERDICT r7 next #1):
+    the even-doc_id half of the corpus bootstraps the band/shingle stores
+    and the cluster map (batch CC over its own pairs), then the odd half
+    arrives as TWO micro-batches through clusters_foreach_batch — each
+    batch's store-probe + intra-batch pairs are folded into the
+    epoch-published map with lazy root translations, never re-running CC
+    over the corpus. The resolved map must then equal batch connected
+    components over the FULL corpus' MinHash pairs — which is exactly
+    what the DuckDB oracle computes (the same recursive-CTE closure as
+    dedup_connected_components; the two queries sharing one oracle IS the
+    incremental == batch equivalence claim, driver-checked). Replay
+    idempotence, crash-retry healing, compaction and the bucket-pruned
+    lookup plan are pinned by tests/test_streaming_clusters.py; the
+    per-batch cost bound is SCALE.md §18."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_rs_spark.streaming.clusters import (
+        clusters_foreach_batch,
+        live_cluster_map,
+    )
+
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    boot = _inc_bootstrap_dir(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="inc_clusters_")
+    try:
+        # folds MUTATE the stores — work on a copy of the memoized
+        # pre-stream state (a few MB of parquet; the copy is the price of
+        # keeping the memo pristine across invocations)
+        for name in ("sig", "sh", "clusters"):
+            shutil.copytree(
+                os.path.join(boot, name), os.path.join(tmp, name)
+            )
+        fn = clusters_foreach_batch(
+            os.path.join(tmp, "sig"),
+            os.path.join(tmp, "sh"),
+            os.path.join(tmp, "clusters"),
+            threshold=0.5,
+        )
+        fn(d.filter(F.col("doc_id") % 4 == 1), 0)
+        fn(d.filter(F.col("doc_id") % 4 == 3), 1)
+        result = live_cluster_map(spark, os.path.join(tmp, "clusters")).select(
+            "doc_id", F.col("cluster").alias("component")
+        )
+        # materialize the (paired docs)-sized answer so the scratch
+        # stores can be deleted NOW instead of leaking per invocation
+        # (the similarity_ivf_incremental_topk discipline); the driver
+        # collects this same row set anyway
+        rows = result.collect()
+        schema = result.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _semdedup_ivf_oracle() -> str:
     from cdc_rs_spark.plans.similarity import (
         _IVF_CHAIN_SQL,
@@ -1090,3 +1208,29 @@ def dedup_span_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = d.filter(F.col("doc_id") % 2 == 1)
     return probe_spans_against_store(batch, store)
+
+
+@register("dedup_span_store_hashed_probe", oracle=_span_store_probe_oracle())
+def dedup_span_store_hashed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASHED-KEY span store probe (round 8, VERDICT r7 next #3):
+    identical split to dedup_span_store_probe (even docs = store, odd =
+    batch) but the store carries (xxhash64(span), xxhash64(seed2, span),
+    doc_id) — 16 bytes a row instead of the 40-char span, the storage
+    form the batch query's docstring promised for warehouse scale. The
+    dual independent keys ARE the verify join: a false duplicate needs a
+    simultaneous 2^-128 collision (~1e-39 per pair). Hash VALUES are
+    engine-specific, so the DuckDB oracle is the RAW-SPAN SQL — the
+    hashed path must reproduce the raw report exactly (equal absent
+    collisions), which is precisely the equivalence worth driver-checking.
+    Same aggregate shape as the raw probe: per-key (min_doc, max_doc)
+    existence, no row explosion on boilerplate spans, batch-keys
+    semi-filter before the store aggregate."""
+    from cdc_rs_spark.streaming.spans import probe_hashed_spans_against_store, span_keys
+
+    d = load(spark, sf_dir, "documents")
+    store_keys, keys = span_keys(
+        spread(d.filter(F.col("doc_id") % 2 == 0)), hashed=True
+    )
+    store = store_keys.select(*keys, "doc_id").distinct()
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    return probe_hashed_spans_against_store(batch, store)

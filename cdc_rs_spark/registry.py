@@ -73,82 +73,74 @@ def register(name: str, oracle: str | None = None):
 # watermark recommendation, line-level dedup, quantization fidelity) so the
 # driver verifies the round's new surface first-hand.
 _DRIVER_WINDOW = [
-    # ROUND-7 ROTATION — finish the sweep (VERDICT r6 next #2): the 19
-    # queries never driver-checked in r1-r6 all pin now, completing
-    # 180/180 cumulative driver coverage. Alongside them: the 4 queries
-    # whose implementation changed this round (the rhai indexing guard
-    # touched all three script flagships; streaming/ivf.py gained the
-    # probe/compaction paths), and second greens for r6's 24 first-pins.
-    # Rotated-out queries keep their module order after slot 50 and stay
-    # verified locally (CORRECTNESS_LOCAL_FULL.json via driver_sim).
+    # ROUND-8 ROTATION (VERDICT r7 next #6): cumulative driver coverage
+    # reached 185/185 in r7, so the window's job is now pinning each
+    # round's NEW and CHANGED queries first, then rotating older slots
+    # for repeat greens with family spread. Rotated-out queries keep
+    # their module order after slot 50 and stay verified locally
+    # (CORRECTNESS_LOCAL_FULL.json via tools/driver_sim.py).
     #
-    # NEW this round — the three round-7 operators pin first so the
-    # driver verifies them first-hand (SemDeDup cluster-pruned semantic
-    # dedup, Lee-et-al exact duplicate substring spans, session journey
-    # mining)
-    "dedup_semantic_clustered",
-    "dedup_exact_substring_spans",
-    "dedup_span_store_probe",
-    "events_top_paths",
-    "part_triangle_count",
-    # changed this round (re-pin)
-    "rhai_script_closure_while_scoring",
-    "rhai_script_array_loop_scoring",
-    "rhai_script_bigquery_envelope",
+    # NEW this round — the four round-8 operators pin first (incremental
+    # cluster maintenance, degree-oriented full-graph triangles, SemDeDup
+    # on trained IVF centroids, hashed span-store keys)
+    "dedup_incremental_clusters",
+    "part_triangle_count_full",
+    "dedup_semantic_ivf_centroids",
+    "dedup_span_store_hashed_probe",
+    # changed this round (re-pin): streaming/ivf.py gained the snapshot
+    # compare-and-retry + seq watermark; streaming/spans.py was
+    # restructured around the epoch'd store; the SemDeDup report half
+    # was factored into _semdedup_report
     "similarity_ivf_incremental_topk",
-    # never driver-checked before round 7 — the last 19
-    "part_cooccurrence_basket",  # first pin
-    "supplier_fuzzy_match",  # first pin
-    "skew_key_diagnostics_orders",  # first pin
-    "corr_quantity_price_per_flag",  # first pin
-    "skew_audit_join_keys",  # first pin
-    "events_rate_per_type_window",  # first pin
-    "events_hierarchical_rollup",  # first pin
-    "events_next_event_training_pairs",  # first pin
-    "events_ab_test_ztest",  # first pin
-    "events_user_gap_stats",  # first pin
-    "modality_agreement_audit",  # first pin
-    "explode_tokens_top_terms",  # first pin
-    "sample_contrastive_negatives",  # first pin
-    "zone_map_manifest_lineitem",  # first pin
-    "data_mix_temperature_sampling",  # first pin
-    "text_chunk_overlap",  # first pin
-    "text_length_histogram",  # first pin
-    "token_drift_stats",  # first pin
-    "text_rare_bigram_score",  # first pin
-    # continuity picks: the memo-order query the bench note discloses,
-    # the arbitration core, and the margin audit riding the ANN memo
-    "similarity_bruteforce_topk",
-    "cdc_merge_live_wins",
-    "similarity_margin_stats",
-    # second greens for round-6's first-pins (embedding_norm_stats,
-    # text_fingerprint and events_daily_gapfill gave up their slots to
-    # the three new round-7 queries — their families keep other pins and
-    # all three stay locally verified in CORRECTNESS_LOCAL_FULL.json)
-    "embedding_label_centroids",
-    "sql_api_nation_counts",
-    "pivot_status_by_priority",
-    "unpivot_priority_metrics",
-    "profile_orders_columns",
-    "nation_revenue_share_of_region",
-    "orders_rolling_7day_revenue",
-    "events_sliding_window",
-    "events_markov_transitions",
-    "events_weekly_retention",
-    "events_debounce",
-    "events_user_growth_accounting",
-    # (multimodal_video_frames gave its slot to dedup_span_store_probe —
-    # the multimodal family keeps image_decode pinned; video_frames stays
-    # locally hash-verified)
-    "multimodal_image_decode",
-    "text_bpe_token_estimate",
-    "text_repetition_stats",
-    "text_boilerplate_ngrams",
-    # (text_char_gini_score gave its slot to part_triangle_count — the
-    # text family keeps five other pins; gini stays locally hash-verified)
-    "text_langid_confusion",
-    "data_mix_by_source",
-    "feature_hashing_buckets",
+    "dedup_span_store_probe",
+    "dedup_semantic_clustered",
+    # rotation picks (none were in the r7 window; each family keeps at
+    # least one slot). dedup_connected_components rides along with the
+    # incremental form deliberately — the two share one oracle, so the
+    # driver checks both sides of the incremental == batch claim.
+    "dedup_connected_components",
+    "dedup_minhash_lsh",
+    "dedup_lsh_recall_eval",
+    "dedup_line_level_report",
+    "cdc_typed_projection",
+    "cdc_incremental_agg_maintenance",  # the r7 bench-drift query
+    "cdc_audit_trail",
+    "cdc_time_travel_asof",
+    "cdc_retraction_algebra",
+    "cdc_schema_evolution",
+    "rhai_script_debezium_envelope",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q12_shipping_priority_class",
+    "q15_top_supplier",
+    "q21_late_suppliers",
+    "q22_idle_customers",
+    "grouping_sets_lineitem",
+    "window_running_totals",
+    "percentiles_per_flag",
+    "approx_distinct_custkeys",
+    "anti_join_customers_without_orders",
+    "hll_sketch_rollup_custkeys",
+    "heavy_hitters_cms_lineitem",
+    "supplier_revenue_pareto",
+    "pagerank_part_graph",
+    "events_funnel_conversion",
+    "events_asof_last_click",
+    "events_session_window",
+    "events_concurrent_sessions",
+    "events_watermark_recommendation",
+    "events_late_arrival_audit",
+    "similarity_ivf_topk",
+    "similarity_recall_eval",
+    "embedding_quantization_error_audit",
+    "text_tfidf_keywords",
+    "text_quality_deciles",
+    "text_langid",
+    "multimodal_video_frames",
+    "scd2_order_price_history",
+    "dq_expectations_orders",
+    "pack_documents_token_budget",
+    "gdpr_forget_manifest",
 ]
 
 

@@ -1,0 +1,591 @@
+"""Incremental dedup-CLUSTER maintenance — the streaming form of
+operators/graph.py's connected components (VERDICT r7 next #1): documents
+arrive as a stream, each micro-batch's verified LSH pairs are folded into
+a persisted (doc_id -> cluster) map with a union-find-style merge, and the
+map is epoch-published (streaming/ivf.py's scheme) so probes never see a
+half-written state. A real ingesting pipeline previously had to re-run
+full batch CC over the whole corpus to refresh cluster membership; this
+folds each batch at batch cost.
+
+Store layout (root directory + one JSON sidecar):
+
+  base-NNNNNN/          the materialized map, parquet PARTITIONED BY
+                        `bucket` (= pmod(xxhash64(doc_id), N_BUCKETS)):
+                        a fold's root-lookup for its touched docs reads
+                        ONLY those docs' buckets (static partition
+                        pruning — the probe_index discipline). Rewritten
+                        only by compaction, which publishes a NEW epoch.
+  delta-EEEEEE-TAG/     per-fold appends (doc_id, cluster) for the
+                        batch's newly-paired docs. Tied to base epoch
+                        EEEEEE; TAG is '{stream}-{batch}' (deterministic
+                        => a crashed fold's retry overwrites its own dir)
+                        or 'f-{n}' for direct batch-less folds.
+  _cluster_meta.json    {base_epoch, deltas (fold order), translations,
+                        last_batch_by_stream, n_folds}
+
+LAZY RELABELING is the load-bearing design choice: when a fold merges
+clusters, it does NOT rewrite their members. It records root
+TRANSLATIONS (old_root -> new_root) in the sidecar; stored rows keep
+their stale root, and every read applies the translations' transitive
+closure (driver-computed over the small sidecar list, one broadcast
+join). This is union-find's path-compression deferred to read time —
+compaction is the compression pass: it materializes the fully-resolved
+map into a new base epoch and resets the translation log. Correctness of
+the closure: a translation target is its component's min, strictly below
+the translated root, and a component can never lose members — so a
+translated-away root can never reappear as any row's label, and applying
+the closure to EVERY row (stale or fresh) is a no-op except on stale
+ones. The translation log is bounded by merges since the last
+compaction.
+
+THE MERGE IS EXACT: the resolved invariant is that every stored doc
+resolves to its component's root (= min doc_id, operators/graph.py's
+label) and every resolved root is the min of its own component. A
+batch's pairs touch a bounded doc set; joining those docs' CURRENT
+resolved roots with the pairs forms a mini-graph whose CC labels are
+provably the true labels of the MERGED components (each old component's
+min IS its resolved root, and that root is a vertex of the mini-graph,
+so the mini-min equals the global min). The mini-graph is batch-sized,
+so it is solved by a DRIVER-SIDE union-find in one collect (union-by-min
++ path compression, _union_find — the same fixpoint as
+operators/graph.py at O(E α) instead of diameter-many Spark rounds);
+a pathological giant batch (> DRIVER_CC_CAP pairs) falls back to the
+distributed CC. By induction the resolved map
+after any fold sequence equals batch CC over the union of all pairs —
+the equivalence the registered query dedup_incremental_clusters
+oracle-checks and tests/test_streaming_clusters.py pins per
+interleaving.
+
+Folding is IDEMPOTENT by algebra (re-folding already-merged pairs yields
+an empty translation set and identical labels) and the sidecar ledger
+skips replayed batch ids outright, so at-least-once delivery never
+corrupts the map.
+
+Per-batch cost bound (SCALE.md §18): the pair probe is |batch| x bands
+rows against the bucketed band store; the root lookup reads only the
+touched docs' base buckets plus the (recent, small) deltas; mini-CC runs
+over O(|pairs|) edges for component-diameter rounds; the delta write is
+O(touched docs) rows; the translation append is O(merged roots).
+Nothing scans the full corpus or the full map — compaction is the one
+full-map pass and runs on the OPTIMIZE cadence, not per batch.
+
+No counterpart in the reference (its stream is CDC rows, not documents) —
+this is the EXTENSION family's streaming form, completing the trio with
+streaming/dedup.py (pair detection) and streaming/spans.py (span store).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.operators.graph import connected_components
+
+_META = "_cluster_meta.json"
+N_BUCKETS = 64  # base-map partition buckets (pruned by the fold's lookup)
+
+
+def _meta_path(root: str) -> str:
+    return os.path.join(root, _META)
+
+
+def _read_meta(root: str) -> dict:
+    with open(_meta_path(root)) as f:
+        return json.load(f)
+
+
+def _write_meta(root: str, meta: dict) -> None:
+    tmp = _meta_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(root))
+
+
+def _base_path(root: str, epoch: int) -> str:
+    return os.path.join(root, f"base-{epoch:06d}")
+
+
+def _bucket(col: str = "doc_id") -> F.Column:
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(N_BUCKETS)).cast("int")
+
+
+def _write_base(labels: DataFrame, path: str) -> None:
+    (
+        labels.select("doc_id", "cluster")
+        .withColumn("bucket", _bucket("doc_id"))
+        # one file per non-empty bucket: lookups read few, dense files
+        # (the lists-store discipline of streaming/ivf.py)
+        .repartition(N_BUCKETS, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def init_cluster_store(
+    spark: SparkSession, root: str, labels: DataFrame | None = None
+) -> dict:
+    """Bootstrap the store: `labels` is the batch CC output over the
+    pre-stream corpus ((doc_id, cluster) with cluster = component min),
+    or None for an empty map. Idempotent re-run: overwrites epoch 0 and
+    resets the sidecar."""
+    os.makedirs(root, exist_ok=True)
+    if labels is None:
+        labels = spark.createDataFrame([], "doc_id bigint, cluster bigint")
+    _write_base(labels, _base_path(root, 0))
+    meta = {
+        "base_epoch": 0,
+        "deltas": [],
+        "translations": [],
+        "last_batch_by_stream": {},
+        "n_folds": 0,
+    }
+    _write_meta(root, meta)
+    return meta
+
+
+def _closure(translations: list) -> dict[int, int]:
+    """Driver-side transitive closure of the sidecar translation log.
+    Each old root appears at most once as a key (once translated away it
+    can never become a root again — module doc), so the closure is a
+    simple chase; targets strictly decrease, so chains terminate."""
+    t = {int(a): int(b) for a, b in translations}
+    out = {}
+    for k in t:
+        v = t[k]
+        while v in t:
+            v = t[v]
+        out[k] = v
+    return out
+
+
+def _apply_closure(df: DataFrame, closure: dict[int, int]) -> DataFrame:
+    """Rewrite stale roots through the closure: one broadcast join over
+    the (merges-since-compaction)-sized table; fresh labels miss and pass
+    through."""
+    if not closure:
+        return df
+    spark = df.sparkSession
+    tr = spark.createDataFrame(
+        sorted(closure.items()), "old_cluster bigint, new_cluster bigint"
+    )
+    return (
+        df.join(
+            F.broadcast(tr),
+            df["cluster"] == tr["old_cluster"],
+            "left",
+        )
+        .select(
+            df["doc_id"],
+            F.coalesce("new_cluster", df["cluster"]).alias("cluster"),
+        )
+    )
+
+
+def _raw_rows(
+    spark: SparkSession, root: str, meta: dict, buckets: list[int] | None
+) -> DataFrame:
+    """base (optionally bucket-pruned) + deltas with fold sequence; latest
+    fold wins per doc."""
+    # explicit schema: an EMPTY bootstrap base writes only partition
+    # metadata (no data files), which schema inference rejects
+    base = spark.read.schema("doc_id bigint, cluster bigint, bucket int").parquet(
+        _base_path(root, int(meta["base_epoch"]))
+    )
+    if buckets is not None:
+        base = base.filter(F.col("bucket").isin(buckets))
+    frames = [base.select("doc_id", "cluster", F.lit(0).alias("_seq"))]
+    for i, name in enumerate(meta["deltas"]):
+        frames.append(
+            spark.read.parquet(os.path.join(root, name)).select(
+                "doc_id", "cluster", F.lit(i + 1).alias("_seq")
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("doc_id").agg(
+        F.max_by("cluster", "_seq").alias("cluster")
+    )
+
+
+def live_cluster_map(spark: SparkSession, root: str) -> DataFrame:
+    """The resolved (doc_id -> cluster) map: base + deltas latest-wins,
+    stale roots rewritten through the translation closure. Docs never
+    seen in a pair have no entry (matching the batch CC query's output
+    shape — singletons are implicit). Snapshot-consistent: one atomic
+    sidecar read names every directory; superseded epochs are retained
+    through `keep_epochs` further compactions."""
+    meta = _read_meta(root)
+    return _apply_closure(
+        _raw_rows(spark, root, meta, None),
+        _closure(meta.get("translations") or []),
+    )
+
+
+DRIVER_CC_CAP = 2_000_000  # pairs per fold handled by driver union-find
+
+
+def _union_find(edges) -> dict[int, int]:
+    """Driver-side union-find with union-by-min and path compression:
+    labels = min doc_id of each component — exactly
+    operators/graph.connected_components' fixpoint, at O(E α) for one
+    in-memory pass. Used for batch-sized mini-graphs (micro-batch pair
+    sets); the distributed CC remains the fallback above DRIVER_CC_CAP."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {x: find(x) for x in parent}
+
+
+def fold_pairs(
+    spark: SparkSession,
+    root: str,
+    pairs: DataFrame,
+    batch_id: int | None = None,
+    stream_id: str = "s",
+    max_iter: int = 20,
+) -> dict:
+    """Union-find-style fold of one batch's verified duplicate pairs
+    (id_a, id_b) into the persisted map. Returns stats {n_pairs,
+    n_new_entries, n_merges, skipped_duplicate}.
+
+    Steps (module doc has the correctness argument):
+      1. ledger guard: replayed batch ids are skipped outright;
+      2. the touched docs' current roots come from a bucket-PRUNED base
+         read + the small deltas, then the translation closure;
+      3. union-find over pairs + (doc -> root) edges yields the merged
+         labels — driver-side (_union_find; the pair set is batch-bounded
+         and collected in one action) up to DRIVER_CC_CAP, distributed
+         mini-CC (operators/graph.py) above it;
+      4. roots whose label moved become new translation entries (lazy
+         relabeling — members are never rewritten);
+      5. one delta directory of the touched docs' labels is written,
+         THEN the sidecar publishes delta + translations + ledger in one
+         atomic replace. A crash between 5a and 5b leaves an orphan
+         delta dir that the retried fold overwrites (deterministic
+         name) — never a half-applied merge."""
+    meta = _read_meta(root)
+    ledger = meta.get("last_batch_by_stream") or {}
+    if batch_id is not None and int(batch_id) <= int(
+        ledger.get(stream_id, -1)
+    ):
+        return {
+            "n_pairs": 0,
+            "n_new_entries": 0,
+            "n_merges": 0,
+            "skipped_duplicate": True,
+        }
+    epoch = int(meta["base_epoch"])
+    tag = (
+        f"{stream_id}-{batch_id}"
+        if batch_id is not None
+        else f"f-{int(meta['n_folds'])}"
+    )
+    delta_name = f"delta-{epoch:06d}-{tag}"
+    pairs = (
+        pairs.select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    # ONE action materializes the batch-bounded pair set driver-side for
+    # the union-find (a micro-batch's verified pairs are the definition
+    # of count-bounded); a pathological giant batch falls back to the
+    # distributed mini-CC below, re-running the pair plan once
+    pair_rows = pairs.limit(DRIVER_CC_CAP + 1).collect()
+    driver_mode = len(pair_rows) <= DRIVER_CC_CAP
+    if driver_mode:
+        n_pairs = len(pair_rows)
+    else:
+        pairs = pairs.localCheckpoint(eager=True)
+        n_pairs = pairs.count()
+    if n_pairs == 0:
+        # publish the ledger line even for a pair-less batch, so a replay
+        # of it is still recognized
+        if batch_id is not None:
+            led = dict(ledger)
+            led[stream_id] = max(int(led.get(stream_id, -1)), int(batch_id))
+            meta["last_batch_by_stream"] = led
+            _write_meta(root, meta)
+        return {
+            "n_pairs": 0,
+            "n_new_entries": 0,
+            "n_merges": 0,
+            "skipped_duplicate": False,
+        }
+    if driver_mode:
+        touched_ids = sorted(
+            {
+                int(x)
+                for r in pair_rows
+                for x in (r["id_a"], r["id_b"])
+            }
+        )
+        touched = spark.createDataFrame(
+            [(i,) for i in touched_ids], "doc_id bigint"
+        )
+    else:
+        touched = pairs.select(
+            F.explode(F.array("id_a", "id_b")).alias("doc_id")
+        ).distinct()
+    # static pruning: the touched docs' buckets are a <= N_BUCKETS-row
+    # collect; the base read below touches only those directories
+    buckets = sorted(
+        int(r["b"])
+        for r in touched.select(_bucket("doc_id").alias("b"))
+        .distinct()
+        .collect()
+    )
+    closure = _closure(meta.get("translations") or [])
+    current = _apply_closure(
+        _raw_rows(spark, root, meta, buckets), closure
+    )
+    cur = touched.join(current, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster", "doc_id").alias("cluster")
+    )
+    if driver_mode:
+        # union-find over pairs + (doc -> current root) edges: one
+        # touched-bounded collect for the lookup, zero iterative jobs
+        cur_rows = cur.collect()
+        lab = _union_find(
+            [(int(r["id_a"]), int(r["id_b"])) for r in pair_rows]
+            + [(int(r["doc_id"]), int(r["cluster"])) for r in cur_rows]
+        )
+        new_translations = sorted(
+            (c, lab[c])
+            for c in {int(r["cluster"]) for r in cur_rows}
+            if lab[c] != c
+        )
+        delta = spark.createDataFrame(
+            sorted(lab.items()), "doc_id bigint, cluster bigint"
+        )
+    else:
+        mini_edges = pairs.select(
+            F.col("id_a").alias("a"), F.col("id_b").alias("b")
+        ).unionByName(
+            cur.select(
+                F.col("doc_id").alias("a"), F.col("cluster").alias("b")
+            )
+        )
+        labels = connected_components(mini_edges, "a", "b", max_iter=max_iter)
+        # roots whose label moved -> translation entries. Count-bounded
+        # collect (<= touched roots, themselves <= 2 x |pairs|).
+        new_translations = [
+            (int(r["v"]), int(r["component"]))
+            for r in cur.select(F.col("cluster").alias("v"))
+            .distinct()
+            .join(labels, "v")
+            .filter(F.col("component") != F.col("v"))
+            .collect()
+        ]
+        delta = labels.select(
+            F.col("v").alias("doc_id"), F.col("component").alias("cluster")
+        )
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        delta.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")  # retry of a crashed fold overwrites
+        .parquet(os.path.join(root, delta_name))
+    )
+    n_delta = int(obs.get["n"])
+    meta = _read_meta(root)  # re-read at publish (ledger lines may move)
+    if delta_name not in meta["deltas"]:
+        meta["deltas"] = list(meta["deltas"]) + [delta_name]
+    meta["translations"] = list(meta.get("translations") or []) + [
+        [a, b] for a, b in new_translations
+    ]
+    if batch_id is not None:
+        led = dict(meta.get("last_batch_by_stream") or {})
+        led[stream_id] = max(int(led.get(stream_id, -1)), int(batch_id))
+        meta["last_batch_by_stream"] = led
+    meta["n_folds"] = int(meta["n_folds"]) + 1
+    _write_meta(root, meta)
+    return {
+        "n_pairs": int(n_pairs),
+        "n_new_entries": int(n_delta),
+        "n_merges": len(new_translations),
+        "skipped_duplicate": False,
+    }
+
+
+def compact_cluster_store(
+    spark: SparkSession, root: str, keep_epochs: int = 2
+) -> int:
+    """The path-compression pass: materialize the fully-resolved map
+    (base + deltas + translation closure) into a NEW base epoch and
+    publish it with one atomic sidecar flip; deltas and translations
+    reset. Superseded epochs and the deltas they consumed are GC'd once
+    `keep_epochs` compactions old (a mid-scan reader has whole
+    compaction cycles to finish — streaming/ivf.py's retention
+    contract). WRITER-EXCLUSIVE vs folds (run it from the ingest loop,
+    clusters_foreach_batch's compact_every does); always safe under
+    concurrent readers. Returns the resolved row count.
+
+    Crash windows: before the flip, an orphan next-epoch directory
+    (overwritten by the retried compact); after it, at worst un-GC'd
+    directories — both heal on the next compact."""
+    meta = _read_meta(root)
+    epoch = int(meta["base_epoch"])
+    new_epoch = epoch + 1
+    resolved = _apply_closure(
+        _raw_rows(spark, root, meta, None),
+        _closure(meta.get("translations") or []),
+    )
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    _write_base(
+        resolved.observe(obs, F.count(F.lit(1)).alias("n")),
+        _base_path(root, new_epoch),
+    )
+    n = int(obs.get["n"])
+    meta = _read_meta(root)
+    meta["base_epoch"] = new_epoch
+    meta["deltas"] = []
+    meta["translations"] = []
+    _write_meta(root, meta)
+    # deferred GC by epoch prefix: bases AND their deltas — including
+    # orphans a crashed batch-less fold never published — go together
+    # once the epoch is keep_epochs compactions old
+    for name in os.listdir(root):
+        m = re.fullmatch(r"(?:base|delta)-(\d+)(?:-.*)?", name)
+        if m and int(m.group(1)) < new_epoch - keep_epochs:
+            shutil.rmtree(os.path.join(root, name))
+    return n
+
+
+def batch_pairs(batch_df: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Intra-batch verified near-dup pairs — identical band + round-6
+    exact-Jaccard semantics as the batch pipeline
+    (operators/dedup.minhash_dedup_pairs), without the session memo
+    (micro-batches are never re-queried)."""
+    from cdc_rs_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_docs,
+    )
+
+    signed = minhash_docs(batch_df, "doc_id", "text")
+    cand = lsh_candidate_pairs(signed.select("doc_id", "sig"))
+    return jaccard_verify(cand, signed.select("doc_id", "sh"), threshold)
+
+
+def clusters_foreach_batch(
+    signature_store_path: str,
+    shingle_store_path: str,
+    cluster_store_root: str,
+    threshold: float = 0.5,
+    stream_id: str = "s",
+    compact_every: int | None = None,
+    on_stats: Callable[[dict, int], None] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The full ingesting-pipeline step (VERDICT r7 next #1): per
+    micro-batch of (doc_id, text) —
+      1. the batch is signed ONCE, and one fused band join probes its
+         bands against store ∪ batch — cross-corpus and intra-batch
+         candidates together — then exact-Jaccard verifies (the same
+         pair semantics as streaming/dedup.py probe_against_store plus
+         operators/dedup.lsh_candidate_pairs, in one plan);
+      2. fold_pairs merges them into the persisted cluster map
+         (epoch-published, ledger-idempotent);
+      3. the batch's bands + shingles append to the stores so later
+         batches are caught (replays skip the append via the fold's
+         ledger result — the band stores stay bounded too);
+      4. optional compaction every N folds (the OPTIMIZE cadence).
+    After any prefix of batches, live_cluster_map == batch CC over all
+    pairs among every doc ingested so far — the invariant the registered
+    query dedup_incremental_clusters oracle-checks."""
+    from cdc_rs_spark.operators.dedup import (
+        band_explode,
+        jaccard_verify,
+        minhash_docs,
+    )
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # sign ONCE per micro-batch: the shingle+minhash pass is the
+        # dominant per-batch cost, and three consumers need it (store
+        # probe, intra-batch pairs, store append) — measured 2x on the
+        # registered query when it was run per consumer (round 8)
+        signed = minhash_docs(batch_df, "doc_id", "text").persist()
+        try:
+            sig_store = spark.read.parquet(signature_store_path)
+            sh_store = spark.read.parquet(shingle_store_path)
+            # ONE fused band join finds cross-corpus AND intra-batch
+            # candidates: probe the batch's bands against store ∪ batch
+            # (a separate probe_against_store + lsh_candidate_pairs pass
+            # duplicated the band explode, the shingle joins and two
+            # union legs — ~40% of the per-batch stages, round 8).
+            # Intra pairs surface in both orders; fold_pairs' distinct +
+            # symmetric union-find make direction irrelevant.
+            batch_bands = band_explode(signed.select("doc_id", "sig"))
+            cand = (
+                batch_bands.withColumnRenamed("doc_id", "id_a")
+                .join(
+                    sig_store.unionByName(batch_bands).withColumnRenamed(
+                        "doc_id", "id_b"
+                    ),
+                    ["band", "bkey"],
+                )
+                .filter(F.col("id_a") != F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            sh_all = sh_store.unionByName(signed.select("doc_id", "sh"))
+            pairs = jaccard_verify(cand, sh_all, threshold).select(
+                "id_a", "id_b"
+            )
+            stats = fold_pairs(
+                spark,
+                cluster_store_root,
+                pairs,
+                batch_id=batch_id,
+                stream_id=stream_id,
+            )
+            if not stats["skipped_duplicate"]:
+                band_explode(signed.select("doc_id", "sig")).write.mode(
+                    "append"
+                ).parquet(signature_store_path)
+                signed.select("doc_id", "sh").write.mode("append").parquet(
+                    shingle_store_path
+                )
+                if (
+                    compact_every is not None
+                    and int(_read_meta(cluster_store_root)["n_folds"])
+                    % compact_every
+                    == 0
+                ):
+                    compact_cluster_store(spark, cluster_store_root)
+            if on_stats is not None:
+                on_stats(stats, batch_id)
+        finally:
+            signed.unpersist(blocking=False)
+
+    return fn

@@ -33,13 +33,19 @@ def probe_against_store(
     signature_store: DataFrame,
     shingle_store: DataFrame,
     threshold: float = 0.5,
+    signed: DataFrame | None = None,
 ) -> DataFrame:
     """Batch core of the incremental check: shingle+sign the new docs, probe
     the band store for candidates, verify candidates with exact Jaccard
     against the shingle store. Returns (id_a=new doc, id_b=stored doc,
     jaccard >= threshold). Pure DataFrame logic — usable directly in batch
-    or inside foreachBatch."""
-    signed = minhash_docs(new_docs, "doc_id", "text").persist()
+    or inside foreachBatch. Callers that already signed the batch pass
+    `signed` (the minhash_docs output) so the expensive shingle+sign pass
+    runs once per micro-batch, not once per consumer
+    (streaming/clusters.py signs once for probe + intra-pairs + store
+    append — round 8)."""
+    if signed is None:
+        signed = minhash_docs(new_docs, "doc_id", "text").persist()
     try:
         probes = band_explode(signed.select("doc_id", "sig"))
         cand = (

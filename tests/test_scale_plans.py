@@ -741,3 +741,76 @@ def test_triangle_full_closes_by_adjacency_intersect_on_oriented_keys(spark):
 
     join_keys = re.findall(r"Join [^,]*, \[(\w+)#", plan)
     assert set(join_keys) <= {"s", "d", "node", "ok"}, (join_keys, plan)
+
+
+def test_semdedup_pair_stage_hot_cluster_gets_aqe_skew_split(spark):
+    """The SemDeDup pair stage's N^2/K bound leans on AQE skew-split for
+    pathologically hot clusters (plans/dedup.py docstring). Feed a
+    cluster holding ~90% of the rows, force the sort-merge path
+    (broadcast off — at 100 TB neither side broadcasts) with
+    test-sized skew thresholds, and assert the runtime plan actually
+    split it (SortMergeJoin(skew=true)) — the claim is exercised, not
+    assumed."""
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+    )
+
+    def get(k):
+        try:
+            return conf.get(k)
+        except Exception:  # noqa: BLE001 — unset key
+            return None
+
+    saved = {k: get(k) for k in keys}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        # the pair stage feeds an aggregation (another exchange); the
+        # split must happen anyway, as it would at scale
+        conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        rows = [(i, 0, [float(i % 7), 1.0, 0.0]) for i in range(20000)] + [
+            (100000 + c * 100 + j, c, [0.0, float(j), 1.0])
+            for c in range(1, 9)
+            for j in range(5)
+        ]
+        assigned = spark.createDataFrame(
+            rows, "vec_id bigint, cluster_id bigint, embedding array<float>"
+        )
+        pairs = (
+            assigned.alias("a")
+            .join(
+                assigned.alias("b"),
+                F.col("a.cluster_id") == F.col("b.cluster_id"),
+            )
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.cluster_id"), F.col("a.vec_id"), F.col("b.vec_id"))
+        )
+        # aggregate down before collecting (the pair volume is the
+        # point); the SAME DataFrame's query execution is inspected, so
+        # the plan string carries the runtime skew annotations
+        per_cluster = pairs.groupBy("cluster_id").agg(
+            F.count("*").alias("n")
+        )
+        got = {r["cluster_id"]: r["n"] for r in per_cluster.collect()}
+        assert got[0] == 20000 * 19999 // 2
+        plan = per_cluster._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:2000]
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
