@@ -671,3 +671,185 @@ def quantized_cosine(qa: Column, qb: Column) -> Column:
         ).cast("double")
     )
     return idot.cast("double") / (na * nb)
+
+
+# --- product quantization (round 8) ------------------------------------------
+# PQ is THE memory-bound trick at billion-vector scale: each vector is
+# stored as PQ_M sub-codes (here 4 bytes) plus one reconstructed norm,
+# and queries scan those codes with a per-query lookup table (ADC —
+# asymmetric distance computation, Jegou et al. 2011) instead of reading
+# 64 floats. The codebooks train driver-locally on the same count-bounded
+# hash sample as IVF (_ivf_model's FAISS recipe), with the exact
+# integer-scaled mean arithmetic of lloyd_refine_local so the DuckDB
+# oracle reproduces every codeword bit-for-bit.
+
+PQ_M = 4  # subspaces
+PQ_SUB = EMB_DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codewords per subspace (codes fit 4 bits; one byte each here)
+PQ_CAND = 32  # ADC shortlist size fed to the exact re-rank
+
+
+def _py_sub(emb, m: int, sub: int = PQ_SUB):
+    return [float(x) for x in emb[m * sub : (m + 1) * sub]]
+
+
+def _py_d2(a, b) -> float:
+    """Sequential-fold squared L2 — seed 0.0 then one (x-y)*(x-y) term per
+    dim in index order, matching the Spark zip_with fold and the DuckDB
+    list_reduce(list_prepend(0.0, ...)) mirror bit-for-bit."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        acc += d * d
+    return acc
+
+
+def _py_dot(a, b) -> float:
+    """Sequential-fold dot with 0.0 seed — the driver-side mirror of
+    dot_sql/_dot_sql (same IEEE operation order)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def pq_train_local(
+    sample_rows,
+    n_sub: int = PQ_M,
+    sub: int = PQ_SUB,
+    k: int = PQ_K,
+    scale: int = 1 << 44,
+) -> list[dict]:
+    """Driver-local PQ codebook training on the bounded sample (rows must
+    already be in (md5-bucket, vec_id) order — _ivf_model's discipline):
+    per subspace, seeds are the first `k` rows' sub-vectors, followed by
+    ONE Lloyd-style refine with squared-L2 assignment (min d2, lowest
+    code tiebreak) and lloyd_refine_local's exact integer-scaled means.
+    Returns [{"m", "code", "c_sub", "n2"}] with n2 = the codeword's
+    squared norm under the same sequential fold (feeds the reconstructed
+    norm without a per-row recompute). Codes that attract no sample rows
+    drop, exactly like the distributed refine."""
+    out = []
+    for m in range(n_sub):
+        seeds = [_py_sub(sample_rows[i]["embedding"], m, sub) for i in range(k)]
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in sample_rows:
+            v = _py_sub(r["embedding"], m, sub)
+            code = min((_py_d2(v, seeds[c]), c) for c in range(len(seeds)))[1]
+            if code not in sums:
+                sums[code] = [0] * sub
+                counts[code] = 0
+            s = sums[code]
+            for j, x in enumerate(v):
+                fv = float(x) * scale  # float32 * 2^44 is integer-exact
+                iv = int(fv)
+                if fv != iv:  # defensive HALF_UP mirror (see lloyd_refine_local)
+                    import math
+
+                    iv = math.floor(fv + 0.5) if fv > 0 else math.ceil(fv - 0.5)
+                s[j] += iv
+            counts[code] += 1
+        for code in sorted(sums):
+            c_sub = [float(v) / scale / counts[code] for v in sums[code]]
+            n2 = 0.0
+            for x in c_sub:
+                n2 += x * x
+            out.append({"m": m, "code": code, "c_sub": c_sub, "n2": n2})
+    return out
+
+
+def pq_encode(corpus: DataFrame, codebook: list[dict]) -> DataFrame:
+    """Map-side PQ encode: (vec_id, embedding) -> (vec_id, codes
+    array<int>, rnorm double). The codebook (PQ_M x PQ_K codewords) packs
+    into ONE broadcast array-of-structs row — per vector, each subspace
+    takes argmin squared-L2 over its codewords (array_min of struct(d2,
+    code), lowest-code tiebreak) and the reconstructed norm is the
+    sequential fold of the chosen codewords' squared norms. ZERO corpus
+    shuffle — this is the encode pass a 100 TB deployment runs once and
+    keeps: 1 byte per code + one double per vector."""
+    spark = corpus.sparkSession
+    cb = spark.createDataFrame(
+        [(r["m"], r["code"], r["c_sub"], r["n2"]) for r in codebook],
+        "m int, code int, c_sub array<double>, n2 double",
+    )
+    packed = F.broadcast(
+        cb.agg(F.collect_list(F.struct("m", "code", "c_sub", "n2")).alias("cbs"))
+    )
+    cs = (
+        f"transform(sequence(0, {PQ_M - 1}), mm -> "
+        "array_min(transform(filter(cbs, s -> s.m = mm), s -> named_struct("
+        f"'d', aggregate(zip_with(slice(embedding, mm * {PQ_SUB} + 1, {PQ_SUB}), "
+        "s.c_sub, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z), "
+        "'c', s.code, 'n', s.n2))))"
+    )
+    return (
+        corpus.crossJoin(packed)
+        .withColumn("_cs", F.expr(cs))
+        .select(
+            "vec_id",
+            F.expr("transform(_cs, s -> s.c)").alias("codes"),
+            F.expr(
+                "sqrt(aggregate(transform(_cs, s -> s.n), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
+            ).alias("rnorm"),
+        )
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame, query_luts: DataFrame, cand: int = PQ_CAND
+) -> DataFrame:
+    """The ADC scan: per (vector, query), approx cosine = (sum over
+    subspaces of lut[m][code_m]) / (qnorm * rnorm) — four array lookups
+    and a division per pair, against broadcast per-query LUTs
+    (query_id, lut array<array<double>> positional by code, qnorm).
+    Shortlists the top `cand` ids per query through the two-stage exact
+    rank (no single-task sort). Returns (query_id, vec_id) candidates
+    for the exact re-rank."""
+    joined = encoded.crossJoin(F.broadcast(query_luts)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc = (
+        f"aggregate(zip_with(codes, sequence(1, {PQ_M}), "
+        "(cd, mm) -> element_at(element_at(lut, mm), cd + 1)), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        salt_expr("vec_id", _n_salt_buckets(joined)).alias("_salt"),
+        (F.expr(adc) / (F.col("qnorm") * F.col("rnorm"))).alias("cos"),
+    )
+    return two_stage_rank_topk(scored, cand).select("query_id", "vec_id")
+
+
+def pq_query_luts(spark, query_rows, codebook: list[dict]) -> DataFrame:
+    """Build the per-query ADC lookup tables driver-side (Q x PQ_M x PQ_K
+    sequential-fold dots — a few hundred ops): lut[m][code] =
+    dot(q_sub_m, codeword), positionally indexed by code with 0.0 for
+    dropped codes (never looked up — no vector carries a dropped code).
+    qnorm uses the same fold as norm_sql."""
+    import math
+
+    by_mc = {(r["m"], r["code"]): r["c_sub"] for r in codebook}
+    rows = []
+    for q in query_rows:
+        emb = [float(x) for x in q["q_emb"]]
+        lut = [
+            [
+                _py_dot(_py_sub(emb, m), by_mc[(m, c)])
+                if (m, c) in by_mc
+                else 0.0
+                for c in range(PQ_K)
+            ]
+            for m in range(PQ_M)
+        ]
+        n2 = 0.0
+        for x in emb:
+            n2 += x * x
+        rows.append((int(q["query_id"]), lut, math.sqrt(n2)))
+    return spark.createDataFrame(
+        rows, "query_id bigint, lut array<array<double>>, qnorm double"
+    )

@@ -6,7 +6,7 @@ LSH constants, so even the approximate path matches bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_rs_spark.operators.similarity import (
@@ -1059,4 +1059,217 @@ def embedding_quantization_error_audit(
         F.sum(F.col("fidelity").cast("decimal(18,6)"))
         .cast("decimal(38,6)")
         .alias("total_fidelity"),
+    )
+
+
+# ---- round 8: product quantization (ADC) ------------------------------------
+
+def _pq_adc_oracle() -> str:
+    """DuckDB mirror of the full PQ chain: seed -> one L2-Lloyd refine with
+    integer-scaled exact means -> corpus encode (argmin d2, code tiebreak)
+    -> per-query LUT dots -> ADC score with fixed m-order folds -> top-32
+    shortlist -> exact-cosine re-rank. Every fold seeds 0.0 and runs in
+    index order, matching the Spark/python forms bit-for-bit."""
+    from cdc_rs_spark.operators.similarity import PQ_CAND, PQ_K, PQ_M, PQ_SUB
+
+    scale = "17592186044416.0"  # 2^44
+
+    def d2(e: str, m: str, c: str) -> str:
+        t = f"({e}[{m} * {PQ_SUB} + j]::DOUBLE - {c}[j])"
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {PQ_SUB + 1}), j -> {t} * {t})), "
+            "(a, b) -> a + b)"
+        )
+
+    return f"""
+    WITH {_QUERIES_SQL},
+    ptrain AS (
+        SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY {_BUCKET_SQL}, vec_id) AS rn
+        FROM embeddings
+        ORDER BY {_BUCKET_SQL}, vec_id LIMIT {TRAIN_CAP}
+    ),
+    pseeds AS (
+        SELECT mr.m, t.rn - 1 AS code,
+               list_transform(range(1, {PQ_SUB + 1}),
+                   j -> t.embedding[mr.m * {PQ_SUB} + j]::DOUBLE) AS c_sub
+        FROM ptrain t CROSS JOIN range(0, {PQ_M}) mr(m)
+        WHERE t.rn <= {PQ_K}
+    ),
+    passign0 AS (
+        SELECT m, code, vec_id, embedding FROM (
+            SELECT s.m, s.code, t.vec_id, t.embedding,
+                   row_number() OVER (
+                       PARTITION BY s.m, t.vec_id
+                       ORDER BY {d2("t.embedding", "s.m", "s.c_sub")} ASC,
+                                s.code
+                   ) AS rk
+            FROM ptrain t CROSS JOIN pseeds s
+        ) WHERE rk = 1
+    ),
+    pdims AS (
+        SELECT a.m, a.code, j.j AS pos,
+               a.embedding[a.m * {PQ_SUB} + j.j]::DOUBLE * {scale} AS y
+        FROM passign0 a, range(1, {PQ_SUB + 1}) j(j)
+    ),
+    pmeans AS (
+        SELECT m, code, pos,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE)
+                   / {scale} / COUNT(*) AS mv
+        FROM pdims GROUP BY m, code, pos
+    ),
+    pcb AS (
+        SELECT m, code, list(mv ORDER BY pos) AS c_sub
+        FROM pmeans GROUP BY m, code
+    ),
+    pcbn AS (
+        SELECT m, code, c_sub,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(c_sub, x -> x * x)), (a, b) -> a + b) AS n2
+        FROM pcb
+    ),
+    pcodes AS (
+        SELECT m, code, vec_id FROM (
+            SELECT b.m, b.code, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY b.m, e.vec_id
+                       ORDER BY {d2("e.embedding", "b.m", "b.c_sub")} ASC,
+                                b.code
+                   ) AS rk
+            FROM embeddings e CROSS JOIN pcbn b
+        ) WHERE rk = 1
+    ),
+    penc AS (
+        SELECT c.vec_id,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(b.n2 ORDER BY c.m)), (a, b2) -> a + b2)) AS rnorm
+        FROM pcodes c JOIN pcbn b ON b.m = c.m AND b.code = c.code
+        GROUP BY c.vec_id
+    ),
+    plut AS (
+        SELECT q.query_id, b.m, b.code,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, {PQ_SUB + 1}),
+                       j -> q.q_emb[b.m * {PQ_SUB} + j]::DOUBLE * b.c_sub[j])),
+                   (a, b2) -> a + b2) AS d
+        FROM qs q CROSS JOIN pcbn b
+    ),
+    padc AS (
+        SELECT x.query_id, x.vec_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(x.d ORDER BY x.m)), (a, b2) -> a + b2) AS adc
+        FROM (SELECT l.query_id, pc.vec_id, pc.m, l.d
+              FROM pcodes pc JOIN plut l ON l.m = pc.m AND l.code = pc.code)
+             x
+        WHERE x.vec_id <> x.query_id
+        GROUP BY x.query_id, x.vec_id
+    ),
+    pscore AS (
+        SELECT a.query_id, a.vec_id,
+               a.adc / ({_norm_sql("q.q_emb")} * e2.rnorm) AS pcos
+        FROM padc a
+        JOIN penc e2 ON e2.vec_id = a.vec_id
+        JOIN qs q ON q.query_id = a.query_id
+    ),
+    pshort AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY pcos DESC, vec_id) AS rk
+            FROM pscore
+        ) WHERE rk <= {PQ_CAND}
+    ),
+    reranked AS (
+        SELECT s.query_id, s.vec_id,
+               {_cos_sql("q.q_emb", "e.embedding")} AS cos
+        FROM pshort s
+        JOIN embeddings e ON e.vec_id = s.vec_id
+        JOIN qs q ON q.query_id = s.query_id
+    )
+    SELECT query_id, vec_id, rank, ROUND(cos, 6) AS cosine FROM (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM reranked
+    ) WHERE rank <= 5
+    """
+
+
+@register("similarity_pq_adc_topk", oracle=_pq_adc_oracle())
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jegou et al. 2011) — the memory-bound pattern billion-vector
+    deployments actually run: each vector is stored as {4} sub-codes (one
+    byte each) plus one reconstructed norm, the query builds a tiny
+    per-subspace lookup table of dot products, and the corpus scan is
+    four array lookups + a division per pair instead of a 64-dim dot —
+    16 bytes of state per vector where the raw corpus needs 256.
+
+    Chain: codebooks train driver-locally per subspace on the SAME
+    count-bounded hash sample as IVF (seeds = sample prefix, one
+    L2-Lloyd refine with lloyd_refine_local's exact integer-scaled
+    means); the encode is one map-side pass with the broadcast codebook
+    (operators/similarity.pq_encode — zero corpus shuffle); the ADC scan
+    runs against broadcast per-query LUTs and shortlists top-{32}
+    through the two-stage exact rank; the shortlist re-ranks with the
+    EXACT cosine (the standard PQ refine step) to the final top-5. Every
+    fold in the chain is sequential with a 0.0 seed, so the DuckDB
+    oracle reproduces codebooks, codes, ADC scores, the shortlist AND
+    the final ranks bit-for-bit — the approximation itself is
+    oracle-pinned, not just the refined answer.
+
+    Scale: codes + rnorm are the only per-vector state the scan touches;
+    the re-rank reads full vectors for just Q x {32} ids (bloom/DPP
+    prunes the fetch at warehouse scale); at 100 TB this composes with
+    the IVF router (probe lists first, ADC within lists) — the IVF side
+    is similarity_ivf_topk's machinery unchanged."""
+    from cdc_rs_spark.operators.similarity import (
+        PQ_CAND,
+        cosine_sql,
+        pq_adc_topk,
+        pq_encode,
+        pq_query_luts,
+        pq_train_local,
+    )
+
+    raw = load(spark, sf_dir, "embeddings")
+    corpus = spread(raw).select("vec_id", "embedding")
+    import hashlib
+
+    def bucket(vid: int) -> int:
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:8], 16) % 1_000_000
+
+    train_rows = sorted(
+        _train_sample_df(raw).collect(),
+        key=lambda r: (bucket(r["vec_id"]), r["vec_id"]),
+    )
+    cb = pq_train_local(train_rows)
+    query_rows = (
+        raw.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        .filter(F.col("query_id") < N_QUERIES)
+        .collect()
+    )
+    luts = pq_query_luts(spark, query_rows, cb)
+    short = pq_adc_topk(pq_encode(corpus, cb), luts, PQ_CAND)
+    qdf = spark.createDataFrame(
+        [(int(q["query_id"]), list(q["q_emb"])) for q in query_rows],
+        "query_id bigint, q_emb array<float>",
+    )
+    rer = (
+        short.join(corpus, "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(cosine_sql("q_emb", "embedding", EMB_DIM)).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
     )

@@ -132,7 +132,7 @@ _DRIVER_WINDOW = [
     "events_late_arrival_audit",
     "similarity_ivf_topk",
     "similarity_recall_eval",
-    "embedding_quantization_error_audit",
+    "similarity_pq_adc_topk",  # round-8 new (PQ/ADC) — pins at birth
     "text_tfidf_keywords",
     "text_quality_deciles",
     "text_langid",

@@ -227,3 +227,65 @@ def test_end_to_end_pipeline_matches_batch_cc_query(spark, tmp_path):
     fn(b2, 2)
     assert _live(spark, root) == expected
     assert spark.read.parquet(sig).count() == sig_n
+
+
+def test_streaming_end_to_end_file_source(spark, tmp_path):
+    """The real Structured Streaming path: micro-batches arrive through a
+    file source, clusters_foreach_batch maintains the map under the
+    stream's own batch ids, and the final resolved map equals batch CC
+    over everything that arrived — with inline compaction exercised
+    mid-stream (compact_every=1)."""
+    import json
+
+    from cdc_rs_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = [
+        (1, SHARED * 3),
+        (2, SHARED * 3 + "tail one"),
+        (3, "completely different text " * 8),
+        (4, "completely different text " * 8 + " coda"),
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for fname, rows in [("b1.json", docs[:2]), ("b2.json", docs[2:])]:
+        with open(os.path.join(src, fname), "w") as f:
+            for doc_id, text in rows:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    sig = str(tmp_path / "sig")
+    sh = str(tmp_path / "sh")
+    root = str(tmp_path / "clusters")
+    spark.createDataFrame(
+        [], "doc_id bigint, band int, bkey string"
+    ).write.parquet(sig)
+    spark.createDataFrame(
+        [], "doc_id bigint, sh array<string>"
+    ).write.parquet(sh)
+    init_cluster_store(spark, root)
+    stats_seen = []
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(
+            clusters_foreach_batch(
+                sig, sh, root, threshold=0.5, compact_every=1,
+                on_stats=lambda s, b: stats_seen.append((b, s)),
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    assert len(stats_seen) == 2
+    full = spark.createDataFrame(docs, "doc_id bigint, text string")
+    expected = {
+        r["v"]: r["component"]
+        for r in connected_components(
+            minhash_dedup_pairs(full, "doc_id", "text", 0.5), "id_a", "id_b"
+        ).collect()
+    }
+    assert _live(spark, root) == expected
+    # compact_every=1 really compacted after each pair-bearing fold
+    meta = _read_meta(root)
+    assert int(meta["base_epoch"]) >= 1 and meta["deltas"] == []
