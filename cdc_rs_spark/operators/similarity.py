@@ -798,19 +798,15 @@ def pq_encode(corpus: DataFrame, codebook: list[dict]) -> DataFrame:
     )
 
 
-def pq_adc_topk(
-    encoded: DataFrame, query_luts: DataFrame, cand: int = PQ_CAND
-) -> DataFrame:
-    """The ADC scan: per (vector, query), approx cosine = (sum over
-    subspaces of lut[m][code_m]) / (qnorm * rnorm) — four array lookups
-    and a division per pair, against broadcast per-query LUTs
-    (query_id, lut array<array<double>> positional by code, qnorm).
-    Shortlists the top `cand` ids per query through the two-stage exact
-    rank (no single-task sort). Returns (query_id, vec_id) candidates
-    for the exact re-rank."""
-    joined = encoded.crossJoin(F.broadcast(query_luts)).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+def pq_adc_rank(joined: DataFrame, cand: int = PQ_CAND) -> DataFrame:
+    """Score + shortlist an already-candidate-joined frame carrying
+    (query_id, vec_id, codes, rnorm, lut, qnorm): approx cosine = (sum
+    over subspaces of lut[m][code_m]) / (qnorm * rnorm) — four array
+    lookups and a division per pair — then the top `cand` ids per query
+    through the two-stage exact rank (no single-task sort). Shared by
+    the flat scan (pq_adc_topk) and the IVF-routed form
+    (similarity_ivfpq_topk, which restricts candidates to probed lists
+    first)."""
     adc = (
         f"aggregate(zip_with(codes, sequence(1, {PQ_M}), "
         "(cd, mm) -> element_at(element_at(lut, mm), cd + 1)), "
@@ -823,6 +819,19 @@ def pq_adc_topk(
         (F.expr(adc) / (F.col("qnorm") * F.col("rnorm"))).alias("cos"),
     )
     return two_stage_rank_topk(scored, cand).select("query_id", "vec_id")
+
+
+def pq_adc_topk(
+    encoded: DataFrame, query_luts: DataFrame, cand: int = PQ_CAND
+) -> DataFrame:
+    """The flat ADC scan: every (vector, query) pair against broadcast
+    per-query LUTs (query_id, lut array<array<double>> positional by
+    code, qnorm). Returns (query_id, vec_id) shortlist candidates for
+    the exact re-rank."""
+    joined = encoded.crossJoin(F.broadcast(query_luts)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    return pq_adc_rank(joined, cand)
 
 
 def pq_query_luts(spark, query_rows, codebook: list[dict]) -> DataFrame:

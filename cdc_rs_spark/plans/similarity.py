@@ -1064,13 +1064,15 @@ def embedding_quantization_error_audit(
 
 # ---- round 8: product quantization (ADC) ------------------------------------
 
-def _pq_adc_oracle() -> str:
-    """DuckDB mirror of the full PQ chain: seed -> one L2-Lloyd refine with
-    integer-scaled exact means -> corpus encode (argmin d2, code tiebreak)
-    -> per-query LUT dots -> ADC score with fixed m-order folds -> top-32
-    shortlist -> exact-cosine re-rank. Every fold seeds 0.0 and runs in
-    index order, matching the Spark/python forms bit-for-bit."""
-    from cdc_rs_spark.operators.similarity import PQ_CAND, PQ_K, PQ_M, PQ_SUB
+def _pq_ctes() -> str:
+    """Shared DuckDB CTE chain of the PQ machinery: seed -> one L2-Lloyd
+    refine with integer-scaled exact means (ptrain..pcb/pcbn) -> corpus
+    encode (pcodes: argmin d2, code tiebreak; penc: reconstructed norm)
+    -> per-query LUT dots (plut). Every fold seeds 0.0 and runs in index
+    order, matching the Spark/python forms bit-for-bit. Composed by both
+    the flat-ADC oracle (_pq_adc_oracle) and the IVF-routed one
+    (_ivfpq_oracle)."""
+    from cdc_rs_spark.operators.similarity import PQ_K, PQ_M, PQ_SUB
 
     scale = "17592186044416.0"  # 2^44
 
@@ -1083,7 +1085,6 @@ def _pq_adc_oracle() -> str:
         )
 
     return f"""
-    WITH {_QUERIES_SQL},
     ptrain AS (
         SELECT vec_id, embedding,
                row_number() OVER (ORDER BY {_BUCKET_SQL}, vec_id) AS rn
@@ -1154,7 +1155,17 @@ def _pq_adc_oracle() -> str:
                        j -> q.q_emb[b.m * {PQ_SUB} + j]::DOUBLE * b.c_sub[j])),
                    (a, b2) -> a + b2) AS d
         FROM qs q CROSS JOIN pcbn b
-    ),
+    )"""
+
+
+def _pq_adc_oracle() -> str:
+    """Flat-ADC PQ oracle: the shared chain + whole-corpus ADC scoring,
+    top-PQ_CAND shortlist, exact-cosine re-rank."""
+    from cdc_rs_spark.operators.similarity import PQ_CAND
+
+    return f"""
+    WITH {_QUERIES_SQL},
+    {_pq_ctes()},
     padc AS (
         SELECT x.query_id, x.vec_id,
                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1254,6 +1265,156 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     luts = pq_query_luts(spark, query_rows, cb)
     short = pq_adc_topk(pq_encode(corpus, cb), luts, PQ_CAND)
+    qdf = spark.createDataFrame(
+        [(int(q["query_id"]), list(q["q_emb"])) for q in query_rows],
+        "query_id bigint, q_emb array<float>",
+    )
+    rer = (
+        short.join(corpus, "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(cosine_sql("q_emb", "embedding", EMB_DIM)).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """IVF-routed PQ: the shared IVF chain gates candidates to each
+    query's probed lists; the shared PQ chain scores them with ADC; the
+    shortlist re-ranks with the exact cosine. Both approximations are
+    reproduced exactly, so the oracle pins the COMPOSED index, not just
+    the final answer."""
+    from cdc_rs_spark.operators.similarity import PQ_CAND
+
+    return f"""
+    WITH {_QUERIES_SQL},
+    {_IVF_CHAIN_SQL},
+    {_pq_ctes()},
+    pcand AS (
+        SELECT p.query_id, a.vec_id
+        FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+        WHERE a.vec_id <> p.query_id
+    ),
+    padc AS (
+        SELECT x.query_id, x.vec_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(x.d ORDER BY x.m)), (a, b2) -> a + b2) AS adc
+        FROM (SELECT cd.query_id, cd.vec_id, pc.m, l.d
+              FROM pcand cd
+              JOIN pcodes pc ON pc.vec_id = cd.vec_id
+              JOIN plut l ON l.query_id = cd.query_id
+                         AND l.m = pc.m AND l.code = pc.code) x
+        GROUP BY x.query_id, x.vec_id
+    ),
+    pscore AS (
+        SELECT a.query_id, a.vec_id,
+               a.adc / ({_norm_sql("q.q_emb")} * e2.rnorm) AS pcos
+        FROM padc a
+        JOIN penc e2 ON e2.vec_id = a.vec_id
+        JOIN qs q ON q.query_id = a.query_id
+    ),
+    pshort AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY pcos DESC, vec_id) AS rk
+            FROM pscore
+        ) WHERE rk <= {PQ_CAND}
+    ),
+    reranked AS (
+        SELECT s.query_id, s.vec_id,
+               {_cos_sql("q.q_emb", "e.embedding")} AS cos
+        FROM pshort s
+        JOIN embeddings e ON e.vec_id = s.vec_id
+        JOIN qs q ON q.query_id = s.query_id
+    )
+    SELECT query_id, vec_id, rank, ROUND(cos, 6) AS cosine FROM (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM reranked
+    ) WHERE rank <= 5
+    """
+
+
+@register("similarity_ivfpq_topk", oracle=_ivfpq_oracle())
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition billion-vector deployments actually run
+    (FAISS IndexIVFPQ): the IVF router prunes the scan to each query's
+    nprobe inverted lists, and WITHIN those lists the scan reads PQ codes
+    (4 bytes + a norm per vector) with per-query ADC lookup tables
+    instead of raw vectors; the shortlist re-ranks with the exact
+    cosine. Both index structures are the ones the standalone queries
+    already train — the centroids from _ivf_model (similarity_ivf_topk)
+    and the codebooks from pq_train_local (similarity_pq_adc_topk) — so
+    at 100 TB one training pass serves routed-exact, flat-ADC and
+    IVF-PQ retrieval from the same artifacts.
+
+    Scale shape: list assignment and PQ encode are both map-side
+    broadcast passes (zero corpus shuffle); the candidate gate is the
+    broadcast probe join (nprobe/nlists of the corpus touched); the ADC
+    stage's per-row state is codes+rnorm only — at warehouse scale the
+    inverted lists STORE the codes (partitioned by cent_id, the
+    streaming/ivf.py layout), so a probe reads a few kilobytes per list
+    instead of the vectors. The DuckDB oracle reproduces centroids,
+    probe sets, codebooks, codes, ADC scores, the shortlist and the
+    final ranks bit-for-bit."""
+    from cdc_rs_spark.operators.similarity import (
+        PQ_CAND,
+        _assign_to_centroids,
+        cosine_sql,
+        pq_adc_rank,
+        pq_encode,
+        pq_query_luts,
+        pq_train_local,
+    )
+
+    raw = load(spark, sf_dir, "embeddings")
+    corpus = spread(raw).select("vec_id", "embedding")
+    cents, probes = _ivf_model(spark, raw)
+    import hashlib
+
+    def bucket(vid: int) -> int:
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:8], 16) % 1_000_000
+
+    train_rows = sorted(
+        _train_sample_df(raw).collect(),
+        key=lambda r: (bucket(r["vec_id"]), r["vec_id"]),
+    )
+    cb = pq_train_local(train_rows)
+    query_rows = (
+        raw.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+        .filter(F.col("query_id") < N_QUERIES)
+        .collect()
+    )
+    luts = pq_query_luts(spark, query_rows, cb)
+    # route: codes table joined to its list assignment (at scale the
+    # lists STORE the codes — one table, partitioned by cent_id)
+    routed = pq_encode(corpus, cb).join(
+        _assign_to_centroids(corpus, cents, EMB_DIM).select(
+            "vec_id", "cent_id"
+        ),
+        "vec_id",
+    )
+    cand = routed.join(
+        F.broadcast(
+            probes.select("query_id", "cent_id")
+        ),
+        "cent_id",
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    short = pq_adc_rank(
+        cand.join(F.broadcast(luts), "query_id"), PQ_CAND
+    )
     qdf = spark.createDataFrame(
         [(int(q["query_id"]), list(q["q_emb"])) for q in query_rows],
         "query_id bigint, q_emb array<float>",
