@@ -37,7 +37,15 @@ def connected_components(
     """Return (v, component) for every vertex appearing in `edges`, where
     component = min vertex id reachable from v. Deterministic: the label is
     a pure function of the graph, independent of partitioning or iteration
-    order."""
+    order.
+
+    Raises RuntimeError if the fixpoint is not reached within `max_iter`
+    rounds (round 8: min-label propagation needs component-diameter
+    rounds, and a silently truncated run returns WRONG labels — a
+    60-node path graph at the default 20 rounds mislabeled its tail in
+    the union-find parity test). Callers with potentially high-diameter
+    graphs raise `max_iter`; the dedup-cluster workload's diameter is
+    bounded by duplicate-cluster size (module doc)."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -48,6 +56,7 @@ def connected_components(
         .withColumn("component", F.col("v"))
     )
     prev_sum: int | None = None
+    converged = False
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["b"] == labels["v"])
@@ -64,6 +73,14 @@ def connected_components(
         label_sum = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels
         if label_sum == prev_sum:
+            converged = True
             break
         prev_sum = label_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach its fixpoint within "
+            f"{max_iter} rounds — the graph's component diameter exceeds "
+            "max_iter and the labels would be silently wrong; raise "
+            "max_iter (rounds needed ~ component diameter)"
+        )
     return labels

@@ -266,7 +266,7 @@ def fold_pairs(
     pairs: DataFrame,
     batch_id: int | None = None,
     stream_id: str = "s",
-    max_iter: int = 20,
+    max_iter: int = 64,
 ) -> dict:
     """Union-find-style fold of one batch's verified duplicate pairs
     (id_a, id_b) into the persisted map. Returns stats {n_pairs,
@@ -530,36 +530,65 @@ def clusters_foreach_batch(
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # ledger gate FIRST: a batch at or below its stream's committed
+        # line already ran to completion (fold commit is the LAST step),
+        # so its bands/shingles are in the stores — skip everything.
+        ledger = (
+            _read_meta(cluster_store_root).get("last_batch_by_stream") or {}
+        )
+        if int(batch_id) <= int(ledger.get(stream_id, -1)):
+            if on_stats is not None:
+                on_stats(
+                    {
+                        "n_pairs": 0,
+                        "n_new_entries": 0,
+                        "n_merges": 0,
+                        "skipped_duplicate": True,
+                    },
+                    batch_id,
+                )
+            return
         # sign ONCE per micro-batch: the shingle+minhash pass is the
         # dominant per-batch cost, and three consumers need it (store
-        # probe, intra-batch pairs, store append) — measured 2x on the
+        # append, band probe, Jaccard verify) — measured 2x on the
         # registered query when it was run per consumer (round 8)
         signed = minhash_docs(batch_df, "doc_id", "text").persist()
         try:
+            # append the batch's bands + shingles BEFORE the fold: the
+            # fold's ledger commit is the transaction point, and with
+            # append-first a crash ANYWHERE leaves a replayable state —
+            # the retry re-appends (bounded duplicates, collapsed by the
+            # candidate distinct / fold idempotence) and re-folds. The
+            # round-8 first cut folded first and appended after, which
+            # LOST the batch's bands forever when a crash hit between
+            # the ledger commit and the append (the replay was
+            # ledger-skipped) — later batches would silently never match
+            # this batch's documents.
+            band_explode(signed.select("doc_id", "sig")).write.mode(
+                "append"
+            ).parquet(signature_store_path)
+            signed.select("doc_id", "sh").write.mode("append").parquet(
+                shingle_store_path
+            )
+            # ONE band join against the store (which now CONTAINS the
+            # batch) finds cross-corpus and intra-batch candidates
+            # together; intra pairs surface in both orders and replay
+            # duplicates multiply candidate rows — the distinct + the
+            # fold's symmetric union-find absorb both.
             sig_store = spark.read.parquet(signature_store_path)
             sh_store = spark.read.parquet(shingle_store_path)
-            # ONE fused band join finds cross-corpus AND intra-batch
-            # candidates: probe the batch's bands against store ∪ batch
-            # (a separate probe_against_store + lsh_candidate_pairs pass
-            # duplicated the band explode, the shingle joins and two
-            # union legs — ~40% of the per-batch stages, round 8).
-            # Intra pairs surface in both orders; fold_pairs' distinct +
-            # symmetric union-find make direction irrelevant.
-            batch_bands = band_explode(signed.select("doc_id", "sig"))
             cand = (
-                batch_bands.withColumnRenamed("doc_id", "id_a")
+                band_explode(signed.select("doc_id", "sig"))
+                .withColumnRenamed("doc_id", "id_a")
                 .join(
-                    sig_store.unionByName(batch_bands).withColumnRenamed(
-                        "doc_id", "id_b"
-                    ),
+                    sig_store.withColumnRenamed("doc_id", "id_b"),
                     ["band", "bkey"],
                 )
                 .filter(F.col("id_a") != F.col("id_b"))
                 .select("id_a", "id_b")
                 .distinct()
             )
-            sh_all = sh_store.unionByName(signed.select("doc_id", "sh"))
-            pairs = jaccard_verify(cand, sh_all, threshold).select(
+            pairs = jaccard_verify(cand, sh_store, threshold).select(
                 "id_a", "id_b"
             )
             stats = fold_pairs(
@@ -569,20 +598,13 @@ def clusters_foreach_batch(
                 batch_id=batch_id,
                 stream_id=stream_id,
             )
-            if not stats["skipped_duplicate"]:
-                band_explode(signed.select("doc_id", "sig")).write.mode(
-                    "append"
-                ).parquet(signature_store_path)
-                signed.select("doc_id", "sh").write.mode("append").parquet(
-                    shingle_store_path
-                )
-                if (
-                    compact_every is not None
-                    and int(_read_meta(cluster_store_root)["n_folds"])
-                    % compact_every
-                    == 0
-                ):
-                    compact_cluster_store(spark, cluster_store_root)
+            if not stats["skipped_duplicate"] and (
+                compact_every is not None
+                and int(_read_meta(cluster_store_root)["n_folds"])
+                % compact_every
+                == 0
+            ):
+                compact_cluster_store(spark, cluster_store_root)
             if on_stats is not None:
                 on_stats(stats, batch_id)
         finally:

@@ -34,7 +34,9 @@ def _pairs_df(spark, edges):
 def _expected_cc(spark, edges):
     if not edges:
         return {}
-    labels = connected_components(_pairs_df(spark, edges), "id_a", "id_b")
+    labels = connected_components(
+        _pairs_df(spark, edges), "id_a", "id_b", max_iter=100
+    )
     return {r["v"]: r["component"] for r in labels.collect()}
 
 
@@ -289,3 +291,86 @@ def test_streaming_end_to_end_file_source(spark, tmp_path):
     # compact_every=1 really compacted after each pair-bearing fold
     meta = _read_meta(root)
     assert int(meta["base_epoch"]) >= 1 and meta["deltas"] == []
+
+
+def test_pipeline_crash_between_append_and_fold_heals_on_replay(
+    spark, tmp_path, monkeypatch
+):
+    """The round-8 ordering fix: stores append BEFORE the fold commits
+    the ledger, so a crash after the append (fold never ran) leaves a
+    replayable batch — the retry re-appends (bounded duplicates the
+    candidate distinct absorbs) and folds; nothing is lost and the map
+    matches batch CC. The first cut committed the ledger first and lost
+    the batch's bands on exactly this crash."""
+    import cdc_rs_spark.streaming.clusters as cl
+    from cdc_rs_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = [
+        (1, SHARED * 3),
+        (2, SHARED * 3 + "tail one"),
+        (6, SHARED * 3 + "tail two"),
+    ]
+    sig = str(tmp_path / "sig")
+    sh = str(tmp_path / "sh")
+    root = str(tmp_path / "clusters")
+    spark.createDataFrame(
+        [], "doc_id bigint, band int, bkey string"
+    ).write.parquet(sig)
+    spark.createDataFrame(
+        [], "doc_id bigint, sh array<string>"
+    ).write.parquet(sh)
+    init_cluster_store(spark, root)
+    fn = clusters_foreach_batch(sig, sh, root, threshold=0.5)
+    fn(spark.createDataFrame(docs[:1], "doc_id bigint, text string"), 0)
+
+    real_fold = cl.fold_pairs
+
+    def crashing_fold(*a, **kw):
+        raise RuntimeError("injected crash after store append")
+
+    monkeypatch.setattr(cl, "fold_pairs", crashing_fold)
+    b1 = spark.createDataFrame(docs[1:], "doc_id bigint, text string")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        fn(b1, 1)
+    monkeypatch.setattr(cl, "fold_pairs", real_fold)
+    fn(b1, 1)  # the replay: re-appends + folds
+    full = spark.createDataFrame(docs, "doc_id bigint, text string")
+    expected = {
+        r["v"]: r["component"]
+        for r in connected_components(
+            minhash_dedup_pairs(full, "doc_id", "text", 0.5), "id_a", "id_b"
+        ).collect()
+    }
+    assert expected and _live(spark, root) == expected
+    # and a NORMAL replay after commit appends nothing more
+    n = spark.read.parquet(sig).count()
+    fn(b1, 1)
+    assert spark.read.parquet(sig).count() == n
+
+
+def test_union_find_matches_distributed_cc(spark):
+    """_union_find (driver path) and operators/graph.connected_components
+    (distributed fallback) must compute the SAME labels on random graphs
+    — the fold's two paths are interchangeable."""
+    import random
+
+    from cdc_rs_spark.streaming.clusters import _union_find
+
+    rng = random.Random(88)
+    for _ in range(5):
+        edges = sorted(
+            {tuple(sorted(rng.sample(range(60), 2))) for _ in range(45)}
+        )
+        want = _expected_cc(spark, edges)
+        got = _union_find(edges)
+        assert got == want
+
+
+def test_translation_closure_chases_chains():
+    from cdc_rs_spark.streaming.clusters import _closure
+
+    # chains collapse; keys are unique by construction (a translated-away
+    # root never becomes a root again)
+    assert _closure([[9, 7], [7, 3], [3, 1]]) == {9: 1, 7: 1, 3: 1}
+    assert _closure([]) == {}
+    assert _closure([[5, 2], [8, 4]]) == {5: 2, 8: 4}
