@@ -1,0 +1,92 @@
+"""In-engine linear text classifier (multinomial-NB family) — the
+fastText/CCNet-style quality-filter pattern: train a cheap token
+classifier on a labeled cohort in ONE aggregation, score the corpus with
+a broadcast weight table.
+
+Arithmetic discipline (shared with token_drift_stats /
+text_char_gini_score / the integer micro-unit PageRank): the per-token
+log-likelihood-ratio is replaced by the EXACT RATIONAL smoothed odds
+ratio quantized to integer milli-units,
+
+    w(tok) = floor(1000 * (c_a+1)(n_b+V) / ((c_b+1)(n_a+V)))
+
+because ln() is not correctly rounded and diverges across engines while
+integer multiply/divide is bit-identical everywhere, and integer sums
+are partition-order-independent. A document is classified A when its
+summed token odds exceed the neutral baseline n_tok * w0, where
+w0 = floor(1000 * (n_b+V)/(n_a+V)) is both the equal-counts weight and
+the OOV fallback. Sum-of-quantized-odds is a monotone surrogate for the
+NB product — ordering, not calibrated probability, is what a pass/fail
+filter consumes.
+
+Scale shape (100 TB): training aggregates token counts over the labeled
+subset (map-side combinable on the token key; labeled data is small by
+construction); the |vocab|-sized weight table and the 1-row neutral
+baseline broadcast to the scorers; scoring is a map-side left join plus
+one per-doc integer aggregation. Integer headroom:
+(c+1)*(n+V)*1000 < 2^63 holds for labeled corpora up to ~1e7 tokens at
+a 1e8 vocab; beyond that, train on a sample or rescale the quantum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def nb_train_weights(train_toks: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train from (is_a: bool, token: string) rows. Returns
+    (weights(token, w_milli), neutral(w0)) — both broadcast-sized."""
+    cnt = train_toks.groupBy("token").agg(
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("c_a"),
+        F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("c_b"),
+    )
+    tot = cnt.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    weights = cnt.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.expr(
+            "((c_a + 1) * (n_b + v) * 1000) div ((c_b + 1) * (n_a + v))"
+        ).alias("w_milli"),
+    )
+    neutral = tot.select(
+        F.expr("((n_b + v) * 1000) div (n_a + v)").alias("w0")
+    )
+    return weights, neutral
+
+
+def nb_score(
+    test_toks: DataFrame, weights: DataFrame, neutral: DataFrame
+) -> DataFrame:
+    """Score (doc_id, is_a, token) rows against a trained weight table.
+    Returns one row per document: (doc_id, is_a, n_tok, s_milli,
+    base_milli); the decision is s_milli > base_milli. Documents with
+    zero tokens produce no row (no evidence → no verdict), identically
+    in the SQL oracle."""
+    return (
+        test_toks.join(F.broadcast(weights), "token", "left")
+        .crossJoin(F.broadcast(neutral))
+        .groupBy("doc_id", "is_a")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.sum(F.coalesce("w_milli", "w0")).cast("bigint").alias("s_milli"),
+            (F.count("*").cast("bigint") * F.max("w0")).alias("base_milli"),
+        )
+    )
+
+
+def nb_confusion(scored: DataFrame) -> DataFrame:
+    """Collapse per-doc scores into the 2x2 confusion matrix with each
+    cell's total decision margin (integer milli-units, order-independent)."""
+    return scored.groupBy(
+        (F.col("s_milli") > F.col("base_milli")).cast("int").alias("pred_a"),
+        F.col("is_a").cast("int").alias("actual_a"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("s_milli") - F.col("base_milli"))
+        .cast("bigint")
+        .alias("margin_milli"),
+    )

@@ -949,3 +949,111 @@ def text_quality_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFram
         )
 
     return ranked_result(scored, build)
+
+
+@register(
+    "text_nb_source_classifier",
+    oracle="""
+    WITH labeled AS (
+        SELECT doc_id, len(source) <= 4 AS is_a,
+               doc_id % 2 = 0 AS is_train, lower(text) AS lt
+        FROM documents
+    ),
+    train_toks AS (
+        SELECT is_a, unnest(string_split(lt, ' ')) AS token
+        FROM labeled WHERE is_train
+    ),
+    cnt AS (
+        SELECT token,
+               CAST(COUNT(*) FILTER (WHERE is_a) AS BIGINT) AS c_a,
+               CAST(COUNT(*) FILTER (WHERE NOT is_a) AS BIGINT) AS c_b
+        FROM train_toks WHERE token <> '' GROUP BY token
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+               CAST(SUM(c_b) AS BIGINT) AS n_b,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM cnt
+    ),
+    weights AS (
+        SELECT token,
+               ((c_a + 1) * (n_b + v) * 1000) // ((c_b + 1) * (n_a + v))
+                   AS w_milli
+        FROM cnt CROSS JOIN tot
+    ),
+    neutral AS (
+        SELECT ((n_b + v) * 1000) // (n_a + v) AS w0 FROM tot
+    ),
+    test_toks AS (
+        SELECT doc_id, is_a, unnest(string_split(lt, ' ')) AS token
+        FROM labeled WHERE NOT is_train
+    ),
+    scored AS (
+        SELECT t.doc_id, t.is_a,
+               CAST(COUNT(*) AS BIGINT) AS n_tok,
+               CAST(SUM(COALESCE(w.w_milli, n.w0)) AS BIGINT) AS s_milli,
+               CAST(COUNT(*) AS BIGINT) * MAX(n.w0) AS base_milli
+        FROM test_toks t
+        LEFT JOIN weights w ON t.token = w.token
+        CROSS JOIN neutral n
+        WHERE t.token <> ''
+        GROUP BY t.doc_id, t.is_a
+    )
+    SELECT CAST(s_milli > base_milli AS INT) AS pred_a,
+           CAST(is_a AS INT) AS actual_a,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s_milli - base_milli) AS BIGINT) AS margin_milli
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned document classifier, trained and scored in-engine — the
+    fastText/CCNet-style quality-filter pattern every large-scale
+    training-data pipeline runs (train a cheap linear text classifier on
+    a labeled cohort, score the whole corpus, keep what passes). Model,
+    arithmetic discipline (exact-rational quantized odds instead of ln —
+    see the module doc) and the 100 TB plan shape live in
+    operators/classify.py; this query wires it to the fixture: label =
+    source cohort (src0-9 vs src10-19, the split token_drift_stats
+    measures drift across), train on even doc_ids, score the held-out
+    odd half, and emit the 2x2 confusion matrix plus each cell's total
+    decision margin — the oracle pins the LEARNED BOUNDARY itself
+    (every per-token weight feeds the integer margins), not just
+    aggregate accuracy.
+
+    Fixture honesty: the synthetic corpus draws every document's tokens
+    from one shared vocabulary, so the two cohorts are statistically
+    exchangeable and held-out accuracy sits at chance BY CONSTRUCTION —
+    the oracle still pins training+scoring exactly (any weight
+    perturbation moves the margins). That the classifier genuinely
+    learns when signal exists is asserted by the planted-separable-corpus
+    unit test (tests/test_text_ops.py::test_nb_classifier_recovers_
+    planted_signal); a production quality filter swaps in
+    curated/not-curated labels on real text and keeps the identical
+    plan."""
+    from cdc_rs_spark.operators.classify import (
+        nb_confusion,
+        nb_score,
+        nb_train_weights,
+    )
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    labeled = docs.select(
+        "doc_id",
+        (F.length("source") <= 4).alias("is_a"),
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        F.lower("text").alias("lt"),
+    )
+    train_toks = (
+        labeled.filter("is_train")
+        .select("is_a", F.explode(F.split("lt", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    weights, neutral = nb_train_weights(train_toks)
+    test_toks = (
+        labeled.filter(~F.col("is_train"))
+        .select("doc_id", "is_a", F.explode(F.split("lt", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    return nb_confusion(nb_score(test_toks, weights, neutral))

@@ -135,7 +135,7 @@ _DRIVER_WINDOW = [
     "similarity_pq_adc_topk",  # round-8 new (PQ/ADC) — pins at birth
     "similarity_ivfpq_topk",  # round-8 new (IVF-routed PQ) — pins at birth
     "text_tfidf_keywords",
-    "text_quality_deciles",
+    "text_nb_source_classifier",  # round-8 new (learned NB filter) — pins at birth
     "multimodal_video_frames",
     "scd2_order_price_history",
     "dq_expectations_orders",

@@ -115,3 +115,56 @@ def test_weighted_priority_monotone_in_weight(spark, tmp_path):
         ((buckets[i] / len(t), i) for i, t in texts.items())
     )[:200]
     assert [(r["priority"], r["doc_id"]) for r in sorted(a, key=lambda r: (r["priority"], r["doc_id"]))] == expect
+
+
+def test_nb_classifier_recovers_planted_signal(spark):
+    """The registered text_nb_source_classifier runs on an exchangeable
+    synthetic corpus (chance accuracy by construction; the oracle pins the
+    margins). This test proves the classifier LEARNS when signal exists:
+    plant two cohorts with disjoint marker tokens diluted by shared
+    filler, train on half, and assert the held-out confusion matrix is
+    perfectly diagonal and every cell's margin points the right way."""
+    from cdc_rs_spark.operators.classify import (
+        nb_confusion,
+        nb_score,
+        nb_train_weights,
+    )
+
+    rows = []
+    for i in range(200):
+        is_a = i % 2 == 0
+        marker = "alpha beta" if is_a else "gamma delta"
+        rows.append((i, is_a, i % 4 < 2, f"common filler {marker} shared words"))
+    labeled = spark.createDataFrame(
+        rows, "doc_id long, is_a boolean, is_train boolean, lt string"
+    )
+    toks = lambda df, cols: (  # noqa: E731
+        df.select(*cols, F.explode(F.split("lt", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    weights, neutral = nb_train_weights(
+        toks(labeled.filter("is_train"), ["is_a"])
+    )
+    scored = nb_score(
+        toks(labeled.filter(~F.col("is_train")), ["doc_id", "is_a"]),
+        weights,
+        neutral,
+    )
+    cells = {
+        (r.pred_a, r.actual_a): r
+        for r in nb_confusion(scored).collect()
+    }
+    assert set(cells) == {(1, 1), (0, 0)}, f"off-diagonal cells: {cells}"
+    assert cells[(1, 1)].n_docs == 50 and cells[(0, 0)].n_docs == 50
+    assert cells[(1, 1)].margin_milli > 0 and cells[(0, 0)].margin_milli < 0
+
+    # OOV robustness: a held-out doc of ONLY unseen tokens scores exactly
+    # neutral (s == base) and classifies not-A by the strict-> tie rule.
+    oov = nb_score(
+        spark.createDataFrame(
+            [(999, True, "zzz qqq")], "doc_id long, is_a boolean, lt string"
+        ).select("doc_id", "is_a", F.explode(F.split("lt", " ")).alias("token")),
+        weights,
+        neutral,
+    ).collect()[0]
+    assert oov.s_milli == oov.base_milli
