@@ -730,6 +730,7 @@ def pq_train_local(
     norm without a per-row recompute). Codes that attract no sample rows
     drop, exactly like the distributed refine."""
     out = []
+    k = min(k, len(sample_rows))  # tiny reservoirs seed what they have
     for m in range(n_sub):
         seeds = [_py_sub(sample_rows[i]["embedding"], m, sub) for i in range(k)]
         sums: dict[int, list[int]] = {}
@@ -759,16 +760,23 @@ def pq_train_local(
     return out
 
 
-def pq_encode(corpus: DataFrame, codebook: list[dict]) -> DataFrame:
-    """Map-side PQ encode: (vec_id, embedding) -> (vec_id, codes
-    array<int>, rnorm double). The codebook (PQ_M x PQ_K codewords) packs
-    into ONE broadcast array-of-structs row — per vector, each subspace
-    takes argmin squared-L2 over its codewords (array_min of struct(d2,
-    code), lowest-code tiebreak) and the reconstructed norm is the
-    sequential fold of the chosen codewords' squared norms. ZERO corpus
-    shuffle — this is the encode pass a 100 TB deployment runs once and
-    keeps: 1 byte per code + one double per vector."""
-    spark = corpus.sparkSession
+def pq_encode_cols(df: DataFrame, codebook: list[dict]) -> DataFrame:
+    """Map-side PQ encode that ADDS (codes array<int>, rnorm double) to
+    `df` (which must carry `embedding`), preserving every other column —
+    the form the streaming index uses to ride codes along its assigned
+    rows. The codebook (PQ_M x PQ_K codewords) packs into ONE broadcast
+    array-of-structs row — per vector, each subspace takes argmin
+    squared-L2 over its codewords (array_min of struct(d2, code),
+    lowest-code tiebreak) and the reconstructed norm is the sequential
+    fold of the chosen codewords' squared norms. ZERO corpus shuffle —
+    this is the encode pass a 100 TB deployment runs once and keeps:
+    1 byte per code + one double per vector."""
+    spark = df.sparkSession
+    # geometry derives from the codebook itself (n_sub subspaces of `sub`
+    # dims), so the same encode serves any vector width — the streaming
+    # index trains per-dim-width codebooks and this follows them
+    n_sub = max(int(r["m"]) for r in codebook) + 1
+    sub = len(codebook[0]["c_sub"])
     cb = spark.createDataFrame(
         [(r["m"], r["code"], r["c_sub"], r["n2"]) for r in codebook],
         "m int, code int, c_sub array<double>, n2 double",
@@ -777,28 +785,38 @@ def pq_encode(corpus: DataFrame, codebook: list[dict]) -> DataFrame:
         cb.agg(F.collect_list(F.struct("m", "code", "c_sub", "n2")).alias("cbs"))
     )
     cs = (
-        f"transform(sequence(0, {PQ_M - 1}), mm -> "
+        f"transform(sequence(0, {n_sub - 1}), mm -> "
         "array_min(transform(filter(cbs, s -> s.m = mm), s -> named_struct("
-        f"'d', aggregate(zip_with(slice(embedding, mm * {PQ_SUB} + 1, {PQ_SUB}), "
+        f"'d', aggregate(zip_with(slice(embedding, mm * {sub} + 1, {sub}), "
         "s.c_sub, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
         "CAST(0.0 AS DOUBLE), (acc, z) -> acc + z), "
         "'c', s.code, 'n', s.n2))))"
     )
     return (
-        corpus.crossJoin(packed)
+        df.crossJoin(packed)
         .withColumn("_cs", F.expr(cs))
-        .select(
-            "vec_id",
-            F.expr("transform(_cs, s -> s.c)").alias("codes"),
+        .withColumn("codes", F.expr("transform(_cs, s -> s.c)"))
+        .withColumn(
+            "rnorm",
             F.expr(
                 "sqrt(aggregate(transform(_cs, s -> s.n), "
                 "CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
-            ).alias("rnorm"),
+            ),
         )
+        .drop("_cs", "cbs")
     )
 
 
-def pq_adc_rank(joined: DataFrame, cand: int = PQ_CAND) -> DataFrame:
+def pq_encode(corpus: DataFrame, codebook: list[dict]) -> DataFrame:
+    """Map-side PQ encode: (vec_id, embedding) -> (vec_id, codes
+    array<int>, rnorm double). See pq_encode_cols (the column-preserving
+    form this delegates to)."""
+    return pq_encode_cols(corpus, codebook).select("vec_id", "codes", "rnorm")
+
+
+def pq_adc_rank(
+    joined: DataFrame, cand: int = PQ_CAND, n_sub: int = PQ_M
+) -> DataFrame:
     """Score + shortlist an already-candidate-joined frame carrying
     (query_id, vec_id, codes, rnorm, lut, qnorm): approx cosine = (sum
     over subspaces of lut[m][code_m]) / (qnorm * rnorm) — four array
@@ -808,7 +826,7 @@ def pq_adc_rank(joined: DataFrame, cand: int = PQ_CAND) -> DataFrame:
     (similarity_ivfpq_topk, which restricts candidates to probed lists
     first)."""
     adc = (
-        f"aggregate(zip_with(codes, sequence(1, {PQ_M}), "
+        f"aggregate(zip_with(codes, sequence(1, {n_sub}), "
         "(cd, mm) -> element_at(element_at(lut, mm), cd + 1)), "
         "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
     )

@@ -1064,16 +1064,19 @@ def embedding_quantization_error_audit(
 
 # ---- round 8: product quantization (ADC) ------------------------------------
 
-def _pq_ctes() -> str:
+def _pq_ctes(train_where: str = "") -> str:
     """Shared DuckDB CTE chain of the PQ machinery: seed -> one L2-Lloyd
     refine with integer-scaled exact means (ptrain..pcb/pcbn) -> corpus
     encode (pcodes: argmin d2, code tiebreak; penc: reconstructed norm)
     -> per-query LUT dots (plut). Every fold seeds 0.0 and runs in index
-    order, matching the Spark/python forms bit-for-bit. Composed by both
-    the flat-ADC oracle (_pq_adc_oracle) and the IVF-routed one
-    (_ivfpq_oracle)."""
+    order, matching the Spark/python forms bit-for-bit. Composed by the
+    flat-ADC oracle (_pq_adc_oracle) and the IVF-routed one
+    (_ivfpq_oracle); `train_where` restricts the codebook TRAINING corpus
+    only (the incremental-index query trains on the pre-stream base while
+    encoding the full corpus — same discipline as _ivf_chain_sql)."""
     from cdc_rs_spark.operators.similarity import PQ_K, PQ_M, PQ_SUB
 
+    tw = f"WHERE {train_where}" if train_where else ""
     scale = "17592186044416.0"  # 2^44
 
     def d2(e: str, m: str, c: str) -> str:
@@ -1088,7 +1091,7 @@ def _pq_ctes() -> str:
     ptrain AS (
         SELECT vec_id, embedding,
                row_number() OVER (ORDER BY {_BUCKET_SQL}, vec_id) AS rn
-        FROM embeddings
+        FROM embeddings {tw}
         ORDER BY {_BUCKET_SQL}, vec_id LIMIT {TRAIN_CAP}
     ),
     pseeds AS (
@@ -1286,18 +1289,20 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(train_where: str = "") -> str:
     """IVF-routed PQ: the shared IVF chain gates candidates to each
     query's probed lists; the shared PQ chain scores them with ADC; the
     shortlist re-ranks with the exact cosine. Both approximations are
     reproduced exactly, so the oracle pins the COMPOSED index, not just
-    the final answer."""
+    the final answer. `train_where` restricts BOTH training corpora (the
+    incremental query trains centroids and codebooks on the pre-stream
+    base while routing/encoding the full corpus)."""
     from cdc_rs_spark.operators.similarity import PQ_CAND
 
     return f"""
     WITH {_QUERIES_SQL},
-    {_IVF_CHAIN_SQL},
-    {_pq_ctes()},
+    {_ivf_chain_sql(train_where)},
+    {_pq_ctes(train_where)},
     pcand AS (
         SELECT p.query_id, a.vec_id
         FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
@@ -1434,3 +1439,71 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "rank", F.round("cos", 6).alias("cosine"))
     )
+
+
+@register(
+    "similarity_ivfpq_incremental_topk",
+    oracle=_ivfpq_oracle("vec_id % 3 <> 0"),
+)
+def similarity_ivfpq_incremental_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING IVF-PQ — the incremental form of similarity_ivfpq_topk,
+    through the REAL persisted-index path: init_index(pq=True) trains
+    centroids AND PQ codebooks on the pre-stream 2/3's reservoir and
+    stores every row as (codes, rnorm) alongside its embedding; the
+    remaining third arrives as TWO micro-batches through append_batch,
+    each encoded MAP-SIDE with the frozen generation-0 codebook (per-batch
+    cost stays |batch| + TRAIN_CAP — the PQ encode rides the existing
+    assign pass, zero extra jobs); probe_index_adc answers top-5 reading
+    only the probed lists' code columns, with the exact re-rank confined
+    to the Q x PQ_CAND shortlist. With no re-train fired, the result must
+    equal an IVF-PQ whose BOTH index structures were trained on the base
+    but whose lists cover everything — exactly what the parameterized
+    oracle computes (_ivfpq_oracle with both training CTEs restricted to
+    the base). Re-train (new codebook generation per centroid
+    generation), compaction re-encode and crash-replay idempotence are
+    covered by tests/test_streaming_ivf.py."""
+    import tempfile
+
+    from cdc_rs_spark.streaming.ivf import (
+        append_batch,
+        init_index,
+        probe_index_adc,
+    )
+
+    raw = (
+        spread(load(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    base = raw.filter(F.col("vec_id") % 3 != 0)
+    batch1 = raw.filter(F.col("vec_id") % 6 == 0)
+    batch2 = raw.filter(F.col("vec_id") % 6 == 3)
+    index_dir = tempfile.mkdtemp(prefix="ivfpq_incremental_")
+    try:
+        init_index(
+            spark, base, index_dir,
+            n_centroids=N_CENTROIDS, train_cap=TRAIN_CAP,
+            kmeans_iters=1, dim=EMB_DIM, pq=True,
+        )
+        for b in (batch1, batch2):
+            append_batch(
+                spark, b, index_dir,
+                retrain_ratio=1e9, drift_margin=10.0, dim=EMB_DIM,
+            )
+        queries = raw.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        result = probe_index_adc(
+            spark, queries, index_dir, nprobe=N_PROBE, k=5, dim=EMB_DIM
+        )
+        rows = result.collect()  # count-bounded; frees the scratch tree
+        schema = result.schema
+    finally:
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
+        raw.unpersist(blocking=False)
+    return spark.createDataFrame(rows, schema)

@@ -131,9 +131,9 @@ _DRIVER_WINDOW = [
     "events_watermark_recommendation",
     "events_late_arrival_audit",
     "similarity_ivf_topk",
-    "similarity_recall_eval",
     "similarity_pq_adc_topk",  # round-8 new (PQ/ADC) — pins at birth
     "similarity_ivfpq_topk",  # round-8 new (IVF-routed PQ) — pins at birth
+    "similarity_ivfpq_incremental_topk",  # round-8 new (streaming IVF-PQ)
     "text_tfidf_keywords",
     "text_nb_source_classifier",  # round-8 new (learned NB filter) — pins at birth
     "multimodal_video_frames",

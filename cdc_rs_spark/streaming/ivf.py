@@ -57,9 +57,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_rs_spark.operators.similarity import (
+    PQ_M,
+    PQ_SUB,
     _assign_to_centroids,
     _py_cosine,
+    _py_dot,
+    _py_sub,
     lloyd_refine_local,
+    pq_adc_rank,
+    pq_encode_cols,
+    pq_train_local,
     salt_expr,
     two_stage_rank_topk,
     _n_salt_buckets,
@@ -295,6 +302,52 @@ def load_centroids(index_dir: str, version: int | None = None) -> list:
     return rows
 
 
+_PQCB = "pq_codebooks.json"
+
+
+def _pqcb_path(index_dir: str) -> str:
+    return os.path.join(index_dir, _PQCB)
+
+
+def _write_pq_cb(index_dir: str, rows: list, append: bool = False) -> None:
+    """PQ codebook sidecar, one generation per centroid version — same
+    tmp-then-replace and replace-on-version-collision discipline as
+    _write_cents (a crashed retrain's orphan generation must be REPLACED
+    by the retry, never duplicated). rows: [{"version", "m", "code",
+    "c_sub", "n2"}]."""
+    if append:
+        new_min = min(int(r["version"]) for r in rows)
+        existing = [
+            r for r in load_pq_cb(index_dir) if int(r["version"]) < new_min
+        ]
+    else:
+        existing = []
+    out = existing + [
+        {
+            "version": int(r["version"]),
+            "m": int(r["m"]),
+            "code": int(r["code"]),
+            "c_sub": [float(x) for x in r["c_sub"]],
+            "n2": float(r["n2"]),
+        }
+        for r in rows
+    ]
+    tmp = _pqcb_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(out, f)
+    os.replace(tmp, _pqcb_path(index_dir))
+
+
+def load_pq_cb(index_dir: str, version: int | None = None) -> list:
+    if not os.path.exists(_pqcb_path(index_dir)):
+        return []
+    with open(_pqcb_path(index_dir)) as f:
+        rows = json.load(f)
+    if version is not None:
+        rows = [r for r in rows if int(r["version"]) == version]
+    return rows
+
+
 def _append_lists(
     assigned: DataFrame,
     lists_path: str,
@@ -402,11 +455,20 @@ def init_index(
     train_cap: int | None = None,
     kmeans_iters: int = 1,
     dim: int | None = None,
+    pq: bool = False,
 ) -> dict:
     """Batch bootstrap: train on the count-bounded reservoir, assign every
     corpus vector (broadcast argmax — zero corpus shuffle), write the
     partitioned lists + reservoir + centroids + sidecar. Returns the
-    meta dict. `corpus` must have (vec_id, embedding)."""
+    meta dict. `corpus` must have (vec_id, embedding).
+
+    `pq=True` makes this an IVF-PQ index (FAISS IndexIVFPQ layout): PQ
+    codebooks train on the SAME reservoir (pq_train_local — the exact
+    sequential-fold arithmetic the batch similarity_pq_adc_topk oracle
+    pins), one generation per centroid version, and every stored row
+    additionally carries (codes, rnorm) encoded map-side with its
+    generation's codebook. probe_index keeps working (exact scan over
+    the stored embeddings); probe_index_adc reads only the codes."""
     os.makedirs(index_dir, exist_ok=True)
     cap = train_cap if train_cap is not None else n_centroids * 256
     sample_rows = _take_sample(corpus, cap).collect()  # heap top-k, O(cap)
@@ -422,6 +484,20 @@ def init_index(
     assigned = _assign_to_centroids(
         corpus.select("vec_id", "embedding"), cents_b, dim
     )
+    if pq:
+        # subspace geometry follows the vector width (PQ_M subspaces of
+        # dim/PQ_M dims each; the default EMB_DIM geometry when dim is
+        # not given) and is recorded in meta so retrains reproduce it
+        pq_sub = (dim // PQ_M) if dim else PQ_SUB
+        if dim and dim % PQ_M != 0:
+            raise ValueError(
+                f"pq=True needs dim divisible by {PQ_M} subspaces, got {dim}"
+            )
+        cb = pq_train_local(sample_rows, n_sub=PQ_M, sub=pq_sub)
+        _write_pq_cb(
+            index_dir, [{"version": 0, **r} for r in cb], append=False
+        )
+        assigned = pq_encode_cols(assigned, cb)
     # crashed/re-run bootstrap residue (a fresh index is always epoch 0)
     _purge_ingest(_lists_path(index_dir, 0), "init")
     # fold the corpus count into the lists WRITE job via an Observation —
@@ -447,6 +523,8 @@ def init_index(
         "sample_seq": 0,
         "seq_committed": 0,
         "last_batch": None,
+        "pq": bool(pq),
+        "pq_sub": ((dim // PQ_M) if dim else PQ_SUB) if pq else None,
     }
     _write_meta(index_dir, meta)
     return meta
@@ -560,6 +638,13 @@ def append_batch(
     )
     batch = batch.select("vec_id", "embedding")
     assigned = _assign_to_centroids(batch, cents_b, dim)
+    pq_enabled = bool(meta.get("pq"))
+    if pq_enabled:
+        # encode with the CURRENT generation's (frozen) codebook — rows
+        # appended under version v carry version-v codes, and probes
+        # score each generation with its own LUTs, mirroring the
+        # per-generation centroid discipline
+        assigned = pq_encode_cols(assigned, load_pq_cb(index_dir, version))
     new_seq = int(meta["sample_seq"]) + 1
     # '-' separates namespace from id so distinct (stream_id, batch_id)
     # pairs can never alias one tag (round-7 review: 'a1'+2 vs 'a'+12 both
@@ -635,6 +720,25 @@ def append_batch(
             [{"version": version, **c} for c in new_cents],
             append=True,
         )
+        if pq_enabled:
+            # a new centroid generation gets a new codebook trained on
+            # the same refreshed reservoir (same subspace geometry as
+            # birth, recorded in meta); written BEFORE the meta commit
+            # with the same replace-on-retry discipline, so a crash
+            # between the two leaves a retried retrain to REPLACE both
+            # sidecars' orphan generation
+            _write_pq_cb(
+                index_dir,
+                [
+                    {"version": version, **r}
+                    for r in pq_train_local(
+                        sample_rows,
+                        n_sub=PQ_M,
+                        sub=int(meta.get("pq_sub") or PQ_SUB),
+                    )
+                ],
+                append=True,
+            )
         meta["version"] = version
         meta["trained_on"] = int(meta["trained_on"]) + int(
             meta["appended_since_train"]
@@ -660,6 +764,33 @@ def append_batch(
         "retrained": retrained,
         "mean_cos": mean_cos,
     }
+
+
+def _stable_snapshot(
+    index_dir: str, with_pq: bool = False
+) -> tuple[int, list, list]:
+    """Take an (epoch, centroids[, pq codebooks]) snapshot that is
+    CONSISTENT under concurrent retrain/compaction (compare-and-retry,
+    round-8 review): the lists epoch is read FIRST, the sidecars second,
+    and the epoch is RE-READ after — if it moved, a compaction published
+    between the reads and the whole snapshot is retaken. A stable epoch
+    across the sidecar loads guarantees they are a SUPERSET of the
+    generations that epoch stores (rows are only assigned under a
+    generation whose sidecars were written first, and compact_index
+    collapses sidecars strictly AFTER its epoch flip). Returns (epoch,
+    cents_rows, pq_rows); pq_rows is [] unless with_pq."""
+    for _ in range(8):
+        epoch = int(_read_meta(index_dir).get("lists_epoch", 0))
+        cents_rows = load_centroids(index_dir)
+        pq_rows = load_pq_cb(index_dir) if with_pq else []
+        if int(_read_meta(index_dir).get("lists_epoch", 0)) == epoch:
+            return epoch, cents_rows, pq_rows
+    # 8 compactions during 8 snapshot attempts: not a live race
+    raise RuntimeError(
+        f"could not take a stable (epoch, sidecars) snapshot of "
+        f"{index_dir}: the lists epoch moved on every of 8 attempts "
+        "(is a compaction loop running unpaced?)"
+    )
 
 
 def probe_index(
@@ -697,17 +828,7 @@ def probe_index(
     epochs are retained for `keep_epochs` further compactions,
     Iceberg-style snapshot expiry)."""
     _recover_lists(index_dir)
-    for _ in range(8):
-        epoch = int(_read_meta(index_dir).get("lists_epoch", 0))
-        cents_rows = load_centroids(index_dir)
-        if int(_read_meta(index_dir).get("lists_epoch", 0)) == epoch:
-            break
-    else:  # 8 compactions during 8 snapshot attempts: not a live race
-        raise RuntimeError(
-            f"probe_index could not take a stable (epoch, centroids) "
-            f"snapshot of {index_dir}: the lists epoch moved on every "
-            "of 8 attempts (is a compaction loop running unpaced?)"
-        )
+    epoch, cents_rows, _ = _stable_snapshot(index_dir)
     by_version: dict[int, list] = {}
     for r in cents_rows:
         by_version.setdefault(int(r["version"]), []).append(r)
@@ -753,6 +874,130 @@ def probe_index(
         "query_id",
         "vec_id",
         salt_expr("vec_id", _n_salt_buckets(joined)).alias("_salt"),
+        cosine("q_emb", "embedding", dim).alias("cos"),
+    )
+    return two_stage_rank_topk(scored, k)
+
+
+def probe_index_adc(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_dir: str,
+    nprobe: int = 2,
+    k: int = 5,
+    cand: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ probe against a pq=True index: the probed lists are scanned
+    as CODES (4 one-byte codes + a norm per row, never the embeddings)
+    with per-(generation, query) ADC lookup tables built driver-side from
+    each generation's codebook; the per-query shortlist (`cand`, default
+    PQ_CAND) then re-ranks with the exact cosine against the stored
+    embeddings of the SAME pruned partitions. Same snapshot discipline,
+    static (version, cent_id) partition pruning, per-generation geometry
+    and two-stage ranking as probe_index — rows encoded under an old
+    codebook are ADC-scored with THAT codebook's LUTs.
+
+    Scale story: a 100 TB corpus probe reads nprobe/nlists of the CODE
+    columns (a ~100x byte reduction vs the vectors — the reason IVF-PQ is
+    the billion-vector default); only the Q x cand shortlist rows read
+    their embedding column, and parquet's columnar layout keeps the two
+    scans on the same pruned directories."""
+    from cdc_rs_spark.operators.similarity import PQ_CAND
+
+    if cand is None:
+        cand = PQ_CAND
+    _recover_lists(index_dir)
+    epoch, cents_rows, pq_rows = _stable_snapshot(index_dir, with_pq=True)
+    if not pq_rows:
+        raise ValueError(
+            f"{index_dir} has no PQ codebooks — init_index(pq=True) "
+            "indexes only (probe_index serves the exact path)"
+        )
+    by_version: dict[int, list] = {}
+    for r in cents_rows:
+        by_version.setdefault(int(r["version"]), []).append(r)
+    cb_by_version: dict[int, list] = {}
+    for r in pq_rows:
+        cb_by_version.setdefault(int(r["version"]), []).append(r)
+    query_rows = queries.collect()
+    if not query_rows:
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, rank int, cosine double"
+        )
+    # per-(generation, query) ADC LUTs, driver-side: versions x Q x
+    # PQ_M x PQ_K sequential-fold dots — a few thousand scalar ops
+    probe_rows = []
+    for ver, cl in by_version.items():
+        cb = cb_by_version.get(ver)
+        if not cb:
+            # generation assigned before pq was enabled — probe_index_adc
+            # refuses rather than silently skipping its rows
+            raise ValueError(
+                f"centroid generation {ver} has no PQ codebook in "
+                f"{index_dir}; the index was not pq=True from birth"
+            )
+        by_mc = {(int(r["m"]), int(r["code"])): r["c_sub"] for r in cb}
+        # geometry follows this generation's codebook (dropped codes
+        # fill 0.0 — never looked up, no stored row carries them)
+        sub = len(cb[0]["c_sub"])
+        n_codes = max(int(r["code"]) for r in cb) + 1
+        import math
+
+        for q in query_rows:
+            emb = [float(x) for x in q["q_emb"]]
+            lut = [
+                [
+                    _py_dot(_py_sub(emb, m, sub), by_mc[(m, c)])
+                    if (m, c) in by_mc
+                    else 0.0
+                    for c in range(n_codes)
+                ]
+                for m in range(PQ_M)
+            ]
+            n2 = 0.0
+            for x in emb:
+                n2 += x * x
+            ranked = sorted(
+                (-_py_cosine(q["q_emb"], c["c_emb"]), c["cent_id"])
+                for c in cl
+            )[:nprobe]
+            probe_rows += [
+                (ver, cid, int(q["query_id"]), lut, math.sqrt(n2))
+                for _, cid in ranked
+            ]
+    probes = spark.createDataFrame(
+        probe_rows,
+        "version bigint, cent_id bigint, query_id bigint, "
+        "lut array<array<double>>, qnorm double",
+    )
+    lists = spark.read.parquet(_lists_path(index_dir, epoch))
+    pairs = sorted({(r[0], r[1]) for r in probe_rows})
+    pred = None
+    for ver, cid in pairs:
+        leg = (F.col("version") == ver) & (F.col("cent_id") == cid)
+        pred = leg if pred is None else (pred | leg)
+    pruned = lists.filter(pred)
+    joined = (
+        pruned.select("version", "cent_id", "vec_id", "codes", "rnorm")
+        .join(F.broadcast(probes), ["version", "cent_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    short = pq_adc_rank(joined, cand)  # (query_id, vec_id) shortlist
+    qdf = spark.createDataFrame(
+        [
+            (int(q["query_id"]), [float(x) for x in q["q_emb"]])
+            for q in query_rows
+        ],
+        "query_id bigint, q_emb array<float>",
+    )
+    rr = pruned.select("vec_id", "embedding").join(
+        F.broadcast(short), "vec_id"
+    ).join(F.broadcast(qdf), "query_id")
+    scored = rr.select(
+        "query_id",
+        "vec_id",
+        salt_expr("vec_id", _n_salt_buckets(rr)).alias("_salt"),
         cosine("q_emb", "embedding", dim).alias("cos"),
     )
     return two_stage_rank_topk(scored, k)
@@ -895,6 +1140,12 @@ def compact_index(
         "vec_id", "embedding", "ingest"
     )
     assigned = _assign_to_centroids(rows, cents_b, dim, keep=("ingest",))
+    if bool(meta.get("pq")):
+        # the rewrite reassigns every row to the LATEST generation, so
+        # codes are RE-ENCODED against that generation's codebook — the
+        # re-encode pass real IVF-PQ deployments fold into their
+        # OPTIMIZE/rewrite for exactly this reason
+        assigned = pq_encode_cols(assigned, load_pq_cb(index_dir, version))
     # collapse committed tags, preserve possibly-retryable ones (policy
     # in the docstring). Tag grammar: '{stream}-{id}' (stream contains no
     # '-', enforced by _validate_stream_id), 'seq-{n}', 'init',
@@ -970,6 +1221,18 @@ def compact_index(
         [{"version": version, **r} for r in cents_rows] + newer,
         append=False,
     )
+    if bool(meta.get("pq")):
+        # collapse the PQ sidecar in lockstep with the centroids (same
+        # keep-newer race degradation)
+        _write_pq_cb(
+            index_dir,
+            [
+                r
+                for r in load_pq_cb(index_dir)
+                if int(r["version"]) >= version
+            ],
+            append=False,
+        )
     import shutil
 
     # deferred GC: expire epochs superseded > keep_epochs compactions ago

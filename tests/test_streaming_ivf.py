@@ -1078,3 +1078,159 @@ def test_crashed_batchless_residue_survives_compaction_and_retry_purges(
         .collect()
     )
     assert "seq-1" not in tags, tags
+
+
+# ---- IVF-PQ layer (round 8) -------------------------------------------
+
+
+def _pq_index(spark, tmp_path, name="pqidx"):
+    index_dir = str(tmp_path / name)
+    base = _df(spark, _vecs(range(0, 6), A) + _vecs(range(10, 16), B))
+    init_index(
+        spark, base, index_dir, n_centroids=2, train_cap=16, dim=DIM, pq=True
+    )
+    return index_dir
+
+
+def test_pq_index_stores_codes_and_probe_adc_answers(spark, tmp_path):
+    """pq=True stores (codes, rnorm) on every row — init AND appends —
+    and probe_index_adc finds the same cluster membership the exact
+    probe does on this well-separated fixture."""
+    from cdc_rs_spark.streaming.ivf import load_pq_cb, probe_index_adc
+
+    index_dir = _pq_index(spark, tmp_path)
+    append_batch(
+        spark,
+        _df(spark, _vecs(range(100, 104), A)),
+        index_dir,
+        retrain_ratio=1e9,
+        drift_margin=10.0,
+        dim=DIM,
+    )
+    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    assert {"codes", "rnorm"} <= set(lists.columns)
+    assert lists.filter(F.col("codes").isNull()).count() == 0
+    cb = load_pq_cb(index_dir, 0)
+    assert cb and len(cb[0]["c_sub"]) == DIM // 4  # PQ_M=4 subspaces
+    got = {
+        r["vec_id"]
+        for r in probe_index_adc(
+            spark, _queries(spark, 999, A), index_dir, nprobe=1, k=8, dim=DIM
+        ).collect()
+    }
+    exact = {
+        r["vec_id"]
+        for r in probe_index(
+            spark, _queries(spark, 999, A), index_dir, nprobe=1, k=8, dim=DIM
+        ).collect()
+    }
+    # the appended batch's rows are found via their codes, and the ADC
+    # probe's answer EQUALS the exact probe's: the PQ_CAND=32 shortlist
+    # covers this fixture's whole probed list, so the exact re-rank sees
+    # every candidate the exact probe sees
+    assert got and got & set(range(100, 104))
+    assert exact == got
+
+
+def test_pq_retrain_writes_new_codebook_generation(spark, tmp_path):
+    """A retrain bumps BOTH sidecars in lockstep; rows under each
+    generation are ADC-scored with their own codebook and the probe
+    spans generations."""
+    from cdc_rs_spark.streaming.ivf import load_pq_cb, probe_index_adc
+
+    index_dir = _pq_index(spark, tmp_path)
+    st = append_batch(
+        spark,
+        _df(spark, _vecs(range(100, 112), A)),  # 12 rows vs trained_on=12
+        index_dir,
+        retrain_ratio=0.5,
+        drift_margin=10.0,
+        dim=DIM,
+    )
+    assert st["retrained"] and st["version"] == 1
+    assert load_pq_cb(index_dir, 1), "retrain must write a v1 codebook"
+    append_batch(
+        spark,
+        _df(spark, _vecs(range(300, 303), B)),
+        index_dir,
+        retrain_ratio=1e9,
+        drift_margin=10.0,
+        dim=DIM,
+    )
+    got_b = {
+        r["vec_id"]
+        for r in probe_index_adc(
+            spark, _queries(spark, 998, B), index_dir, nprobe=1, k=10, dim=DIM
+        ).collect()
+    }
+    assert got_b & set(range(300, 303))  # v1-encoded rows found
+    assert got_b & set(range(10, 16))  # v0-encoded rows found too
+
+
+def test_pq_compaction_reencodes_and_preserves_answers(spark, tmp_path):
+    """compact_index on a pq index re-encodes every row against the
+    latest codebook; with a single generation the rewrite is
+    answer-preserving, and the collapsed sidecars stay in lockstep."""
+    from cdc_rs_spark.streaming.ivf import load_pq_cb, probe_index_adc
+
+    index_dir = _pq_index(spark, tmp_path)
+    append_batch(
+        spark,
+        _df(spark, _vecs(range(100, 104), B)),
+        index_dir,
+        retrain_ratio=1e9,
+        drift_margin=10.0,
+        dim=DIM,
+        batch_id=0,
+        stream_id="s",
+    )
+    q = _queries(spark, 999, B)
+    before = sorted(
+        (r["rank"], r["vec_id"])
+        for r in probe_index_adc(
+            spark, q, index_dir, nprobe=1, k=6, dim=DIM
+        ).collect()
+    )
+    compact_index(spark, index_dir, dim=DIM)
+    after = sorted(
+        (r["rank"], r["vec_id"])
+        for r in probe_index_adc(
+            spark, q, index_dir, nprobe=1, k=6, dim=DIM
+        ).collect()
+    )
+    assert before == after
+    lists = spark.read.parquet(os.path.join(index_dir, "lists"))
+    assert lists.filter(F.col("codes").isNull()).count() == 0
+    vers = {int(r["version"]) for r in load_pq_cb(index_dir)}
+    assert vers == {0}
+
+
+def test_probe_adc_refuses_non_pq_index(spark, tmp_path):
+    """An index initialised without pq has no codebooks; probe_index_adc
+    must refuse loudly instead of scanning nothing."""
+    from cdc_rs_spark.streaming.ivf import probe_index_adc
+
+    index_dir = str(tmp_path / "plain")
+    init_index(
+        spark, _df(spark, _vecs(range(0, 6), A)), index_dir,
+        n_centroids=2, train_cap=16, dim=DIM,
+    )
+    with pytest.raises(ValueError, match="no PQ codebooks"):
+        probe_index_adc(
+            spark, _queries(spark, 1, A), index_dir, nprobe=1, k=3, dim=DIM
+        )
+
+
+def test_probe_adc_plan_is_partition_pruned(spark, tmp_path):
+    """Both scans of an ADC probe (the codes pass and the shortlist
+    re-rank) must carry the static (version, cent_id) PartitionFilters."""
+    from cdc_rs_spark.streaming.ivf import (
+        assert_probe_pruned,
+        probe_index_adc,
+    )
+
+    index_dir = _pq_index(spark, tmp_path)
+    res = probe_index_adc(
+        spark, _queries(spark, 999, A), index_dir, nprobe=1, k=3, dim=DIM
+    )
+    assert_probe_pruned(res)
