@@ -34,13 +34,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def nb_train_weights(train_toks: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Train from (is_a: bool, token: string) rows. Returns
-    (weights(token, w_milli), neutral(w0)) — both broadcast-sized."""
-    cnt = train_toks.groupBy("token").agg(
+def nb_token_counts(train_toks: DataFrame) -> DataFrame:
+    """One map-side-combinable aggregation from (is_a: bool, token) rows
+    to the sufficient statistics (token, c_a, c_b). Integer counts are
+    the ENTIRE trained state — additive and order-independent, which is
+    what makes the streaming form (streaming/classifier.py) fold
+    per-batch partial counts into a persisted store and still train the
+    bit-identical model."""
+    return train_toks.groupBy("token").agg(
         F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("c_a"),
         F.count(F.when(~F.col("is_a"), 1)).cast("bigint").alias("c_b"),
     )
+
+
+def nb_weights_from_counts(cnt: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(token, c_a, c_b) sufficient statistics -> (weights(token,
+    w_milli), neutral(w0)), both broadcast-sized. Shared by batch
+    training (nb_train_weights) and the streaming count store."""
     tot = cnt.agg(
         F.sum("c_a").cast("bigint").alias("n_a"),
         F.sum("c_b").cast("bigint").alias("n_b"),
@@ -56,6 +66,12 @@ def nb_train_weights(train_toks: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.expr("((n_b + v) * 1000) div (n_a + v)").alias("w0")
     )
     return weights, neutral
+
+
+def nb_train_weights(train_toks: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train from (is_a: bool, token: string) rows. Returns
+    (weights(token, w_milli), neutral(w0)) — both broadcast-sized."""
+    return nb_weights_from_counts(nb_token_counts(train_toks))
 
 
 def nb_score(

@@ -951,9 +951,11 @@ def text_quality_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFram
     return ranked_result(scored, build)
 
 
-@register(
-    "text_nb_source_classifier",
-    oracle="""
+# shared by text_nb_source_classifier and its streaming form
+# text_nb_incremental_classifier: the incremental store's SUM-merged
+# counts train the bit-identical model, so ONE oracle pins both (the
+# incremental == batch equivalence IS the claim)
+_NB_ORACLE = """
     WITH labeled AS (
         SELECT doc_id, len(source) <= 4 AS is_a,
                doc_id % 2 = 0 AS is_train, lower(text) AS lt
@@ -1005,8 +1007,10 @@ def text_quality_quartiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(SUM(s_milli - base_milli) AS BIGINT) AS margin_milli
     FROM scored
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@register("text_nb_source_classifier", oracle=_NB_ORACLE)
 def text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned document classifier, trained and scored in-engine — the
     fastText/CCNet-style quality-filter pattern every large-scale
@@ -1057,3 +1061,68 @@ def text_nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
     )
     return nb_confusion(nb_score(test_toks, weights, neutral))
+
+
+@register("text_nb_incremental_classifier", oracle=_NB_ORACLE)
+def text_nb_incremental_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING classifier training (streaming/classifier.py) — the
+    online-retraining form of text_nb_source_classifier, exercised
+    through the REAL persisted count store: the labeled training half
+    arrives as TWO micro-batches, each folded as one partial-count
+    segment (ledger-gated, purge-on-retry); a compaction rewrites the
+    segments into one base between them (proving segment boundaries are
+    invisible); the held-out half is then scored with weights read from
+    the store. Because the NB family's entire trained state is additive
+    integer counts, the served model is BIT-IDENTICAL to batch training
+    on the unioned corpus — this query shares the batch query's oracle
+    verbatim, so the driver checks both sides of the incremental ==
+    batch claim (the dedup_incremental_clusters discipline). Replay
+    idempotence and epoch retention are pinned in
+    tests/test_streaming_classifier.py."""
+    import tempfile
+
+    from cdc_rs_spark.operators.classify import nb_confusion, nb_score
+    from cdc_rs_spark.streaming.classifier import (
+        compact_count_store,
+        fold_counts,
+        init_count_store,
+        store_weights,
+    )
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    labeled = docs.select(
+        "doc_id",
+        (F.length("source") <= 4).alias("is_a"),
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        F.lower("text").alias("lt"),
+    )
+    toks = lambda df, cols: (  # noqa: E731
+        df.select(*cols, F.explode(F.split("lt", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    root = tempfile.mkdtemp(prefix="nbc_incremental_")
+    try:
+        init_count_store(spark, root)
+        # two micro-batches split the training half on doc_id % 4
+        fold_counts(
+            toks(labeled.filter("is_train AND doc_id % 4 = 0"), ["is_a"]),
+            root, batch_id=0,
+        )
+        compact_count_store(spark, root)  # mid-stream OPTIMIZE
+        fold_counts(
+            toks(labeled.filter("is_train AND doc_id % 4 = 2"), ["is_a"]),
+            root, batch_id=1,
+        )
+        weights, neutral = store_weights(spark, root)
+        scored = nb_score(
+            toks(labeled.filter(~F.col("is_train")), ["doc_id", "is_a"]),
+            weights, neutral,
+        )
+        result = nb_confusion(scored)
+        rows = result.collect()  # 4 rows; frees the scratch store
+        schema = result.schema
+    finally:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

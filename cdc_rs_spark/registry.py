@@ -117,7 +117,6 @@ _DRIVER_WINDOW = [
     "q22_idle_customers",
     "grouping_sets_lineitem",
     "window_running_totals",
-    "percentiles_per_flag",
     "approx_distinct_custkeys",
     "anti_join_customers_without_orders",
     "hll_sketch_rollup_custkeys",
@@ -136,6 +135,7 @@ _DRIVER_WINDOW = [
     "similarity_ivfpq_incremental_topk",  # round-8 new (streaming IVF-PQ)
     "text_tfidf_keywords",
     "text_nb_source_classifier",  # round-8 new (learned NB filter) — pins at birth
+    "text_nb_incremental_classifier",  # round-8 new (streaming NB training)
     "multimodal_video_frames",
     "scd2_order_price_history",
     "dq_expectations_orders",
