@@ -2257,3 +2257,123 @@ def part_triangle_count_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), "part")
         .limit(10)
     )
+
+
+KCORE_K = 3  # the core order
+KCORE_MAX_PEELS = 24  # oracle unroll depth == the Spark loop's guard
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = KCORE_MAX_PEELS) -> str:
+    """Unrolled k-core peeling: e0 is the thresholded co-occurrence graph;
+    each round drops vertices of degree < k and the edges touching them.
+    Peeling is IDEMPOTENT at the fixpoint (a graph that is already a
+    k-core survives a peel unchanged), so unrolling MORE rounds than the
+    data needs is exact, not approximate — the Spark side raises if the
+    fixpoint is not reached within the same `rounds`, so both engines
+    always agree on what e{rounds} means."""
+    ctes = [
+        f"""
+    e0 AS MATERIALIZED (
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        ),
+        pe AS (
+            SELECT a.p AS src, b.p AS dst, COUNT(DISTINCT a.ok) AS w
+            FROM li a JOIN li b USING (ok) WHERE a.p <> b.p
+            GROUP BY a.p, b.p
+        )
+        SELECT src, dst FROM pe WHERE w >= 2
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""
+    v{r} AS MATERIALIZED (
+        SELECT src FROM e{r - 1} GROUP BY src HAVING COUNT(*) >= {k}
+    ),
+    e{r} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e{r - 1} e
+        JOIN v{r} a ON e.src = a.src
+        JOIN v{r} b ON e.dst = b.src
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT src AS part, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM e{rounds} GROUP BY src
+    """
+    )
+
+
+@register("part_kcore_3", oracle=_kcore_oracle())
+def part_kcore_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE DECOMPOSITION (fixed k = 3) of the thresholded part
+    co-occurrence graph (parts linked when bought together in >= 2
+    distinct orders — the weight threshold that makes co-purchase graphs
+    analyzable instead of clique soup) — the fourth graph operator beside
+    connected components, PageRank and triangle counting, exercising the
+    ITERATIVE-PEELING pattern: repeatedly drop vertices of degree < k
+    until the fixpoint. The 3-core is the standard dense-substructure
+    filter (community seeds, spam/bot rings, graph-sampling cores).
+
+    Fixpoint discipline (the connected_components lesson, hardened the
+    same round): the loop runs at most KCORE_MAX_PEELS rounds and RAISES
+    if the vertex count is still shrinking — a silently truncated peel
+    returns a supergraph of the core. The oracle unrolls the same number
+    of rounds, which is EXACT however early the data converges, because
+    peeling is idempotent at the fixpoint. Convergence detection is one
+    count() per round on the already-computed survivor side (vertex sets
+    shrink monotonically, so equal COUNT implies equal SET).
+
+    Scale shape: the edge build is the order-bounded self-join (per-order
+    C(n,2)) aggregated on the (src, dst) key with map-side combine; each
+    peel round is ONE degree aggregation keyed on src + two semi-filters
+    of the edge table against the (broadcastable) survivor set, with the
+    edge table localCheckpoint'ed per round to truncate the iterative
+    lineage (operators/graph.py's discipline). Rounds are data-bounded
+    (<= 11 observed across fixtures; the guard is 24): real k-core
+    systems peel in O(max-coreness) rounds the same way."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.countDistinct("ok").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    prev: int | None = None
+    converged = False
+    for _ in range(KCORE_MAX_PEELS):
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("src")
+        n = keep.count()
+        if prev is not None and n == prev:
+            converged = True
+            break
+        prev = n
+        edges = (
+            edges.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    if not converged:
+        raise RuntimeError(
+            f"k-core peeling did not reach its fixpoint within "
+            f"{KCORE_MAX_PEELS} rounds — the result would be a silent "
+            "supergraph of the core; raise KCORE_MAX_PEELS (rounds "
+            "needed ~ max coreness) and keep the oracle unroll in sync"
+        )
+    return edges.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("core_deg")
+    ).select(F.col("src").alias("part"), "core_deg")

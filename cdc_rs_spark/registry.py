@@ -85,6 +85,7 @@ _DRIVER_WINDOW = [
     # on trained IVF centroids, hashed span-store keys)
     "dedup_incremental_clusters",
     "part_triangle_count_full",
+    "part_kcore_3",  # round-8 new (iterative k-core peeling) — pins at birth
     "dedup_semantic_ivf_centroids",
     "dedup_span_store_hashed_probe",
     # changed this round (re-pin): streaming/ivf.py gained the snapshot
@@ -107,7 +108,6 @@ _DRIVER_WINDOW = [
     "cdc_audit_trail",
     "cdc_time_travel_asof",
     "cdc_retraction_algebra",
-    "cdc_schema_evolution",
     "rhai_script_debezium_envelope",
     "q1_pricing_summary",
     "q5_local_supplier_volume",
