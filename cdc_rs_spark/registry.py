@@ -85,7 +85,7 @@ _DRIVER_WINDOW = [
     # on trained IVF centroids, hashed span-store keys)
     "dedup_incremental_clusters",
     "part_triangle_count_full",
-    "part_kcore_3",  # round-8 new (iterative k-core peeling) — pins at birth
+    "part_kcore_2",  # round-8 new (iterative k-core peeling) — pins at birth
     "dedup_semantic_ivf_centroids",
     "dedup_span_store_hashed_probe",
     # changed this round (re-pin): streaming/ivf.py gained the snapshot

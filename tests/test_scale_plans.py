@@ -915,3 +915,68 @@ def test_pq_shortlist_recall_against_exact_topk(spark):
     # embeddings cluster, which is what PQ exploits).
     assert top1_hits >= 3, top1_hits
     assert hits5 / len(exact) >= 0.3, hits5 / len(exact)
+
+
+def test_nb_classifier_scoring_broadcasts_weights(spark):
+    """The NB scorer's 100 TB contract (operators/classify.py): the
+    corpus-sized token stream joins the weight table via BROADCAST (never
+    a corpus shuffle onto the token key), and training is one
+    map-side-combinable aggregation (partial_count before the exchange)."""
+    from cdc_rs_spark.plans.text import text_nb_source_classifier
+
+    plan = _physical_plan(text_nb_source_classifier(spark, SF_DIR))
+    left, _, right = plan.partition("BroadcastHashJoin")
+    assert right, plan  # the weights join IS a broadcast join
+    # no sort-merge join anywhere: every join in the query is
+    # broadcast-sized by construction (weights, totals, neutral)
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_kcore_peel_round_shape(spark):
+    """One k-core peel round = a degree aggregation with map-side combine
+    + two survivor joins; the edge build's per-order self-join aggregates
+    on (src, dst) with map-side combine. Pin the guard constants in sync
+    with the oracle unroll."""
+    from cdc_rs_spark.plans.relational2 import (
+        KCORE_MAX_PEELS,
+        _kcore_oracle,
+        part_kcore_2,
+    )
+
+    # the oracle text really unrolls KCORE_MAX_PEELS rounds
+    assert f"e{KCORE_MAX_PEELS} " in _kcore_oracle()
+    assert f"e{KCORE_MAX_PEELS + 1}" not in _kcore_oracle()
+    res = part_kcore_2(spark, SF_DIR)
+    plan = _physical_plan(res)
+    assert "partial_count" in plan, plan
+    # the loop's localCheckpoint truncation means the final plan hangs
+    # off a checkpointed RDD scan, not a re-derivation of every round
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_streaming_ivfpq_probe_reads_codes_not_embeddings(spark, tmp_path):
+    """probe_index_adc's scale claim: the ADC scan's lists read touches
+    (codes, rnorm) and NOT the embedding column — parquet column pruning
+    is what buys the ~100x byte reduction — while the shortlist re-rank
+    leg reads the embeddings of the same pruned partitions."""
+    from cdc_rs_spark.streaming.ivf import init_index, probe_index_adc
+
+    rows = [
+        (i, [1.0 if i % 2 == 0 else 0.05, 0.05 if i % 2 == 0 else 1.0,
+             0.01 * (i % 5), 0.01 * (i % 7)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    d = str(tmp_path / "pqidx")
+    init_index(spark, df, d, n_centroids=2, train_cap=16, dim=4, pq=True)
+    q = spark.createDataFrame(
+        [(999, [1.0, 0.05, 0.0, 0.0])], "query_id bigint, q_emb array<float>"
+    )
+    plan = _physical_plan(probe_index_adc(spark, q, d, nprobe=1, k=3, dim=4))
+    scans = [s for s in plan.split("+-") if "FileScan parquet" in s]
+    assert len(scans) >= 2, plan
+    code_scans = [s for s in scans if "codes" in s and "embedding" not in s]
+    emb_scans = [s for s in scans if "embedding" in s]
+    assert code_scans, f"no embedding-free codes scan:\n{plan}"
+    assert emb_scans, f"no re-rank embedding scan:\n{plan}"
