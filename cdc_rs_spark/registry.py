@@ -121,12 +121,12 @@ _DRIVER_WINDOW = [
     "anti_join_customers_without_orders",
     "hll_sketch_rollup_custkeys",
     "heavy_hitters_cms_lineitem",
+    "heavy_hitters_cms_incremental",  # round-8 new (streaming sketch store)
     "supplier_revenue_pareto",
     "pagerank_part_graph",
     "events_funnel_conversion",
     "events_asof_last_click",
     "events_session_window",
-    "events_concurrent_sessions",
     "events_watermark_recommendation",
     "events_late_arrival_audit",
     "similarity_ivf_topk",

@@ -1,0 +1,203 @@
+"""Generic log-structured ADDITIVE-STATE store — the shared machinery
+behind every streaming surface here whose state merges by integer SUM
+(classifier sufficient statistics, count-min sketch grids, any mergeable
+counter table): per-batch partial aggregates append as immutable
+segments, reads SUM across segments, and compaction rewrites the summed
+table into a new epoch.
+
+Why SUM-mergeable state gets its own store: it is the one state algebra
+where the streaming form is EXACT by construction — segment boundaries
+are invisible under an associative, commutative, order-independent merge
+(integer addition), so the served state equals the batch computation on
+the unioned input, always. The disciplines are the ones every store in
+this package shares (streaming/ivf.py's epoch scheme, the round-8
+append-first lesson):
+
+  - idempotence: a batch at or below its stream's committed ledger line
+    is skipped; a retry of a crashed fold purges its own ingest=TAG
+    partition directory before re-appending;
+  - publication: compaction writes a NEW `seg-EEEEEE/` epoch directory
+    and flips the meta sidecar atomically; superseded epochs expire
+    after keep_epochs further compactions (in-flight readers keep their
+    snapshotted files);
+  - bootstrap: the store is born with an empty epoch-0 segment table so
+    first reads need no existence special-case.
+
+Layout: root/seg-EEEEEE/ (parquet, PARTITIONED BY ingest) + _add_meta.json
+{epoch, last_batch_by_stream, n_folds, seq, key_cols, sum_cols}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META = "_add_meta.json"
+
+
+def _meta_path(root: str) -> str:
+    return os.path.join(root, _META)
+
+
+def _read_meta(root: str) -> dict:
+    with open(_meta_path(root)) as f:
+        return json.load(f)
+
+
+def _write_meta(root: str, meta: dict) -> None:
+    tmp = _meta_path(root) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, _meta_path(root))
+
+
+def _seg_path(root: str, epoch: int) -> str:
+    return os.path.join(root, f"seg-{epoch:06d}")
+
+
+def init_additive_store(
+    spark: SparkSession,
+    root: str,
+    key_cols: dict[str, str],
+    sum_cols: list[str],
+) -> dict:
+    """`key_cols`: {name: spark_type} of the state's key columns;
+    `sum_cols`: the bigint counter columns merged by SUM."""
+    os.makedirs(root, exist_ok=True)
+    schema = ", ".join(
+        [f"{c} {t}" for c, t in key_cols.items()]
+        + [f"{c} bigint" for c in sum_cols]
+        + ["ingest string"]
+    )
+    spark.createDataFrame([], schema).write.mode("overwrite").partitionBy(
+        "ingest"
+    ).parquet(_seg_path(root, 0))
+    meta = {
+        "epoch": 0,
+        "last_batch_by_stream": {},
+        "n_folds": 0,
+        "seq": 0,
+        "key_cols": list(key_cols),
+        "sum_cols": list(sum_cols),
+    }
+    _write_meta(root, meta)
+    return meta
+
+
+def _purge_ingest(seg_path: str, ingest: str) -> None:
+    p = os.path.join(seg_path, f"ingest={ingest}")
+    if os.path.isdir(p):
+        shutil.rmtree(p)
+
+
+def fold_segment(
+    partial: DataFrame,
+    root: str,
+    batch_id: int | None = None,
+    stream_id: str = "s",
+    volume_col: str | None = None,
+) -> dict:
+    """Append one batch's PARTIAL AGGREGATE (already grouped on the key
+    columns — one row per touched key) as a segment. Returns {n_keys,
+    skipped_duplicate}; with `volume_col` set, n_keys carries that
+    column's SUM instead of the row count (the column itself is dropped
+    before the write — it is a reporting vehicle riding the write job,
+    not state)."""
+    meta = _read_meta(root)
+    ledger = meta.get("last_batch_by_stream") or {}
+    if batch_id is not None and int(batch_id) <= int(
+        ledger.get(stream_id, -1)
+    ):
+        return {"n_keys": 0, "skipped_duplicate": True}
+    path = _seg_path(root, int(meta["epoch"]))
+    ingest = (
+        f"{stream_id}-{batch_id}"
+        if batch_id is not None
+        else f"f-{int(meta['seq']) + 1}"
+    )
+    _purge_ingest(path, ingest)  # crashed prior attempt's residue
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    measure = (
+        F.sum(volume_col) if volume_col else F.count(F.lit(1))
+    ).alias("n")
+    out = partial.observe(obs, measure)
+    if volume_col:
+        out = out.drop(volume_col)
+    (
+        out.withColumn("ingest", F.lit(ingest))
+        .coalesce(1)  # one |touched keys|-row segment file
+        .write.mode("append")
+        .partitionBy("ingest")
+        .parquet(path)
+    )
+    got = obs.get["n"]
+    n = int(got) if got is not None else 0
+    meta = _read_meta(root)  # ledger commit strictly after the append
+    if batch_id is not None:
+        led = dict(meta.get("last_batch_by_stream") or {})
+        led[stream_id] = max(int(led.get(stream_id, -1)), int(batch_id))
+        meta["last_batch_by_stream"] = led
+    else:
+        meta["seq"] = int(meta["seq"]) + 1
+    meta["n_folds"] = int(meta["n_folds"]) + 1
+    _write_meta(root, meta)
+    return {"n_keys": n, "skipped_duplicate": False}
+
+
+def _merged(spark: SparkSession, root: str, epoch: int) -> DataFrame:
+    meta = _read_meta(root)
+    return (
+        spark.read.parquet(_seg_path(root, epoch))
+        .groupBy(*meta["key_cols"])
+        .agg(
+            *[
+                F.sum(c).cast("bigint").alias(c)
+                for c in meta["sum_cols"]
+            ]
+        )
+    )
+
+
+def read_merged(spark: SparkSession, root: str) -> DataFrame:
+    """The merged state: SUM across segments, one map-side-combinable
+    aggregation over |keys| x n_segments rows (bounded by compaction
+    cadence)."""
+    return _merged(spark, root, int(_read_meta(root)["epoch"]))
+
+
+def compact_additive_store(
+    spark: SparkSession, root: str, keep_epochs: int = 2
+) -> int:
+    """Rewrite the summed table into ONE 'compact' segment in a NEW epoch
+    and flip the meta atomically. Returns the distinct-key count."""
+    meta = _read_meta(root)
+    epoch = int(meta["epoch"])
+    new_epoch = epoch + 1
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        _merged(spark, root, epoch)
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .withColumn("ingest", F.lit("compact"))
+        .coalesce(1)
+        .write.mode("overwrite")  # clears a crashed prior attempt
+        .partitionBy("ingest")
+        .parquet(_seg_path(root, new_epoch))
+    )
+    n = int(obs.get["n"])
+    meta = _read_meta(root)  # ledger lines may have moved during the job
+    meta["epoch"] = new_epoch  # THE publish point (atomic replace)
+    _write_meta(root, meta)
+    for name in sorted(os.listdir(root)):
+        if name.startswith("seg-"):
+            e = int(name.split("-")[1])
+            if e < new_epoch - keep_epochs:
+                shutil.rmtree(os.path.join(root, name))
+    return n

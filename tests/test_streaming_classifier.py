@@ -66,7 +66,7 @@ def test_crashed_fold_residue_is_purged_on_retry(spark, tmp_path):
         .withColumn("ingest", F.lit("s-0"))
         .write.mode("append")
         .partitionBy("ingest")
-        .parquet(os.path.join(root, "counts-000000"))
+        .parquet(os.path.join(root, "seg-000000"))
     )
     assert _counts_dict(spark, root)["alpha"] == (1, 0)  # residue visible
     fold_counts(b, root, batch_id=0)  # the retry
@@ -93,9 +93,9 @@ def test_compaction_is_model_invisible_and_expires_epochs(spark, tmp_path):
     compact_count_store(spark, root)
     compact_count_store(spark, root)
     epochs = sorted(
-        n for n in os.listdir(root) if n.startswith("counts-")
+        n for n in os.listdir(root) if n.startswith("seg-")
     )
-    assert epochs == ["counts-000001", "counts-000002", "counts-000003"]
+    assert epochs == ["seg-000001", "seg-000002", "seg-000003"]
     assert _counts_dict(spark, root) == before
 
 
