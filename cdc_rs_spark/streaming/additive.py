@@ -174,24 +174,76 @@ def read_merged(spark: SparkSession, root: str) -> DataFrame:
 def compact_additive_store(
     spark: SparkSession, root: str, keep_epochs: int = 2
 ) -> int:
-    """Rewrite the summed table into ONE 'compact' segment in a NEW epoch
-    and flip the meta atomically. Returns the distinct-key count."""
+    """Rewrite the COMMITTED segments' sum into ONE 'compact' segment in
+    a NEW epoch and flip the meta atomically. Returns the compacted
+    distinct-key count.
+
+    Tag policy through the rewrite (the streaming/ivf.py round-7/8
+    lesson, inherited at birth here): segments whose ingest tag is ABOVE
+    their stream's committed ledger line — a crashed fold's residue,
+    which a retry will purge — are PRESERVED as their own partitions in
+    the new epoch, never summed into 'compact'. Folding them in would
+    launder the residue into permanent state, and the retry's re-append
+    would then double-count. Committed tags (at or below the line, plus
+    'f-{n}' batch-less tags at or below the seq watermark, plus prior
+    'compact' bases) collapse. WRITER-EXCLUSIVE like every store here:
+    safe under concurrent READS (that is the epoch scheme's point), not
+    under a concurrent fold — run it from the ingest loop
+    (classifier_foreach_batch does) or with ingest paused."""
     meta = _read_meta(root)
     epoch = int(meta["epoch"])
     new_epoch = epoch + 1
-    from pyspark.sql import Observation
-
-    obs = Observation()
-    (
-        _merged(spark, root, epoch)
-        .observe(obs, F.count(F.lit(1)).alias("n"))
+    ledger = meta.get("last_batch_by_stream") or {}
+    seq_committed = int(meta.get("seq", 0))
+    df = spark.read.parquet(_seg_path(root, epoch))
+    sid = F.regexp_extract("ingest", r"^(.+)-(\d+)$", 1)
+    bid = F.regexp_extract("ingest", r"^(.+)-(\d+)$", 2)
+    bid_i = F.when(bid != F.lit(""), bid.cast("bigint"))
+    if ledger:
+        commap = F.create_map(
+            *[
+                x
+                for k, v in sorted(ledger.items())
+                for x in (F.lit(k), F.lit(int(v)))
+            ]
+        )
+        committed = F.coalesce(F.element_at(commap, sid), F.lit(-1))
+    else:
+        committed = F.lit(-1)
+    uncommitted = (
+        F.when(F.col("ingest") == "compact", F.lit(False))
+        .when(sid == F.lit(""), F.lit(True))  # unparseable: preserve
+        .when(sid == F.lit("f"), bid_i > F.lit(seq_committed))
+        .otherwise(bid_i > committed)
+    )
+    meta_cols = _read_meta(root)
+    base = (
+        df.filter(~uncommitted)
+        .groupBy(*meta_cols["key_cols"])
+        .agg(
+            *[
+                F.sum(c).cast("bigint").alias(c)
+                for c in meta_cols["sum_cols"]
+            ]
+        )
         .withColumn("ingest", F.lit("compact"))
         .coalesce(1)
+    )
+    passthru = df.filter(uncommitted).select(
+        *meta_cols["key_cols"], *meta_cols["sum_cols"], "ingest"
+    )
+    from pyspark.sql import Observation
+
+    obs = Observation()  # counts the compacted base only (observe wraps it)
+    (
+        base.observe(obs, F.count(F.lit(1)).alias("n"))
+        .unionByName(passthru)
         .write.mode("overwrite")  # clears a crashed prior attempt
         .partitionBy("ingest")
         .parquet(_seg_path(root, new_epoch))
     )
-    n = int(obs.get["n"])
+    got = obs.get["n"]
+    n = int(got) if got is not None else 0
     meta = _read_meta(root)  # ledger lines may have moved during the job
     meta["epoch"] = new_epoch  # THE publish point (atomic replace)
     _write_meta(root, meta)

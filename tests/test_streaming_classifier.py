@@ -141,3 +141,40 @@ def test_foreach_batch_adapter_folds_and_compacts(spark, tmp_path):
     assert meta["n_folds"] == 2 and meta["epoch"] == 1
     fn(b, 1)  # replay after compaction: ledger-skipped
     assert _counts_dict(spark, root)["alpha"] == (2, 0)
+
+
+def test_compaction_preserves_uncommitted_residue_for_retry_purge(
+    spark, tmp_path
+):
+    """The ivf.py round-7 laundering bug, pinned shut on the additive
+    store at birth: a fold that appended its segment but crashed BEFORE
+    the ledger commit, followed by a COMPACTION, must leave the residue
+    as its own preserved partition in the new epoch — summing it into
+    'compact' would make it permanent and the retry's re-append would
+    double-count."""
+    root = str(tmp_path / "nbc")
+    init_count_store(spark, root)
+    fold_counts(_toks(spark, [(True, "alpha")]), root, batch_id=0)
+    # crashed batch 1: segment appended, no ledger commit
+    from cdc_rs_spark.operators.classify import nb_token_counts
+
+    (
+        nb_token_counts(_toks(spark, [(True, "alpha beta")]))
+        .withColumn("ingest", F.lit("s-1"))
+        .write.mode("append")
+        .partitionBy("ingest")
+        .parquet(os.path.join(root, "seg-000000"))
+    )
+    compact_count_store(spark, root)
+    # the residue survived the rewrite as ITS OWN tag, not inside compact
+    seg1 = spark.read.parquet(os.path.join(root, "seg-000001"))
+    tags = {r["ingest"] for r in seg1.select("ingest").distinct().collect()}
+    assert tags == {"compact", "s-1"}, tags
+    # the retry purges it in the NEW epoch and re-appends exactly once
+    fold_counts(_toks(spark, [(True, "alpha beta")]), root, batch_id=1)
+    assert _counts_dict(spark, root)["alpha"] == (2, 0)
+    assert _counts_dict(spark, root)["beta"] == (1, 0)
+    # and a replay after everything is still a no-op
+    st = fold_counts(_toks(spark, [(True, "alpha beta")]), root, batch_id=1)
+    assert st["skipped_duplicate"] is True
+    assert _counts_dict(spark, root)["alpha"] == (2, 0)
