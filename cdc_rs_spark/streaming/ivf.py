@@ -768,7 +768,7 @@ def append_batch(
 
 def _stable_snapshot(
     index_dir: str, with_pq: bool = False
-) -> tuple[int, list, list]:
+) -> tuple[int, list, list, dict]:
     """Take an (epoch, centroids[, pq codebooks]) snapshot that is
     CONSISTENT under concurrent retrain/compaction (compare-and-retry,
     round-8 review): the lists epoch is read FIRST, the sidecars second,
@@ -780,11 +780,12 @@ def _stable_snapshot(
     collapses sidecars strictly AFTER its epoch flip). Returns (epoch,
     cents_rows, pq_rows); pq_rows is [] unless with_pq."""
     for _ in range(8):
-        epoch = int(_read_meta(index_dir).get("lists_epoch", 0))
+        meta = _read_meta(index_dir)
+        epoch = int(meta.get("lists_epoch", 0))
         cents_rows = load_centroids(index_dir)
         pq_rows = load_pq_cb(index_dir) if with_pq else []
         if int(_read_meta(index_dir).get("lists_epoch", 0)) == epoch:
-            return epoch, cents_rows, pq_rows
+            return epoch, cents_rows, pq_rows, meta
     # 8 compactions during 8 snapshot attempts: not a live race
     raise RuntimeError(
         f"could not take a stable (epoch, sidecars) snapshot of "
@@ -828,7 +829,7 @@ def probe_index(
     epochs are retained for `keep_epochs` further compactions,
     Iceberg-style snapshot expiry)."""
     _recover_lists(index_dir)
-    epoch, cents_rows, _ = _stable_snapshot(index_dir)
+    epoch, cents_rows, _, _ = _stable_snapshot(index_dir)
     by_version: dict[int, list] = {}
     for r in cents_rows:
         by_version.setdefault(int(r["version"]), []).append(r)
@@ -908,15 +909,25 @@ def probe_index_adc(
     if cand is None:
         cand = PQ_CAND
     _recover_lists(index_dir)
-    epoch, cents_rows, pq_rows = _stable_snapshot(index_dir, with_pq=True)
+    epoch, cents_rows, pq_rows, meta = _stable_snapshot(
+        index_dir, with_pq=True
+    )
     if not pq_rows:
         raise ValueError(
             f"{index_dir} has no PQ codebooks — init_index(pq=True) "
             "indexes only (probe_index serves the exact path)"
         )
+    # generations ABOVE the committed meta version are a crashed
+    # retrain's orphan sidecar rows (the retry replaces them): no list
+    # row can exist under them — rows are only ever appended under the
+    # version committed at append time — so they are SKIPPED rather than
+    # probed; requiring their codebook would turn the crash window into
+    # a spurious probe failure (round-8 self-review)
+    committed_version = int(meta.get("version", 0))
     by_version: dict[int, list] = {}
     for r in cents_rows:
-        by_version.setdefault(int(r["version"]), []).append(r)
+        if int(r["version"]) <= committed_version:
+            by_version.setdefault(int(r["version"]), []).append(r)
     cb_by_version: dict[int, list] = {}
     for r in pq_rows:
         cb_by_version.setdefault(int(r["version"]), []).append(r)

@@ -1234,3 +1234,32 @@ def test_probe_adc_plan_is_partition_pruned(spark, tmp_path):
         spark, _queries(spark, 999, A), index_dir, nprobe=1, k=3, dim=DIM
     )
     assert_probe_pruned(res)
+
+
+def test_probe_adc_skips_crashed_retrain_orphan_generation(spark, tmp_path):
+    """A retrain that crashed between the centroid write and the
+    codebook/meta commits leaves an orphan generation in the sidecars;
+    no row can exist under it (rows append only under the committed
+    version), so the ADC probe must SKIP it — not raise, not probe it."""
+    from cdc_rs_spark.streaming.ivf import (
+        _write_cents,
+        load_centroids,
+        probe_index_adc,
+    )
+
+    index_dir = _pq_index(spark, tmp_path)
+    # simulate the crash window: a v1 centroid generation with no v1
+    # codebook and no meta commit
+    _write_cents(
+        index_dir,
+        [{"version": 1, "cent_id": 0, "c_emb": list(A)}],
+        append=True,
+    )
+    assert {int(r["version"]) for r in load_centroids(index_dir)} == {0, 1}
+    got = {
+        r["vec_id"]
+        for r in probe_index_adc(
+            spark, _queries(spark, 999, A), index_dir, nprobe=1, k=5, dim=DIM
+        ).collect()
+    }
+    assert got  # still answers from the committed generation
