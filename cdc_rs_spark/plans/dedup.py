@@ -1234,3 +1234,179 @@ def dedup_span_store_hashed_probe(spark: SparkSession, sf_dir: str) -> DataFrame
     store = store_keys.select(*keys, "doc_id").distinct()
     batch = d.filter(F.col("doc_id") % 2 == 1)
     return probe_hashed_spans_against_store(batch, store)
+
+
+def _span_cut_oracle() -> str:
+    """DuckDB mirror of the span-cut rewrite: same window grid, same
+    keep-lowest-doc policy, same overlap-or-adjacent interval merge, and
+    the same 1-indexed substring reassembly — clean_text is compared BY
+    VALUE, so any drift in the interval algebra fails the hash."""
+    return f"""
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(range(1, length(text) - {SPAN_LEN - 2}, {SPAN_STRIDE}))
+                   AS s
+        FROM documents WHERE length(text) >= {SPAN_LEN}
+    ),
+    sp AS (
+        SELECT doc_id, s, substr(text, s, {SPAN_LEN}) AS span FROM pos
+    ),
+    span_info AS (
+        SELECT span, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keep_doc
+        FROM sp GROUP BY span
+    ),
+    cuts AS (
+        SELECT sp.doc_id, sp.s, sp.s + {SPAN_LEN - 1} AS e
+        FROM sp JOIN span_info USING (span)
+        WHERE span_info.nd >= 2 AND sp.doc_id <> span_info.keep_doc
+    ),
+    flagged AS (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max
+        FROM cuts
+    ),
+    grouped AS (
+        SELECT doc_id, s, e,
+               SUM(CASE WHEN prev_max IS NULL OR s > prev_max + 1
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY s) AS grp
+        FROM flagged
+    ),
+    merged AS (
+        SELECT doc_id, grp, MIN(s) AS ms, MAX(e) AS me
+        FROM grouped GROUP BY doc_id, grp
+    ),
+    pieces AS (
+        SELECT doc_id, ms, me,
+               COALESCE(LAG(me) OVER (PARTITION BY doc_id ORDER BY ms), 0)
+                   AS prev_me
+        FROM merged
+    ),
+    rebuilt AS (
+        SELECT p.doc_id,
+               string_agg(substr(d.text, p.prev_me + 1,
+                                 p.ms - p.prev_me - 1), '' ORDER BY p.ms)
+                   AS head,
+               MAX(p.me) AS last_me,
+               CAST(COUNT(*) AS BIGINT) AS n_cut_ranges,
+               CAST(SUM(p.me - p.ms + 1) AS BIGINT) AS n_chars_cut
+        FROM pieces p JOIN documents d USING (doc_id) GROUP BY p.doc_id
+    )
+    SELECT r.doc_id, r.n_cut_ranges, r.n_chars_cut,
+           r.head || substr(d.text, r.last_me + 1) AS clean_text
+    FROM rebuilt r JOIN documents d USING (doc_id)
+    """
+
+
+@register("dedup_span_cut_rewrite", oracle=_span_cut_oracle())
+def dedup_span_cut_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL CUTTING — the rewrite step Lee et al. 2021 run AFTER
+    exact-substring detection (dedup_exact_substring_spans reports; this
+    query actually REMOVES): every window whose text occurs in >= 2
+    distinct documents is cut from every document EXCEPT the canonical
+    copy (lowest doc_id — one surviving occurrence corpus-wide),
+    overlapping/adjacent cut ranges merge (gaps-and-islands over the
+    per-doc intervals), and the cleaned text is reassembled from the
+    kept segments. Output: affected docs with their merged-range count,
+    characters removed, and the rewritten text — compared BY VALUE
+    against the oracle, so the interval algebra and the string
+    reassembly are both pinned.
+
+    Scale shape: the explode is linear (len/stride windows carrying
+    their offsets); span frequency + canonical owner come from ONE
+    aggregate on the span key (map-side combine absorbs boilerplate
+    mega-spans); every later window function partitions by doc_id —
+    per-doc interval counts are bounded by len/stride, so no
+    unpartitioned sort anywhere. At 100 TB the span key becomes
+    xxhash64 with a verify join (the streaming/spans.py layout) and the
+    rewrite stays a per-doc map over broadcast-joined cut lists."""
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    sp = docs.filter(F.length("text") >= SPAN_LEN).select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {SPAN_LEN - 1}, "
+                f"{SPAN_STRIDE}), i -> struct(i AS s, "
+                f"substring(text, i, {SPAN_LEN}) AS span))"
+            )
+        ).alias("w"),
+    ).select("doc_id", "text", "w.s", "w.span")
+    info = sp.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("nd"),
+        F.min("doc_id").alias("keep_doc"),
+    )
+    cuts = (
+        sp.join(info, "span")
+        .filter((F.col("nd") >= 2) & (F.col("doc_id") != F.col("keep_doc")))
+        .select(
+            "doc_id", "text", "s", (F.col("s") + SPAN_LEN - 1).alias("e")
+        )
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = cuts.withColumn(
+        "prev_max", F.max("e").over(w_prev)
+    ).withColumn(
+        "grp",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("s") > F.col("prev_max") + 1),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    merged = grouped.groupBy("doc_id", "grp").agg(
+        F.min("s").alias("ms"),
+        F.max("e").alias("me"),
+        F.first("text").alias("text"),
+    )
+    pieces = merged.withColumn(
+        "prev_me",
+        F.coalesce(
+            F.lag("me").over(Window.partitionBy("doc_id").orderBy("ms")),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "piece",
+        F.expr("substring(text, prev_me + 1, ms - prev_me - 1)"),
+    )
+    return (
+        pieces.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cut_ranges"),
+            F.sum(F.col("me") - F.col("ms") + 1)
+            .cast("bigint")
+            .alias("n_chars_cut"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ms", "piece"))
+                    ),
+                    lambda x: x["piece"],
+                ),
+            ).alias("head"),
+            F.max("me").alias("last_me"),
+            F.first("text").alias("text"),
+        )
+        .select(
+            "doc_id",
+            "n_cut_ranges",
+            "n_chars_cut",
+            F.expr("concat(head, substring(text, last_me + 1))").alias(
+                "clean_text"
+            ),
+        )
+    )

@@ -88,6 +88,7 @@ _DRIVER_WINDOW = [
     "part_kcore_2",  # round-8 new (iterative k-core peeling) — pins at birth
     "dedup_semantic_ivf_centroids",
     "dedup_span_store_hashed_probe",
+    "dedup_span_cut_rewrite",  # round-8 new (span-level cutting rewrite)
     # changed this round (re-pin): streaming/ivf.py gained the snapshot
     # compare-and-retry + seq watermark; streaming/spans.py was
     # restructured around the epoch'd store; the SemDeDup report half
@@ -122,7 +123,6 @@ _DRIVER_WINDOW = [
     "hll_sketch_rollup_custkeys",
     "heavy_hitters_cms_lineitem",
     "heavy_hitters_cms_incremental",  # round-8 new (streaming sketch store)
-    "supplier_revenue_pareto",
     "pagerank_part_graph",
     "events_funnel_conversion",
     "events_asof_last_click",
