@@ -168,3 +168,49 @@ def test_nb_classifier_recovers_planted_signal(spark):
         neutral,
     ).collect()[0]
     assert oov.s_milli == oov.base_milli
+
+
+def test_span_cut_rewrite_on_crafted_overlaps(spark, tmp_path):
+    """Independent pin of the rewrite semantics (the oracle checks
+    Spark == DuckDB; this checks both == the SPEC): three docs share a
+    60-char region, so the stride grid marks overlapping windows that
+    must merge into ONE cut range; the lowest doc keeps its text
+    (absent from the output), the others lose exactly the duplicated
+    region's window coverage."""
+    from cdc_rs_spark.plans.dedup import dedup_span_cut_rewrite
+
+    dup = "".join(f"x{i % 10}" for i in range(30))  # 60 shared chars
+    # stride sampling only equates windows whose offsets into the shared
+    # region agree modulo the stride — place every copy at a start
+    # congruent to 6 mod 10 (doc 1/2 at 26, doc 3 at 6) so the grids
+    # sample identical substrings
+    texts = {
+        1: "A" * 25 + dup + "B" * 25,
+        2: "C" * 25 + dup + "D" * 25,
+        3: "F" * 5 + dup + "E" * 50,
+        4: "unique " * 20,  # no duplicated window: absent from output
+    }
+    base = str(tmp_path / "spancut")
+    _write_docs(spark, base, texts)
+    got = {
+        r["doc_id"]: r
+        for r in dedup_span_cut_rewrite(spark, base).collect()
+    }
+    # doc 1 is every shared window's canonical owner -> untouched
+    assert set(got) == {2, 3}
+    for did in (2, 3):
+        assert got[did]["n_cut_ranges"] == 1  # overlapping windows merged
+        assert len(got[did]["clean_text"]) == len(texts[did]) - got[did][
+            "n_chars_cut"
+        ]
+        assert dup not in got[did]["clean_text"]
+    # doc 2: duplicated windows start at grid points inside [26, 66];
+    # window starts are 1,11,21,31,41,51,... -> starts 31,41 fall fully
+    # inside the dup region (need start >= 26 and start+39 <= 85):
+    # starts 31 and 41 -> cut [31, 80], 50 chars
+    assert got[2]["n_chars_cut"] == 50
+    assert got[2]["clean_text"] == texts[2][:30] + texts[2][80:]
+    # doc 3: dup at [6, 65]; qualifying grid starts 11, 21 -> cut
+    # [11, 60], 50 chars (stride sampling leaves the unaligned fringes)
+    assert got[3]["n_chars_cut"] == 50
+    assert got[3]["clean_text"] == texts[3][:10] + texts[3][60:]
