@@ -1507,3 +1507,94 @@ def similarity_ivfpq_incremental_topk(
         shutil.rmtree(index_dir, ignore_errors=True)
         raw.unpersist(blocking=False)
     return spark.createDataFrame(rows, schema)
+
+
+def _ivfpq_recall_oracle() -> str:
+    """recall@5 of the COMPOSED IVF-PQ index against the exact cosine
+    top-5 — both sides fully reproduced in SQL (the whole _ivfpq_oracle
+    chain nests as a subquery), so the measured recall itself is
+    oracle-pinned, not just sanity-bounded."""
+    return f"""
+    WITH {_QUERIES_SQL},
+    exact_scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_dot_sql("q.q_emb", "c.embedding")}
+               / ({_norm_sql("q.q_emb")} * {_norm_sql("c.embedding")}) AS cos
+        FROM embeddings c CROSS JOIN qs q
+        WHERE c.vec_id <> q.query_id
+    ),
+    exact_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM exact_scored
+        ) WHERE rank <= 5
+    ),
+    approx AS (
+        SELECT query_id, vec_id FROM ({_ivfpq_oracle()})
+    ),
+    per_q AS (
+        SELECT e.query_id,
+               SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hit,
+               COUNT(*) AS k
+        FROM exact_top e
+        LEFT JOIN approx a ON a.query_id = e.query_id
+                          AND a.vec_id = e.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT 'ivfpq' AS method, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / SUM(k), 6) AS mean_recall,
+           ROUND(CAST(MIN(hit) AS DOUBLE) / 5.0, 6) AS min_recall
+    FROM per_q
+    """
+
+
+@register("similarity_ivfpq_recall_eval", oracle=_ivfpq_recall_oracle())
+def similarity_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the shipped IVF-PQ index (similarity_ivfpq_topk)
+    against the exact cosine top-5 — the eval loop that closes the PQ
+    family: bruteforce is the baseline, pq_adc/ivfpq are the indexes,
+    and this MEASURES what the composition loses (router misses + ADC
+    quantization, both before the exact re-rank can repair them). Both
+    sides are deterministic, so the recall VALUE is oracle-pinned — a
+    silent index regression moves the number and fails the hash.
+
+    Scale shape: the exact baseline is the session-memoized
+    N_QUERIES-row harness (_exact_topk, computed once per eval session,
+    never corpus x corpus); the approx side is the ivfpq plan unchanged;
+    the comparison joins 2 x Q x 5 rows. Fixture recall is low by
+    design — i.i.d.-random vectors are PQ's worst case (SCALE.md §19)
+    and nprobe=2 of 16 lists is an aggressive router; the point is that
+    the NUMBER is pinned, so any drift in either index is caught."""
+    raw = load(spark, sf_dir, "embeddings")
+    exact = _exact_topk(spark, raw).filter(F.col("rank") <= 5)  # top-10 memo
+    approx = similarity_ivfpq_topk(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("a_vec")
+    )
+    per_q = (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["vec_id"] == approx["a_vec"]),
+            "left",
+        )
+        .select(exact["query_id"], "a_vec")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("a_vec").isNotNull(), 1).otherwise(0)).alias(
+                "hit"
+            ),
+            F.count("*").alias("k"),
+        )
+    )
+    return per_q.agg(
+        F.lit("ivfpq").alias("method"),
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(
+            F.sum("hit").cast("double") / F.sum("k"), 6
+        ).alias("mean_recall"),
+        F.round(F.min("hit").cast("double") / F.lit(5.0), 6).alias(
+            "min_recall"
+        ),
+    )
