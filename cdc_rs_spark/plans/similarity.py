@@ -1598,3 +1598,120 @@ def similarity_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_recall"
         ),
     )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+RRF_POOL = 10  # per-index candidate pool depth fed to the fusion
+
+
+def _hybrid_rrf_oracle() -> str:
+    """Both index chains reproduced (the LSH hamming gate and the IVF
+    probe gate, each exact-cosine-ranked to RRF_POOL), fused by
+    reciprocal-rank: rrf = 1/(K+r_lsh) + 1/(K+r_ivf) with absent ranks
+    contributing 0 — a two-term fixed-order double sum, so the fused
+    scores and the final ranking are engine-exact."""
+    return f"""
+    WITH {_QUERIES_SQL},
+    qsig AS (SELECT query_id, q_emb, {_sig_sql("q_emb")} AS q_sig FROM qs),
+    csig AS (SELECT vec_id, embedding, {_sig_sql("embedding")} AS c_sig
+             FROM embeddings),
+    lsh_cand AS (
+        SELECT q.query_id, c.vec_id,
+               {_dot_sql("q.q_emb", "c.embedding")}
+               / ({_norm_sql("q.q_emb")} * {_norm_sql("c.embedding")}) AS cos
+        FROM csig c CROSS JOIN qsig q
+        WHERE c.vec_id <> q.query_id
+          AND bit_count(xor(q.q_sig, c.c_sig)) <= 2
+    ),
+    lsh_ranked AS (
+        SELECT query_id, vec_id, rl FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rl
+            FROM lsh_cand
+        ) WHERE rl <= {RRF_POOL}
+    ),
+    {_IVF_CHAIN_SQL},
+    ivf_cand AS (
+        SELECT p.query_id, a.vec_id,
+               {_cos_sql("p.q_emb", "a.embedding")} AS cos
+        FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+        WHERE a.vec_id <> p.query_id
+    ),
+    ivf_ranked AS (
+        SELECT query_id, vec_id, ri FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS ri
+            FROM ivf_cand
+        ) WHERE ri <= {RRF_POOL}
+    ),
+    fused AS (
+        SELECT COALESCE(l.query_id, i.query_id) AS query_id,
+               COALESCE(l.vec_id, i.vec_id) AS vec_id,
+               COALESCE(1.0 / ({RRF_K} + l.rl), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + i.ri), 0.0) AS rrf
+        FROM lsh_ranked l
+        FULL OUTER JOIN ivf_ranked i
+          ON l.query_id = i.query_id AND l.vec_id = i.vec_id
+    )
+    SELECT query_id, vec_id, ROUND(rrf, 6) AS rrf_score, rank FROM (
+        SELECT query_id, vec_id, rrf,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf DESC, vec_id) AS rank
+        FROM fused
+    ) WHERE rank <= 5
+    """
+
+
+@register("similarity_hybrid_rrf_topk", oracle=_hybrid_rrf_oracle())
+def similarity_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL via reciprocal-rank fusion (Cormack et al. 2009 —
+    the fusion modern hybrid-search stacks run over lexical + vector
+    legs): the LSH leg and the IVF leg each produce their exact-cosine
+    top-{RRF_POOL} candidate ranking, and rrf(d) = sum over legs of
+    1/({RRF_K} + rank_leg(d)) fuses them — a document surfaced by BOTH
+    gates outranks one surfaced by either alone, which is precisely the
+    failure-mode diversity argument for multi-index retrieval (each
+    gate's misses are the other's hits). Absent ranks contribute 0; the
+    two-term sum has a fixed evaluation order, so the fused doubles are
+    bit-identical across engines and the oracle pins the fusion itself.
+
+    Scale shape: both legs are the already-audited index plans (LSH
+    broadcast-signature gate; IVF broadcast probe gate over the
+    partitioned lists) ranked by the two-stage top-k; the fusion
+    touches only 2 x Q x {RRF_POOL} ranked rows — a full-outer join and
+    one Q-partitioned window over a driver-trivial frame at any corpus
+    size."""
+    from cdc_rs_spark.operators.similarity import ivf_probe_topk, lsh_topk
+
+    raw = load(spark, sf_dir, "embeddings")
+    corpus = spread(raw).select("vec_id", "embedding")
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    lsh = lsh_topk(queries, corpus, k=RRF_POOL, dim=EMB_DIM).select(
+        "query_id", "vec_id", F.col("rank").alias("rl")
+    )
+    cents, probes = _ivf_model(spark, raw)
+    ivf = ivf_probe_topk(corpus, cents, probes, k=RRF_POOL, dim=EMB_DIM).select(
+        "query_id", "vec_id", F.col("rank").alias("ri")
+    )
+    fused = lsh.join(ivf, ["query_id", "vec_id"], "full").select(
+        "query_id",
+        "vec_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rl")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("ri")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), "vec_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id", "vec_id", F.round("rrf", 6).alias("rrf_score"), "rank"
+        )
+    )

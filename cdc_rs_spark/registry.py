@@ -127,12 +127,12 @@ _DRIVER_WINDOW = [
     "events_funnel_conversion",
     "events_asof_last_click",
     "events_session_window",
-    "events_watermark_recommendation",
     "similarity_ivf_topk",
     "similarity_pq_adc_topk",  # round-8 new (PQ/ADC) — pins at birth
     "similarity_ivfpq_topk",  # round-8 new (IVF-routed PQ) — pins at birth
     "similarity_ivfpq_incremental_topk",  # round-8 new (streaming IVF-PQ)
     "similarity_ivfpq_recall_eval",  # round-8 new (oracle-pinned recall)
+    "similarity_hybrid_rrf_topk",  # round-8 new (reciprocal-rank fusion)
     "text_tfidf_keywords",
     "text_nb_source_classifier",  # round-8 new (learned NB filter) — pins at birth
     "text_nb_incremental_classifier",  # round-8 new (streaming NB training)
