@@ -2508,3 +2508,98 @@ def heavy_hitters_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey, MAX(o_orderdate) AS last_o,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    ref AS (SELECT MAX(o_orderdate) AS refd FROM orders),
+    m AS (
+        SELECT b.o_custkey, b.freq, b.monetary,
+               datediff('day', b.last_o, r.refd) AS recency
+        FROM base b CROSS JOIN ref r
+    ),
+    t AS (
+        SELECT monetary,
+               ntile(5) OVER (ORDER BY recency, o_custkey) AS r_q,
+               ntile(5) OVER (ORDER BY freq, o_custkey) AS f_q,
+               ntile(5) OVER (ORDER BY CAST(monetary AS DOUBLE), o_custkey)
+                   AS m_q
+        FROM m
+    )
+    SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS DECIMAL(38,2)) AS total_monetary
+    FROM t GROUP BY r_q, f_q, m_q
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the classic customer-analytics operator:
+    quintile every customer on Recency (days since last order vs the
+    corpus max date), Frequency (order count) and Monetary (total spend),
+    then report the 5x5x5 segment grid with sizes and exact decimal
+    spend. Quintile labels are SQL NTILE(5) with the (metric, custkey)
+    total order — reconstructed on the Spark side from the EXACT
+    distributed global rank via ntile_from_rank (operators/ranged.py), so
+    no unpartitioned window ever sorts the customer table in one task
+    (the §12/§15 discipline: range buckets + per-bucket windows +
+    broadcast offsets; three metrics = three rank passes over one
+    persisted aggregate). Monetary stays decimal(18,2) end to end; the
+    double CAST is only the ntile ORDER key (exactly representable —
+    totals < 2^53 cents), identical in the oracle."""
+    from cdc_rs_spark.operators.ranged import (
+        global_rank,
+        ntile_from_rank,
+        ranked_result,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_o"),
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("o_totalprice").cast("decimal(18,2)").alias("monetary"),
+    )
+    ref = orders.agg(F.max("o_orderdate").alias("refd"))
+    m = base.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        "freq",
+        "monetary",
+        F.datediff("refd", "last_o").alias("recency"),
+        F.col("monetary").cast("double").alias("mon_d"),
+    )
+
+    def build(s: DataFrame) -> DataFrame:
+        ranked, n = global_rank(
+            s, "recency", [F.col("recency"), F.col("o_custkey")],
+            out_col="_rr",
+        )
+        ranked, _ = global_rank(
+            ranked, "freq", [F.col("freq"), F.col("o_custkey")],
+            out_col="_rf",
+        )
+        ranked, _ = global_rank(
+            ranked, "mon_d", [F.col("mon_d"), F.col("o_custkey")],
+            out_col="_rm",
+        )
+        return (
+            ranked.select(
+                "monetary",
+                ntile_from_rank(F.col("_rr"), n, 5).alias("r_q"),
+                ntile_from_rank(F.col("_rf"), n, 5).alias("f_q"),
+                ntile_from_rank(F.col("_rm"), n, 5).alias("m_q"),
+            )
+            .groupBy("r_q", "f_q", "m_q")
+            .agg(
+                F.count("*").cast("bigint").alias("n_customers"),
+                F.sum("monetary")
+                .cast("decimal(38,2)")
+                .alias("total_monetary"),
+            )
+        )
+
+    return ranked_result(m, build)

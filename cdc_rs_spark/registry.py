@@ -118,6 +118,7 @@ _DRIVER_WINDOW = [
     "q22_idle_customers",
     "grouping_sets_lineitem",
     "window_running_totals",
+    "customer_rfm_segments",  # round-8 new (NTILE-exact RFM segmentation)
     "approx_distinct_custkeys",
     "anti_join_customers_without_orders",
     "hll_sketch_rollup_custkeys",
@@ -125,7 +126,6 @@ _DRIVER_WINDOW = [
     "heavy_hitters_cms_incremental",  # round-8 new (streaming sketch store)
     "pagerank_part_graph",
     "events_funnel_conversion",
-    "events_asof_last_click",
     "events_session_window",
     "similarity_ivf_topk",
     "similarity_pq_adc_topk",  # round-8 new (PQ/ADC) — pins at birth
