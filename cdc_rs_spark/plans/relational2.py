@@ -2534,7 +2534,7 @@ def heavy_hitters_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM m
     )
     SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(monetary) AS DECIMAL(38,2)) AS total_monetary
+           CAST(SUM(monetary) AS DOUBLE) AS total_monetary
     FROM t GROUP BY r_q, f_q, m_q
     """,
 )
@@ -2550,8 +2550,9 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the §12/§15 discipline: range buckets + per-bucket windows +
     broadcast offsets; three metrics = three rank passes over one
     persisted aggregate). Monetary stays decimal(18,2) end to end; the
-    double CAST is only the ntile ORDER key (exactly representable —
-    totals < 2^53 cents), identical in the oracle."""
+    double CAST is the ntile ORDER key and the summed output encoding
+    (exactly representable — totals < 2^53 cents; the dsum convention),
+    identical in the oracle."""
     from cdc_rs_spark.operators.ranged import (
         global_rank,
         ntile_from_rank,
@@ -2596,9 +2597,10 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("r_q", "f_q", "m_q")
             .agg(
                 F.count("*").cast("bigint").alias("n_customers"),
-                F.sum("monetary")
-                .cast("decimal(38,2)")
-                .alias("total_monetary"),
+                # exact decimal sum, stringified as DOUBLE on both
+                # engines (the dsum convention — wide decimals drop
+                # trailing zeros differently across engines)
+                F.sum("monetary").cast("double").alias("total_monetary"),
             )
         )
 
