@@ -2605,3 +2605,92 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return ranked_result(m, build)
+
+
+@register(
+    "supplier_revenue_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(18,4))) AS DECIMAL(18,4)) * 10000
+                    AS BIGINT) AS cents
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, l_suppkey) AS rk
+        FROM rev
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS tot,
+               CAST(SUM(rk * cents) AS BIGINT) AS swr
+        FROM ranked
+    )
+    SELECT n AS n_suppliers, tot AS total_revenue_e4,
+           ROUND((2.0 * swr - (n + 1.0) * tot) / (CAST(n AS DOUBLE) * tot), 6)
+               AS gini
+    FROM agg
+    """,
+)
+def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: the EXACT Gini coefficient of
+    per-supplier discounted revenue — G = (2*Σ rk*x - (n+1)*Σ x) /
+    (n*Σ x) over the (revenue, suppkey)-ordered ranks, the closed form
+    whose inputs are ALL order-independent integer sums once revenue is
+    held in cents (the integer micro-unit discipline: decimal(18,2)*100
+    is exact, Σ rk*x commutes, and the single final division is the only
+    double op — engine-identical). Skew audits (skew_audit_join_keys)
+    flag hot KEYS; Gini summarizes the whole distribution in one number
+    the pipeline can threshold on.
+
+    Scale shape: per-supplier revenue is one map-side-combinable
+    aggregate; the rank comes from operators/ranged.global_rank (range
+    buckets + per-bucket windows + broadcast offsets — no single-task
+    sort of the supplier table); the closed form needs ONE pass over the
+    ranked rows. Integer headroom: Σ rk*x < n * max_rk * max_cents —
+    bigint-safe to ~1e5 suppliers at 1e9-unit revenues; beyond that,
+    rescale the unit."""
+    from cdc_rs_spark.operators.ranged import global_rank, ranked_result
+
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            (
+                F.sum(
+                    F.expr(
+                        "CAST(l_extendedprice * (1 - l_discount) "
+                        "AS DECIMAL(18,4))"
+                    )
+                ).cast("decimal(18,4)")
+                * 10000
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+
+    def build(s: DataFrame) -> DataFrame:
+        ranked, n = global_rank(
+            s, "cents", [F.col("cents"), F.col("l_suppkey")], out_col="_rk"
+        )
+        return ranked.agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum("cents").cast("bigint").alias("total_revenue_e4"),
+            F.round(
+                (
+                    F.lit(2.0)
+                    * F.sum((F.col("_rk") + 1) * F.col("cents")).cast(
+                        "bigint"
+                    )
+                    - (F.lit(n) + F.lit(1.0))
+                    * F.sum("cents").cast("bigint")
+                )
+                / (F.lit(float(n)) * F.sum("cents").cast("bigint")),
+                6,
+            ).alias("gini"),
+        )
+
+    return ranked_result(rev, build)

@@ -115,10 +115,10 @@ _DRIVER_WINDOW = [
     "q12_shipping_priority_class",
     "q15_top_supplier",
     "q21_late_suppliers",
-    "q22_idle_customers",
     "grouping_sets_lineitem",
     "window_running_totals",
     "customer_rfm_segments",  # round-8 new (NTILE-exact RFM segmentation)
+    "supplier_revenue_gini",  # round-8 new (exact Gini via global rank)
     "approx_distinct_custkeys",
     "anti_join_customers_without_orders",
     "hll_sketch_rollup_custkeys",
