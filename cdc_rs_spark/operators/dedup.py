@@ -363,3 +363,67 @@ def doc_spans(
             )
         ).alias("span"),
     )
+
+
+# ---- content-defined anchoring (round 9, VERDICT r8 next #1) -------------
+#
+# Stride sampling (doc_spans above) only equates duplicate copies whose
+# offsets into the shared region agree modulo SPAN_STRIDE (SCALE.md §21);
+# an offset-shifted copy escapes. Content-defined anchors close that blind
+# spot the way CDC chunking does (Muthitacharoen et al. 2001, LBFS): an
+# anchor is a position whose local content — the CDA_K-char gram starting
+# there — rolling-hashes to 0 mod CDA_W. Anchor positions are a function of
+# CONTENT, not offset, so two copies of a shared region place anchors at the
+# same content-relative positions and emit byte-identical SPAN_LEN windows
+# no matter how the copies are shifted. Residual miss probability is
+# (1 - 1/CDA_W)^(R - SPAN_LEN + 1) for a shared region of R chars — e.g.
+# <2e-5 at R = 150 — versus the stride path's DETERMINISTIC miss for 9 of
+# every 10 shift classes.
+
+CDA_K = 8  # rolling-hash gram length (chars)
+CDA_B = 131  # polynomial base (max |term| = 255*131^7 ~ 1.5e17: no i64 overflow)
+CDA_W = 11  # anchor density: expect one anchor per CDA_W positions
+_CDA_WEIGHTS = [CDA_B ** (CDA_K - 1 - j) for j in range(CDA_K)]
+
+
+def cda_codes_sql(text_col: str) -> str:
+    """Per-character code array (codepoint mod 256, BIGINT) — the input to
+    the polynomial gram hash. Built once per row, shared by every anchor
+    probe on that row."""
+    return (
+        f"transform(sequence(1, length({text_col})), "
+        f"i -> bigint(ascii(substring({text_col}, i, 1)) % 256))"
+    )
+
+
+def cda_anchor_spans_sql(text_col: str, codes_col: str = "cs") -> str:
+    """Array of SPAN_LEN-char windows starting at content-defined anchors:
+    position i (1-based, i <= len - SPAN_LEN + 1) is an anchor iff the
+    polynomial hash of the CDA_K-gram at i is 0 mod CDA_W. Pure expression —
+    one pass, O(len * CDA_K) integer ops per row, whole-stage codegen."""
+    gram = " + ".join(
+        f"element_at({codes_col}, i+{j})*{w}L" for j, w in enumerate(_CDA_WEIGHTS)
+    )
+    return (
+        f"filter(transform(sequence(1, length({text_col}) - {SPAN_LEN - 1}), "
+        f"i -> CASE WHEN ({gram}) % {CDA_W} = 0 "
+        f"THEN substring({text_col}, i, {SPAN_LEN}) END), x -> x is not null)"
+    )
+
+
+def doc_anchor_spans(
+    d: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Explode each document into its content-defined-anchor windows — the
+    shift-invariant sibling of doc_spans. Same downstream shape (one
+    (span, doc) aggregate, frequency derived from the pre-aggregate); only
+    the sampling grid differs. Docs shorter than one window contribute
+    nothing, exactly like the stride path."""
+    return (
+        d.filter(F.length(text_col) >= SPAN_LEN)
+        .withColumn("cs", F.expr(cda_codes_sql(text_col)))
+        .select(
+            id_col,
+            F.explode(F.expr(cda_anchor_spans_sql(text_col))).alias("span"),
+        )
+    )

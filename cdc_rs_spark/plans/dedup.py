@@ -1410,3 +1410,220 @@ def dedup_span_cut_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---- content-defined anchoring (round 9, VERDICT r8 next #1) -------------
+
+from cdc_rs_spark.operators.dedup import (  # noqa: E402 — grouped with its queries
+    _CDA_WEIGHTS,
+    CDA_W,
+)
+
+
+def _cda_duck_codes(text_col: str = "text") -> str:
+    """DuckDB mirror of operators.dedup.cda_codes_sql — generated from the
+    SAME constants, the repo's standing oracle discipline."""
+    return (
+        f"list_transform(range(1, length({text_col}) + 1), "
+        f"i -> CAST(ascii(substr({text_col}, i, 1)) % 256 AS BIGINT))"
+    )
+
+
+def _cda_duck_anchor_spans(text_col: str = "text", codes_col: str = "cs") -> str:
+    """DuckDB mirror of cda_anchor_spans_sql. range() is end-exclusive
+    (vs Spark's inclusive sequence), hence SPAN_LEN - 2."""
+    gram = " + ".join(
+        f"{codes_col}[i+{j}]*{w}" for j, w in enumerate(_CDA_WEIGHTS)
+    )
+    return (
+        f"list_filter(list_transform(range(1, length({text_col}) - "
+        f"{SPAN_LEN - 2}), i -> CASE WHEN ({gram}) % {CDA_W} = 0 "
+        f"THEN substr({text_col}, i, {SPAN_LEN}) END), x -> x IS NOT NULL)"
+    )
+
+
+@register(
+    "dedup_exact_substring_anchored",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, {_cda_duck_codes()} AS cs
+        FROM documents WHERE length(text) >= {SPAN_LEN}
+    ),
+    spans AS (
+        SELECT doc_id, unnest({_cda_duck_anchor_spans()}) AS span FROM base
+    ),
+    pair AS (SELECT span, doc_id, COUNT(*) AS k FROM spans GROUP BY 1, 2),
+    freq AS (SELECT span, COUNT(*) AS nd FROM pair GROUP BY 1),
+    per_doc AS (
+        SELECT pair.doc_id,
+               SUM(pair.k) AS n_spans,
+               SUM(CASE WHEN freq.nd >= 2 THEN pair.k ELSE 0 END)
+                   AS n_dup_spans
+        FROM pair JOIN freq USING (span) GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+           ROUND(n_dup_spans::DOUBLE / n_spans, 6) AS dup_frac
+    FROM per_doc WHERE n_dup_spans > 0
+    """,
+)
+def dedup_exact_substring_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIFT-INVARIANT exact-substring detection (round 9, closing the
+    stride-congruence blind spot SCALE.md §21 documents): same per-doc
+    duplicated-span report as dedup_exact_substring_spans, but windows
+    start at CONTENT-DEFINED ANCHORS (rolling-hash breakpoints, the CDC
+    chunking idea of Muthitacharoen et al. 2001) instead of a fixed
+    offset grid. Anchor positions move with the content, so offset-shifted
+    duplicate copies — which the stride grid deterministically misses for
+    9 of 10 shift classes — emit byte-identical windows and are caught
+    (dedup_anchor_shift_invariance proves exactly that on a constructed
+    shifted corpus; the residual miss is (1-1/11)^(R-39) for an R-char
+    shared region, the scale-honest equivalent of Lee et al.'s suffix
+    array without its global sort).
+
+    Scale shape: identical to the stride report — a linear explode
+    (expected len/CDA_W windows per doc, all JVM-side integer ops inside
+    one codegen stage), ONE aggregate to (span, doc_id) with map-side
+    combine absorbing boilerplate mega-spans, frequency derived from the
+    pre-aggregate. At 100 TB the span key becomes xxhash64 with a verify
+    join (the streaming/spans.py layout applies unchanged — anchoring
+    only changes WHERE windows start, not what a window is)."""
+    from cdc_rs_spark.operators.dedup import doc_anchor_spans
+
+    spans = doc_anchor_spans(spread(load(spark, sf_dir, "documents")))
+    pair = spans.groupBy("span", "doc_id").agg(F.count("*").alias("k"))
+    freq = pair.groupBy("span").agg(F.count("*").alias("nd"))
+    dup_k = F.sum(F.when(F.col("nd") >= 2, F.col("k")).otherwise(F.lit(0)))
+    return (
+        pair.join(freq, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("bigint").alias("n_spans"),
+            dup_k.cast("bigint").alias("n_dup_spans"),
+            F.round(dup_k.cast("double") / F.sum("k"), 6).alias("dup_frac"),
+        )
+        .filter(F.col("n_dup_spans") > 0)
+    )
+
+
+def _shift_oracle() -> str:
+    """Oracle for the shift-invariance audit: constructs the SAME shifted
+    corpus (each selected doc + a copy prefixed with 1..7 pad chars — never
+    a multiple of the stride, so the stride grids of the two copies sample
+    disjoint offsets of the shared text) and runs BOTH samplers."""
+    stride_win = (
+        f"unnest(list_transform(range(1, length(text) - {SPAN_LEN - 2}, "
+        f"{SPAN_STRIDE}), i -> substr(text, i, {SPAN_LEN})))"
+    )
+    return f"""
+    WITH sel AS (
+        SELECT doc_id, text, 1 + (doc_id % 7) AS shift
+        FROM documents WHERE doc_id % 101 = 0 AND length(text) >= 150
+    ),
+    virt AS (
+        SELECT doc_id * 2 AS vid, doc_id AS base, text FROM sel
+        UNION ALL
+        SELECT doc_id * 2 + 1, doc_id, repeat('~', shift) || text FROM sel
+    ),
+    stride_spans AS (
+        SELECT vid, base, {stride_win} AS span
+        FROM virt WHERE length(text) >= {SPAN_LEN}
+    ),
+    cda AS (
+        SELECT vid, base, text, {_cda_duck_codes()} AS cs
+        FROM virt WHERE length(text) >= {SPAN_LEN}
+    ),
+    anchor_spans AS (
+        SELECT vid, base, unnest({_cda_duck_anchor_spans()}) AS span FROM cda
+    ),
+    s_hit AS (
+        SELECT DISTINCT a.base FROM stride_spans a JOIN stride_spans b
+        ON a.span = b.span AND a.base = b.base
+           AND a.vid % 2 = 0 AND b.vid % 2 = 1
+    ),
+    a_hit AS (
+        SELECT DISTINCT a.base FROM anchor_spans a JOIN anchor_spans b
+        ON a.span = b.span AND a.base = b.base
+           AND a.vid % 2 = 0 AND b.vid % 2 = 1
+    )
+    SELECT sel.doc_id,
+           CAST(sel.shift AS BIGINT) AS shift,
+           CAST(CASE WHEN s_hit.base IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS stride_hit,
+           CAST(CASE WHEN a_hit.base IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS anchor_hit
+    FROM sel LEFT JOIN s_hit ON sel.doc_id = s_hit.base
+             LEFT JOIN a_hit ON sel.doc_id = a_hit.base
+    """
+
+
+@register("dedup_anchor_shift_invariance", oracle=_shift_oracle())
+def dedup_anchor_shift_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE registered proof that content-defined anchoring catches what
+    stride sampling provably misses (VERDICT r8 next #1 "done" bar): for a
+    deterministic slice of the corpus (doc_id % 101 = 0, >= 150 chars),
+    construct an OFFSET-SHIFTED duplicate of each doc (1..7 '~' pad chars —
+    never congruent to 0 mod SPAN_STRIDE, so the two copies' stride grids
+    sample disjoint offsets of the shared text) and report, per original
+    doc, whether each sampler finds a shared window between the copy pair.
+    Expected shape on any natural-text corpus: stride_hit = 0 (the
+    deterministic blind spot), anchor_hit = 1 (anchors are content-aligned;
+    miss probability (1-1/11)^(len-39) < 2e-5 at 150 chars). Both samplers
+    and the pad construction run identically in the oracle, so the hit
+    columns are value-pinned, not just shape-checked.
+
+    Scale shape: the audit corpus is a filtered slice (1/101 of docs) and
+    every join is per-pair on the span key after the same (span, vid)
+    pre-aggregate as the report queries; nothing here is quadratic in the
+    corpus."""
+    from cdc_rs_spark.operators.dedup import doc_anchor_spans, doc_spans
+
+    sel = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 101 == 0) & (F.length("text") >= 150))
+        .select(
+            "doc_id", "text", (1 + F.col("doc_id") % 7).alias("shift")
+        )
+    )
+    virt = sel.select(
+        (F.col("doc_id") * 2).alias("vid"),
+        F.col("doc_id").alias("base"),
+        "text",
+    ).unionAll(
+        sel.select(
+            (F.col("doc_id") * 2 + 1).alias("vid"),
+            F.col("doc_id").alias("base"),
+            F.expr("concat(repeat('~', shift), text)").alias("text"),
+        )
+    )
+
+    def pair_hits(spans: DataFrame) -> DataFrame:
+        a = spans.filter(F.col("vid") % 2 == 0).select("base", "span")
+        b = spans.filter(F.col("vid") % 2 == 1).select("base", "span")
+        return a.join(b, ["base", "span"]).select("base").distinct()
+
+    stride_spans = doc_spans(virt, id_col="vid").join(
+        virt.select("vid", "base"), "vid"
+    )
+    anchor_spans = doc_anchor_spans(virt, id_col="vid").join(
+        virt.select("vid", "base"), "vid"
+    )
+    s_hit = pair_hits(stride_spans).withColumnRenamed("base", "s_base")
+    a_hit = pair_hits(anchor_spans).withColumnRenamed("base", "a_base")
+    return (
+        sel.join(s_hit, sel.doc_id == F.col("s_base"), "left")
+        .join(a_hit, sel.doc_id == F.col("a_base"), "left")
+        .select(
+            "doc_id",
+            F.col("shift").cast("bigint").alias("shift"),
+            F.when(F.col("s_base").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("stride_hit"),
+            F.when(F.col("a_base").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("anchor_hit"),
+        )
+    )

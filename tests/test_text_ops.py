@@ -214,3 +214,70 @@ def test_span_cut_rewrite_on_crafted_overlaps(spark, tmp_path):
     # [11, 60], 50 chars (stride sampling leaves the unaligned fringes)
     assert got[3]["n_chars_cut"] == 50
     assert got[3]["clean_text"] == texts[3][:10] + texts[3][60:]
+
+
+def test_anchor_spans_catch_offset_shifted_duplicate(spark, tmp_path):
+    """The crafted offset-shifted duplicate (VERDICT r8 next #1): doc 2 is
+    doc 1 shifted by 3 chars — offsets disagree mod SPAN_STRIDE, so the
+    stride grid provably misses it, while content-defined anchors (which
+    move with the content) must catch it. A pure-Python replica of the
+    rolling hash independently pins the anchor spec (both engines == SPEC,
+    not just Spark == DuckDB)."""
+    from cdc_rs_spark.operators.dedup import (
+        CDA_B,
+        CDA_K,
+        CDA_W,
+        SPAN_LEN,
+        doc_anchor_spans,
+        doc_spans,
+    )
+    from cdc_rs_spark.plans.dedup import dedup_exact_substring_anchored
+
+    # deterministic but aperiodic pseudo-text (md5 counter mode): ~1/11 of
+    # positions anchor, so 240 chars all but guarantees several anchors
+    import hashlib
+
+    base = "".join(
+        chr(ord("a") + b % 26)
+        for k in range(15)
+        for b in hashlib.md5(f"anchor-{k}".encode()).digest()
+    )
+    assert len(base) == 240
+
+    # python replica of the anchor rule
+    def anchors(t: str) -> list[int]:
+        out = []
+        for i in range(len(t) - SPAN_LEN + 1):
+            h = 0
+            for j in range(CDA_K):
+                h = h * CDA_B + (ord(t[i + j]) % 256)
+            if h % CDA_W == 0:
+                out.append(i)
+        return out
+
+    assert len(anchors(base)) >= 1, "crafted text must contain an anchor"
+
+    texts = {1: base, 2: "~~~" + base}  # shift 3: not 0 mod SPAN_STRIDE
+    sf_dir = _write_docs(spark, str(tmp_path), texts)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # stride sampling: the two copies share NO window (the provable miss)
+    sp = doc_spans(docs)
+    a = {r["span"] for r in sp.filter("doc_id = 1").collect()}
+    b = {r["span"] for r in sp.filter("doc_id = 2").collect()}
+    assert not (a & b), "shift of 3 must defeat the stride grid"
+
+    # anchored sampling: every in-range anchor of the shared text appears
+    # in BOTH copies (python replica confirms the positions shift by 3)
+    asp = doc_anchor_spans(docs)
+    a2 = {r["span"] for r in asp.filter("doc_id = 1").collect()}
+    b2 = {r["span"] for r in asp.filter("doc_id = 2").collect()}
+    shared = a2 & b2
+    assert shared, "content-defined anchors must catch the shifted copy"
+    expect = {base[i : i + SPAN_LEN] for i in anchors(base)}
+    assert a2 == expect  # Spark == the python SPEC, byte for byte
+    assert shared == {s for s in expect if s in b2}
+
+    # and the registered report flags both docs
+    got = {r["doc_id"] for r in dedup_exact_substring_anchored(spark, sf_dir).collect()}
+    assert got == {1, 2}
