@@ -2390,6 +2390,168 @@ def part_kcore_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("src").alias("part"), "core_deg")
 
 
+CORENESS_K_MAX = 20  # raise guard: the data's max coreness must stay below
+CORENESS_ROUNDS = 24  # per-k peel budget == the 24-round k-core discipline
+
+
+def _coreness_oracle(k_max: int = CORENESS_K_MAX, rounds: int = CORENESS_ROUNDS) -> str:
+    """Unrolled FULL coreness decomposition: for each k in 2..k_max, peel
+    the (k-1)-core's fixpoint edges down to the k-core (`rounds` unrolled
+    peels per k — exact however early the data converges, because peeling
+    is idempotent at the fixpoint); coreness(v) = max k whose core still
+    contains v, default 1 for every vertex of the thresholded graph. Every
+    CTE is MATERIALIZED (the k-core lesson: DuckDB inlines plain CTEs and
+    an unrolled chain referencing each predecessor 3x explodes 3^N ways).
+    The Spark side raises if the k_max-core is non-empty or any peel
+    misses its round budget, so both engines agree on every level."""
+    ctes = [
+        f"""
+    e2_0 AS MATERIALIZED (
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        ),
+        pe AS (
+            SELECT a.p AS src, b.p AS dst, COUNT(DISTINCT a.ok) AS w
+            FROM li a JOIN li b USING (ok) WHERE a.p <> b.p
+            GROUP BY a.p, b.p
+        )
+        SELECT src, dst FROM pe WHERE w >= 2
+    )"""
+    ]
+    for k in range(2, k_max + 1):
+        if k > 2:
+            ctes.append(
+                f"e{k}_0 AS MATERIALIZED (SELECT src, dst FROM e{k - 1}_{rounds})"
+            )
+        for r in range(1, rounds + 1):
+            ctes.append(
+                f"""
+    v{k}_{r} AS MATERIALIZED (
+        SELECT src FROM e{k}_{r - 1} GROUP BY src HAVING COUNT(*) >= {k}
+    ),
+    e{k}_{r} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e{k}_{r - 1} e
+        JOIN v{k}_{r} a ON e.src = a.src
+        JOIN v{k}_{r} b ON e.dst = b.src
+    )"""
+            )
+    memb = " UNION ALL ".join(
+        f"SELECT {k} AS k, src FROM (SELECT DISTINCT src FROM e{k}_{rounds})"
+        for k in range(2, k_max + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f""",
+    all_v AS MATERIALIZED (SELECT DISTINCT src FROM e2_0),
+    memb AS MATERIALIZED ({memb})
+    SELECT a.src AS part, CAST(COALESCE(MAX(m.k), 1) AS BIGINT) AS coreness
+    FROM all_v a LEFT JOIN memb m ON a.src = m.src GROUP BY a.src
+    """
+    )
+
+
+@register("part_coreness", oracle=_coreness_oracle())
+def part_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL CORENESS DECOMPOSITION (round 9, VERDICT r8 next #7): every
+    vertex's core NUMBER — the largest k whose k-core contains it — over
+    the same thresholded part co-occurrence graph as part_kcore_2. The
+    standard curation signal (coreness-weighted sampling keeps documents/
+    parts from the structurally dense center of a similarity graph and
+    down-weights tendrils); part_kcore_2 answers "is v in THE 2-core",
+    this answers "how deep does v sit" for every vertex at once.
+
+    Algorithm: iterate k upward, peeling each k-core from the previous
+    core's fixpoint edges (cores are nested, so each level starts from an
+    already-shrunk graph — the cheap direction; total peel rounds across
+    all k is O(max-coreness * rounds-per-k), observed 57/21/8 at the
+    three fixture scales). The two fixpoint guards both RAISE rather
+    than return silently wrong numbers: a peel that misses its
+    CORENESS_ROUNDS budget would yield a supergraph of that core, and a
+    non-empty CORENESS_K_MAX-core would truncate every deeper vertex's
+    coreness at k_max. The oracle unrolls the identical (k, round) grid —
+    exact by idempotence however early each level converges.
+
+    Scale shape: same per-round primitives as part_kcore_2 (ONE degree
+    aggregation + two semi-joins against the broadcastable survivor set,
+    localCheckpoint per level to truncate iterative lineage); the
+    membership union is <= one (k, vertex) row per surviving level, and
+    the final max-aggregate is one shuffle of vertex-sized data. At
+    100 TB the standard trick stands: peel MANY k-levels per pass with
+    bucketed degree histograms; the per-level loop here keeps the
+    oracle-matching structure instead."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.countDistinct("ok").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    all_v = edges.select("src").distinct().localCheckpoint(eager=True)
+    memberships: list[DataFrame] = []
+    for k in range(2, CORENESS_K_MAX + 1):
+        prev: int | None = None
+        converged = False
+        for _ in range(CORENESS_ROUNDS):
+            keep = (
+                edges.groupBy("src")
+                .agg(F.count("*").alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select("src")
+            )
+            n = keep.count()
+            if prev is not None and n == prev:
+                converged = True
+                break
+            prev = n
+            edges = (
+                edges.join(keep, "src")
+                .join(keep.withColumnRenamed("src", "dst"), "dst")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+        if not converged:
+            raise RuntimeError(
+                f"coreness peel at k={k} missed its fixpoint within "
+                f"{CORENESS_ROUNDS} rounds — the level would be a silent "
+                "supergraph; raise CORENESS_ROUNDS and keep the oracle "
+                "unroll in sync"
+            )
+        if n == 0:
+            break
+        memberships.append(
+            edges.select("src").distinct().withColumn("k", F.lit(k))
+        )
+    else:
+        raise RuntimeError(
+            f"the {CORENESS_K_MAX}-core is non-empty — coreness values "
+            "above the guard would be silently truncated; raise "
+            "CORENESS_K_MAX and keep the oracle unroll in sync"
+        )
+    if not memberships:  # 2-core empty: every vertex is a tendril
+        return all_v.select(
+            F.col("src").alias("part"), F.lit(1).cast("bigint").alias("coreness")
+        )
+    memb = memberships[0]
+    for m in memberships[1:]:
+        memb = memb.unionAll(m)
+    return (
+        all_v.join(memb, "src", "left")
+        .groupBy("src")
+        .agg(F.coalesce(F.max("k"), F.lit(1)).cast("bigint").alias("coreness"))
+        .select(F.col("src").alias("part"), "coreness")
+    )
+
+
 def _cms_oracle() -> str:
     """Full-sketch-reproducing CMS oracle: DuckDB rebuilds the (depth x
     width) grid with the same modular-polynomial hash rows and pins the
