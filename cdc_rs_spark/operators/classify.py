@@ -21,17 +21,29 @@ filter consumes.
 
 Scale shape (100 TB): training aggregates token counts over the labeled
 subset (map-side combinable on the token key; labeled data is small by
-construction); the |vocab|-sized weight table and the 1-row neutral
-baseline broadcast to the scorers; scoring is a map-side left join plus
-one per-doc integer aggregation. Integer headroom:
-(c+1)*(n+V)*1000 < 2^63 holds for labeled corpora up to ~1e7 tokens at
-a 1e8 vocab; beyond that, train on a sample or rescale the quantum.
+construction); the weight table and the 1-row neutral baseline ship to
+the scorers by a SIZE-GATED strategy — broadcast up to
+NB_BROADCAST_VOCAB_MAX rows (~a few hundred MB of (token, int64) pairs,
+comfortable executor-memory territory), shuffle join on `token` beyond
+it (a 1e8-row vocab is multi-GB and PAST comfortable broadcast size;
+the r8 docstring claimed broadcast headroom there, which was wrong —
+the scale-safe form above the gate is the shuffle join, whose cost is
+one exchange of the token column both sides). Scoring stays a left
+join plus one per-doc integer aggregation either way. Integer
+headroom: (c+1)*(n+V)*1000 < 2^63 holds for labeled corpora up to
+~1e7 tokens at a 1e8 vocab; beyond that, train on a sample or rescale
+the quantum.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Broadcast the (token, w_milli) weight table only below this row count;
+# above it, score with a shuffle join on `token`. ~16 B a row means the
+# gate sits near a few hundred MB broadcast — the conventional ceiling.
+NB_BROADCAST_VOCAB_MAX = 20_000_000
 
 
 def nb_token_counts(train_toks: DataFrame) -> DataFrame:
@@ -75,15 +87,32 @@ def nb_train_weights(train_toks: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def nb_score(
-    test_toks: DataFrame, weights: DataFrame, neutral: DataFrame
+    test_toks: DataFrame,
+    weights: DataFrame,
+    neutral: DataFrame,
+    vocab_rows: int | None = None,
 ) -> DataFrame:
     """Score (doc_id, is_a, token) rows against a trained weight table.
     Returns one row per document: (doc_id, is_a, n_tok, s_milli,
     base_milli); the decision is s_milli > base_milli. Documents with
     zero tokens produce no row (no evidence → no verdict), identically
-    in the SQL oracle."""
+    in the SQL oracle.
+
+    Join strategy is size-gated (VERDICT r8 nit #2): pass the weight
+    table's row count when the caller knows it; a vocab above
+    NB_BROADCAST_VOCAB_MAX scores through a shuffle join on `token`
+    instead of a broadcast. Default (None) keeps the broadcast — every
+    in-repo caller trains on a labeled cohort whose vocab is small by
+    construction. The result is identical either way (same left join);
+    only the physical strategy flips — pinned by
+    test_nb_score_join_strategy_flips_at_vocab_gate."""
+    big_vocab = vocab_rows is not None and vocab_rows > NB_BROADCAST_VOCAB_MAX
+    # shuffle_hash, not a bare join: Catalyst's size estimate would still
+    # auto-broadcast a table it cannot see is huge (stats lag reality for
+    # freshly-aggregated weights); the hint pins the scale-safe exchange.
+    w_side = weights.hint("shuffle_hash") if big_vocab else F.broadcast(weights)
     return (
-        test_toks.join(F.broadcast(weights), "token", "left")
+        test_toks.join(w_side, "token", "left")
         .crossJoin(F.broadcast(neutral))
         .groupBy("doc_id", "is_a")
         .agg(

@@ -980,3 +980,40 @@ def test_streaming_ivfpq_probe_reads_codes_not_embeddings(spark, tmp_path):
     emb_scans = [s for s in scans if "embedding" in s]
     assert code_scans, f"no embedding-free codes scan:\n{plan}"
     assert emb_scans, f"no re-rank embedding scan:\n{plan}"
+
+
+def test_nb_score_join_strategy_flips_at_vocab_gate(spark):
+    """The NB scorer's weight join is size-gated (VERDICT r8 nit #2): at or
+    below NB_BROADCAST_VOCAB_MAX declared vocab rows the weights broadcast;
+    above it the scorer plans a shuffle join on `token` (no broadcast of a
+    table that would be multi-GB at a real 1e8 vocab). Results must be
+    identical either way."""
+    from cdc_rs_spark.operators.classify import (
+        NB_BROADCAST_VOCAB_MAX,
+        nb_score,
+        nb_train_weights,
+    )
+
+    train = spark.createDataFrame(
+        [(True, "good"), (True, "fine"), (False, "bad"), (False, "worse")],
+        "is_a boolean, token string",
+    )
+    weights, neutral = nb_train_weights(train)
+    toks = spark.createDataFrame(
+        [(1, True, "good"), (1, True, "bad"), (2, False, "worse"), (2, False, "zzz")],
+        "doc_id long, is_a boolean, token string",
+    )
+    small = nb_score(toks, weights, neutral, vocab_rows=NB_BROADCAST_VOCAB_MAX)
+    big = nb_score(toks, weights, neutral, vocab_rows=NB_BROADCAST_VOCAB_MAX + 1)
+    p_small, p_big = _physical_plan(small), _physical_plan(big)
+    assert "BroadcastHashJoin" in p_small, p_small
+    big_join = [
+        ln for ln in p_big.splitlines() if "Join" in ln and "token" in ln
+    ]
+    assert any(
+        "ShuffledHashJoin" in ln or "SortMergeJoin" in ln for ln in big_join
+    ), p_big
+    assert "BroadcastHashJoin" not in "".join(big_join), p_big
+    assert sorted(
+        (r.asDict() for r in small.collect()), key=lambda d: d["doc_id"]
+    ) == sorted((r.asDict() for r in big.collect()), key=lambda d: d["doc_id"])
