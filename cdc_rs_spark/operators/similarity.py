@@ -814,8 +814,36 @@ def pq_encode(corpus: DataFrame, codebook: list[dict]) -> DataFrame:
     return pq_encode_cols(corpus, codebook).select("vec_id", "codes", "rnorm")
 
 
+def pq_train_residual_local(
+    sample_rows, cent_rows, n_sub: int = PQ_M, sub: int = PQ_SUB
+) -> list[dict]:
+    """Train a RESIDUAL PQ codebook driver-locally: assign each bounded-
+    sample row to its centroid (the exact _py_cosine mirror of the
+    distributed argmax — cos desc, cent_id asc), snap the residual to the
+    2^-20 grid, then run pq_train_local on the residual vectors. Shared by
+    the batch residual query (plans/similarity.py) and the streaming
+    index's init/retrain (streaming/ivf.py)."""
+    res = []
+    for r in sample_rows:
+        c = min(
+            cent_rows,
+            key=lambda cr: (
+                -_py_cosine(r["embedding"], cr["c_emb"]),
+                cr["cent_id"],
+            ),
+        )
+        res.append(
+            {
+                "vec_id": r["vec_id"],
+                "embedding": py_residual_quantize(r["embedding"], c["c_emb"]),
+            }
+        )
+    return pq_train_local(res, n_sub=n_sub, sub=sub)
+
+
 def pq_adc_rank(
-    joined: DataFrame, cand: int = PQ_CAND, n_sub: int = PQ_M
+    joined: DataFrame, cand: int = PQ_CAND, n_sub: int = PQ_M,
+    with_qc: bool = False,
 ) -> DataFrame:
     """Score + shortlist an already-candidate-joined frame carrying
     (query_id, vec_id, codes, rnorm, lut, qnorm): approx cosine = (sum
@@ -824,17 +852,20 @@ def pq_adc_rank(
     through the two-stage exact rank (no single-task sort). Shared by
     the flat scan (pq_adc_topk) and the IVF-routed form
     (similarity_ivfpq_topk, which restricts candidates to probed lists
-    first)."""
+    first). `with_qc=True` is the RESIDUAL form: the frame additionally
+    carries `qc` = dot(query, list centroid), regained exactly before
+    normalization — approx cos = (qc + lut sum) / (qnorm * rnorm)."""
     adc = (
         f"aggregate(zip_with(codes, sequence(1, {n_sub}), "
         "(cd, mm) -> element_at(element_at(lut, mm), cd + 1)), "
         "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
     )
+    adot = (F.col("qc") + F.expr(adc)) if with_qc else F.expr(adc)
     scored = joined.select(
         "query_id",
         "vec_id",
         salt_expr("vec_id", _n_salt_buckets(joined)).alias("_salt"),
-        (F.expr(adc) / (F.col("qnorm") * F.col("rnorm"))).alias("cos"),
+        (adot / (F.col("qnorm") * F.col("rnorm"))).alias("cos"),
     )
     return two_stage_rank_topk(scored, cand).select("query_id", "vec_id")
 
@@ -850,6 +881,88 @@ def pq_adc_topk(
         F.col("vec_id") != F.col("query_id")
     )
     return pq_adc_rank(joined, cand)
+
+
+# Residual quantization grid (round 9, VERDICT r8 next #2): the residual
+# x - c(x) subtracts a Lloyd MEAN (an integer/2^44/count rational), so its
+# double value is NOT on the 2^-44 grid float32 inputs sit on — feeding raw
+# residuals to the integer-scaled codebook arithmetic would hit the rounding
+# fallback whose tie behavior differs across engines. Snapping residuals to
+# the 2^-20 grid first (floor — exact and identical in every IEEE engine)
+# makes every downstream 2^44-scaled value an exact integer again (r*2^44 =
+# int*2^24), and costs at most 2^-20 per dim — two orders below the
+# quantization error PQ itself introduces.
+RQ_SCALE = 1048576.0  # 2^20
+
+
+def residual_quantize_sql(emb: str, cemb: str) -> str:
+    """Spark SQL: the 2^-20-grid quantized residual `emb - cemb` as
+    array<double>. Spark's floor(double) returns LONG (DuckDB's returns
+    DOUBLE); the explicit cast converges both on the same dyadic value."""
+    return (
+        f"zip_with({emb}, {cemb}, (x, y) -> "
+        f"CAST(floor((CAST(x AS DOUBLE) - y) * {RQ_SCALE!r}D) AS DOUBLE) "
+        f"/ {RQ_SCALE!r}D)"
+    )
+
+
+def py_residual_quantize(emb, c_emb) -> list[float]:
+    """Driver-side mirror of residual_quantize_sql (codebooks train on
+    residuals of the bounded sample, driver-locally like pq_train_local)."""
+    import math
+
+    return [
+        math.floor((float(x) - float(y)) * RQ_SCALE) / RQ_SCALE
+        for x, y in zip(emb, c_emb)
+    ]
+
+
+def pq_encode_residual(df: DataFrame, codebook: list[dict]) -> DataFrame:
+    """Map-side RESIDUAL PQ encode (FAISS IndexIVFPQ's storage form): `df`
+    carries (embedding, c_emb) — each row's vector and its assigned list
+    centroid — and gains (codes array<int>, rnorm double) where the codes
+    quantize the 2^-20-snapped residual and rnorm = ||c + r_hat|| is the
+    reconstructed norm INCLUDING the centroid (the ADC denominator). One
+    broadcast codebook row, zero corpus shuffle — identical cost shape to
+    pq_encode_cols; only the encoded quantity differs."""
+    spark = df.sparkSession
+    n_sub = max(int(r["m"]) for r in codebook) + 1
+    sub = len(codebook[0]["c_sub"])
+    cb = spark.createDataFrame(
+        [(r["m"], r["code"], r["c_sub"]) for r in codebook],
+        "m int, code int, c_sub array<double>",
+    )
+    packed = F.broadcast(
+        cb.agg(F.collect_list(F.struct("m", "code", "c_sub")).alias("cbs"))
+    )
+    d2 = (
+        f"aggregate(zip_with(slice(rvec, mm * {sub} + 1, {sub}), s.c_sub, "
+        "(x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, z) -> acc + z)"
+    )
+    # array_min over struct(d2, code, codeword): min squared distance,
+    # lowest-code tiebreak — the codeword rides along so the reconstruction
+    # does not need a second codebook lookup
+    cs = (
+        f"transform(sequence(0, {n_sub - 1}), mm -> "
+        f"array_min(transform(filter(cbs, s -> s.m = mm), s -> named_struct("
+        f"'d', {d2}, 'c', s.code, 'v', s.c_sub))))"
+    )
+    return (
+        df.withColumn("rvec", F.expr(residual_quantize_sql("embedding", "c_emb")))
+        .crossJoin(packed)
+        .withColumn("_cs", F.expr(cs))
+        .withColumn("codes", F.expr("transform(_cs, s -> s.c)"))
+        .withColumn("_rhat", F.expr("flatten(transform(_cs, s -> s.v))"))
+        .withColumn(
+            "rnorm",
+            F.expr(
+                "sqrt(aggregate(zip_with(c_emb, _rhat, "
+                "(x, y) -> (x + y) * (x + y)), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
+            ),
+        )
+        .drop("_cs", "_rhat", "rvec", "cbs")
+    )
 
 
 def pq_query_luts(spark, query_rows, codebook: list[dict]) -> DataFrame:

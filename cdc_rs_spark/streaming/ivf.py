@@ -66,7 +66,9 @@ from cdc_rs_spark.operators.similarity import (
     lloyd_refine_local,
     pq_adc_rank,
     pq_encode_cols,
+    pq_encode_residual,
     pq_train_local,
+    pq_train_residual_local,
     salt_expr,
     two_stage_rank_topk,
     _n_salt_buckets,
@@ -456,6 +458,7 @@ def init_index(
     kmeans_iters: int = 1,
     dim: int | None = None,
     pq: bool = False,
+    residual: bool = False,
 ) -> dict:
     """Batch bootstrap: train on the count-bounded reservoir, assign every
     corpus vector (broadcast argmax — zero corpus shuffle), write the
@@ -468,7 +471,17 @@ def init_index(
     pins), one generation per centroid version, and every stored row
     additionally carries (codes, rnorm) encoded map-side with its
     generation's codebook. probe_index keeps working (exact scan over
-    the stored embeddings); probe_index_adc reads only the codes."""
+    the stored embeddings); probe_index_adc reads only the codes.
+
+    `residual=True` (requires pq=True) stores RESIDUAL codes — the FAISS
+    IndexIVFPQ form: codebooks train on the 2^-20-snapped residuals
+    x - c(x) (pq_train_residual_local, the arithmetic the batch
+    similarity_ivfpq_residual_topk oracle pins), rows carry residual
+    codes with rnorm = ||c + r_hat||, and probe_index_adc regains the
+    coarse term dot(q, c) exactly per probed list. Same per-generation
+    discipline: a retrain's new centroids get a new residual codebook."""
+    if residual and not pq:
+        raise ValueError("residual=True requires pq=True")
     os.makedirs(index_dir, exist_ok=True)
     cap = train_cap if train_cap is not None else n_centroids * 256
     sample_rows = _take_sample(corpus, cap).collect()  # heap top-k, O(cap)
@@ -493,11 +506,21 @@ def init_index(
             raise ValueError(
                 f"pq=True needs dim divisible by {PQ_M} subspaces, got {dim}"
             )
-        cb = pq_train_local(sample_rows, n_sub=PQ_M, sub=pq_sub)
+        cb = (
+            pq_train_residual_local(sample_rows, cents, n_sub=PQ_M, sub=pq_sub)
+            if residual
+            else pq_train_local(sample_rows, n_sub=PQ_M, sub=pq_sub)
+        )
         _write_pq_cb(
             index_dir, [{"version": 0, **r} for r in cb], append=False
         )
-        assigned = pq_encode_cols(assigned, cb)
+        assigned = (
+            pq_encode_residual(
+                assigned.join(F.broadcast(cents_b), "cent_id"), cb
+            ).drop("c_emb")
+            if residual
+            else pq_encode_cols(assigned, cb)
+        )
     # crashed/re-run bootstrap residue (a fresh index is always epoch 0)
     _purge_ingest(_lists_path(index_dir, 0), "init")
     # fold the corpus count into the lists WRITE job via an Observation —
@@ -525,6 +548,7 @@ def init_index(
         "last_batch": None,
         "pq": bool(pq),
         "pq_sub": ((dim // PQ_M) if dim else PQ_SUB) if pq else None,
+        "pq_residual": bool(pq and residual),
     }
     _write_meta(index_dir, meta)
     return meta
@@ -639,12 +663,20 @@ def append_batch(
     batch = batch.select("vec_id", "embedding")
     assigned = _assign_to_centroids(batch, cents_b, dim)
     pq_enabled = bool(meta.get("pq"))
+    pq_res = bool(meta.get("pq_residual"))
     if pq_enabled:
         # encode with the CURRENT generation's (frozen) codebook — rows
         # appended under version v carry version-v codes, and probes
         # score each generation with its own LUTs, mirroring the
         # per-generation centroid discipline
-        assigned = pq_encode_cols(assigned, load_pq_cb(index_dir, version))
+        cbv = load_pq_cb(index_dir, version)
+        assigned = (
+            pq_encode_residual(
+                assigned.join(F.broadcast(cents_b), "cent_id"), cbv
+            ).drop("c_emb")
+            if pq_res
+            else pq_encode_cols(assigned, cbv)
+        )
     new_seq = int(meta["sample_seq"]) + 1
     # '-' separates namespace from id so distinct (stream_id, batch_id)
     # pairs can never alias one tag (round-7 review: 'a1'+2 vs 'a'+12 both
@@ -727,16 +759,23 @@ def append_batch(
             # with the same replace-on-retry discipline, so a crash
             # between the two leaves a retried retrain to REPLACE both
             # sidecars' orphan generation
+            _new_cb = (
+                pq_train_residual_local(
+                    sample_rows,
+                    new_cents,
+                    n_sub=PQ_M,
+                    sub=int(meta.get("pq_sub") or PQ_SUB),
+                )
+                if pq_res
+                else pq_train_local(
+                    sample_rows,
+                    n_sub=PQ_M,
+                    sub=int(meta.get("pq_sub") or PQ_SUB),
+                )
+            )
             _write_pq_cb(
                 index_dir,
-                [
-                    {"version": version, **r}
-                    for r in pq_train_local(
-                        sample_rows,
-                        n_sub=PQ_M,
-                        sub=int(meta.get("pq_sub") or PQ_SUB),
-                    )
-                ],
+                [{"version": version, **r} for r in _new_cb],
                 append=True,
             )
         meta["version"] = version
@@ -924,6 +963,7 @@ def probe_index_adc(
     # probed; requiring their codebook would turn the crash window into
     # a spurious probe failure (round-8 self-review)
     committed_version = int(meta.get("version", 0))
+    pq_res = bool(meta.get("pq_residual"))
     by_version: dict[int, list] = {}
     for r in cents_rows:
         if int(r["version"]) <= committed_version:
@@ -973,14 +1013,21 @@ def probe_index_adc(
                 (-_py_cosine(q["q_emb"], c["c_emb"]), c["cent_id"])
                 for c in cl
             )[:nprobe]
+            # residual indexes regain the coarse term dot(q, c) exactly,
+            # one value per probed list (driver-side — the same IEEE fold
+            # as the distributed dot and the batch oracle)
+            c_emb_by_id = {c["cent_id"]: c["c_emb"] for c in cl}
             probe_rows += [
-                (ver, cid, int(q["query_id"]), lut, math.sqrt(n2))
+                (
+                    ver, cid, int(q["query_id"]), lut, math.sqrt(n2),
+                    _py_dot(emb, c_emb_by_id[cid]) if pq_res else 0.0,
+                )
                 for _, cid in ranked
             ]
     probes = spark.createDataFrame(
         probe_rows,
         "version bigint, cent_id bigint, query_id bigint, "
-        "lut array<array<double>>, qnorm double",
+        "lut array<array<double>>, qnorm double, qc double",
     )
     lists = spark.read.parquet(_lists_path(index_dir, epoch))
     pairs = sorted({(r[0], r[1]) for r in probe_rows})
@@ -994,7 +1041,7 @@ def probe_index_adc(
         .join(F.broadcast(probes), ["version", "cent_id"])
         .filter(F.col("vec_id") != F.col("query_id"))
     )
-    short = pq_adc_rank(joined, cand)  # (query_id, vec_id) shortlist
+    short = pq_adc_rank(joined, cand, with_qc=pq_res)  # (query_id, vec_id)
     qdf = spark.createDataFrame(
         [
             (int(q["query_id"]), [float(x) for x in q["q_emb"]])

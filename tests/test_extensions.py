@@ -647,3 +647,20 @@ def test_semdedup_ivf_variant_is_anchor_parity_modulo_anchor_table(spark):
     }
     assert report_ivf == report_seed
     assert len(report_ivf) > 0
+
+
+def test_residual_ivfpq_recall_at_least_raw(spark, sf_dir):
+    """The residual form's reason to exist (VERDICT r8 next #2): at
+    identical storage (4 codes + a norm per vector) residual encoding
+    must recall AT LEAST as well as raw-vector PQ on the fixture —
+    measured 0.25 vs 0.15 at sf0.1 and ties at the smaller scales, both
+    values oracle-pinned; this test pins the RELATION so a regression in
+    either index surfaces as a direction, not just a moved number."""
+    from cdc_rs_spark.plans.similarity import (
+        similarity_ivfpq_recall_eval,
+        similarity_ivfpq_residual_recall_eval,
+    )
+
+    raw = similarity_ivfpq_recall_eval(spark, sf_dir).collect()[0]
+    res = similarity_ivfpq_residual_recall_eval(spark, sf_dir).collect()[0]
+    assert res["mean_recall"] >= raw["mean_recall"], (res, raw)

@@ -1263,3 +1263,47 @@ def test_probe_adc_skips_crashed_retrain_orphan_generation(spark, tmp_path):
         ).collect()
     }
     assert got  # still answers from the committed generation
+
+
+def test_residual_index_retrain_and_probe(spark, tmp_path):
+    """residual=True (round 9): the index stores residual codes, a probe
+    through probe_index_adc finds the right cluster, a forced re-train
+    writes a SECOND residual codebook generation, and rows from both
+    generations keep serving (each ADC-scored with its own codebook and
+    coarse dot(q, c) term)."""
+    from cdc_rs_spark.streaming.ivf import load_pq_cb, probe_index_adc
+
+    index_dir = str(tmp_path / "idx")
+    base = _df(spark, _vecs(range(0, 8), A) + _vecs(range(10, 18), B))
+    init_index(
+        spark, base, index_dir, n_centroids=2, train_cap=8, dim=DIM,
+        pq=True, residual=True,
+    )
+    meta = _read_meta(index_dir)
+    assert meta["pq_residual"] is True
+    # ratio trigger fires: the append is larger than trained_on
+    stats = append_batch(
+        spark,
+        _df(spark, _vecs(range(100, 120), A)),
+        index_dir,
+        retrain_ratio=0.5,
+        drift_margin=10.0,
+        dim=DIM,
+        batch_id=0,
+    )
+    assert stats["retrained"] is True
+    versions = {int(r["version"]) for r in load_pq_cb(index_dir)}
+    assert versions == {0, 1}, versions
+    got = probe_index_adc(
+        spark, _queries(spark, 500, A), index_dir, nprobe=1, k=5, dim=DIM
+    ).collect()
+    assert len(got) == 5
+    # every neighbor of an A-query must be an A vector (ids < 10 or >= 100,
+    # never the B cluster 10..17), and both generations contribute
+    ids = {r["vec_id"] for r in got}
+    assert all(v < 10 or v >= 100 for v in ids), ids
+    assert any(v >= 100 for v in ids) and any(v < 10 for v in ids)
+    # residual=True without pq is a contract violation
+    with pytest.raises(ValueError, match="residual=True requires pq=True"):
+        init_index(spark, base, str(tmp_path / "idx2"), n_centroids=2,
+                   train_cap=8, dim=DIM, residual=True)
