@@ -247,3 +247,132 @@ def decode_image(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(run, IMAGE_META_SCHEMA)
+
+
+# ---- perceptual-hash image near-dup (round 9, VERDICT r8 next #3) --------
+
+IMAGE_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("bands", T.ArrayType(T.LongType())),
+    ]
+)
+
+DHASH_GRID_W = 9  # 9 columns -> 8 horizontal comparisons per row
+DHASH_GRID_H = 8  # 8 rows -> 64 dHash bits
+DHASH_BANDS = 4  # 4 x 16-bit bands (two rows each) — SimHash-style blocking
+DHASH_HAM_MAX = 2  # near-dup threshold; <= 3 keeps the band block lossless
+
+
+def dhash_images(df: DataFrame) -> DataFrame:
+    """dHash (difference hash) over opaque image payloads — the classic
+    resize-invariant perceptual fingerprint: downsample the luma grid to
+    DHASH_GRID_W x DHASH_GRID_H blocks, then bit (u, v) = [block(u+1, v) >
+    block(u, v)]. Block comparison uses integer block SUMS, not means —
+    for equal-size blocks the ordering is identical and stays exact, so a
+    nearest-neighbor-rescaled copy (every block scaled by k^2) hashes
+    IDENTICALLY. Payload format (the fixture codec — a real decoder drops
+    into the same signature like decode_image): 4-byte big-endian width,
+    4-byte height, row-major 8-bit luma. Rows that fail structural
+    validation (width not 9k / height not 8k / truncated pixels) are
+    dropped, the quarantine convention of the decode family.
+
+    Emits 4 x 16-bit BANDS (two dHash rows each) instead of one 64-bit
+    integer: bit 63 would overflow a signed BIGINT, and the band form IS
+    the blocking key for the pair stage (hamming <= 3 forces >= 1 equal
+    band by pigeonhole, so the band join is a lossless candidate filter
+    at DHASH_HAM_MAX = 2). Arrow-batched mapInPandas; numpy reshape does
+    the block sums — no per-pixel Python loop."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        gw, gh = DHASH_GRID_W, DHASH_GRID_H
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "bands": []
+            }
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                if len(b) < 8:
+                    continue
+                w = int.from_bytes(b[0:4], "big")
+                h = int.from_bytes(b[4:8], "big")
+                k = w // gw
+                if k < 1 or w != gw * k or h != gh * k or len(b) != 8 + w * h:
+                    continue
+                px = (
+                    np.frombuffer(b, dtype=np.uint8, offset=8)
+                    .astype(np.int64)
+                    .reshape(h, w)
+                )
+                g = px.reshape(gh, k, gw, k).sum(axis=(1, 3))  # [v][u]
+                bits = g[:, 1:] > g[:, :-1]  # [v][u], u in 0..gw-2
+                bands = []
+                for j in range(DHASH_BANDS):
+                    val = 0
+                    for v in (2 * j, 2 * j + 1):
+                        for u in range(gw - 1):
+                            if bits[v][u]:
+                                val |= 1 << ((v % 2) * 8 + u)
+                    bands.append(val)
+                rows["doc_id"].append(int(did))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["bands"].append(bands)
+            # explicit dtypes: a batch where EVERY row was quarantined
+            # yields an empty frame whose default float64 "bands" column
+            # fails the Arrow list<int64> conversion
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int64"),
+                    "height": pd.Series(rows["height"], dtype="int64"),
+                    "bands": pd.Series(rows["bands"], dtype="object"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, IMAGE_DHASH_SCHEMA)
+
+
+def dhash_near_dup_pairs(decoded: DataFrame) -> DataFrame:
+    """Band-blocked near-dup pair stage over dhash_images output: explode
+    the 4 bands, self-join on (band index, band value) — lossless for
+    hamming <= 3 by pigeonhole — then verify candidates with the exact
+    hamming over all 4 bands and keep pairs <= DHASH_HAM_MAX. The shuffle
+    carries (band, doc_id) pairs only; never pixels. Returns (doc_a,
+    doc_b, hamming)."""
+    ex = decoded.select(
+        "doc_id", F.posexplode("bands").alias("j", "bv")
+    )
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"), "j", "bv"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"), "j", "bv"
+    )
+    cand = (
+        a.join(b, ["j", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ba = decoded.select(
+        F.col("doc_id").alias("doc_a"), F.col("bands").alias("bands_a")
+    )
+    bb = decoded.select(
+        F.col("doc_id").alias("doc_b"), F.col("bands").alias("bands_b")
+    )
+    ham = F.expr(
+        "aggregate(zip_with(bands_a, bands_b, (x, y) -> "
+        "CAST(bit_count(x ^ y) AS BIGINT)), CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+    return (
+        cand.join(ba, "doc_a")
+        .join(bb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= DHASH_HAM_MAX)
+    )

@@ -175,3 +175,117 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+# ---- perceptual-hash near-dup (round 9, VERDICT r8 next #3) ---------------
+
+DHASH_P = 251  # luma modulus (prime < 256 so every value fits one byte)
+
+
+def _lum(u: str, v: str) -> str:
+    """Shared luma formula (engine-neutral integer SQL): a per-source
+    quadratic scramble t^2 + t mod DHASH_P of t = r1*u + r2*v + r4*u*v +
+    r3, with the four coefficients drawn from md5(source || '-' || i) —
+    md5 (not a polynomial in the source id) because any coefficient that
+    is a function of s mod DHASH_P collapses the hash space to DHASH_P
+    distinct images (measured: ~7000 spurious ham<=2 pairs per 2000
+    sources with quadratic-in-s coefficients, 0 with md5)."""
+    t = f"((r1*({u}) + r2*({v}) + r4*({u})*({v}) + r3) % {DHASH_P})"
+    return f"((({t})*({t}) + ({t})) % {DHASH_P})"
+
+
+def _near_dup_oracle() -> str:
+    """DuckDB mirror: predicts the band integers ARITHMETICALLY from the
+    luma formula (block sums are k^2 * luma, so the comparisons equal the
+    luma comparisons), then runs the same band-blocked hamming join."""
+    r = ", ".join(
+        f"CAST(('0x' || substring(md5(CAST(doc_id // 3 AS VARCHAR) "
+        f"|| '-{i}'), 1, 8)) AS UBIGINT) % {DHASH_P} AS r{i + 1}"
+        for i in range(4)
+    )
+    return f"""
+    WITH co AS (
+        SELECT doc_id, {r} FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, v.v // 2 AS j,
+               CASE WHEN {_lum("u.u + 1", "v.v")} > {_lum("u.u", "v.v")}
+                    THEN (CAST(1 AS BIGINT) << ((v.v % 2) * 8 + u.u))
+                    ELSE 0 END AS bitval
+        FROM co, range(0, 8) u(u), range(0, 8) v(v)
+    ),
+    bands AS (
+        SELECT doc_id, j, CAST(SUM(bitval) AS BIGINT) AS bv
+        FROM bits GROUP BY doc_id, j
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+        ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    hams AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(SUM(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+        FROM pairs p
+        JOIN bands x ON x.doc_id = p.doc_a
+        JOIN bands y ON y.doc_id = p.doc_b AND y.j = x.j
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT doc_a, doc_b, hamming FROM hams WHERE hamming <= 2
+    """
+
+
+@register("multimodal_image_near_dup", oracle=_near_dup_oracle())
+def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL near-dup over images (round 9, VERDICT r8 next #3): the
+    multimodal family's missing piece — payload-hash dedup only equates
+    byte-identical files, but a training pipeline must catch the same
+    picture re-encoded at another RESOLUTION. dHash does that: downsample
+    to a 9x8 grid, hash the horizontal gradient signs (resize-invariant),
+    block by 16-bit bands, verify candidates with exact hamming.
+
+    The fixture corpus is synthesized JVM-side: source s = doc_id div 3
+    drawn at scale k = 1 + doc_id mod 3 — every consecutive doc triple is
+    the SAME image at 9x8, 18x16 and 27x24, byte-different payloads (a
+    4+4-byte header plus row-major luma whose per-source coefficients come
+    from md5 — see _lum). The decoder (operators/multimodal.dhash_images,
+    Arrow-batched mapInPandas like the rest of the decode family) sees
+    ONLY the payload bytes; the oracle predicts the band integers
+    arithmetically from the generator formula, so decoder, Arrow
+    round-trip, band packing, blocking join and hamming verify are all
+    value-pinned. Expected shape: each in-corpus triple yields its 3
+    pairs at hamming 0 — the rescaled duplicates dhash identically
+    because block SUMS scale by k^2 and comparisons are scale-free; a
+    directed pytest pins that invariance on handmade payloads too.
+
+    Scale shape: payload synthesis and decode are map-side (no shuffle
+    carries pixels); the pair stage shuffles (band, doc_id) pairs only
+    — SimHash's blocking argument (operators/dedup.py) applies verbatim,
+    and the band join is LOSSLESS for hamming <= 3 by pigeonhole. At
+    100 TB of real images the only change is the decoder body (PIL
+    resize + grayscale in the same mapInPandas hatch, like
+    decode_image)."""
+    from cdc_rs_spark.operators.multimodal import (
+        dhash_images,
+        dhash_near_dup_pairs,
+    )
+
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id")
+    k = "(1 + pmod(doc_id, 3))"
+    w, h = f"(9 * {k})", f"(8 * {k})"
+    r_exprs = [
+        f"CAST(conv(substring(md5(concat(CAST(doc_id div 3 AS STRING), "
+        f"'-{i}')), 1, 8), 16, 10) AS BIGINT) % {DHASH_P} AS r{i + 1}"
+        for i in range(4)
+    ]
+    px_u = f"((i % {w}) div {k})"
+    px_v = f"((i div {w}) div {k})"
+    payload = (
+        f"concat(unhex(lpad(hex({w}), 8, '0')), unhex(lpad(hex({h}), 8, '0')), "
+        f"unhex(concat_ws('', transform(sequence(0, {w} * {h} - 1), "
+        f"i -> lpad(hex({_lum(px_u, px_v)}), 2, '0')))))"
+    )
+    payloads = d.selectExpr("doc_id", *r_exprs).selectExpr(
+        "doc_id", f"{payload} AS payload"
+    )
+    return dhash_near_dup_pairs(dhash_images(payloads))

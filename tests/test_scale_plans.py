@@ -365,6 +365,7 @@ def test_no_python_nodes_outside_sanctioned_escape_hatches(spark):
         "multimodal_image_decode",
         "multimodal_audio_features",
         "multimodal_video_frames",
+        "multimodal_image_near_dup",  # r9: dHash decode (Arrow mapInPandas)
     }
     offenders = [
         r["query"]
