@@ -1467,3 +1467,364 @@ def zorder_layout_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skip_p_frac"),
     )
+
+
+# ---- streaming curation funnel (round 9, VERDICT r8 next #5) --------------
+
+
+def _funnel_oracle() -> str:
+    """One SQL mirror of the whole funnel: envelope gate, the three
+    map-side text gates (verbatim from text_cleaning_funnel), MinHash CC
+    dedup with min-id survivors (the recursive closure from _cc_oracle,
+    applied to the GATED corpus), NB filter trained on the gated corpus,
+    and the md5 shard assignment. Batches partition the corpus and every
+    stage is either batch-local (the map-side gates — additive counts) or
+    computed from the END state (dedup map, NB weights), so whole-corpus
+    SQL equals the streamed composition — that equality IS the claim."""
+    from cdc_rs_spark.plans.dedup import (
+        _DOCS_SHINGLES_SQL,
+        _minhash_bands_sql,
+        _minhash_sig_sql,
+    )
+    from cdc_rs_spark.plans.text import _PRED_LANG_SQL, _hits_sql
+
+    sh_ctes = _DOCS_SHINGLES_SQL.replace("FROM documents", "FROM gated")
+    quality = (
+        f"ROUND(0.4 * ({_hits_sql('en')}::DOUBLE / len(w)) "
+        "+ 0.3 * least(len(w)::DOUBLE / 100.0, 1.0) "
+        "+ 0.3 * (len(list_distinct(w))::DOUBLE / len(w)), 6)"
+    )
+    return f"""
+    WITH RECURSIVE feed AS (
+        SELECT doc_id, text, source,
+               CASE WHEN doc_id % 19 = 0 THEN 'd' ELSE 'c' END AS op
+        FROM documents
+    ),
+    ins AS (SELECT doc_id, text, source FROM feed WHERE op = 'c'),
+    tt AS (SELECT doc_id, text, source, string_split(text, ' ') AS w
+           FROM ins),
+    sc AS (
+        SELECT doc_id, text, source, w,
+               {_hits_sql("en")} AS s_en, {_hits_sql("es")} AS s_es,
+               {_hits_sql("fr")} AS s_fr, {_hits_sql("de")} AS s_de,
+               {quality} AS quality
+        FROM tt
+    ),
+    g1 AS (SELECT * FROM sc WHERE {_PRED_LANG_SQL} = 'en'),
+    g2 AS (SELECT * FROM g1 WHERE quality >= 0.32),
+    gated AS (SELECT doc_id, text, source FROM g2 WHERE len(w) >= 20),
+    {sh_ctes},
+    {_minhash_sig_sql()},
+    {_minhash_bands_sql()},
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                  JOIN sh b ON cand.id_b = b.doc_id
+        WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+              / (len(a.s) + len(b.s)
+                 - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+        FROM reach GROUP BY a
+    ),
+    survivors AS (
+        SELECT g.doc_id, g.text, g.source
+        FROM gated g LEFT JOIN comp c ON g.doc_id = c.doc_id
+        WHERE c.component IS NULL OR c.component = g.doc_id
+    ),
+    labeled AS (
+        SELECT doc_id, len(source) <= 4 AS is_a, lower(text) AS lt
+        FROM gated
+    ),
+    train_toks AS (
+        SELECT is_a, unnest(string_split(lt, ' ')) AS token FROM labeled
+    ),
+    cnt AS (
+        SELECT token,
+               CAST(COUNT(*) FILTER (WHERE is_a) AS BIGINT) AS c_a,
+               CAST(COUNT(*) FILTER (WHERE NOT is_a) AS BIGINT) AS c_b
+        FROM train_toks WHERE token <> '' GROUP BY token
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+               CAST(SUM(c_b) AS BIGINT) AS n_b,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM cnt
+    ),
+    weights AS (
+        SELECT token,
+               ((c_a + 1) * (n_b + v) * 1000) // ((c_b + 1) * (n_a + v))
+                   AS w_milli
+        FROM cnt CROSS JOIN tot
+    ),
+    neutral AS (
+        SELECT ((n_b + v) * 1000) // (n_a + v) AS w0 FROM tot
+    ),
+    surv_toks AS (
+        SELECT l.doc_id, unnest(string_split(l.lt, ' ')) AS token
+        FROM labeled l JOIN survivors s ON l.doc_id = s.doc_id
+    ),
+    nb_scored AS (
+        SELECT t.doc_id,
+               CAST(SUM(COALESCE(w.w_milli, n.w0)) AS BIGINT) AS s_milli,
+               CAST(COUNT(*) AS BIGINT) * MAX(n.w0) AS base_milli
+        FROM surv_toks t
+        LEFT JOIN weights w ON t.token = w.token
+        CROSS JOIN neutral n
+        WHERE t.token <> ''
+        GROUP BY t.doc_id
+    ),
+    nb_pass AS (SELECT doc_id FROM nb_scored WHERE s_milli > base_milli),
+    shards AS (SELECT {_oracle_bucket("doc_id", 8)} AS shard FROM nb_pass)
+    SELECT 'feed' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM feed
+    UNION ALL SELECT 'inserts', CAST(COUNT(*) AS BIGINT) FROM ins
+    UNION ALL SELECT 'lang_en', CAST(COUNT(*) AS BIGINT) FROM g1
+    UNION ALL SELECT 'quality_ge_032', CAST(COUNT(*) AS BIGINT) FROM g2
+    UNION ALL SELECT 'len_ge_20', CAST(COUNT(*) AS BIGINT) FROM gated
+    UNION ALL SELECT 'dedup_survivors', CAST(COUNT(*) AS BIGINT)
+              FROM survivors
+    UNION ALL SELECT 'nb_pass', CAST(COUNT(*) AS BIGINT) FROM nb_pass
+    UNION ALL SELECT 'shard_' || CAST(shard AS VARCHAR),
+              CAST(COUNT(*) AS BIGINT)
+              FROM shards GROUP BY shard
+    """
+
+
+def funnel_gates(batch: DataFrame):
+    """The funnel's map-side stages over one (doc_id, text, source, op)
+    micro-batch: envelope insert gate, language-ID, quality, length.
+    Returns (ins, g1, g2, gated) — each a filter of the previous, all
+    pure column expressions (the text_cleaning_funnel gates verbatim)."""
+    from cdc_rs_spark.functions.text import predicted_lang, quality_score, tokens
+
+    ins = batch.filter(F.col("op") == "c")
+    toks = tokens(F.col("text"))
+    sc = ins.select(
+        "doc_id",
+        "text",
+        "source",
+        predicted_lang(toks).alias("pred"),
+        quality_score(F.col("text")).alias("quality"),
+        F.size(toks).alias("n_toks"),
+    )
+    g1 = sc.filter(F.col("pred") == "en")
+    g2 = g1.filter(F.col("quality") >= 0.32)
+    gated = g2.filter(F.col("n_toks") >= 20).select("doc_id", "text", "source")
+    return ins, g1, g2, gated
+
+
+def funnel_foreach_batch(
+    counts_root: str,
+    nb_root: str,
+    clusters_root: str,
+    sig_path: str,
+    sh_path: str,
+):
+    """The streaming curation step as ONE foreachBatch callable: gates ->
+    per-batch stage-count segment into the additive store -> cluster-dedup
+    fold (band/shingle stores self-bootstrap on the first batch — the
+    clusters_foreach_batch append-first discipline) -> NB count fold.
+    Every fold is ledger-gated on batch_id, so a replayed micro-batch
+    (at-least-once foreachBatch) leaves all three stores byte-identical —
+    pinned by test_streaming.py::test_curation_funnel_replay_idempotent
+    through a REAL readStream/foreachBatch run."""
+    from cdc_rs_spark.streaming.additive import fold_segment
+    from cdc_rs_spark.streaming.classifier import fold_counts
+    from cdc_rs_spark.streaming.clusters import clusters_foreach_batch
+
+    cluster_fn = clusters_foreach_batch(
+        sig_path, sh_path, clusters_root, threshold=0.5
+    )
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        ins, g1, g2, gated = funnel_gates(batch_df)
+        gated = gated.persist()
+        try:
+
+            def stage(name, df):
+                return df.agg(
+                    F.lit(name).alias("stage"),
+                    F.count("*").cast("bigint").alias("n"),
+                )
+
+            seg = (
+                stage("feed", batch_df)
+                .unionByName(stage("inserts", ins))
+                .unionByName(stage("lang_en", g1))
+                .unionByName(stage("quality_ge_032", g2))
+                .unionByName(stage("len_ge_20", gated))
+            )
+            fold_segment(seg, counts_root, batch_id=batch_id)
+            cluster_fn(gated, batch_id)
+            fold_counts(
+                gated.select(
+                    (F.length("source") <= 4).alias("is_a"),
+                    F.explode(F.split(F.lower("text"), " ")).alias("token"),
+                ).filter(F.col("token") != ""),
+                nb_root,
+                batch_id=batch_id,
+            )
+        finally:
+            gated.unpersist(blocking=False)
+
+    return fn
+
+
+@register("curation_funnel_incremental", oracle=_funnel_oracle())
+def curation_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE STREAMING CURATION PIPELINE END-TO-END (round 9, VERDICT r8
+    next #5) — the production shape a training-data team actually runs,
+    composed from the engine's now-complete streaming stores: change feed
+    -> envelope op gate -> language-ID / quality / length gates ->
+    INCREMENTAL cluster dedup (streaming/clusters.py) -> learned NB
+    filter trained from the streaming count store
+    (streaming/classifier.py) -> md5-sharded training sink (written,
+    then read BACK so the report pins the sink round-trip), with the
+    map-side gates' per-batch survival counts folded as segments into a
+    generic additive store (streaming/additive.py) and served from its
+    merged state.
+
+    The corpus arrives as TWO micro-batches (doc_id parity). Stage
+    semantics split exactly the way a real funnel's must: the envelope +
+    text gates are batch-local map-side filters, so their counts
+    accumulate ADDITIVELY across batches (the additive store's algebra);
+    dedup survival and the NB boundary are END-STATE decisions (a batch-1
+    doc can duplicate a batch-0 doc; the filter scores with the final
+    model), so they read the stores after the last fold. The DuckDB
+    oracle computes the identical funnel as whole-corpus SQL — additive
+    stages equal whole-corpus counts because the batches partition the
+    feed, and the end-state stages equal batch semantics by the stores'
+    documented invariants (live_cluster_map == batch CC;
+    store-trained NB == batch NB by count additivity). Survivor policy:
+    min-doc_id per MinHash cluster (>= 0.5 Jaccard), unpaired docs
+    survive. Replay idempotence of every fold is pinned by a directed
+    pytest (test_streaming.py::test_curation_funnel_replay_idempotent)
+    plus each store's own suite.
+
+    Scale shape: everything per-batch is |batch|-bounded (the gates are
+    map-side; the cluster fold probes bucket-pruned band stores; the NB
+    fold appends one |touched tokens| segment; the stage segment is 5
+    rows), and the end-state reads are the stores' documented serving
+    paths. The shard write is one partitioned append per funnel run —
+    at 100 TB the same sink runs per batch with the shard column as the
+    partition key, and nothing here would change shape."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_rs_spark.operators.classify import nb_score
+    from cdc_rs_spark.streaming.additive import (
+        init_additive_store,
+        read_merged,
+    )
+    from cdc_rs_spark.streaming.classifier import (
+        init_count_store,
+        store_weights,
+    )
+    from cdc_rs_spark.streaming.clusters import (
+        init_cluster_store,
+        live_cluster_map,
+    )
+
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "source"
+    )
+    feed = d.withColumn(
+        "op", F.when(F.col("doc_id") % 19 == 0, "d").otherwise(F.lit("c"))
+    )
+    root = tempfile.mkdtemp(prefix="curation_funnel_")
+    counts_root = os.path.join(root, "stage_counts")
+    nb_root = os.path.join(root, "nb")
+    clusters_root = os.path.join(root, "clusters")
+    sig_path = os.path.join(root, "sig")
+    sh_path = os.path.join(root, "sh")
+    try:
+        init_additive_store(spark, counts_root, {"stage": "string"}, ["n"])
+        init_count_store(spark, nb_root)
+        init_cluster_store(spark, clusters_root)
+        fn = funnel_foreach_batch(
+            counts_root, nb_root, clusters_root, sig_path, sh_path
+        )
+        for bid in (0, 1):
+            fn(feed.filter(F.col("doc_id") % 2 == bid), bid)
+        # ---- end state: dedup survivors, NB boundary, shard sink ----
+        _, _, _, gated_all = funnel_gates(feed)
+        cmap = live_cluster_map(spark, clusters_root)
+        survivors = (
+            gated_all.join(cmap, "doc_id", "left")
+            .filter(
+                F.col("cluster").isNull()
+                | (F.col("cluster") == F.col("doc_id"))
+            )
+            .drop("cluster")
+        )
+        weights, neutral = store_weights(spark, nb_root)
+        scored = nb_score(
+            survivors.select(
+                "doc_id",
+                (F.length("source") <= 4).alias("is_a"),
+                F.explode(F.split(F.lower("text"), " ")).alias("token"),
+            ).filter(F.col("token") != ""),
+            weights,
+            neutral,
+        )
+        passed = scored.filter(
+            F.col("s_milli") > F.col("base_milli")
+        ).select("doc_id")
+        shard_dir = os.path.join(root, "shards")
+        survivors.join(passed, "doc_id").withColumn(
+            "shard", hash_bucket(F.col("doc_id"), 8)
+        ).select("doc_id", "text", "shard").write.partitionBy(
+            "shard"
+        ).parquet(shard_dir)
+        # report: merged additive stages + end-state stages + the sink
+        # read BACK from the written shards (round-trip pinned by value)
+        report = (
+            read_merged(spark, counts_root)
+            .select("stage", F.col("n").cast("bigint").alias("n_docs"))
+            .unionByName(
+                survivors.agg(
+                    F.lit("dedup_survivors").alias("stage"),
+                    F.count("*").cast("bigint").alias("n_docs"),
+                )
+            )
+            .unionByName(
+                passed.agg(
+                    F.lit("nb_pass").alias("stage"),
+                    F.count("*").cast("bigint").alias("n_docs"),
+                )
+            )
+            .unionByName(
+                # explicit schema: a run where the NB gate passes nothing
+                # writes an EMPTY dataset, and schema inference would fail
+                spark.read.schema("doc_id long, text string, shard bigint")
+                .parquet(shard_dir)
+                .groupBy("shard")
+                .agg(F.count("*").cast("bigint").alias("n_docs"))
+                .select(
+                    F.concat(F.lit("shard_"), F.col("shard").cast("string"))
+                    .alias("stage"),
+                    "n_docs",
+                )
+            )
+        )
+        rows = report.collect()  # ~15 rows; frees the scratch stores
+        schema = report.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
