@@ -115,20 +115,40 @@ def main() -> None:
             pdd._INC_BOOT_CACHE.clear()
         except Exception:  # noqa: BLE001 — memo layout drift never kills bench
             pass
+    from cdc_rs_spark import benchphase
+
+    build_serve: dict[str, dict] = {}
     for name, q in sorted(registry.items()):
         # stderr breadcrumb: correlates engine-log events (codegen
         # fallbacks, spills) with the query that caused them
         print(f"[bench] {name}", file=sys.stderr, flush=True)
         clear_memos()
         samples = []
+        phase_recs: list[dict] = []
         for _ in range(n_runs):
             # timer covers plan construction too: iterative operators (e.g.
             # connected components) run actions while building their result
+            benchphase.active = rec = {}
             t0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+            benchphase.active = None
+            phase_recs.append(rec)
         timings[name] = round(min(samples), 3)
+        # build/serve split (round 9, VERDICT r8 next #4): the incremental
+        # families construct their persisted store/index per invocation by
+        # design; they mark that section with benchphase.build_phase(), and
+        # the best sample's wall time splits into the store-construction
+        # cost vs the serving path — so the worst-5 stops needing a
+        # re-explained disclaimer every round
+        best = min(range(len(samples)), key=samples.__getitem__)
+        b = phase_recs[best].get("build_sec")
+        if b is not None:
+            build_serve[name] = {
+                "build_sec": round(b, 3),
+                "serve_sec": round(max(samples[best] - b, 0.0), 3),
+            }
         # cold = FIRST sample: for session-memoized families (exact-ANN
         # baseline, IVF model) min-of-N reports the memo hit and can mask a
         # plan regression in the recompute path (VERDICT r4 finding 3) —
@@ -173,6 +193,9 @@ def main() -> None:
         "queries_cold": colds,
         "order": "alphabetical (fixed; suite position = sorted rank)",
         "noise_spread_maxmin": spreads,
+        # per-invocation store/index builders, split at the init/fold vs
+        # probe boundary (benchphase.build_phase markers; best sample)
+        "build_serve": build_serve,
     }
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",

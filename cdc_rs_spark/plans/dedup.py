@@ -963,25 +963,28 @@ def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         live_cluster_map,
     )
 
+    from cdc_rs_spark.benchphase import build_phase
+
     d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
-    boot = _inc_bootstrap_dir(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="inc_clusters_")
     try:
-        # folds MUTATE the stores — work on a copy of the memoized
-        # pre-stream state (a few MB of parquet; the copy is the price of
-        # keeping the memo pristine across invocations)
-        for name in ("sig", "sh", "clusters"):
-            shutil.copytree(
-                os.path.join(boot, name), os.path.join(tmp, name)
+        with build_phase():
+            boot = _inc_bootstrap_dir(spark, sf_dir)
+            # folds MUTATE the stores — work on a copy of the memoized
+            # pre-stream state (a few MB of parquet; the copy is the price
+            # of keeping the memo pristine across invocations)
+            for name in ("sig", "sh", "clusters"):
+                shutil.copytree(
+                    os.path.join(boot, name), os.path.join(tmp, name)
+                )
+            fn = clusters_foreach_batch(
+                os.path.join(tmp, "sig"),
+                os.path.join(tmp, "sh"),
+                os.path.join(tmp, "clusters"),
+                threshold=0.5,
             )
-        fn = clusters_foreach_batch(
-            os.path.join(tmp, "sig"),
-            os.path.join(tmp, "sh"),
-            os.path.join(tmp, "clusters"),
-            threshold=0.5,
-        )
-        fn(d.filter(F.col("doc_id") % 4 == 1), 0)
-        fn(d.filter(F.col("doc_id") % 4 == 3), 1)
+            fn(d.filter(F.col("doc_id") % 4 == 1), 0)
+            fn(d.filter(F.col("doc_id") % 4 == 3), 1)
         result = live_cluster_map(spark, os.path.join(tmp, "clusters")).select(
             "doc_id", F.col("cluster").alias("component")
         )

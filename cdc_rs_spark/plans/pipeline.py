@@ -1753,15 +1753,18 @@ def curation_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters_root = os.path.join(root, "clusters")
     sig_path = os.path.join(root, "sig")
     sh_path = os.path.join(root, "sh")
+    from cdc_rs_spark.benchphase import build_phase
+
     try:
-        init_additive_store(spark, counts_root, {"stage": "string"}, ["n"])
-        init_count_store(spark, nb_root)
-        init_cluster_store(spark, clusters_root)
-        fn = funnel_foreach_batch(
-            counts_root, nb_root, clusters_root, sig_path, sh_path
-        )
-        for bid in (0, 1):
-            fn(feed.filter(F.col("doc_id") % 2 == bid), bid)
+        with build_phase():
+            init_additive_store(spark, counts_root, {"stage": "string"}, ["n"])
+            init_count_store(spark, nb_root)
+            init_cluster_store(spark, clusters_root)
+            fn = funnel_foreach_batch(
+                counts_root, nb_root, clusters_root, sig_path, sh_path
+            )
+            for bid in (0, 1):
+                fn(feed.filter(F.col("doc_id") % 2 == bid), bid)
         # ---- end state: dedup survivors, NB boundary, shard sink ----
         _, _, _, gated_all = funnel_gates(feed)
         cmap = live_cluster_map(spark, clusters_root)

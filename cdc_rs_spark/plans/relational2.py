@@ -2634,21 +2634,28 @@ def heavy_hitters_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         read_merged,
     )
 
+    from cdc_rs_spark.benchphase import build_phase
+
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     root = tempfile.mkdtemp(prefix="cms_incremental_")
     try:
-        init_additive_store(
-            spark, root, {"d": "int", "w": "bigint"}, ["cnt"]
-        )
-        fold_segment(
-            cms_increments(li.filter(F.col("l_orderkey") % 2 == 0), "l_suppkey"),
-            root, batch_id=0,
-        )
-        compact_additive_store(spark, root)  # mid-stream OPTIMIZE
-        fold_segment(
-            cms_increments(li.filter(F.col("l_orderkey") % 2 == 1), "l_suppkey"),
-            root, batch_id=1,
-        )
+        with build_phase():
+            init_additive_store(
+                spark, root, {"d": "int", "w": "bigint"}, ["cnt"]
+            )
+            fold_segment(
+                cms_increments(
+                    li.filter(F.col("l_orderkey") % 2 == 0), "l_suppkey"
+                ),
+                root, batch_id=0,
+            )
+            compact_additive_store(spark, root)  # mid-stream OPTIMIZE
+            fold_segment(
+                cms_increments(
+                    li.filter(F.col("l_orderkey") % 2 == 1), "l_suppkey"
+                ),
+                root, batch_id=1,
+            )
         grid = read_merged(spark, root)
         counts = li.groupBy("l_suppkey").agg(
             F.count("*").cast("bigint").alias("n_exact")

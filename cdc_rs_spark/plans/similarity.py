@@ -353,20 +353,23 @@ def similarity_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFra
     batch1 = raw.filter(F.col("vec_id") % 6 == 0)
     batch2 = raw.filter(F.col("vec_id") % 6 == 3)
     index_dir = tempfile.mkdtemp(prefix="ivf_incremental_")
+    from cdc_rs_spark.benchphase import build_phase
+
     try:
-        init_index(
-            spark, base, index_dir,
-            n_centroids=N_CENTROIDS, train_cap=TRAIN_CAP,
-            kmeans_iters=1, dim=EMB_DIM,
-        )
-        # ratio/drift thresholds set so no re-train fires here (the oracle
-        # is the single-generation geometry); the triggering path is
-        # pytest-proven
-        for b in (batch1, batch2):
-            append_batch(
-                spark, b, index_dir,
-                retrain_ratio=1e9, drift_margin=10.0, dim=EMB_DIM,
+        with build_phase():
+            init_index(
+                spark, base, index_dir,
+                n_centroids=N_CENTROIDS, train_cap=TRAIN_CAP,
+                kmeans_iters=1, dim=EMB_DIM,
             )
+            # ratio/drift thresholds set so no re-train fires here (the
+            # oracle is the single-generation geometry); the triggering
+            # path is pytest-proven
+            for b in (batch1, batch2):
+                append_batch(
+                    spark, b, index_dir,
+                    retrain_ratio=1e9, drift_margin=10.0, dim=EMB_DIM,
+                )
         queries = raw.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
@@ -1481,17 +1484,20 @@ def similarity_ivfpq_incremental_topk(
     batch1 = raw.filter(F.col("vec_id") % 6 == 0)
     batch2 = raw.filter(F.col("vec_id") % 6 == 3)
     index_dir = tempfile.mkdtemp(prefix="ivfpq_incremental_")
+    from cdc_rs_spark.benchphase import build_phase
+
     try:
-        init_index(
-            spark, base, index_dir,
-            n_centroids=N_CENTROIDS, train_cap=TRAIN_CAP,
-            kmeans_iters=1, dim=EMB_DIM, pq=True,
-        )
-        for b in (batch1, batch2):
-            append_batch(
-                spark, b, index_dir,
-                retrain_ratio=1e9, drift_margin=10.0, dim=EMB_DIM,
+        with build_phase():
+            init_index(
+                spark, base, index_dir,
+                n_centroids=N_CENTROIDS, train_cap=TRAIN_CAP,
+                kmeans_iters=1, dim=EMB_DIM, pq=True,
             )
+            for b in (batch1, batch2):
+                append_batch(
+                    spark, b, index_dir,
+                    retrain_ratio=1e9, drift_margin=10.0, dim=EMB_DIM,
+                )
         queries = raw.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
@@ -1923,17 +1929,20 @@ def similarity_ivfpq_residual_incremental_topk(
     batch1 = raw.filter(F.col("vec_id") % 6 == 0)
     batch2 = raw.filter(F.col("vec_id") % 6 == 3)
     index_dir = tempfile.mkdtemp(prefix="ivfpq_residual_incremental_")
+    from cdc_rs_spark.benchphase import build_phase
+
     try:
-        init_index(
-            spark, base, index_dir,
-            n_centroids=N_CENTROIDS, train_cap=TRAIN_CAP,
-            kmeans_iters=1, dim=EMB_DIM, pq=True, residual=True,
-        )
-        for b in (batch1, batch2):
-            append_batch(
-                spark, b, index_dir,
-                retrain_ratio=1e9, drift_margin=10.0, dim=EMB_DIM,
+        with build_phase():
+            init_index(
+                spark, base, index_dir,
+                n_centroids=N_CENTROIDS, train_cap=TRAIN_CAP,
+                kmeans_iters=1, dim=EMB_DIM, pq=True, residual=True,
             )
+            for b in (batch1, batch2):
+                append_batch(
+                    spark, b, index_dir,
+                    retrain_ratio=1e9, drift_margin=10.0, dim=EMB_DIM,
+                )
         queries = raw.filter(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),

@@ -1100,19 +1100,22 @@ def text_nb_incremental_classifier(spark: SparkSession, sf_dir: str) -> DataFram
         df.select(*cols, F.explode(F.split("lt", " ")).alias("token"))
         .filter(F.col("token") != "")
     )
+    from cdc_rs_spark.benchphase import build_phase
+
     root = tempfile.mkdtemp(prefix="nbc_incremental_")
     try:
-        init_count_store(spark, root)
-        # two micro-batches split the training half on doc_id % 4
-        fold_counts(
-            toks(labeled.filter("is_train AND doc_id % 4 = 0"), ["is_a"]),
-            root, batch_id=0,
-        )
-        compact_count_store(spark, root)  # mid-stream OPTIMIZE
-        fold_counts(
-            toks(labeled.filter("is_train AND doc_id % 4 = 2"), ["is_a"]),
-            root, batch_id=1,
-        )
+        with build_phase():
+            init_count_store(spark, root)
+            # two micro-batches split the training half on doc_id % 4
+            fold_counts(
+                toks(labeled.filter("is_train AND doc_id % 4 = 0"), ["is_a"]),
+                root, batch_id=0,
+            )
+            compact_count_store(spark, root)  # mid-stream OPTIMIZE
+            fold_counts(
+                toks(labeled.filter("is_train AND doc_id % 4 = 2"), ["is_a"]),
+                root, batch_id=1,
+            )
         weights, neutral = store_weights(spark, root)
         scored = nb_score(
             toks(labeled.filter(~F.col("is_train")), ["doc_id", "is_a"]),

@@ -73,74 +73,80 @@ def register(name: str, oracle: str | None = None):
 # watermark recommendation, line-level dedup, quantization fidelity) so the
 # driver verifies the round's new surface first-hand.
 _DRIVER_WINDOW = [
-    # ROUND-8 ROTATION (VERDICT r7 next #6): cumulative driver coverage
-    # reached 185/185 in r7, so the window's job is now pinning each
-    # round's NEW and CHANGED queries first, then rotating older slots
-    # for repeat greens with family spread. Rotated-out queries keep
-    # their module order after slot 50 and stay verified locally
+    # ROUND-9 ROTATION (VERDICT r8 next #8, the r8 discipline): pin every
+    # round-9 NEW and CHANGED query first, then rotate older slots for
+    # repeat greens with family spread. Cumulative driver coverage is
+    # 201/201 through r8; rotated-out queries keep their module order
+    # after slot 50 and stay verified locally
     # (CORRECTNESS_LOCAL_FULL.json via tools/driver_sim.py).
     #
-    # NEW this round — the four round-8 operators pin first (incremental
-    # cluster maintenance, degree-oriented full-graph triangles, SemDeDup
-    # on trained IVF centroids, hashed span-store keys)
-    "dedup_incremental_clusters",
-    "part_triangle_count_full",
-    "part_kcore_2",  # round-8 new (iterative k-core peeling) — pins at birth
-    "dedup_semantic_ivf_centroids",
-    "dedup_span_store_hashed_probe",
-    "dedup_span_cut_rewrite",  # round-8 new (span-level cutting rewrite)
-    # changed this round (re-pin): streaming/ivf.py gained the snapshot
-    # compare-and-retry + seq watermark; streaming/spans.py was
-    # restructured around the epoch'd store; the SemDeDup report half
-    # was factored into _semdedup_report
+    # NEW this round — the eight round-9 operators pin at birth:
+    # content-defined-anchor exact-substring dedup + its shift-invariance
+    # proof, full coreness decomposition, residual IVF-PQ (batch /
+    # streaming / recall eval), dHash perceptual image near-dup, and the
+    # end-to-end streaming curation funnel
+    "curation_funnel_incremental",
+    "dedup_exact_substring_anchored",
+    "dedup_anchor_shift_invariance",
+    "part_coreness",
+    "similarity_ivfpq_residual_topk",
+    "similarity_ivfpq_residual_incremental_topk",
+    "similarity_ivfpq_residual_recall_eval",
+    "multimodal_image_near_dup",
+    # CHANGED this round (re-pin): nb_score gained the size-gated join
+    # (operators/classify.py); streaming/ivf.py gained residual mode and
+    # the probe schema grew the qc column; pq_adc_rank gained with_qc;
+    # the incremental families gained benchphase build markers; the
+    # stride span report shares operators/dedup.py with the new anchored
+    # sampler; text_cleaning_funnel's gates are now shared with the
+    # streaming funnel via funnel_gates
+    "text_nb_source_classifier",
+    "text_nb_incremental_classifier",
     "similarity_ivf_incremental_topk",
-    "dedup_span_store_probe",
-    "dedup_semantic_clustered",
-    # rotation picks (none were in the r7 window; each family keeps at
-    # least one slot). dedup_connected_components rides along with the
-    # incremental form deliberately — the two share one oracle, so the
-    # driver checks both sides of the incremental == batch claim.
+    "similarity_ivfpq_incremental_topk",
+    "similarity_pq_adc_topk",
+    "similarity_ivfpq_topk",
+    "similarity_ivfpq_recall_eval",
+    "dedup_incremental_clusters",
+    "heavy_hitters_cms_incremental",
+    "dedup_exact_substring_spans",
+    "text_cleaning_funnel",
+    # dedup_connected_components rides with the incremental form — the
+    # two share one oracle, so the driver checks both sides of the
+    # incremental == batch claim every round
     "dedup_connected_components",
-    "dedup_minhash_lsh",
-    "dedup_lsh_recall_eval",
-    "dedup_line_level_report",
-    "cdc_typed_projection",
-    "cdc_incremental_agg_maintenance",  # the r7 bench-drift query
-    "cdc_audit_trail",
-    "cdc_time_travel_asof",
-    "cdc_retraction_algebra",
-    "rhai_script_debezium_envelope",
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "q12_shipping_priority_class",
-    "q15_top_supplier",
-    "q21_late_suppliers",
-    "grouping_sets_lineitem",
-    "window_running_totals",
-    "customer_rfm_segments",  # round-8 new (NTILE-exact RFM segmentation)
-    "supplier_revenue_gini",  # round-8 new (exact Gini via global rank)
-    "approx_distinct_custkeys",
-    "anti_join_customers_without_orders",
-    "hll_sketch_rollup_custkeys",
-    "heavy_hitters_cms_lineitem",
-    "heavy_hitters_cms_incremental",  # round-8 new (streaming sketch store)
-    "pagerank_part_graph",
-    "events_funnel_conversion",
-    "events_session_window",
-    "similarity_ivf_topk",
-    "similarity_pq_adc_topk",  # round-8 new (PQ/ADC) — pins at birth
-    "similarity_ivfpq_topk",  # round-8 new (IVF-routed PQ) — pins at birth
-    "similarity_ivfpq_incremental_topk",  # round-8 new (streaming IVF-PQ)
-    "similarity_ivfpq_recall_eval",  # round-8 new (oracle-pinned recall)
-    "similarity_hybrid_rrf_topk",  # round-8 new (reciprocal-rank fusion)
-    "text_tfidf_keywords",
-    "text_nb_source_classifier",  # round-8 new (learned NB filter) — pins at birth
-    "text_nb_incremental_classifier",  # round-8 new (streaming NB training)
-    "multimodal_video_frames",
-    "scd2_order_price_history",
-    "dq_expectations_orders",
-    "pack_documents_token_budget",
-    "gdpr_forget_manifest",
+    # rotation picks (none were in the r8 window; every family keeps at
+    # least one slot)
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q14_promo_revenue",
+    "q18_large_volume_customer",
+    "q22_idle_customers",
+    "cdc_merge_live_wins",
+    "cdc_snapshot_diff",
+    "cdc_schema_evolution",
+    "cdc_join_view_maintenance",
+    "rhai_script_closure_while_scoring",
+    "rhai_script_bigquery_envelope",
+    "events_asof_last_click",
+    "events_range_join_bucketed",
+    "events_markov_transitions",
+    "events_user_growth_accounting",
+    "dedup_simhash",
+    "dedup_canonical_quality",
+    "decontaminate_eval_overlap",
+    "similarity_bruteforce_topk",
+    "similarity_recall_eval",
+    "embedding_quantization_error_audit",
+    "text_bpe_token_estimate",
+    "text_quality_quartiles_by_lang",
+    "pii_scrub_documents",
+    "multimodal_payload_dedup",
+    "multimodal_image_decode",
+    "part_triangle_count",
+    "sample_contrastive_negatives",
 ]
 
 
