@@ -1254,6 +1254,15 @@ def _span_cut_oracle() -> str:
     sp AS (
         SELECT doc_id, s, substr(text, s, {SPAN_LEN}) AS span FROM pos
     ),
+    {_CUT_TAIL_SQL}
+    """
+
+
+# the cut algebra from (doc_id, s, span) rows to the rebuilt clean text —
+# shared by the stride grid (_span_cut_oracle) and the content-defined
+# anchor grid (_anchor_cut_oracle): the ONE place the interval merge /
+# reassembly SQL lives, so the two samplers can never silently diverge
+_CUT_TAIL_SQL = f"""
     span_info AS (
         SELECT span, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keep_doc
         FROM sp GROUP BY span
@@ -1337,6 +1346,13 @@ def dedup_span_cut_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("w"),
     ).select("doc_id", "text", "w.s", "w.span")
+    return _cut_rewrite(sp)
+
+
+def _cut_rewrite(sp: DataFrame) -> DataFrame:
+    """The cut algebra from (doc_id, text, s, span) rows to the rebuilt
+    clean text — the Spark twin of _CUT_TAIL_SQL, shared by the stride
+    and content-defined-anchor samplers."""
     info = sp.groupBy("span").agg(
         F.countDistinct("doc_id").alias("nd"),
         F.min("doc_id").alias("keep_doc"),
@@ -1420,6 +1436,7 @@ def dedup_span_cut_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 from cdc_rs_spark.operators.dedup import (  # noqa: E402 — grouped with its queries
     _CDA_WEIGHTS,
     CDA_W,
+    cda_codes_sql,
 )
 
 
@@ -1630,3 +1647,72 @@ def dedup_anchor_shift_invariance(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("anchor_hit"),
         )
     )
+
+
+def _anchor_cut_oracle() -> str:
+    """The cut rewrite over the CONTENT-DEFINED anchor grid: anchored
+    positions replace the stride grid, the cut algebra is _CUT_TAIL_SQL
+    verbatim (shared with the stride oracle — the two can't diverge)."""
+    gram = " + ".join(
+        f"cs[i+{j}]*{w}" for j, w in enumerate(_CDA_WEIGHTS)
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text, {_cda_duck_codes()} AS cs
+        FROM documents WHERE length(text) >= {SPAN_LEN}
+    ),
+    pos AS (
+        SELECT doc_id, text,
+               unnest(list_filter(list_transform(range(1, length(text) -
+                   {SPAN_LEN - 2}), i -> CASE WHEN ({gram}) % {CDA_W} = 0
+                   THEN i END), x -> x IS NOT NULL)) AS s
+        FROM base
+    ),
+    sp AS (
+        SELECT doc_id, s, substr(text, s, {SPAN_LEN}) AS span FROM pos
+    ),
+    {_CUT_TAIL_SQL}
+    """
+
+
+@register("dedup_anchor_cut_rewrite", oracle=_anchor_cut_oracle())
+def dedup_anchor_cut_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIFT-INVARIANT span-level cutting — the REMOVAL step over the
+    content-defined anchor grid (round 9): dedup_span_cut_rewrite's exact
+    interval algebra (duplicated-window cuts, keep-lowest-doc canonical
+    copy, overlap merge, text reassembly — the shared _cut_rewrite /
+    _CUT_TAIL_SQL pair), but windows start at rolling-hash anchors, so
+    the rewrite also removes the offset-shifted duplicates the stride
+    grid provably misses (dedup_anchor_shift_invariance). Together with
+    dedup_exact_substring_anchored this completes the anchored family:
+    detect, prove the blind spot closed, and actually rewrite.
+
+    Scale shape: identical to the stride rewrite — linear anchored
+    explode carrying offsets (expected len/CDA_W rows per doc, one
+    whole-stage-codegen projection), ONE span-key aggregate for
+    frequency + canonical owner, per-doc window functions bounded by
+    anchors-per-doc; at 100 TB the span key hashes and the cut lists
+    broadcast back to a map-side rewrite, exactly as the stride
+    docstring argues."""
+    docs = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    gram = " + ".join(
+        f"element_at(cs, i+{j})*{w}L" for j, w in enumerate(_CDA_WEIGHTS)
+    )
+    sp = (
+        docs.filter(F.length("text") >= SPAN_LEN)
+        .withColumn("cs", F.expr(cda_codes_sql("text")))
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(
+                    f"filter(transform(sequence(1, length(text) - "
+                    f"{SPAN_LEN - 1}), i -> CASE WHEN ({gram}) % {CDA_W} = 0 "
+                    f"THEN struct(i AS s, substring(text, i, {SPAN_LEN}) "
+                    f"AS span) END), x -> x is not null)"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "text", "w.s", "w.span")
+    )
+    return _cut_rewrite(sp)

@@ -1831,3 +1831,56 @@ def curation_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+def _coreness_sample_oracle() -> str:
+    """Nests the full unrolled coreness decomposition (plans/relational2)
+    as a subquery, then mirrors the deterministic priority draw."""
+    from cdc_rs_spark.plans.relational2 import _coreness_oracle
+
+    return f"""
+    WITH cor AS (SELECT * FROM ({_coreness_oracle()})),
+    keyed AS (
+        SELECT part, coreness,
+               ROUND(({_oracle_bucket("part", 1_000_000)})::DOUBLE
+                     / coreness, 6) AS priority
+        FROM cor
+    )
+    SELECT part, coreness, priority FROM (
+        SELECT part, coreness, priority,
+               row_number() OVER (ORDER BY priority, part) AS rk
+        FROM keyed
+    ) WHERE rk <= 100
+    """
+
+
+@register("sample_coreness_weighted", oracle=_coreness_sample_oracle())
+def sample_coreness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORENESS-WEIGHTED SAMPLING (round 9) — the curation signal the
+    full coreness decomposition exists to feed: draw a deterministic
+    weighted sample of parts where a vertex's keep-probability scales
+    with its core number (structurally central items from the
+    co-purchase graph are over-represented, tendrils under-represented —
+    the graph-derived analog of quality-weighted document sampling).
+    The draw is priority sampling with the engine's standing determinism
+    discipline (sample_weighted_priority): key = md5-bucket(part) /
+    coreness, keep the 100 smallest keys — reproducible, join-stable,
+    no rand() state, and the oracle replays the whole chain including
+    the unrolled coreness fixpoint.
+
+    Scale shape: coreness is the iterative peel (part_coreness's
+    docstring carries the 100 TB argument); the draw adds one map-side
+    key + a TakeOrdered top-k (per-partition heaps — no global sort)."""
+    from cdc_rs_spark.plans.relational2 import part_coreness
+
+    cor = part_coreness(spark, sf_dir)
+    keyed = cor.select(
+        "part",
+        "coreness",
+        F.round(
+            hash_bucket(F.col("part"), 1_000_000).cast("double")
+            / F.col("coreness"),
+            6,
+        ).alias("priority"),
+    )
+    return keyed.orderBy("priority", "part").limit(100)

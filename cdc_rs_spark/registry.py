@@ -89,6 +89,8 @@ _DRIVER_WINDOW = [
     "dedup_exact_substring_anchored",
     "dedup_anchor_shift_invariance",
     "part_coreness",
+    "dedup_anchor_cut_rewrite",  # r9 new (anchored span-cut rewrite)
+    "sample_coreness_weighted",  # r9 new (coreness-weighted priority draw)
     "similarity_ivfpq_residual_topk",
     "similarity_ivfpq_residual_incremental_topk",
     "similarity_ivfpq_residual_recall_eval",
@@ -145,8 +147,6 @@ _DRIVER_WINDOW = [
     "pii_scrub_documents",
     "multimodal_payload_dedup",
     "multimodal_image_decode",
-    "part_triangle_count",
-    "sample_contrastive_negatives",
 ]
 
 
