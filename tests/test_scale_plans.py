@@ -1018,3 +1018,40 @@ def test_nb_score_join_strategy_flips_at_vocab_gate(spark):
     assert sorted(
         (r.asDict() for r in small.collect()), key=lambda d: d["doc_id"]
     ) == sorted((r.asDict() for r in big.collect()), key=lambda d: d["doc_id"])
+
+
+def test_anchored_spans_share_the_preaggregate_shape(spark):
+    """dedup_exact_substring_anchored must keep the stride report's scale
+    shape: JVM-side anchored explode (no Python anywhere — the rolling
+    hash is pure column arithmetic), ONE (span, doc_id) pre-aggregate
+    with map-side partial counts, frequency derived from it."""
+    from cdc_rs_spark.plans.dedup import dedup_exact_substring_anchored
+
+    plan = _physical_plan(dedup_exact_substring_anchored(spark, SF_DIR))
+    assert "Generate explode" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dhash_pair_stage_shuffles_bands_not_pixels(spark):
+    """multimodal_image_near_dup: the only Python node is the dHash
+    decode (the sanctioned Arrow hatch); the band self-join and hamming
+    verify run JVM-side, and no exchange in the plan carries the payload
+    column — pixels never shuffle."""
+    from cdc_rs_spark.plans.multimodal import multimodal_image_near_dup
+
+    plan = _physical_plan(multimodal_image_near_dup(spark, SF_DIR))
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+    # every Exchange line must be over band/doc columns, never payload
+    for ln in plan.splitlines():
+        if "Exchange" in ln:
+            assert "payload" not in ln, ln
+
+
+def test_coreness_weighted_sample_is_take_ordered(spark):
+    """sample_coreness_weighted's draw is a TakeOrdered top-k over the
+    priority key (per-partition heaps), never a global Sort."""
+    from cdc_rs_spark.plans.pipeline import sample_coreness_weighted
+
+    plan = _physical_plan(sample_coreness_weighted(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
