@@ -1165,6 +1165,13 @@ def _span_store_probe_oracle() -> str:
         SELECT doc_id, {win} AS span
         FROM documents WHERE doc_id % 2 = 1 AND length(text) >= {SPAN_LEN}
     ),
+    {_STORE_PROBE_TAIL_SQL}
+    """
+
+
+# store-probe algebra from (store_spans, batch_spans) CTEs to the per-doc
+# duplicated-window report — shared by the stride and anchored grids
+_STORE_PROBE_TAIL_SQL = """
     pair AS (SELECT span, doc_id, COUNT(*) AS k FROM batch_spans GROUP BY 1, 2),
     batch_freq AS (SELECT span, COUNT(*) AS nd_batch FROM pair GROUP BY 1),
     store_agg AS (
@@ -1716,3 +1723,57 @@ def dedup_anchor_cut_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "w.s", "w.span")
     )
     return _cut_rewrite(sp)
+
+
+def _anchor_store_probe_oracle() -> str:
+    """Store-probe report over the CONTENT-DEFINED anchor grid: the same
+    _STORE_PROBE_TAIL_SQL algebra, fed by anchored windows."""
+    spans = _cda_duck_anchor_spans()
+    codes = _cda_duck_codes()
+    return f"""
+    WITH store_spans AS (
+        SELECT DISTINCT doc_id, span FROM (
+            SELECT doc_id, unnest({spans}) AS span FROM (
+                SELECT doc_id, text, {codes} AS cs FROM documents
+                WHERE doc_id % 2 = 0 AND length(text) >= {SPAN_LEN}
+            )
+        )
+    ),
+    batch_spans AS (
+        SELECT doc_id, unnest({spans}) AS span FROM (
+            SELECT doc_id, text, {codes} AS cs FROM documents
+            WHERE doc_id % 2 = 1 AND length(text) >= {SPAN_LEN}
+        )
+    ),
+    {_STORE_PROBE_TAIL_SQL}
+    """
+
+
+@register("dedup_anchor_store_probe", oracle=_anchor_store_probe_oracle())
+def dedup_anchor_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL form of anchored exact-substring dedup (round 9):
+    the span store/probe machinery of streaming/spans.py running on the
+    content-defined anchor grid — span_keys/probe_spans_against_store
+    are grid-agnostic (a window is a window), so the shift-invariant
+    sampler drops in via the `sampler` parameter and the whole epoch'd
+    store discipline (hashed 16-B keys, ledger idempotence, compaction)
+    applies unchanged. Even docs play the persisted store, odd docs the
+    arriving batch, same report as dedup_span_store_probe — but a batch
+    doc that is an OFFSET-SHIFTED copy of a stored doc now counts as
+    duplicated, which the stride-grid store deterministically misses.
+
+    Scale shape: identical to the stride probe — one (span, doc_id)
+    aggregate, batch-keys semi-filter before the store's (min_doc,
+    max_doc) existence aggregate; the anchored explode costs one
+    O(len * 8) integer pass more than the stride explode per batch."""
+    from cdc_rs_spark.operators.dedup import doc_anchor_spans
+    from cdc_rs_spark.streaming.spans import probe_spans_against_store
+
+    d = load(spark, sf_dir, "documents")
+    store = (
+        doc_anchor_spans(spread(d.filter(F.col("doc_id") % 2 == 0)))
+        .select("span", "doc_id")
+        .distinct()
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 1)
+    return probe_spans_against_store(batch, store, sampler=doc_anchor_spans)

@@ -90,6 +90,7 @@ _DRIVER_WINDOW = [
     "dedup_anchor_shift_invariance",
     "part_coreness",
     "dedup_anchor_cut_rewrite",  # r9 new (anchored span-cut rewrite)
+    "dedup_anchor_store_probe",  # r9 new (anchored incremental store probe)
     "sample_coreness_weighted",  # r9 new (coreness-weighted priority draw)
     "similarity_ivfpq_residual_topk",
     "similarity_ivfpq_residual_incremental_topk",
@@ -146,7 +147,6 @@ _DRIVER_WINDOW = [
     "text_quality_quartiles_by_lang",
     "pii_scrub_documents",
     "multimodal_payload_dedup",
-    "multimodal_image_decode",
 ]
 
 

@@ -63,11 +63,16 @@ _SPAN_META = "_span_meta.json"
 _H2_SEED = 0x5BD1E995  # any constant != xxhash64's default seed path
 
 
-def span_keys(d: DataFrame, hashed: bool) -> tuple[DataFrame, list[str]]:
-    """Window the documents (operators/dedup.py doc_spans) and project the
-    store key: the raw span, or the dual xxhash64 pair (see module doc).
-    Returns (frame with doc_id + key columns, key column names)."""
-    spans = doc_spans(d)
+def span_keys(
+    d: DataFrame, hashed: bool, sampler=doc_spans
+) -> tuple[DataFrame, list[str]]:
+    """Window the documents and project the store key: the raw span, or
+    the dual xxhash64 pair (see module doc). Returns (frame with doc_id +
+    key columns, key column names). `sampler` picks the window grid —
+    doc_spans (stride) or operators/dedup.doc_anchor_spans (round 9:
+    content-defined anchors, shift-invariant); everything downstream of
+    the sampler is grid-agnostic because a window is a window."""
+    spans = sampler(d)
     if not hashed:
         return spans.select("doc_id", "span"), ["span"]
     return (
@@ -131,23 +136,25 @@ def _probe_keyed(
 
 
 def probe_spans_against_store(
-    new_docs: DataFrame, span_store: DataFrame
+    new_docs: DataFrame, span_store: DataFrame, sampler=doc_spans
 ) -> DataFrame:
     """Raw-span probe (the round-7 surface, unchanged semantics): window
     the new docs and report per-doc duplicated-window counts against a
     (span, doc_id) store. Pure DataFrame logic — usable in batch or
-    inside foreachBatch."""
-    keyed, keys = span_keys(new_docs, hashed=False)
+    inside foreachBatch. The store must have been built with the SAME
+    `sampler` (grids don't mix — an anchored window never equals a
+    stride window unless the text aligns)."""
+    keyed, keys = span_keys(new_docs, hashed=False, sampler=sampler)
     return _probe_keyed(keyed, span_store, keys)
 
 
 def probe_hashed_spans_against_store(
-    new_docs: DataFrame, span_store: DataFrame
+    new_docs: DataFrame, span_store: DataFrame, sampler=doc_spans
 ) -> DataFrame:
     """Dual-hash probe against an (h1, h2, doc_id) store — same report as
     the raw-span probe absent a simultaneous two-key collision (see
     module doc for the 1e-39 bound)."""
-    keyed, keys = span_keys(new_docs, hashed=True)
+    keyed, keys = span_keys(new_docs, hashed=True, sampler=sampler)
     return _probe_keyed(keyed, span_store, keys)
 
 

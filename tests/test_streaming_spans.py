@@ -288,3 +288,37 @@ def test_compact_every_policy_runs_inline(spark, tmp_path):
     assert int(_read_span_meta(store_path)["epoch"]) == 1
     fn(_docs(spark, [(2, SHARED + UNIQUE2)]), 1)  # replay: no compact
     assert int(_read_span_meta(store_path)["epoch"]) == 1
+
+
+def test_anchor_store_probe_catches_shifted_copy(spark):
+    """The incremental payoff of content-defined anchoring (round 9): a
+    stored document's OFFSET-SHIFTED copy arrives in a later batch — the
+    anchored-grid store flags it, the stride-grid store provably cannot
+    (offsets disagree mod the stride). Same probe core, only the sampler
+    differs."""
+    import hashlib
+
+    from cdc_rs_spark.operators.dedup import doc_anchor_spans, doc_spans
+    from cdc_rs_spark.streaming.spans import probe_spans_against_store
+
+    base = "".join(
+        chr(ord("a") + b % 26)
+        for k in range(15)
+        for b in hashlib.md5(f"anchor-{k}".encode()).digest()
+    )  # 240 aperiodic chars — several anchors with near-certainty
+    stored = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(2, "~~~" + base)], "doc_id long, text string"  # shift 3
+    )
+    anchored_store = doc_anchor_spans(stored).select("span", "doc_id").distinct()
+    got = probe_spans_against_store(
+        batch, anchored_store, sampler=doc_anchor_spans
+    ).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 2
+    assert got[0]["n_dup_spans"] >= 1  # the shifted copy is CAUGHT
+
+    stride_store = doc_spans(stored).select("span", "doc_id").distinct()
+    missed = probe_spans_against_store(batch, stride_store).collect()
+    assert missed == []  # the stride grid's deterministic blind spot
