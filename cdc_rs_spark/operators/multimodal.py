@@ -344,7 +344,14 @@ def dhash_near_dup_pairs(decoded: DataFrame) -> DataFrame:
     hamming <= 3 by pigeonhole — then verify candidates with the exact
     hamming over all 4 bands and keep pairs <= DHASH_HAM_MAX. The shuffle
     carries (band, doc_id) pairs only; never pixels. Returns (doc_a,
-    doc_b, hamming)."""
+    doc_b, hamming).
+
+    The decoded table is localCheckpoint'ed first: three consumers read
+    it (band explode + both hamming sides), and without the checkpoint
+    each re-ran the Arrow decode — at 100 TB that is three full
+    image-corpus decodes where one suffices; the checkpoint stores ~40
+    bytes per image (the whole point of a perceptual hash)."""
+    decoded = decoded.localCheckpoint(eager=True)
     ex = decoded.select(
         "doc_id", F.posexplode("bands").alias("j", "bv")
     )
