@@ -1129,3 +1129,133 @@ def text_nb_incremental_classifier(spark: SparkSession, sf_dir: str) -> DataFram
 
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+LM_Q = 1_000_000  # bigram-likelihood quantum (micro-units)
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT doc_id, doc_id % 2 = 0 AS is_train,
+               string_split(lower(text), ' ') AS w
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id, is_train,
+               unnest(list_transform(range(1, len(w)),
+                   i -> {{'w1': w[i], 'w2': w[i + 1]}})) AS b
+        FROM labeled WHERE len(w) >= 2
+    ),
+    bg AS (
+        SELECT doc_id, is_train, b.w1 AS w1, b.w2 AS w2 FROM bigrams
+        WHERE b.w1 <> '' AND b.w2 <> ''
+    ),
+    c12 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bg WHERE is_train GROUP BY w1, w2
+    ),
+    c1 AS (
+        SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        FROM bg WHERE is_train GROUP BY w1
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM (
+            SELECT unnest(w) AS tok FROM labeled WHERE is_train
+        ) WHERE tok <> ''
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM((COALESCE(c12.c12, 0) + 1) * {LM_Q}
+                        // (COALESCE(c1.c1, 0) + vocab.v)) AS BIGINT)
+                   AS s_micro
+        FROM bg t
+        LEFT JOIN c12 ON t.w1 = c12.w1 AND t.w2 = c12.w2
+        LEFT JOIN c1 ON t.w1 = c1.w1
+        CROSS JOIN vocab
+        WHERE NOT t.is_train
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_bigrams, s_micro // n_bigrams AS score_micro
+    FROM scored
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM LANGUAGE-MODEL QUALITY SCORE — the CCNet/KenLM filter slot
+    (round 9): train an add-one-smoothed bigram model on the even-doc_id
+    half, score every held-out doc by its mean smoothed bigram
+    likelihood, in-distribution text scores high and gibberish low. The
+    engine's ln-free discipline applies (operators/classify.py module
+    doc): each bigram contributes the EXACT integer
+    floor(1e6 * (c(w1w2)+1) / (c(w1)+V)) instead of a log-prob — sums of
+    integers are partition-order-independent and engine-identical, so
+    the learned scores themselves are oracle-pinned. The arithmetic mean
+    of smoothed likelihoods (not the geometric mean true perplexity
+    uses) is the one deliberate divergence: it keeps every value exact,
+    and as a pass/fail quality gate only the ORDERING matters — both
+    rank gibberish below fluent text; the mean emphasizes a document's
+    high-probability bigrams slightly more.
+
+    Scale shape: training is two map-side-combinable aggregates over the
+    labeled cohort's bigrams (c(w1,w2) and c(w1) — the same token-key
+    shuffle as NB training); V is one distinct count; scoring is two
+    left joins on the bigram/context keys plus one per-doc integer
+    aggregate. At 100 TB the count tables follow nb_score's size-gated
+    strategy (broadcast under the threshold, shuffle join on the token
+    key above) and the labeled cohort is bounded by construction."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    labeled = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        F.split(F.lower("text"), " ").alias("w"),
+    )
+    bg = (
+        labeled.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "is_train",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(element_at(w, i) AS w1, "
+                    "element_at(w, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "is_train", "b.w1", "b.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    train = bg.filter("is_train")
+    c12 = train.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    c1 = train.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1"))
+    vocab = (
+        labeled.filter("is_train")
+        .select(F.explode("w").alias("tok"))
+        .filter(F.col("tok") != "")
+        .agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    )
+    scored = (
+        bg.filter(~F.col("is_train"))
+        .join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.expr(
+                    f"((coalesce(c12, 0) + 1) * {LM_Q}) "
+                    "div (coalesce(c1, 0) + v)"
+                )
+            )
+            .cast("bigint")
+            .alias("s_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("s_micro div n_bigrams").alias("score_micro"),
+    )

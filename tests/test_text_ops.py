@@ -281,3 +281,47 @@ def test_anchor_spans_catch_offset_shifted_duplicate(spark, tmp_path):
     # and the registered report flags both docs
     got = {r["doc_id"] for r in dedup_exact_substring_anchored(spark, sf_dir).collect()}
     assert got == {1, 2}
+
+
+def test_bigram_lm_score_separates_fluent_from_gibberish(spark, tmp_path):
+    """Planted-signal pin for the bigram LM filter (the corpus fixtures
+    are label-exchangeable, so separation must be proven on a crafted
+    corpus): train docs repeat a small set of bigram patterns; a held-out
+    doc built from the SAME patterns must outscore a doc of never-seen
+    token pairs, and the score must be the exact integer the spec
+    defines (python replica)."""
+    from cdc_rs_spark.plans.text import LM_Q, text_bigram_lm_score
+
+    pattern = "the cat sat on the mat and the dog ran to the cat"
+    texts = {
+        0: pattern,             # train (even ids)
+        2: pattern,
+        4: "the cat ran to the mat and the dog sat on the cat",
+        1: pattern,             # held-out, in-distribution
+        3: "zq xw vb nm kj hg fd sa pl mn qa ws ed rf tg yh",  # gibberish
+    }
+    sf_dir = _write_docs(spark, str(tmp_path), texts)
+    got = {r["doc_id"]: r for r in text_bigram_lm_score(spark, sf_dir).collect()}
+    assert set(got) == {1, 3}
+    # the add-one smoothing floor is 1e6/(0+V) for fully-OOV bigrams, so
+    # with this tiny planted vocab (V=9) the gibberish doc sits at ~111k
+    # while the in-distribution doc reaches ~296k — assert the >2x
+    # separation rather than a ratio that only a large vocab can produce
+    assert got[1]["score_micro"] > 2 * got[3]["score_micro"]
+
+    # python replica of the exact integer spec for doc 1
+    train_bg, train_c1, vocab = {}, {}, set()
+    for did in (0, 2, 4):
+        w = texts[did].split(" ")
+        vocab.update(w)
+        for a, b in zip(w, w[1:]):
+            train_bg[(a, b)] = train_bg.get((a, b), 0) + 1
+            train_c1[a] = train_c1.get(a, 0) + 1
+    v = len(vocab)
+    w = texts[1].split(" ")
+    parts = [
+        ((train_bg.get((a, b), 0) + 1) * LM_Q) // (train_c1.get(a, 0) + v)
+        for a, b in zip(w, w[1:])
+    ]
+    assert got[1]["n_bigrams"] == len(parts)
+    assert got[1]["score_micro"] == sum(parts) // len(parts)
