@@ -218,10 +218,27 @@ def _near_dup_oracle() -> str:
         SELECT doc_id, j, CAST(SUM(bitval) AS BIGINT) AS bv
         FROM bits GROUP BY doc_id, j
     ),
+    bl AS (
+        SELECT doc_id, list(bv ORDER BY j) AS bl FROM bands GROUP BY doc_id
+    ),
+    kx AS (
+        SELECT doc_id, k['c'] AS combo, k['v1'] AS v1, k['v2'] AS v2
+        FROM (
+            SELECT doc_id, unnest([
+                {{'c': 12, 'v1': bl[1], 'v2': bl[2]}},
+                {{'c': 13, 'v1': bl[1], 'v2': bl[3]}},
+                {{'c': 14, 'v1': bl[1], 'v2': bl[4]}},
+                {{'c': 23, 'v1': bl[2], 'v2': bl[3]}},
+                {{'c': 24, 'v1': bl[2], 'v2': bl[4]}},
+                {{'c': 34, 'v1': bl[3], 'v2': bl[4]}}]) AS k
+            FROM bl
+        )
+    ),
     pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-        ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+        FROM kx a JOIN kx b
+        ON a.combo = b.combo AND a.v1 = b.v1 AND a.v2 = b.v2
+           AND a.doc_id < b.doc_id
     ),
     hams AS (
         SELECT p.doc_a, p.doc_b,
@@ -242,7 +259,8 @@ def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical files, but a training pipeline must catch the same
     picture re-encoded at another RESOLUTION. dHash does that: downsample
     to a 9x8 grid, hash the horizontal gradient signs (resize-invariant),
-    block by 16-bit bands, verify candidates with exact hamming.
+    block on 32-bit band PAIRS (hamming <= 2 leaves >= 2 of 4 bands
+    equal by pigeonhole), verify candidates with exact hamming.
 
     The fixture corpus is synthesized JVM-side: source s = doc_id div 3
     drawn at scale k = 1 + doc_id mod 3 — every consecutive doc triple is
