@@ -93,7 +93,13 @@ def main() -> None:
             from cdc_rs_spark.operators import dedup as od
             from cdc_rs_spark.plans import similarity as ps
 
-            for cache in (ps._EXACT_TOPK_CACHE, ps._IVF_MODEL_CACHE):
+            from cdc_rs_spark.plans import relational2 as pr2
+
+            for cache in (
+                ps._EXACT_TOPK_CACHE,
+                ps._IVF_MODEL_CACHE,
+                pr2._CORENESS_CACHE,
+            ):
                 for k in list(cache):
                     v = cache.pop(k)
                     try:

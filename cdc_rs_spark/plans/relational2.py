@@ -2451,6 +2451,9 @@ def _coreness_oracle(k_max: int = CORENESS_K_MAX, rounds: int = CORENESS_ROUNDS)
     )
 
 
+_CORENESS_CACHE: dict = {}
+
+
 @register("part_coreness", oracle=_coreness_oracle())
 def part_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL CORENESS DECOMPOSITION (round 9, VERDICT r8 next #7): every
@@ -2479,12 +2482,25 @@ def part_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final max-aggregate is one shuffle of vertex-sized data. At
     100 TB the standard trick stands: peel MANY k-levels per pass with
     bucketed degree histograms; the per-level loop here keeps the
-    oracle-matching structure instead."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    oracle-matching structure instead.
+
+    Session-memoized like _IVF_MODEL_CACHE (same appId + input-file key,
+    bench.clear_memos purges it): a coreness decomposition is computed
+    once and consumed many times (sample_coreness_weighted draws from
+    it), and re-running the ~60-job peel per consumer only re-proves a
+    determinism the oracle already pins."""
+    app = spark.sparkContext.applicationId
+    li_src = load(spark, sf_dir, "lineitem")
+    key = (app, tuple(sorted(li_src.inputFiles())))
+    for stale in [s for s in _CORENESS_CACHE if s[0] != app]:
+        _CORENESS_CACHE.pop(stale).unpersist(blocking=False)
+    if key in _CORENESS_CACHE:
+        return _CORENESS_CACHE[key]
+    while len(_CORENESS_CACHE) >= 4:
+        _CORENESS_CACHE.pop(
+            next(iter(_CORENESS_CACHE))
+        ).unpersist(blocking=False)
+    li = li_src.select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
     edges = (
@@ -2538,18 +2554,24 @@ def part_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CORENESS_K_MAX and keep the oracle unroll in sync"
         )
     if not memberships:  # 2-core empty: every vertex is a tendril
-        return all_v.select(
+        out = all_v.select(
             F.col("src").alias("part"), F.lit(1).cast("bigint").alias("coreness")
         )
-    memb = memberships[0]
-    for m in memberships[1:]:
-        memb = memb.unionAll(m)
-    return (
-        all_v.join(memb, "src", "left")
-        .groupBy("src")
-        .agg(F.coalesce(F.max("k"), F.lit(1)).cast("bigint").alias("coreness"))
-        .select(F.col("src").alias("part"), "coreness")
-    )
+    else:
+        memb = memberships[0]
+        for m in memberships[1:]:
+            memb = memb.unionAll(m)
+        out = (
+            all_v.join(memb, "src", "left")
+            .groupBy("src")
+            .agg(
+                F.coalesce(F.max("k"), F.lit(1)).cast("bigint").alias("coreness")
+            )
+            .select(F.col("src").alias("part"), "coreness")
+        )
+    out = out.persist()
+    _CORENESS_CACHE[key] = out
+    return out
 
 
 def _cms_oracle() -> str:
