@@ -1134,9 +1134,7 @@ def text_nb_incremental_classifier(spark: SparkSession, sf_dir: str) -> DataFram
 LM_Q = 1_000_000  # bigram-likelihood quantum (micro-units)
 
 
-@register(
-    "text_bigram_lm_score",
-    oracle=f"""
+_BIGRAM_LM_ORACLE = f"""
     WITH labeled AS (
         SELECT doc_id, doc_id % 2 = 0 AS is_train,
                string_split(lower(text), ' ') AS w
@@ -1180,8 +1178,10 @@ LM_Q = 1_000_000  # bigram-likelihood quantum (micro-units)
     )
     SELECT doc_id, n_bigrams, s_micro // n_bigrams AS score_micro
     FROM scored
-    """,
-)
+    """
+
+
+@register("text_bigram_lm_score", oracle=_BIGRAM_LM_ORACLE)
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BIGRAM LANGUAGE-MODEL QUALITY SCORE — the CCNet/KenLM filter slot
     (round 9): train an add-one-smoothed bigram model on the even-doc_id
@@ -1259,3 +1259,120 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.expr("s_micro div n_bigrams").alias("score_micro"),
     )
+
+
+@register("text_bigram_lm_incremental", oracle=_BIGRAM_LM_ORACLE)
+def text_bigram_lm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING bigram-LM training (round 9) — the online form of
+    text_bigram_lm_score through TWO generic additive stores
+    (streaming/additive.py): per micro-batch, one (w1, w2, c12) partial
+    and one (tok, c) unigram partial fold as ledger-gated segments; the
+    served model reads the SUM-merged stores — c(w1) derives from the
+    merged bigram counts by one group-by (never a third store), V is the
+    unigram store's key count. Because the model's entire trained state
+    is additive integer counts, the served scores are BIT-IDENTICAL to
+    batch training on the unioned corpus — this query shares the batch
+    oracle verbatim, so the driver checks both sides of the incremental
+    == batch claim (the NB/classifier discipline). A compaction between
+    the folds proves segment boundaries are invisible.
+
+    Scale shape: each fold is one map-side-combinable aggregate over the
+    batch's bigrams/tokens appended as one |touched keys| segment;
+    serving reads <= |keys| x n_segments rows (bounded by compaction
+    cadence); scoring is the batch query's two joins + per-doc integer
+    aggregate."""
+    import shutil
+    import tempfile
+
+    from cdc_rs_spark.benchphase import build_phase
+    from cdc_rs_spark.streaming.additive import (
+        compact_additive_store,
+        fold_segment,
+        init_additive_store,
+        read_merged,
+    )
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    labeled = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        F.split(F.lower("text"), " ").alias("w"),
+    )
+    bg = (
+        labeled.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "is_train",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(element_at(w, i) AS w1, "
+                    "element_at(w, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "is_train", "b.w1", "b.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    toks = (
+        labeled.select("doc_id", "is_train", F.explode("w").alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    root = tempfile.mkdtemp(prefix="bigram_lm_incremental_")
+    bg_root, ug_root = f"{root}/bg", f"{root}/ug"
+    try:
+        with build_phase():
+            init_additive_store(
+                spark, bg_root, {"w1": "string", "w2": "string"}, ["c12"]
+            )
+            init_additive_store(spark, ug_root, {"tok": "string"}, ["c"])
+            for bid, pred in ((0, "doc_id % 4 = 0"), (1, "doc_id % 4 = 2")):
+                half = bg.filter("is_train").filter(pred)
+                fold_segment(
+                    half.groupBy("w1", "w2").agg(
+                        F.count("*").cast("bigint").alias("c12")
+                    ),
+                    bg_root, batch_id=bid,
+                )
+                fold_segment(
+                    toks.filter("is_train").filter(pred)
+                    .groupBy("tok")
+                    .agg(F.count("*").cast("bigint").alias("c")),
+                    ug_root, batch_id=bid,
+                )
+                if bid == 0:  # mid-stream OPTIMIZE on both stores
+                    compact_additive_store(spark, bg_root)
+                    compact_additive_store(spark, ug_root)
+        c12 = read_merged(spark, bg_root)
+        c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+        vocab = read_merged(spark, ug_root).agg(
+            F.count("*").cast("bigint").alias("v")
+        )
+        scored = (
+            bg.filter(~F.col("is_train"))
+            .join(c12, ["w1", "w2"], "left")
+            .join(c1, "w1", "left")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_bigrams"),
+                F.sum(
+                    F.expr(
+                        f"((coalesce(c12, 0) + 1) * {LM_Q}) "
+                        "div (coalesce(c1, 0) + v)"
+                    )
+                )
+                .cast("bigint")
+                .alias("s_micro"),
+            )
+        )
+        result = scored.select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("s_micro div n_bigrams").alias("score_micro"),
+        )
+        rows = result.collect()  # per-held-out-doc rows; frees the stores
+        schema = result.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

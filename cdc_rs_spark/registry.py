@@ -97,6 +97,7 @@ _DRIVER_WINDOW = [
     "similarity_ivfpq_residual_recall_eval",
     "multimodal_image_near_dup",
     "text_bigram_lm_score",  # r9 new (ln-free bigram LM quality filter)
+    "text_bigram_lm_incremental",  # r9 new (streaming LM training, shared oracle)
     # CHANGED this round (re-pin): nb_score gained the size-gated join
     # (operators/classify.py); streaming/ivf.py gained residual mode and
     # the probe schema grew the qc column; pq_adc_rank gained with_qc;
@@ -137,7 +138,6 @@ _DRIVER_WINDOW = [
     "events_asof_last_click",
     "events_range_join_bucketed",
     "events_markov_transitions",
-    "events_user_growth_accounting",
     "dedup_canonical_quality",
     "decontaminate_eval_overlap",
     "similarity_bruteforce_topk",
