@@ -1376,3 +1376,177 @@ def text_bigram_lm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer training: distributed BPE merge learning
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 12
+
+
+def _bpe_oracle(n_merges: int = BPE_MERGES) -> str:
+    """Unrolled BPE training: per merge round, one pair-count CTE, one
+    argmax CTE, one merge-application CTE (all MATERIALIZED — DuckDB
+    inlines plain CTEs and the per-round triple references explode
+    exponentially otherwise, the k-core lesson). The merge application
+    folds the symbol list left-to-right with list_reduce over a
+    chr(31)-joined accumulator: the last symbol of the accumulator is
+    `l` iff acc = l or acc ends with chr(31)||l (symbols are [a-z]+
+    concatenations, never containing the separator), and appending `r`
+    WITHOUT a separator is exactly the merge. list_reduce seeds with
+    the first element, so single-symbol words pass through the CASE
+    len(s)=1 guard untouched."""
+    ctes = [
+        """wf AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS word
+            FROM documents) GROUP BY word
+    )""",
+        """w0 AS MATERIALIZED (
+        SELECT word, cnt,
+               list_transform(range(1, len(word) + 1),
+                              i -> substr(word, i, 1)) AS s
+        FROM wf
+    )""",
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        ctes.append(
+            f"""pairs{r} AS MATERIALIZED (
+            SELECT t.p['l'] AS l, t.p['r'] AS r, SUM(cnt) AS n
+            FROM w{p}, unnest(list_transform(range(1, len(s)),
+                              i -> {{'l': s[i], 'r': s[i + 1]}})) AS t(p)
+            GROUP BY 1, 2
+        )"""
+        )
+        ctes.append(
+            f"""best{r} AS MATERIALIZED (
+            SELECT l, r, CAST(n AS BIGINT) AS n FROM pairs{r}
+            ORDER BY n DESC, l, r LIMIT 1
+        )"""
+        )
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+            SELECT word, cnt,
+                   CASE WHEN len(s) = 1 THEN s
+                        ELSE string_split(
+                            list_reduce(s, (acc, x) -> CASE
+                                WHEN (acc = b.l
+                                      OR ends_with(acc, chr(31) || b.l))
+                                     AND x = b.r
+                                THEN acc || x
+                                ELSE acc || chr(31) || x END),
+                            chr(31))
+                   END AS s
+            FROM w{p}, best{r} b
+        )"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, n AS pair_count FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT * FROM ("
+        + union
+        + ") ORDER BY merge_rank"
+    )
+
+
+@register("text_bpe_train_merges", oracle=_bpe_oracle())
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): learn the
+    first BPE_MERGES merge rules from the corpus — the missing half of the
+    text_bpe_token_estimate story (that query only counts pre-tokenizer
+    pieces; this one learns the vocabulary).
+
+    The real-trainer shape: BPE never iterates over the corpus — it trains
+    on the WORD-FREQUENCY table. The corpus is read exactly once (explode +
+    count, map-side combinable); every merge round then runs over the
+    distinct-word table, which is corpus-size-independent (the fixture has
+    31 distinct words; 100 TB of web text has ~10^7-10^8 — trivially
+    distributed, and the round cost is O(vocab), not O(corpus)).
+
+    Per round: adjacent symbol pairs come from a JVM-side transform over
+    the symbol arrays weighted by word count (explode + one shuffle with
+    partial aggregation), the argmax is a 1-row bounded collect (count
+    DESC, pair ASC — the driver-side collect is the same k=1 bounded
+    discipline as pagerank's top-k), and the merge applies as a pure
+    column fold: aggregate(s, [], CASE last==l AND x==r THEN replace-last
+    ELSE append) — greedy left-to-right, non-overlapping, exactly
+    Sennrich's scan because a freshly merged symbol can never equal its
+    own left half. The word table is localCheckpoint-ed per round so round
+    r's plan doesn't re-run rounds 1..r-1 (the nested-fold lineage
+    otherwise grows O(r) analysis cost).
+
+    Engine-exactness: counts are integers, ties break on the pair's
+    lexicographic order (pure-ASCII lowercase — identical collation in
+    both engines), and the fold semantics are mirrored in the oracle via
+    list_reduce over a separator-joined accumulator (see _bpe_oracle).
+    Spark trap pinned in tests: sequence(1, size-1) DESCENDS for
+    single-symbol words (sequence(1,0) = [1,0]) — the size(s) >= 2 filter
+    on the pair stage is load-bearing.
+
+    Reference parity: the reference engine has no tokenizer training; this
+    is north-star EXTENSION surface (training-data pipeline mandate)."""
+    d = spread(load(spark, sf_dir, "documents"))
+    words = d.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[A-Za-z]+', 0)")
+        ).alias("word")
+    )
+    wf = words.groupBy("word").agg(F.count("*").cast("bigint").alias("cnt"))
+    w = wf.select(
+        "word",
+        "cnt",
+        F.expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))").alias(
+            "s"
+        ),
+    ).localCheckpoint(eager=True)
+    merges = []
+    for r in range(1, BPE_MERGES + 1):
+        pairs = (
+            w.filter(F.size("s") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), "
+                        "i -> struct(element_at(s, CAST(i AS INT)) AS l, "
+                        "element_at(s, CAST(i + 1 AS INT)) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .select("cnt", "p.l", "p.r")
+        )
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("cnt").cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()  # bounded: exactly one row (the argmax)
+        )
+        if not best:  # pairs exhausted before BPE_MERGES — emit what exists
+            break
+        a, b, n = best[0]["l"], best[0]["r"], best[0]["n"]
+        merges.append((r, a, b, a + b, n))
+        aq, bq = a.replace("'", "''"), b.replace("'", "''")
+        w = w.select(
+            "word",
+            "cnt",
+            F.expr(
+                f"aggregate(s, CAST(array() AS array<string>), (acc, x) -> "
+                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{aq}' "
+                f"AND x = '{bq}' "
+                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{aq}{bq}')) "
+                f"ELSE concat(acc, array(x)) END)"
+            ).alias("s"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )

@@ -325,3 +325,31 @@ def test_bigram_lm_score_separates_fluent_from_gibberish(spark, tmp_path):
     ]
     assert got[1]["n_bigrams"] == len(parts)
     assert got[1]["score_micro"] == sum(parts) // len(parts)
+
+
+def test_bpe_train_merges_on_crafted_corpus(spark, tmp_path):
+    """Directed BPE-training semantics on a planted corpus where every
+    subtlety is exercised: greedy non-overlapping merges ('aaaa' with pair
+    (a,a) must become [aa,aa], NOT [aa,a,a] — the string-replace shortcut
+    gets this wrong), multi-level merges (a learned symbol merging again),
+    single-char words (the Spark sequence(1,0)=[1,0] descent trap), and
+    count-tie lexicographic break."""
+    from cdc_rs_spark.plans.text import text_bpe_train_merges
+
+    # corpus: 'aaaa' x4, 'abab' x3, 'i' x5 (single-char word), 'ab' x2
+    docs = " ".join(["aaaa"] * 4 + ["abab"] * 3 + ["i"] * 5 + ["ab"] * 2)
+    path = _write_docs(spark, str(tmp_path / "bpe"), {1: docs})
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in text_bpe_train_merges(spark, path).collect()
+    ]
+    # round 1 pair counts: (a,a): 3*4=12 from 'aaaa'; (a,b): 2*3+1*2=8;
+    # (b,a): 1*3=3  -> merge (a,a) n=12
+    assert got[0] == (1, "a", "a", "aa", 12)
+    # after round 1: 'aaaa'->[aa,aa] (greedy non-overlap), 'abab' unchanged
+    # round 2: (aa,aa): 4 from 'aaaa'; (a,b): 8 -> merge (a,b) n=8
+    assert got[1] == (2, "a", "b", "ab", 8)
+    # round 3: 'abab'->[ab,ab]: (ab,ab): 3; (aa,aa): 4 -> merge (aa,aa) n=4
+    assert got[2] == (3, "aa", "aa", "aaaa", 4)
+    # round 4: (ab,ab): 3 -> multi-level merge of a learned symbol
+    assert got[3] == (4, "ab", "ab", "abab", 4 - 1)
