@@ -2885,3 +2885,108 @@ def supplier_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return ranked_result(rev, build)
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (fixed-round synchronous LPA)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 4
+
+
+def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
+    ctes = [
+        """pairs AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    )""",
+        """l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS v, src AS lab FROM pairs
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+            SELECT p.dst AS v, q.lab AS lab, COUNT(*) AS n
+            FROM pairs p JOIN l{r - 1} q ON p.src = q.v GROUP BY 1, 2
+        )"""
+        )
+        ctes.append(
+            f"""l{r} AS MATERIALIZED (
+            SELECT v, lab FROM (
+                SELECT v, lab,
+                       row_number() OVER (PARTITION BY v
+                                          ORDER BY n DESC, lab) AS rk
+                FROM m{r}) WHERE rk = 1
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+    SELECT community, n_members, rnk FROM (
+        SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+               row_number() OVER (ORDER BY COUNT(*) DESC, lab) AS rnk
+        FROM l{rounds} GROUP BY lab) WHERE rnk <= 25
+    """
+    )
+
+
+@register("part_community_lpa", oracle=_lpa_oracle())
+def part_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation (Raghavan et
+    al. 2007) over the part co-occurrence graph — the curation signal the
+    graph family lacked: PageRank ranks, coreness weights, CC merges
+    transitively, but LPA finds DENSE groups (topical clusters a mixing
+    policy samples across). At sf0.1 the graph resolves into one giant
+    community plus satellite clusters — genuinely non-trivial structure.
+
+    Determinism: plain LPA is notoriously order-dependent, so this is the
+    fixed-budget synchronous variant — label(v, 0) = v; label(v, r) = the
+    most frequent neighbor label at r-1 with ties broken by SMALLEST label;
+    report at round LPA_ROUNDS exactly. Synchronous + deterministic
+    tie-break makes every round a pure function of the previous one (the
+    known oscillation risk of synchronous LPA is irrelevant at a fixed
+    budget), so the unrolled oracle reproduces it CTE-for-CTE. The per-v
+    argmax runs as max(struct(n, -lab)) — one shuffle, map-side
+    combinable, no window over data-sized partitions; labels are integer
+    part keys so -lab inverts the tie order exactly.
+
+    Scale shape (pagerank discipline, plans/relational2.py:1619): edges
+    come from the order-bounded self-join (per-order C(n,2), never
+    corpus-quadratic) and are localCheckpoint-ed once; each round is one
+    src-keyed join (same partitioning every round — exchange reuse) plus
+    two combinable aggregations over (dst, lab) message rows; driver sees
+    only the final 25-row report. At 100 TB: persist edges bucketed by
+    src, and the message table is |E| rows/round regardless of community
+    count — LPA's whole appeal at scale."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = pairs.select(F.col("src").alias("v")).distinct().select(
+        "v", F.col("v").alias("lab")
+    )
+    for _ in range(LPA_ROUNDS):
+        m = (
+            pairs.join(labels, pairs["src"] == labels["v"])
+            .groupBy("dst", "lab")
+            .agg(F.count("*").alias("n"))
+        )
+        labels = m.groupBy("dst").agg(
+            F.max(F.struct(F.col("n"), (-F.col("lab")).alias("neg"))).alias("mx")
+        ).select(F.col("dst").alias("v"), (-F.col("mx.neg")).alias("lab"))
+    sizes = labels.groupBy("lab").agg(F.count("*").cast("bigint").alias("n_members"))
+    order = [F.desc("n_members"), F.asc("lab")]
+    top = sizes.orderBy(*order).limit(25)
+    # benign WindowExec-no-partition: the frame is the 25-row limit above
+    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order))).select(
+        F.col("lab").alias("community"), "n_members", "rnk"
+    )

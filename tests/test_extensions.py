@@ -726,3 +726,57 @@ def test_dhash_rescaled_duplicate_hashes_identically(spark):
     assert pairs[(1, 2)] == 0  # the rescaled duplicate is CAUGHT
     assert (1, 3) in pairs and pairs[(1, 3)] == h13
     assert all(4 not in p for p in pairs)
+
+
+def test_lpa_two_cliques_with_bridge(spark, tmp_path):
+    """Synchronous fixed-round LPA semantics on a crafted graph: two
+    cliques joined by one bridge edge must resolve to two communities,
+    matching a 10-line Python reference of the exact same rule (mode of
+    neighbor labels, ties to the smallest label, LPA_ROUNDS rounds)."""
+    from cdc_rs_spark.plans.relational2 import LPA_ROUNDS, part_community_lpa
+
+    # lineitem encodes the graph: order k = a clique over its parts.
+    # clique A = {1,2,3}, clique B = {10,11,12}, bridge order = {3,10}.
+    rows = (
+        [(1, p) for p in (1, 2, 3)]
+        + [(2, p) for p in (10, 11, 12)]
+        + [(3, p) for p in (3, 10)]
+    )
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+
+    # python reference over the identical rule
+    edges = set()
+    orders = {}
+    for ok, p in rows:
+        orders.setdefault(ok, []).append(p)
+    for ps in orders.values():
+        for x in ps:
+            for y in ps:
+                if x != y:
+                    edges.add((x, y))
+    lab = {v: v for v, _ in edges}
+    for _ in range(LPA_ROUNDS):
+        msgs = {}
+        for s, d in edges:
+            msgs.setdefault(d, []).append(lab[s])
+        lab = {
+            v: min(
+                set(ls), key=lambda x: (-ls.count(x), x)
+            )
+            for v, ls in msgs.items()
+        }
+    want = {}
+    for v, c in lab.items():
+        want[c] = want.get(c, 0) + 1
+    expect = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    got = [
+        (r.community, r.n_members)
+        for r in part_community_lpa(spark, str(tmp_path)).orderBy("rnk").collect()
+    ]
+    assert got == expect
+    assert len(got) == 2  # the bridge must NOT glue the cliques together
