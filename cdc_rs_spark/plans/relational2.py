@@ -2990,3 +2990,160 @@ def part_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(Window.orderBy(*order))).select(
         F.col("lab").alias("community"), "n_members", "rnk"
     )
+
+
+def _hll_oracle() -> str:
+    """Register-exact HLL oracle: DuckDB rebuilds every register from the
+    same md5 fingerprints, folds the same integer harmonic scale, applies
+    the same pinned linear-counting table — the estimates are value-pinned,
+    not envelope-gated (the upgrade over hll_sketch_rollup_custkeys's JVM
+    sketch, exactly the CMS-incremental precedent)."""
+    from cdc_rs_spark.operators.sketch import (
+        HLL_A,
+        HLL_LC_THRESHOLD,
+        HLL_M,
+        HLL_RHO_MAX,
+        hll_lc_table,
+    )
+
+    lc = "[" + ", ".join(str(x) for x in hll_lc_table()) + "]"
+    return f"""
+    WITH o AS (
+        SELECT o_orderpriority AS grp, o_custkey AS k FROM orders
+    ),
+    h AS (
+        SELECT grp,
+               CAST(('0x' || substr(md5('hll:' || CAST(k AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS fp
+        FROM o
+    ),
+    r AS (
+        SELECT grp, fp % {HLL_M} AS idx,
+               CASE WHEN (fp // {HLL_M}) % 4294967296 = 0 THEN {HLL_RHO_MAX}
+                    ELSE {HLL_RHO_MAX}
+                         - length(bin((fp // {HLL_M}) % 4294967296)) END AS rho
+        FROM h
+    ),
+    regs AS (
+        SELECT grp, idx, CAST(MAX(rho) AS BIGINT) AS rho FROM r GROUP BY grp, idx
+    ),
+    agg AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_set,
+               CAST(SUM(1::BIGINT << ({HLL_RHO_MAX} - rho))
+                    + ({HLL_M} - COUNT(*)) * (1::BIGINT << {HLL_RHO_MAX})
+                    AS BIGINT) AS s_scale
+        FROM regs GROUP BY grp
+    ),
+    est AS (
+        SELECT grp, n_set, s_scale,
+               CAST({HLL_A} // s_scale AS BIGINT) AS est_raw,
+               CAST(CASE WHEN {HLL_A} // s_scale <= {HLL_LC_THRESHOLD}
+                              AND {HLL_M} - n_set > 0
+                         THEN {lc}[{HLL_M} - n_set]
+                         ELSE {HLL_A} // s_scale END AS BIGINT) AS est_n
+        FROM agg
+    ),
+    ex AS (
+        SELECT grp, CAST(COUNT(DISTINCT k) AS BIGINT) AS exact_n
+        FROM o GROUP BY grp
+    )
+    SELECT e.grp AS o_orderpriority, e.n_set, e.s_scale, e.est_raw, e.est_n,
+           x.exact_n,
+           abs(e.est_n - x.exact_n) * 5 <= x.exact_n AS est_ok
+    FROM est e JOIN ex x USING (grp)
+    """
+
+
+@register("hll_incremental_distinct", oracle=_hll_oracle())
+def hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distinct-count maintenance — HLL registers kept fresh AT
+    INGEST, the MAX-monoid counterpart of heavy_hitters_cms_incremental:
+    orders arrive as two micro-batches, each folded as a partial register
+    segment into the persisted monoid store (streaming/additive.py with
+    merge="max" — ledger-gated replays, purge-on-retry, epoch-published
+    compaction between the folds), and the served sketch is the
+    register-wise MAX — equal to the batch sketch over the union BY
+    ALGEBRA (HLL merge is exactly MAX per register).
+
+    Versus hll_sketch_rollup_custkeys (JVM Datasketches, envelope-gated
+    oracle): these registers come from the md5 fingerprint both engines
+    compute, so the DuckDB oracle rebuilds EVERY register and pins the
+    ESTIMATES themselves — including the small-range path, where classic
+    linear counting's ln() is made engine-exact by pinning round(m*ln(m/V))
+    for all 256 possible V as a shared literal table
+    (operators/sketch.hll_lc_table). est_ok gates at 20%: m = 256 gives
+    6.5% stderr, and the known raw-HLL bias hump in the n/m ~ 2.5-5
+    transition zone (hit at sf0.01; HLL++'s empirical bias tables are the
+    production fix, cited not implemented) stays under 20% at every
+    fixture scale while a broken register or merge blows far past it.
+
+    Scale shape: each fold is one input pass (one md5 per row) + a
+    map-side-combinable MAX aggregation whose output is <= |groups| x 256
+    rows — constant segment bytes per batch at ANY batch size; reads fold
+    <= |groups| x 256 x n_segments rows; the exact per-group distinct is
+    the audit-only anchor (at 100 TB the sketch replaces it — that is its
+    entire point)."""
+    import shutil
+    import tempfile
+
+    from cdc_rs_spark.benchphase import build_phase
+    from cdc_rs_spark.operators.sketch import hll_increments, hll_report
+    from cdc_rs_spark.streaming.additive import (
+        compact_additive_store,
+        fold_segment,
+        init_additive_store,
+        read_merged,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("grp"), "o_custkey"
+    )
+    root = tempfile.mkdtemp(prefix="hll_incremental_")
+    try:
+        with build_phase():
+            init_additive_store(
+                spark,
+                root,
+                {"grp": "string", "idx": "bigint"},
+                ["rho"],
+                merge="max",
+            )
+            fold_segment(
+                hll_increments(
+                    o.filter(F.col("o_orderkey") % 2 == 0),
+                    "CAST(o_custkey AS STRING)",
+                    ["grp"],
+                ),
+                root,
+                batch_id=0,
+            )
+            compact_additive_store(spark, root)  # mid-stream OPTIMIZE
+            fold_segment(
+                hll_increments(
+                    o.filter(F.col("o_orderkey") % 2 == 1),
+                    "CAST(o_custkey AS STRING)",
+                    ["grp"],
+                ),
+                root,
+                batch_id=1,
+            )
+        report = hll_report(read_merged(spark, root), ["grp"])
+        exact = o.groupBy("grp").agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("exact_n")
+        )
+        result = report.join(exact, "grp").select(
+            F.col("grp").alias("o_orderpriority"),
+            "n_set",
+            "s_scale",
+            "est_raw",
+            "est_n",
+            "exact_n",
+            (F.abs(F.col("est_n") - F.col("exact_n")) * 5 <= F.col("exact_n")).alias(
+                "est_ok"
+            ),
+        )
+        rows = result.collect()  # |priorities| rows; frees the scratch store
+        schema = result.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -1,9 +1,10 @@
-"""Generic log-structured ADDITIVE-STATE store — the shared machinery
-behind every streaming surface here whose state merges by integer SUM
-(classifier sufficient statistics, count-min sketch grids, any mergeable
-counter table): per-batch partial aggregates append as immutable
-segments, reads SUM across segments, and compaction rewrites the summed
-table into a new epoch.
+"""Generic log-structured MONOID-STATE store — the shared machinery
+behind every streaming surface here whose state merges by an
+associative, commutative, order-independent bigint monoid: SUM
+(classifier sufficient statistics, count-min sketch grids, counter
+tables) or MAX (HLL registers, high-water marks). Per-batch partial
+aggregates append as immutable segments, reads fold the monoid across
+segments, and compaction rewrites the folded table into a new epoch.
 
 Why SUM-mergeable state gets its own store: it is the one state algebra
 where the streaming form is EXACT by construction — segment boundaries
@@ -59,14 +60,29 @@ def _seg_path(root: str, epoch: int) -> str:
     return os.path.join(root, f"seg-{epoch:06d}")
 
 
+def _merge_fn(meta: dict):
+    """The store's monoid: SUM (counters — the original algebra) or MAX
+    (HLL registers, high-water marks). Both are associative, commutative
+    and order-independent over bigint, so segment boundaries stay
+    invisible and the streaming form stays EXACT by construction; MAX is
+    additionally idempotent, but the ledger discipline is kept identical
+    (a skipped duplicate fold is cheaper than a re-read either way).
+    Stores written before the `merge` key existed are SUM stores."""
+    return F.max if meta.get("merge", "sum") == "max" else F.sum
+
+
 def init_additive_store(
     spark: SparkSession,
     root: str,
     key_cols: dict[str, str],
     sum_cols: list[str],
+    merge: str = "sum",
 ) -> dict:
     """`key_cols`: {name: spark_type} of the state's key columns;
-    `sum_cols`: the bigint counter columns merged by SUM."""
+    `sum_cols`: the bigint state columns merged by the `merge` monoid
+    ("sum" for counters, "max" for register/high-water state)."""
+    if merge not in ("sum", "max"):
+        raise ValueError(f"unsupported merge monoid: {merge!r}")
     os.makedirs(root, exist_ok=True)
     schema = ", ".join(
         [f"{c} {t}" for c, t in key_cols.items()]
@@ -83,6 +99,7 @@ def init_additive_store(
         "seq": 0,
         "key_cols": list(key_cols),
         "sum_cols": list(sum_cols),
+        "merge": merge,
     }
     _write_meta(root, meta)
     return meta
@@ -152,12 +169,13 @@ def fold_segment(
 
 def _merged(spark: SparkSession, root: str, epoch: int) -> DataFrame:
     meta = _read_meta(root)
+    op = _merge_fn(meta)
     return (
         spark.read.parquet(_seg_path(root, epoch))
         .groupBy(*meta["key_cols"])
         .agg(
             *[
-                F.sum(c).cast("bigint").alias(c)
+                op(c).cast("bigint").alias(c)
                 for c in meta["sum_cols"]
             ]
         )
@@ -165,9 +183,9 @@ def _merged(spark: SparkSession, root: str, epoch: int) -> DataFrame:
 
 
 def read_merged(spark: SparkSession, root: str) -> DataFrame:
-    """The merged state: SUM across segments, one map-side-combinable
-    aggregation over |keys| x n_segments rows (bounded by compaction
-    cadence)."""
+    """The merged state: the monoid folded across segments, one
+    map-side-combinable aggregation over |keys| x n_segments rows
+    (bounded by compaction cadence)."""
     return _merged(spark, root, int(_read_meta(root)["epoch"]))
 
 
@@ -217,12 +235,13 @@ def compact_additive_store(
         .otherwise(bid_i > committed)
     )
     meta_cols = _read_meta(root)
+    op = _merge_fn(meta_cols)
     base = (
         df.filter(~uncommitted)
         .groupBy(*meta_cols["key_cols"])
         .agg(
             *[
-                F.sum(c).cast("bigint").alias(c)
+                op(c).cast("bigint").alias(c)
                 for c in meta_cols["sum_cols"]
             ]
         )
