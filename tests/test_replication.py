@@ -87,6 +87,27 @@ class FakeServer:
                 raise ConnectionError("client closed")
             self._buf += chunk
 
+    def _recv_exact(self, n: int) -> bytes:
+        out = b""
+        while len(out) < n:
+            chunk = self.sock.recv(n - len(out))
+            if not chunk:
+                raise ConnectionError("client closed")
+            out += chunk
+        return out
+
+    def read_packet_bounded(self) -> bytes:
+        """Read exactly one packet WITHOUT over-reading the stream. Required
+        for the packet that may be an SSLRequest: the client's ClientHello
+        legitimately follows it immediately, so a buffering recv can coalesce
+        both and swallow TLS bytes that must stay in the kernel buffer for
+        wrap_socket (observed as a flaky mid-handshake SSLEOFError)."""
+        assert self._buf == b"", "bounded read requires an empty buffer"
+        hdr = self._recv_exact(4)
+        ln = int.from_bytes(hdr[:3], "little")
+        self.seq = (hdr[3] + 1) & 0xFF
+        return self._recv_exact(ln)
+
     # --- scripted session -------------------------------------------------
     def handshake_payload(self) -> bytes:
         caps = 0x00008000 | 0x00000200 | 0x00080000  # SECURE|PROTO41|PLUGIN
@@ -135,8 +156,10 @@ class FakeServer:
         """First client packet after the handshake: a 32-byte SSLRequest
         (caps with CLIENT_SSL) upgrades the channel to TLS and the real
         HandshakeResponse41 follows encrypted — exactly the server-side
-        protocol (round 6)."""
-        resp = self.read_packet()
+        protocol (round 6). Read via read_packet_bounded — the ClientHello
+        may already sit behind the SSLRequest in the kernel buffer, and a
+        buffering read would steal it from wrap_socket."""
+        resp = self.read_packet_bounded()
         if len(resp) == 32 and struct.unpack_from("<I", resp, 0)[0] & 0x800:
             import ssl
 
