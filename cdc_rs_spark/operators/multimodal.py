@@ -393,3 +393,53 @@ def dhash_near_dup_pairs(decoded: DataFrame) -> DataFrame:
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= DHASH_HAM_MAX)
     )
+
+
+LUMA_FRAME_BYTES = 64
+
+LUMA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("luma_sum", T.LongType()),
+    ]
+)
+
+
+def frame_luma_signatures(
+    df: DataFrame, frame_bytes: int = LUMA_FRAME_BYTES
+) -> DataFrame:
+    """Per-frame brightness signature: split the payload into frame_bytes
+    frames and emit each frame's integer byte sum — the cheap luminance
+    proxy real scene-cut detectors difference (mean-frame-brightness delta
+    is the classic first-pass cut signal). The 'decode' (byte sum via
+    numpy) runs Arrow-batched in mapInPandas like every multimodal hatch;
+    the windowed differencing that finds the cuts stays JVM-side in the
+    plan. Integer sums keep the downstream threshold math exact in both
+    engines."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                for k in range(0, (len(arr) + frame_bytes - 1) // frame_bytes):
+                    fr = arr[k * frame_bytes : (k + 1) * frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    lens.append(len(fr))
+                    sums.append(int(fr.sum(dtype=np.int64)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "luma_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, LUMA_SCHEMA)

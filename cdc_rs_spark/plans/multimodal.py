@@ -10,6 +10,7 @@ from cdc_rs_spark.functions.hashing import fp_sql
 from cdc_rs_spark.operators.multimodal import (
     AUDIO_BYTES_PER_MS,
     AUDIO_FRAME_BYTES,
+    LUMA_FRAME_BYTES,
     VIDEO_FRAME_BYTES,
     attach_payload,
     fake_audio_features,
@@ -307,3 +308,108 @@ def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", f"{payload} AS payload"
     )
     return dhash_near_dup_pairs(dhash_images(payloads))
+
+
+SCENE_CUT_THRESH = 3  # mean-brightness delta (byte units) that flags a cut
+
+
+@register(
+    "multimodal_video_scene_cuts",
+    oracle=f"""
+    WITH fr0 AS (
+        SELECT doc_id, text,
+               unnest(generate_series(
+                   0, (length(text) - 1) // {LUMA_FRAME_BYTES})) AS k
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, k AS frame_idx,
+               LEAST({LUMA_FRAME_BYTES},
+                     length(text) - k * {LUMA_FRAME_BYTES}) AS frame_len,
+               list_reduce(list_prepend(0::BIGINT, list_transform(
+                   range(k * {LUMA_FRAME_BYTES} + 1,
+                         k * {LUMA_FRAME_BYTES}
+                             + LEAST({LUMA_FRAME_BYTES},
+                                     length(text) - k * {LUMA_FRAME_BYTES})
+                             + 1),
+                   i -> ord(substr(text, i, 1))::BIGINT)),
+                   (x, y) -> x + y) AS luma_sum
+        FROM fr0
+    ),
+    d AS (
+        SELECT doc_id, frame_idx, frame_len, luma_sum,
+               lag(luma_sum) OVER w AS ps,
+               lag(frame_len) OVER w AS pl
+        FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    ),
+    j AS (
+        SELECT doc_id,
+               CASE WHEN ps IS NULL THEN NULL
+                    ELSE ABS(luma_sum * pl - ps * frame_len) END AS num,
+               CASE WHEN ps IS NULL THEN NULL
+                    ELSE frame_len * pl END AS den
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) FILTER (
+               WHERE num > {SCENE_CUT_THRESH} * den) AS BIGINT) AS n_cuts,
+           CAST(COALESCE(MAX(num * 1000 // den), 0) AS BIGINT)
+               AS max_jump_milli
+    FROM j GROUP BY doc_id
+    """,
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the opaque 'video' payload: per-frame
+    brightness signatures (integer byte sums over {LUMA_FRAME_BYTES}-byte
+    frames) come out of the Arrow-batched mapInPandas hatch
+    (operators/multimodal.py:frame_luma_signatures — the decode seam a real
+    codec drops into), then the cut logic is pure JVM window math: a cut is
+    a mean-brightness jump > SCENE_CUT_THRESH byte units between adjacent
+    frames, compared cross-multiplied (|s_i*l_p - s_p*l_i| > T*l_i*l_p) so
+    no division ever happens — integer-exact in both engines.
+
+    Scale shape: signatures stream through Arrow (1 row -> n_frames rows,
+    payload bytes never hit the driver); the lag window partitions BY DOC
+    (frames per doc is bounded by payload size / frame bytes), so there is
+    no global sort — the shuffle key is doc_id, the same partitioning every
+    other per-doc query uses. The oracle recomputes the byte sums from the
+    source text (pure ASCII, verified across fixtures), so a single byte
+    lost or reordered crossing Arrow fails the hash."""
+    from pyspark.sql import Window as W
+
+    from cdc_rs_spark.operators.multimodal import frame_luma_signatures
+
+    d = spread(load(spark, sf_dir, "documents"))
+    sig = frame_luma_signatures(attach_payload(d))
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    from pyspark.sql import functions as F
+
+    diffed = sig.select(
+        "doc_id",
+        "frame_idx",
+        "frame_len",
+        "luma_sum",
+        F.lag("luma_sum").over(w).alias("ps"),
+        F.lag("frame_len").over(w).alias("pl"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("ps").isNotNull(),
+            F.abs(
+                F.col("luma_sum") * F.col("pl") - F.col("ps") * F.col("frame_len")
+            ),
+        ).alias("num"),
+        F.when(F.col("ps").isNotNull(), F.col("frame_len") * F.col("pl")).alias(
+            "den"
+        ),
+    )
+    return diffed.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.count(F.when(F.col("num") > SCENE_CUT_THRESH * F.col("den"), 1))
+        .cast("bigint")
+        .alias("n_cuts"),
+        F.coalesce(F.max(F.expr("num * 1000 div den")), F.lit(0))
+        .cast("bigint")
+        .alias("max_jump_milli"),
+    )

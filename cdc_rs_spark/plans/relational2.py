@@ -3147,3 +3147,235 @@ def hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# Runtime join filters: Bloom prefilter audit
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 65536  # bits
+BLOOM_K = 3  # hash functions
+
+_BLOOM_POS = "CAST(('0x' || substr(md5({key} || ':' || {seed}), 1, 15)) AS BIGINT) % " + str(BLOOM_M)
+
+
+@register(
+    "join_bloom_prefilter_audit",
+    oracle=f"""
+    WITH members AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bloom AS (
+        SELECT DISTINCT {_BLOOM_POS.format(key="c_custkey::VARCHAR", seed="t.j")} AS pos
+        FROM members, range(0, {BLOOM_K}) t(j)
+    ),
+    probe AS (SELECT DISTINCT o_custkey FROM orders),
+    cpos AS (
+        SELECT DISTINCT o_custkey,
+               {_BLOOM_POS.format(key="o_custkey::VARCHAR", seed="t.j")} AS pos
+        FROM probe, range(0, {BLOOM_K}) t(j)
+    ),
+    verdict AS (
+        SELECT c.o_custkey,
+               COUNT(*) = COUNT(b.pos) AS pass_bloom
+        FROM cpos c LEFT JOIN bloom b USING (pos)
+        GROUP BY c.o_custkey
+    ),
+    flagged AS (
+        SELECT v.o_custkey, v.pass_bloom,
+               m.c_custkey IS NOT NULL AS is_member
+        FROM verdict v LEFT JOIN members m ON v.o_custkey = m.c_custkey
+    ),
+    keys AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
+               CAST(COUNT(*) FILTER (WHERE is_member) AS BIGINT) AS n_member_keys,
+               CAST(COUNT(*) FILTER (WHERE pass_bloom) AS BIGINT) AS n_pass_bloom,
+               CAST(COUNT(*) FILTER (WHERE pass_bloom AND NOT is_member) AS BIGINT)
+                   AS n_false_pos,
+               CAST(COUNT(*) FILTER (WHERE is_member AND NOT pass_bloom) AS BIGINT)
+                   AS n_false_neg
+        FROM flagged
+    ),
+    pruned AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_order_rows,
+               CAST(COUNT(*) FILTER (WHERE NOT f.pass_bloom) AS BIGINT)
+                   AS order_rows_pruned
+        FROM orders o JOIN flagged f ON o.o_custkey = f.o_custkey
+    )
+    SELECT n_probe_keys, n_member_keys, n_pass_bloom, n_false_pos, n_false_neg,
+           n_false_pos * 1000000 // GREATEST(n_probe_keys - n_member_keys, 1)
+               AS fp_per_million,
+           n_order_rows, order_rows_pruned
+    FROM keys, pruned
+    """,
+)
+def join_bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (the engine-side analog of Spark's
+    InjectRuntimeFilter / row-level runtime filtering): build a Bloom filter
+    over the dim-side join keys (customers in the BUILDING segment), probe
+    the fact side's keys BEFORE the join, and audit exactly what a planner
+    needs to decide the filter is worth shipping — false-positive rate and
+    fact rows pruned.
+
+    Scale story (the reason this is first-class at 100 TB): a shuffle join
+    of a 100 TB fact against a selective dim moves every fact row; a Bloom
+    filter of the dim keys is a few MB broadcast regardless of fact size and
+    drops non-matching fact rows AT THE SCAN, before the exchange. m={BLOOM_M}
+    bits / k={BLOOM_K} here; the positions table (<= m rows) broadcasts, the
+    probe is one map-side join + per-key count, and nothing fact-sized ever
+    shuffles except the final audit count. The n_false_neg column is the
+    structural guarantee (a Bloom filter never misses a member): it is
+    computed from the data, so any hashing drift between build and probe
+    sides fails BOTH the column and the oracle hash.
+
+    Engine-exactness: positions come from the md5 fingerprint
+    (functions/hashing.py) mod m — bit-identical in DuckDB — so even the
+    false-positive SET matches exactly, not just its size."""
+    from cdc_rs_spark.functions.hashing import fingerprint
+
+    seeds = F.array(*[F.lit(j) for j in range(BLOOM_K)])
+    cust = load(spark, sf_dir, "customer")
+    members = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bloom = (
+        members.select(
+            F.explode(seeds).alias("j"), F.col("c_custkey").cast("string").alias("k")
+        )
+        .select(
+            (
+                fingerprint(F.concat_ws(":", F.col("k"), F.col("j"))) % BLOOM_M
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    orders = load(spark, sf_dir, "orders")
+    probe = orders.select("o_custkey").distinct()
+    cpos = probe.select(
+        "o_custkey", F.explode(seeds).alias("j")
+    ).select(
+        "o_custkey",
+        (
+            fingerprint(
+                F.concat_ws(":", F.col("o_custkey").cast("string"), F.col("j"))
+            )
+            % BLOOM_M
+        ).alias("pos"),
+    ).distinct()
+    verdict = (
+        cpos.join(F.broadcast(bloom.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("o_custkey")
+        .agg((F.count("*") == F.count("hit")).alias("pass_bloom"))
+    )
+    flagged = verdict.join(
+        F.broadcast(members.withColumn("is_m", F.lit(True))),
+        verdict.o_custkey == members.c_custkey,
+        "left",
+    ).select(
+        "o_custkey", "pass_bloom", F.coalesce("is_m", F.lit(False)).alias("is_member")
+    )
+    keys = flagged.agg(
+        F.count("*").cast("bigint").alias("n_probe_keys"),
+        F.count(F.when(F.col("is_member"), 1)).cast("bigint").alias("n_member_keys"),
+        F.count(F.when(F.col("pass_bloom"), 1)).cast("bigint").alias("n_pass_bloom"),
+        F.count(F.when(F.col("pass_bloom") & ~F.col("is_member"), 1))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.count(F.when(F.col("is_member") & ~F.col("pass_bloom"), 1))
+        .cast("bigint")
+        .alias("n_false_neg"),
+    )
+    # audit-side only: production applies the bloom predicate at the scan;
+    # this per-key verdict join sizes with the DISTINCT keys, so no explicit
+    # broadcast hint — AQE picks broadcast when the verdict side is small.
+    pruned = (
+        orders.select("o_custkey")
+        .join(flagged.select("o_custkey", "pass_bloom"), "o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_order_rows"),
+            F.count(F.when(~F.col("pass_bloom"), 1))
+            .cast("bigint")
+            .alias("order_rows_pruned"),
+        )
+    )
+    return keys.crossJoin(pruned).select(
+        "n_probe_keys",
+        "n_member_keys",
+        "n_pass_bloom",
+        "n_false_pos",
+        "n_false_neg",
+        F.expr(
+            "n_false_pos * 1000000 div greatest(n_probe_keys - n_member_keys, 1)"
+        ).alias("fp_per_million"),
+        "n_order_rows",
+        "order_rows_pruned",
+    )
+
+
+@register(
+    "outlier_mad_robust_lineitem",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+        SELECT l.l_returnflag, m.med,
+               ABS(l.l_extendedprice - m.med) AS adev
+        FROM lineitem l JOIN med m USING (l_returnflag)
+    ),
+    mad AS (
+        SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           ROUND(MIN(d.med), 6) AS med_price,
+           ROUND(MIN(a.mad), 6) AS mad,
+           CAST(COUNT(*) FILTER (WHERE d.adev > 4.4478 * a.mad) AS BIGINT)
+               AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM dev d JOIN mad a USING (l_returnflag)
+    GROUP BY d.l_returnflag
+    """,
+)
+def outlier_mad_robust_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation robust outlier gate — the breakdown-proof
+    companion of outlier_iqr_lineitem (IQR fences move when 25% of the data
+    is corrupted; MAD tolerates up to 50%): per group, med = median(x),
+    MAD = median(|x - med|), outlier iff |x - med| > 3 * 1.4826 * MAD
+    (1.4826 makes MAD consistent for the normal sigma).
+
+    Both medians run as the distributed-selection exact quantile
+    (operators/quantiles.py — sketch bracket + zone histogram, never a
+    group-sized sort or buffer-everything percentile); the per-group med
+    and MAD return as literal CASE maps, so each of the two counting passes
+    is a single scan. At 100 TB this is 2 quantile selections + 2 scans —
+    the same cost envelope as the IQR gate, one extra pass for the derived
+    deviations. The 4.4478 * mad threshold is one double multiply, IEEE
+    identical in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    med = exact_quantiles(
+        li, "l_extendedprice", [0.5], group_cols=("l_returnflag",)
+    )
+    med_map = F.create_map(
+        *[F.lit(x) for (k,), (m,) in med.items() for x in (k, m)]
+    )[F.col("l_returnflag")]
+    dev = li.select(
+        "l_returnflag",
+        med_map.alias("med"),
+        F.abs(F.col("l_extendedprice") - med_map).alias("adev"),
+    )
+    mad = exact_quantiles(dev, "adev", [0.5], group_cols=("l_returnflag",))
+    mad_map = F.create_map(
+        *[F.lit(x) for (k,), (m,) in mad.items() for x in (k, m)]
+    )[F.col("l_returnflag")]
+    return (
+        dev.withColumn("mad", mad_map)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("med"), 6).alias("med_price"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count(F.when(F.col("adev") > 4.4478 * F.col("mad"), 1))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cdc_rs_spark.functions.hashing import P31, lcg_coeffs
 from cdc_rs_spark.operators.similarity import (
     EMB_DIM,
     LSH_WEIGHTS,
@@ -2165,4 +2166,150 @@ def similarity_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id", "vec_id", F.round("rrf", 6).alias("rrf_score"), "rank"
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection: distortion audit
+# ---------------------------------------------------------------------------
+
+JL_K = 16  # projected dimensions
+JL_Q = 4096  # quantization scale (2^12) — keeps every product within int64
+
+
+def _jl_signs() -> list[list[int]]:
+    """JL_K rows of EMB_DIM +/-1 signs from the shared LCG (seed 77): the
+    dense Achlioptas/Rademacher projection matrix. Literals land in BOTH
+    the Spark plan and the generated oracle SQL, like the MinHash coeffs."""
+    coeffs = lcg_coeffs(JL_K, seed=77)
+    return [
+        [1 if ((a * i + b) % P31) % 2 == 0 else -1 for i in range(1, EMB_DIM + 1)]
+        for (a, b) in coeffs
+    ]
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+    values = ",".join(
+        f"({j + 1},{i + 1},{signs[j][i]})"
+        for j in range(JL_K)
+        for i in range(EMB_DIM)
+    )
+    d2 = (
+        "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, {n}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
+    )
+    return f"""
+    WITH quant AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(floor(x::DOUBLE * {JL_Q}.0 + 0.5)
+                                        AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    sgn(j, i, s) AS (VALUES {values}),
+    proj AS (
+        SELECT vec_id, g.j, CAST(SUM(q[g.i] * g.s) AS BIGINT) AS y
+        FROM quant, sgn g GROUP BY vec_id, g.j
+    ),
+    yv AS (SELECT vec_id, list(y ORDER BY j) AS y FROM proj GROUP BY vec_id),
+    bq AS (
+        SELECT q.vec_id, q.q, y.y FROM quant q JOIN yv y USING (vec_id)
+    ),
+    pr AS (
+        SELECT {d2.format(n=EMB_DIM + 1, a="a.q", b="b.q")} AS d2o,
+               {d2.format(n=JL_K + 1, a="a.y", b="b.y")} AS d2p
+        FROM bq a, bq b
+        WHERE a.vec_id % 31 = 0 AND b.vec_id % 37 = 0 AND a.vec_id < b.vec_id
+    ),
+    r AS (
+        SELECT d2p * 1000000 // GREATEST({JL_K} * d2o, 1) AS ratio_micro
+        FROM pr
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(ratio_micro) AS BIGINT) AS min_ratio_micro,
+           CAST(MAX(ratio_micro) AS BIGINT) AS max_ratio_micro,
+           CAST(SUM(ratio_micro) AS BIGINT) // COUNT(*) AS avg_ratio_micro,
+           CAST(COUNT(*) FILTER (WHERE ratio_micro BETWEEN 500000 AND 1500000)
+                AS BIGINT) AS n_within_50pct
+    FROM r
+    """
+
+
+@register("embedding_random_projection_audit", oracle=_jl_oracle())
+def embedding_random_projection_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection + distortion audit: project
+    the 64-dim embeddings to JL_K=16 dims with a +/-1 Rademacher matrix and
+    measure, over a deterministic pair sample, how well projected squared
+    distances (scaled by d2p/k) preserve the original ones — the go/no-go
+    before swapping a 4x-smaller projected index into the ANN stack.
+
+    Integer-exactness discipline: embeddings quantize to JL_Q integer units
+    first, so projections, squared distances, and the per-pair ratio are
+    ALL int64 arithmetic — order-independent, engine-identical, and sized so
+    the worst-case product stays under 2^63 (|q| <= JL_Q, |y| <= 64*JL_Q,
+    d2p*1e6 <= ~2e18). The sign matrix comes from the shared LCG, landing as
+    literals in both engines like the MinHash coefficients.
+
+    Scale shape: projection is one map-side zip_with/aggregate per vector —
+    no shuffle, no Python, composes with the IVF/PQ stores as a narrower
+    input column. The audit's pair stage crossJoins two ~n/31- and
+    n/37-sampled sides (both broadcast-sized by construction; the product is
+    ~n^2/1147 pairs, bounded and documented — never all-pairs)."""
+    signs = _jl_signs()
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * JL_Q + F.lit(0.5)).cast("long"),
+    )
+    quant = emb.select("vec_id", q.alias("q"))
+    ys = [
+        F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda a, b: a * b.cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        for j in range(JL_K)
+    ]
+    proj = quant.select("vec_id", "q", F.array(*ys).alias("y"))
+    a = proj.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("ia"), F.col("q").alias("qa"), F.col("y").alias("ya")
+    )
+    b = proj.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("ib"), F.col("q").alias("qb"), F.col("y").alias("yb")
+    )
+
+    def d2(u: str, v: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col(u), F.col(v), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + w,
+        )
+
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("ia") < F.col("ib"))
+        .select(d2("qa", "qb").alias("d2o"), d2("ya", "yb").alias("d2p"))
+    )
+    r = pairs.select(
+        F.expr(f"d2p * 1000000 div greatest({JL_K} * d2o, 1)").alias("ratio_micro")
+    )
+    return r.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.min("ratio_micro").cast("bigint").alias("min_ratio_micro"),
+        F.max("ratio_micro").cast("bigint").alias("max_ratio_micro"),
+        F.expr("CAST(sum(ratio_micro) AS BIGINT) div count(*)").alias(
+            "avg_ratio_micro"
+        ),
+        F.count(
+            F.when(F.col("ratio_micro").between(500000, 1500000), 1)
+        )
+        .cast("bigint")
+        .alias("n_within_50pct"),
     )

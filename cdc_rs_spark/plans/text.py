@@ -1385,18 +1385,19 @@ def text_bigram_lm_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 12
 
 
-def _bpe_oracle(n_merges: int = BPE_MERGES) -> str:
-    """Unrolled BPE training: per merge round, one pair-count CTE, one
-    argmax CTE, one merge-application CTE (all MATERIALIZED — DuckDB
-    inlines plain CTEs and the per-round triple references explode
-    exponentially otherwise, the k-core lesson). The merge application
-    folds the symbol list left-to-right with list_reduce over a
-    chr(31)-joined accumulator: the last symbol of the accumulator is
-    `l` iff acc = l or acc ends with chr(31)||l (symbols are [a-z]+
+def _bpe_ctes(n_merges: int = BPE_MERGES) -> list[str]:
+    """The shared CTE chain of the BPE oracle family: per merge round, one
+    pair-count CTE, one argmax CTE, one merge-application CTE (all
+    MATERIALIZED — DuckDB inlines plain CTEs and the per-round triple
+    references explode exponentially otherwise, the k-core lesson). The
+    merge application folds the symbol list left-to-right with list_reduce
+    over a chr(31)-joined accumulator: the last symbol of the accumulator
+    is `l` iff acc = l or acc ends with chr(31)||l (symbols are [a-z]+
     concatenations, never containing the separator), and appending `r`
-    WITHOUT a separator is exactly the merge. list_reduce seeds with
-    the first element, so single-symbol words pass through the CASE
-    len(s)=1 guard untouched."""
+    WITHOUT a separator is exactly the merge. list_reduce seeds with the
+    first element, so single-symbol words pass through the CASE len(s)=1
+    guard untouched. The final CTE w{n_merges} holds every distinct word's
+    FULLY ENCODED symbol list — training and encoding share it."""
     ctes = [
         """wf AS MATERIALIZED (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -1442,6 +1443,11 @@ def _bpe_oracle(n_merges: int = BPE_MERGES) -> str:
             FROM w{p}, best{r} b
         )"""
         )
+    return ctes
+
+
+def _bpe_oracle(n_merges: int = BPE_MERGES) -> str:
+    ctes = _bpe_ctes(n_merges)
     union = "\nUNION ALL\n".join(
         f"SELECT {r} AS merge_rank, l AS left_sym, r AS right_sym, "
         f"l || r AS merged, n AS pair_count FROM best{r}"
@@ -1499,6 +1505,20 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("word")
     )
     wf = words.groupBy("word").agg(F.count("*").cast("bigint").alias("cnt"))
+    merges, _ = _bpe_train(spark, wf)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count bigint",
+    )
+
+
+def _bpe_train(spark: SparkSession, wf: DataFrame):
+    """Run the BPE_MERGES-round training loop over a (word, cnt) frequency
+    table. Returns (merges, w_final): the learned merge rules and the word
+    table with each word's FINAL symbolization under them — the encoder's
+    lookup table (text_bpe_encode_fertility consumes it; retraining to
+    encode mirrors the oracle, whose w{N} CTE is the same byproduct)."""
     w = wf.select(
         "word",
         "cnt",
@@ -1545,8 +1565,89 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"ELSE concat(acc, array(x)) END)"
             ).alias("s"),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, left_sym string, right_sym string, "
-        "merged string, pair_count bigint",
+    return merges, w
+
+
+@register(
+    "text_bpe_encode_fertility",
+    oracle=(
+        "WITH "
+        + ",\n".join(_bpe_ctes())
+        + f""",
+    wtok AS MATERIALIZED (
+        SELECT word, len(s)::BIGINT AS n_tok, length(word)::BIGINT AS n_chr
+        FROM w{BPE_MERGES}
+    ),
+    dw AS (
+        SELECT source,
+               lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS word
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+           CAST(SUM(n_tok) AS BIGINT) * 1000000 // CAST(COUNT(*) AS BIGINT)
+               AS tokens_per_word_micro,
+           CAST(SUM(n_chr) AS BIGINT) * 1000000 // CAST(SUM(n_tok) AS BIGINT)
+               AS chars_per_token_micro
+    FROM dw JOIN wtok USING (word)
+    GROUP BY source
+    ORDER BY source
+    """
+    ),
+)
+def text_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION — the other half of text_bpe_train_merges:
+    encode the corpus with the learned merges and audit per-source
+    fertility (tokens/word) and compression (chars/token), the numbers a
+    training pipeline sizes its token budget and per-source mixing with.
+
+    The scale shape mirrors the trainer's: encoding is NEVER per-document
+    work. The corpus contributes one explode + (source, word) shuffle; the
+    merge fold runs over the DISTINCT-word table (corpus-size-independent),
+    and each word's final token count joins back to the per-source word
+    stream as a plain shuffle join on `word` (at web scale ~1e7-1e8 distinct
+    words — too big to broadcast blindly, exactly the size-gated join the
+    NB scorer uses). Ratios are integer micro-units (div), so the result is
+    partitioning-independent and engine-exact.
+
+    Oracle: the SAME training chain as _bpe_oracle — its final w{N} CTE IS
+    the encoder table — extended by one join + group-by. A drift anywhere in
+    the 12 learned merges, the fold semantics, or the join shows up as a
+    hash mismatch, not a tolerance."""
+    d = spread(load(spark, sf_dir, "documents"))
+    by_src = d.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[A-Za-z]+', 0)")
+        ).alias("word"),
+    )
+    wf = by_src.groupBy("word").agg(F.count("*").cast("bigint").alias("cnt"))
+    _, w_final = _bpe_train(spark, wf)
+    wtok = w_final.select(
+        "word",
+        F.size("s").cast("bigint").alias("n_tok"),
+        F.length("word").cast("bigint").alias("n_chr"),
+    )
+    return (
+        by_src.join(wtok, "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum("n_chr").cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.expr("n_tokens * 1000000 div n_words").alias(
+                "tokens_per_word_micro"
+            ),
+            F.expr("n_chars * 1000000 div n_tokens").alias(
+                "chars_per_token_micro"
+            ),
+        )
     )

@@ -120,32 +120,37 @@ _DRIVER_WINDOW = [
     # two share one oracle, so the driver checks both sides of the
     # incremental == batch claim every round
     "dedup_connected_components",
+    # NEW in round-9 session 2 — pinned at birth: BPE training + encoding
+    # (tokenizer fertility audit), label-propagation communities, the
+    # register-exact streaming HLL, the Bloom runtime-join-filter audit,
+    # the MAD robust outlier gate, the JL random-projection distortion
+    # audit, and video scene-cut detection
+    "text_bpe_train_merges",
+    "text_bpe_encode_fertility",
+    "part_community_lpa",
+    "hll_incremental_distinct",
+    "join_bloom_prefilter_audit",
+    "outlier_mad_robust_lineitem",
+    "embedding_random_projection_audit",
+    "multimodal_video_scene_cuts",
     # rotation picks (none were in the r8 window; every family keeps at
     # least one slot)
     "q2_min_cost_supplier",
-    "q3_shipping_priority",
     "q8_market_share",
     "q9_product_profit",
-    "q14_promo_revenue",
     "q18_large_volume_customer",
     "q22_idle_customers",
     "cdc_merge_live_wins",
-    "cdc_snapshot_diff",
     "cdc_schema_evolution",
     "cdc_join_view_maintenance",
     "rhai_script_closure_while_scoring",
-    "rhai_script_bigquery_envelope",
     "events_asof_last_click",
     "events_range_join_bucketed",
-    "events_markov_transitions",
     "dedup_canonical_quality",
     "decontaminate_eval_overlap",
-    "similarity_bruteforce_topk",
     "similarity_recall_eval",
     "embedding_quantization_error_audit",
-    "text_bpe_token_estimate",
     "text_quality_quartiles_by_lang",
-    "pii_scrub_documents",
     "multimodal_payload_dedup",
 ]
 

@@ -780,3 +780,72 @@ def test_lpa_two_cliques_with_bridge(spark, tmp_path):
     ]
     assert got == expect
     assert len(got) == 2  # the bridge must NOT glue the cliques together
+
+
+def test_bloom_prefilter_audit_invariants(spark, sf_dir):
+    """Structural Bloom guarantees on real data: zero false negatives
+    (every member key passes), pass superset of members, and the pruned
+    row count is consistent with the pass verdicts."""
+    from cdc_rs_spark.plans.relational2 import join_bloom_prefilter_audit
+
+    row = join_bloom_prefilter_audit(spark, sf_dir).collect()[0]
+    assert row.n_false_neg == 0
+    assert row.n_pass_bloom >= row.n_member_keys
+    assert row.n_false_pos == row.n_pass_bloom - row.n_member_keys
+    assert 0 <= row.order_rows_pruned <= row.n_order_rows
+
+
+def test_frame_luma_signatures_crafted_payloads(spark):
+    """Crafted payloads through the Arrow hatch: a flat doc yields equal
+    frame sums (no cut), a doc with a hard brightness jump yields a
+    >3-byte-unit mean delta between adjacent frames, and a short tail
+    frame keeps its exact length and sum."""
+    from cdc_rs_spark.operators.multimodal import (
+        LUMA_FRAME_BYTES,
+        frame_luma_signatures,
+    )
+
+    flat = bytes([100]) * (LUMA_FRAME_BYTES * 2)
+    jump = bytes([32]) * LUMA_FRAME_BYTES + bytes([122]) * LUMA_FRAME_BYTES
+    tail = bytes([50]) * (LUMA_FRAME_BYTES + 10)
+    df = spark.createDataFrame(
+        [(1, bytearray(flat)), (2, bytearray(jump)), (3, bytearray(tail))],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        (r.doc_id, r.frame_idx): r
+        for r in frame_luma_signatures(df).collect()
+    }
+    assert rows[(1, 0)].luma_sum == rows[(1, 1)].luma_sum == 100 * LUMA_FRAME_BYTES
+    d_jump = abs(rows[(2, 1)].luma_sum - rows[(2, 0)].luma_sum) / LUMA_FRAME_BYTES
+    assert d_jump == 90  # 122 - 32: an unmistakable scene cut
+    assert rows[(3, 1)].frame_len == 10
+    assert rows[(3, 1)].luma_sum == 50 * 10
+
+
+def test_bpe_fertility_conservation(spark, sf_dir):
+    """Per-source fertility must satisfy the tokenizer conservation laws:
+    every word >= 1 token, every token >= 1 char, so
+    n_chars >= n_tokens >= n_words and tokens/word >= 1.0 exactly."""
+    from cdc_rs_spark.plans.text import text_bpe_encode_fertility
+
+    rows = text_bpe_encode_fertility(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_chars >= r.n_tokens >= r.n_words > 0
+        assert r.tokens_per_word_micro >= 1_000_000
+        assert r.chars_per_token_micro >= 1_000_000
+
+
+def test_jl_projection_preserves_distances_on_fixture(spark, sf_dir):
+    """The JL guarantee at k=16 (sd ~ sqrt(2/k) ~ 0.35 of the ratio):
+    the mean projected/original distance ratio lands near 1 and a
+    majority of sampled pairs fall within +/-50%."""
+    from cdc_rs_spark.plans.similarity import (
+        embedding_random_projection_audit,
+    )
+
+    row = embedding_random_projection_audit(spark, sf_dir).collect()[0]
+    assert row.n_pairs > 0
+    assert 500_000 <= row.avg_ratio_micro <= 1_500_000
+    assert row.n_within_50pct * 2 >= row.n_pairs

@@ -1055,3 +1055,43 @@ def test_coreness_weighted_sample_is_take_ordered(spark):
 
     plan = _physical_plan(sample_coreness_weighted(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bloom_prefilter_broadcasts_positions_and_stays_jvm(spark):
+    """join_bloom_prefilter_audit: the bloom positions table must reach the
+    probe side as a broadcast (the whole point — the filter ships to the
+    fact scan, the fact never shuffles to the filter), the plan must be
+    JVM-pure, and nothing may plan as a cartesian product."""
+    from cdc_rs_spark.plans.relational2 import join_bloom_prefilter_audit
+
+    df = join_bloom_prefilter_audit(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jl_projection_is_jvm_pure_and_never_all_pairs(spark):
+    """embedding_random_projection_audit: the projection is a map-side
+    array fold (no Python anywhere), and the pair stage joins two SAMPLED
+    sides via broadcast — no CartesianProduct over the full table."""
+    from cdc_rs_spark.plans.similarity import embedding_random_projection_audit
+
+    df = embedding_random_projection_audit(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PythonMapInArrow" not in plan and "MapInPandas" not in plan
+
+
+def test_scene_cut_window_partitions_by_doc(spark):
+    """multimodal_video_scene_cuts: the lag window must partition by
+    doc_id (per-doc frame chains — NEVER a single-partition global window),
+    and the only Python in the plan is the mapInPandas signature hatch."""
+    from cdc_rs_spark.plans.multimodal import multimodal_video_scene_cuts
+
+    df = multimodal_video_scene_cuts(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert "SinglePartition" not in plan.split("Window")[0], plan
