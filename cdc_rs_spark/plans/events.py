@@ -1508,3 +1508,169 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(PATH_TOP)
     )
+
+
+@register(
+    "anomaly_cusum_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY d
+    ),
+    cents AS (SELECT d, rev, CAST(rev * 100 AS BIGINT) AS rc FROM daily),
+    tgt AS (
+        SELECT CAST(SUM(rc) AS BIGINT) // COUNT(*) AS target,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM cents
+    ),
+    dev AS (
+        SELECT c.d, c.rev, c.rc - t.target AS dv FROM cents c, tgt t
+    ),
+    thr AS (
+        SELECT 3 * (CAST(SUM(ABS(dv)) AS BIGINT) // COUNT(*)) AS h FROM dev
+    ),
+    walk AS (
+        SELECT d, rev, dv,
+               CAST(SUM(dv) OVER w AS BIGINT) AS p
+        FROM dev
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    cusum AS (
+        SELECT d, rev,
+               p - LEAST(0, MIN(p) OVER w) AS s_pos,
+               GREATEST(0, MAX(p) OVER w) - p AS s_neg
+        FROM walk
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT c.d, CAST(c.rev AS DOUBLE) AS rev,
+           CAST(c.s_pos AS BIGINT) AS s_pos_cents,
+           CAST(c.s_neg AS BIGINT) AS s_neg_cents,
+           (c.s_pos > t.h OR c.s_neg > t.h) AS alarm
+    FROM cusum c, thr t
+    """,
+)
+def anomaly_cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily revenue — the sequential
+    drift detector the rolling z-score misses (z flags single outlier
+    days; CUSUM accumulates small sustained shifts until they cross h).
+    The textbook recursion S_t = max(0, S_{t-1} + dev_t) is NOT expressed
+    iteratively: the positive-part recursion has the closed form
+    S_t = P_t - min(0, min_{k<=t} P_k) over the deviation prefix sums
+    (the 0 term is the virtual empty prefix — S starts at zero), so both
+    sides (upward and downward shifts) are two plain running windows —
+    no recursion, no driver loop.
+
+    Determinism discipline: revenue in exact integer cents, target = the
+    integer mean, threshold h = 3x the integer mean absolute deviation —
+    every compared quantity is BIGINT, so alarm booleans are bit-identical
+    across engines and partitionings. The fact table collapses to the
+    daily series first; the unpartitioned running windows scan |days|
+    rows (the ewma_daily_revenue pattern — benign by construction)."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    cents = daily.select(
+        "d", "rev", (F.col("rev") * 100).cast("bigint").alias("rc")
+    )
+    tgt = cents.agg(
+        F.expr("CAST(sum(rc) AS BIGINT) div count(*)").alias("target")
+    )
+    dev = cents.crossJoin(F.broadcast(tgt)).select(
+        "d", "rev", (F.col("rc") - F.col("target")).alias("dv")
+    )
+    thr = dev.agg(
+        F.expr("3 * (CAST(sum(abs(dv)) AS BIGINT) div count(*))").alias("h")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    walk = dev.select(
+        "d", "rev", F.sum("dv").over(w).cast("bigint").alias("p")
+    )
+    cusum = walk.select(
+        "d",
+        "rev",
+        (F.col("p") - F.least(F.lit(0), F.min("p").over(w))).alias("s_pos"),
+        (F.greatest(F.lit(0), F.max("p").over(w)) - F.col("p")).alias("s_neg"),
+    )
+    return cusum.crossJoin(F.broadcast(thr)).select(
+        "d",
+        F.col("rev").cast("double").alias("rev"),
+        F.col("s_pos").cast("bigint").alias("s_pos_cents"),
+        F.col("s_neg").cast("bigint").alias("s_neg_cents"),
+        ((F.col("s_pos") > F.col("h")) | (F.col("s_neg") > F.col("h"))).alias(
+            "alarm"
+        ),
+    )
+
+
+@register(
+    "seasonality_dow_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY d
+    ),
+    cents AS (
+        SELECT (d - DATE '1970-01-01') % 7 AS dow_idx,
+               CAST(rev * 100 AS BIGINT) AS rc
+        FROM daily
+    ),
+    per_dow AS (
+        SELECT dow_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(rc) AS BIGINT) // COUNT(*) AS mean_cents
+        FROM cents GROUP BY dow_idx
+    ),
+    overall AS (
+        SELECT CAST(SUM(rc) AS BIGINT) // COUNT(*) AS omean FROM cents
+    )
+    SELECT p.dow_idx, p.n_days,
+           CAST(p.mean_cents AS DOUBLE) / 100.0 AS mean_rev,
+           p.mean_cents * 1000000 // o.omean AS seasonal_index_micro
+    FROM per_dow p, overall o
+    """,
+)
+def seasonality_dow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of daily revenue: per-weekday
+    mean vs the overall daily mean as an integer micro-unit seasonal index
+    — the multiplicative-seasonality profile a forecaster divides out
+    before trend fitting, and the capacity-planning shape ops teams read
+    directly.
+
+    Portability trap pinned here: Spark's dayofweek() is 1=Sunday..7 while
+    DuckDB's is 0=Sunday..6 — so the weekday comes from pure date
+    arithmetic instead (days-since-epoch mod 7, 0 = Thursday), identical
+    in both engines by construction. All means are integer cents via div;
+    the fact table collapses to the daily series before any weekday math,
+    so the whole decomposition runs over |days| rows."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    cents = daily.select(
+        (F.datediff(F.col("d"), F.lit("1970-01-01")) % 7).alias("dow_idx"),
+        (F.col("rev") * 100).cast("bigint").alias("rc"),
+    )
+    per_dow = cents.groupBy("dow_idx").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.expr("CAST(sum(rc) AS BIGINT) div count(*)").alias("mean_cents"),
+    )
+    overall = cents.agg(
+        F.expr("CAST(sum(rc) AS BIGINT) div count(*)").alias("omean")
+    )
+    return per_dow.crossJoin(F.broadcast(overall)).select(
+        "dow_idx",
+        "n_days",
+        (F.col("mean_cents").cast("double") / 100.0).alias("mean_rev"),
+        F.expr("mean_cents * 1000000 div omean").alias("seasonal_index_micro"),
+    )

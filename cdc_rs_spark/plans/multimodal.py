@@ -413,3 +413,117 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("max_jump_milli"),
     )
+
+
+VAD_MEAN_BYTE = 100  # active-frame threshold on mean byte value
+
+
+@register(
+    "multimodal_audio_vad_segments",
+    oracle=f"""
+    WITH fr0 AS (
+        SELECT doc_id, text,
+               unnest(generate_series(
+                   0, (length(text) - 1) // {LUMA_FRAME_BYTES})) AS k
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, k AS frame_idx,
+               LEAST({LUMA_FRAME_BYTES},
+                     length(text) - k * {LUMA_FRAME_BYTES}) AS frame_len,
+               list_reduce(list_prepend(0::BIGINT, list_transform(
+                   range(k * {LUMA_FRAME_BYTES} + 1,
+                         k * {LUMA_FRAME_BYTES}
+                             + LEAST({LUMA_FRAME_BYTES},
+                                     length(text) - k * {LUMA_FRAME_BYTES})
+                             + 1),
+                   i -> ord(substr(text, i, 1))::BIGINT)),
+                   (x, y) -> x + y) AS luma_sum
+        FROM fr0
+    ),
+    act AS (
+        SELECT doc_id, frame_idx,
+               frame_idx - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY frame_idx) AS grp
+        FROM fr WHERE luma_sum >= {VAD_MEAN_BYTE} * frame_len
+    ),
+    seg AS (
+        SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS seg_len
+        FROM act GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames FROM fr
+        GROUP BY doc_id
+    ),
+    seg_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               CAST(SUM(seg_len) AS BIGINT) AS n_active,
+               CAST(MAX(seg_len) AS BIGINT) AS longest_segment
+        FROM seg GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_frames,
+           COALESCE(s.n_active, 0) AS n_active,
+           COALESCE(s.n_segments, 0) AS n_segments,
+           COALESCE(s.longest_segment, 0) AS longest_segment,
+           COALESCE(s.n_active, 0) * 1000000 // p.n_frames AS active_ratio_micro
+    FROM per_doc p LEFT JOIN seg_doc s USING (doc_id)
+    """,
+)
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-detection-style segmentation over the opaque 'audio'
+    payload: frames whose mean byte value clears VAD_MEAN_BYTE are
+    'active'; CONSECUTIVE active frames merge into segments via the
+    gaps-and-islands identity (frame_idx - row_number() is constant within
+    a run) — the run-length primitive real VAD, silence trimming, and
+    scene segmentation all reduce to. Per doc: frame/active counts,
+    segment count, longest segment, and an integer active ratio.
+
+    Scale shape: the energy signatures stream through the same Arrow
+    mapInPandas hatch as the scene-cut query (payload bytes stay on
+    executors); both windows partition BY doc_id, and the activity test is
+    cross-multiplied (luma_sum >= T * frame_len), so everything downstream
+    of the hatch is exact integer JVM math. Docs with zero active frames
+    keep a row (left join + coalesce), so the output is a total function
+    of the corpus — no survivorship bias in the ratio stats."""
+    from pyspark.sql import Window as W
+
+    from cdc_rs_spark.operators.multimodal import frame_luma_signatures
+
+    d = spread(load(spark, sf_dir, "documents"))
+    from pyspark.sql import functions as F
+
+    fr = frame_luma_signatures(attach_payload(d))
+    act = fr.filter(
+        F.col("luma_sum") >= VAD_MEAN_BYTE * F.col("frame_len")
+    ).select(
+        "doc_id",
+        "frame_idx",
+        (
+            F.col("frame_idx")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("frame_idx"))
+        ).alias("grp"),
+    )
+    seg = act.groupBy("doc_id", "grp").agg(
+        F.count("*").cast("bigint").alias("seg_len")
+    )
+    per_doc = fr.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_frames")
+    )
+    seg_doc = seg.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum("seg_len").cast("bigint").alias("n_active"),
+        F.max("seg_len").cast("bigint").alias("longest_segment"),
+    )
+    return per_doc.join(seg_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        F.coalesce("n_active", F.lit(0)).cast("bigint").alias("n_active"),
+        F.coalesce("n_segments", F.lit(0)).cast("bigint").alias("n_segments"),
+        F.coalesce("longest_segment", F.lit(0))
+        .cast("bigint")
+        .alias("longest_segment"),
+        F.expr(
+            "coalesce(n_active, 0) * 1000000 div n_frames"
+        ).alias("active_ratio_micro"),
+    )

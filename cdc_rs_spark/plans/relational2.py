@@ -3379,3 +3379,225 @@ def outlier_mad_robust_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_rows"),
         )
     )
+
+
+FIM_MIN_ITEM_SUP = 3  # level-1 Apriori prune: item must hit >= 3 baskets
+FIM_TOP = 20
+
+
+@register(
+    "basket_frequent_triples",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    freq AS (
+        SELECT l_partkey FROM b GROUP BY l_partkey
+        HAVING COUNT(*) >= {FIM_MIN_ITEM_SUP}
+    ),
+    fb AS (
+        SELECT b.l_orderkey, b.l_partkey FROM b
+        WHERE b.l_partkey IN (SELECT l_partkey FROM freq)
+    ),
+    tri AS (
+        SELECT a.l_partkey AS p1, c.l_partkey AS p2, e.l_partkey AS p3,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM fb a
+        JOIN fb c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        JOIN fb e ON a.l_orderkey = e.l_orderkey AND c.l_partkey < e.l_partkey
+        GROUP BY p1, p2, p3
+    )
+    SELECT p1, p2, p3, support
+    FROM tri ORDER BY support DESC, p1, p2, p3 LIMIT {FIM_TOP}
+    """,
+)
+def basket_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining at level 3 (Apriori over order baskets):
+    top-{FIM_TOP} part triples co-purchased in the most orders — the next
+    level up from part_cooccurrence_basket's pairs, and the shape every
+    distributed FIM (YAFIM, PFP-growth's first phase) reduces to.
+
+    The Apriori monotonicity prune is applied where it pays: items below
+    FIM_MIN_ITEM_SUP baskets are dropped BEFORE candidate generation (no
+    triple containing an infrequent item can be frequent), so the
+    self-join fan-out is bounded by the pruned basket width, not the raw
+    one. Candidate triples come from two orderkey-equi-joins with
+    p1<p2<p3 ordering predicates — each basket contributes C(w,3)
+    combinations exactly once, no dedup pass needed. At 100 TB the joins
+    shuffle on l_orderkey (the natural co-location key: one exchange,
+    reused by AQE across both joins) and the aggregate is map-side
+    combinable; for wider baskets the standard mitigation is raising the
+    level-1 support or capping basket width — both single-line knobs,
+    both honest truncations a production FIM also makes. The final top-k
+    is TakeOrderedAndProject (per-partition heaps), never a global sort;
+    ties break on the part keys so the cut is deterministic."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    freq = (
+        b.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= FIM_MIN_ITEM_SUP)
+        .select("l_partkey")
+    )
+    fb = b.join(F.broadcast(freq), "l_partkey").select("l_orderkey", "l_partkey")
+    a = fb.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    c = fb.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    e = fb.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p3"))
+    tri = (
+        a.join(c, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .join(e, "ok")
+        .filter(F.col("p2") < F.col("p3"))
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count("*").cast("bigint").alias("support"))
+    )
+    return tri.orderBy(
+        F.desc("support"), "p1", "p2", "p3"
+    ).limit(FIM_TOP)
+
+
+QH_BUCKET = 2048.0  # histogram bucket width (price units)
+QH_NBUCKETS = 64
+QH_QS = (50, 95)  # served quantiles, in percent
+
+
+def _qh_bucket_sql(col: str) -> str:
+    return (
+        f"LEAST(GREATEST(CAST(floor({col} / {QH_BUCKET}) AS BIGINT), 0), "
+        f"{QH_NBUCKETS - 1})"
+    )
+
+
+def _qh_oracle() -> str:
+    qs_values = ", ".join(f"({q})" for q in QH_QS)
+    return f"""
+    WITH hist AS (
+        SELECT l_returnflag AS grp,
+               {_qh_bucket_sql("l_extendedprice")} AS b,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY grp, b
+    ),
+    cum AS (
+        SELECT grp, b, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY grp ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS c,
+               CAST(SUM(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+        FROM hist
+    ),
+    qs(q_pct) AS (VALUES {qs_values}),
+    cand AS (
+        SELECT c.grp, q.q_pct, c.b, c.c, c.n
+        FROM cum c, qs q
+        WHERE c.c >= (c.n * q.q_pct + 99) // 100
+    ),
+    sel AS (
+        SELECT grp, q_pct, CAST(MIN(b) AS BIGINT) AS bucket
+        FROM cand GROUP BY grp, q_pct
+    )
+    SELECT s.grp, CAST(s.q_pct AS BIGINT) AS q_pct, c.n AS n_rows, s.bucket,
+           CAST((s.bucket + 1) * {int(QH_BUCKET)} AS BIGINT) AS est_hi,
+           c.c AS cum_cnt
+    FROM sel s JOIN cum c ON s.grp = c.grp AND s.bucket = c.b
+    """
+
+
+@register("quantile_histogram_incremental", oracle=_qh_oracle())
+def quantile_histogram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quantile maintenance — the third sketch family kept fresh
+    AT INGEST beside the CMS (SUM monoid) and HLL (MAX monoid) stores: a
+    fixed-width equi-width histogram is additive (histogram merge IS
+    cell-wise integer addition), so per-group p50/p95 serve from the
+    persisted store with NO access to the raw stream. lineitem arrives as
+    two micro-batches folded as partial (grp, bucket, cnt) segments into
+    streaming/additive.py (ledger-gated replays, epoch-published
+    compaction between the folds); the served quantile is the smallest
+    bucket whose cumulative count reaches ceil(q * n) over the MERGED
+    histogram — equal to the batch histogram over the union BY ALGEBRA.
+
+    Determinism: bucketing is floor(price / width) clamped to
+    [0, {QH_NBUCKETS - 1}] via floor() (NOT a bare double->int cast —
+    Spark truncates, DuckDB rounds), the rank target is the exact integer
+    ceil-division (n*q + 99) div 100, and every served column is BIGINT —
+    the oracle rebuilds the histogram from the whole table, so equality
+    also proves the streamed fold == batch claim at all three scales.
+
+    Scale shape: each fold is one input pass + a map-side-combinable
+    aggregation with <= |groups| x {QH_NBUCKETS} output rows — constant
+    segment bytes per batch at any batch size; serving scans
+    <= |groups| x {QH_NBUCKETS} x n_segments rows and the quantile
+    selection windows over the {QH_NBUCKETS}-row per-group histogram.
+    Accuracy is the bucket width (est_hi bounds the true quantile from
+    above by construction — pinned against the exact selection quantile
+    in tests/test_extensions.py); production tunes width/buckets per
+    column, the same knob every metrics store (Prometheus, HDR
+    histograms) exposes."""
+    import shutil
+    import tempfile
+
+    from cdc_rs_spark.benchphase import build_phase
+    from cdc_rs_spark.streaming.additive import (
+        compact_additive_store,
+        fold_segment,
+        init_additive_store,
+        read_merged,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_returnflag").alias("grp"),
+        F.expr(_qh_bucket_sql("l_extendedprice")).alias("b"),
+    )
+    root = tempfile.mkdtemp(prefix="qh_incremental_")
+    try:
+        with build_phase():
+            init_additive_store(
+                spark, root, {"grp": "string", "b": "bigint"}, ["cnt"]
+            )
+            for bid, pred in enumerate(
+                [F.col("l_orderkey") % 2 == 0, F.col("l_orderkey") % 2 == 1]
+            ):
+                fold_segment(
+                    li.filter(pred)
+                    .groupBy("grp", "b")
+                    .agg(F.count("*").cast("bigint").alias("cnt")),
+                    root,
+                    batch_id=bid,
+                )
+                if bid == 0:
+                    compact_additive_store(spark, root)
+        hist = read_merged(spark, root)
+        wc = (
+            Window.partitionBy("grp")
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = hist.select(
+            "grp",
+            "b",
+            F.sum("cnt").over(wc).cast("bigint").alias("c"),
+            F.sum("cnt").over(Window.partitionBy("grp")).cast("bigint").alias("n"),
+        )
+        qs = spark.createDataFrame([(q,) for q in QH_QS], "q_pct bigint")
+        cand = cum.crossJoin(F.broadcast(qs)).filter(
+            F.col("c") >= F.expr("(n * q_pct + 99) div 100")
+        )
+        sel = cand.groupBy("grp", "q_pct").agg(
+            F.min("b").cast("bigint").alias("bucket")
+        )
+        result = sel.join(
+            cum.select("grp", F.col("b").alias("bucket"), "c", "n"),
+            ["grp", "bucket"],
+        ).select(
+            "grp",
+            "q_pct",
+            F.col("n").alias("n_rows"),
+            "bucket",
+            ((F.col("bucket") + 1) * int(QH_BUCKET)).cast("bigint").alias("est_hi"),
+            F.col("c").alias("cum_cnt"),
+        )
+        rows = result.collect()  # |groups| x |qs| rows; frees the store
+        schema = result.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

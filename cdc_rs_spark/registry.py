@@ -133,23 +133,27 @@ _DRIVER_WINDOW = [
     "outlier_mad_robust_lineitem",
     "embedding_random_projection_audit",
     "multimodal_video_scene_cuts",
+    # NEW in round-9 session 2, second batch — pinned at birth: CUSUM
+    # change-point detection, day-of-week seasonality, VAD run-length
+    # segmentation, Apriori frequent triples, and the streaming
+    # histogram-quantile store (the ADD-monoid quantile sketch)
+    "anomaly_cusum_daily_revenue",
+    "seasonality_dow_revenue",
+    "multimodal_audio_vad_segments",
+    "basket_frequent_triples",
+    "quantile_histogram_incremental",
     # rotation picks (none were in the r8 window; every family keeps at
     # least one slot)
     "q2_min_cost_supplier",
-    "q8_market_share",
     "q9_product_profit",
     "q18_large_volume_customer",
     "q22_idle_customers",
     "cdc_merge_live_wins",
-    "cdc_schema_evolution",
     "cdc_join_view_maintenance",
     "rhai_script_closure_while_scoring",
-    "events_asof_last_click",
     "events_range_join_bucketed",
     "dedup_canonical_quality",
-    "decontaminate_eval_overlap",
     "similarity_recall_eval",
-    "embedding_quantization_error_audit",
     "text_quality_quartiles_by_lang",
     "multimodal_payload_dedup",
 ]

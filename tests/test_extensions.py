@@ -849,3 +849,124 @@ def test_jl_projection_preserves_distances_on_fixture(spark, sf_dir):
     assert row.n_pairs > 0
     assert 500_000 <= row.avg_ratio_micro <= 1_500_000
     assert row.n_within_50pct * 2 >= row.n_pairs
+
+
+def test_cusum_closed_form_equals_recursion(spark, sf_dir):
+    """The window identity S_t = P_t - min_{k<=t} P_k must equal the
+    textbook recursion S_t = max(0, S_{t-1} + dev_t), replayed in plain
+    Python over the collected daily series (|days| rows)."""
+    from cdc_rs_spark.plans.events import anomaly_cusum_daily_revenue
+    from cdc_rs_spark.session import load
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        anomaly_cusum_daily_revenue(spark, sf_dir).collect(),
+        key=lambda r: r.d,
+    )
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("rc")
+        )
+        .collect()
+    )
+    rc = {r.d: r.rc for r in daily}
+    target = sum(rc.values()) // len(rc)
+    s_pos = s_neg = 0
+    for r in rows:
+        s_pos = max(0, s_pos + (rc[r.d] - target))
+        s_neg = max(0, s_neg + (target - rc[r.d]))
+        assert r.s_pos_cents == s_pos, r.d
+        assert r.s_neg_cents == s_neg, r.d
+
+
+def test_quantile_histogram_bounds_exact_quantile(spark, sf_dir):
+    """The served bucket must BRACKET the exact selection quantile:
+    bucket*width <= exact q-th value <= est_hi, for both served qs."""
+    from cdc_rs_spark.operators.quantiles import exact_quantiles
+    from cdc_rs_spark.plans.relational2 import (
+        QH_BUCKET,
+        quantile_histogram_incremental,
+    )
+    from cdc_rs_spark.session import load
+
+    li = load(spark, sf_dir, "lineitem")
+    exact = exact_quantiles(
+        li, "l_extendedprice", [0.5, 0.95], group_cols=("l_returnflag",)
+    )
+    for r in quantile_histogram_incremental(spark, sf_dir).collect():
+        q50, q95 = exact[(r.grp,)]
+        x = q50 if r.q_pct == 50 else q95
+        assert r.bucket * QH_BUCKET <= x <= r.est_hi, (r, x)
+
+
+def test_vad_segments_crafted_runs(spark):
+    """Gaps-and-islands over crafted frames: active-inactive-active-active
+    must yield 2 segments with longest 2."""
+    from cdc_rs_spark.operators.multimodal import LUMA_FRAME_BYTES
+
+    fb = LUMA_FRAME_BYTES
+    payload = (
+        bytes([120]) * fb + bytes([10]) * fb + bytes([120]) * fb
+        + bytes([120]) * fb
+    )
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    )
+    from cdc_rs_spark.operators.multimodal import frame_luma_signatures
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    fr = frame_luma_signatures(df)
+    act = fr.filter(F.col("luma_sum") >= 100 * F.col("frame_len")).select(
+        "doc_id",
+        "frame_idx",
+        (
+            F.col("frame_idx")
+            - F.row_number().over(W.partitionBy("doc_id").orderBy("frame_idx"))
+        ).alias("grp"),
+    )
+    seg = (
+        act.groupBy("doc_id", "grp").count().collect()
+    )
+    lens = sorted(r["count"] for r in seg)
+    assert lens == [1, 2]
+
+
+def test_frequent_triples_match_bruteforce(spark, sf_dir):
+    """The join-generated triples must equal a brute-force Python count
+    over the collected baskets (item-pruned), including the top-k cut."""
+    from itertools import combinations
+
+    from cdc_rs_spark.plans.relational2 import (
+        FIM_MIN_ITEM_SUP,
+        FIM_TOP,
+        basket_frequent_triples,
+    )
+    from cdc_rs_spark.session import load
+
+    rows = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    baskets: dict[int, set] = {}
+    item_sup: dict[int, int] = {}
+    for r in rows:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+        item_sup[r.l_partkey] = item_sup.get(r.l_partkey, 0) + 1
+    freq = {p for p, n in item_sup.items() if n >= FIM_MIN_ITEM_SUP}
+    sup: dict[tuple, int] = {}
+    for items in baskets.values():
+        for t in combinations(sorted(i for i in items if i in freq), 3):
+            sup[t] = sup.get(t, 0) + 1
+    expect = sorted(
+        ((n, t) for t, n in sup.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:FIM_TOP]
+    got = [
+        ((r.support), (r.p1, r.p2, r.p3))
+        for r in basket_frequent_triples(spark, sf_dir).collect()
+    ]
+    assert got == expect

@@ -1095,3 +1095,41 @@ def test_scene_cut_window_partitions_by_doc(spark):
     assert "MapInPandas" in plan, plan
     assert "hashpartitioning(doc_id" in plan, plan
     assert "SinglePartition" not in plan.split("Window")[0], plan
+
+
+def test_frequent_triples_prune_then_join_shape(spark):
+    """basket_frequent_triples: the item prune must reach the candidate
+    joins as a broadcast, the top-k must be TakeOrderedAndProject, and
+    nothing may plan as a cartesian product or leave the JVM."""
+    from cdc_rs_spark.plans.relational2 import basket_frequent_triples
+
+    df = basket_frequent_triples(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cusum_windows_run_over_daily_aggregate(spark):
+    """anomaly_cusum_daily_revenue: the running windows must sit ABOVE the
+    daily HashAggregate (|days| rows), with the fact scan feeding an
+    aggregate first — never a window over raw orders rows."""
+    from cdc_rs_spark.plans.events import anomaly_cusum_daily_revenue
+
+    df = anomaly_cusum_daily_revenue(spark, SF_DIR)
+    plan = _physical_plan(df)
+    first_window = plan.index("Window")
+    assert "HashAggregate" in plan[first_window:], plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vad_window_partitions_by_doc(spark):
+    """multimodal_audio_vad_segments: the islands row_number window must
+    partition by doc_id — no single-partition global window."""
+    from cdc_rs_spark.plans.multimodal import multimodal_audio_vad_segments
+
+    df = multimodal_audio_vad_segments(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "MapInPandas" in plan, plan
+    assert "hashpartitioning(doc_id" in plan, plan
