@@ -1884,3 +1884,150 @@ def sample_coreness_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("priority"),
     )
     return keyed.orderBy("priority", "part").limit(100)
+
+
+@register(
+    "l_diversity_audit_customer",
+    oracle="""
+    WITH q AS (
+        SELECT c_nationkey,
+               CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT)
+                   AS bal_bucket,
+               CAST(COUNT(*) AS BIGINT) AS grp_n,
+               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CASE WHEN l_div = 1 THEN 'l=1'
+                WHEN l_div = 2 THEN 'l=2'
+                ELSE 'l>=3' END AS diversity_band,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(grp_n) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM customer), 6) AS row_share
+    FROM q GROUP BY 1
+    """,
+)
+def l_diversity_audit_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure companion of
+    k_anonymity_audit_customer: a quasi-identifier group can be large
+    (k-anonymous) yet HOMOGENEOUS in the sensitive attribute, in which
+    case membership alone discloses it. Per (nation, coarse balance
+    bucket) group, l = distinct sensitive values (market segment); the
+    report bands groups by l and the row share each band carries — l=1
+    rows leak their segment to anyone who can place them in the group.
+    Shape: one map-side-combinable count-distinct agg on the QI key (a
+    25 x ~12-bucket grid), then a |groups|-sized band rollup."""
+    cust = load(spark, sf_dir, "customer")
+    grp = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("double") / 1000)
+        .cast("bigint")
+        .alias("bal_bucket"),
+    ).agg(
+        F.count("*").cast("bigint").alias("grp_n"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("l_div"),
+    )
+    total = cust.agg(F.count("*").alias("n_total"))
+    band = (
+        F.when(F.col("l_div") == 1, F.lit("l=1"))
+        .when(F.col("l_div") == 2, F.lit("l=2"))
+        .otherwise(F.lit("l>=3"))
+    )
+    return (
+        grp.select(band.alias("diversity_band"), "grp_n")
+        .groupBy("diversity_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum("grp_n").cast("bigint").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "diversity_band",
+            "n_groups",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("n_total"), 6
+            ).alias("row_share"),
+        )
+    )
+
+
+IO_FORMATS = ("parquet", "csv", "json")
+
+
+@register(
+    "io_format_roundtrip_checksum",
+    oracle="""
+    WITH src AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)
+                        % 1000000007) AS BIGINT) AS checksum_sum,
+               CAST(SUM(CAST(doc_id AS BIGINT)) AS BIGINT) AS id_sum
+        FROM documents
+    )
+    SELECT f.format, s.n_rows, s.checksum_sum, s.id_sum
+    FROM (VALUES ('parquet'), ('csv'), ('json')) f(format), src s
+    """,
+)
+def io_format_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format source/sink fidelity: write the documents table out as
+    parquet, CSV, and JSON, read each back with an EXPLICIT schema, and
+    report per format the row count, a content checksum (sum of 60-bit md5
+    fingerprints mod 1e9+7 — order-independent, int64-safe), and the id
+    sum. The oracle computes the same three numbers from the SOURCE table
+    only — it never sees the round-tripped files — so equality per format
+    IS the losslessness proof: any quoting, escaping, encoding, header, or
+    type-inference defect in a writer/reader pair shows up as a checksum
+    mismatch on that format's row.
+
+    Scale notes: all three writers/readers are distributed executor-side
+    IO (one task per partition, no driver materialization); CSV/JSON are
+    the interchange formats every ingest edge speaks, and the explicit
+    read schema is the production discipline (inference is a full extra
+    scan AND a correctness hazard: a numeric-looking string column
+    silently changes type). The fixture text is comma- and quote-free
+    ASCII; quoting-sensitive content is exactly what the checksum would
+    catch if a writer regressed."""
+    import shutil
+    import tempfile
+
+    from cdc_rs_spark.functions.hashing import fingerprint
+
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="io_roundtrip_")
+    frames = []
+    try:
+        for fmt in IO_FORMATS:
+            path = f"{root}/{fmt}"
+            w = d.write.mode("overwrite")
+            if fmt == "csv":
+                w.option("header", "true").csv(path)
+                back = (
+                    spark.read.option("header", "true")
+                    .schema("doc_id long, text string")
+                    .csv(path)
+                )
+            elif fmt == "json":
+                w.json(path)
+                back = spark.read.schema("doc_id long, text string").json(path)
+            else:
+                w.parquet(path)
+                back = spark.read.parquet(path)
+            agg = back.agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(fingerprint(F.col("text")) % 1_000_000_007)
+                .cast("bigint")
+                .alias("checksum_sum"),
+                F.sum(F.col("doc_id").cast("bigint"))
+                .cast("bigint")
+                .alias("id_sum"),
+            ).select(F.lit(fmt).alias("format"), "*")
+            frames.append(agg)
+        out = frames[0]
+        for f2 in frames[1:]:
+            out = out.unionByName(f2)
+        rows = out.collect()  # 3 rows; frees the scratch files
+        schema = out.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -2313,3 +2313,121 @@ def embedding_random_projection_audit(
         .cast("bigint")
         .alias("n_within_50pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (prefix-truncation) retrieval audit
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (16, 32)
+
+
+def _mrl_oracle() -> str:
+    def ranked(dim: int, name: str) -> str:
+        dot = _DOT.format(a="q.q_emb", b="c.embedding", dim1=dim + 1)
+        qn = (
+            f"sqrt({_DOT.format(a='q.q_emb', b='q.q_emb', dim1=dim + 1)})"
+        )
+        cn = (
+            f"sqrt({_DOT.format(a='c.embedding', b='c.embedding', dim1=dim + 1)})"
+        )
+        return f"""{name} AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {dot} / ({qn} * {cn}) DESC, c.vec_id) AS rnk
+            FROM embeddings c CROSS JOIN qs q
+            WHERE c.vec_id <> q.query_id
+        ) WHERE rnk <= 10
+    )"""
+
+    parts = [ranked(64, "exact")]
+    rows = []
+    for d in MRL_DIMS:
+        parts.append(ranked(d, f"t{d}"))
+        rows.append(f"""
+    SELECT CAST({d} AS BIGINT) AS prefix_dim,
+           CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS mean_recall,
+           ROUND(CAST(MIN(h.hits) AS DOUBLE) / 10.0, 6) AS min_recall
+    FROM exact e
+    LEFT JOIN t{d} t ON e.query_id = t.query_id AND e.vec_id = t.vec_id
+    JOIN (
+        SELECT e2.query_id,
+               SUM(CASE WHEN t2.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits
+        FROM exact e2 LEFT JOIN t{d} t2
+            ON e2.query_id = t2.query_id AND e2.vec_id = t2.vec_id
+        GROUP BY e2.query_id
+    ) h ON e.query_id = h.query_id""")
+    return (
+        "WITH " + _QUERIES_SQL + ", " + ",\n".join(parts)
+        + "\nSELECT * FROM (" + "\nUNION ALL\n".join(rows) + ")"
+    )
+
+
+@register("embedding_matryoshka_truncation_audit", oracle=_mrl_oracle())
+def embedding_matryoshka_truncation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka / prefix-truncation retrieval audit (the MRL deployment
+    question): if retrieval ran on only the first 16 or 32 of the 64
+    embedding dimensions — 4x / 2x cheaper index, the standard
+    coarse-to-fine funnel — what recall@10 survives against the full-dim
+    exact top-10? Unlike the JL audit (random projection, distance
+    ratios), this measures the PREFIX structure of the embedding space:
+    for true Matryoshka-trained embeddings the prefix recall is high by
+    construction; for these synthetic fixtures the audit reports exactly
+    how much is lost, which is the honest pre-deployment measurement
+    either way.
+
+    Shape: prefix cosine reuses the same salted broadcast brute-force
+    top-k as the exact baseline with the fold UNROLLED to `dim` terms
+    (operators/similarity.cosine(dim=...) — whole-stage codegen, no
+    slicing or array copy); the exact baseline is the session-memoized
+    _exact_topk; every join after the top-k stages touches
+    N_QUERIES x 10 rows. The oracle reproduces both rankings CTE-for-CTE,
+    so the recall numbers are hash-pinned, not threshold-gated."""
+    raw = load(spark, sf_dir, "embeddings")
+    corpus = spread(raw).select("vec_id", "embedding")
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = _exact_topk(spark, raw).select("query_id", "vec_id")
+    frames = []
+    for d in MRL_DIMS:
+        trunc = brute_force_topk(queries, corpus, k=10, dim=d).select(
+            "query_id", F.col("vec_id").alias("t_vec")
+        )
+        per_q = (
+            exact.join(
+                trunc,
+                (exact.query_id == trunc.query_id)
+                & (exact.vec_id == trunc.t_vec),
+                "left",
+            )
+            .drop(trunc.query_id)
+            .groupBy("query_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("t_vec").isNotNull(), 1).otherwise(0)
+                ).alias("hits"),
+                F.count("*").alias("k"),
+            )
+        )
+        frames.append(
+            per_q.agg(
+                F.lit(d).cast("bigint").alias("prefix_dim"),
+                F.count("*").cast("bigint").alias("n_queries"),
+                F.round(
+                    F.sum("hits").cast("double") / F.sum("k"), 6
+                ).alias("mean_recall"),
+                F.round(F.min("hits").cast("double") / 10.0, 6).alias(
+                    "min_recall"
+                ),
+            )
+        )
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out

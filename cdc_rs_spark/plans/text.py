@@ -1651,3 +1651,73 @@ def text_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+ZIPF_RANKS = (1, 2, 4, 8, 16)
+
+
+@register(
+    "text_zipf_rank_ratio_audit",
+    oracle=f"""
+    WITH wf AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+            SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS word
+            FROM documents) GROUP BY word
+    ),
+    ranked AS (
+        SELECT word, freq,
+               row_number() OVER (ORDER BY freq DESC, word) AS rnk
+        FROM wf
+    ),
+    top AS (SELECT * FROM ranked WHERE rnk <= {max(ZIPF_RANKS)}),
+    f1 AS (SELECT freq AS f1 FROM top WHERE rnk = 1)
+    SELECT CAST(t.rnk AS BIGINT) AS rank, t.word AS token, t.freq,
+           o.f1 * 1000000 // t.freq AS f1_over_fr_micro,
+           CAST(t.rnk AS BIGINT) * 1000000 AS zipf_ideal_micro
+    FROM top t, f1 o
+    WHERE t.rnk IN ({", ".join(str(r) for r in ZIPF_RANKS)})
+    """,
+)
+def text_zipf_rank_ratio_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law conformance audit over the corpus token distribution: under
+    Zipf, f_1/f_r ~ r, so the log-free integer ratio f1*1e6 div f_r sits
+    near r*1e6 at each probed rank — natural text tracks it, while
+    machine-generated or template spam shows a flat head (ratios ~1e6) and
+    boilerplate floods show a cliff. The probe ranks are compared against
+    the emitted ideal column, a distribution-shape gate for corpus intake
+    beside token_drift_stats (which compares two cohorts; this one needs
+    no reference cohort).
+
+    Scale shape: one explode + map-side-combinable word count (the same
+    single corpus pass every text query starts with), then
+    TakeOrderedAndProject for the top-{max(ZIPF_RANKS)} — the rank window
+    runs over those {max(ZIPF_RANKS)} collected rows, never the full
+    vocabulary. Ties break on the token string (pure-ASCII lowercase,
+    identical collation both engines)."""
+    d = spread(load(spark, sf_dir, "documents"))
+    wf = (
+        d.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[A-Za-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    top = wf.orderBy(F.desc("freq"), "word").limit(max(ZIPF_RANKS))
+    # benign `No Partition Defined`: the frame is the 16-row limit() above
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), "word"))
+    )
+    f1 = ranked.filter(F.col("rnk") == 1).select(F.col("freq").alias("f1"))
+    return (
+        ranked.filter(F.col("rnk").isin(*ZIPF_RANKS))
+        .crossJoin(F.broadcast(f1))
+        .select(
+            F.col("rnk").cast("bigint").alias("rank"),
+            F.col("word").alias("token"),
+            "freq",
+            F.expr("f1 * 1000000 div freq").alias("f1_over_fr_micro"),
+            (F.col("rnk").cast("bigint") * 1000000).alias("zipf_ideal_micro"),
+        )
+    )

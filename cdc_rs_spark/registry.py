@@ -142,20 +142,23 @@ _DRIVER_WINDOW = [
     "multimodal_audio_vad_segments",
     "basket_frequent_triples",
     "quantile_histogram_incremental",
+    # NEW in round-9 session 2, third batch — pinned at birth: multi-format
+    # IO round-trip fidelity, l-diversity privacy audit, Matryoshka
+    # prefix-truncation retrieval audit, Zipf conformance gate
+    "io_format_roundtrip_checksum",
+    "l_diversity_audit_customer",
+    "embedding_matryoshka_truncation_audit",
+    "text_zipf_rank_ratio_audit",
     # rotation picks (none were in the r8 window; every family keeps at
     # least one slot)
     "q2_min_cost_supplier",
-    "q9_product_profit",
     "q18_large_volume_customer",
-    "q22_idle_customers",
     "cdc_merge_live_wins",
     "cdc_join_view_maintenance",
     "rhai_script_closure_while_scoring",
     "events_range_join_bucketed",
     "dedup_canonical_quality",
     "similarity_recall_eval",
-    "text_quality_quartiles_by_lang",
-    "multimodal_payload_dedup",
 ]
 
 

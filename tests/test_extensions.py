@@ -970,3 +970,53 @@ def test_frequent_triples_match_bruteforce(spark, sf_dir):
         for r in basket_frequent_triples(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_io_roundtrip_formats_agree(spark, sf_dir):
+    """Losslessness across writers: all three formats must report the
+    IDENTICAL (n_rows, checksum_sum, id_sum) triple."""
+    from cdc_rs_spark.plans.pipeline import io_format_roundtrip_checksum
+
+    rows = io_format_roundtrip_checksum(spark, sf_dir).collect()
+    assert sorted(r.format for r in rows) == ["csv", "json", "parquet"]
+    triples = {(r.n_rows, r.checksum_sum, r.id_sum) for r in rows}
+    assert len(triples) == 1, rows
+
+
+def test_matryoshka_recall_sane(spark, sf_dir):
+    """Prefix-truncation recall must be a valid recall (0 < r <= 1) for
+    both prefixes, with min <= mean, over all 8 probe queries."""
+    from cdc_rs_spark.plans.similarity import (
+        embedding_matryoshka_truncation_audit,
+    )
+
+    rows = embedding_matryoshka_truncation_audit(spark, sf_dir).collect()
+    assert sorted(r.prefix_dim for r in rows) == [16, 32]
+    for r in rows:
+        assert r.n_queries == 8
+        assert 0.0 < r.mean_recall <= 1.0
+        assert 0.0 <= r.min_recall <= r.mean_recall
+
+
+def test_zipf_ratios_anchor_and_monotone(spark, sf_dir):
+    """Rank 1's ratio is exactly 1e6 (f1/f1) and ratios are nondecreasing
+    in rank (frequency is nonincreasing by construction)."""
+    from cdc_rs_spark.plans.text import text_zipf_rank_ratio_audit
+
+    rows = sorted(
+        text_zipf_rank_ratio_audit(spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert rows[0].rank == 1 and rows[0].f1_over_fr_micro == 1_000_000
+    ratios = [r.f1_over_fr_micro for r in rows]
+    assert ratios == sorted(ratios)
+
+
+def test_l_diversity_partitions_customers(spark, sf_dir):
+    """The band rollup must partition the customer table exactly."""
+    from cdc_rs_spark.plans.pipeline import l_diversity_audit_customer
+    from cdc_rs_spark.session import load
+
+    rows = l_diversity_audit_customer(spark, sf_dir).collect()
+    n = load(spark, sf_dir, "customer").count()
+    assert sum(r.n_rows for r in rows) == n
