@@ -1777,3 +1777,134 @@ def dedup_anchor_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = d.filter(F.col("doc_id") % 2 == 1)
     return probe_spans_against_store(batch, store, sampler=doc_anchor_spans)
+
+
+# ---- prefix-filtered exact similarity join (PPJoin-style) -----------------
+
+PPJ_T_NUM, PPJ_T_DEN = 6, 10  # Jaccard threshold 0.6 as an exact rational
+
+
+@register(
+    "dedup_jaccard_prefix_join",
+    oracle=f"""
+    WITH {_DOCS_SHINGLES_SQL},
+    ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+    freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS fr FROM ex GROUP BY tok),
+    ordt AS (
+        SELECT e.doc_id, e.tok, f.fr FROM ex e JOIN freq f USING (tok)
+    ),
+    arr AS (
+        SELECT doc_id, list(tok ORDER BY fr, tok) AS toks,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ordt GROUP BY doc_id
+    ),
+    pre AS (
+        SELECT doc_id,
+               unnest(toks[1 : CAST(n - ({PPJ_T_NUM}*n + {PPJ_T_DEN} - 1)
+                                      // {PPJ_T_DEN} + 1 AS BIGINT)]) AS tok
+        FROM arr
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ),
+    ver AS (
+        SELECT c.ia, c.ib,
+               CAST(len(list_filter(x.toks, t -> list_contains(y.toks, t)))
+                    AS BIGINT) AS inter,
+               x.n AS na, y.n AS nb
+        FROM cand c
+        JOIN arr x ON c.ia = x.doc_id
+        JOIN arr y ON c.ib = y.doc_id
+    )
+    SELECT ia AS id_a, ib AS id_b, inter AS n_inter,
+           na + nb - inter AS n_union,
+           inter * 1000000 // (na + nb - inter) AS jaccard_micro,
+           inter * 1000000 // LEAST(na, nb) AS containment_micro
+    FROM ver
+    WHERE inter * {PPJ_T_DEN} >= {PPJ_T_NUM} * (na + nb - inter)
+    """,
+)
+def dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT similarity join at threshold Jaccard >= 0.6 via prefix
+    filtering (the PPJoin/AllPairs family, Bayardo et al. 2007 / Xiao et
+    al. 2008) — the deterministic complement of MinHash-LSH: LSH is
+    probabilistic (a pair can slip every band), the prefix filter is
+    LOSSLESS by the pigeonhole lemma: if J(A,B) >= t, the pair shares at
+    least one token in both docs' (n - ceil(t*n) + 1)-length prefixes
+    under ANY single global token order. Tokens are ordered rarest-first
+    (freq asc, token asc), which makes prefixes collide as rarely as the
+    data allows — the candidate count tracks true near-dup density, not
+    corpus size squared.
+
+    Every surviving pair is verified exactly: the threshold test is the
+    integer cross-multiplication inter*{PPJ_T_DEN} >= {PPJ_T_NUM}*union
+    (no doubles), and the emitted jaccard/containment are integer
+    micro-units. Containment (inter / min set size) rides along for free
+    — the sub-document-duplication signal a symmetric Jaccard threshold
+    under-weights.
+
+    Scale shape: one explode + token-frequency agg (map-side combinable),
+    one shuffle join to attach frequencies, per-doc sort of its OWN
+    tokens (array-local, no global sort), a self-join on prefix tokens
+    only (~(1-t) of each doc's tokens), and verification joins that touch
+    candidate pairs only. The verify stage compares sorted arrays with
+    array_intersect inside codegen — the triangle-closure trick. Hot
+    prefix tokens (boilerplate) are the documented skew risk: the
+    rarest-first order minimizes them, and AQE skew-split handles the
+    residue like every other banded family here."""
+    from cdc_rs_spark.functions.text import tokens as _tok
+
+    d = spread(load(spark, sf_dir, "documents"))
+    sh_df = d.select("doc_id", _tok(F.col("text")).alias("w")).filter(
+        F.size("w") >= 3
+    ).select("doc_id", shingles(F.col("w")).alias("s"))
+    ex = sh_df.select("doc_id", F.explode("s").alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count("*").cast("bigint").alias("fr"))
+    ordt = ex.join(freq, "tok")
+    arr = ordt.groupBy("doc_id").agg(
+        F.expr("transform(sort_array(collect_list(struct(fr, tok))), x -> x.tok)")
+        .alias("toks"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    plen = F.expr(
+        f"CAST(n - ({PPJ_T_NUM}*n + {PPJ_T_DEN} - 1) div {PPJ_T_DEN} + 1 AS INT)"
+    )
+    pre = arr.select(
+        "doc_id", F.explode(F.slice(F.col("toks"), F.lit(1), plen)).alias("tok")
+    )
+    a = pre.select(F.col("doc_id").alias("ia"), "tok")
+    b = pre.select(F.col("doc_id").alias("ib"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .distinct()
+    )
+    x = arr.select(
+        F.col("doc_id").alias("ia"), F.col("toks").alias("ta"), F.col("n").alias("na")
+    )
+    y = arr.select(
+        F.col("doc_id").alias("ib"), F.col("toks").alias("tb"), F.col("n").alias("nb")
+    )
+    ver = (
+        cand.join(x, "ia")
+        .join(y, "ib")
+        .select(
+            "ia",
+            "ib",
+            F.size(F.array_intersect("ta", "tb")).cast("bigint").alias("inter"),
+            "na",
+            "nb",
+        )
+    )
+    return ver.filter(
+        F.col("inter") * PPJ_T_DEN >= PPJ_T_NUM * (F.col("na") + F.col("nb") - F.col("inter"))
+    ).select(
+        F.col("ia").alias("id_a"),
+        F.col("ib").alias("id_b"),
+        F.col("inter").alias("n_inter"),
+        (F.col("na") + F.col("nb") - F.col("inter")).alias("n_union"),
+        F.expr("inter * 1000000 div (na + nb - inter)").alias("jaccard_micro"),
+        F.expr("inter * 1000000 div least(na, nb)").alias("containment_micro"),
+    )

@@ -3601,3 +3601,109 @@ def quantile_histogram_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+CF_SEEDS = 10  # most-popular items to recommend for
+CF_TOPN = 5  # recommendations per seed
+
+
+@register(
+    "basket_item_cf_topk",
+    oracle=f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    item AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM b
+        GROUP BY l_partkey
+    ),
+    seeds AS (
+        SELECT l_partkey AS seed_part, c AS n_seed FROM item
+        ORDER BY c DESC, l_partkey LIMIT {CF_SEEDS}
+    ),
+    pair AS (
+        SELECT s.seed_part, s.n_seed, o.l_partkey AS rec_part,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM b x
+        JOIN seeds s ON x.l_partkey = s.seed_part
+        JOIN b o ON x.l_orderkey = o.l_orderkey
+                AND o.l_partkey <> s.seed_part
+        GROUP BY s.seed_part, s.n_seed, o.l_partkey
+    ),
+    scored AS (
+        SELECT p.seed_part, p.rec_part, p.n_both, p.n_seed, i.c AS n_rec,
+               p.n_both * p.n_both * 1000000 // (p.n_seed * i.c)
+                   AS sim2_micro
+        FROM pair p JOIN item i ON p.rec_part = i.l_partkey
+    )
+    SELECT seed_part, rec_part, n_both, n_seed, n_rec, sim2_micro,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY seed_part
+                   ORDER BY sim2_micro DESC, n_both DESC, rec_part) AS rnk
+        FROM scored
+    ) WHERE rnk <= {CF_TOPN}
+    """,
+)
+def basket_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering ('customers who bought X also
+    bought'): cosine similarity over basket co-occurrence for the
+    {CF_SEEDS} most popular parts, top-{CF_TOPN} recommendations each —
+    the classic neighborhood CF (Sarwar et al. 2001; Amazon's item-to-item
+    paper) expressed as two joins and a window.
+
+    Integer-exactness: cosine = n_both / sqrt(n_seed * n_rec) ranks
+    identically to its SQUARE, so the score is the integer
+    n_both^2 * 1e6 div (n_seed * n_rec) — no sqrt, no doubles, no
+    tie-break drift (products stay < 2^63 since n_both <= min counts).
+    Ranking ties break on (n_both, rec_part).
+
+    Scale shape: the seed list is a {CF_SEEDS}-row TakeOrdered broadcast;
+    the co-occurrence join is seed-filtered BEFORE the basket self-join
+    (only baskets containing a seed expand), shuffles on l_orderkey, and
+    the count is map-side combinable. The rank window partitions by seed
+    over <= |parts| candidates. Full-catalog item-item (no seed filter) is
+    the same plan without the semi-filter — pair space per basket stays
+    C(width, 2)-bounded like part_cooccurrence_basket."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    item = b.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("c"))
+    seeds = (
+        item.orderBy(F.desc("c"), "l_partkey")
+        .limit(CF_SEEDS)
+        .select(F.col("l_partkey").alias("seed_part"), F.col("c").alias("n_seed"))
+    )
+    x = b.join(
+        F.broadcast(seeds), b.l_partkey == seeds.seed_part
+    ).select("l_orderkey", "seed_part", "n_seed")
+    o = b.select(F.col("l_orderkey"), F.col("l_partkey").alias("rec_part"))
+    pair = (
+        x.join(o, "l_orderkey")
+        .filter(F.col("rec_part") != F.col("seed_part"))
+        .groupBy("seed_part", "n_seed", "rec_part")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    scored = pair.join(
+        item.select(F.col("l_partkey").alias("rec_part"), F.col("c").alias("n_rec")),
+        "rec_part",
+    ).select(
+        "seed_part",
+        "rec_part",
+        "n_both",
+        "n_seed",
+        "n_rec",
+        F.expr("n_both * n_both * 1000000 div (n_seed * n_rec)").alias(
+            "sim2_micro"
+        ),
+    )
+    w = Window.partitionBy("seed_part").orderBy(
+        F.desc("sim2_micro"), F.desc("n_both"), "rec_part"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= CF_TOPN)
+        .select(
+            "seed_part", "rec_part", "n_both", "n_seed", "n_rec",
+            "sim2_micro", "rnk",
+        )
+    )

@@ -149,6 +149,11 @@ _DRIVER_WINDOW = [
     "l_diversity_audit_customer",
     "embedding_matryoshka_truncation_audit",
     "text_zipf_rank_ratio_audit",
+    # NEW in round-9 session 2, fourth batch — pinned at birth: item-item
+    # CF recommendations and the lossless prefix-filtered exact Jaccard
+    # join (the deterministic complement of MinHash-LSH)
+    "basket_item_cf_topk",
+    "dedup_jaccard_prefix_join",
     # rotation picks (none were in the r8 window; every family keeps at
     # least one slot)
     "q2_min_cost_supplier",
@@ -157,8 +162,6 @@ _DRIVER_WINDOW = [
     "cdc_join_view_maintenance",
     "rhai_script_closure_while_scoring",
     "events_range_join_bucketed",
-    "dedup_canonical_quality",
-    "similarity_recall_eval",
 ]
 
 

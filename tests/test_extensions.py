@@ -1020,3 +1020,58 @@ def test_l_diversity_partitions_customers(spark, sf_dir):
     rows = l_diversity_audit_customer(spark, sf_dir).collect()
     n = load(spark, sf_dir, "customer").count()
     assert sum(r.n_rows for r in rows) == n
+
+
+def test_prefix_join_is_lossless_vs_bruteforce(spark, sf_dir):
+    """The prefix filter must find EXACTLY the pairs a brute-force
+    all-pairs Jaccard >= 0.6 finds — losslessness is the whole claim."""
+    from cdc_rs_spark.plans.dedup import dedup_jaccard_prefix_join
+    from cdc_rs_spark.session import load
+    from pyspark.sql import functions as F
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .collect()
+    )
+    sets = {}
+    for r in docs:
+        w = r.w
+        sets[r.doc_id] = {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        }
+    ids = sorted(sets)
+    expect = set()
+    for i, a in enumerate(ids):
+        sa = sets[a]
+        for b in ids[i + 1 :]:
+            sb = sets[b]
+            inter = len(sa & sb)
+            if inter * 10 >= 6 * (len(sa) + len(sb) - inter):
+                expect.add((a, b))
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup_jaccard_prefix_join(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_item_cf_invariants(spark, sf_dir):
+    """CF output sanity: <= CF_TOPN recs per seed, co-count bounded by both
+    marginals, similarity in (0, 1e6]."""
+    from collections import Counter
+
+    from cdc_rs_spark.plans.relational2 import (
+        CF_SEEDS,
+        CF_TOPN,
+        basket_item_cf_topk,
+    )
+
+    rows = basket_item_cf_topk(spark, sf_dir).collect()
+    per_seed = Counter(r.seed_part for r in rows)
+    assert len(per_seed) <= CF_SEEDS
+    assert all(v <= CF_TOPN for v in per_seed.values())
+    for r in rows:
+        assert 0 < r.n_both <= min(r.n_seed, r.n_rec)
+        assert 0 < r.sim2_micro <= 1_000_000

@@ -1133,3 +1133,28 @@ def test_vad_window_partitions_by_doc(spark):
     plan = _physical_plan(df)
     assert "MapInPandas" in plan, plan
     assert "hashpartitioning(doc_id" in plan, plan
+
+
+def test_prefix_join_verifies_by_array_intersect_no_cartesian(spark):
+    """dedup_jaccard_prefix_join: candidates come from a token equi-join
+    (never a cartesian), verification closes via array_intersect inside
+    codegen, and the plan is JVM-pure."""
+    from cdc_rs_spark.plans.dedup import dedup_jaccard_prefix_join
+
+    df = dedup_jaccard_prefix_join(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "array_intersect" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_item_cf_seed_filter_broadcasts(spark):
+    """basket_item_cf_topk: the seed list reaches the basket scan as a
+    broadcast (only seed baskets expand), no cartesian, JVM-pure."""
+    from cdc_rs_spark.plans.relational2 import basket_item_cf_topk
+
+    df = basket_item_cf_topk(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
