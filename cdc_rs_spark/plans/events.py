@@ -1674,3 +1674,72 @@ def seasonality_dow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mean_cents").cast("double") / 100.0).alias("mean_rev"),
         F.expr("mean_cents * 1000000 div omean").alias("seasonal_index_micro"),
     )
+
+
+CEP_PATTERNS = (
+    ("browse_to_buy", "vc*p"),
+    ("error_burst", "ee+"),
+    ("signup_to_purchase", "s[cve]*p"),
+)
+
+
+@register(
+    "events_pattern_regex_cep",
+    oracle=f"""
+    WITH j AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS journey
+        FROM events GROUP BY user_id
+    ),
+    pats(pattern_name, pat) AS (VALUES
+        {", ".join(f"('{n}', '{p}')" for n, p in CEP_PATTERNS)}),
+    m AS (
+        SELECT p.pattern_name,
+               CAST(len(regexp_extract_all(j.journey, p.pat)) AS BIGINT)
+                   AS n_matches
+        FROM j CROSS JOIN pats p
+    )
+    SELECT pattern_name,
+           CAST(COUNT(*) FILTER (WHERE n_matches > 0) AS BIGINT) AS n_users,
+           CAST(SUM(n_matches) AS BIGINT) AS total_matches,
+           CAST(MAX(n_matches) AS BIGINT) AS max_per_user
+    FROM m GROUP BY pattern_name
+    """,
+)
+def events_pattern_regex_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern detection via the journey-string
+    trick (MATCH_RECOGNIZE-lite): each user's event history collapses to
+    an ordered string of type initials, and sequence patterns become plain
+    regexes over it — 'vc*p' (view, any clicks, purchase), 'ee+' (error
+    bursts), 's[cve]*p' (signup eventually converting). Per pattern: users
+    matched, total non-overlapping matches, max per user.
+
+    This is the batch analog of streaming CEP engines' NFA matching; the
+    string form costs one per-user shuffle + an array-local sort of each
+    user's OWN events (bounded by per-user activity, never a global sort)
+    and turns the sequential scan into a codegen regex — no UDF, no state
+    machine in Python. Patterns are kept to portable syntax (literal
+    classes + * and + quantifiers) with left-to-right non-overlapping
+    semantics identical in both engines' regex libraries; ordering ties
+    break on event_id so journeys are bit-identical."""
+    e = load(spark, sf_dir, "events")
+    j = e.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(ts, event_id, substring(event_type, 1, 1) AS ini))), "
+            "x -> x.ini), '')"
+        ).alias("journey")
+    )
+    pats = spark.createDataFrame(
+        list(CEP_PATTERNS), "pattern_name string, pat string"
+    )
+    m = j.crossJoin(F.broadcast(pats)).select(
+        "pattern_name",
+        F.expr("regexp_count(journey, pat)").cast("bigint").alias("n_matches"),
+    )
+    return m.groupBy("pattern_name").agg(
+        F.count(F.when(F.col("n_matches") > 0, 1)).cast("bigint").alias("n_users"),
+        F.sum("n_matches").cast("bigint").alias("total_matches"),
+        F.max("n_matches").cast("bigint").alias("max_per_user"),
+    )

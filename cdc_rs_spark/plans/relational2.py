@@ -3707,3 +3707,231 @@ def basket_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim2_micro", "rnk",
         )
     )
+
+
+RULE_MIN_SUP = 3  # pair support floor for rule generation
+RULE_TOP = 20
+
+
+@register(
+    "basket_association_rules",
+    oracle=f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
+    item AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1
+    ),
+    pair AS (
+        SELECT x.l_partkey AS pa, y.l_partkey AS pb,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM b x JOIN b y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {RULE_MIN_SUP}
+    ),
+    rules AS (
+        SELECT pa AS antecedent, pb AS consequent, n_both FROM pair
+        UNION ALL
+        SELECT pb, pa, n_both FROM pair
+    ),
+    scored AS (
+        SELECT r.antecedent, r.consequent, r.n_both,
+               ia.c AS n_ante, ic.c AS n_cons, nb.n AS n_baskets,
+               r.n_both * 1000000 // ia.c AS confidence_micro,
+               r.n_both * nb.n * 1000000 // (ia.c * ic.c) AS lift_micro
+        FROM rules r
+        JOIN item ia ON r.antecedent = ia.l_partkey
+        JOIN item ic ON r.consequent = ic.l_partkey
+        CROSS JOIN nb
+    )
+    SELECT * FROM scored
+    ORDER BY lift_micro DESC, antecedent, consequent LIMIT {RULE_TOP}
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule generation over the frequent pairs (the second half
+    of Apriori: basket_frequent_triples mines itemsets, this derives the
+    DIRECTED rules): for every pair with support >= {RULE_MIN_SUP}, both
+    orientations i->j with confidence = P(j|i) and lift =
+    P(i,j)/(P(i)P(j)), top-{RULE_TOP} by lift — the metric that separates
+    genuinely associated items from merely popular ones (confidence alone
+    ranks popular consequents first; lift normalizes both marginals out).
+
+    All metrics are integer micro-units via div (worst case
+    n_both * n_baskets * 1e6 < 2^63 at any fixture or warehouse scale
+    where basket counts fit int32 — documented bound, not hope). Shape:
+    the pair aggregate is the one orderkey-co-located self-join every
+    basket query here shares; rules are a 2x union of the pair table;
+    marginal joins key on part (dimension-sized); the basket total is a
+    1-row broadcast; final top-k is TakeOrdered."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    nb = b.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_baskets")
+    )
+    item = b.groupBy("l_partkey").agg(F.count("*").cast("bigint").alias("c"))
+    x = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    y = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pair = (
+        x.join(y, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= RULE_MIN_SUP)
+    )
+    rules = pair.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "n_both",
+    ).unionByName(
+        pair.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "n_both",
+        )
+    )
+    scored = (
+        rules.join(
+            F.broadcast(
+                item.select(F.col("l_partkey").alias("antecedent"), F.col("c").alias("n_ante"))
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                item.select(F.col("l_partkey").alias("consequent"), F.col("c").alias("n_cons"))
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_ante",
+            "n_cons",
+            "n_baskets",
+            F.expr("n_both * 1000000 div n_ante").alias("confidence_micro"),
+            F.expr("n_both * n_baskets * 1000000 div (n_ante * n_cons)").alias(
+                "lift_micro"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_micro"), "antecedent", "consequent"
+    ).limit(RULE_TOP)
+
+
+BFS_MAX_HOPS = 4
+BFS_N_SOURCES = 3
+
+
+def _bfs_oracle() -> str:
+    ctes = [
+        """
+    bedges AS MATERIALIZED (
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+        ),
+        pe AS (
+            SELECT a.p AS src, b.p AS dst, COUNT(DISTINCT a.ok) AS w
+            FROM li a JOIN li b USING (ok) WHERE a.p <> b.p
+            GROUP BY a.p, b.p
+        )
+        SELECT src, dst FROM pe WHERE w >= 2
+    )""",
+        f"""
+    srcs AS MATERIALIZED (
+        SELECT src AS s FROM (SELECT DISTINCT src FROM bedges)
+        ORDER BY src LIMIT {BFS_N_SOURCES}
+    )""",
+        """
+    seen0 AS MATERIALIZED (
+        SELECT s AS source, s AS v, 0 AS dist FROM srcs
+    )""",
+    ]
+    for k in range(1, BFS_MAX_HOPS + 1):
+        p = k - 1
+        ctes.append(
+            f"""
+    d{k} AS MATERIALIZED (
+        SELECT DISTINCT f.source, e.dst AS v, {k} AS dist
+        FROM seen{p} f JOIN bedges e ON f.v = e.src
+        WHERE f.dist = {p}
+          AND NOT EXISTS (SELECT 1 FROM seen{p} x
+                          WHERE x.source = f.source AND x.v = e.dst)
+    )""",
+        )
+        ctes.append(
+            f"""
+    seen{k} AS MATERIALIZED (
+        SELECT * FROM seen{p} UNION ALL SELECT * FROM d{k}
+    )""",
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f"""
+    SELECT source, CAST(dist AS BIGINT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM seen{BFS_MAX_HOPS} GROUP BY source, dist
+    """
+    )
+
+
+@register("part_bfs_distance", oracle=_bfs_oracle())
+def part_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS shortest-hop distances over the thresholded part
+    co-occurrence graph (the coreness/k-core edge base): from the
+    {BFS_N_SOURCES} smallest vertices, how many vertices sit at each hop
+    count <= {BFS_MAX_HOPS} — the reachability/diameter probe the graph
+    family lacked (CC answers 'connected at all', LPA answers 'which
+    community'; BFS answers 'how far').
+
+    The frontier expansion is the standard distributed BFS: per level one
+    frontier-edges equi-join + one anti-join against the seen set, all
+    three sources advancing IN ONE DataFrame (the level loop is over hop
+    count, never over sources), with a localCheckpoint per level to
+    truncate the iterative lineage — the coreness discipline. At web-graph
+    scale the known upgrade is direction-optimizing BFS (switch to
+    bottom-up when the frontier exceeds ~1/20 of the graph, Beamer et
+    al.); the top-down form here keeps the oracle-matching structure and
+    the per-level cost is |frontier-adjacent edges|, never |V|^2."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.countDistinct("ok").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    sources = [
+        r.src
+        for r in edges.select("src")
+        .distinct()
+        .orderBy("src")
+        .limit(BFS_N_SOURCES)
+        .collect()  # bounded: BFS_N_SOURCES rows
+    ]
+    seen = spark.createDataFrame(
+        [(s, s, 0) for s in sources], "source bigint, v bigint, dist int"
+    ).localCheckpoint(eager=True)
+    for k in range(1, BFS_MAX_HOPS + 1):
+        frontier = seen.filter(F.col("dist") == k - 1)
+        nxt = (
+            frontier.join(edges, frontier.v == edges.src)
+            .select("source", F.col("dst").alias("v"))
+            .distinct()
+            .join(seen.select("source", "v"), ["source", "v"], "left_anti")
+            .withColumn("dist", F.lit(k))
+        )
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+    return seen.groupBy("source", "dist").agg(
+        F.count("*").cast("bigint").alias("n_vertices")
+    ).select(
+        "source", F.col("dist").cast("bigint").alias("dist"), "n_vertices"
+    )

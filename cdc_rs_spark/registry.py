@@ -154,14 +154,17 @@ _DRIVER_WINDOW = [
     # join (the deterministic complement of MinHash-LSH)
     "basket_item_cf_topk",
     "dedup_jaccard_prefix_join",
+    # NEW in round-9 session 2, fifth batch — pinned at birth: association
+    # rules (confidence/lift), multi-source BFS hop distances, and
+    # regex-CEP sequence patterns over journey strings
+    "basket_association_rules",
+    "part_bfs_distance",
+    "events_pattern_regex_cep",
     # rotation picks (none were in the r8 window; every family keeps at
     # least one slot)
     "q2_min_cost_supplier",
-    "q18_large_volume_customer",
     "cdc_merge_live_wins",
-    "cdc_join_view_maintenance",
     "rhai_script_closure_while_scoring",
-    "events_range_join_bucketed",
 ]
 
 

@@ -1075,3 +1075,110 @@ def test_item_cf_invariants(spark, sf_dir):
     for r in rows:
         assert 0 < r.n_both <= min(r.n_seed, r.n_rec)
         assert 0 < r.sim2_micro <= 1_000_000
+
+
+def test_bfs_matches_python_reference(spark, sf_dir):
+    """Distributed BFS levels must equal a plain Python BFS over the same
+    thresholded edges."""
+    from collections import deque
+
+    from cdc_rs_spark.plans.relational2 import (
+        BFS_MAX_HOPS,
+        BFS_N_SOURCES,
+        part_bfs_distance,
+    )
+    from cdc_rs_spark.session import load
+    from pyspark.sql import functions as F
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict[int, set] = {}
+    for r in li:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    from collections import Counter
+
+    w = Counter()
+    for items in baskets.values():
+        for u in items:
+            for v in items:
+                if u != v:
+                    w[(u, v)] += 1
+    adj: dict[int, set] = {}
+    for (u, v), n in w.items():
+        if n >= 2:
+            adj.setdefault(u, set()).add(v)
+    sources = sorted(adj)[:BFS_N_SOURCES]
+    expect = Counter()
+    for s in sources:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= BFS_MAX_HOPS:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for d in dist.values():
+            expect[(s, d)] += 1
+    got = {
+        (r.source, r.dist): r.n_vertices
+        for r in part_bfs_distance(spark, sf_dir).collect()
+    }
+    assert got == dict(expect)
+
+
+def test_association_rules_invariants(spark, sf_dir):
+    """Rule metrics: confidence <= 1, lift symmetric across orientations
+    of the same pair, co-count bounded by both marginals."""
+    from cdc_rs_spark.plans.relational2 import basket_association_rules
+
+    rows = basket_association_rules(spark, sf_dir).collect()
+    assert rows
+    lift = {}
+    for r in rows:
+        assert 0 < r.confidence_micro <= 1_000_000
+        assert 0 < r.n_both <= min(r.n_ante, r.n_cons)
+        lift[(r.antecedent, r.consequent)] = r.lift_micro
+    for (a, c), lv in lift.items():
+        if (c, a) in lift:
+            assert lift[(c, a)] == lv
+
+
+def test_cep_counts_match_python_re(spark, sf_dir):
+    """The engine regex counts must equal Python re.findall (the same
+    left-to-right non-overlapping semantics) over the reconstructed
+    journeys."""
+    import re
+
+    from cdc_rs_spark.plans.events import CEP_PATTERNS, events_pattern_regex_cep
+    from cdc_rs_spark.session import load
+    from pyspark.sql import functions as F
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    journeys: dict[int, list] = {}
+    for r in ev:
+        journeys.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type[0]))
+    expect = {}
+    for name, pat in CEP_PATTERNS:
+        users = total = mx = 0
+        for evs in journeys.values():
+            s = "".join(x[2] for x in sorted(evs))
+            n = len(re.findall(pat, s))
+            users += n > 0
+            total += n
+            mx = max(mx, n)
+        expect[name] = (users, total, mx)
+    for r in events_pattern_regex_cep(spark, sf_dir).collect():
+        assert expect[r.pattern_name] == (
+            r.n_users, r.total_matches, r.max_per_user,
+        ), r

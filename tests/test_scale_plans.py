@@ -1158,3 +1158,31 @@ def test_item_cf_seed_filter_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_association_rules_shape(spark):
+    """basket_association_rules: marginals broadcast, top-k is
+    TakeOrderedAndProject, no cartesian beyond the 1-row basket total,
+    JVM-pure."""
+    from cdc_rs_spark.plans.relational2 import basket_association_rules
+
+    df = basket_association_rules(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cep_journey_sort_is_array_local(spark):
+    """events_pattern_regex_cep: the per-user ordering is array_sort over
+    collected structs (array-local), so the plan has NO global Sort — only
+    the user-keyed aggregate exchange — and no Python."""
+    from cdc_rs_spark.plans.events import events_pattern_regex_cep
+
+    df = events_pattern_regex_cep(spark, SF_DIR)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # a global SortExec would carry rangepartitioning; the only exchanges
+    # here are hash (user_id, pattern aggregates)
+    assert "rangepartitioning" not in plan, plan
