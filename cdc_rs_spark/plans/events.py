@@ -1743,3 +1743,116 @@ def events_pattern_regex_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_matches").cast("bigint").alias("total_matches"),
         F.max("n_matches").cast("bigint").alias("max_per_user"),
     )
+
+
+KM_HOUR_US = 3600 * 1_000_000
+KM_HORIZON_H = 72  # administrative censoring horizon (hours)
+
+
+@register(
+    "events_survival_km",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, MIN(ts) AS fts FROM events GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id, MIN(ts) AS fp FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    lab AS (
+        SELECT u.user_id,
+               CASE WHEN p.fp IS NOT NULL
+                     AND date_diff('microsecond', u.fts, p.fp)
+                         // {KM_HOUR_US} < {KM_HORIZON_H}
+                    THEN date_diff('microsecond', u.fts, p.fp) // {KM_HOUR_US}
+                    ELSE {KM_HORIZON_H} END AS tw,
+               (p.fp IS NOT NULL
+                AND date_diff('microsecond', u.fts, p.fp)
+                    // {KM_HOUR_US} < {KM_HORIZON_H}) AS converted
+        FROM u LEFT JOIN p USING (user_id)
+    ),
+    wk AS (
+        SELECT tw,
+               CAST(COUNT(*) FILTER (WHERE converted) AS BIGINT) AS d,
+               CAST(COUNT(*) FILTER (WHERE NOT converted) AS BIGINT) AS c
+        FROM lab GROUP BY tw
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab),
+    risk AS (
+        SELECT tw, d, c,
+               CAST(t.n - COALESCE(SUM(d + c) OVER (ORDER BY tw
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_at_risk
+        FROM wk, tot t
+    )
+    SELECT r1.tw AS hour, r1.n_at_risk, r1.d AS n_events,
+           r1.c AS n_censored,
+           ROUND((SELECT list_reduce(list_prepend(1.0::DOUBLE,
+                      list((r2.n_at_risk - r2.d)::DOUBLE / r2.n_at_risk
+                           ORDER BY r2.tw)),
+                      (x, y) -> x * y)
+                  FROM risk r2 WHERE r2.tw <= r1.tw AND r2.d > 0), 6)
+               AS survival
+    FROM risk r1
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve — the censoring-aware version
+    of 'what fraction has purchased within T hours' (a naive conversion
+    CDF is biased whenever observation windows differ; KM handles the
+    not-yet-converted as censored): T = hours from a user's first event to
+    their first purchase, administratively censored at the
+    {KM_HORIZON_H}-hour horizon. S(t) = prod over event-hours u <= t of
+    (1 - d(u)/n(u)) — the survival probability of remaining un-converted.
+
+    Engine-exactness for a PRODUCT estimator without logs: d, c, n_at_risk
+    are integers (microsecond arithmetic), each factor is one double
+    division, and the product folds over ASCENDING event hours in both
+    engines — the identical IEEE multiply sequence, bit-for-bit equal
+    (exp(sum(ln)) would not be). The user reduction is map-side
+    combinable; the per-hour table is <= {KM_HORIZON_H}+1 rows, so the
+    sequential fold runs driver-side over a bounded frame (the pagerank
+    bounded-collect discipline); everything user-sized stays distributed."""
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(F.min("ts").alias("fts"))
+    pch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    delay_h = ((epoch_us("fp") - epoch_us("fts")) / KM_HOUR_US).cast("long")
+    converted = F.col("fp").isNotNull() & (delay_h < KM_HORIZON_H)
+    lab = u.join(pch, "user_id", "left").select(
+        "user_id",
+        F.when(converted, delay_h).otherwise(F.lit(KM_HORIZON_H)).alias("tw"),
+        converted.alias("converted"),
+    )
+    wk = lab.groupBy("tw").agg(
+        F.count(F.when(F.col("converted"), 1)).cast("bigint").alias("d"),
+        F.count(F.when(~F.col("converted"), 1)).cast("bigint").alias("c"),
+    )
+    tot = lab.agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.orderBy("tw").rowsBetween(Window.unboundedPreceding, -1)
+    risk = wk.crossJoin(F.broadcast(tot)).select(
+        "tw",
+        "d",
+        "c",
+        (
+            F.col("n")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    rows = sorted(risk.collect(), key=lambda r: r.tw)  # bounded: <= 73 rows
+    s = 1.0
+    out = []
+    for r in rows:
+        if r.d > 0:
+            s *= (r.n_at_risk - r.d) / r.n_at_risk
+        out.append((r.tw, r.n_at_risk, r.d, r.c, round(s, 6)))
+    return spark.createDataFrame(
+        out,
+        "hour bigint, n_at_risk bigint, n_events bigint, "
+        "n_censored bigint, survival double",
+    )

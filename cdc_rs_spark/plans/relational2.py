@@ -3935,3 +3935,92 @@ def part_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "source", F.col("dist").cast("bigint").alias("dist"), "n_vertices"
     )
+
+
+@register(
+    "supplier_entity_clusters",
+    oracle="""
+    WITH RECURSIVE blocked AS (
+        SELECT s_suppkey, s_name, s_nationkey,
+               substring(s_name, 1, 12) AS blk
+        FROM supplier
+    ),
+    pairs AS (
+        SELECT a.s_suppkey AS pa, b.s_suppkey AS pb
+        FROM blocked a JOIN blocked b
+          ON a.s_nationkey = b.s_nationkey AND a.blk = b.blk
+         AND a.s_suppkey < b.s_suppkey
+        WHERE levenshtein(a.s_name, b.s_name) <= 2
+    ),
+    eedges AS (
+        SELECT pa AS a, pb AS b FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs
+    ),
+    reach AS (
+        SELECT a, b FROM eedges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN eedges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS s_suppkey, LEAST(a, MIN(b)) AS component
+        FROM reach GROUP BY a
+    )
+    SELECT c.component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           s.s_name AS canonical_name,
+           CAST(MIN(c.s_suppkey) AS BIGINT) AS min_member,
+           CAST(MAX(c.s_suppkey) AS BIGINT) AS max_member
+    FROM comp c JOIN supplier s ON c.component = s.s_suppkey
+    GROUP BY c.component, s.s_name
+    """,
+)
+def supplier_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (the MDM pipeline): block -> pairwise
+    match -> transitive closure -> canonicalize. supplier_fuzzy_match
+    produces the PAIRS; real ER must also merge them transitively (A~B,
+    B~C puts A and C in one entity even when A and C don't match
+    directly), pick a canonical record per entity, and report cluster
+    sizes — the step every dedup-and-merge MDM system performs. Clusters
+    come from the same min-label-propagation connected components the
+    document dedup family uses (operators/graph.py — fixpoint-raise
+    guard, not silent truncation); the canonical record is the min
+    member, and its name rides the 1-row-per-cluster report.
+
+    Scale shape: blocking bounds the pair stage (nation + 12-char name
+    prefix — the shuffle key); components iterate only over the matched
+    pairs (entity-cluster-diameter rounds, tiny by construction since
+    clusters are near-duplicate groups); the final report joins the
+    |clusters|-sized frame back to supplier on the canonical key."""
+    from cdc_rs_spark.operators.graph import connected_components
+
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey",
+        F.substring("s_name", 1, 12).alias("blk"),
+    )
+    a = sup.select(
+        F.col("s_suppkey").alias("pa"), F.col("s_name").alias("name_a"),
+        "s_nationkey", "blk",
+    )
+    b = sup.select(
+        F.col("s_suppkey").alias("pb"), F.col("s_name").alias("name_b"),
+        "s_nationkey", "blk",
+    )
+    pairs = (
+        a.join(b, ["s_nationkey", "blk"])
+        .filter(F.col("pa") < F.col("pb"))
+        .filter(F.levenshtein(F.col("name_a"), F.col("name_b")) <= 2)
+        .select("pa", "pb")
+    )
+    comp = connected_components(pairs, "pa", "pb")
+    report = comp.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.min("v").cast("bigint").alias("min_member"),
+        F.max("v").cast("bigint").alias("max_member"),
+    )
+    canon = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("component"),
+        F.col("s_name").alias("canonical_name"),
+    )
+    return report.join(canon, "component").select(
+        "component", "n_members", "canonical_name", "min_member", "max_member"
+    )

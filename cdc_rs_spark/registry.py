@@ -160,11 +160,14 @@ _DRIVER_WINDOW = [
     "basket_association_rules",
     "part_bfs_distance",
     "events_pattern_regex_cep",
+    # NEW in round-9 session 2, sixth batch — pinned at birth: censoring-
+    # aware Kaplan-Meier conversion curve and the composed entity-
+    # resolution pipeline (block -> match -> closure -> canonicalize)
+    "events_survival_km",
+    "supplier_entity_clusters",
     # rotation picks (none were in the r8 window; every family keeps at
     # least one slot)
     "q2_min_cost_supplier",
-    "cdc_merge_live_wins",
-    "rhai_script_closure_while_scoring",
 ]
 
 

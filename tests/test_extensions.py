@@ -1182,3 +1182,48 @@ def test_cep_counts_match_python_re(spark, sf_dir):
         assert expect[r.pattern_name] == (
             r.n_users, r.total_matches, r.max_per_user,
         ), r
+
+
+def test_km_survival_invariants(spark, sf_dir):
+    """KM curve laws: survival nonincreasing in (0,1], n_at_risk strictly
+    decreasing across buckets, and the (event + censored) mass sums to the
+    user count."""
+    from cdc_rs_spark.plans.events import events_survival_km
+    from cdc_rs_spark.session import load
+    from pyspark.sql import functions as F
+
+    rows = sorted(
+        events_survival_km(spark, sf_dir).collect(), key=lambda r: r.hour
+    )
+    assert rows
+    n_users = (
+        load(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    assert sum(r.n_events + r.n_censored for r in rows) == n_users
+    assert rows[0].n_at_risk == n_users
+    last_s = 1.0 + 1e-12
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_at_risk == prev.n_at_risk - prev.n_events - prev.n_censored
+    for r in rows:
+        assert 0.0 < r.survival <= last_s + 1e-9
+        last_s = r.survival
+
+
+def test_entity_clusters_invariants(spark, sf_dir):
+    """ER clusters: every cluster has >= 2 members, the canonical id is the
+    min member, and the total membership equals the distinct suppliers
+    appearing in any fuzzy pair."""
+    from cdc_rs_spark.plans.relational2 import (
+        supplier_entity_clusters,
+        supplier_fuzzy_match,
+    )
+
+    clusters = supplier_entity_clusters(spark, sf_dir).collect()
+    pairs = supplier_fuzzy_match(spark, sf_dir).collect()
+    in_pairs = {r.supp_a for r in pairs} | {r.supp_b for r in pairs}
+    assert sum(c.n_members for c in clusters) == len(in_pairs)
+    for c in clusters:
+        assert c.n_members >= 2
+        assert c.component == c.min_member

@@ -366,6 +366,8 @@ def test_no_python_nodes_outside_sanctioned_escape_hatches(spark):
         "multimodal_audio_features",
         "multimodal_video_frames",
         "multimodal_image_near_dup",  # r9: dHash decode (Arrow mapInPandas)
+        "multimodal_video_scene_cuts",  # r9: frame luma signatures hatch
+        "multimodal_audio_vad_segments",  # r9: same signature hatch
     }
     offenders = [
         r["query"]
