@@ -1721,3 +1721,223 @@ def text_zipf_rank_ratio_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rnk").cast("bigint") * 1000000).alias("zipf_ideal_micro"),
         )
     )
+
+
+# The NB training + scoring chain up to the per-doc `scored` CTE — shared by
+# the confusion query above and the eval-metric queries below (one model,
+# three oracle-pinned reports).
+_NB_CHAIN = _NB_ORACLE[: _NB_ORACLE.rindex("SELECT CAST(s_milli")]
+
+
+@register(
+    "text_nb_auc_eval",
+    oracle=_NB_CHAIN
+    + """SELECT t.n_pos, t.n_neg,
+           (s.sum_pos_r2 - t.n_pos * (t.n_pos + 1)) * 1000000
+               // (2 * t.n_pos * t.n_neg) AS auc_micro
+    FROM (
+        SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+               CAST(SUM(cnt - np) AS BIGINT) AS n_neg
+        FROM (
+            SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(COUNT(*) FILTER (WHERE is_a) AS BIGINT) AS np
+            FROM scored GROUP BY s_milli - base_milli
+        )
+    ) t, (
+        SELECT CAST(SUM(np * (2 * prev + cnt + 1)) AS BIGINT) AS sum_pos_r2
+        FROM (
+            SELECT cnt, np,
+                   CAST(COALESCE(SUM(cnt) OVER (ORDER BY m
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS prev
+            FROM (
+                SELECT s_milli - base_milli AS m,
+                       CAST(COUNT(*) AS BIGINT) AS cnt,
+                       CAST(COUNT(*) FILTER (WHERE is_a) AS BIGINT) AS np
+                FROM scored GROUP BY m
+            )
+        )
+    ) s
+    """,
+)
+def text_nb_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT AUC of the learned NB quality filter on the held-out half —
+    the Mann-Whitney rank-sum form with full tie correction (average
+    ranks), computed entirely over the MARGIN DISTRIBUTION table rather
+    than per-doc ranks: group docs by integer decision margin, take the
+    tie group's doubled average rank 2*prev + cnt + 1 from an exclusive
+    running count, and AUC = (sum_pos_R2 - n_pos(n_pos+1)) /
+    (2 n_pos n_neg) in integer micro-units. No doubles anywhere until
+    never — the statistic is exact.
+
+    Scale shape: the expensive parts (training agg, scoring join) are the
+    classifier's own documented plan; the AUC adds one |distinct margins|
+    -sized aggregate and windows OVER THAT DISTRIBUTION TABLE (not the
+    eval set — ties collapse first), so the running-count window is
+    margin-cardinality-sized. Fixture honesty (same as the classifier):
+    cohorts are exchangeable by construction, so AUC sits near 0.5 — the
+    planted-signal unit test is where discrimination is proven; here the
+    exact statistic itself is the oracle-pinned claim."""
+    from cdc_rs_spark.operators.classify import nb_score, nb_train_weights
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    labeled = docs.select(
+        "doc_id",
+        (F.length("source") <= 4).alias("is_a"),
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        F.lower("text").alias("lt"),
+    )
+    train_toks = (
+        labeled.filter("is_train")
+        .select("is_a", F.explode(F.split("lt", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    weights, neutral = nb_train_weights(train_toks)
+    test_toks = (
+        labeled.filter(~F.col("is_train"))
+        .select("doc_id", "is_a", F.explode(F.split("lt", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    scored = nb_score(test_toks, weights, neutral)
+    gm = scored.groupBy(
+        (F.col("s_milli") - F.col("base_milli")).alias("m")
+    ).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("np"),
+    )
+    # running count over the margin-DISTRIBUTION table (|distinct margins|
+    # rows) — benign unpartitioned frame by construction
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    cum = gm.select(
+        "cnt",
+        "np",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint").alias("prev"),
+    )
+    tot = gm.agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("np")).cast("bigint").alias("n_neg"),
+    )
+    s = cum.agg(
+        F.sum(F.col("np") * (2 * F.col("prev") + F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("sum_pos_r2")
+    )
+    return tot.crossJoin(F.broadcast(s)).select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "(sum_pos_r2 - n_pos * (n_pos + 1)) * 1000000 "
+            "div (2 * n_pos * n_neg)"
+        ).alias("auc_micro"),
+    )
+
+
+@register(
+    "text_nb_decile_lift",
+    oracle=_NB_CHAIN
+    + """, per AS (
+        SELECT doc_id, is_a, s_milli - base_milli AS m FROM scored
+    ),
+    deciled AS (
+        SELECT is_a, m,
+               NTILE(10) OVER (ORDER BY m DESC, doc_id) AS decile
+        FROM per
+    ),
+    agg AS (
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (WHERE is_a) AS BIGINT) AS n_pos,
+               CAST(MIN(m) AS BIGINT) AS min_margin_milli
+        FROM deciled GROUP BY decile
+    ),
+    tp AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS total_pos FROM agg)
+    SELECT a.decile, a.n_docs, a.n_pos,
+           a.n_pos * 1000000 // a.n_docs AS pos_rate_micro,
+           CAST(SUM(a.n_pos) OVER (ORDER BY a.decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               * 1000000 // t.total_pos AS cum_gain_micro,
+           a.min_margin_milli
+    FROM agg a, tp t
+    """,
+)
+def text_nb_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table for the NB quality filter — the
+    model-eval artifact a curation team reads before picking a score
+    cutoff: rank held-out docs by decision margin, split into 10 exact
+    NTILE deciles, and report per decile the positive rate and cumulative
+    gain (share of all positives captured down to that decile). A useful
+    filter front-loads positives into the top deciles; a chance-level one
+    (this fixture, by construction — see the classifier docstring) shows
+    a flat ~10%-per-decile gains curve, and the oracle pins the exact
+    table either way.
+
+    The decile assignment does NOT use a single-partition NTILE over the
+    eval set: ranks come from the distributed two-pass global_rank
+    (operators/ranged.py) and NTILE's exact distribution is reconstructed
+    arithmetically (ntile_from_rank — the customer_rfm_segments
+    discipline). Ties break on doc_id so both engines cut identically;
+    every metric is integer micro-units."""
+    from cdc_rs_spark.operators.classify import nb_score, nb_train_weights
+    from cdc_rs_spark.operators.ranged import (
+        global_rank,
+        ntile_from_rank,
+        ranked_result,
+    )
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    labeled = docs.select(
+        "doc_id",
+        (F.length("source") <= 4).alias("is_a"),
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        F.lower("text").alias("lt"),
+    )
+    train_toks = (
+        labeled.filter("is_train")
+        .select("is_a", F.explode(F.split("lt", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    weights, neutral = nb_train_weights(train_toks)
+    test_toks = (
+        labeled.filter(~F.col("is_train"))
+        .select("doc_id", "is_a", F.explode(F.split("lt", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    scored = nb_score(test_toks, weights, neutral)
+    per = scored.select(
+        "doc_id", "is_a", (F.col("s_milli") - F.col("base_milli")).alias("m")
+    )
+
+    def build(cached):
+        ranked, n = global_rank(
+            cached, "m", [F.col("m").desc(), F.col("doc_id")], descending=True
+        )
+        deciled = ranked.withColumn(
+            "decile", ntile_from_rank(F.col("_rk"), n, 10).cast("bigint")
+        )
+        agg = deciled.groupBy("decile").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count(F.when(F.col("is_a"), 1)).cast("bigint").alias("n_pos"),
+            F.min("m").cast("bigint").alias("min_margin_milli"),
+        )
+        tp = agg.agg(F.sum("n_pos").cast("bigint").alias("total_pos"))
+        w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            agg.crossJoin(F.broadcast(tp))
+            .select(
+                "decile",
+                "n_docs",
+                "n_pos",
+                F.expr("n_pos * 1000000 div n_docs").alias("pos_rate_micro"),
+                # 10-row frame: the decile table itself
+                (
+                    F.sum("n_pos").over(w).cast("bigint")
+                    * 1000000
+                    / F.col("total_pos")
+                )
+                .cast("bigint")
+                .alias("cum_gain_micro"),
+                "min_margin_milli",
+            )
+        )
+
+    return ranked_result(per, build)

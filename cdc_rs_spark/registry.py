@@ -115,7 +115,10 @@ _DRIVER_WINDOW = [
     "dedup_incremental_clusters",
     "heavy_hitters_cms_incremental",
     "dedup_exact_substring_spans",
-    "text_cleaning_funnel",
+    # text_cleaning_funnel rotated out late-session: its gate composition
+    # is driver-verified through curation_funnel_incremental (shared
+    # funnel_gates), and the slot funds the model-eval pins below
+
     # dedup_connected_components rides with the incremental form — the
     # two share one oracle, so the driver checks both sides of the
     # incremental == batch claim every round
@@ -165,9 +168,11 @@ _DRIVER_WINDOW = [
     # resolution pipeline (block -> match -> closure -> canonicalize)
     "events_survival_km",
     "supplier_entity_clusters",
-    # rotation picks (none were in the r8 window; every family keeps at
-    # least one slot)
-    "q2_min_cost_supplier",
+    # NEW in round-9 session 2, seventh batch — pinned at birth: exact
+    # model-eval metrics for the learned filter (tie-corrected AUC over
+    # the margin distribution, NTILE-exact decile gains)
+    "text_nb_auc_eval",
+    "text_nb_decile_lift",
 ]
 
 

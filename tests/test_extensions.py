@@ -1227,3 +1227,63 @@ def test_entity_clusters_invariants(spark, sf_dir):
     for c in clusters:
         assert c.n_members >= 2
         assert c.component == c.min_member
+
+
+def test_auc_matches_sklearn_free_reference(spark, sf_dir):
+    """The rank-sum AUC must equal a plain-Python tie-corrected AUC over
+    the collected (label, margin) pairs."""
+    from cdc_rs_spark.operators.classify import nb_score, nb_train_weights
+    from cdc_rs_spark.plans.text import text_nb_auc_eval
+    from cdc_rs_spark.session import load, spread
+    from pyspark.sql import functions as F
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    labeled = docs.select(
+        "doc_id",
+        (F.length("source") <= 4).alias("is_a"),
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        F.lower("text").alias("lt"),
+    )
+    train = labeled.filter("is_train").select(
+        "is_a", F.explode(F.split("lt", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    w, n0 = nb_train_weights(train)
+    test = labeled.filter(~F.col("is_train")).select(
+        "doc_id", "is_a", F.explode(F.split("lt", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    pairs = [
+        (r.is_a, r.s_milli - r.base_milli)
+        for r in nb_score(test, w, n0).collect()
+    ]
+    pairs.sort(key=lambda x: x[1])
+    # average ranks with ties
+    ranks = {}
+    i = 0
+    while i < len(pairs):
+        j = i
+        while j < len(pairs) and pairs[j][1] == pairs[i][1]:
+            j += 1
+        avg2 = (i + 1) + j  # doubled average rank of the tie block
+        ranks.setdefault(pairs[i][1], avg2)
+        i = j
+    n_pos = sum(1 for a, _ in pairs if a)
+    n_neg = len(pairs) - n_pos
+    sum_pos_r2 = sum(ranks[m] for a, m in pairs if a)
+    expect = (sum_pos_r2 - n_pos * (n_pos + 1)) * 1_000_000 // (2 * n_pos * n_neg)
+    row = text_nb_auc_eval(spark, sf_dir).collect()[0]
+    assert (row.n_pos, row.n_neg, row.auc_micro) == (n_pos, n_neg, expect)
+
+
+def test_decile_lift_partitions_eval_set(spark, sf_dir):
+    """Deciles partition the held-out docs into NTILE's exact sizes and
+    the cumulative gain reaches 100% at decile 10."""
+    from cdc_rs_spark.plans.text import text_nb_decile_lift
+
+    rows = sorted(
+        text_nb_decile_lift(spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n = sum(r.n_docs for r in rows)
+    q, rem = divmod(n, 10)
+    assert [r.n_docs for r in rows] == [q + 1] * rem + [q] * (10 - rem)
+    assert rows[-1].cum_gain_micro == 1_000_000
