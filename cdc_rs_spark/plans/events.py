@@ -1856,3 +1856,145 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour bigint, n_at_risk bigint, n_events bigint, "
         "n_censored bigint, survival double",
     )
+
+
+@register(
+    "events_poisson_rate_anomaly",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               date_diff('microsecond',
+                         TIMESTAMP '1970-01-01 00:00:00', ts)
+                   // 3600000000 AS hour_idx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, hour_idx
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(SUM(n) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS h
+        FROM hourly GROUP BY event_type
+    )
+    SELECT hy.event_type, hy.hour_idx, hy.n,
+           t.t * 1000000 // t.h AS mean_micro
+    FROM hourly hy JOIN tot t USING (event_type)
+    WHERE hy.n * t.h > t.t
+      AND (hy.n * t.h - t.t) * (hy.n * t.h - t.t) > 9 * t.t * t.h
+    """,
+)
+def events_poisson_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate anomaly detection on hourly event counts: under a
+    homogeneous Poisson process the hourly count has mean = variance =
+    lambda, so hours with n > lambda + 3*sqrt(lambda) are 3-sigma bursts
+    — the count-process traffic-spike monitor (z-scores assume Gaussian
+    residuals; for counts the Poisson bound is the right null).
+
+    The 3-sigma test is done WITHOUT sqrt or doubles: with lambda = T/H
+    (total / observed hours, a rational), n > lambda + 3*sqrt(lambda)
+    cross-multiplies to (n*H - T)^2 > 9*T*H given n*H > T — every compared
+    quantity a bounded int64 product. Shape: one (type, hour) map-side-
+    combinable count, a per-type 1-row total joined back (broadcast-
+    sized), and a scan-side filter; output is only the flagged hours."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        (epoch_us("ts") / F.lit(3600_000_000)).cast("long").alias("hour_idx"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("t"),
+        F.count("*").cast("bigint").alias("h"),
+    )
+    j = hourly.join(F.broadcast(tot), "event_type")
+    lhs = F.col("n") * F.col("h") - F.col("t")
+    return (
+        j.filter((F.col("n") * F.col("h") > F.col("t")) & (lhs * lhs > 9 * F.col("t") * F.col("h")))
+        .select(
+            "event_type",
+            "hour_idx",
+            "n",
+            F.expr("t * 1000000 div h").alias("mean_micro"),
+        )
+    )
+
+
+BOT_TOP = 20
+
+
+@register(
+    "events_bot_regularity_score",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               date_diff('microsecond',
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                         ts) // 60000000 AS gap_min
+        FROM events
+    ),
+    per AS (
+        SELECT user_id,
+               CAST(COUNT(gap_min) AS BIGINT) AS k,
+               CAST(SUM(gap_min) AS BIGINT) AS sg,
+               CAST(SUM(gap_min * gap_min) AS BIGINT) AS sg2
+        FROM seq GROUP BY user_id HAVING COUNT(gap_min) >= 2
+    )
+    SELECT user_id, k + 1 AS n_events, sg AS span_min,
+           CASE WHEN sg > 0
+                THEN (k * sg2 - sg * sg) * 1000000 // (sg * sg)
+                ELSE 0 END AS cv2_micro,
+           (sg > 0 AND (k * sg2 - sg * sg) * 2 < sg * sg) AS regular_flag
+    FROM per
+    ORDER BY n_events DESC, user_id LIMIT {BOT_TOP}
+    """,
+)
+def events_bot_regularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection via inter-arrival regularity: humans are
+    bursty (squared coefficient of variation of gaps CV^2 ~ 1 for a
+    Poisson process, higher for sessions), schedulers and scripts are
+    metronomic (CV^2 << 1). Per user: CV^2 of inter-event gaps as the
+    EXACT integer ratio (k*sum(g^2) - sum(g)^2) * 1e6 div sum(g)^2 —
+    algebraically var/mean^2 with no doubles and no division until the
+    final micro-unit ratio; gaps are floored to whole minutes so the
+    worst-case product stays ~1.9e18 < 2^63 (sized like the JL audit).
+    The regular_flag marks CV^2 < 0.5, the classic automation threshold.
+
+    Shape: one (user-keyed) lag window — the same shuffle every
+    sessionization query pays — then a map-side-combinable moment
+    aggregate; the report is the top-{BOT_TOP} most active users
+    (TakeOrdered, ties on user_id)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        ((epoch_us("ts") - epoch_us(F.lag("ts").over(w))) / F.lit(60_000_000))
+        .cast("long")
+        .alias("gap_min"),
+    )
+    per = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("gap_min").cast("bigint").alias("k"),
+            F.sum("gap_min").cast("bigint").alias("sg"),
+            F.sum(F.col("gap_min") * F.col("gap_min"))
+            .cast("bigint")
+            .alias("sg2"),
+        )
+        .filter(F.col("k") >= 2)
+    )
+    out = per.select(
+        "user_id",
+        (F.col("k") + 1).alias("n_events"),
+        F.col("sg").alias("span_min"),
+        F.when(
+            F.col("sg") > 0,
+            F.expr("(k * sg2 - sg * sg) * 1000000 div (sg * sg)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("cv2_micro"),
+        (
+            (F.col("sg") > 0)
+            & ((F.col("k") * F.col("sg2") - F.col("sg") * F.col("sg")) * 2 < F.col("sg") * F.col("sg"))
+        ).alias("regular_flag"),
+    )
+    return out.orderBy(F.desc("n_events"), "user_id").limit(BOT_TOP)

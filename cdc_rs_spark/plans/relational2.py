@@ -4024,3 +4024,75 @@ def supplier_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.join(canon, "component").select(
         "component", "n_members", "canonical_name", "min_member", "max_member"
     )
+
+
+DEGREE_RANKS = (1, 2, 4, 8, 16)
+
+
+@register(
+    "part_degree_powerlaw_audit",
+    oracle=f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ),
+    pe AS (
+        SELECT a.p AS src, b.p AS dst, COUNT(DISTINCT a.ok) AS w
+        FROM li a JOIN li b USING (ok) WHERE a.p <> b.p
+        GROUP BY a.p, b.p
+    ),
+    deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT src, dst FROM pe WHERE w >= 2) GROUP BY src
+    ),
+    ranked AS (
+        SELECT src, degree,
+               row_number() OVER (ORDER BY degree DESC, src) AS rnk
+        FROM deg
+    ),
+    top AS (SELECT * FROM ranked WHERE rnk <= {max(DEGREE_RANKS)}),
+    d1 AS (SELECT degree AS dmax FROM top WHERE rnk = 1)
+    SELECT CAST(t.rnk AS BIGINT) AS rank, t.src AS vertex, t.degree,
+           o.dmax * 1000000 // t.degree AS d1_over_dr_micro
+    FROM top t, d1 o
+    WHERE t.rnk IN ({", ".join(str(r) for r in DEGREE_RANKS)})
+    """,
+)
+def part_degree_powerlaw_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution shape audit for the part co-occurrence graph —
+    the graph-side sibling of text_zipf_rank_ratio_audit: log-free integer
+    ratios d_1/d_r at probe ranks. A scale-free (power-law) graph shows
+    ratios growing polynomially in rank; a near-regular graph (this
+    fixture's thresholded co-occurrence, by construction) shows a flat
+    head — and that DIFFERENCE is the operational signal: it is exactly
+    the skew diagnostic that decides whether the graph family's joins
+    need hub-salting (power-law) or not (regular). One degree aggregate
+    + TakeOrdered top-{max(DEGREE_RANKS)}; the rank window runs over
+    those collected rows only."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    deg = (
+        a.join(b, "ok")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.countDistinct("ok").alias("w"))
+        .filter(F.col("w") >= 2)
+        .groupBy("src")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    top = deg.orderBy(F.desc("degree"), "src").limit(max(DEGREE_RANKS))
+    # benign: the frame is the 16-row limit() above
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("degree"), "src"))
+    )
+    d1 = ranked.filter(F.col("rnk") == 1).select(F.col("degree").alias("dmax"))
+    return (
+        ranked.filter(F.col("rnk").isin(*DEGREE_RANKS))
+        .crossJoin(F.broadcast(d1))
+        .select(
+            F.col("rnk").cast("bigint").alias("rank"),
+            F.col("src").alias("vertex"),
+            "degree",
+            F.expr("dmax * 1000000 div degree").alias("d1_over_dr_micro"),
+        )
+    )

@@ -109,12 +109,18 @@ _DRIVER_WINDOW = [
     "text_nb_incremental_classifier",
     "similarity_ivf_incremental_topk",
     "similarity_ivfpq_incremental_topk",
-    "similarity_pq_adc_topk",
-    "similarity_ivfpq_topk",
+    # similarity_pq_adc_topk / similarity_ivfpq_topk rotated out
+    # late-session: their encode/ADC chains are driver-exercised through
+    # the pinned residual + incremental + recall-eval siblings (same
+    # code paths in operators/similarity.py and plans/similarity.py),
+    # and the slots fund the session's new-family pins
     "similarity_ivfpq_recall_eval",
     "dedup_incremental_clusters",
     "heavy_hitters_cms_incremental",
-    "dedup_exact_substring_spans",
+    # dedup_exact_substring_spans rotated out likewise: the shared
+    # sampler is driver-exercised through the three pinned anchored
+    # variants
+
     # text_cleaning_funnel rotated out late-session: its gate composition
     # is driver-verified through curation_funnel_incremental (shared
     # funnel_gates), and the slot funds the model-eval pins below
@@ -173,6 +179,12 @@ _DRIVER_WINDOW = [
     # the margin distribution, NTILE-exact decile gains)
     "text_nb_auc_eval",
     "text_nb_decile_lift",
+    # NEW in round-9 session 2, eighth batch — pinned at birth: degree
+    # power-law audit (the hub-salting decision input), Poisson burst
+    # detection, and inter-arrival bot-regularity scoring
+    "part_degree_powerlaw_audit",
+    "events_poisson_rate_anomaly",
+    "events_bot_regularity_score",
 ]
 
 

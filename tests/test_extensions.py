@@ -1287,3 +1287,66 @@ def test_decile_lift_partitions_eval_set(spark, sf_dir):
     q, rem = divmod(n, 10)
     assert [r.n_docs for r in rows] == [q + 1] * rem + [q] * (10 - rem)
     assert rows[-1].cum_gain_micro == 1_000_000
+
+
+def test_poisson_anomaly_threshold_math(spark, sf_dir):
+    """Every flagged hour must satisfy the 3-sigma Poisson bound computed
+    in plain Python from the hourly counts."""
+    from cdc_rs_spark.plans.events import events_poisson_rate_anomaly
+    from cdc_rs_spark.functions.timeutil import epoch_us
+    from cdc_rs_spark.session import load
+    from pyspark.sql import functions as F
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (epoch_us("ts") / F.lit(3600_000_000)).cast("long").alias("h"),
+        )
+        .count()
+        .collect()
+    )
+    tot: dict[str, list] = {}
+    for r in hourly:
+        t = tot.setdefault(r.event_type, [0, 0])
+        t[0] += r["count"]
+        t[1] += 1
+    flagged = events_poisson_rate_anomaly(spark, sf_dir).collect()
+    for r in flagged:
+        t, h = tot[r.event_type]
+        lam = t / h
+        assert r.n > lam + 3 * (lam ** 0.5), r
+    # and nothing below the bound is flagged
+    expect = sum(
+        1
+        for r in hourly
+        if r["count"] > tot[r.event_type][0] / tot[r.event_type][1]
+        + 3 * (tot[r.event_type][0] / tot[r.event_type][1]) ** 0.5
+    )
+    assert len(flagged) == expect
+
+
+def test_bot_regularity_cv2_reference(spark, sf_dir):
+    """cv2_micro must equal the Python var/mean^2 over minute-floored
+    gaps for every reported user."""
+    from cdc_rs_spark.plans.events import events_bot_regularity_score
+    from cdc_rs_spark.session import load
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    for r in events_bot_regularity_score(spark, sf_dir).collect():
+        evs = sorted(by_user[r.user_id])
+        gaps = [
+            int((b[0] - a[0]).total_seconds() // 60)
+            for a, b in zip(evs, evs[1:])
+        ]
+        k, sg, sg2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        assert r.n_events == k + 1
+        if sg > 0:
+            assert r.cv2_micro == (k * sg2 - sg * sg) * 1_000_000 // (sg * sg)
