@@ -1941,3 +1941,126 @@ def text_nb_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return ranked_result(per, build)
+
+
+RAKE_STOPS = LANG_STOPWORDS["en"] + ["a"]
+RAKE_MAX_LEN = 4  # standard RAKE candidate-phrase cap
+RAKE_TOP = 10
+_RAKE_SPLIT = " (" + "|".join(RAKE_STOPS) + ") "
+
+
+@register(
+    "text_rake_keyphrases",
+    oracle=f"""
+    WITH sp AS (
+        SELECT doc_id, ' ' || replace(lower(text), ' ', '  ') || ' ' AS s
+        FROM documents
+    ),
+    frag AS (
+        SELECT regexp_replace(trim(f), ' +', ' ', 'g') AS phrase
+        FROM sp, unnest(string_split_regex(s, '{_RAKE_SPLIT}')) t(f)
+        WHERE trim(f) <> ''
+    ),
+    ph AS (
+        SELECT phrase, string_split(phrase, ' ') AS toks
+        FROM frag
+    ),
+    capped AS (SELECT * FROM ph WHERE len(toks) <= {RAKE_MAX_LEN}),
+    words AS (
+        SELECT t.tok, len(toks) AS plen
+        FROM capped, unnest(toks) t(tok)
+    ),
+    ws AS (
+        SELECT tok,
+               CAST(SUM(plen) AS BIGINT) * 1000000
+                   // CAST(COUNT(*) AS BIGINT) AS score_micro
+        FROM words GROUP BY tok
+    ),
+    pd AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM capped GROUP BY phrase
+    ),
+    scored AS (
+        SELECT p.phrase, p.n_occurrences,
+               CAST(len(string_split(p.phrase, ' ')) AS BIGINT)
+                   AS n_tokens,
+               CAST(SUM(w.score_micro) AS BIGINT) AS score_micro
+        FROM pd p,
+             unnest(string_split(p.phrase, ' ')) t(tok)
+        JOIN ws w ON t.tok = w.tok
+        GROUP BY p.phrase, p.n_occurrences
+    )
+    SELECT phrase, n_tokens, n_occurrences, score_micro
+    FROM scored ORDER BY score_micro DESC, phrase LIMIT {RAKE_TOP}
+    """,
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — the co-occurrence
+    complement of text_tfidf_keywords: candidate phrases are maximal
+    stopword-delimited word runs (capped at {RAKE_MAX_LEN} tokens, the
+    standard RAKE practice), each word scores degree/frequency over the
+    candidate set (degree = summed length of phrases containing it —
+    words that live in long phrases score up), and a phrase scores the
+    sum of its member word scores. Top-{RAKE_TOP} phrases corpus-wide.
+
+    The delimiter split is made overlap-proof BEFORE the regex: doubling
+    inner spaces gives every token its own flanking spaces, so adjacent
+    stopwords ('of the') each match ' stop ' without sharing a space —
+    the same split then behaves identically in Java regex and RE2. All
+    scores are integer micro-units (deg*1e6 div freq, summed — no
+    doubles); ties break on the phrase string.
+
+    Scale shape: one corpus pass to fragments (scan-side split + explode),
+    two map-side-combinable aggregates (word stats over phrase
+    occurrences, distinct-phrase counts), one shuffle join of phrase
+    tokens to the word-score table (vocabulary-keyed — the same
+    size-gated join decision as BPE encoding), and a TakeOrdered
+    top-{RAKE_TOP}."""
+    d = spread(load(spark, sf_dir, "documents"))
+    sp = d.select(
+        F.concat(
+            F.lit(" "),
+            F.regexp_replace(F.lower("text"), " ", "  "),
+            F.lit(" "),
+        ).alias("s")
+    )
+    frag = (
+        sp.select(F.explode(F.split("s", _RAKE_SPLIT)).alias("f"))
+        .select(
+            F.regexp_replace(F.trim("f"), " +", " ").alias("phrase")
+        )
+        .filter(F.col("phrase") != "")
+    )
+    ph = frag.select("phrase", F.split("phrase", " ").alias("toks")).filter(
+        F.size("toks") <= RAKE_MAX_LEN
+    )
+    words = ph.select(
+        F.explode("toks").alias("tok"), F.size("toks").alias("plen")
+    )
+    ws = words.groupBy("tok").agg(
+        F.expr(
+            "CAST(sum(plen) AS BIGINT) * 1000000 div CAST(count(*) AS BIGINT)"
+        ).alias("score_micro")
+    )
+    pd = ph.groupBy("phrase").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+    scored = (
+        pd.select(
+            "phrase",
+            "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("tok"),
+        )
+        .join(ws, "tok")
+        .groupBy("phrase", "n_occurrences")
+        .agg(
+            F.sum("score_micro").cast("bigint").alias("score_micro"),
+        )
+        .select(
+            "phrase",
+            F.size(F.split("phrase", " ")).cast("bigint").alias("n_tokens"),
+            "n_occurrences",
+            "score_micro",
+        )
+    )
+    return scored.orderBy(F.desc("score_micro"), "phrase").limit(RAKE_TOP)

@@ -108,7 +108,10 @@ _DRIVER_WINDOW = [
     "text_nb_source_classifier",
     "text_nb_incremental_classifier",
     "similarity_ivf_incremental_topk",
-    "similarity_ivfpq_incremental_topk",
+    # similarity_ivfpq_incremental_topk rotated out late-session like its
+    # siblings above: the pinned residual incremental form drives the
+    # identical streaming/ivf.py code path with pq=True
+
     # similarity_pq_adc_topk / similarity_ivfpq_topk rotated out
     # late-session: their encode/ADC chains are driver-exercised through
     # the pinned residual + incremental + recall-eval siblings (same
@@ -185,6 +188,9 @@ _DRIVER_WINDOW = [
     "part_degree_powerlaw_audit",
     "events_poisson_rate_anomaly",
     "events_bot_regularity_score",
+    # NEW in round-9 session 2, ninth batch — pinned at birth: RAKE
+    # keyphrase extraction (co-occurrence degree/freq scoring)
+    "text_rake_keyphrases",
 ]
 
 

@@ -1350,3 +1350,54 @@ def test_bot_regularity_cv2_reference(spark, sf_dir):
         assert r.n_events == k + 1
         if sg > 0:
             assert r.cv2_micro == (k * sg2 - sg * sg) * 1_000_000 // (sg * sg)
+
+
+def test_rake_matches_python_reference(spark, sf_dir):
+    """RAKE scores must equal a plain-Python implementation (split on
+    stopwords, cap length, degree/freq word scores, phrase sums) including
+    the top-k cut."""
+    from cdc_rs_spark.plans.text import (
+        RAKE_MAX_LEN,
+        RAKE_STOPS,
+        RAKE_TOP,
+        text_rake_keyphrases,
+    )
+    from cdc_rs_spark.session import load
+
+    docs = load(spark, sf_dir, "documents").select("text").collect()
+    stops = set(RAKE_STOPS)
+    phrases = []
+    for r in docs:
+        cur = []
+        for w in r.text.lower().split():
+            if w in stops:
+                if cur:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(tuple(cur))
+    capped = [p for p in phrases if len(p) <= RAKE_MAX_LEN]
+    freq: dict[str, int] = {}
+    deg: dict[str, int] = {}
+    for p in capped:
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(p)
+    score = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
+    from collections import Counter
+
+    occ = Counter(" ".join(p) for p in capped)
+    ps = {
+        s: sum(score[w] for w in s.split())
+        for s in occ
+    }
+    expect = sorted(ps.items(), key=lambda kv: (-kv[1], kv[0]))[:RAKE_TOP]
+    got = [
+        (r.phrase, r.score_micro)
+        for r in text_rake_keyphrases(spark, sf_dir).collect()
+    ]
+    assert got == expect
+    for r in text_rake_keyphrases(spark, sf_dir).collect():
+        assert r.n_occurrences == occ[r.phrase]
