@@ -10,6 +10,8 @@ same logical plans).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1850,7 +1852,12 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows:
         if r.d > 0:
             s *= (r.n_at_risk - r.d) / r.n_at_risk
-        out.append((r.tw, r.n_at_risk, r.d, r.c, round(s, 6)))
+        # half-UP rounding to match DuckDB ROUND (half away from zero);
+        # Python round() is banker's half-even and would drift on an
+        # exact x.xxxxxx5 survival value (ADVICE r9). s is always >= 0.
+        out.append(
+            (r.tw, r.n_at_risk, r.d, r.c, math.floor(s * 1e6 + 0.5) / 1e6)
+        )
     return spark.createDataFrame(
         out,
         "hour bigint, n_at_risk bigint, n_events bigint, "

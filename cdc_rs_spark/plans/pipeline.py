@@ -2001,9 +2001,23 @@ def io_format_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             path = f"{root}/{fmt}"
             w = d.write.mode("overwrite")
             if fmt == "csv":
-                w.option("header", "true").csv(path)
+                # explicit null/empty markers + RFC quote-escaping +
+                # multiLine read: without these, Spark reads an empty
+                # string field back as NULL and an embedded newline
+                # splits the row — silent checksum drift on a future
+                # fixture (ADVICE r9). Markers chosen to never occur in
+                # the documents fixture.
+                _csv_opts = {
+                    "header": "true",
+                    "quote": '"',
+                    "escape": '"',
+                    "nullValue": "\x01NUL\x01",
+                    "emptyValue": "\x01EMP\x01",
+                }
+                w.options(**_csv_opts).csv(path)
                 back = (
-                    spark.read.option("header", "true")
+                    spark.read.options(**_csv_opts)
+                    .option("multiLine", "true")
                     .schema("doc_id long, text string")
                     .csv(path)
                 )

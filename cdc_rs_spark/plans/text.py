@@ -1929,13 +1929,20 @@ def text_nb_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_pos",
                 F.expr("n_pos * 1000000 div n_docs").alias("pos_rate_micro"),
                 # 10-row frame: the decile table itself
-                (
-                    F.sum("n_pos").over(w).cast("bigint")
-                    * 1000000
-                    / F.col("total_pos")
-                )
-                .cast("bigint")
-                .alias("cum_gain_micro"),
+                F.sum("n_pos").over(w).cast("bigint").alias("_cum_pos"),
+                "min_margin_milli",
+                "total_pos",
+            )
+            # exact integer floor division, matching the oracle's `//`
+            # (ADVICE r9: the double-division form drifts at ~1e10 pos)
+            .select(
+                "decile",
+                "n_docs",
+                "n_pos",
+                "pos_rate_micro",
+                F.expr("_cum_pos * 1000000 div total_pos").alias(
+                    "cum_gain_micro"
+                ),
                 "min_margin_milli",
             )
         )
