@@ -1605,16 +1605,17 @@ def _funnel_oracle() -> str:
     """
 
 
-def funnel_gates(batch: DataFrame):
-    """The funnel's map-side stages over one (doc_id, text, source, op)
-    micro-batch: envelope insert gate, language-ID, quality, length.
-    Returns (ins, g1, g2, gated) — each a filter of the previous, all
-    pure column expressions (the text_cleaning_funnel gates verbatim)."""
+def gate_stages(rows: DataFrame):
+    """The three map-side text gates (language-ID, quality, length) over
+    (doc_id, text, source) rows — no envelope filter. Returns (g1, g2,
+    gated). Deterministic in the text alone, which is what makes the
+    DELETE path exact: re-gating a delete's before-image reproduces the
+    insert-time gate outcome bit-for-bit, so retractions touch exactly
+    the state the insert folded (round 10)."""
     from cdc_rs_spark.functions.text import predicted_lang, quality_score, tokens
 
-    ins = batch.filter(F.col("op") == "c")
     toks = tokens(F.col("text"))
-    sc = ins.select(
+    sc = rows.select(
         "doc_id",
         "text",
         "source",
@@ -1625,6 +1626,16 @@ def funnel_gates(batch: DataFrame):
     g1 = sc.filter(F.col("pred") == "en")
     g2 = g1.filter(F.col("quality") >= 0.32)
     gated = g2.filter(F.col("n_toks") >= 20).select("doc_id", "text", "source")
+    return g1, g2, gated
+
+
+def funnel_gates(batch: DataFrame):
+    """The funnel's map-side stages over one (doc_id, text, source, op)
+    micro-batch: envelope insert gate, language-ID, quality, length.
+    Returns (ins, g1, g2, gated) — each a filter of the previous, all
+    pure column expressions (the text_cleaning_funnel gates verbatim)."""
+    ins = batch.filter(F.col("op") == "c")
+    g1, g2, gated = gate_stages(ins)
     return ins, g1, g2, gated
 
 
@@ -1634,6 +1645,7 @@ def funnel_foreach_batch(
     clusters_root: str,
     sig_path: str,
     sh_path: str,
+    handle_deletes: bool = False,
 ):
     """The streaming curation step as ONE foreachBatch callable: gates ->
     per-batch stage-count segment into the additive store -> cluster-dedup
@@ -1642,43 +1654,101 @@ def funnel_foreach_batch(
     Every fold is ledger-gated on batch_id, so a replayed micro-batch
     (at-least-once foreachBatch) leaves all three stores byte-identical —
     pinned by test_streaming.py::test_curation_funnel_replay_idempotent
-    through a REAL readStream/foreachBatch run."""
+    through a REAL readStream/foreachBatch run.
+
+    handle_deletes=True (round 10, VERDICT r9 next #1) additionally
+    propagates op='d' rows — which carry the BEFORE-IMAGE, the
+    reference's Delete shape (src/main.rs:286-292) — into every store:
+    the delete's image re-runs the same deterministic gates, and for the
+    docs that had passed them, token counts retract from the NB store
+    (group inverse), membership leaves the cluster map through
+    remove_docs (tombstone + affected-component recompute), and the
+    stage counts fold SIGNED so the merged state tracks the LIVE corpus.
+    Delete-side folds commit under stream 'd' (inserts under 's') so a
+    mixed batch makes exactly one ledgered fold per store per stream and
+    replays stay no-ops on both paths. The default (False) preserves the
+    round-9 insert-only semantics byte-for-byte —
+    curation_funnel_incremental's pinned oracle depends on it."""
     from cdc_rs_spark.streaming.additive import fold_segment
-    from cdc_rs_spark.streaming.classifier import fold_counts
-    from cdc_rs_spark.streaming.clusters import clusters_foreach_batch
+    from cdc_rs_spark.streaming.classifier import fold_counts, retract_counts
+    from cdc_rs_spark.streaming.clusters import (
+        clusters_foreach_batch,
+        remove_docs,
+    )
 
     cluster_fn = clusters_foreach_batch(
         sig_path, sh_path, clusters_root, threshold=0.5
     )
 
+    def nb_toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            (F.length("source") <= 4).alias("is_a"),
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        ).filter(F.col("token") != "")
+
+    def stage(name, df, sign=1):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            (F.lit(sign) * F.count("*")).cast("bigint").alias("n"),
+        )
+
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         ins, g1, g2, gated = funnel_gates(batch_df)
         gated = gated.persist()
         try:
-
-            def stage(name, df):
-                return df.agg(
-                    F.lit(name).alias("stage"),
-                    F.count("*").cast("bigint").alias("n"),
+            if not handle_deletes:
+                seg = (
+                    stage("feed", batch_df)
+                    .unionByName(stage("inserts", ins))
+                    .unionByName(stage("lang_en", g1))
+                    .unionByName(stage("quality_ge_032", g2))
+                    .unionByName(stage("len_ge_20", gated))
                 )
-
-            seg = (
-                stage("feed", batch_df)
-                .unionByName(stage("inserts", ins))
-                .unionByName(stage("lang_en", g1))
-                .unionByName(stage("quality_ge_032", g2))
-                .unionByName(stage("len_ge_20", gated))
+                fold_segment(seg, counts_root, batch_id=batch_id)
+                cluster_fn(gated, batch_id)
+                fold_counts(nb_toks(gated), nb_root, batch_id=batch_id)
+                return
+            dels = batch_df.filter(F.col("op") == "d").select(
+                "doc_id", "text", "source"
             )
-            fold_segment(seg, counts_root, batch_id=batch_id)
-            cluster_fn(gated, batch_id)
-            fold_counts(
-                gated.select(
-                    (F.length("source") <= 4).alias("is_a"),
-                    F.explode(F.split(F.lower("text"), " ")).alias("token"),
-                ).filter(F.col("token") != ""),
-                nb_root,
-                batch_id=batch_id,
-            )
+            dg1, dg2, dgated = gate_stages(dels)
+            dgated = dgated.persist()
+            try:
+                # ONE signed segment per batch: +insert-side counts,
+                # -delete-side counts; SUM nets to the live corpus
+                seg = (
+                    stage("inserts", ins)
+                    .unionByName(stage("deletes", dels))
+                    .unionByName(stage("live", ins))
+                    .unionByName(stage("live", dels, sign=-1))
+                    .unionByName(stage("lang_en", g1))
+                    .unionByName(stage("lang_en", dg1, sign=-1))
+                    .unionByName(stage("quality_ge_032", g2))
+                    .unionByName(stage("quality_ge_032", dg2, sign=-1))
+                    .unionByName(stage("len_ge_20", gated))
+                    .unionByName(stage("len_ge_20", dgated, sign=-1))
+                )
+                fold_segment(seg, counts_root, batch_id=batch_id)
+                # inserts fold under stream 's', deletes under 'd' —
+                # one ledger line each per store
+                cluster_fn(gated, batch_id)
+                remove_docs(
+                    batch_df.sparkSession,
+                    clusters_root,
+                    dgated.select("doc_id"),
+                    sig_store_path=sig_path,
+                    shingle_store_path=sh_path,
+                    threshold=0.5,
+                    batch_id=batch_id,
+                    stream_id="d",
+                )
+                fold_counts(nb_toks(gated), nb_root, batch_id=batch_id)
+                retract_counts(
+                    nb_toks(dgated), nb_root,
+                    batch_id=batch_id, stream_id="d",
+                )
+            finally:
+                dgated.unpersist(blocking=False)
         finally:
             gated.unpersist(blocking=False)
 
@@ -1827,6 +1897,278 @@ def curation_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         rows = report.collect()  # ~15 rows; frees the scratch stores
+        schema = report.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _funnel_retraction_oracle() -> str:
+    """The retraction funnel's SQL mirror: the whole funnel (gates ->
+    MinHash CC dedup -> NB filter -> md5 shards) computed directly over
+    the SURVIVING corpus (documents minus the deleted cohort), plus
+    cumulative insert/delete counters. Equality with the streamed
+    fold-then-retract composition is the claim: signed stage counts net
+    to live-corpus counts (group SUM), NB counts cancel to
+    batch-on-survivors (group inverse + vocab zero-drop), and the
+    cluster map's delete fold recomputes affected components exactly
+    (streaming/clusters.remove_docs)."""
+    from cdc_rs_spark.plans.dedup import (
+        _DOCS_SHINGLES_SQL,
+        _minhash_bands_sql,
+        _minhash_sig_sql,
+    )
+    from cdc_rs_spark.plans.text import _PRED_LANG_SQL, _hits_sql
+
+    sh_ctes = _DOCS_SHINGLES_SQL.replace("FROM documents", "FROM gated")
+    quality = (
+        f"ROUND(0.4 * ({_hits_sql('en')}::DOUBLE / len(w)) "
+        "+ 0.3 * least(len(w)::DOUBLE / 100.0, 1.0) "
+        "+ 0.3 * (len(list_distinct(w))::DOUBLE / len(w)), 6)"
+    )
+    return f"""
+    WITH RECURSIVE feed AS (
+        SELECT doc_id, text, source, doc_id % 13 = 0 AS deleted
+        FROM documents
+    ),
+    ins AS (SELECT doc_id, text, source FROM feed WHERE NOT deleted),
+    tt AS (SELECT doc_id, text, source, string_split(text, ' ') AS w
+           FROM ins),
+    sc AS (
+        SELECT doc_id, text, source, w,
+               {_hits_sql("en")} AS s_en, {_hits_sql("es")} AS s_es,
+               {_hits_sql("fr")} AS s_fr, {_hits_sql("de")} AS s_de,
+               {quality} AS quality
+        FROM tt
+    ),
+    g1 AS (SELECT * FROM sc WHERE {_PRED_LANG_SQL} = 'en'),
+    g2 AS (SELECT * FROM g1 WHERE quality >= 0.32),
+    gated AS (SELECT doc_id, text, source FROM g2 WHERE len(w) >= 20),
+    {sh_ctes},
+    {_minhash_sig_sql()},
+    {_minhash_bands_sql()},
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                  JOIN sh b ON cand.id_b = b.doc_id
+        WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+              / (len(a.s) + len(b.s)
+                 - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+        FROM reach GROUP BY a
+    ),
+    survivors AS (
+        SELECT g.doc_id, g.text, g.source
+        FROM gated g LEFT JOIN comp c ON g.doc_id = c.doc_id
+        WHERE c.component IS NULL OR c.component = g.doc_id
+    ),
+    labeled AS (
+        SELECT doc_id, len(source) <= 4 AS is_a, lower(text) AS lt
+        FROM gated
+    ),
+    train_toks AS (
+        SELECT is_a, unnest(string_split(lt, ' ')) AS token FROM labeled
+    ),
+    cnt AS (
+        SELECT token,
+               CAST(COUNT(*) FILTER (WHERE is_a) AS BIGINT) AS c_a,
+               CAST(COUNT(*) FILTER (WHERE NOT is_a) AS BIGINT) AS c_b
+        FROM train_toks WHERE token <> '' GROUP BY token
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+               CAST(SUM(c_b) AS BIGINT) AS n_b,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM cnt
+    ),
+    weights AS (
+        SELECT token,
+               ((c_a + 1) * (n_b + v) * 1000) // ((c_b + 1) * (n_a + v))
+                   AS w_milli
+        FROM cnt CROSS JOIN tot
+    ),
+    neutral AS (
+        SELECT ((n_b + v) * 1000) // (n_a + v) AS w0 FROM tot
+    ),
+    surv_toks AS (
+        SELECT l.doc_id, unnest(string_split(l.lt, ' ')) AS token
+        FROM labeled l JOIN survivors s ON l.doc_id = s.doc_id
+    ),
+    nb_scored AS (
+        SELECT t.doc_id,
+               CAST(SUM(COALESCE(w.w_milli, n.w0)) AS BIGINT) AS s_milli,
+               CAST(COUNT(*) AS BIGINT) * MAX(n.w0) AS base_milli
+        FROM surv_toks t
+        LEFT JOIN weights w ON t.token = w.token
+        CROSS JOIN neutral n
+        WHERE t.token <> ''
+        GROUP BY t.doc_id
+    ),
+    nb_pass AS (SELECT doc_id FROM nb_scored WHERE s_milli > base_milli),
+    shards AS (SELECT {_oracle_bucket("doc_id", 8)} AS shard FROM nb_pass)
+    SELECT 'inserts' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM feed
+    UNION ALL SELECT 'deletes', CAST(COUNT(*) AS BIGINT)
+              FROM feed WHERE deleted
+    UNION ALL SELECT 'live', CAST(COUNT(*) AS BIGINT) FROM ins
+    UNION ALL SELECT 'lang_en', CAST(COUNT(*) AS BIGINT) FROM g1
+    UNION ALL SELECT 'quality_ge_032', CAST(COUNT(*) AS BIGINT) FROM g2
+    UNION ALL SELECT 'len_ge_20', CAST(COUNT(*) AS BIGINT) FROM gated
+    UNION ALL SELECT 'dedup_survivors', CAST(COUNT(*) AS BIGINT)
+              FROM survivors
+    UNION ALL SELECT 'nb_pass', CAST(COUNT(*) AS BIGINT) FROM nb_pass
+    UNION ALL SELECT 'shard_' || CAST(shard AS VARCHAR),
+              CAST(COUNT(*) AS BIGINT)
+              FROM shards GROUP BY shard
+    """
+
+
+@register("curation_funnel_retraction", oracle=_funnel_retraction_oracle())
+def curation_funnel_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE STREAMING CURATION PIPELINE WITH CDC DELETES (round 10,
+    VERDICT r9 next #1 'done' criterion): the whole corpus streams in as
+    two insert micro-batches, then a DELETE batch (op='d' with
+    before-images, the reference's Delete op, src/main.rs:286-292,
+    test.rhai:26,32) retracts the doc_id % 13 cohort from EVERY
+    incremental store the round-9 funnel folds into — signed stage
+    counts net the additive store to the live corpus, retract_counts
+    cancels the deleted docs' NB sufficient statistics (group inverse +
+    vocab zero-drop), and remove_docs tombstones + recomputes the
+    affected dedup clusters (articulation splits included). The end
+    state (dedup survivors -> store-trained NB boundary -> md5 shard
+    sink, written AND read back) must equal the round-9 funnel run
+    directly on the surviving corpus — which is precisely what the
+    DuckDB oracle computes as whole-corpus SQL over `documents WHERE
+    doc_id % 13 <> 0`. Delete-path replay idempotence is pinned by
+    tests/test_streaming.py::test_funnel_retraction_replay_idempotent.
+
+    Scale shape: identical to curation_funnel_incremental on the insert
+    path; the delete fold adds request-bounded work (tombstone append,
+    bucket-pruned root lookup, one label-map scan, affected-cluster pair
+    recompute) — nothing rescans corpus text. GDPR completion
+    (physical band-store erasure) is gdpr_forget_end_to_end's job."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_rs_spark.operators.classify import nb_score
+    from cdc_rs_spark.streaming.additive import (
+        init_additive_store,
+        read_merged,
+    )
+    from cdc_rs_spark.streaming.classifier import (
+        init_count_store,
+        store_weights,
+    )
+    from cdc_rs_spark.streaming.clusters import (
+        init_cluster_store,
+        live_cluster_map,
+    )
+
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "source"
+    )
+    root = tempfile.mkdtemp(prefix="curation_retract_")
+    counts_root = os.path.join(root, "stage_counts")
+    nb_root = os.path.join(root, "nb")
+    clusters_root = os.path.join(root, "clusters")
+    sig_path = os.path.join(root, "sig")
+    sh_path = os.path.join(root, "sh")
+    from cdc_rs_spark.benchphase import build_phase
+
+    try:
+        with build_phase():
+            init_additive_store(spark, counts_root, {"stage": "string"}, ["n"])
+            init_count_store(spark, nb_root)
+            init_cluster_store(spark, clusters_root)
+            fn = funnel_foreach_batch(
+                counts_root, nb_root, clusters_root, sig_path, sh_path,
+                handle_deletes=True,
+            )
+            ic = F.lit("c").alias("op")
+            fn(d.filter(F.col("doc_id") % 2 == 0).withColumn("op", ic), 0)
+            fn(d.filter(F.col("doc_id") % 2 == 1).withColumn("op", ic), 1)
+            # the CDC delete batch: before-images of the forgotten cohort
+            fn(
+                d.filter(F.col("doc_id") % 13 == 0).withColumn(
+                    "op", F.lit("d")
+                ),
+                2,
+            )
+        # ---- end state over the LIVE corpus ----
+        live = d.filter(F.col("doc_id") % 13 != 0)
+        _, _, gated_all = gate_stages(live)
+        cmap = live_cluster_map(spark, clusters_root)
+        survivors = (
+            gated_all.join(cmap, "doc_id", "left")
+            .filter(
+                F.col("cluster").isNull()
+                | (F.col("cluster") == F.col("doc_id"))
+            )
+            .drop("cluster")
+        )
+        weights, neutral = store_weights(spark, nb_root)
+        scored = nb_score(
+            survivors.select(
+                "doc_id",
+                (F.length("source") <= 4).alias("is_a"),
+                F.explode(F.split(F.lower("text"), " ")).alias("token"),
+            ).filter(F.col("token") != ""),
+            weights,
+            neutral,
+        )
+        passed = scored.filter(
+            F.col("s_milli") > F.col("base_milli")
+        ).select("doc_id")
+        shard_dir = os.path.join(root, "shards")
+        survivors.join(passed, "doc_id").withColumn(
+            "shard", hash_bucket(F.col("doc_id"), 8)
+        ).select("doc_id", "text", "shard").write.partitionBy(
+            "shard"
+        ).parquet(shard_dir)
+        report = (
+            read_merged(spark, counts_root)
+            .select("stage", F.col("n").cast("bigint").alias("n_docs"))
+            .unionByName(
+                survivors.agg(
+                    F.lit("dedup_survivors").alias("stage"),
+                    F.count("*").cast("bigint").alias("n_docs"),
+                )
+            )
+            .unionByName(
+                passed.agg(
+                    F.lit("nb_pass").alias("stage"),
+                    F.count("*").cast("bigint").alias("n_docs"),
+                )
+            )
+            .unionByName(
+                spark.read.schema("doc_id long, text string, shard bigint")
+                .parquet(shard_dir)
+                .groupBy("shard")
+                .agg(F.count("*").cast("bigint").alias("n_docs"))
+                .select(
+                    F.concat(F.lit("shard_"), F.col("shard").cast("string"))
+                    .alias("stage"),
+                    "n_docs",
+                )
+            )
+        )
+        rows = report.collect()  # ~16 rows; frees the scratch stores
         schema = report.schema
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -1980,3 +1980,114 @@ def test_curation_funnel_replay_idempotent(spark, tmp_path):
     # restarting at 0 — the ledgers must absorb them
     run_stream(str(tmp_path / "ckpt2"))
     assert snapshot() == s1
+
+
+def test_funnel_retraction_replay_idempotent(spark, tmp_path):
+    """The DELETE path (round 10, VERDICT r9 next #1) through a REAL
+    Structured Streaming run: batch 1 inserts an English near-dup pair
+    plus a unique doc, batch 2 DELETES one half of the pair (op='d'
+    with the before-image) — the survivor must drop to an implicit
+    singleton, the deleted doc's tokens must cancel out of the NB store,
+    and the signed stage counts must net to the live corpus. Then the
+    same files replay through a fresh checkpoint: both the insert ('s')
+    and delete ('d') ledger lines must absorb the re-delivery, leaving
+    every store byte-identical."""
+    import os
+
+    from cdc_rs_spark.plans.pipeline import funnel_foreach_batch
+    from cdc_rs_spark.streaming.additive import init_additive_store, read_merged
+    from cdc_rs_spark.streaming.classifier import init_count_store, read_counts
+    from cdc_rs_spark.streaming.clusters import (
+        init_cluster_store,
+        live_cluster_map,
+        tombstones,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away to the green hills beyond the river " * 2)
+    uniq = ("the stars and the planets of the solar system with many "
+            "moons and comets in wide orbits around the sun while the "
+            "telescopes watch the sky and the rockets fly to stations")
+    schema = "doc_id long, text string, source string, op string"
+    rows_b1 = [
+        (2, base, "src0", "c"),
+        (3, base + " tail words here", "src11", "c"),  # near-dup of 2
+        (5, uniq, "src11", "c"),
+    ]
+    rows_b2 = [
+        (3, base + " tail words here", "src11", "d"),  # delete: before-image
+    ]
+    src = str(tmp_path / "feed_src")
+    os.makedirs(src)
+    for rows in (rows_b1, rows_b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    root = str(tmp_path / "stores")
+    counts_root, nb_root = f"{root}/counts", f"{root}/nb"
+    clusters_root = f"{root}/clusters"
+    sig_path, sh_path = f"{root}/sig", f"{root}/sh"
+    init_additive_store(spark, counts_root, {"stage": "string"}, ["n"])
+    init_count_store(spark, nb_root)
+    init_cluster_store(spark, clusters_root)
+    fn = funnel_foreach_batch(
+        counts_root, nb_root, clusters_root, sig_path, sh_path,
+        handle_deletes=True,
+    )
+
+    def run_stream(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(fn)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    run_stream(str(tmp_path / "ckpt1"))
+
+    def snapshot():
+        stages = {
+            r["stage"]: r["n"] for r in read_merged(spark, counts_root).collect()
+        }
+        cmap = sorted(
+            (r["doc_id"], r["cluster"])
+            for r in live_cluster_map(spark, clusters_root).collect()
+        )
+        counts = sorted(
+            (r["token"], r["c_a"], r["c_b"])
+            for r in read_counts(spark, nb_root).collect()
+        )
+        return stages, cmap, counts
+
+    s1 = snapshot()
+    stages, cmap, counts = s1
+    assert stages["inserts"] == 3
+    assert stages["deletes"] == 1
+    assert stages["live"] == 2
+    assert stages["len_ge_20"] == 2  # net of the retracted doc
+    # the deleted doc's near-dup partner dropped to an implicit singleton
+    assert cmap == []
+    assert {r["doc_id"] for r in tombstones(spark, clusters_root).collect()} == {3}
+    # NB counts == batch counts over the LIVE corpus (docs 2 and 5 only)
+    live_toks = {}
+    for doc_id, text, source, _ in rows_b1:
+        if doc_id == 3:
+            continue
+        for t in text.lower().split(" "):
+            if t:
+                k = (t, len(source) <= 4)
+                live_toks[k] = live_toks.get(k, 0) + 1
+    expected = {}
+    for (t, is_a), n in live_toks.items():
+        ca, cb = expected.get(t, (0, 0))
+        expected[t] = (ca + n, cb) if is_a else (ca, cb + n)
+    assert sorted((t, ca, cb) for t, (ca, cb) in expected.items()) == counts
+
+    # replay through a fresh checkpoint: both ledgers absorb it
+    run_stream(str(tmp_path / "ckpt2"))
+    assert snapshot() == s1
