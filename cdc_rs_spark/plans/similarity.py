@@ -394,6 +394,102 @@ def similarity_ivf_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(rows, schema)
 
 
+@register(
+    "similarity_ivf_tombstone_topk",
+    oracle=f"""
+    WITH {_QUERIES_SQL},
+    {_ivf_chain_sql("vec_id % 3 <> 0")},
+    cand AS (
+        SELECT p.query_id, a.vec_id,
+               {_cos_sql("p.q_emb", "a.embedding")} AS cos
+        FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+        WHERE a.vec_id <> p.query_id AND a.vec_id % 5 <> 0
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rank
+        FROM cand
+    )
+    SELECT query_id, vec_id, rank, ROUND(cos, 6) AS cosine
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_ivf_tombstone_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC DELETES INTO THE LIVE ANN INDEX (round 10, VERDICT r9 next
+    #1): the incremental IVF index is built exactly as in
+    similarity_ivf_incremental_topk (init on 2/3, two appended
+    micro-batches), then a DELETE batch forgets the vec_id % 5 cohort
+    through streaming/ivf.remove_vectors — tombstone append + training-
+    reservoir purge — and probe_index serves top-5 WITHOUT them: the
+    anti-join runs before ranking, so a removed vector can neither
+    occupy a top-k slot nor shadow a live one. The oracle computes the
+    identical single-generation IVF geometry (centroids trained on the
+    base corpus — removal must NOT retroactively move centroids, the
+    index's rows were assigned under them) and excludes the cohort at
+    the candidate stage, which is precisely the tombstone semantics.
+    Physical erasure (lists rewrite + reservoir) is compact_index's job,
+    pinned with the lifecycle tests in tests/test_streaming_ivf.py.
+
+    Scale shape: the delete fold touches the tombstone dir (request-
+    sized append) and the TRAIN_CAP reservoir — NEVER the lists store;
+    the probe adds one broadcast anti-join against a delete-bounded
+    set."""
+    import tempfile
+
+    from cdc_rs_spark.streaming.ivf import (
+        append_batch,
+        init_index,
+        probe_index,
+        remove_vectors,
+    )
+
+    raw = (
+        spread(load(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    base = raw.filter(F.col("vec_id") % 3 != 0)
+    batch1 = raw.filter(F.col("vec_id") % 6 == 0)
+    batch2 = raw.filter(F.col("vec_id") % 6 == 3)
+    index_dir = tempfile.mkdtemp(prefix="ivf_tombstone_")
+    from cdc_rs_spark.benchphase import build_phase
+
+    try:
+        with build_phase():
+            init_index(
+                spark, base, index_dir,
+                n_centroids=N_CENTROIDS, train_cap=TRAIN_CAP,
+                kmeans_iters=1, dim=EMB_DIM,
+            )
+            for b in (batch1, batch2):
+                append_batch(
+                    spark, b, index_dir,
+                    retrain_ratio=1e9, drift_margin=10.0, dim=EMB_DIM,
+                )
+            # the CDC delete batch
+            remove_vectors(
+                spark, index_dir,
+                raw.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
+                batch_id=0, stream_id="d",
+            )
+        queries = raw.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+        result = probe_index(
+            spark, queries, index_dir, nprobe=N_PROBE, k=5, dim=EMB_DIM
+        )
+        rows = result.collect()
+        schema = result.schema
+    finally:
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
+        raw.unpersist(blocking=False)
+    return spark.createDataFrame(rows, schema)
+
+
 _IVF_MODEL_CACHE: dict = {}
 
 

@@ -833,6 +833,103 @@ def _stable_snapshot(
     )
 
 
+def _tomb_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "tomb")
+
+
+def tombstones(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The cumulative removed-vector set (round 10, VERDICT r9 next #1):
+    one skinny (vec_id) parquet dir, appended by remove_vectors. Probes
+    anti-join it BEFORE ranking (a removed vector must not occupy a
+    top-k slot), and compact_index drops tombstoned rows from the
+    rewrite — the physical-erasure point. The set is retained after
+    compaction because superseded epochs (kept for in-flight probes,
+    keep_epochs cycles) still hold the rows; it is bounded by total
+    deletes, i.e. request-scale, never corpus-scale."""
+    p = _tomb_path(index_dir)
+    if not os.path.isdir(p):
+        return spark.createDataFrame([], "vec_id bigint")
+    return spark.read.schema("vec_id bigint").parquet(p)
+
+
+def _drop_tombstoned(df: DataFrame, spark: SparkSession, index_dir: str) -> DataFrame:
+    """Anti-join candidate rows against the tombstone set; a no-op scan-
+    free passthrough before the first removal."""
+    if not os.path.isdir(_tomb_path(index_dir)):
+        return df
+    return df.join(
+        F.broadcast(tombstones(spark, index_dir)), "vec_id", "left_anti"
+    )
+
+
+def remove_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    removed: DataFrame,
+    batch_id: int | None = None,
+    stream_id: str = "d",
+) -> dict:
+    """CDC-delete fold for the ANN index (round 10, VERDICT r9 next #1):
+    FORGET a batch of vectors. Unlike the cluster store there is no
+    graph to recompute — a vector's removal affects only its own rows —
+    so the fold is (1) ledger gate, (2) tombstone append (probes filter
+    from the next read on), (3) PURGE from the training reservoir (the
+    reservoir stores raw embeddings; a GDPR forget must erase them, and
+    a future re-train must not learn from ghosts). List rows remain on
+    disk until compact_index rewrites without them — the same
+    tombstone-then-compact lifecycle as Lucene deletes or Iceberg
+    delete files. WRITER-EXCLUSIVE like append_batch (run from the
+    ingest loop); replays of a committed delete batch are skipped by
+    the per-stream ledger line.
+
+    Re-adding a forgotten vec_id later is NOT automatic: the tombstone
+    is a forget, not a version marker — an upsert stream should route
+    deletes here only for true forgets and model updates as
+    remove+append under a fresh vec_id."""
+    _validate_stream_id(stream_id)
+    meta = _read_meta(index_dir)
+    ledger = meta.get("last_batch_by_stream") or {}
+    if batch_id is not None and int(batch_id) <= int(
+        ledger.get(stream_id, -1)
+    ):
+        return {"n_removed": 0, "n_reservoir_purged": 0,
+                "skipped_duplicate": True}
+    removed = removed.select(
+        F.col("vec_id").cast("bigint").alias("vec_id")
+    ).distinct()
+    # request-bounded collect: the id set drives the reservoir purge
+    ids = {int(r["vec_id"]) for r in removed.collect()}
+    spark.createDataFrame(
+        [(i,) for i in sorted(ids)], "vec_id bigint"
+    ).write.mode("append").parquet(_tomb_path(index_dir))
+    # reservoir purge: rewrite the TRAIN_CAP-bounded sample minus the
+    # forgotten ids under a NEW seq (atomic via the meta flip; the old
+    # file is GC'd with the usual retention)
+    seq = int(meta.get("sample_seq", 0))
+    rows = _read_sample_rows(index_dir, seq)
+    kept = [r for r in rows if int(r["vec_id"]) not in ids]
+    n_purged = len(rows) - len(kept)
+    new_seq = seq
+    if n_purged:
+        new_seq = seq + 1
+        _write_sample_rows(index_dir, new_seq, kept)
+    meta = _read_meta(index_dir)  # publish point
+    if n_purged:
+        meta["sample_seq"] = new_seq
+    if batch_id is not None:
+        led = dict(meta.get("last_batch_by_stream") or {})
+        led[stream_id] = max(int(led.get(stream_id, -1)), int(batch_id))
+        meta["last_batch_by_stream"] = led
+    _write_meta(index_dir, meta)
+    if n_purged:
+        _gc_samples(index_dir, new_seq)
+    return {
+        "n_removed": len(ids),
+        "n_reservoir_purged": n_purged,
+        "skipped_duplicate": False,
+    }
+
+
 def probe_index(
     spark: SparkSession,
     queries: DataFrame,
@@ -910,6 +1007,8 @@ def probe_index(
     joined = lists.join(F.broadcast(probes), ["version", "cent_id"]).filter(
         F.col("vec_id") != F.col("query_id")
     )
+    # removed vectors must not occupy top-k slots (round 10)
+    joined = _drop_tombstoned(joined, spark, index_dir)
     scored = joined.select(
         "query_id",
         "vec_id",
@@ -1041,6 +1140,10 @@ def probe_index_adc(
         .join(F.broadcast(probes), ["version", "cent_id"])
         .filter(F.col("vec_id") != F.col("query_id"))
     )
+    # removed vectors leave the ADC shortlist too (round 10); the exact
+    # re-rank below joins on the shortlist's vec_ids, so one filter here
+    # covers both stages
+    joined = _drop_tombstoned(joined, spark, index_dir)
     short = pq_adc_rank(joined, cand, with_qc=pq_res)  # (query_id, vec_id)
     qdf = spark.createDataFrame(
         [
@@ -1197,6 +1300,11 @@ def compact_index(
     rows = spark.read.parquet(_lists_path(index_dir, epoch)).select(
         "vec_id", "embedding", "ingest"
     )
+    # physical erasure of tombstoned vectors rides the rewrite (round
+    # 10): the new epoch is born clean; superseded epochs' copies expire
+    # with the usual keep_epochs retention, so the tombstone set keeps
+    # filtering probes until then
+    rows = _drop_tombstoned(rows, spark, index_dir)
     assigned = _assign_to_centroids(rows, cents_b, dim, keep=("ingest",))
     if bool(meta.get("pq")):
         # the rewrite reassigns every row to the LATEST generation, so

@@ -210,12 +210,68 @@ def init_span_store(
     return meta
 
 
+def _span_tomb_path(root: str) -> str:
+    return os.path.join(root, "tomb")
+
+
+def span_tombstones(spark: SparkSession, root: str) -> DataFrame:
+    """The cumulative removed-doc set — one skinny (doc_id) parquet dir.
+    Bounded by total deletes."""
+    p = _span_tomb_path(root)
+    if not os.path.isdir(p):
+        return spark.createDataFrame([], "doc_id bigint")
+    return spark.read.schema("doc_id bigint").parquet(p)
+
+
+def remove_docs_from_span_store(
+    spark: SparkSession,
+    root: str,
+    removed: DataFrame,
+    batch_id: int | None = None,
+    stream_id: str = "d",
+) -> dict:
+    """CDC-delete fold for the span store (round 10, VERDICT r9 next
+    #1): a removed doc's windows must stop witnessing duplication —
+    probes are EXISTENCE-based (a span is 'duplicated' if another doc
+    holds it), so a forgotten doc's rows lingering in the store would
+    keep flagging other docs against content that no longer exists. The
+    fold appends the doc ids to the tombstone set (ledger-idempotent);
+    live_span_store anti-joins it from the next read, and the next
+    compaction drops the rows physically (the erasure point). Removal
+    by doc_id needs no span recompute — span rows are (key, doc_id)
+    facts, not a graph."""
+    meta = _read_span_meta(root)
+    ledger = meta.get("last_batch_by_stream") or {}
+    key = f"{stream_id}!rm"
+    if batch_id is not None and int(batch_id) <= int(ledger.get(key, -1)):
+        return {"n_removed": 0, "skipped_duplicate": True}
+    removed = removed.select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    ).distinct()
+    n = removed.count()
+    removed.write.mode("append").parquet(_span_tomb_path(root))
+    meta = _read_span_meta(root)
+    if batch_id is not None:
+        led = dict(meta.get("last_batch_by_stream") or {})
+        led[key] = max(int(led.get(key, -1)), int(batch_id))
+        meta["last_batch_by_stream"] = led
+    _write_span_meta(root, meta)
+    return {"n_removed": int(n), "skipped_duplicate": False}
+
+
 def live_span_store(spark: SparkSession, root: str) -> DataFrame:
     """The live epoch's rows (consistent point-in-time read: the sidecar
     replace is atomic, and superseded epochs are retained through
-    `keep_epochs` further compactions so a scan never loses files)."""
+    `keep_epochs` further compactions so a scan never loses files).
+    Tombstoned docs' rows are anti-joined out (round 10) — scan-free
+    before the first removal."""
     meta = _read_span_meta(root)
-    return spark.read.parquet(_epoch_path(root, int(meta["epoch"])))
+    rows = spark.read.parquet(_epoch_path(root, int(meta["epoch"])))
+    if os.path.isdir(_span_tomb_path(root)):
+        rows = rows.join(
+            F.broadcast(span_tombstones(spark, root)), "doc_id", "left_anti"
+        )
+    return rows
 
 
 def compact_span_store(
@@ -246,10 +302,16 @@ def compact_span_store(
     from pyspark.sql import Observation
 
     obs = Observation()
+    rows = spark.read.parquet(_epoch_path(root, epoch)).distinct()
+    if os.path.isdir(_span_tomb_path(root)):
+        # physical erasure of tombstoned docs' rows rides the rewrite
+        # (round 10); the tombstone set keeps filtering reads of the
+        # retained superseded epochs until they expire
+        rows = rows.join(
+            F.broadcast(span_tombstones(spark, root)), "doc_id", "left_anti"
+        )
     (
-        spark.read.parquet(_epoch_path(root, epoch))
-        .distinct()
-        .observe(obs, F.count(F.lit(1)).alias("n"))
+        rows.observe(obs, F.count(F.lit(1)).alias("n"))
         # overwrite clears a crashed prior attempt's residue (the dir is
         # unpublished until the sidecar flip below)
         .write.mode("overwrite")

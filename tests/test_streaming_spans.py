@@ -322,3 +322,65 @@ def test_anchor_store_probe_catches_shifted_copy(spark):
     stride_store = doc_spans(stored).select("span", "doc_id").distinct()
     missed = probe_spans_against_store(batch, stride_store).collect()
     assert missed == []  # the stride grid's deterministic blind spot
+
+
+def test_remove_docs_stops_witnessing_and_compaction_erases(spark, tmp_path):
+    """CDC-delete fold (round 10): after remove_docs_from_span_store, a
+    removed doc's windows stop witnessing duplication (a later copy of
+    its unique content is NOT flagged against the ghost), the delete
+    replay is a ledger no-op, and the next compaction physically drops
+    the rows from the new epoch."""
+    from cdc_rs_spark.streaming.spans import (
+        _epoch_path,
+        _read_span_meta,
+        compact_span_store,
+        live_span_store,
+        remove_docs_from_span_store,
+    )
+
+    store = str(tmp_path / "span_store")  # epoch'd: bootstrapped by fn
+    reports: list[tuple[int, dict]] = []
+
+    def on_report(df, batch_id):
+        reports.append(
+            (batch_id, {r["doc_id"]: r["n_dup_spans"] for r in df.collect()})
+        )
+
+    fn = spans_foreach_batch(store, on_report)
+    fn(_docs(spark, [(1, SHARED + UNIQUE1)]), 0)
+    fn(_docs(spark, [(2, SHARED + UNIQUE2)]), 1)
+    assert 2 in reports[1][1]  # doc 2 collides with doc 1's shared run
+    n_before = live_span_store(spark, store).count()
+
+    stats = remove_docs_from_span_store(
+        spark, store, spark.createDataFrame([(1,)], "doc_id bigint"),
+        batch_id=0,
+    )
+    assert stats["n_removed"] == 1
+    # live view: doc 1's rows are gone
+    live_ids = {
+        r["doc_id"] for r in live_span_store(spark, store).collect()
+    }
+    assert live_ids == {2}
+    assert live_span_store(spark, store).count() < n_before
+    # a new copy of doc 1's unique tail is NOT flagged (ghost content)
+    fn(_docs(spark, [(7, UNIQUE1 + "fresh tail material here")]), 2)
+    assert 7 not in reports[2][1]
+    # but doc 2's surviving rows still witness
+    fn(_docs(spark, [(8, SHARED + UNIQUE2)]), 3)
+    assert 8 in reports[3][1]
+    # replay of the delete batch: ledger no-op
+    assert remove_docs_from_span_store(
+        spark, store, spark.createDataFrame([(1,)], "doc_id bigint"),
+        batch_id=0,
+    )["skipped_duplicate"]
+    # compaction physically erases doc 1's rows from the new epoch
+    compact_span_store(spark, store, keep_epochs=0)
+    meta = _read_span_meta(store)
+    epoch_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            _epoch_path(store, int(meta["epoch"]))
+        ).collect()
+    }
+    assert 1 not in epoch_ids and {2, 7, 8} <= epoch_ids
