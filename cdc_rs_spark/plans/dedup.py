@@ -56,6 +56,20 @@ def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---- shared oracle CTEs for shingle-based dedup --------------------------
 
+from cdc_rs_spark.operators.dedup import SPAN_LEN as _SPAN_LEN  # noqa: E402
+from cdc_rs_spark.operators.dedup import SPAN_STRIDE as _SPAN_STRIDE  # noqa: E402
+
+# the ONE DuckDB form of the stride windowing, shared by both span
+# oracles and the GDPR purge audit (second-pass review: the
+# range-exclusive "SPAN_LEN - 2" stop bound is subtle enough that
+# inlined copies could silently diverge). Defined ABOVE the module's
+# plans/pipeline import point so pipeline's decorator-time oracles can
+# import it (round 10).
+_SPAN_WIN_SQL = (
+    f"unnest(list_transform(range(1, length(text) - {_SPAN_LEN - 2}, "
+    f"{_SPAN_STRIDE}), i -> substr(text, i, {_SPAN_LEN})))"
+)
+
 _DOCS_SHINGLES_SQL = """
     docs AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1166,13 +1180,9 @@ from cdc_rs_spark.operators.dedup import (  # noqa: E402 — grouped with its qu
     doc_spans,
 )
 
-# the ONE DuckDB form of the stride windowing, shared by both span
-# oracles (second-pass review: the range-exclusive "SPAN_LEN - 2" stop
-# bound is subtle enough that two inlined copies could silently diverge)
-_SPAN_WIN_SQL = (
-    f"unnest(list_transform(range(1, length(text) - {SPAN_LEN - 2}, "
-    f"{SPAN_STRIDE}), i -> substr(text, i, {SPAN_LEN})))"
-)
+# _SPAN_WIN_SQL (the shared stride-window SQL) moved above the
+# plans/pipeline import point — see the definition near
+# _DOCS_SHINGLES_SQL (round 10)
 
 
 @register(
