@@ -894,6 +894,84 @@ def pq_adc_topk(
 # quantization error PQ itself introduces.
 RQ_SCALE = 1048576.0  # 2^20
 
+# ---- OPQ rotation (round 10, VERDICT r9 next #3) -------------------------
+# The public FAISS upgrade path after residual encoding (Ge et al. 2014,
+# "Optimized Product Quantization"): rotate the space before
+# sub-quantizing so no subspace monopolizes the energy. We ship the
+# SEEDED STRUCTURED ROTATION R = (1/sqrt(d)) * H * D — D a fixed +/-1
+# diagonal, H the Walsh-Hadamard matrix — the "random rotation" member
+# of the OPQ family (Ge et al. Table 2's RR baseline; also the transform
+# inside FAISS's pretransform chain). It is EXACTLY orthogonal, and
+# every matrix entry is +/- 1/sqrt(d); with d = 64, 1/8 is a dyadic
+# rational, so the rotated coordinate is a fixed-order signed sum of the
+# inputs divided by 8 — bit-identical across Spark, DuckDB and the
+# Python mirror (the same sequential-IEEE-fold discipline as every dot
+# product here). Requires d a power of FOUR (power of 2 for H, perfect
+# square so 1/sqrt(d) is dyadic). D's signs come from the bits of a
+# fixed public constant (the PCG64 multiplier), NOT a runtime RNG — the
+# rotation is part of the index's geometry and must be reproducible at
+# probe time forever.
+OPQ_D_MASK = 6364136223846793005  # 0x5851F42D4C957F2D (PCG multiplier)
+
+
+def _opq_check_dim(dim: int) -> int:
+    import math
+
+    s = math.isqrt(dim)
+    if s * s != dim or dim & (dim - 1):
+        raise ValueError(f"OPQ rotation needs a power-of-4 dim, got {dim}")
+    return s
+
+
+def opq_rotate_expr(emb: str = "embedding", dim: int = EMB_DIM) -> str:
+    """Spark SQL: the rotated vector as array<double> — element j is the
+    signed sum over i of emb[i], sign = parity of popcount((j-1)&(i-1))
+    (the Hadamard entry) plus bit i-1 of OPQ_D_MASK (the diagonal),
+    divided by sqrt(dim). Map-side, zero shuffle; a production deploy
+    precomputes the +/- pattern per output dim, identical plan shape."""
+    s = _opq_check_dim(dim)
+    return (
+        f"transform(sequence(1, {dim}), j -> aggregate("
+        f"transform(sequence(1, {dim}), i -> CASE WHEN "
+        f"(bit_count((j-1) & (i-1)) + (shiftright({OPQ_D_MASK}L, i-1) & 1)) % 2 = 0 "
+        # element_at is 1-based like DuckDB's list index (Spark's [] is 0-based)
+        f"THEN CAST(element_at({emb}, i) AS DOUBLE) "
+        f"ELSE -CAST(element_at({emb}, i) AS DOUBLE) END), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / {float(s)!r}D)"
+    )
+
+
+def opq_rotate_sql(emb: str = "embedding", dim: int = EMB_DIM) -> str:
+    """DuckDB mirror of opq_rotate_expr — same fold order, same signs,
+    same dyadic divide, so rotated vectors match bit-for-bit."""
+    s = _opq_check_dim(dim)
+    return (
+        f"list_transform(range(1, {dim + 1}), j -> list_reduce("
+        f"list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), i -> CASE WHEN "
+        f"(bit_count(CAST((j-1) AS BIGINT) & CAST((i-1) AS BIGINT)) "
+        f"+ (({OPQ_D_MASK} >> (i-1)) & 1)) % 2 = 0 "
+        f"THEN {emb}[i]::DOUBLE ELSE -({emb}[i]::DOUBLE) END)), "
+        f"(a, b) -> a + b) / {float(s)!r})"
+    )
+
+
+def opq_rotate_py(vec) -> list[float]:
+    """Driver-side mirror (training-sample and query rotation): Python
+    floats ARE IEEE doubles and the accumulation runs in the same index
+    order, so the three forms agree bit-for-bit."""
+    dim = len(vec)
+    s = _opq_check_dim(dim)
+    out = []
+    for j in range(dim):
+        acc = 0.0
+        for i in range(dim):
+            neg = (bin(j & i).count("1") + ((OPQ_D_MASK >> i) & 1)) % 2
+            x = float(vec[i])
+            acc = acc + (-x if neg else x)
+        out.append(acc / float(s))
+    return out
+
 
 def residual_quantize_sql(emb: str, cemb: str) -> str:
     """Spark SQL: the 2^-20-grid quantized residual `emb - cemb` as

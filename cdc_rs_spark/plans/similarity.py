@@ -1899,18 +1899,6 @@ def similarity_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFram
     nprobe x Q table, and the exact re-rank touches Q x PQ_CAND rows.
     At 100 TB the lists store residual codes partitioned by cent_id —
     the streaming/ivf.py layout unchanged."""
-    from cdc_rs_spark.operators.similarity import (
-        PQ_CAND,
-        cosine_sql,
-        dot_sql,
-        pq_encode_residual,
-        pq_query_luts,
-        pq_train_residual_local,
-        salt_expr,
-        two_stage_rank_topk,
-        _n_salt_buckets,
-    )
-
     raw = load(spark, sf_dir, "embeddings")
     corpus = spread(raw).select("vec_id", "embedding")
     cents, probes = _ivf_model(spark, raw)
@@ -1923,10 +1911,6 @@ def similarity_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFram
         _train_sample_df(raw).collect(),
         key=lambda r: (bucket(r["vec_id"]), r["vec_id"]),
     )
-    # residualize the training sample driver-side with the exact
-    # assignment mirror (cos desc, cent_id asc — _py_cosine shares the
-    # IEEE fold with the distributed argmax and the oracle)
-    rcb = pq_train_residual_local(train_rows, cents.collect())
     query_rows = (
         raw.select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -1934,6 +1918,35 @@ def similarity_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("query_id") < N_QUERIES)
         .collect()
     )
+    return _residual_adc_topk(spark, corpus, cents, probes, train_rows, query_rows)
+
+
+def _residual_adc_topk(
+    spark, corpus, cents, probes, train_rows, query_rows, q_type="float"
+):
+    """The residual IVF-PQ serve chain over a given (corpus, IVF model,
+    training sample, queries) — factored out (round 10) so the OPQ form
+    can run the IDENTICAL machinery in rotated space: residual codebook
+    trained driver-side (the exact assignment mirror, cos desc / cent_id
+    asc), map-side residual encode, ADC scoring with the regained coarse
+    term, PQ_CAND shortlist, exact re-rank."""
+    from cdc_rs_spark.operators.similarity import (
+        PQ_CAND,
+        _assign_to_centroids,
+        cosine_sql,
+        dot_sql,
+        pq_encode_residual,
+        pq_query_luts,
+        pq_train_residual_local,
+        salt_expr,
+        two_stage_rank_topk,
+        _n_salt_buckets,
+    )
+
+    # residualize the training sample driver-side with the exact
+    # assignment mirror (cos desc, cent_id asc — _py_cosine shares the
+    # IEEE fold with the distributed argmax and the oracle)
+    rcb = pq_train_residual_local(train_rows, cents.collect())
     luts = pq_query_luts(spark, query_rows, rcb)
     from cdc_rs_spark.operators.similarity import _assign_to_centroids
 
@@ -1969,9 +1982,12 @@ def similarity_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("cos"),
     )
     short = two_stage_rank_topk(scored, PQ_CAND).select("query_id", "vec_id")
+    # q_type follows the caller's space: float32 parquet vectors for the
+    # raw path, full doubles for the OPQ-rotated path (a float cast there
+    # would truncate the rotation and drift from the oracle)
     qdf = spark.createDataFrame(
         [(int(q["query_id"]), list(q["q_emb"])) for q in query_rows],
-        "query_id bigint, q_emb array<float>",
+        f"query_id bigint, q_emb array<{q_type}>",
     )
     rer = (
         short.join(corpus, "vec_id")
@@ -2138,6 +2154,178 @@ def similarity_ivfpq_residual_recall_eval(
     )
     return per_q.agg(
         F.lit("ivfpq_residual").alias("method"),
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(
+            F.sum("hit").cast("double") / F.sum("k"), 6
+        ).alias("mean_recall"),
+        F.round(F.min("hit").cast("double") / F.lit(5.0), 6).alias(
+            "min_recall"
+        ),
+    )
+
+
+def _opq_recall_oracle() -> str:
+    """recall@5 of the OPQ-rotated residual IVF-PQ against the exact
+    cosine top-5 in the ORIGINAL space: the whole rotated chain nests as
+    a subquery over the `rote` CTE (every `embeddings` reference
+    rewritten — the rotation is applied once, up front, exactly as the
+    engine does), while the ground truth stays un-rotated. Rotation is
+    orthogonal, so the exact ranking is space-invariant in real
+    arithmetic; keeping the baseline in the original space means the
+    measured recall compares the OPQ index against the same truth as
+    every other recall row."""
+    from cdc_rs_spark.operators.similarity import opq_rotate_sql
+
+    inner = (
+        _ivfpq_residual_oracle()
+        .replace("FROM embeddings", "FROM rote")
+        .replace("JOIN embeddings", "JOIN rote")
+    )
+    return f"""
+    WITH rote AS (
+        SELECT vec_id, {opq_rotate_sql("embedding")} AS embedding
+        FROM embeddings
+    ),
+    qso AS (
+        SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    exact_scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_dot_sql("q.q_emb", "c.embedding")}
+               / ({_norm_sql("q.q_emb")} * {_norm_sql("c.embedding")}) AS cos
+        FROM embeddings c CROSS JOIN qso q
+        WHERE c.vec_id <> q.query_id
+    ),
+    exact_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM exact_scored
+        ) WHERE rank <= 5
+    ),
+    approx AS (
+        SELECT query_id, vec_id FROM ({inner})
+    ),
+    per_q AS (
+        SELECT e.query_id,
+               SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hit,
+               COUNT(*) AS k
+        FROM exact_top e
+        LEFT JOIN approx a ON a.query_id = e.query_id
+                          AND a.vec_id = e.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT 'ivfpq_opq' AS method, CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / SUM(k), 6) AS mean_recall,
+           ROUND(CAST(MIN(hit) AS DOUBLE) / 5.0, 6) AS min_recall
+    FROM per_q
+    """
+
+
+@register("similarity_opq_recall_eval", oracle=_opq_recall_oracle())
+def similarity_opq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-ROTATED residual IVF-PQ, recall-evaluated (round 10, VERDICT
+    r9 next #3 — the public FAISS upgrade path after residual encoding,
+    Ge et al. 2014): a SEEDED orthogonal rotation R = (1/8) * H * D
+    (Walsh-Hadamard x fixed +/-1 diagonal — the OPQ family's
+    random-rotation member, operators/similarity.opq_rotate_*) is
+    applied once, map-side, to corpus and queries; the IDENTICAL
+    residual IVF-PQ machinery (_residual_adc_topk — codebooks, encode,
+    ADC, shortlist, re-rank) then runs in the rotated space, and
+    recall@5 is measured against the exact top-5 in the ORIGINAL space.
+    Exactness: every rotated coordinate is a fixed-order signed sum
+    divided by the dyadic 1/8, reproduced bit-for-bit by the three
+    mirrors (Spark expr / DuckDB SQL / driver Python — parity pinned in
+    tests/test_extensions.py), so the oracle rebuilds rotation,
+    centroids, residual codebooks, codes, ADC scores and ranks exactly.
+
+    Honesty about the fixture: the synthetic embeddings are ISOTROPIC
+    by construction (measured: per-dim variance 0.013-0.019, mean
+    |corr| 0.036, subspace energies 0.244-0.253) — precisely the
+    distribution where rotation provably changes nothing systematic, so
+    this query PINS the rotated pipeline's number next to its siblings
+    rather than claiming a fixture win; the genuine OPQ benefit —
+    recovering recall plain PQ loses when energy concentrates in few
+    correlated dims — is demonstrated on a PLANTED anisotropic corpus
+    in tests/test_extensions.py (the NB planted-signal discipline).
+
+    Scale shape: the rotation is one map-side pass (d^2 adds/row here;
+    a deployment precomputes the sign pattern or uses the O(d log d)
+    fast-Hadamard form — same plan shape either way), after which cost
+    is identical to similarity_ivfpq_residual_topk."""
+    from cdc_rs_spark.operators.similarity import (
+        _py_cosine,
+        lloyd_refine_local,
+        opq_rotate_expr,
+        opq_rotate_py,
+    )
+
+    raw = load(spark, sf_dir, "embeddings")
+    exact = _exact_topk(spark, raw).filter(F.col("rank") <= 5)
+    rot = F.expr(opq_rotate_expr("embedding"))
+    corpus = spread(raw).select("vec_id", rot.alias("embedding"))
+    import hashlib
+
+    def bucket(vid: int) -> int:
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:8], 16) % 1_000_000
+
+    # rotate the training sample and queries DRIVER-side with the Python
+    # mirror — the model must be built in the same space it serves
+    train_rows = [
+        {"vec_id": r["vec_id"], "embedding": opq_rotate_py(r["embedding"])}
+        for r in sorted(
+            _train_sample_df(raw).collect(),
+            key=lambda r: (bucket(r["vec_id"]), r["vec_id"]),
+        )
+    ]
+    seeds = train_rows[:N_CENTROIDS]
+    cent_rows = lloyd_refine_local(
+        train_rows,
+        [{"cent_id": r["vec_id"], "c_emb": r["embedding"]} for r in seeds],
+    )
+    query_rows = [
+        {"query_id": r["vec_id"], "q_emb": opq_rotate_py(r["embedding"])}
+        for r in raw.select("vec_id", "embedding")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .collect()
+    ]
+    probe_rows = []
+    for q in query_rows:
+        ranked = sorted(
+            (-_py_cosine(q["q_emb"], c["c_emb"]), c["cent_id"])
+            for c in cent_rows
+        )[:N_PROBE]
+        probe_rows += [(q["query_id"], q["q_emb"], cid) for _, cid in ranked]
+    cents = spark.createDataFrame(
+        [(c["cent_id"], c["c_emb"]) for c in cent_rows],
+        "cent_id bigint, c_emb array<double>",
+    )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, q_emb array<double>, cent_id bigint"
+    )
+    approx = _residual_adc_topk(
+        spark, corpus, cents, probes, train_rows, query_rows, q_type="double"
+    ).select("query_id", F.col("vec_id").alias("a_vec"))
+    per_q = (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["vec_id"] == approx["a_vec"]),
+            "left",
+        )
+        .select(exact["query_id"], "a_vec")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("a_vec").isNotNull(), 1).otherwise(0)).alias(
+                "hit"
+            ),
+            F.count("*").alias("k"),
+        )
+    )
+    return per_q.agg(
+        F.lit("ivfpq_opq").alias("method"),
         F.count("*").cast("bigint").alias("n_queries"),
         F.round(
             F.sum("hit").cast("double") / F.sum("k"), 6

@@ -1401,3 +1401,126 @@ def test_rake_matches_python_reference(spark, sf_dir):
     assert got == expect
     for r in text_rake_keyphrases(spark, sf_dir).collect():
         assert r.n_occurrences == occ[r.phrase]
+
+
+def test_opq_rotation_three_way_parity_and_orthogonality(spark):
+    """The OPQ rotation's three mirrors (Spark expr, DuckDB SQL, driver
+    Python) must agree BIT-FOR-BIT, and the rotation must be orthogonal
+    (norms and dot products preserved to fp) — the properties the
+    similarity_opq_recall_eval oracle equality rests on."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cdc_rs_spark.operators.similarity import (
+        opq_rotate_expr,
+        opq_rotate_py,
+        opq_rotate_sql,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = [
+        (i, [float(np.float32(x)) for x in rng.randn(64) * 0.3])
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<float>")
+    got_spark = {
+        r["vec_id"]: r["r"]
+        for r in df.select(
+            "vec_id", F.expr(opq_rotate_expr()).alias("r")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (vec_id BIGINT, embedding FLOAT[])")
+    for vid, v in vecs:
+        con.execute("INSERT INTO t VALUES (?, ?)", [vid, v])
+    got_duck = {
+        r[0]: r[1]
+        for r in con.sql(f"SELECT vec_id, {opq_rotate_sql()} FROM t").fetchall()
+    }
+    for vid, v in vecs:
+        py = opq_rotate_py(v)
+        assert got_spark[vid] == py == got_duck[vid]
+        n1 = sum(x * x for x in v)
+        n2 = sum(x * x for x in py)
+        assert abs(n1 - n2) < 1e-9 * max(n1, 1.0)
+    # dot preservation across two distinct vectors
+    d1 = sum(a * b for a, b in zip(vecs[0][1], vecs[1][1]))
+    r0, r1 = opq_rotate_py(vecs[0][1]), opq_rotate_py(vecs[1][1])
+    d2 = sum(a * b for a, b in zip(r0, r1))
+    assert abs(d1 - d2) < 1e-9
+
+
+def test_opq_rotation_recovers_recall_on_planted_anisotropic_corpus():
+    """THE reason OPQ exists (Ge et al. 2014): when the energy
+    concentrates in one subspace, plain PQ burns all its codewords on
+    that subspace and recall collapses; the rotation spreads the energy
+    across subspaces and recovers it. The fixture corpus is isotropic by
+    construction (so the registered recall query pins numbers, not a
+    win) — this test PLANTS the anisotropy: ~97% of variance in PQ
+    subspace 0, near-silence elsewhere, and asserts the rotated form's
+    recall@5 strictly beats the raw form's."""
+    import numpy as np
+
+    from cdc_rs_spark.operators.similarity import (
+        PQ_M,
+        PQ_SUB,
+        _py_cosine,
+        _py_d2,
+        _py_sub,
+        opq_rotate_py,
+        pq_train_local,
+    )
+
+    rng = np.random.RandomState(10)
+    n, dim = 256, 64
+    X = np.zeros((n, dim))
+    X[:, :PQ_SUB] = rng.randn(n, PQ_SUB)  # subspace 0 carries the signal
+    X[:, PQ_SUB:] = 0.05 * rng.randn(n, dim - PQ_SUB)
+    X = X.astype(np.float32)
+    vecs = [[float(x) for x in row] for row in X]
+    queries = list(range(8))
+
+    def exact_top5(space):
+        out = {}
+        for q in queries:
+            scored = sorted(
+                (-_py_cosine(space[q], space[v]), v)
+                for v in range(n) if v != q
+            )[:5]
+            out[q] = {v for _, v in scored}
+        return out
+
+    def pq_recall(space):
+        rows = [{"vec_id": i, "embedding": space[i]} for i in range(n)]
+        cb = pq_train_local(rows)
+        by_m = {}
+        for r in cb:
+            by_m.setdefault(r["m"], []).append(r)
+        # encode: per subspace argmin d2, reconstruct x_hat
+        recon = []
+        for v in space:
+            xh = []
+            for m in range(PQ_M):
+                sub = _py_sub(v, m, PQ_SUB)
+                best = min(
+                    (_py_d2(sub, c["c_sub"]), c["code"], c["c_sub"])
+                    for c in by_m[m]
+                )
+                xh.extend(best[2])
+            recon.append(xh)
+        truth = exact_top5(space)
+        hits = 0
+        for q in queries:
+            approx = sorted(
+                (-_py_cosine(space[q], recon[v]), v)
+                for v in range(n) if v != q
+            )[:5]
+            hits += len({v for _, v in approx} & truth[q])
+        return hits / (5.0 * len(queries))
+
+    raw_recall = pq_recall(vecs)
+    rot_recall = pq_recall([opq_rotate_py(v) for v in vecs])
+    assert rot_recall > raw_recall, (rot_recall, raw_recall)
+    # the planted gap is material, not noise
+    assert rot_recall - raw_recall >= 0.1, (rot_recall, raw_recall)
