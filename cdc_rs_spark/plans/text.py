@@ -1746,6 +1746,465 @@ def text_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Tokenizer training II: unigram-LM (SentencePiece-style) Viterbi hard-EM
+# ---------------------------------------------------------------------------
+
+UNI_MAXP = 4  # max piece length (chars)
+UNI_SEED_TOP = 24  # multi-char seed pieces kept from the substring count
+UNI_KEEP = 12  # multi-char pieces surviving the EM prune
+UNI_BIG = 1 << 44  # composite-cost quantum: pieces * 2^44 - sum(weight)
+UNI_MAX_WL = 12  # word-length cap (fixture max is 8); the oracle unroll depth
+
+
+def _uni_dp_expr(m: str = "m") -> str:
+    """Spark SQL: the Viterbi DP array over one word under the broadcast
+    piece-weight map `m` — dp[i] = min over j of dp[j] + (2^44 - w(piece
+    j+1..i)), vocabulary misses excluded (single chars are always in the
+    vocabulary, so the DP is total). The composite integer cost orders
+    segmentations by (piece count, -total piece weight): 2^44 dwarfs any
+    weight sum, so fewer pieces always wins and the weight sum breaks
+    ties — the exact-integer surrogate for the unigram log-likelihood
+    (see the train query docstring for why not float logs). ONE pure
+    column fold, zero shuffle."""
+    return (
+        f"aggregate(sequence(1, length(word)), array(CAST(0 AS BIGINT)), "
+        f"(acc, i) -> concat(acc, array(array_min(filter(transform("
+        f"sequence(greatest(CAST(0 AS BIGINT), i - {UNI_MAXP}), i - 1), "
+        f"j -> CASE WHEN try_element_at({m}, substring(word, CAST(j + 1 AS INT), "
+        f"CAST(i - j AS INT))) IS NULL THEN CAST(NULL AS BIGINT) "
+        f"ELSE element_at(acc, CAST(j + 1 AS INT)) + {UNI_BIG}L - "
+        f"try_element_at({m}, substring(word, CAST(j + 1 AS INT), CAST(i - j AS INT))) END), "
+        f"x -> x IS NOT NULL)))))"
+    )
+
+
+def _uni_trace_expr(m: str = "m", dp: str = "dp") -> str:
+    """Spark SQL: backtrace the chosen segmentation from the DP column —
+    from the right, the chosen predecessor is the SMALLEST j achieving
+    dp[pos] (first element of the ascending-j candidate scan; the oracle
+    trace mirrors with ORDER BY pos, rk=1). Returns the piece array
+    (right-to-left; usage counting is order-blind)."""
+
+    def chosen(field: str) -> str:
+        return (
+            f"element_at(filter(transform(sequence(greatest(CAST(0 AS BIGINT), "
+            f"acc.pos - {UNI_MAXP}), acc.pos - 1), "
+            f"j -> named_struct('j', j, 'p', substring(word, CAST(j + 1 AS INT), "
+            f"CAST(acc.pos - j AS INT)))), "
+            f"s -> try_element_at({m}, s.p) IS NOT NULL AND "
+            f"element_at({dp}, CAST(s.j + 1 AS INT)) + {UNI_BIG}L - "
+            f"try_element_at({m}, s.p) = element_at({dp}, CAST(acc.pos + 1 AS INT))), "
+            f"1).{field}"
+        )
+
+    return (
+        f"aggregate(sequence(1, length(word)), "
+        f"named_struct('pos', CAST(length(word) AS BIGINT), "
+        f"'ps', CAST(array() AS array<string>)), "
+        f"(acc, _i) -> CASE WHEN acc.pos <= 0 THEN acc ELSE "
+        f"named_struct('pos', {chosen('j')}, "
+        f"'ps', concat(acc.ps, array({chosen('p')}))) END).ps"
+    )
+
+
+def _uni_weight_map(vocab: DataFrame):
+    """(piece, w) -> one-row broadcastable map column. The vocabulary is
+    control-plane-sized (chars + UNI_SEED_TOP or UNI_KEEP pieces), so the
+    map rides the task closure like the PQ codebook does."""
+    return F.broadcast(
+        vocab.agg(
+            F.map_from_arrays(
+                F.collect_list("piece"), F.collect_list("w")
+            ).alias("m")
+        )
+    )
+
+
+def _uni_seed_vocab(wf: DataFrame):
+    """Seed vocabulary: every single character (coverage guarantee —
+    the DP is total because chars never prune) plus the UNI_SEED_TOP
+    most frequent substrings of length 2..UNI_MAXP, weighted by word
+    count x occurrence position. Returns (chars, seeds) DataFrames of
+    (piece, w)."""
+    chars = (
+        wf.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word)), "
+                    "i -> substring(word, CAST(i AS INT), 1))"
+                )
+            ).alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("w"))
+    )
+    subs = None
+    for L in range(2, UNI_MAXP + 1):
+        s = wf.filter(F.length("word") >= L).select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(word) - {L - 1}), "
+                    f"i -> substring(word, CAST(i AS INT), {L}))"
+                )
+            ).alias("piece"),
+        )
+        subs = s if subs is None else subs.unionByName(s)
+    seeds = (
+        subs.groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("w"))
+        .orderBy(F.desc("w"), F.asc("piece"))
+        .limit(UNI_SEED_TOP)
+    )
+    return chars, seeds
+
+
+def _unigram_train(spark: SparkSession, wf: DataFrame):
+    """One Viterbi hard-EM round over the (word, cnt) frequency table:
+    seed vocab -> Viterbi-segment every word (DP fold) -> recount piece
+    usage from the chosen segmentations (E/M) -> prune to all chars +
+    the UNI_KEEP top multi-char pieces. Returns (final_vocab(piece, w=
+    usage), wf_capped) — the trained model and the capped word table."""
+    wf = wf.filter(F.length("word") <= UNI_MAX_WL).localCheckpoint(
+        eager=True
+    )
+    chars, seeds = _uni_seed_vocab(wf)
+    vocab0 = chars.unionByName(seeds)
+    seg = (
+        wf.crossJoin(_uni_weight_map(vocab0))
+        .withColumn("dp", F.expr(_uni_dp_expr()))
+        .select("cnt", F.explode(F.expr(_uni_trace_expr())).alias("piece"))
+    )
+    usage = seg.groupBy("piece").agg(
+        F.sum("cnt").cast("bigint").alias("u")
+    )
+    kept_multi = (
+        usage.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("u"), F.asc("piece"))
+        .limit(UNI_KEEP)
+    )
+    final = (
+        chars.select("piece")
+        .join(usage, "piece", "left")
+        .select("piece", F.coalesce("u", F.lit(0)).cast("bigint").alias("w"))
+        .unionByName(kept_multi.select("piece", F.col("u").alias("w")))
+    )
+    return final, wf
+
+
+def _uni_oracle_ctes(prefix: str, vocab_cte: str, wf_cte: str = "wfl"):
+    """Unrolled relational Viterbi DP over the word table against the
+    `vocab_cte`(piece, w) vocabulary — UNI_MAX_WL rounds of
+    position-CTEs (the BPE/coreness unrolling discipline; DuckDB 1.0's
+    list_reduce miscompiles multi-step struct folds, so the oracle
+    avoids lambdas entirely). Emits {prefix}dall{N} holding (word, cnt,
+    pos, cost) for every reachable prefix length."""
+    ctes = [
+        f"""{prefix}dp0 AS MATERIALIZED (
+        SELECT word, cnt, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cost
+        FROM {wf_cte}
+    )""",
+        f"{prefix}dall0 AS MATERIALIZED (SELECT * FROM {prefix}dp0)",
+    ]
+    for i in range(1, UNI_MAX_WL + 1):
+        p = i - 1
+        ctes.append(
+            f"""{prefix}dp{i} AS MATERIALIZED (
+            SELECT d.word, d.cnt, CAST({i} AS BIGINT) AS pos,
+                   MIN(d.cost + {UNI_BIG} - v.w) AS cost
+            FROM {prefix}dall{p} d JOIN {vocab_cte} v
+              ON v.piece = substr(d.word, (d.pos + 1)::INT, ({i} - d.pos)::INT)
+            WHERE d.pos >= {i} - {UNI_MAXP} AND d.pos < {i}
+              AND length(d.word) >= {i}
+            GROUP BY d.word, d.cnt
+        )"""
+        )
+        ctes.append(
+            f"""{prefix}dall{i} AS MATERIALIZED (
+            SELECT * FROM {prefix}dall{p}
+            UNION ALL SELECT * FROM {prefix}dp{i}
+        )"""
+        )
+    return ctes
+
+
+def _uni_oracle_trace_ctes(prefix: str, vocab_cte: str, dall: str):
+    """Unrolled backtrace over the {dall} DP table: per step, the chosen
+    predecessor is the SMALLEST j whose cost + piece weight lands on the
+    position's DP value (rk = 1 over ORDER BY d.pos — the Spark fold's
+    ascending-j first-match). {prefix}use unions every step's emitted
+    piece."""
+    ctes = [
+        f"""{prefix}t0 AS MATERIALIZED (
+        SELECT word, cnt, CAST(length(word) AS BIGINT) AS pos,
+               CAST(NULL AS VARCHAR) AS piece
+        FROM wfl
+    )"""
+    ]
+    for k in range(1, UNI_MAX_WL + 1):
+        p = k - 1
+        ctes.append(
+            f"""{prefix}t{k} AS MATERIALIZED (
+            SELECT word, cnt, pos, piece FROM (
+                SELECT t.word, t.cnt, d.pos AS pos, v.piece,
+                       row_number() OVER (
+                           PARTITION BY t.word ORDER BY d.pos
+                       ) AS rk
+                FROM {prefix}t{p} t
+                JOIN {dall} d ON d.word = t.word
+                 AND d.pos >= t.pos - {UNI_MAXP} AND d.pos < t.pos
+                JOIN {dall} de ON de.word = t.word AND de.pos = t.pos
+                JOIN {vocab_cte} v
+                  ON v.piece = substr(t.word, (d.pos + 1)::INT,
+                                      (t.pos - d.pos)::INT)
+                WHERE t.pos > 0
+                  AND d.cost + {UNI_BIG} - v.w = de.cost
+            ) WHERE rk = 1
+        )"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT cnt, piece FROM {prefix}t{k}"
+        for k in range(1, UNI_MAX_WL + 1)
+    )
+    ctes.append(
+        f"""{prefix}use AS MATERIALIZED (
+        SELECT piece, CAST(SUM(cnt) AS BIGINT) AS u
+        FROM ({union}) WHERE piece IS NOT NULL GROUP BY piece
+    )"""
+    )
+    return ctes
+
+
+def _uni_train_ctes():
+    """The full train chain: capped word table, seed vocab, DP, trace,
+    usage, pruned final vocab `ufinal`(piece, w)."""
+    sub_union = "\nUNION ALL ".join(
+        f"""SELECT substr(word, i::INT, {L}) AS piece, cnt
+            FROM wfl, unnest(range(1, length(word) - {L} + 2)) AS _t{L}(i)
+            WHERE length(word) >= {L}"""
+        for L in range(2, UNI_MAXP + 1)
+    )
+    ctes = [
+        f"""wfl AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS word
+            FROM documents) GROUP BY word
+        HAVING length(word) <= {UNI_MAX_WL}
+    )""",
+        """uchars AS MATERIALIZED (
+        SELECT piece, CAST(SUM(cnt) AS BIGINT) AS w FROM (
+            SELECT unnest(list_transform(range(1, length(word) + 1),
+                          i -> substr(word, i::INT, 1))) AS piece, cnt
+            FROM wfl) GROUP BY piece
+    )""",
+        f"""useed AS MATERIALIZED (
+        SELECT piece, w FROM (
+            SELECT piece, CAST(SUM(cnt) AS BIGINT) AS w
+            FROM ({sub_union}) GROUP BY piece
+        ) ORDER BY w DESC, piece LIMIT {UNI_SEED_TOP}
+    )""",
+        """uvocab0 AS MATERIALIZED (
+        SELECT piece, w FROM uchars UNION ALL SELECT piece, w FROM useed
+    )""",
+    ]
+    ctes += _uni_oracle_ctes("s", "uvocab0")
+    ctes += _uni_oracle_trace_ctes("s", "uvocab0", f"sdall{UNI_MAX_WL}")
+    ctes.append(
+        f"""ufinal AS MATERIALIZED (
+        SELECT c.piece, CAST(COALESCE(u.u, 0) AS BIGINT) AS w
+        FROM uchars c LEFT JOIN suse u USING (piece)
+        UNION ALL
+        SELECT piece, u AS w FROM (
+            SELECT piece, u FROM suse WHERE length(piece) >= 2
+            ORDER BY u DESC, piece LIMIT {UNI_KEEP}
+        )
+    )"""
+    )
+    return ctes
+
+
+_UNI_TRAIN_ORACLE = (
+    "WITH "
+    + ",\n".join(_uni_train_ctes())
+    + """
+    SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len,
+           w AS usage_count,
+           w * 1000000 // t.total AS score_micro
+    FROM ufinal, (SELECT CAST(SUM(w) AS BIGINT) AS total FROM ufinal) t
+    """
+)
+
+
+@register("text_unigram_lm_train", oracle=_UNI_TRAIN_ORACLE)
+def text_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM TOKENIZER TRAINING (round 10, VERDICT r9 next #5 —
+    Kudo 2018, the SentencePiece unigram model; the other half of the
+    standard tokenizer pairing next to text_bpe_train_merges): seed a
+    substring vocabulary, Viterbi-segment every word under it, recount
+    piece usage from the chosen segmentations, and PRUNE to the
+    surviving vocabulary — one hard-EM round (segment = E step with the
+    max instead of the expectation, recount+prune = M step), emitting
+    each surviving piece with its usage count and micro-unit relative
+    frequency (the unigram probabilities the model serves).
+
+    The deliberate exactness divergence, in the bigram LM's tradition:
+    Kudo's soft EM sums float log-likelihoods over all segmentations,
+    which no two engines reproduce bit-identically. The Viterbi
+    objective here is the EXACT composite integer (n_pieces * 2^44 -
+    sum of piece weights) — fewer pieces first, then highest total
+    piece frequency, path ties broken by the smallest split point — so
+    segmentation, usage counts, and the pruned vocabulary are
+    bit-identical everywhere, and the ORDERING structure a tokenizer
+    needs (frequent long pieces win) is preserved. Training runs over
+    the DISTINCT-WORD table like the BPE trainer — corpus-size-
+    independent; the corpus is read once for the word count.
+
+    The whole pipeline is Spark-native: the DP and its backtrace are
+    single column-expression folds (zero shuffle, zero UDF); the seed
+    and prune argmaxes are TakeOrdered top-k. Words are capped at
+    UNI_MAX_WL chars (fixture max is 8) because the DuckDB oracle
+    unrolls the DP relationally to that depth — DuckDB 1.0's
+    list_reduce miscompiles multi-step struct folds, so the oracle
+    mirrors the fold as UNI_MAX_WL rounds of position-CTE joins (the
+    BPE/coreness unrolling discipline) instead."""
+    d = spread(load(spark, sf_dir, "documents"))
+    words = d.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[A-Za-z]+', 0)")
+        ).alias("word")
+    )
+    wf = words.groupBy("word").agg(F.count("*").cast("bigint").alias("cnt"))
+    final, _ = _unigram_train(spark, wf)
+    total = final.agg(F.sum("w").cast("bigint").alias("total"))
+    return final.crossJoin(F.broadcast(total)).select(
+        "piece",
+        F.length("piece").cast("bigint").alias("piece_len"),
+        F.col("w").alias("usage_count"),
+        F.expr("w * 1000000 div total").alias("score_micro"),
+    )
+
+
+_UNI_FERTILITY_ORACLE = (
+    "WITH "
+    + ",\n".join(
+        _uni_train_ctes()
+        + _uni_oracle_ctes("e", "ufinal")
+        + [
+            f"""wtoku AS MATERIALIZED (
+        SELECT d.word, (d.cost + {UNI_BIG} - 1) // {UNI_BIG} AS n_tok
+        FROM edall{UNI_MAX_WL} d
+        WHERE d.pos = length(d.word)
+    )""",
+        ]
+        + _bpe_ctes()
+        + [
+            f"""wtokb AS MATERIALIZED (
+        SELECT word, len(s)::BIGINT AS n_tok FROM w{BPE_MERGES}
+    )""",
+            f"""dwf AS (
+        SELECT source,
+               lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS word
+        FROM documents
+    )""",
+            f"""dws AS (
+        SELECT source, word FROM dwf WHERE length(word) <= {UNI_MAX_WL}
+    )""",
+        ]
+    )
+    + """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(u.n_tok) AS BIGINT) AS n_tokens_unigram,
+           CAST(SUM(u.n_tok) AS BIGINT) * 1000000
+               // CAST(COUNT(*) AS BIGINT) AS tokens_per_word_unigram_micro,
+           CAST(SUM(b.n_tok) AS BIGINT) AS n_tokens_bpe,
+           CAST(SUM(b.n_tok) AS BIGINT) * 1000000
+               // CAST(COUNT(*) AS BIGINT) AS tokens_per_word_bpe_micro
+    FROM dws JOIN wtoku u USING (word) JOIN wtokb b USING (word)
+    GROUP BY source
+    """
+)
+
+
+@register("text_unigram_encode_fertility", oracle=_UNI_FERTILITY_ORACLE)
+def text_unigram_encode_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer application + THE BPE-vs-UNIGRAM COMPARISON (round 10,
+    VERDICT r9 next #5's 'done' row): encode the corpus with the
+    EM-trained unigram vocabulary and audit per-source fertility
+    (tokens/word) side-by-side with the BPE tokenizer's fertility on
+    the same words — the table a pipeline uses to pick its tokenizer
+    (unigram's optimal segmentation yields <= greedy-merge BPE's piece
+    count wherever both share the effective vocabulary).
+
+    The encode needs NO backtrace: the composite cost construction
+    means the piece count falls out of the DP value arithmetically —
+    n_pieces = ceil(dp / 2^44), exactly, because the weight-sum term is
+    always < 2^44. Encoding is the word-table DP fold + one join from
+    the per-source word stream to the per-word token counts (the BPE
+    fertility query's shape; size-gated at web-scale vocabularies).
+    Words beyond UNI_MAX_WL chars are excluded from BOTH tokenizers'
+    streams (the documented oracle-unroll cap, none in the fixture)."""
+    d = spread(load(spark, sf_dir, "documents"))
+    by_src_all = d.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[A-Za-z]+', 0)")
+        ).alias("word"),
+    )
+    by_src = by_src_all.filter(F.length("word") <= UNI_MAX_WL)
+    wf = by_src.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    final, wfc = _unigram_train(spark, wf)
+    wtoku = (
+        wfc.crossJoin(_uni_weight_map(final))
+        .withColumn("dp", F.expr(_uni_dp_expr()))
+        .select(
+            "word",
+            F.expr(
+                f"(element_at(dp, CAST(length(word) + 1 AS INT)) "
+                f"+ {UNI_BIG}L - 1) div {UNI_BIG}L"
+            ).alias("n_tok_u"),
+        )
+    )
+    # BPE trains on the UNCAPPED word table (its oracle chain has no
+    # length cap); the capped join stream below is what both tokenizers'
+    # fertility is measured over
+    wf_bpe = by_src_all.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    _, w_final = _bpe_train(spark, wf_bpe)
+    wtokb = w_final.select(
+        "word", F.size("s").cast("bigint").alias("n_tok_b")
+    )
+    return (
+        by_src.join(wtoku, "word")
+        .join(wtokb, "word")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_tok_u").cast("bigint").alias("n_tokens_unigram"),
+            F.sum("n_tok_b").cast("bigint").alias("n_tokens_bpe"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens_unigram",
+            F.expr("n_tokens_unigram * 1000000 div n_words").alias(
+                "tokens_per_word_unigram_micro"
+            ),
+            "n_tokens_bpe",
+            F.expr("n_tokens_bpe * 1000000 div n_words").alias(
+                "tokens_per_word_bpe_micro"
+            ),
+        )
+    )
+
+
 ZIPF_RANKS = (1, 2, 4, 8, 16)
 
 
