@@ -84,3 +84,102 @@ def connected_components(
             "max_iter (rounds needed ~ component diameter)"
         )
     return labels
+
+
+# ---- degree-aware hub salting (round 10, VERDICT r9 next #4) -------------
+# The graph family's message joins shuffle edge rows on src: a power-law
+# hub's rows all land in ONE reducer partition, and AQE's skew split only
+# mitigates after the skewed shuffle files exist. part_degree_powerlaw_audit
+# is the OBSERVABILITY side of that decision; these operators are the
+# consuming side — the per-key form of the audit's tail test: any key whose
+# degree crosses HUB_SALT_MIN_DEGREE (i.e. whose rows alone would exceed a
+# healthy partition) gets its edge rows salted across HUB_SALT_BUCKETS
+# sub-keys, and the small side (labels / frontier) replicates ONLY for those
+# keys — the events_salted_user_join pattern, made degree-gated so a
+# near-regular graph (this fixture, per the audit) pays nothing: the hub
+# set is empty, every salt is 0, and the join is byte-identical to the
+# unsalted form. Results are invariant by construction (the salt is a
+# partitioning refinement of the same equi-join).
+
+HUB_SALT_MIN_DEGREE = 4096  # a key this hot would dominate its partition
+HUB_SALT_BUCKETS = 8
+
+
+def hub_salt_plan(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_degree: int = HUB_SALT_MIN_DEGREE,
+    n_salt: int = HUB_SALT_BUCKETS,
+) -> tuple[DataFrame, DataFrame]:
+    """Compute the hub set (keys with degree >= min_degree — broadcast-
+    sized BY DEFINITION: at most |E|/min_degree keys can be that hot) and
+    attach a `_salt` column to the edge rows: pmod(xxhash64(dst), n_salt)
+    for hub keys, 0 otherwise. One degree aggregate, paid ONCE before an
+    iterative family's loop (degrees are static across rounds). Returns
+    (pairs_salted, hubs)."""
+    deg = pairs.groupBy(src).agg(F.count("*").alias("_deg"))
+    hubs = deg.filter(F.col("_deg") >= min_degree).select(src)
+    pairs_salted = (
+        pairs.join(
+            F.broadcast(hubs.withColumn("_is_hub", F.lit(True))), src, "left"
+        )
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_is_hub"),
+                F.pmod(F.xxhash64(F.col(dst)), F.lit(n_salt)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("_is_hub")
+    )
+    return pairs_salted, hubs
+
+
+def hub_salted_message_join(
+    pairs_salted: DataFrame,
+    small: DataFrame,
+    hubs: DataFrame,
+    src: str = "src",
+    v: str = "v",
+    n_salt: int = HUB_SALT_BUCKETS,
+) -> DataFrame:
+    """Join the salted edge rows against a small per-vertex table
+    (labels, frontier) keyed `v`: the small side replicates n_salt ways
+    for HUB keys only (explode over the salt range; non-hubs keep one
+    row with salt 0), then the equi-join runs on (src = v, _salt) — a
+    hub's messages now spread across n_salt reducer partitions, bounding
+    every partition at ~max(min_degree, hub_degree / n_salt) rows.
+    Output columns: the edge columns + the small side's non-key columns
+    (the same frame the unsalted join produced, minus the plumbing)."""
+    rep = (
+        small.join(
+            F.broadcast(
+                hubs.select(
+                    F.col(src).alias(v), F.lit(True).alias("_is_hub")
+                )
+            ),
+            v,
+            "left",
+        )
+        .withColumn(
+            "_vsalt",
+            # sequence/array of int literals already carry int elements;
+            # a cast here would nest the generator inside an expression,
+            # which Spark rejects
+            F.explode(
+                F.when(
+                    F.col("_is_hub"),
+                    F.sequence(F.lit(0), F.lit(n_salt - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("_is_hub")
+    )
+    return pairs_salted.join(
+        rep,
+        (pairs_salted[src] == rep[v])
+        & (pairs_salted["_salt"] == rep["_vsalt"]),
+    ).drop(v, "_salt", "_vsalt")

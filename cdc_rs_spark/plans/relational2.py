@@ -2961,6 +2961,11 @@ def part_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the final 25-row report. At 100 TB: persist edges bucketed by
     src, and the message table is |E| rows/round regardless of community
     count — LPA's whole appeal at scale."""
+    from cdc_rs_spark.operators.graph import (
+        hub_salt_plan,
+        hub_salted_message_join,
+    )
+
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
@@ -2969,14 +2974,24 @@ def part_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = pairs.select(F.col("src").alias("v")).distinct().select(
+    # degree-aware hub salting (round 10, VERDICT r9 next #4): the salt
+    # plan is computed ONCE before the loop (degrees are static across
+    # rounds) and checkpointed with the edges; on a near-regular graph —
+    # this fixture, per part_degree_powerlaw_audit — the hub set is
+    # empty, every salt is 0 and the join is byte-identical, so the
+    # oracle is untouched; on a power-law graph each hub's message rows
+    # spread across HUB_SALT_BUCKETS partitions (bound pinned by
+    # tests/test_graph_salting.py on a planted skewed graph)
+    pairs_salted, hubs = hub_salt_plan(pairs, "src", "dst")
+    pairs_salted = pairs_salted.localCheckpoint(eager=True)
+    hubs = hubs.localCheckpoint(eager=True)
+    labels = pairs_salted.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("lab")
     )
     for _ in range(LPA_ROUNDS):
         m = (
-            pairs.join(labels, pairs["src"] == labels["v"])
+            hub_salted_message_join(pairs_salted, labels, hubs, "src", "v")
             .groupBy("dst", "lab")
             .agg(F.count("*").alias("n"))
         )
@@ -3900,6 +3915,11 @@ def part_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("dst"))
+    from cdc_rs_spark.operators.graph import (
+        hub_salt_plan,
+        hub_salted_message_join,
+    )
+
     edges = (
         a.join(b, "ok")
         .filter(F.col("src") != F.col("dst"))
@@ -3907,11 +3927,17 @@ def part_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("ok").alias("w"))
         .filter(F.col("w") >= 2)
         .select("src", "dst")
-        .localCheckpoint(eager=True)
     )
+    # degree-gated hub salting on the frontier-expansion join (round 10,
+    # VERDICT r9 next #4) — same contract as part_community_lpa's wiring:
+    # free on this near-regular fixture, partition-bounding on a
+    # power-law graph
+    edges_salted, hubs = hub_salt_plan(edges, "src", "dst")
+    edges_salted = edges_salted.localCheckpoint(eager=True)
+    hubs = hubs.localCheckpoint(eager=True)
     sources = [
         r.src
-        for r in edges.select("src")
+        for r in edges_salted.select("src")
         .distinct()
         .orderBy("src")
         .limit(BFS_N_SOURCES)
@@ -3921,9 +3947,11 @@ def part_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s, s, 0) for s in sources], "source bigint, v bigint, dist int"
     ).localCheckpoint(eager=True)
     for k in range(1, BFS_MAX_HOPS + 1):
-        frontier = seen.filter(F.col("dist") == k - 1)
+        frontier = seen.filter(F.col("dist") == k - 1).select(
+            "source", "v"
+        )
         nxt = (
-            frontier.join(edges, frontier.v == edges.src)
+            hub_salted_message_join(edges_salted, frontier, hubs, "src", "v")
             .select("source", F.col("dst").alias("v"))
             .distinct()
             .join(seen.select("source", "v"), ["source", "v"], "left_anti")
