@@ -2702,6 +2702,96 @@ def heavy_hitters_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "heavy_hitters_cms_retraction",
+    oracle=_cms_oracle()
+    .replace(
+        "FROM lineitem GROUP BY l_suppkey",
+        "FROM lineitem WHERE l_orderkey % 10 <> 0 GROUP BY l_suppkey",
+    )
+    .replace(
+        "GROUP BY 1, 2",
+        "WHERE l_orderkey % 10 <> 0\n        GROUP BY 1, 2",
+    ),
+)
+def heavy_hitters_cms_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC DELETES INTO THE LIVE SKETCH (round 10, VERDICT r9 next #1's
+    sketch corollary): the CMS grid is SUM-mergeable state, and SUM over
+    bigint is a GROUP — so a delete batch retracts EXACTLY by folding
+    the negated cell increments rebuilt from the deleted rows'
+    before-images (streaming/additive.retract_segment). After folding
+    both micro-batches and retracting the l_orderkey % 10 cohort (an
+    order-cancellation feed), the served grid must equal the batch
+    sketch over the SURVIVING rows — which is what the oracle rebuilds
+    cell-for-cell, estimates pinned, one-sided guarantee intact over the
+    surviving exact counts. This is the property floating 'decayed'
+    sketches approximate and counted CMS variants bolt on: here it is
+    exact by algebra. Scale shape identical to the incremental form;
+    the retraction batch is delete-sized."""
+    import shutil
+    import tempfile
+
+    from cdc_rs_spark.benchphase import build_phase
+    from cdc_rs_spark.operators.sketch import cms_estimate, cms_increments
+    from cdc_rs_spark.streaming.additive import (
+        compact_additive_store,
+        fold_segment,
+        init_additive_store,
+        read_merged,
+        retract_segment,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    live = li.filter(F.col("l_orderkey") % 10 != 0)
+    root = tempfile.mkdtemp(prefix="cms_retract_")
+    try:
+        with build_phase():
+            init_additive_store(
+                spark, root, {"d": "int", "w": "bigint"}, ["cnt"]
+            )
+            fold_segment(
+                cms_increments(
+                    li.filter(F.col("l_orderkey") % 2 == 0), "l_suppkey"
+                ),
+                root, batch_id=0,
+            )
+            fold_segment(
+                cms_increments(
+                    li.filter(F.col("l_orderkey") % 2 == 1), "l_suppkey"
+                ),
+                root, batch_id=1,
+            )
+            # the delete batch: before-images of the cancelled orders
+            retract_segment(
+                cms_increments(
+                    li.filter(F.col("l_orderkey") % 10 == 0), "l_suppkey"
+                ),
+                root, batch_id=0, stream_id="d",
+            )
+            # cancelled state stays cancelled through the epoch rewrite
+            compact_additive_store(spark, root)
+        grid = read_merged(spark, root)
+        counts = live.groupBy("l_suppkey").agg(
+            F.count("*").cast("bigint").alias("n_exact")
+        )
+        order = [F.desc("n_exact"), F.asc("l_suppkey")]
+        top = (
+            counts.orderBy(*order)
+            .limit(10)
+            # benign: the frame is the 10-row limit() above
+            .withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+        )
+        result = top.join(
+            cms_estimate(grid, top.select("l_suppkey"), "l_suppkey"),
+            "l_suppkey",
+        ).select("l_suppkey", "n_exact", "rnk", "est_cnt")
+        rows = result.collect()  # 10 rows; frees the scratch store
+        schema = result.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "customer_rfm_segments",
     oracle="""
     WITH base AS (
@@ -3596,6 +3686,110 @@ def quantile_histogram_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         qs = spark.createDataFrame([(q,) for q in QH_QS], "q_pct bigint")
         cand = cum.crossJoin(F.broadcast(qs)).filter(
             F.col("c") >= F.expr("(n * q_pct + 99) div 100")
+        )
+        sel = cand.groupBy("grp", "q_pct").agg(
+            F.min("b").cast("bigint").alias("bucket")
+        )
+        result = sel.join(
+            cum.select("grp", F.col("b").alias("bucket"), "c", "n"),
+            ["grp", "bucket"],
+        ).select(
+            "grp",
+            "q_pct",
+            F.col("n").alias("n_rows"),
+            "bucket",
+            ((F.col("bucket") + 1) * int(QH_BUCKET)).cast("bigint").alias("est_hi"),
+            F.col("c").alias("cum_cnt"),
+        )
+        rows = result.collect()  # |groups| x |qs| rows; frees the store
+        schema = result.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "quantile_histogram_retraction",
+    oracle=_qh_oracle().replace(
+        "FROM lineitem GROUP BY grp, b",
+        "FROM lineitem WHERE l_orderkey % 10 <> 0 GROUP BY grp, b",
+    ),
+)
+def quantile_histogram_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC DELETES INTO THE LIVE QUANTILE STORE (round 10): the
+    equi-width histogram is cell-wise-additive — a GROUP under integer
+    SUM — so an order-cancellation feed retracts exactly: fold both
+    micro-batches, retract the l_orderkey % 10 cohort's bucket counts
+    from before-images, and the served p50/p95 must equal the batch
+    histogram over the SURVIVING rows (the oracle rebuilds it with the
+    cohort filtered up front). Fully-retracted cells carry count 0 in
+    the merged view; they can never be a selected quantile bucket (their
+    cumulative count equals their predecessor's, so they never win the
+    MIN(b) race) — the zero-cell argument that makes serving unchanged.
+    Compaction after the retraction pins that cancelled state stays
+    cancelled through the epoch rewrite."""
+    import shutil
+    import tempfile
+
+    from cdc_rs_spark.benchphase import build_phase
+    from cdc_rs_spark.streaming.additive import (
+        compact_additive_store,
+        fold_segment,
+        init_additive_store,
+        read_merged,
+        retract_segment,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_returnflag").alias("grp"),
+        F.expr(_qh_bucket_sql("l_extendedprice")).alias("b"),
+    )
+
+    def partial(df):
+        return df.groupBy("grp", "b").agg(
+            F.count("*").cast("bigint").alias("cnt")
+        )
+
+    root = tempfile.mkdtemp(prefix="qh_retract_")
+    try:
+        with build_phase():
+            init_additive_store(
+                spark, root, {"grp": "string", "b": "bigint"}, ["cnt"]
+            )
+            fold_segment(
+                partial(li.filter(F.col("l_orderkey") % 2 == 0)),
+                root, batch_id=0,
+            )
+            fold_segment(
+                partial(li.filter(F.col("l_orderkey") % 2 == 1)),
+                root, batch_id=1,
+            )
+            retract_segment(
+                partial(li.filter(F.col("l_orderkey") % 10 == 0)),
+                root, batch_id=0, stream_id="d",
+            )
+            compact_additive_store(spark, root)
+        hist = read_merged(spark, root)
+        wc = (
+            Window.partitionBy("grp")
+            .orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = hist.select(
+            "grp",
+            "b",
+            F.sum("cnt").over(wc).cast("bigint").alias("c"),
+            F.sum("cnt").over(Window.partitionBy("grp")).cast("bigint").alias("n"),
+        )
+        qs = spark.createDataFrame([(q,) for q in QH_QS], "q_pct bigint")
+        # n > 0: a group whose every row retracted has only zero cells in
+        # the merged view but NO rows in the oracle's rebuilt histogram —
+        # it has no quantiles to serve (can't occur with this cohort, but
+        # the guard keeps the retraction form total)
+        cand = cum.crossJoin(F.broadcast(qs)).filter(
+            (F.col("n") > 0)
+            & (F.col("c") >= F.expr("(n * q_pct + 99) div 100"))
         )
         sel = cand.groupBy("grp", "q_pct").agg(
             F.min("b").cast("bigint").alias("bucket")

@@ -73,124 +73,78 @@ def register(name: str, oracle: str | None = None):
 # watermark recommendation, line-level dedup, quantization fidelity) so the
 # driver verifies the round's new surface first-hand.
 _DRIVER_WINDOW = [
-    # ROUND-9 ROTATION (VERDICT r8 next #8, the r8 discipline): pin every
-    # round-9 NEW and CHANGED query first, then rotate older slots for
-    # repeat greens with family spread. Cumulative driver coverage is
-    # 201/201 through r8; rotated-out queries keep their module order
-    # after slot 50 and stay verified locally
+    # ROUND-10 ROTATION (VERDICT r9 next #8, the standing discipline):
+    # pin every round-10 NEW and CHANGED query first, then fill with
+    # never-pinned rotation picks and family-spread repeats. Cumulative
+    # driver coverage through r9 is 244/244; rotated-out queries keep
+    # their module order after slot 50 and stay verified locally
     # (CORRECTNESS_LOCAL_FULL.json via tools/driver_sim.py).
     #
-    # NEW this round — the eight round-9 operators pin at birth:
-    # content-defined-anchor exact-substring dedup + its shift-invariance
-    # proof, full coreness decomposition, residual IVF-PQ (batch /
-    # streaming / recall eval), dHash perceptual image near-dup, and the
-    # end-to-end streaming curation funnel
+    # NEW this round — the retraction family (CDC deletes into every
+    # streaming store), the GDPR end-to-end purge audit, OPQ rotation,
+    # and the unigram-LM tokenizer pair — pinned at birth:
+    "curation_funnel_retraction",
+    "dedup_clusters_retraction",
+    "text_nb_retraction_classifier",
+    "similarity_ivf_tombstone_topk",
+    "gdpr_forget_end_to_end",
+    "similarity_opq_recall_eval",
+    "text_unigram_lm_train",
+    "text_unigram_encode_fertility",
+    "heavy_hitters_cms_retraction",  # CDC deletes into the CMS grid
+    "quantile_histogram_retraction",  # CDC deletes into the quantile store
+    # CHANGED this round (re-pin): the r9 funnel + NB/cluster/IVF
+    # incremental queries share code with the new retraction paths
+    # (funnel_gates split, read_counts vocab zero-drop, fold_pairs
+    # tombstone guard, probe tombstone anti-joins, the residual-ADC
+    # refactor for OPQ); LPA/BFS gained degree-gated hub salting;
+    # decile-lift/survival/IO-roundtrip carry the ADVICE r9 fixes;
+    # the anchor store probe rides the span store's delete path
     "curation_funnel_incremental",
-    "dedup_exact_substring_anchored",
-    "dedup_anchor_shift_invariance",
-    "part_coreness",
-    "dedup_anchor_cut_rewrite",  # r9 new (anchored span-cut rewrite)
-    "dedup_anchor_store_probe",  # r9 new (anchored incremental store probe)
-    "sample_coreness_weighted",  # r9 new (coreness-weighted priority draw)
+    "text_nb_incremental_classifier",
+    "dedup_incremental_clusters",
+    "similarity_ivf_incremental_topk",
+    "similarity_ivfpq_incremental_topk",
     "similarity_ivfpq_residual_topk",
     "similarity_ivfpq_residual_incremental_topk",
-    "similarity_ivfpq_residual_recall_eval",
-    "multimodal_image_near_dup",
-    "text_bigram_lm_score",  # r9 new (ln-free bigram LM quality filter)
-    "text_bigram_lm_incremental",  # r9 new (streaming LM training, shared oracle)
-    # CHANGED this round (re-pin): nb_score gained the size-gated join
-    # (operators/classify.py); streaming/ivf.py gained residual mode and
-    # the probe schema grew the qc column; pq_adc_rank gained with_qc;
-    # the incremental families gained benchphase build markers; the
-    # stride span report shares operators/dedup.py with the new anchored
-    # sampler; text_cleaning_funnel's gates are now shared with the
-    # streaming funnel via funnel_gates
-    "text_nb_source_classifier",
-    "text_nb_incremental_classifier",
-    "similarity_ivf_incremental_topk",
-    # similarity_ivfpq_incremental_topk rotated out late-session like its
-    # siblings above: the pinned residual incremental form drives the
-    # identical streaming/ivf.py code path with pq=True
-
-    # similarity_pq_adc_topk / similarity_ivfpq_topk rotated out
-    # late-session: their encode/ADC chains are driver-exercised through
-    # the pinned residual + incremental + recall-eval siblings (same
-    # code paths in operators/similarity.py and plans/similarity.py),
-    # and the slots fund the session's new-family pins
-    "similarity_ivfpq_recall_eval",
-    "dedup_incremental_clusters",
-    "heavy_hitters_cms_incremental",
-    # dedup_exact_substring_spans rotated out likewise: the shared
-    # sampler is driver-exercised through the three pinned anchored
-    # variants
-
-    # text_cleaning_funnel rotated out late-session: its gate composition
-    # is driver-verified through curation_funnel_incremental (shared
-    # funnel_gates), and the slot funds the model-eval pins below
-
-    # dedup_connected_components rides with the incremental form — the
-    # two share one oracle, so the driver checks both sides of the
-    # incremental == batch claim every round
-    "dedup_connected_components",
-    # NEW in round-9 session 2 — pinned at birth: BPE training + encoding
-    # (tokenizer fertility audit), label-propagation communities, the
-    # register-exact streaming HLL, the Bloom runtime-join-filter audit,
-    # the MAD robust outlier gate, the JL random-projection distortion
-    # audit, and video scene-cut detection
-    "text_bpe_train_merges",
-    "text_bpe_encode_fertility",
     "part_community_lpa",
-    "hll_incremental_distinct",
-    "join_bloom_prefilter_audit",
-    "outlier_mad_robust_lineitem",
-    "embedding_random_projection_audit",
-    "multimodal_video_scene_cuts",
-    # NEW in round-9 session 2, second batch — pinned at birth: CUSUM
-    # change-point detection, day-of-week seasonality, VAD run-length
-    # segmentation, Apriori frequent triples, and the streaming
-    # histogram-quantile store (the ADD-monoid quantile sketch)
-    "anomaly_cusum_daily_revenue",
-    "seasonality_dow_revenue",
-    "multimodal_audio_vad_segments",
-    "basket_frequent_triples",
-    "quantile_histogram_incremental",
-    # NEW in round-9 session 2, third batch — pinned at birth: multi-format
-    # IO round-trip fidelity, l-diversity privacy audit, Matryoshka
-    # prefix-truncation retrieval audit, Zipf conformance gate
-    "io_format_roundtrip_checksum",
-    "l_diversity_audit_customer",
-    "embedding_matryoshka_truncation_audit",
-    "text_zipf_rank_ratio_audit",
-    # NEW in round-9 session 2, fourth batch — pinned at birth: item-item
-    # CF recommendations and the lossless prefix-filtered exact Jaccard
-    # join (the deterministic complement of MinHash-LSH)
-    "basket_item_cf_topk",
-    "dedup_jaccard_prefix_join",
-    # NEW in round-9 session 2, fifth batch — pinned at birth: association
-    # rules (confidence/lift), multi-source BFS hop distances, and
-    # regex-CEP sequence patterns over journey strings
-    "basket_association_rules",
     "part_bfs_distance",
-    "events_pattern_regex_cep",
-    # NEW in round-9 session 2, sixth batch — pinned at birth: censoring-
-    # aware Kaplan-Meier conversion curve and the composed entity-
-    # resolution pipeline (block -> match -> closure -> canonicalize)
-    "events_survival_km",
-    "supplier_entity_clusters",
-    # NEW in round-9 session 2, seventh batch — pinned at birth: exact
-    # model-eval metrics for the learned filter (tie-corrected AUC over
-    # the margin distribution, NTILE-exact decile gains)
-    "text_nb_auc_eval",
     "text_nb_decile_lift",
-    # NEW in round-9 session 2, eighth batch — pinned at birth: degree
-    # power-law audit (the hub-salting decision input), Poisson burst
-    # detection, and inter-arrival bot-regularity scoring
-    "part_degree_powerlaw_audit",
-    "events_poisson_rate_anomaly",
-    "events_bot_regularity_score",
-    # NEW in round-9 session 2, ninth batch — pinned at birth: RAKE
-    # keyphrase extraction (co-occurrence degree/freq scoring)
-    "text_rake_keyphrases",
+    "events_survival_km",
+    "io_format_roundtrip_checksum",
+    "dedup_anchor_store_probe",
+    # NEVER-PINNED rotation picks (first driver look at these twelve)
+    "q4_order_priority",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q16_supplier_count",
+    "q19_disjunctive_revenue",
+    "rollup_order_stats",
+    "cube_lineitem_flags",
+    "distinct_agg_parts_per_flag",
+    "date_functions_orders",
+    "outlier_iqr_lineitem",
+    # family-spread repeat greens (CDC core incl. the batch retraction
+    # algebra and the forget manifest the new e2e composes, TPC-H
+    # anchors, events, dedup, ANN baseline, text gates, multimodal,
+    # sampling, sketches, splits)
+    "cdc_backfill_bigquery",
+    "cdc_retraction_algebra",
+    "gdpr_forget_manifest",
+    "q1_pricing_summary",
+    "q21_late_suppliers",
+    "events_session_window",
+    "events_funnel_conversion",
+    "dedup_minhash_lsh",
+    "dedup_semantic_ivf_centroids",
+    "similarity_bruteforce_topk",
+    "text_quality_filter_median",
+    "text_cleaning_funnel",
+    "multimodal_image_decode",
+    "sample_stratified_cap",
+    "train_test_split_group_aware",
 ]
 
 

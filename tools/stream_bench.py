@@ -115,6 +115,115 @@ def drain(spark, src: str, workdir: str) -> tuple[float, int]:
     return dt, total
 
 
+def bench_store_folds(spark, root: str, n_docs: int = 20_000) -> dict:
+    """Per-store fold throughput + replay overhead (round 10, VERDICT r9
+    next #6): a synthetic doc/embedding feed folds ONE batch into each
+    streaming store (the foreachBatch unit of work), then re-folds the
+    SAME batch id — the ledger-skip path whose cost is the at-least-once
+    replay overhead. Also times the retraction fold where one exists.
+    Rows/sec is batch rows over wall time for the full fold (Spark jobs
+    + sidecar commit)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cdc_rs_spark.streaming.classifier import (
+        fold_counts,
+        init_count_store,
+        retract_counts,
+    )
+    from cdc_rs_spark.streaming.clusters import (
+        clusters_foreach_batch,
+        init_cluster_store,
+        remove_docs,
+    )
+    from cdc_rs_spark.streaming.ivf import (
+        append_batch,
+        init_index,
+        remove_vectors,
+    )
+    from cdc_rs_spark.streaming.spans import spans_foreach_batch
+
+    out = {}
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta eta theta iota "),
+            (F.col("id") % 997).cast("string"),
+            F.lit(" kappa lambda mu nu xi omicron pi rho sigma tau "),
+            (F.col("id") % 89).cast("string"),
+        ).alias("text"),
+        F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias(
+            "source"
+        ),
+    ).localCheckpoint(eager=True)
+
+    def timed(name, fn):
+        t0 = time.time()
+        fn()
+        out[name] = {
+            "rows": n_docs,
+            "sec": round(time.time() - t0, 2),
+            "rows_per_sec": int(n_docs / max(time.time() - t0, 1e-9)),
+        }
+
+    toks = docs.select(
+        (F.length("source") <= 4).alias("is_a"),
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    nb_root = os.path.join(root, "nb")
+    init_count_store(spark, nb_root)
+    timed("nb_fold", lambda: fold_counts(toks, nb_root, batch_id=0))
+    timed("nb_replay_skip", lambda: fold_counts(toks, nb_root, batch_id=0))
+    timed(
+        "nb_retract",
+        lambda: retract_counts(toks, nb_root, batch_id=0, stream_id="d"),
+    )
+
+    clusters_root = os.path.join(root, "clusters")
+    sig, sh = os.path.join(root, "sig"), os.path.join(root, "sh")
+    init_cluster_store(spark, clusters_root)
+    cfn = clusters_foreach_batch(sig, sh, clusters_root)
+    timed("cluster_fold", lambda: cfn(docs.select("doc_id", "text"), 0))
+    timed("cluster_replay_skip", lambda: cfn(docs.select("doc_id", "text"), 0))
+    timed(
+        "cluster_remove_1pct",
+        lambda: remove_docs(
+            spark, clusters_root,
+            docs.filter(F.col("doc_id") % 100 == 0).select("doc_id"),
+            sig_store_path=sig, shingle_store_path=sh, batch_id=1,
+        ),
+    )
+
+    span_root = os.path.join(root, "spans")
+    sfn = spans_foreach_batch(span_root, hashed=True)
+    timed("span_fold", lambda: sfn(docs.select("doc_id", "text"), 0))
+    timed("span_replay_probe", lambda: sfn(docs.select("doc_id", "text"), 0))
+
+    dim = 16
+    emb = spark.range(n_docs).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, {dim}), "
+            "j -> CAST(pmod(xxhash64(id * 31 + j), 1000) AS FLOAT) / 1000.0)"
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    index_dir = os.path.join(root, "ivf")
+    init_index(spark, emb.filter("vec_id % 2 = 0"), index_dir,
+               n_centroids=8, train_cap=512, dim=dim)
+    batch = emb.filter("vec_id % 2 = 1")
+    timed("ivf_append", lambda: append_batch(
+        spark, batch, index_dir, retrain_ratio=1e9, drift_margin=10.0,
+        dim=dim, batch_id=0, stream_id="s"))
+    timed("ivf_replay_skip", lambda: append_batch(
+        spark, batch, index_dir, retrain_ratio=1e9, drift_margin=10.0,
+        dim=dim, batch_id=0, stream_id="s"))
+    timed("ivf_remove_1pct", lambda: remove_vectors(
+        spark, index_dir,
+        emb.filter("vec_id % 100 = 0").select("vec_id"), batch_id=0))
+    return out
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     mode = sys.argv[2] if len(sys.argv) > 2 else "both"
@@ -137,6 +246,10 @@ def main() -> int:
             dt, total = drain(spark, src, os.path.join(root, "w_binlog"))
             out["binlog"] = {"rows": total, "sec": round(dt, 2),
                              "rows_per_sec": int(total / dt)}
+        if mode in ("stores", "both"):
+            out["stores"] = bench_store_folds(
+                spark, os.path.join(root, "stores")
+            )
     finally:
         shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
