@@ -1188,3 +1188,119 @@ def test_cep_journey_sort_is_array_local(spark):
     # a global SortExec would carry rangepartitioning; the only exchanges
     # here are hash (user_id, pattern aggregates)
     assert "rangepartitioning" not in plan, plan
+
+
+def test_ivf_tombstone_filter_is_broadcast_anti_join(spark, tmp_path):
+    """The probe's tombstone exclusion must be a BROADCAST anti-join (the
+    tombstone set is delete-bounded) — a shuffled anti-join would add a
+    corpus-sized exchange to every probe (SCALE.md §28)."""
+    from cdc_rs_spark.streaming.ivf import (
+        _drop_tombstoned,
+        remove_vectors,
+        init_index,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(20)],
+        "vec_id bigint, embedding array<float>",
+    )
+    init_index(spark, emb, index_dir, n_centroids=2, train_cap=16, dim=4)
+    remove_vectors(
+        spark, index_dir, spark.createDataFrame([(3,)], "vec_id bigint")
+    )
+    filtered = _drop_tombstoned(emb, spark, index_dir)
+    plan = _physical_plan(filtered)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_remove_docs_root_lookup_is_bucket_pruned(spark, tmp_path):
+    """The delete fold's root lookup reads ONLY the removed docs' base
+    buckets — the partition filter must reach the scan (the probe_index
+    pruning discipline applied to deletes, SCALE.md §28)."""
+    from cdc_rs_spark.streaming.clusters import (
+        _bucket,
+        _raw_rows,
+        _read_meta,
+        fold_pairs,
+        init_cluster_store,
+        compact_cluster_store,
+    )
+
+    root = str(tmp_path / "store")
+    init_cluster_store(spark, root)
+    pairs = spark.createDataFrame(
+        [(i, i + 100) for i in range(0, 50)], "id_a bigint, id_b bigint"
+    )
+    fold_pairs(spark, root, pairs, batch_id=0)
+    compact_cluster_store(spark, root)  # labels land in the base
+    meta = _read_meta(root)
+    target = spark.createDataFrame([(7,)], "doc_id bigint")
+    buckets = sorted(
+        int(r["b"])
+        for r in target.select(_bucket("doc_id").alias("b"))
+        .distinct()
+        .collect()
+    )
+    pruned = _raw_rows(spark, root, meta, buckets)
+    plan = _physical_plan(pruned)
+    # static partition pruning: the scan's partition filter names bucket
+    assert "bucket" in plan
+    # and the pruned read touches strictly fewer files than the full one
+    full = _raw_rows(spark, root, meta, None)
+    assert pruned.count() < full.count()
+
+
+def test_opq_rotation_is_jvm_pure_map_side(spark):
+    """The rotation is one whole-stage-codegen projection: no shuffle, no
+    Python nodes (SCALE.md §28 — production swaps in the O(d log d)
+    butterfly with the same plan shape)."""
+    from cdc_rs_spark.operators.similarity import opq_rotate_expr
+
+    emb = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), j -> CAST(id * j AS FLOAT) / 100.0)"
+        ).alias("embedding"),
+    )
+    rot = emb.select("vec_id", F.expr(opq_rotate_expr()).alias("r"))
+    plan = _physical_plan(rot)
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_unigram_dp_fold_is_map_side_single_pass(spark):
+    """The Viterbi DP + fertility extraction over the word table is a
+    pure column fold against a broadcast weight map: no per-word shuffle,
+    no Python (SCALE.md §28)."""
+    from cdc_rs_spark.plans.text import (
+        _uni_dp_expr,
+        _uni_weight_map,
+        UNI_BIG,
+    )
+
+    wf = spark.createDataFrame(
+        [("scan", 10), ("column", 5)], "word string, cnt bigint"
+    )
+    vocab = spark.createDataFrame(
+        [(c, 1) for c in "scanolum"] + [("sc", 5), ("an", 4)],
+        "piece string, w bigint",
+    )
+    dp = (
+        wf.crossJoin(_uni_weight_map(vocab))
+        .withColumn("dp", F.expr(_uni_dp_expr()))
+        .select(
+            "word",
+            F.expr(
+                f"(element_at(dp, CAST(length(word) + 1 AS INT)) "
+                f"+ {UNI_BIG}L - 1) div {UNI_BIG}L"
+            ).alias("n_tok"),
+        )
+    )
+    got = {r["word"]: r["n_tok"] for r in dp.collect()}
+    assert got == {"scan": 2, "column": 6}  # sc+an; c,o,l,u,m,n
+    plan = _physical_plan(dp)
+    assert "Python" not in plan
+    # the vocab map's build aggregates (vocab-sized) may exchange; the
+    # WORD table — the data-sized side — must never be repartitioned
+    assert "hashpartitioning(word" not in plan
