@@ -120,6 +120,14 @@ def hub_salt_plan(
     (pairs_salted, hubs)."""
     deg = pairs.groupBy(src).agg(F.count("*").alias("_deg"))
     hubs = deg.filter(F.col("_deg") >= min_degree).select(src)
+    # fast path below the gate (one 1-row existence probe, paid once):
+    # with NO hubs the salt column is constant 0 and the per-round join
+    # needs neither the broadcast attach nor the replica explode —
+    # returning hubs=None lets hub_salted_message_join run the PLAIN
+    # join, so a regular graph pays only this probe (the r10 bench
+    # showed the always-salted form taxing LPA ~25% at fixture scale)
+    if hubs.limit(1).count() == 0:
+        return pairs.withColumn("_salt", F.lit(0).cast("int")), None
     pairs_salted = (
         pairs.join(
             F.broadcast(hubs.withColumn("_is_hub", F.lit(True))), src, "left"
@@ -141,7 +149,7 @@ def hub_salt_plan(
 def hub_salted_message_join(
     pairs_salted: DataFrame,
     small: DataFrame,
-    hubs: DataFrame,
+    hubs: DataFrame | None,
     src: str = "src",
     v: str = "v",
     n_salt: int = HUB_SALT_BUCKETS,
@@ -153,7 +161,13 @@ def hub_salted_message_join(
     hub's messages now spread across n_salt reducer partitions, bounding
     every partition at ~max(min_degree, hub_degree / n_salt) rows.
     Output columns: the edge columns + the small side's non-key columns
-    (the same frame the unsalted join produced, minus the plumbing)."""
+    (the same frame the unsalted join produced, minus the plumbing).
+    hubs=None (hub_salt_plan's below-the-gate fast path): the plain
+    unsalted join — byte-identical plan to the pre-salting form."""
+    if hubs is None:
+        return pairs_salted.join(
+            small, pairs_salted[src] == small[v]
+        ).drop(v, "_salt")
     rep = (
         small.join(
             F.broadcast(

@@ -3075,7 +3075,8 @@ def part_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tests/test_graph_salting.py on a planted skewed graph)
     pairs_salted, hubs = hub_salt_plan(pairs, "src", "dst")
     pairs_salted = pairs_salted.localCheckpoint(eager=True)
-    hubs = hubs.localCheckpoint(eager=True)
+    if hubs is not None:
+        hubs = hubs.localCheckpoint(eager=True)
     labels = pairs_salted.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("lab")
     )
@@ -4128,7 +4129,8 @@ def part_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # power-law graph
     edges_salted, hubs = hub_salt_plan(edges, "src", "dst")
     edges_salted = edges_salted.localCheckpoint(eager=True)
-    hubs = hubs.localCheckpoint(eager=True)
+    if hubs is not None:
+        hubs = hubs.localCheckpoint(eager=True)
     sources = [
         r.src
         for r in edges_salted.select("src")

@@ -72,7 +72,8 @@ def test_regular_graph_pays_nothing(spark):
     queries' plans stay byte-identical to the unsalted form."""
     pairs = _star_plus_ring(spark, hub_degree=30)
     ps, hubs = hub_salt_plan(pairs, min_degree=50, n_salt=8)
-    assert hubs.count() == 0
+    # below the gate the plan short-circuits: hubs=None, salt constant 0
+    assert hubs is None
     assert ps.filter(F.col("_salt") != 0).count() == 0
     labels = ps.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("lab")

@@ -145,13 +145,16 @@ def bench_store_folds(spark, root: str, n_docs: int = 20_000) -> dict:
     from cdc_rs_spark.streaming.spans import spans_foreach_batch
 
     out = {}
+    # low-overlap texts: each doc draws 30 tokens from a 50k vocabulary
+    # keyed on (doc_id, position) — expected shared shingles between two
+    # docs ~0; a shared-template corpus would make EVERY pair an LSH
+    # candidate and quadratically blow up the cluster fold (the all-pairs
+    # trap this generator exists to avoid)
     docs = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
-        F.concat(
-            F.lit("alpha beta gamma delta epsilon zeta eta theta iota "),
-            (F.col("id") % 997).cast("string"),
-            F.lit(" kappa lambda mu nu xi omicron pi rho sigma tau "),
-            (F.col("id") % 89).cast("string"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 30), "
+            "j -> concat('w', pmod(xxhash64(id * 37 + j), 50000))))"
         ).alias("text"),
         F.concat(F.lit("src"), (F.col("id") % 20).cast("string")).alias(
             "source"
@@ -161,10 +164,11 @@ def bench_store_folds(spark, root: str, n_docs: int = 20_000) -> dict:
     def timed(name, fn):
         t0 = time.time()
         fn()
+        dt = max(time.time() - t0, 1e-9)
         out[name] = {
             "rows": n_docs,
-            "sec": round(time.time() - t0, 2),
-            "rows_per_sec": int(n_docs / max(time.time() - t0, 1e-9)),
+            "sec": round(dt, 2),
+            "rows_per_sec": int(n_docs / dt),
         }
 
     toks = docs.select(
