@@ -3064,18 +3064,23 @@ def part_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
+        # checkpoint BEFORE the salt plan: the hub existence probe and
+        # the salt projection both read the edge set, and each would
+        # otherwise re-run the order self-join (the r10 bench caught the
+        # double-compute at 2x LPA wall time)
+        .localCheckpoint(eager=True)
     )
     # degree-aware hub salting (round 10, VERDICT r9 next #4): the salt
     # plan is computed ONCE before the loop (degrees are static across
-    # rounds) and checkpointed with the edges; on a near-regular graph —
-    # this fixture, per part_degree_powerlaw_audit — the hub set is
-    # empty, every salt is 0 and the join is byte-identical, so the
-    # oracle is untouched; on a power-law graph each hub's message rows
-    # spread across HUB_SALT_BUCKETS partitions (bound pinned by
+    # rounds); on a near-regular graph — this fixture, per
+    # part_degree_powerlaw_audit — the hub set is empty, every salt is 0
+    # and the join is byte-identical, so the oracle is untouched; on a
+    # power-law graph each hub's message rows spread across
+    # HUB_SALT_BUCKETS partitions (bound pinned by
     # tests/test_graph_salting.py on a planted skewed graph)
     pairs_salted, hubs = hub_salt_plan(pairs, "src", "dst")
-    pairs_salted = pairs_salted.localCheckpoint(eager=True)
     if hubs is not None:
+        pairs_salted = pairs_salted.localCheckpoint(eager=True)
         hubs = hubs.localCheckpoint(eager=True)
     labels = pairs_salted.select(F.col("src").alias("v")).distinct().select(
         "v", F.col("v").alias("lab")
@@ -4122,14 +4127,16 @@ def part_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("ok").alias("w"))
         .filter(F.col("w") >= 2)
         .select("src", "dst")
+        # checkpoint BEFORE the salt plan (the LPA lesson above)
+        .localCheckpoint(eager=True)
     )
     # degree-gated hub salting on the frontier-expansion join (round 10,
     # VERDICT r9 next #4) — same contract as part_community_lpa's wiring:
     # free on this near-regular fixture, partition-bounding on a
     # power-law graph
     edges_salted, hubs = hub_salt_plan(edges, "src", "dst")
-    edges_salted = edges_salted.localCheckpoint(eager=True)
     if hubs is not None:
+        edges_salted = edges_salted.localCheckpoint(eager=True)
         hubs = hubs.localCheckpoint(eager=True)
     sources = [
         r.src

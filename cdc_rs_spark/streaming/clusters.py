@@ -592,15 +592,10 @@ def remove_docs(
     )
 
     def publish(delta: DataFrame, translations, stats: dict) -> dict:
-        from pyspark.sql import Observation
-
-        obs = Observation()
         (
-            delta.observe(obs, F.count(F.lit(1)).alias("n"))
-            .write.mode("overwrite")  # crashed-retry overwrites
+            delta.write.mode("overwrite")  # crashed-retry overwrites
             .parquet(os.path.join(root, delta_name))
         )
-        int(obs.get["n"])
         m = _read_meta(root)
         if delta_name not in m["deltas"]:
             m["deltas"] = list(m["deltas"]) + [delta_name]
