@@ -2336,6 +2336,143 @@ def similarity_opq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIL_CAP = 256  # silhouette sample size (bounded pair matrix: SIL_CAP^2)
+
+
+@register(
+    "similarity_silhouette_eval",
+    oracle=f"""
+    WITH {_QUERIES_SQL},
+    {_IVF_CHAIN_SQL},
+    ssample AS (
+        SELECT vec_id FROM embeddings
+        ORDER BY {_BUCKET_SQL}, vec_id LIMIT {SIL_CAP}
+    ),
+    sa AS (
+        SELECT a.vec_id, a.cent_id, a.embedding
+        FROM assigned a JOIN ssample USING (vec_id)
+    ),
+    pd AS (
+        SELECT i.vec_id AS iv, i.cent_id AS ic, j.cent_id AS jc,
+               CAST(floor((1 - {_cos_sql("i.embedding", "j.embedding")})
+                    * 1000000.0) AS BIGINT) AS dist_micro
+        FROM sa i JOIN sa j ON i.vec_id <> j.vec_id
+    ),
+    pc AS (
+        SELECT iv, ic, jc, CAST(SUM(dist_micro) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pd GROUP BY iv, ic, jc
+    ),
+    ai AS (SELECT iv, s // n AS a FROM pc WHERE ic = jc),
+    bi AS (
+        SELECT iv, CAST(MIN(s // n) AS BIGINT) AS b
+        FROM pc WHERE ic <> jc GROUP BY iv
+    ),
+    si AS (
+        SELECT m.vec_id AS iv, m.cent_id AS ic,
+               CASE WHEN a.a IS NULL OR b.b IS NULL THEN 0
+                    WHEN GREATEST(a.a, b.b) = 0 THEN 0
+                    ELSE ((b.b - a.a) * 1000000) // GREATEST(a.a, b.b)
+               END AS s_micro
+        FROM sa m
+        LEFT JOIN ai a ON a.iv = m.vec_id
+        LEFT JOIN bi b ON b.iv = m.vec_id
+    )
+    SELECT ic AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sample,
+           CAST(SUM(s_micro) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+               AS mean_silhouette_micro,
+           CAST(MIN(s_micro) AS BIGINT) AS min_silhouette_micro
+    FROM si GROUP BY ic
+    """,
+)
+def similarity_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTERING-QUALITY EVAL for the trained IVF partition (round 10,
+    extending the eval family beside the recall@5 rows): sampled
+    silhouette coefficient (Rousseeuw 1987) over the deterministic
+    {SIL_CAP}-row hash sample — a(i) = mean cosine distance to same-
+    cluster sample members, b(i) = the nearest other cluster's mean
+    distance, s(i) = (b-a)/max(a,b) in [-1, 1]. The number a pipeline
+    watches when deciding whether its ANN router / SemDeDup clustering
+    still fits the corpus (drifting embeddings push mean silhouette
+    toward 0). Singletons score 0 (the sklearn convention); pairs
+    quantize distances to integer micro-units up front (floor of an
+    identically-computed double) so every mean/min/ratio is exact
+    integer arithmetic — both engines TRUNCATE integer division toward
+    zero, so the possibly-negative (b-a) ratio is engine-identical.
+
+    Scale shape: the pair matrix is SIL_CAP^2 = {SIL_CAP * SIL_CAP}
+    rows at ANY corpus size (the TRAIN_CAP discipline applied to
+    evaluation); assignment reuses the trained centroids' broadcast
+    argmax. Sampled silhouette is the standard practice at scale — the
+    exact form is O(n^2) by definition."""
+    from cdc_rs_spark.operators.similarity import (
+        _assign_to_centroids,
+        cosine_sql,
+    )
+
+    raw = load(spark, sf_dir, "embeddings")
+    cents, _ = _ivf_model(spark, raw)
+    sample = _train_sample_df(raw).limit(SIL_CAP)
+    sa = _assign_to_centroids(sample, cents, EMB_DIM).select(
+        "vec_id", "cent_id", "embedding"
+    ).localCheckpoint(eager=True)  # assign once; the pair join reads twice
+    i = sa.select(
+        F.col("vec_id").alias("iv"),
+        F.col("cent_id").alias("ic"),
+        F.col("embedding").alias("e_i"),
+    )
+    j = sa.select(
+        F.col("vec_id").alias("jv"),
+        F.col("cent_id").alias("jc"),
+        F.col("embedding").alias("e_j"),
+    )
+    pd_ = (
+        i.crossJoin(j)
+        .filter(F.col("iv") != F.col("jv"))
+        .select(
+            "iv", "ic", "jc",
+            F.expr(
+                f"CAST(floor((1 - {cosine_sql('e_i', 'e_j', EMB_DIM)}) "
+                "* 1000000.0) AS BIGINT)"
+            ).alias("dist_micro"),
+        )
+    )
+    pc = pd_.groupBy("iv", "ic", "jc").agg(
+        F.sum("dist_micro").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    ai = pc.filter(F.col("ic") == F.col("jc")).select(
+        "iv", F.expr("s div n").alias("a")
+    )
+    bi = (
+        pc.filter(F.col("ic") != F.col("jc"))
+        .select("iv", F.expr("s div n").alias("m"))
+        .groupBy("iv")
+        .agg(F.min("m").cast("bigint").alias("b"))
+    )
+    si = (
+        sa.select(F.col("vec_id").alias("iv"), F.col("cent_id").alias("ic"))
+        .join(ai, "iv", "left")
+        .join(bi, "iv", "left")
+        .select(
+            "ic",
+            F.expr(
+                "CASE WHEN a IS NULL OR b IS NULL THEN 0 "
+                "WHEN greatest(a, b) = 0 THEN 0 "
+                "ELSE ((b - a) * 1000000) div greatest(a, b) END"
+            ).alias("s_micro"),
+        )
+    )
+    return si.groupBy(F.col("ic").alias("cluster_id")).agg(
+        F.count("*").cast("bigint").alias("n_sample"),
+        F.expr("CAST(sum(s_micro) AS BIGINT) div count(*)").alias(
+            "mean_silhouette_micro"
+        ),
+        F.min("s_micro").cast("bigint").alias("min_silhouette_micro"),
+    )
+
+
 RRF_K = 60  # the standard reciprocal-rank-fusion constant
 RRF_POOL = 10  # per-index candidate pool depth fed to the fusion
 

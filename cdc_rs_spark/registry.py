@@ -93,6 +93,7 @@ _DRIVER_WINDOW = [
     "text_unigram_encode_fertility",
     "heavy_hitters_cms_retraction",  # CDC deletes into the CMS grid
     "quantile_histogram_retraction",  # CDC deletes into the quantile store
+    "similarity_silhouette_eval",  # sampled cluster-quality eval (r10)
     # CHANGED this round (re-pin): the r9 funnel + NB/cluster/IVF
     # incremental queries share code with the new retraction paths
     # (funnel_gates split, read_counts vocab zero-drop, fold_pairs
@@ -144,7 +145,6 @@ _DRIVER_WINDOW = [
     "text_cleaning_funnel",
     "multimodal_image_decode",
     "sample_stratified_cap",
-    "train_test_split_group_aware",
 ]
 
 
