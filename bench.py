@@ -106,12 +106,13 @@ def main() -> None:
                         v.unpersist(blocking=False)
                     except Exception:  # noqa: BLE001 — model tuples etc.
                         pass
-            for entry in od._SIGNED_CACHE:
-                try:
-                    entry[-1].unpersist(blocking=False)
-                except Exception:  # noqa: BLE001
-                    pass
-            od._SIGNED_CACHE.clear()
+            for entry in od._COLLAPSED_CACHE:
+                for frame in entry[3:]:
+                    try:
+                        frame.unpersist(blocking=False)
+                    except Exception:  # noqa: BLE001
+                        pass
+            od._COLLAPSED_CACHE.clear()
             import shutil
 
             from cdc_rs_spark.plans import dedup as pdd

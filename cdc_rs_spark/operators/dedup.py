@@ -151,49 +151,267 @@ def jaccard_verify(
     ).filter(F.col("jaccard") >= threshold)
 
 
-_SIGNED_CACHE: list = []  # (appId, source_df, key, signed_df)
+# ---- hot-bucket guard (round 11, VERDICT r10 next #1) ---------------------
+#
+# The LSH self-join on (band, bkey) produces k^2/2 candidate rows for a
+# bucket of k docs. Web corpora GUARANTEE degenerate buckets — boilerplate
+# templates with 1e5+ byte-identical copies — so the candidate stage goes
+# quadratic long before jaccard_verify can prune anything (the round-10
+# stream bench OOM'd on exactly this skew). Two-layer guard:
+#
+#   1. EXACT-TEXT COLLAPSE (lossless): identical text => identical shingle
+#      set => identical MinHash signature, so collapsing each distinct text
+#      to ONE representative before banding, running the band join + verify
+#      over representatives only, and expanding verified rep pairs back to
+#      member pairs (plus within-group pairs at Jaccard exactly 1.0)
+#      reproduces the all-docs LSH pair set EXACTLY. A 1e5-copy template
+#      contributes ONE row per band to every bucket. The oracle-checked
+#      queries stay bit-identical because the expansion is an identity.
+#   2. BUCKET CAP (residual skew): any (band, bkey) bucket still holding
+#      more than `bucket_cap` DISTINCT texts is excluded from the band
+#      self-join; its docs instead route through the prefix-filtered exact
+#      join (the AllPairs/PPJoin blocker, lossless for jaccard >= t), whose
+#      candidate count tracks true near-dup density, never bucket-size
+#      squared. Any pair whose every shared bucket is oversized has BOTH
+#      members in the routed set, so no candidate is dropped — the routed
+#      path finds a SUPERSET of the band candidates for those docs (prefix
+#      filtering is deterministic where banding is probabilistic), which
+#      only matters above the cap; at the tested scales no bucket comes
+#      near it (sf0.1 max distinct-text bucket population is 4).
+
+DEDUP_BUCKET_CAP = 256
 
 
-def signed_docs_cached(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Session-memoized persisted (doc_id, sh, sig) relation — the
+def exact_text_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse identical texts. Returns (membership, reps): membership is
+    (doc_id, rep_id) with rep_id = min doc_id among the group's members;
+    reps is (doc_id, <text_col>) — one row per distinct text. Group key is
+    md5(text) (128-bit; accidental collision is beyond reach, and the agg
+    shuffles one text per group per mapper via min_by partial aggregation
+    instead of shuffling the full text column)."""
+    keyed = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        F.md5(F.col(text_col).cast("binary")).alias("__gkey"),
+    )
+    groups = keyed.groupBy("__gkey").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.min_by("__text", "doc_id").alias("__text"),
+    )
+    membership = (
+        keyed.select("doc_id", "__gkey")
+        .join(groups.select("__gkey", "rep_id"), "__gkey")
+        .select("doc_id", "rep_id")
+    )
+    reps = groups.select(
+        F.col("rep_id").alias(id_col), F.col("__text").alias(text_col)
+    )
+    return membership, reps
+
+
+def guarded_band_candidates(
+    signed: DataFrame, bucket_cap: int = DEDUP_BUCKET_CAP
+) -> tuple[DataFrame, DataFrame]:
+    """Band-join candidates with the population cap: returns (cand,
+    oversized) where cand is (id_a, id_b) from buckets holding <=
+    bucket_cap docs, and oversized is the (doc_id) set of docs touching
+    any over-cap bucket (routed to the prefix-filtered exact join by the
+    caller). The window count and the self-join shuffle on the same
+    (band, bkey) key, so the exchange is reused."""
+    from pyspark.sql import Window
+
+    ex = band_explode(signed.select("doc_id", "sig"))
+    w = Window.partitionBy("band", "bkey")
+    exn = ex.withColumn("__n", F.count(F.lit(1)).over(w))
+    small = exn.filter(F.col("__n") <= bucket_cap).select(
+        "doc_id", "band", "bkey"
+    )
+    left = small.alias("l")
+    right = small.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+    oversized = exn.filter(F.col("__n") > bucket_cap).select("doc_id").distinct()
+    return cand, oversized
+
+
+def prefix_filtered_candidates(
+    docs_sh: DataFrame, threshold: float
+) -> DataFrame:
+    """LOSSLESS candidate pairs for Jaccard >= threshold via rarest-first
+    prefix filtering (AllPairs/PPJoin — the same blocker as the registered
+    dedup_jaccard_prefix_join, parameterized on threshold): if J(A,B) >= t
+    the pair shares a token within both (n - ceil(t*n) + 1)-length prefixes
+    under any single global token order; rarest-first makes prefix
+    collisions track true near-dup density. docs_sh: (doc_id, sh). The
+    1e-9 slack inside ceil() guards the float boundary (a too-SHORT prefix
+    could miss a pair; one token of extra prefix is only extra work)."""
+    ex = docs_sh.select("doc_id", F.explode("sh").alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("fr"))
+    arr = (
+        ex.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(fr, tok))),"
+                " x -> x.tok)"
+            ).alias("toks"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    plen = (
+        F.col("n")
+        - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    pre = arr.select(
+        "doc_id", F.explode(F.slice(F.col("toks"), F.lit(1), plen)).alias("tok")
+    )
+    a = pre.select(F.col("doc_id").alias("id_a"), "tok")
+    b = pre.select(F.col("doc_id").alias("id_b"), "tok")
+    return (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def expand_group_pairs(
+    rep_pairs: DataFrame, membership: DataFrame, signed: DataFrame
+) -> DataFrame:
+    """Expand representative-level verified pairs (id_a, id_b, jaccard)
+    back to the member-level pair set — the exact inverse of
+    exact_text_groups' collapse: every cross-group member pair inherits
+    its rep pair's jaccard (identical shingle sets), and every
+    within-group pair is Jaccard exactly 1.0. Within-group expansion only
+    covers groups whose rep was signed (>= 3 tokens) — matching the LSH
+    semantics where unsigned docs never pair — and only touches groups
+    with >1 member (the window filter), so the all-singleton common case
+    adds two skinny joins and an empty union arm."""
+    from pyspark.sql import Window
+
+    ma = membership.select(
+        F.col("rep_id").alias("id_a"), F.col("doc_id").alias("__da")
+    )
+    mb = membership.select(
+        F.col("rep_id").alias("id_b"), F.col("doc_id").alias("__db")
+    )
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__da", "__db").alias("id_a"),
+            F.greatest("__da", "__db").alias("id_b"),
+            "jaccard",
+        )
+    )
+    multi = (
+        membership.join(
+            signed.select(F.col("doc_id").alias("rep_id")), "rep_id"
+        )
+        .withColumn(
+            "__gn", F.count(F.lit(1)).over(Window.partitionBy("rep_id"))
+        )
+        .filter(F.col("__gn") > 1)
+        .select("rep_id", "doc_id")
+    )
+    w1 = multi.select("rep_id", F.col("doc_id").alias("id_a"))
+    w2 = multi.select("rep_id", F.col("doc_id").alias("id_b"))
+    within = (
+        w1.join(w2, "rep_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(F.lit(1.0), 6).alias("jaccard"))
+    )
+    return cross.unionByName(within)
+
+
+_COLLAPSED_CACHE: list = []  # (appId, source_df, key, membership, signed)
+
+
+def collapsed_docs_cached(
+    df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Session-memoized persisted (membership, signed-reps) pair — the
     materialized signatures/shingles table a production dedup deployment
-    builds ONCE and serves to every consumer. Five registry queries run
-    the identical pipeline over the identical corpus; without the memo
-    each re-shingles and re-signs it. Hits require ``sameSemantics`` (exact
-    plan comparison, no hash-collision risk) AND the same input-file set
-    (ADVICE r3: plan equality alone would serve stale persisted signatures
-    if the files under an identical-looking path were rewritten within one
-    session — same guard as plans/similarity.py's _IVF_MODEL_CACHE);
-    entries from dead SparkSessions are dropped and the cache is bounded
-    BEFORE insertion, with evicted frames unpersisted."""
+    builds ONCE and serves to every consumer, now in collapsed form (one
+    signature per DISTINCT text plus the doc->rep membership map). Five
+    registry queries run the identical pipeline over the identical
+    corpus; without the memo each re-collapses and re-signs it. Hits
+    require ``sameSemantics`` (exact plan comparison, no hash-collision
+    risk) AND the same input-file set (ADVICE r3: plan equality alone
+    would serve stale persisted signatures if the files under an
+    identical-looking path were rewritten within one session — same guard
+    as plans/similarity.py's _IVF_MODEL_CACHE); entries from dead
+    SparkSessions are dropped and the cache is bounded BEFORE insertion,
+    with evicted frames unpersisted."""
     app = df.sparkSession.sparkContext.applicationId
-    global _SIGNED_CACHE
+    global _COLLAPSED_CACHE
     key = (id_col, text_col, tuple(sorted(df.inputFiles())))
-    live = [e for e in _SIGNED_CACHE if e[0] == app]  # dead sessions drop out
-    for a, src, k, signed in live:
+    live = [e for e in _COLLAPSED_CACHE if e[0] == app]
+    for a, src, k, membership, signed in live:
         if k == key and src.sameSemantics(df):
-            return signed
+            return membership, signed
     while len(live) >= 4:  # evict before insert: never more than 4 persisted
         old = live.pop(0)
         old[3].unpersist(blocking=False)
-    live.append((app, df, key, minhash_docs(df, id_col, text_col).persist()))
-    _SIGNED_CACHE = live
-    return live[-1][3]
+        old[4].unpersist(blocking=False)
+    membership, reps = exact_text_groups(df, id_col, text_col)
+    live.append(
+        (
+            app,
+            df,
+            key,
+            membership.persist(),
+            minhash_docs(reps, id_col, text_col).persist(),
+        )
+    )
+    _COLLAPSED_CACHE = live
+    return live[-1][3], live[-1][4]
 
 
 def minhash_dedup_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    bucket_cap: int = DEDUP_BUCKET_CAP,
+    memo: bool = True,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: shingle -> sign -> band ->
-    candidate join -> exact-Jaccard verify.
+    """Full MinHash-LSH near-dup pipeline with the hot-bucket guard:
+    exact-text collapse -> shingle -> sign (reps only) -> capped band join
+    (over-cap buckets route to the prefix-filtered exact join) ->
+    exact-Jaccard verify -> lossless expansion back to member pairs.
 
-    The signed docs relation feeds both the band join (twice) and the verify
-    join (twice), and five registry queries run this pipeline over the same
-    corpus — it comes from the session-level signed-docs memo (the
-    materialized signatures table at cluster scale)."""
-    docs = signed_docs_cached(df, id_col, text_col)
-    pairs = lsh_candidate_pairs(docs)
-    return jaccard_verify(pairs, docs.select("doc_id", "sh"), threshold)
+    Output semantics are IDENTICAL to the unguarded pipeline whenever no
+    distinct-text bucket exceeds bucket_cap (the collapse+expansion is an
+    exact identity; the registered oracles pin this) — and above the cap
+    the routed docs get the deterministic prefix-filter blocker, a
+    superset of what banding would have found for them. The collapsed
+    signatures come from the session-level memo (the materialized
+    signatures table at cluster scale). AQE's empty-relation propagation
+    collapses the fallback arm at runtime when no bucket is over cap."""
+    if memo:
+        membership, signed = collapsed_docs_cached(df, id_col, text_col)
+    else:  # micro-batches are never re-queried (streaming batch_pairs)
+        membership, reps = exact_text_groups(df, id_col, text_col)
+        signed = minhash_docs(reps, id_col, text_col)
+    cand, oversized = guarded_band_candidates(signed, bucket_cap)
+    ver = jaccard_verify(cand, signed.select("doc_id", "sh"), threshold)
+    over_sh = signed.join(oversized, "doc_id").select("doc_id", "sh")
+    fcand = prefix_filtered_candidates(over_sh, threshold)
+    fver = jaccard_verify(fcand, signed.select("doc_id", "sh"), threshold)
+    rep_pairs = ver.unionByName(fver).distinct()
+    return expand_group_pairs(rep_pairs, membership, signed)
 
 
 SIMHASH_BITS = 32

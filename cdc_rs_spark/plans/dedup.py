@@ -911,13 +911,19 @@ def _inc_bootstrap_dir(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     import tempfile
 
+    from pyspark.sql import Window
+
     from cdc_rs_spark.operators.dedup import (
         band_explode,
-        jaccard_verify,
-        lsh_candidate_pairs,
+        minhash_dedup_pairs,
         minhash_docs,
+        word_tokens,
     )
-    from cdc_rs_spark.streaming.clusters import fold_pairs, init_cluster_store
+    from cdc_rs_spark.streaming.clusters import (
+        _gkey,
+        fold_pairs,
+        init_cluster_store,
+    )
 
     d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
     app = spark.sparkContext.applicationId
@@ -929,18 +935,38 @@ def _inc_bootstrap_dir(spark: SparkSession, sf_dir: str) -> str:
         return got
     boot = tempfile.mkdtemp(prefix="inc_boot_")
     base = d.filter(F.col("doc_id") % 2 == 0)
-    signed = minhash_docs(base, "doc_id", "text").persist()
+    # delegate discipline (round 11): the band/shingle stores hold ONE
+    # row-set per DISTINCT text (the group delegate = min doc_id), the
+    # exact-group store maps every signable doc to its gkey — exactly the
+    # layout clusters_foreach_batch maintains per batch
+    keyed = base.filter(F.size(word_tokens(F.col("text"))) >= 3).select(
+        "doc_id", "text", _gkey("text").alias("gkey")
+    )
+    g = keyed.withColumn(
+        "rep_id", F.min("doc_id").over(Window.partitionBy("gkey"))
+    )
+    reps = g.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "text"
+    )
+    signed = minhash_docs(reps, "doc_id", "text").persist()
     try:
         band_explode(signed.select("doc_id", "sig")).write.parquet(
             os.path.join(boot, "sig")
         )
         signed.select("doc_id", "sh").write.parquet(os.path.join(boot, "sh"))
-        pairs0 = jaccard_verify(
-            lsh_candidate_pairs(signed.select("doc_id", "sig")),
-            signed.select("doc_id", "sh"),
-            0.5,
+        g.select(
+            "gkey",
+            "doc_id",
+            (F.col("doc_id") == F.col("rep_id")).alias("delegate"),
+        ).write.parquet(os.path.join(boot, "sig_groups"))
+        # the pre-stream map = batch CC over the base half's pairs (the
+        # guarded pipeline — same result, hot-bucket safe)
+        pairs0 = minhash_dedup_pairs(base, "doc_id", "text", 0.5).select(
+            "id_a", "id_b"
         )
-        init_cluster_store(spark, os.path.join(boot, "clusters"))
+        init_cluster_store(
+            spark, os.path.join(boot, "clusters"), threshold=0.5
+        )
         fold_pairs(spark, os.path.join(boot, "clusters"), pairs0)
     except BaseException:
         shutil.rmtree(boot, ignore_errors=True)
@@ -987,7 +1013,7 @@ def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             # folds MUTATE the stores — work on a copy of the memoized
             # pre-stream state (a few MB of parquet; the copy is the price
             # of keeping the memo pristine across invocations)
-            for name in ("sig", "sh", "clusters"):
+            for name in ("sig", "sh", "sig_groups", "clusters"):
                 shutil.copytree(
                     os.path.join(boot, name), os.path.join(tmp, name)
                 )
@@ -1060,7 +1086,7 @@ def dedup_clusters_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         with build_phase():
             boot = _inc_bootstrap_dir(spark, sf_dir)
-            for name in ("sig", "sh", "clusters"):
+            for name in ("sig", "sh", "sig_groups", "clusters"):
                 shutil.copytree(
                     os.path.join(boot, name), os.path.join(tmp, name)
                 )

@@ -10,7 +10,6 @@ same logical plans).
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -1849,15 +1848,20 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = sorted(risk.collect(), key=lambda r: r.tw)  # bounded: <= 73 rows
     s = 1.0
     out = []
+    from decimal import ROUND_HALF_UP, Decimal
+
     for r in rows:
         if r.d > 0:
             s *= (r.n_at_risk - r.d) / r.n_at_risk
-        # half-UP rounding to match DuckDB ROUND (half away from zero);
-        # Python round() is banker's half-even and would drift on an
-        # exact x.xxxxxx5 survival value (ADVICE r9). s is always >= 0.
-        out.append(
-            (r.tw, r.n_at_risk, r.d, r.c, math.floor(s * 1e6 + 0.5) / 1e6)
-        )
+        # DuckDB ROUND(x, 6) is std::round(x * 1e6) / 1e6 — half away
+        # from zero evaluated EXACTLY on the product double. The earlier
+        # floor(v + 0.5) idiom could disagree by one final digit when v
+        # sits within one ulp below x.5 and the +0.5 addition rounds up
+        # across the boundary (ADVICE r10); Decimal(v) converts the
+        # binary double exactly, so quantize(HALF_UP) == std::round(v)
+        # for v >= 0 (s is always >= 0).
+        v = Decimal(s * 1e6).to_integral_value(rounding=ROUND_HALF_UP)
+        out.append((r.tw, r.n_at_risk, r.d, r.c, float(v) / 1e6))
     return spark.createDataFrame(
         out,
         "hour bigint, n_at_risk bigint, n_events bigint, "

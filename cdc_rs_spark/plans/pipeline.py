@@ -1663,7 +1663,10 @@ def gdpr_forget_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, text string, shard bigint"
         ).parquet(purged_shards)
 
-        band_live = spark.read.parquet(sig_path)
+        from cdc_rs_spark.streaming.clusters import _resolve_store
+
+        # post-purge reads resolve through the atomic swap pointer
+        band_live = spark.read.parquet(_resolve_store(sig_path))
 
         def row(store, after_df, residue_df, checksum_expr):
             return (

@@ -3103,12 +3103,14 @@ def part_community_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hll_oracle() -> str:
+def _hll_oracle(where: str = "") -> str:
     """Register-exact HLL oracle: DuckDB rebuilds every register from the
     same md5 fingerprints, folds the same integer harmonic scale, applies
     the same pinned linear-counting table — the estimates are value-pinned,
     not envelope-gated (the upgrade over hll_sketch_rollup_custkeys's JVM
-    sketch, exactly the CMS-incremental precedent)."""
+    sketch, exactly the CMS-incremental precedent). `where` restricts the
+    input (the retraction-rebuild query pins forgetting against the
+    surviving corpus)."""
     from cdc_rs_spark.operators.sketch import (
         HLL_A,
         HLL_LC_THRESHOLD,
@@ -3120,7 +3122,7 @@ def _hll_oracle() -> str:
     lc = "[" + ", ".join(str(x) for x in hll_lc_table()) + "]"
     return f"""
     WITH o AS (
-        SELECT o_orderpriority AS grp, o_custkey AS k FROM orders
+        SELECT o_orderpriority AS grp, o_custkey AS k FROM orders {where}
     ),
     h AS (
         SELECT grp,
@@ -3249,6 +3251,136 @@ def hll_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_raw",
             "est_n",
             "exact_n",
+            (F.abs(F.col("est_n") - F.col("exact_n")) * 5 <= F.col("exact_n")).alias(
+                "est_ok"
+            ),
+        )
+        rows = result.collect()  # |priorities| rows; frees the scratch store
+        schema = result.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+def _hll_retraction_oracle() -> str:
+    base = _hll_oracle(where="WHERE o_orderkey % 7 <> 0")
+    # splice in a per-group forgotten-count audit CTE: the before-count
+    # proves the purge was not vacuous, and every estimate is recomputed
+    # from the SURVIVING corpus — a rebuild that missed the cohort (or
+    # over-forgot) shifts a register and fails the hash
+    fg = """,
+    fg AS (
+        SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n_forgotten
+        FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 1
+    )
+    SELECT e.grp AS o_orderpriority"""
+    marker = "SELECT e.grp AS o_orderpriority"
+    head, tail = base.rsplit(marker, 1)
+    assert head.rstrip().endswith(")")
+    return (
+        head.rstrip()
+        + fg
+        + tail.replace(
+            "FROM est e JOIN ex x USING (grp)",
+            "FROM est e JOIN ex x USING (grp) JOIN fg USING (grp)",
+        ).replace("x.exact_n,", "x.exact_n, fg.n_forgotten,")
+    )
+
+
+@register("streaming_hll_retraction_rebuild", oracle=_hll_retraction_oracle())
+def streaming_hll_retraction_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETES REACHING THE MAX-MONOID STORE (round 11, VERDICT r10
+    missing #1): hll_incremental_distinct's register store is built over
+    the full order stream, then a forget cohort (o_orderkey % 7 == 0 —
+    the takedown request) is erased by EPOCH REBUILD
+    (streaming/additive.rebuild_additive_store): MAX has no inverse (a
+    register cannot un-observe a value), so the store recomputes its
+    registers from the SURVIVING rows and publishes them as the new
+    epoch's entire committed state — bit-identical to a store that never
+    saw the cohort, which is the register-exact residue proof. The DuckDB
+    oracle rebuilds every register, the harmonic scale, the pinned
+    linear-counting table AND the per-group forgotten count from
+    corpus-minus-cohort directly — a rebuild that silently kept (or
+    over-dropped) one register shifts an estimate and fails the hash.
+
+    Scale shape: the build is hll_incremental_distinct's (constant
+    segment bytes per batch); the rebuild is ONE pass over surviving rows
+    + a map-side-combinable MAX — takedown-cadence cost, the
+    information-theoretic floor for exactly forgetting a non-invertible
+    sketch. Replay idempotence of the rebuild fold is pinned by
+    tests/test_hll_rebuild.py through the ledger."""
+    import shutil
+    import tempfile
+
+    from cdc_rs_spark.benchphase import build_phase
+    from cdc_rs_spark.operators.sketch import hll_increments, hll_report
+    from cdc_rs_spark.streaming.additive import (
+        fold_segment,
+        init_additive_store,
+        read_merged,
+        rebuild_additive_store,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("grp"), "o_custkey"
+    )
+    surviving = o.filter(F.col("o_orderkey") % 7 != 0)
+    root = tempfile.mkdtemp(prefix="hll_rebuild_")
+    try:
+        with build_phase():
+            init_additive_store(
+                spark,
+                root,
+                {"grp": "string", "idx": "bigint"},
+                ["rho"],
+                merge="max",
+            )
+            fold_segment(
+                hll_increments(
+                    o.filter(F.col("o_orderkey") % 2 == 0),
+                    "CAST(o_custkey AS STRING)",
+                    ["grp"],
+                ),
+                root,
+                batch_id=0,
+            )
+            fold_segment(
+                hll_increments(
+                    o.filter(F.col("o_orderkey") % 2 == 1),
+                    "CAST(o_custkey AS STRING)",
+                    ["grp"],
+                ),
+                root,
+                batch_id=1,
+            )
+            # THE FORGET: rebuild the registers from the surviving rows
+            rebuild_additive_store(
+                spark,
+                root,
+                hll_increments(
+                    surviving, "CAST(o_custkey AS STRING)", ["grp"]
+                ),
+                batch_id=2,
+            )
+        report = hll_report(read_merged(spark, root), ["grp"])
+        audit = o.groupBy("grp").agg(
+            F.count_distinct(
+                F.when(F.col("o_orderkey") % 7 != 0, F.col("o_custkey"))
+            )
+            .cast("bigint")
+            .alias("exact_n"),
+            F.count(F.when(F.col("o_orderkey") % 7 == 0, 1))
+            .cast("bigint")
+            .alias("n_forgotten"),
+        )
+        result = report.join(audit, "grp").select(
+            F.col("grp").alias("o_orderpriority"),
+            "n_set",
+            "s_scale",
+            "est_raw",
+            "est_n",
+            "exact_n",
+            "n_forgotten",
             (F.abs(F.col("est_n") - F.col("exact_n")) * 5 <= F.col("exact_n")).alias(
                 "est_ok"
             ),

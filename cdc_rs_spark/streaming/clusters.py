@@ -129,12 +129,19 @@ def _write_base(labels: DataFrame, path: str) -> None:
 
 
 def init_cluster_store(
-    spark: SparkSession, root: str, labels: DataFrame | None = None
+    spark: SparkSession,
+    root: str,
+    labels: DataFrame | None = None,
+    threshold: float | None = None,
 ) -> dict:
     """Bootstrap the store: `labels` is the batch CC output over the
     pre-stream corpus ((doc_id, cluster) with cluster = component min),
     or None for an empty map. Idempotent re-run: overwrites epoch 0 and
-    resets the sidecar."""
+    resets the sidecar. `threshold` records the similarity bar the
+    store's pairs were verified at; once set (here or by the first
+    clusters_foreach_batch fold), remove_docs REFUSES a different value —
+    a recompute under a different bar would silently break the
+    streamed==batch invariant (ADVICE r10)."""
     os.makedirs(root, exist_ok=True)
     if labels is None:
         labels = spark.createDataFrame([], "doc_id bigint, cluster bigint")
@@ -146,8 +153,27 @@ def init_cluster_store(
         "last_batch_by_stream": {},
         "n_folds": 0,
     }
+    if threshold is not None:
+        meta["threshold"] = float(threshold)
     _write_meta(root, meta)
     return meta
+
+
+def _check_threshold(root: str, threshold: float) -> None:
+    """Pin the store-wide similarity bar: first caller records it, later
+    callers must match (ADVICE r10 — remove_docs taking a free-parameter
+    threshold could silently recompute affected clusters under a
+    different bar)."""
+    meta = _read_meta(root)
+    got = meta.get("threshold")
+    if got is None:
+        meta["threshold"] = float(threshold)
+        _write_meta(root, meta)
+    elif float(got) != float(threshold):
+        raise ValueError(
+            f"cluster store at {root} was built at threshold={got}; "
+            f"refusing to fold/recompute at threshold={threshold}"
+        )
 
 
 def _closure(translations: list) -> dict[int, int]:
@@ -253,7 +279,15 @@ DRIVER_CC_CAP = 2_000_000  # pairs per fold handled by driver union-find
 
 
 def _tomb_path(root: str) -> str:
-    return os.path.join(root, "tomb")
+    """Resolve the live tombstone directory: the sidecar's `tomb_dir` key
+    names it (set by purge_band_stores' compaction / readmit_docs'
+    rewrite — both publish a NEW directory with one atomic meta replace);
+    'tomb' is the pre-compaction default."""
+    try:
+        name = _read_meta(root).get("tomb_dir") or "tomb"
+    except FileNotFoundError:
+        name = "tomb"
+    return os.path.join(root, name)
 
 
 def tombstones(spark: SparkSession, root: str) -> DataFrame:
@@ -263,7 +297,12 @@ def tombstones(spark: SparkSession, root: str) -> DataFrame:
     removed doc's rows until purge_band_stores rewrites them, so every
     pair fold anti-joins candidates against this set — a future batch
     can match a removed doc's bands but can never re-enter it into the
-    map. Bounded by total deletes, not corpus size."""
+    map. Bounded by total deletes, not corpus size, and DEDUPED at purge
+    time (purge_band_stores compacts it to distinct ids). The set is NOT
+    truncated after physical purge (ADVICE r10 suggested it): the stores
+    stop carrying removed rows, but an at-least-once UPSTREAM can re-send
+    a forgotten doc's insert any time later, and only this set blocks
+    that re-ingestion — the explicit un-forget path is readmit_docs."""
     p = _tomb_path(root)
     if not os.path.isdir(p):
         return spark.createDataFrame([], "doc_id bigint")
@@ -272,10 +311,12 @@ def tombstones(spark: SparkSession, root: str) -> DataFrame:
 
 def _filter_tombstoned(pairs: DataFrame, root: str) -> DataFrame:
     """Drop pairs touching a removed doc. No-op (no scan) before the
-    first removal."""
+    first removal; the tombstone side is BROADCAST (delete-bounded and
+    purge-compacted — the IVF twin _drop_tombstoned's discipline,
+    ADVICE r10)."""
     if not os.path.isdir(_tomb_path(root)):
         return pairs
-    tomb = tombstones(pairs.sparkSession, root)
+    tomb = F.broadcast(tombstones(pairs.sparkSession, root))
     return (
         pairs.join(
             tomb.withColumnRenamed("doc_id", "id_a"), "id_a", "left_anti"
@@ -283,6 +324,61 @@ def _filter_tombstoned(pairs: DataFrame, root: str) -> DataFrame:
             tomb.withColumnRenamed("doc_id", "id_b"), "id_b", "left_anti"
         )
     )
+
+
+# ---- band/shingle/group store resolution (round 11) ------------------------
+#
+# The sig/shingle/group stores are bare append directories; purge_band_stores
+# rewrites them minus the tombstoned docs. The round-10 swap (rmtree + rename)
+# had a crash window that LOST the store — and remove_docs silently treated a
+# missing store as "no pairs", relabeling surviving members to singletons
+# (ADVICE r10, medium). Now the rewrite goes to a VERSIONED SIBLING
+# (`{path}.v{N}`) and a one-line pointer file (`{path}.current`) flips
+# atomically (os.replace); every reader and appender resolves through the
+# pointer. A store that has never been purged stays the bare directory
+# (pointer absent), so pre-round-11 layouts read unchanged.
+
+
+def _resolve_store(path: str) -> str:
+    ptr = path + ".current"
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            return path + "." + f.read().strip()
+    return path
+
+
+def _flip_store(path: str, version: int) -> None:
+    """Atomically point `path` at its `.v{version}` sibling, then GC every
+    superseded sibling (and the bare dir). Crash before the replace leaves
+    an orphan sibling the next purge overwrites; crash after it leaves
+    stale directories the next flip GCs — never a missing store."""
+    ptr = path + ".current"
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(f"v{version:06d}")
+    os.replace(tmp, ptr)
+    keep = os.path.basename(path) + f".v{version:06d}"
+    parent = os.path.dirname(path) or "."
+    base = os.path.basename(path)
+    for name in os.listdir(parent):
+        if name == base or (
+            re.fullmatch(re.escape(base) + r"\.v\d+", name) and name != keep
+        ):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
+def _group_path(sig_store_path: str, group_store_path: str | None) -> str:
+    """The exact-text group store rides next to the signature store by
+    convention (callers that pass sig/sh paths everywhere don't need a
+    fourth path threaded through)."""
+    return group_store_path or (sig_store_path + "_groups")
+
+
+_GROUP_SCHEMA = "gkey string, doc_id bigint, delegate boolean"
+
+
+def _gkey(text_col: str = "text") -> F.Column:
+    return F.md5(F.col(text_col).cast("binary"))
 
 
 def _union_find(edges) -> dict[int, int]:
@@ -501,6 +597,7 @@ def remove_docs(
     batch_id: int | None = None,
     stream_id: str = "s",
     max_iter: int = 64,
+    group_store_path: str | None = None,
 ) -> dict:
     """CDC-delete fold (round 10, VERDICT r9 next #1): remove a batch of
     documents from the persisted cluster map, EXACTLY — after this fold,
@@ -530,7 +627,27 @@ def remove_docs(
          stores reproduce every fold-time candidate deterministically;
          restricting both sides is lossless because any store pair
          crossing an affected-cluster boundary would already have merged
-         the clusters);
+         the clusters). Round 11: the recompute is EXACT-DUP COLLAPSED —
+         with a group store (the clusters_foreach_batch discipline) the
+         band join runs over the affected groups' live DELEGATES only,
+         plus hub-star edges among each group's live members (identical
+         text => Jaccard exactly 1.0, no verify needed), and a group
+         whose delegate was removed RE-ELECTS its min live member (the
+         dead delegate's band/shingle rows — identical for any member —
+         are copied under the new id before the purge erases them).
+         Without a group store (legacy full-population stores, e.g. the
+         GDPR pipeline's batch-built stores) the same collapse runs
+         in-flight on the stored shingle array (identical text =>
+         identical array). Either way the candidate self-join is over
+         distinct TEXTS, never members — a boilerplate cluster of 1e5
+         copies recomputes through one delegate (VERDICT r10 next #1;
+         the old "duplicate clusters are small by construction" claim
+         was false for exactly that corpus). A sig_store_path that is
+         GIVEN but missing on disk now raises instead of silently
+         relabeling every surviving member to a singleton (ADVICE r10);
+         passing None remains the explicit "this map has no band store"
+         contract. The threshold must match the store-recorded bar
+         (_check_threshold, ADVICE r10);
       5. mini-CC over those pairs (driver union-find to DRIVER_CC_CAP,
          distributed CC above) yields the post-delete labels: paired
          members relabel to their new component min, unpaired members
@@ -558,6 +675,7 @@ def remove_docs(
         ledger.get(stream_id, -1)
     ):
         return noop
+    _check_threshold(root, threshold)
     epoch = int(meta["base_epoch"])
     tag = (
         f"{stream_id}-{batch_id}"
@@ -632,13 +750,13 @@ def remove_docs(
     live_members = members.join(
         tombstones(spark, root), "doc_id", "left_anti"
     ).select("doc_id").localCheckpoint(eager=True)
-    # 4. recompute the surviving members' pairs from the band stores
-    if sig_store_path is not None and os.path.exists(sig_store_path):
+    # 4. recompute the surviving members' pairs from the band stores,
+    # exact-dup collapsed (docstring) — delegates self-join, hub-star
+    # edges reconnect identical-text members
+    def _rep_band_pairs(sig_all, sh_all, reps):
         from cdc_rs_spark.operators.dedup import jaccard_verify
 
-        sig = spark.read.parquet(sig_store_path).join(
-            live_members, "doc_id"
-        )
+        sig = sig_all.join(reps, "doc_id")
         cand = (
             sig.select(F.col("doc_id").alias("id_a"), "band", "bkey")
             .join(
@@ -649,10 +767,130 @@ def remove_docs(
             .select("id_a", "id_b")
             .distinct()
         )
-        sh = spark.read.parquet(shingle_store_path).join(
-            live_members, "doc_id"
-        )
-        pairs = jaccard_verify(cand, sh, threshold).select("id_a", "id_b")
+        sh = sh_all.join(reps, "doc_id")
+        return jaccard_verify(cand, sh, threshold).select("id_a", "id_b")
+
+    if sig_store_path is not None:
+        sig_cur = _resolve_store(sig_store_path)
+        sh_cur = _resolve_store(shingle_store_path)
+        if not os.path.isdir(sig_cur) or not os.path.isdir(sh_cur):
+            raise RuntimeError(
+                f"cluster store {root} has {len(affected)} affected "
+                f"clusters but the band/shingle store under "
+                f"{sig_store_path} is missing — refusing the silent "
+                "empty-pairs fallback (it would relabel every surviving "
+                "member to a singleton); restore the store or pass "
+                "sig_store_path=None to assert it never existed"
+            )
+        sig_all = spark.read.parquet(sig_cur)
+        sh_all = spark.read.parquet(sh_cur)
+        gcur = _resolve_store(_group_path(sig_store_path, group_store_path))
+        if os.path.isdir(gcur):
+            gs = spark.read.schema(_GROUP_SCHEMA).parquet(gcur)
+            memb_live = (
+                gs.select("gkey", "doc_id")
+                .distinct()
+                .join(live_members, "doc_id")
+            )
+            hubs = memb_live.groupBy("gkey").agg(
+                F.min("doc_id").alias("hub")
+            )
+            star = (
+                memb_live.join(hubs, "gkey")
+                .filter(F.col("doc_id") != F.col("hub"))
+                .select(
+                    F.col("hub").alias("id_a"), F.col("doc_id").alias("id_b")
+                )
+            )
+            live_dels = (
+                gs.filter("delegate")
+                .select("gkey", "doc_id")
+                .distinct()
+                .join(live_members, "doc_id")
+            )
+            # re-elect: affected groups with live members but no live
+            # banded delegate get their hub promoted; the dead delegate's
+            # rows (identical content for any member) are copied under
+            # the new id BEFORE the purge erases them. Request-bounded
+            # collects (<= affected groups / their past delegates).
+            need = hubs.join(
+                live_dels.select("gkey").distinct(), "gkey", "left_anti"
+            )
+            need_rows = need.collect()
+            if need_rows:
+                remap = (
+                    gs.filter("delegate")
+                    .select("gkey", F.col("doc_id").alias("old_id"))
+                    .distinct()
+                    .join(
+                        F.broadcast(
+                            spark.createDataFrame(
+                                [(r["gkey"], r["hub"]) for r in need_rows],
+                                "gkey string, hub bigint",
+                            )
+                        ),
+                        "gkey",
+                    )
+                    .filter(F.col("old_id") != F.col("hub"))
+                    .select("old_id", "hub", "gkey")
+                )
+                (
+                    sig_all.join(
+                        remap.select("old_id", "hub"),
+                        sig_all["doc_id"] == F.col("old_id"),
+                    )
+                    .select(
+                        F.col("hub").alias("doc_id"), "band", "bkey"
+                    )
+                    .distinct()
+                    .write.mode("append")
+                    .parquet(sig_cur)
+                )
+                (
+                    sh_all.join(
+                        remap.select("old_id", "hub"),
+                        sh_all["doc_id"] == F.col("old_id"),
+                    )
+                    .select(F.col("hub").alias("doc_id"), "sh")
+                    .distinct()
+                    .write.mode("append")
+                    .parquet(sh_cur)
+                )
+                spark.createDataFrame(
+                    [(r["gkey"], r["hub"], True) for r in need_rows],
+                    _GROUP_SCHEMA,
+                ).write.mode("append").parquet(gcur)
+                sig_all = spark.read.parquet(sig_cur)
+                sh_all = spark.read.parquet(sh_cur)
+            reps = (
+                live_dels.select("doc_id")
+                .unionByName(
+                    spark.createDataFrame(
+                        [(r["hub"],) for r in need_rows], "doc_id bigint"
+                    )
+                )
+                .distinct()
+            )
+            pairs = _rep_band_pairs(sig_all, sh_all, reps).unionByName(star)
+        else:
+            # legacy full-population stores: collapse in-flight on the
+            # stored shingle array (identical text => identical array)
+            sh_live = sh_all.join(live_members, "doc_id").select(
+                "doc_id",
+                # to_json: unambiguous array encoding (a bare concat
+                # could collide across shingle boundaries)
+                F.md5(F.to_json(F.col("sh")).cast("binary")).alias("skey"),
+            )
+            hubs = sh_live.groupBy("skey").agg(F.min("doc_id").alias("hub"))
+            star = (
+                sh_live.join(hubs, "skey")
+                .filter(F.col("doc_id") != F.col("hub"))
+                .select(
+                    F.col("hub").alias("id_a"), F.col("doc_id").alias("id_b")
+                )
+            )
+            reps = hubs.select(F.col("hub").alias("doc_id"))
+            pairs = _rep_band_pairs(sig_all, sh_all, reps).unionByName(star)
     else:
         pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
     # 5. mini-CC over the recomputed pairs (fold_pairs' dual mode)
@@ -706,34 +944,118 @@ def purge_band_stores(
     root: str,
     sig_store_path: str,
     shingle_store_path: str,
+    group_store_path: str | None = None,
 ) -> dict:
-    """Physically erase tombstoned docs' rows from the band + shingle
-    stores (the GDPR completion step — until this runs, a removed doc's
-    minhash bands persist on disk even though the tombstone set blocks
-    them from ever re-entering the map). Rewrite-and-swap: each store is
-    read, anti-joined against the tombstone set, written to a sibling
-    directory, and swapped in. WRITER-EXCLUSIVE like compaction (run
-    between folds); a crash between rmtree and rename loses the store
-    directory, which the caller recreates from the swap sibling — the
-    epoch'd span/IVF stores do this with atomic sidecar flips, and these
-    two stay bare append dirs by design (their rows are existence-only).
-    Returns surviving row counts."""
+    """Physically erase tombstoned docs' rows from the band, shingle and
+    exact-group stores (the GDPR completion step — until this runs, a
+    removed doc's minhash bands persist on disk even though the tombstone
+    set blocks them from ever re-entering the map). Round 11 (ADVICE r10,
+    medium): the swap is ATOMIC — each store is rewritten minus the
+    tombstoned docs into a versioned sibling (`{path}.v{N}`) and a
+    one-line pointer file flips with os.replace; readers/appenders
+    resolve through _resolve_store, so no crash window can lose a store
+    (the old rmtree+rename window let remove_docs silently relabel
+    survivors to singletons). Superseded directories are GC'd on the next
+    flip. WRITER-EXCLUSIVE like compaction (run between folds).
+
+    The tombstone set itself is COMPACTED here (distinct ids, one dense
+    file, published via the sidecar's tomb_dir with an atomic meta
+    replace) but NOT truncated: the stores stop carrying removed rows,
+    yet only this set blocks an at-least-once upstream from re-ingesting
+    a forgotten doc later — un-forgetting is readmit_docs' explicit,
+    ledgered job. Returns surviving row counts."""
     tomb = tombstones(spark, root)
     out = {}
-    for path, name in (
+    stores = [
         (sig_store_path, "sig_rows"),
         (shingle_store_path, "shingle_rows"),
-    ):
-        if not os.path.exists(path):
+        (_group_path(sig_store_path, group_store_path), "group_rows"),
+    ]
+    for path, name in stores:
+        cur = _resolve_store(path)
+        if not os.path.exists(cur):
             out[name] = 0
             continue
-        kept = spark.read.parquet(path).join(tomb, "doc_id", "left_anti")
-        tmp = path + ".purge"
-        kept.write.mode("overwrite").parquet(tmp)
-        out[name] = spark.read.parquet(tmp).count()
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+        m = re.fullmatch(re.escape(path) + r"\.v(\d+)", cur)
+        nxt = (int(m.group(1)) + 1) if m else 1
+        kept = spark.read.parquet(cur).join(tomb, "doc_id", "left_anti")
+        sib = f"{path}.v{nxt:06d}"
+        kept.write.mode("overwrite").parquet(sib)
+        out[name] = spark.read.parquet(sib).count()
+        _flip_store(path, nxt)
+    # compact the tombstone set: distinct ids, new dir, atomic meta flip
+    old_tomb = _tomb_path(root)
+    if os.path.isdir(old_tomb):
+        meta = _read_meta(root)
+        n = int(meta.get("tomb_seq", 0)) + 1
+        new_name = f"tomb-{n:06d}"
+        tomb.distinct().coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, new_name)
+        )
+        meta = _read_meta(root)
+        meta["tomb_dir"] = new_name
+        meta["tomb_seq"] = n
+        _write_meta(root, meta)
+        if os.path.basename(old_tomb) != new_name:
+            shutil.rmtree(old_tomb, ignore_errors=True)
     return out
+
+
+def readmit_docs(
+    spark: SparkSession,
+    root: str,
+    readmitted: DataFrame,
+    batch_id: int | None = None,
+    stream_id: str = "s",
+) -> dict:
+    """TOMBSTONE-CLEAR / re-admit fold (round 11, VERDICT r10 next #3 —
+    the DMCA-counter-notice path): remove ids from the tombstone set so
+    FUTURE folds may re-ingest them. Deliberately does NOT resurrect old
+    rows — the purge already erased them (or will); re-ingestion is the
+    only way back, so a re-admitted doc re-enters with exactly the
+    ingest-time semantics of a never-seen doc. Ledgered like every fold
+    (a replayed clear is a no-op) and published atomically: the surviving
+    tombstone set is written to a NEW directory and the sidecar's
+    tomb_dir flips in one meta replace. Re-admitting an id that was
+    never tombstoned is a harmless no-op (set semantics)."""
+    meta = _read_meta(root)
+    ledger = meta.get("last_batch_by_stream") or {}
+    if batch_id is not None and int(batch_id) <= int(
+        ledger.get(stream_id, -1)
+    ):
+        return {"n_readmitted": 0, "n_tombstones_left": None,
+                "skipped_duplicate": True}
+    ids = readmitted.select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    ).distinct()
+    kept = tombstones(spark, root).distinct().join(
+        F.broadcast(ids), "doc_id", "left_anti"
+    )
+    n = int(meta.get("tomb_seq", 0)) + 1
+    new_name = f"tomb-{n:06d}"
+    kept.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, new_name)
+    )
+    n_left = spark.read.schema("doc_id bigint").parquet(
+        os.path.join(root, new_name)
+    ).count()
+    old_tomb = _tomb_path(root)
+    meta = _read_meta(root)
+    meta["tomb_dir"] = new_name
+    meta["tomb_seq"] = n
+    if batch_id is not None:
+        led = dict(meta.get("last_batch_by_stream") or {})
+        led[stream_id] = max(int(led.get(stream_id, -1)), int(batch_id))
+        meta["last_batch_by_stream"] = led
+    meta["n_folds"] = int(meta["n_folds"]) + 1
+    _write_meta(root, meta)
+    if os.path.isdir(old_tomb) and os.path.basename(old_tomb) != new_name:
+        shutil.rmtree(old_tomb, ignore_errors=True)
+    return {
+        "n_readmitted": int(ids.count()),
+        "n_tombstones_left": n_left,
+        "skipped_duplicate": False,
+    }
 
 
 def compact_cluster_store(
@@ -784,18 +1106,15 @@ def compact_cluster_store(
 
 def batch_pairs(batch_df: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Intra-batch verified near-dup pairs — identical band + round-6
-    exact-Jaccard semantics as the batch pipeline
-    (operators/dedup.minhash_dedup_pairs), without the session memo
-    (micro-batches are never re-queried)."""
-    from cdc_rs_spark.operators.dedup import (
-        jaccard_verify,
-        lsh_candidate_pairs,
-        minhash_docs,
-    )
+    exact-Jaccard semantics as the batch pipeline, INCLUDING the round-11
+    hot-bucket guard (exact-text collapse + capped band join + lossless
+    expansion — operators/dedup.minhash_dedup_pairs), without the session
+    memo (micro-batches are never re-queried)."""
+    from cdc_rs_spark.operators.dedup import minhash_dedup_pairs
 
-    signed = minhash_docs(batch_df, "doc_id", "text")
-    cand = lsh_candidate_pairs(signed.select("doc_id", "sig"))
-    return jaccard_verify(cand, signed.select("doc_id", "sh"), threshold)
+    return minhash_dedup_pairs(
+        batch_df, "doc_id", "text", threshold, memo=False
+    ).select("id_a", "id_b", "jaccard")
 
 
 def clusters_foreach_batch(
@@ -806,34 +1125,69 @@ def clusters_foreach_batch(
     stream_id: str = "s",
     compact_every: int | None = None,
     on_stats: Callable[[dict, int], None] | None = None,
+    group_store_path: str | None = None,
+    bucket_cap: int = 256,
 ) -> Callable[[DataFrame, int], None]:
-    """The full ingesting-pipeline step (VERDICT r7 next #1): per
-    micro-batch of (doc_id, text) —
-      1. the batch is signed ONCE, and one fused band join probes its
-         bands against store ∪ batch — cross-corpus and intra-batch
-         candidates together — then exact-Jaccard verifies (the same
-         pair semantics as streaming/dedup.py probe_against_store plus
-         operators/dedup.lsh_candidate_pairs, in one plan);
-      2. fold_pairs merges them into the persisted cluster map
-         (epoch-published, ledger-idempotent);
-      3. the batch's bands + shingles append to the stores so later
-         batches are caught (replays skip the append via the fold's
-         ledger result — the band stores stay bounded too);
-      4. optional compaction every N folds (the OPTIMIZE cadence).
+    """The full ingesting-pipeline step (VERDICT r7 next #1), round-11
+    form with the HOT-BUCKET GUARD (VERDICT r10 next #1 — the round-10
+    stream bench OOM\'d on a template corpus and the fix went into the
+    generator; this is the engine fix). Per micro-batch of (doc_id,
+    text):
+
+      1. EXACT-TEXT COLLAPSE: the batch groups by md5(text); each group
+         contributes hub-star edges (member -> batch rep, Jaccard exactly
+         1.0 — identical text) instead of k^2/2 pairs;
+      2. GROUP PROBE: batch reps look their gkey up in the exact-group
+         store. A group with a live DELEGATE (the one member whose bands
+         are in the signature store) yields a single (rep, delegate) edge
+         — no band probe, no verify (identical text). Only reps of NEW
+         groups sign, append bands/shingles, and band-probe — so the
+         signature store holds ONE row-set per DISTINCT TEXT ever
+         ingested, and a boilerplate template that arrives 1e5 times
+         costs 1e5 skinny group rows + star edges, not 1e5 band
+         signatures and a quadratic bucket;
+      3. the band probe against the (delegate-only) store is POPULATION-
+         CAPPED: store rows in matched (band, bkey) buckets rank by
+         doc_id and only the first `bucket_cap` join; docs spilling past
+         the cap route through the prefix-filtered exact join over the
+         shingle store (lossless for jaccard >= threshold, the
+         operators/dedup.prefix_filtered_candidates blocker), so residual
+         distinct-text skew degrades to the deterministic blocker instead
+         of a quadratic explode. Any pair whose every shared bucket
+         overflows has both members in the routed set — nothing is
+         dropped. Below the cap (all tested scales; sf0.1\'s max
+         distinct-text bucket is 4) the pair set is EXACTLY the
+         unguarded one — the collapse is an identity
+         (dedup_incremental_clusters\' oracle pins it);
+      4. fold_pairs merges star + delegate + verified pairs into the
+         epoch-published, ledger-idempotent map; optional compaction
+         every N folds.
+
+    Store appends stay BEFORE the fold commit (append-first — the crash
+    anywhere leaves a replayable state; round-8 lesson). A crashed
+    retry whose group rows landed re-probes its own self-delegate groups
+    (the del == rep case) so the interrupted batch\'s pairs still fold.
     After any prefix of batches, live_cluster_map == batch CC over all
-    pairs among every doc ingested so far — the invariant the registered
-    query dedup_incremental_clusters oracle-checks."""
+    near-dup pairs among every doc ingested so far — the invariant the
+    registered query dedup_incremental_clusters oracle-checks. Reads and
+    appends resolve through the purge pointer (_resolve_store)."""
+    from pyspark.sql import Window
+
     from cdc_rs_spark.operators.dedup import (
         band_explode,
         jaccard_verify,
         minhash_docs,
+        prefix_filtered_candidates,
+        word_tokens,
     )
+
+    gpath_base = _group_path(signature_store_path, group_store_path)
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # ledger gate FIRST: a batch at or below its stream's committed
+        # ledger gate FIRST: a batch at or below its stream\'s committed
         # line already ran to completion (fold commit is the LAST step),
-        # so its bands/shingles are in the stores — skip everything.
+        # so its bands/shingles/groups are in the stores — skip it all.
         ledger = (
             _read_meta(cluster_store_root).get("last_batch_by_stream") or {}
         )
@@ -849,66 +1203,196 @@ def clusters_foreach_batch(
                     batch_id,
                 )
             return
-        # sign ONCE per micro-batch: the shingle+minhash pass is the
-        # dominant per-batch cost, and three consumers need it (store
-        # append, band probe, Jaccard verify) — measured 2x on the
-        # registered query when it was run per consumer (round 8)
-        signed = minhash_docs(batch_df, "doc_id", "text").persist()
-        try:
-            # append the batch's bands + shingles BEFORE the fold: the
-            # fold's ledger commit is the transaction point, and with
-            # append-first a crash ANYWHERE leaves a replayable state —
-            # the retry re-appends (bounded duplicates, collapsed by the
-            # candidate distinct / fold idempotence) and re-folds. The
-            # round-8 first cut folded first and appended after, which
-            # LOST the batch's bands forever when a crash hit between
-            # the ledger commit and the append (the replay was
-            # ledger-skipped) — later batches would silently never match
-            # this batch's documents.
-            band_explode(signed.select("doc_id", "sig")).write.mode(
-                "append"
-            ).parquet(signature_store_path)
-            signed.select("doc_id", "sh").write.mode("append").parquet(
-                shingle_store_path
+        _check_threshold(cluster_store_root, threshold)
+        sig_cur = _resolve_store(signature_store_path)
+        sh_cur = _resolve_store(shingle_store_path)
+        gcur = _resolve_store(gpath_base)
+        # collapse: only signable docs (>= 3 tokens) ever pair — the
+        # group rows mirror that so remove_docs\' star edges match LSH
+        # semantics exactly
+        keyed = (
+            batch_df.filter(F.size(word_tokens(F.col("text"))) >= 3)
+            .select(
+                F.col("doc_id").cast("bigint").alias("doc_id"),
+                "text",
+                _gkey("text").alias("gkey"),
             )
-            # ONE band join against the store (which now CONTAINS the
-            # batch) finds cross-corpus and intra-batch candidates
-            # together; intra pairs surface in both orders and replay
-            # duplicates multiply candidate rows — the distinct + the
-            # fold's symmetric union-find absorb both.
-            sig_store = spark.read.parquet(signature_store_path)
-            sh_store = spark.read.parquet(shingle_store_path)
-            cand = (
-                band_explode(signed.select("doc_id", "sig"))
-                .withColumnRenamed("doc_id", "id_a")
-                .join(
-                    sig_store.withColumnRenamed("doc_id", "id_b"),
-                    ["band", "bkey"],
+        )
+        groups = keyed.groupBy("gkey").agg(
+            F.min("doc_id").alias("rep_id"),
+            F.min_by("text", "doc_id").alias("text"),
+        ).persist()
+        try:
+            star = (
+                keyed.select("doc_id", "gkey")
+                .join(groups.select("gkey", "rep_id"), "gkey")
+                .filter(F.col("doc_id") != F.col("rep_id"))
+                .select(
+                    F.col("rep_id").alias("id_a"),
+                    F.col("doc_id").alias("id_b"),
                 )
-                .filter(F.col("id_a") != F.col("id_b"))
-                .select("id_a", "id_b")
+            )
+            # live delegates for the batch\'s gkeys (broadcast tombstone
+            # anti-join — delete-bounded set)
+            if os.path.isdir(gcur):
+                gstore = spark.read.schema(_GROUP_SCHEMA).parquet(gcur)
+                live_del = (
+                    gstore.filter("delegate")
+                    .select("gkey", F.col("doc_id").alias("del_id"))
+                    .distinct()
+                    .join(
+                        F.broadcast(
+                            tombstones(spark, cluster_store_root)
+                        ).withColumnRenamed("doc_id", "del_id"),
+                        "del_id",
+                        "left_anti",
+                    )
+                )
+            else:
+                live_del = spark.createDataFrame(
+                    [], "gkey string, del_id bigint"
+                )
+            # PIN the pre-append probe state: parquet reads re-list
+            # files per action, so without this the batch's own group
+            # append would flip its groups to "known" before the band
+            # append/probe ran (the self-invalidating-read trap).
+            # Batch-bounded rows — the checkpoint is one skinny write.
+            j = groups.join(live_del, "gkey", "left").localCheckpoint(
+                eager=True
+            )
+            known = (
+                j.filter(
+                    F.col("del_id").isNotNull()
+                    & (F.col("del_id") != F.col("rep_id"))
+                )
+                .select(
+                    F.col("rep_id").alias("id_a"),
+                    F.col("del_id").alias("id_b"),
+                )
                 .distinct()
             )
-            pairs = jaccard_verify(cand, sh_store, threshold).select(
-                "id_a", "id_b"
+            gagg = j.groupBy("gkey", "rep_id", "text").agg(
+                F.max(
+                    (
+                        F.col("del_id").isNotNull()
+                        & (F.col("del_id") != F.col("rep_id"))
+                    ).cast("int")
+                ).alias("has_ext"),
+                F.max(F.col("del_id").isNotNull().cast("int")).alias(
+                    "has_any"
+                ),
             )
-            stats = fold_pairs(
-                spark,
-                cluster_store_root,
-                pairs,
-                batch_id=batch_id,
-                stream_id=stream_id,
-            )
-            if not stats["skipped_duplicate"] and (
-                compact_every is not None
-                and int(_read_meta(cluster_store_root)["n_folds"])
-                % compact_every
-                == 0
-            ):
-                compact_cluster_store(spark, cluster_store_root)
-            if on_stats is not None:
-                on_stats(stats, batch_id)
+            # probe set: groups with no EXTERNAL live delegate. Includes
+            # the self-delegate case (a crashed attempt appended this
+            # rep\'s rows but the fold never committed — re-probe so its
+            # pairs still fold). Bands/groups append only for truly NEW
+            # groups (has_any == 0) — a retry never duplicates them.
+            probe_reps = gagg.filter(
+                F.coalesce(F.col("has_ext"), F.lit(0)) == 0
+            ).select(F.col("rep_id").alias("doc_id"), "text")
+            new_reps = gagg.filter(
+                F.coalesce(F.col("has_any"), F.lit(0)) == 0
+            ).select("gkey", F.col("rep_id").alias("doc_id"), "text")
+            signed = minhash_docs(probe_reps, "doc_id", "text").persist()
+            try:
+                new_ids = new_reps.select("gkey", "doc_id")
+                new_signed = signed.join(new_ids.select("doc_id"), "doc_id")
+                # append-first (round-8 lesson): group rows for EVERY
+                # batch doc (remove_docs\' star edges need membership),
+                # bands + shingles for new delegates only
+                (
+                    keyed.select("gkey", "doc_id")
+                    .join(new_ids.withColumnRenamed("doc_id", "del_id"),
+                          "gkey", "left")
+                    .select(
+                        "gkey",
+                        "doc_id",
+                        F.coalesce(
+                            F.col("doc_id") == F.col("del_id"), F.lit(False)
+                        ).alias("delegate"),
+                    )
+                    .write.mode("append")
+                    .parquet(gcur)
+                )
+                band_explode(new_signed.select("doc_id", "sig")).write.mode(
+                    "append"
+                ).parquet(sig_cur)
+                new_signed.select("doc_id", "sh").write.mode(
+                    "append"
+                ).parquet(sh_cur)
+                # capped band probe: store rows in matched buckets rank
+                # by doc_id; overflow routes to the prefix blocker
+                sig_store = spark.read.parquet(sig_cur)
+                sh_store = spark.read.parquet(sh_cur)
+                probe_bands = band_explode(signed.select("doc_id", "sig"))
+                matched = sig_store.join(
+                    probe_bands.select("band", "bkey").distinct(),
+                    ["band", "bkey"],
+                )
+                rk = F.row_number().over(
+                    Window.partitionBy("band", "bkey").orderBy("doc_id")
+                )
+                ranked = matched.withColumn("__rk", rk)
+                cand = (
+                    probe_bands.withColumnRenamed("doc_id", "id_a")
+                    .join(
+                        ranked.filter(F.col("__rk") <= bucket_cap)
+                        .withColumnRenamed("doc_id", "id_b"),
+                        ["band", "bkey"],
+                    )
+                    .filter(F.col("id_a") != F.col("id_b"))
+                    .select("id_a", "id_b")
+                    .distinct()
+                )
+                # overflow docs: store rows past the cap + every probe
+                # doc touching an overflowed bucket — both sides of any
+                # pair living only in oversized buckets are here
+                over_buckets = (
+                    ranked.filter(F.col("__rk") > bucket_cap)
+                    .select("band", "bkey")
+                    .distinct()
+                )
+                over_docs = (
+                    ranked.join(over_buckets, ["band", "bkey"])
+                    .select("doc_id")
+                    .unionByName(
+                        probe_bands.join(over_buckets, ["band", "bkey"])
+                        .select("doc_id")
+                    )
+                    .distinct()
+                )
+                over_cand = prefix_filtered_candidates(
+                    sh_store.join(over_docs, "doc_id"), threshold
+                )
+                pairs = (
+                    jaccard_verify(
+                        cand.unionByName(over_cand).distinct(),
+                        sh_store,
+                        threshold,
+                    )
+                    .select("id_a", "id_b")
+                    .unionByName(star)
+                    .unionByName(known)
+                )
+                stats = fold_pairs(
+                    spark,
+                    cluster_store_root,
+                    pairs,
+                    batch_id=batch_id,
+                    stream_id=stream_id,
+                )
+                if not stats["skipped_duplicate"] and (
+                    compact_every is not None
+                    and int(_read_meta(cluster_store_root)["n_folds"])
+                    % compact_every
+                    == 0
+                ):
+                    compact_cluster_store(spark, cluster_store_root)
+                if on_stats is not None:
+                    on_stats(stats, batch_id)
+            finally:
+                signed.unpersist(blocking=False)
         finally:
-            signed.unpersist(blocking=False)
+            groups.unpersist(blocking=False)
 
     return fn

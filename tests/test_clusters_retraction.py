@@ -41,8 +41,11 @@ def _live(spark, root):
 def _write_stores(spark, tmp_path, edges, docs=None):
     """Synthetic band + shingle stores consistent with `edges`: each edge
     gets its own unique band key (so candidate pairs == edges exactly)
-    and every doc shares one shingle set (so every candidate verifies at
-    Jaccard 1.0). Returns (sig_path, sh_path)."""
+    and every doc's shingle set shares a 3-token core plus one doc-unique
+    token (pairwise Jaccard 3/5 = 0.6 >= 0.5, and DISTINCT arrays — the
+    round-11 recompute collapses identical shingle arrays as exact dups,
+    which is the real pipeline's invariant: identical shingles imply
+    identical signatures/bands). Returns (sig_path, sh_path)."""
     sig_rows = []
     for i, (a, b) in enumerate(edges):
         sig_rows.append((int(a), i, f"e{i}"))
@@ -56,7 +59,7 @@ def _write_stores(spark, tmp_path, edges, docs=None):
         {d for e in edges for d in e}
     )
     spark.createDataFrame(
-        [(int(d), ["s1", "s2", "s3"]) for d in all_docs] or [],
+        [(int(d), ["s1", "s2", "s3", f"d{d}"]) for d in all_docs] or [],
         "doc_id bigint, sh array<string>",
     ).write.mode("overwrite").parquet(sh_path)
     return sig_path, sh_path
@@ -221,10 +224,20 @@ def test_purge_band_stores_erases_tombstoned_rows(spark, tmp_path):
     )
     counts = purge_band_stores(spark, root, sig, sh)
     assert counts["sig_rows"] > 0
-    sig_ids = {r["doc_id"] for r in spark.read.parquet(sig).collect()}
-    sh_ids = {r["doc_id"] for r in spark.read.parquet(sh).collect()}
+    # post-purge reads resolve through the atomic swap pointer (round 11)
+    from cdc_rs_spark.streaming.clusters import _resolve_store
+
+    sig_ids = {
+        r["doc_id"] for r in spark.read.parquet(_resolve_store(sig)).collect()
+    }
+    sh_ids = {
+        r["doc_id"] for r in spark.read.parquet(_resolve_store(sh)).collect()
+    }
     assert 2 not in sig_ids and 2 not in sh_ids
     assert sig_ids == {1, 3} and sh_ids == {1, 3}
+    # the tombstone set is compacted, not truncated — re-ingestion of a
+    # forgotten doc must stay blocked until an explicit readmit
+    assert {r["doc_id"] for r in tombstones(spark, root).collect()} == {2}
 
 
 def test_random_interleaved_folds_and_removes_match_batch_cc(

@@ -1,0 +1,352 @@
+"""Hot-bucket guard for the LSH candidate stage (round 11, VERDICT r10
+next #1): boilerplate corpora — 1e4+ byte-identical copies of one
+template — must flow through the MinHash pipeline at O(k) candidate
+cost, not k^2/2, in both the batch operator and the streaming cluster
+fold; and the exact-text collapse must be a PAIR-LEVEL identity (the
+registered oracles depend on results being unchanged)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.operators.dedup import (
+    exact_text_groups,
+    guarded_band_candidates,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_docs,
+)
+
+TEMPLATE = (
+    "subscribe to our newsletter for the latest updates and offers "
+    "terms of service apply all rights reserved contact us today "
+)
+
+
+def _unguarded_pairs(spark, df, threshold):
+    """The round-10 pipeline: sign EVERY doc, band self-join, verify —
+    the semantic reference the guard must reproduce exactly."""
+    signed = minhash_docs(df, "doc_id", "text")
+    cand = lsh_candidate_pairs(signed.select("doc_id", "sig"))
+    return jaccard_verify(cand, signed.select("doc_id", "sh"), threshold)
+
+
+def _pairset(df):
+    return {
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    }
+
+
+def test_collapse_is_pairwise_identity(spark):
+    """Exact-dup groups + near-dups + singletons + short texts: the
+    guarded pipeline's (id_a, id_b, jaccard) set equals the unguarded
+    round-10 pipeline's, row for row."""
+    docs = [
+        (1, TEMPLATE * 2),
+        (2, TEMPLATE * 2),            # exact dup of 1
+        (7, TEMPLATE * 2),            # exact dup of 1
+        (3, TEMPLATE * 2 + "extra tail words here"),  # near dup
+        (4, "a completely different document about other things " * 5),
+        (5, "a completely different document about other things " * 5),
+        (6, "lone unrelated words forming a singleton text " * 4),
+        (8, "too short"),             # < 3 tokens: never pairs
+        (9, "too short"),             # exact dup of 8 — still never pairs
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = _pairset(minhash_dedup_pairs(df, "doc_id", "text", 0.5))
+    want = _pairset(_unguarded_pairs(spark, df, 0.5))
+    assert want, "fixture must produce pairs"
+    assert got == want
+    # the exact-dup triplet is fully connected at jaccard exactly 1.0
+    assert {(1, 2, 1.0), (1, 7, 1.0), (2, 7, 1.0)} <= got
+    # short-text exact dups never pair (no signature — LSH semantics)
+    assert not any(8 in (a, b) or 9 in (a, b) for a, b, _ in got)
+
+
+def test_boilerplate_template_candidates_are_linear(spark):
+    """The judge fixture: 1e4 copies of one template. The candidate
+    stage must see ONE representative (O(k) work), while the expanded
+    output is still the full k*(k-1)/2 pair set at jaccard 1.0."""
+    k = 10_000
+    rows = [(i, TEMPLATE * 2) for i in range(k)]
+    rows += [(k + 1, "an unrelated free standing document " * 6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    membership, reps = exact_text_groups(df, "doc_id", "text")
+    assert reps.count() == 2  # the template collapsed to one rep
+    signed = minhash_docs(reps, "doc_id", "text")
+    cand, oversized = guarded_band_candidates(signed)
+    # candidate stage: zero pairs (two distinct texts, no shared band)
+    assert cand.count() == 0
+    assert oversized.count() == 0
+    # the full operator still expands to every within-template pair
+    n_pairs = minhash_dedup_pairs(df, "doc_id", "text", 0.5).count()
+    assert n_pairs == k * (k - 1) // 2
+
+
+def test_bucket_cap_routes_to_prefix_join_losslessly(spark):
+    """Force bucket_cap=1 so EVERY bucket overflows: the prefix-filter
+    fallback must find every pair with jaccard >= threshold (a superset
+    of banding — prefix filtering is deterministic), verified exactly."""
+    base = "shared common words appear in every single document here "
+    docs = [(i, base * 3 + f"unique tail {i}") for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = _pairset(minhash_dedup_pairs(df, "doc_id", "text", 0.5, bucket_cap=1))
+    # brute-force exact reference: every pair, true jaccard, threshold
+    signed = minhash_docs(df, "doc_id", "text")
+    a = signed.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = signed.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    allp = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    want = {
+        (r["id_a"], r["id_b"], r["j"])
+        for r in allp.select("id_a", "id_b", jac.alias("j"))
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    }
+    assert want, "fixture must produce pairs"
+    assert got == want
+    # and the fallback is a superset of what banding finds
+    lsh = {(a_, b_) for a_, b_, _ in _pairset(_unguarded_pairs(spark, df, 0.5))}
+    assert lsh <= {(a_, b_) for a_, b_, _ in got}
+
+
+def test_streaming_fold_stores_one_signature_per_text(spark, tmp_path):
+    """clusters_foreach_batch over repeated boilerplate: the signature
+    store holds ONE band row-set (the delegate), the group store holds
+    one skinny row per doc, and the map is a single cluster — the
+    round-10 OOM corpus now folds at linear cost."""
+    import os
+
+    from cdc_rs_spark.streaming.clusters import (
+        clusters_foreach_batch,
+        init_cluster_store,
+        live_cluster_map,
+    )
+
+    sig = str(tmp_path / "sig")
+    sh = str(tmp_path / "sh")
+    root = str(tmp_path / "clusters")
+    spark.createDataFrame(
+        [], "doc_id bigint, band int, bkey string"
+    ).write.parquet(sig)
+    spark.createDataFrame(
+        [], "doc_id bigint, sh array<string>"
+    ).write.parquet(sh)
+    init_cluster_store(spark, root)
+    fn = clusters_foreach_batch(sig, sh, root, threshold=0.5)
+    n_per_batch, n_batches = 200, 3
+    for b in range(n_batches):
+        rows = [
+            (b * n_per_batch + i, TEMPLATE * 2) for i in range(n_per_batch)
+        ]
+        fn(spark.createDataFrame(rows, "doc_id bigint, text string"), b)
+    # one delegate's bands only (8 bands), however many copies arrived
+    assert spark.read.parquet(sig).count() == 8
+    assert spark.read.parquet(sh).count() == 1
+    assert os.path.isdir(sig + "_groups")
+    groups = spark.read.parquet(sig + "_groups")
+    assert groups.count() == n_per_batch * n_batches
+    assert groups.filter("delegate").count() == 1
+    live = {
+        r["doc_id"]: r["cluster"]
+        for r in live_cluster_map(spark, root).collect()
+    }
+    assert len(live) == n_per_batch * n_batches
+    assert set(live.values()) == {0}  # all in doc 0's cluster
+
+
+def test_remove_delegate_reelects_and_future_dups_still_join(spark, tmp_path):
+    """Removing a group's DELEGATE re-elects the min live member (its
+    band rows copied under the new id), so a LATER exact dup of the same
+    text still joins the survivors' cluster."""
+    from cdc_rs_spark.streaming.clusters import (
+        clusters_foreach_batch,
+        init_cluster_store,
+        live_cluster_map,
+        remove_docs,
+    )
+
+    sig = str(tmp_path / "sig")
+    sh = str(tmp_path / "sh")
+    root = str(tmp_path / "clusters")
+    spark.createDataFrame(
+        [], "doc_id bigint, band int, bkey string"
+    ).write.parquet(sig)
+    spark.createDataFrame(
+        [], "doc_id bigint, sh array<string>"
+    ).write.parquet(sh)
+    init_cluster_store(spark, root)
+    fn = clusters_foreach_batch(sig, sh, root, threshold=0.5)
+    fn(
+        spark.createDataFrame(
+            [(1, TEMPLATE * 2), (2, TEMPLATE * 2), (3, TEMPLATE * 2)],
+            "doc_id bigint, text string",
+        ),
+        0,
+    )
+    assert {
+        r["doc_id"]: r["cluster"]
+        for r in live_cluster_map(spark, root).collect()
+    } == {1: 1, 2: 1, 3: 1}
+    # remove the delegate (doc 1: min id => the delegate by construction)
+    remove_docs(
+        spark, root, spark.createDataFrame([(1,)], "doc_id bigint"),
+        sig_store_path=sig, shingle_store_path=sh, threshold=0.5,
+        batch_id=1,
+    )
+    assert {
+        r["doc_id"]: r["cluster"]
+        for r in live_cluster_map(spark, root).collect()
+    } == {2: 2, 3: 2}
+    # the re-elected delegate (doc 2) now carries the group's bands
+    assert spark.read.parquet(sig).filter("doc_id = 2").count() == 8
+    # a later exact dup of the same text joins the survivors
+    fn(
+        spark.createDataFrame(
+            [(9, TEMPLATE * 2)], "doc_id bigint, text string"
+        ),
+        2,
+    )
+    assert {
+        r["doc_id"]: r["cluster"]
+        for r in live_cluster_map(spark, root).collect()
+    } == {2: 2, 3: 2, 9: 2}
+
+
+def test_remove_docs_raises_on_missing_band_store(spark, tmp_path):
+    """ADVICE r10 (medium): a GIVEN-but-absent band store must raise,
+    never silently relabel survivors to singletons."""
+    import pytest
+
+    from cdc_rs_spark.streaming.clusters import (
+        fold_pairs,
+        init_cluster_store,
+        remove_docs,
+    )
+
+    root = str(tmp_path / "store")
+    init_cluster_store(spark, root)
+    fold_pairs(
+        spark, root,
+        spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint"),
+        batch_id=0,
+    )
+    with pytest.raises(RuntimeError, match="refusing the silent"):
+        remove_docs(
+            spark, root, spark.createDataFrame([(2,)], "doc_id bigint"),
+            sig_store_path=str(tmp_path / "never_written_sig"),
+            shingle_store_path=str(tmp_path / "never_written_sh"),
+            batch_id=1,
+        )
+
+
+def test_threshold_is_pinned_in_store_meta(spark, tmp_path):
+    """ADVICE r10: the first fold records the similarity bar; a
+    remove_docs at a different bar refuses."""
+    import pytest
+
+    from cdc_rs_spark.streaming.clusters import (
+        clusters_foreach_batch,
+        init_cluster_store,
+        remove_docs,
+    )
+
+    sig = str(tmp_path / "sig")
+    sh = str(tmp_path / "sh")
+    root = str(tmp_path / "clusters")
+    spark.createDataFrame(
+        [], "doc_id bigint, band int, bkey string"
+    ).write.parquet(sig)
+    spark.createDataFrame(
+        [], "doc_id bigint, sh array<string>"
+    ).write.parquet(sh)
+    init_cluster_store(spark, root)
+    fn = clusters_foreach_batch(sig, sh, root, threshold=0.5)
+    fn(
+        spark.createDataFrame(
+            [(1, TEMPLATE * 2), (2, TEMPLATE * 2)],
+            "doc_id bigint, text string",
+        ),
+        0,
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        remove_docs(
+            spark, root, spark.createDataFrame([(1,)], "doc_id bigint"),
+            sig_store_path=sig, shingle_store_path=sh, threshold=0.7,
+            batch_id=1,
+        )
+
+
+def test_readmit_reopens_after_remove(spark, tmp_path):
+    """remove -> readmit -> re-ingest == never-removed baseline (VERDICT
+    r10 next #3): the tombstone-clear fold is ledgered and idempotent,
+    does NOT restore old rows by itself, and re-ingestion brings the doc
+    back with never-seen semantics."""
+    from cdc_rs_spark.streaming.clusters import (
+        clusters_foreach_batch,
+        init_cluster_store,
+        live_cluster_map,
+        readmit_docs,
+        remove_docs,
+        tombstones,
+    )
+
+    def build(prefix, batches):
+        sig = str(tmp_path / f"{prefix}_sig")
+        sh = str(tmp_path / f"{prefix}_sh")
+        root = str(tmp_path / f"{prefix}_clusters")
+        spark.createDataFrame(
+            [], "doc_id bigint, band int, bkey string"
+        ).write.parquet(sig)
+        spark.createDataFrame(
+            [], "doc_id bigint, sh array<string>"
+        ).write.parquet(sh)
+        init_cluster_store(spark, root)
+        fn = clusters_foreach_batch(sig, sh, root, threshold=0.5)
+        for b, rows in enumerate(batches):
+            fn(
+                spark.createDataFrame(rows, "doc_id bigint, text string"),
+                b,
+            )
+        return sig, sh, root, fn
+
+    docs = [(1, TEMPLATE * 2), (2, TEMPLATE * 2), (3, TEMPLATE * 2)]
+    # baseline: docs 1..3 ingested, never removed
+    _, _, base_root, _ = build("base", [docs])
+    baseline = {
+        r["doc_id"]: r["cluster"]
+        for r in live_cluster_map(spark, base_root).collect()
+    }
+    # remove doc 3, readmit it, re-ingest it
+    sig, sh, root, fn = build("rr", [docs])
+    remove_docs(
+        spark, root, spark.createDataFrame([(3,)], "doc_id bigint"),
+        sig_store_path=sig, shingle_store_path=sh, threshold=0.5,
+        batch_id=1, stream_id="d",
+    )
+    assert {
+        r["doc_id"] for r in live_cluster_map(spark, root).collect()
+    } == {1, 2}
+    stats = readmit_docs(
+        spark, root, spark.createDataFrame([(3,)], "doc_id bigint"),
+        batch_id=2, stream_id="d",
+    )
+    assert stats["n_readmitted"] == 1
+    assert tombstones(spark, root).count() == 0
+    # readmit alone restores nothing — re-ingestion is the only way back
+    assert {
+        r["doc_id"] for r in live_cluster_map(spark, root).collect()
+    } == {1, 2}
+    # replayed readmit is a no-op
+    assert readmit_docs(
+        spark, root, spark.createDataFrame([(3,)], "doc_id bigint"),
+        batch_id=2, stream_id="d",
+    )["skipped_duplicate"]
+    fn(spark.createDataFrame([docs[2]], "doc_id bigint, text string"), 1)
+    assert {
+        r["doc_id"]: r["cluster"]
+        for r in live_cluster_map(spark, root).collect()
+    } == baseline
