@@ -405,13 +405,61 @@ def minhash_dedup_pairs(
     else:  # micro-batches are never re-queried (streaming batch_pairs)
         membership, reps = exact_text_groups(df, id_col, text_col)
         signed = minhash_docs(reps, id_col, text_col)
+    rep_pairs = _verified_rep_pairs(membership, signed, threshold, bucket_cap)
+    return expand_group_pairs(rep_pairs, membership, signed)
+
+
+def _verified_rep_pairs(
+    membership: DataFrame,
+    signed: DataFrame,
+    threshold: float,
+    bucket_cap: int,
+) -> DataFrame:
+    """The shared representative-level stage: capped band candidates,
+    prefix-filtered fallback for over-cap buckets, exact-Jaccard verify."""
     cand, oversized = guarded_band_candidates(signed, bucket_cap)
     ver = jaccard_verify(cand, signed.select("doc_id", "sh"), threshold)
     over_sh = signed.join(oversized, "doc_id").select("doc_id", "sh")
     fcand = prefix_filtered_candidates(over_sh, threshold)
     fver = jaccard_verify(fcand, signed.select("doc_id", "sh"), threshold)
-    rep_pairs = ver.unionByName(fver).distinct()
-    return expand_group_pairs(rep_pairs, membership, signed)
+    return ver.unionByName(fver).distinct()
+
+
+def minhash_dedup_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    bucket_cap: int = DEDUP_BUCKET_CAP,
+    memo: bool = True,
+) -> DataFrame:
+    """CONNECTIVITY-equivalent near-dup edge set (id_a, id_b): verified
+    REPRESENTATIVE pairs plus hub-star edges within exact-dup groups —
+    never the expanded member pair set. CC(edges) == CC(expanded pairs):
+    within a group the star connects exactly the signed members (identical
+    text, Jaccard exactly 1.0), and across groups members are connected
+    iff their reps verified. Use this for every connected-components
+    consumer: a 1e5-copy boilerplate template contributes 1e5-1 star edges
+    here versus ~5e9 expanded pairs (the round-11 skew probe measured the
+    CC query's shuffle going quadratic on exactly that difference).
+    Pair-level semantics (the per-pair jaccard report) still need
+    minhash_dedup_pairs."""
+    if memo:
+        membership, signed = collapsed_docs_cached(df, id_col, text_col)
+    else:
+        membership, reps = exact_text_groups(df, id_col, text_col)
+        signed = minhash_docs(reps, id_col, text_col)
+    rep_pairs = _verified_rep_pairs(
+        membership, signed, threshold, bucket_cap
+    ).select("id_a", "id_b")
+    star = (
+        membership.join(
+            signed.select(F.col("doc_id").alias("rep_id")), "rep_id"
+        )
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    return rep_pairs.unionByName(star)
 
 
 SIMHASH_BITS = 32

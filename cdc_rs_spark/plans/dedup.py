@@ -20,6 +20,7 @@ from cdc_rs_spark.operators.dedup import (
     exact_dedup,
     exploded_ngrams,
     jaccard_verify,
+    minhash_dedup_edges,
     minhash_dedup_pairs,
     shingle_fps,
     shingles,
@@ -319,8 +320,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_rs_spark.operators.graph import connected_components
 
     d = spread(load(spark, sf_dir, "documents"))
-    pairs = minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
-    labels = connected_components(pairs, "id_a", "id_b")
+    # CC needs connectivity, not the member pair set: the edge form keeps
+    # a boilerplate clique linear (star edges) instead of quadratic
+    edges = minhash_dedup_edges(d, "doc_id", "text", threshold=0.5)
+    labels = connected_components(edges, "id_a", "id_b")
     return labels.select(F.col("v").alias("doc_id"), "component")
 
 
@@ -417,8 +420,8 @@ def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_rs_spark.operators.graph import connected_components
 
     d = spread(load(spark, sf_dir, "documents"))
-    pairs = minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
-    labels = connected_components(pairs, "id_a", "id_b")
+    edges = minhash_dedup_edges(d, "doc_id", "text", threshold=0.5)
+    labels = connected_components(edges, "id_a", "id_b")
     return labels.groupBy(F.col("component").alias("canonical_doc")).agg(
         F.count("*").alias("cluster_size"),
         (F.count("*") - 1).alias("n_dropped"),
@@ -483,8 +486,8 @@ def dedup_canonical_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_rs_spark.operators.graph import connected_components
 
     d = spread(load(spark, sf_dir, "documents"))
-    pairs = minhash_dedup_pairs(d, "doc_id", "text", threshold=0.5)
-    labels = connected_components(pairs, "id_a", "id_b").select(
+    edges = minhash_dedup_edges(d, "doc_id", "text", threshold=0.5)
+    labels = connected_components(edges, "id_a", "id_b").select(
         F.col("v").alias("doc_id"), "component"
     )
     joined = labels.join(d.select("doc_id", "n_chars"), "doc_id")
@@ -915,7 +918,7 @@ def _inc_bootstrap_dir(spark: SparkSession, sf_dir: str) -> str:
 
     from cdc_rs_spark.operators.dedup import (
         band_explode,
-        minhash_dedup_pairs,
+        minhash_dedup_edges,
         minhash_docs,
         word_tokens,
     )
@@ -961,9 +964,7 @@ def _inc_bootstrap_dir(spark: SparkSession, sf_dir: str) -> str:
         ).write.parquet(os.path.join(boot, "sig_groups"))
         # the pre-stream map = batch CC over the base half's pairs (the
         # guarded pipeline — same result, hot-bucket safe)
-        pairs0 = minhash_dedup_pairs(base, "doc_id", "text", 0.5).select(
-            "id_a", "id_b"
-        )
+        pairs0 = minhash_dedup_edges(base, "doc_id", "text", 0.5)
         init_cluster_store(
             spark, os.path.join(boot, "clusters"), threshold=0.5
         )

@@ -1512,8 +1512,7 @@ def gdpr_forget_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cdc_rs_spark.operators.dedup import (
         band_explode,
-        jaccard_verify,
-        lsh_candidate_pairs,
+        minhash_dedup_edges,
         minhash_docs,
     )
     from cdc_rs_spark.plans.similarity import EMB_DIM, N_CENTROIDS, TRAIN_CAP
@@ -1571,12 +1570,13 @@ def gdpr_forget_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sig_path
             )
             signed.select("doc_id", "sh").write.parquet(sh_path)
-            pairs0 = jaccard_verify(
-                lsh_candidate_pairs(signed.select("doc_id", "sig")),
-                signed.select("doc_id", "sh"),
-                0.5,
+            # CC-equivalent edge form (round 11): the cluster-map fold
+            # needs connectivity, not member pairs — boilerplate cliques
+            # stay linear (operators/dedup.minhash_dedup_edges docstring)
+            pairs0 = minhash_dedup_edges(
+                d.select("doc_id", "text"), "doc_id", "text", 0.5
             )
-            init_cluster_store(spark, clusters_root)
+            init_cluster_store(spark, clusters_root, threshold=0.5)
             fold_pairs(spark, clusters_root, pairs0, batch_id=0)
             init_count_store(spark, nb_root)
             toks = lambda df: (  # noqa: E731

@@ -2336,6 +2336,215 @@ def similarity_opq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _opq_trained_oracle() -> str:
+    """recall@5 of the TRAINED-permutation residual IVF-PQ: the oracle
+    re-trains the eigenvalue-allocation permutation itself — per-dim
+    opq_energies fold over the deterministic md5-bucket sample in the exact
+    row order the engine's Python fold uses (bit-identical doubles),
+    quantize to the 2^20 grid (identical bigints), rank desc, and
+    snake-assign by pure integer arithmetic — then the whole residual
+    IVF-PQ chain nests over the permuted corpus (`rote`), while the
+    exact ground truth stays in the ORIGINAL space (a permutation is
+    orthogonal; ranks are space-invariant)."""
+    from cdc_rs_spark.operators.similarity import (
+        EMB_DIM as _D,
+        OPQ_E_SCALE,
+        PQ_M,
+        PQ_SUB,
+    )
+
+    inner = (
+        _ivfpq_residual_oracle()
+        .replace("FROM embeddings", "FROM rote")
+        .replace("JOIN embeddings", "JOIN rote")
+    )
+    return f"""
+    WITH opq_sample AS (
+        SELECT vec_id, embedding FROM embeddings
+        ORDER BY {_BUCKET_SQL}, vec_id
+        LIMIT {TRAIN_CAP}
+    ),
+    opq_energies AS (
+        SELECT t.j AS dim,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(p.embedding[t.j]::DOUBLE * p.embedding[t.j]::DOUBLE
+                        ORDER BY CAST(('0x' || substring(md5(
+                            CAST(p.vec_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                            % 1000000, p.vec_id)),
+                   (a, b) -> a + b) AS e
+        FROM opq_sample p, range(1, {_D + 1}) t(j) GROUP BY t.j
+    ),
+    opq_eint AS (
+        SELECT dim, CAST(floor(e * {OPQ_E_SCALE!r}) AS BIGINT) AS e_int
+        FROM opq_energies
+    ),
+    opq_rdim AS (
+        SELECT dim, row_number() OVER (ORDER BY e_int DESC, dim) AS r
+        FROM opq_eint
+    ),
+    opq_perm AS (
+        SELECT dim,
+               CASE WHEN ((r-1) // {PQ_M}) % 2 = 0 THEN (r-1) % {PQ_M}
+                    ELSE {PQ_M} - 1 - ((r-1) % {PQ_M}) END * {PQ_SUB}
+               + ((r-1) // {PQ_M}) + 1 AS new_pos
+        FROM opq_rdim
+    ),
+    opq_pl AS (SELECT list(dim ORDER BY new_pos) AS l FROM opq_perm),
+    rote AS (
+        SELECT e.vec_id,
+               list_transform(range(1, {_D + 1}),
+                              p -> e.embedding[opq_pl.l[p]]::DOUBLE) AS embedding
+        FROM embeddings e, opq_pl
+    ),
+    qso AS (
+        SELECT vec_id AS query_id, embedding AS q_emb
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    exact_scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_dot_sql("q.q_emb", "c.embedding")}
+               / ({_norm_sql("q.q_emb")} * {_norm_sql("c.embedding")}) AS cos
+        FROM embeddings c CROSS JOIN qso q
+        WHERE c.vec_id <> q.query_id
+    ),
+    exact_top AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM exact_scored
+        ) WHERE rank <= 5
+    ),
+    approx AS (
+        SELECT query_id, vec_id FROM ({inner})
+    ),
+    per_q AS (
+        SELECT e.query_id,
+               SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hit,
+               COUNT(*) AS k
+        FROM exact_top e
+        LEFT JOIN approx a ON a.query_id = e.query_id
+                          AND a.vec_id = e.vec_id
+        GROUP BY e.query_id
+    )
+    SELECT 'ivfpq_opq_trained' AS method,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / SUM(k), 6) AS mean_recall,
+           ROUND(CAST(MIN(hit) AS DOUBLE) / 5.0, 6) AS min_recall
+    FROM per_q
+    """
+
+
+@register("similarity_opq_trained_recall", oracle=_opq_trained_oracle())
+def similarity_opq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED parametric OPQ (round 11, VERDICT r10 next #4 — the
+    upgrade over the r10 seeded rotation): Ge et al. 2014's closed-form
+    solution is PCA + an eigenvalue-allocation permutation balancing
+    per-subspace variance; under the independent-dims assumption the
+    eigenbasis is the coordinate basis and the solution degenerates to a
+    variance-balancing PERMUTATION of the raw dims — a data-TRAINED
+    orthogonal transform the SQL oracle re-derives end-to-end (per-dim
+    energies over the deterministic sample in a fixed fold order, 2^20
+    integer quantization, integer snake allocation — no step can differ
+    across engines; operators/similarity.opq_train_permutation). The
+    permuted corpus then runs the IDENTICAL residual IVF-PQ machinery,
+    and recall@5 is measured against the exact top-5 in the ORIGINAL
+    space (permutations are orthogonal — ranks are invariant).
+
+    On the isotropic fixture the permutation is near-neutral by design
+    (as every OPQ member is); the trained-vs-seeded win is pinned on the
+    planted-anisotropy corpus in tests/test_extensions.py, where moving
+    hot RAW dims into distinct subspaces beats the dense Hadamard mix
+    (trained recall >= the r10 rotation's). Scale shape: training reads
+    the TRAIN_CAP sample already collected for codebooks (zero extra
+    distributed work); the transform is a map-side element shuffle —
+    cheaper than the Hadamard's d^2 adds."""
+    from cdc_rs_spark.operators.similarity import (
+        _py_cosine,
+        lloyd_refine_local,
+        opq_permute_expr,
+        opq_permute_py,
+        opq_train_permutation,
+    )
+
+    raw = load(spark, sf_dir, "embeddings")
+    exact = _exact_topk(spark, raw).filter(F.col("rank") <= 5)
+    import hashlib
+
+    def bucket(vid: int) -> int:
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:8], 16) % 1_000_000
+
+    sample_sorted = sorted(
+        _train_sample_df(raw).collect(),
+        key=lambda r: (bucket(r["vec_id"]), r["vec_id"]),
+    )
+    perm = opq_train_permutation(
+        [{"embedding": r["embedding"]} for r in sample_sorted]
+    )
+    corpus = spread(raw).select(
+        "vec_id", F.expr(opq_permute_expr(perm)).alias("embedding")
+    )
+    train_rows = [
+        {"vec_id": r["vec_id"], "embedding": opq_permute_py(r["embedding"], perm)}
+        for r in sample_sorted
+    ]
+    seeds = train_rows[:N_CENTROIDS]
+    cent_rows = lloyd_refine_local(
+        train_rows,
+        [{"cent_id": r["vec_id"], "c_emb": r["embedding"]} for r in seeds],
+    )
+    query_rows = [
+        {"query_id": r["vec_id"], "q_emb": opq_permute_py(r["embedding"], perm)}
+        for r in raw.select("vec_id", "embedding")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .collect()
+    ]
+    probe_rows = []
+    for q in query_rows:
+        ranked = sorted(
+            (-_py_cosine(q["q_emb"], c["c_emb"]), c["cent_id"])
+            for c in cent_rows
+        )[:N_PROBE]
+        probe_rows += [(q["query_id"], q["q_emb"], cid) for _, cid in ranked]
+    cents = spark.createDataFrame(
+        [(c["cent_id"], c["c_emb"]) for c in cent_rows],
+        "cent_id bigint, c_emb array<double>",
+    )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id bigint, q_emb array<double>, cent_id bigint"
+    )
+    approx = _residual_adc_topk(
+        spark, corpus, cents, probes, train_rows, query_rows, q_type="double"
+    ).select("query_id", F.col("vec_id").alias("a_vec"))
+    per_q = (
+        exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["vec_id"] == approx["a_vec"]),
+            "left",
+        )
+        .select(exact["query_id"], "a_vec")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("a_vec").isNotNull(), 1).otherwise(0)).alias(
+                "hit"
+            ),
+            F.count("*").alias("k"),
+        )
+    )
+    return per_q.agg(
+        F.lit("ivfpq_opq_trained").alias("method"),
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(
+            F.sum("hit").cast("double") / F.sum("k"), 6
+        ).alias("mean_recall"),
+        F.round(F.min("hit").cast("double") / F.lit(5.0), 6).alias(
+            "min_recall"
+        ),
+    )
+
+
 SIL_CAP = 256  # silhouette sample size (bounded pair matrix: SIL_CAP^2)
 
 

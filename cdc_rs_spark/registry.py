@@ -73,78 +73,80 @@ def register(name: str, oracle: str | None = None):
 # watermark recommendation, line-level dedup, quantization fidelity) so the
 # driver verifies the round's new surface first-hand.
 _DRIVER_WINDOW = [
-    # ROUND-10 ROTATION (VERDICT r9 next #8, the standing discipline):
-    # pin every round-10 NEW and CHANGED query first, then fill with
-    # never-pinned rotation picks and family-spread repeats. Cumulative
-    # driver coverage through r9 is 244/244; rotated-out queries keep
-    # their module order after slot 50 and stay verified locally
-    # (CORRECTNESS_LOCAL_FULL.json via tools/driver_sim.py).
+    # ROUND-11 ROTATION (the standing discipline): pin every round-11
+    # NEW and CHANGED query first, then fill with family-spread repeat
+    # greens. Cumulative driver coverage through r10 is 255/255;
+    # rotated-out queries keep their module order after slot 50 and
+    # stay verified locally (CORRECTNESS_LOCAL_FULL.json via
+    # tools/driver_sim.py).
     #
-    # NEW this round — the retraction family (CDC deletes into every
-    # streaming store), the GDPR end-to-end purge audit, OPQ rotation,
-    # and the unigram-LM tokenizer pair — pinned at birth:
-    "curation_funnel_retraction",
+    # NEW this round — MAX-monoid rebuild retraction and the trained
+    # parametric OPQ — pinned at birth:
+    "streaming_hll_retraction_rebuild",
+    "similarity_opq_trained_recall",
+    # CHANGED this round (re-pin): the whole MinHash family rides the
+    # hot-bucket guard (exact-text collapse + capped band join +
+    # prefix fallback); the incremental/retraction cluster queries ride
+    # the delegate-discipline stores + atomic purge + threshold pinning;
+    # the funnel pair and GDPR compose them; events_survival_km carries
+    # the exact half-up rounding; hll_incremental_distinct rides the
+    # additive store's explicit-schema reads and the parameterized
+    # oracle; the IVF/span pins ride the tombstone-dir resolver the
+    # readmit folds introduced; the prefix join is now the fallback
+    # blocker (load-bearing above the bucket cap).
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "dedup_cluster_report",
+    "dedup_canonical_quality",
+    "modality_agreement_audit",
+    "dedup_incremental_clusters",
     "dedup_clusters_retraction",
-    "text_nb_retraction_classifier",
-    "similarity_ivf_tombstone_topk",
+    "curation_funnel_incremental",
+    "curation_funnel_retraction",
     "gdpr_forget_end_to_end",
+    "events_survival_km",
+    "hll_incremental_distinct",
+    "similarity_ivf_tombstone_topk",
+    "dedup_span_store_probe",
+    "dedup_jaccard_prefix_join",
+    # family-spread repeat greens: retraction siblings (additive/CMS/
+    # quantile/NB paths share the fold machinery the rebuild extended),
+    # IVF/span/anchor incrementals (resolver-adjacent), dedup variants,
+    # CDC core, TPC-H anchors, events, text, graph, multimodal,
+    # sampling, ANN baseline
+    "heavy_hitters_cms_retraction",
+    "quantile_histogram_retraction",
+    "text_nb_retraction_classifier",
+    "similarity_ivf_incremental_topk",
+    "dedup_anchor_store_probe",
+    "dedup_exact_substring_spans",
+    "decontaminate_eval_overlap",
     "similarity_opq_recall_eval",
     "text_unigram_lm_train",
-    "text_unigram_encode_fertility",
-    "heavy_hitters_cms_retraction",  # CDC deletes into the CMS grid
-    "quantile_histogram_retraction",  # CDC deletes into the quantile store
-    "similarity_silhouette_eval",  # sampled cluster-quality eval (r10)
-    # CHANGED this round (re-pin): the r9 funnel + NB/cluster/IVF
-    # incremental queries share code with the new retraction paths
-    # (funnel_gates split, read_counts vocab zero-drop, fold_pairs
-    # tombstone guard, probe tombstone anti-joins, the residual-ADC
-    # refactor for OPQ); LPA/BFS gained degree-gated hub salting;
-    # decile-lift/survival/IO-roundtrip carry the ADVICE r9 fixes;
-    # the anchor store probe rides the span store's delete path
-    "curation_funnel_incremental",
-    "text_nb_incremental_classifier",
-    "dedup_incremental_clusters",
-    "similarity_ivf_incremental_topk",
-    "similarity_ivfpq_incremental_topk",
-    "similarity_ivfpq_residual_topk",
-    "similarity_ivfpq_residual_incremental_topk",
-    "part_community_lpa",
-    "part_bfs_distance",
-    "text_nb_decile_lift",
-    "events_survival_km",
-    "io_format_roundtrip_checksum",
-    "dedup_anchor_store_probe",
-    # NEVER-PINNED rotation picks (first driver look at these twelve)
+    "cdc_backfill_bigquery",
+    "cdc_merge_live_wins",
+    "cdc_retraction_algebra",
+    "gdpr_forget_manifest",
+    "q1_pricing_summary",
     "q4_order_priority",
     "q6_revenue_forecast",
     "q7_volume_shipping",
     "q10_returned_items",
-    "q11_important_parts",
     "q16_supplier_count",
     "q19_disjunctive_revenue",
+    "q21_late_suppliers",
     "rollup_order_stats",
     "cube_lineitem_flags",
-    "distinct_agg_parts_per_flag",
-    "date_functions_orders",
-    "outlier_iqr_lineitem",
-    # family-spread repeat greens (CDC core incl. the batch retraction
-    # algebra and the forget manifest the new e2e composes, TPC-H
-    # anchors, events, dedup, ANN baseline, text gates, multimodal,
-    # sampling, sketches, splits)
-    "cdc_backfill_bigquery",
-    "cdc_retraction_algebra",
-    "gdpr_forget_manifest",
-    "q1_pricing_summary",
-    "q21_late_suppliers",
     "events_session_window",
     "events_funnel_conversion",
-    "dedup_minhash_lsh",
-    "dedup_semantic_ivf_centroids",
-    "similarity_bruteforce_topk",
+    "text_nb_incremental_classifier",
     "text_quality_filter_median",
     "text_cleaning_funnel",
+    "part_community_lpa",
+    "part_bfs_distance",
     "multimodal_image_decode",
     "sample_stratified_cap",
+    "similarity_bruteforce_topk",
 ]
 
 

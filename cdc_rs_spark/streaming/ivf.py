@@ -834,7 +834,14 @@ def _stable_snapshot(
 
 
 def _tomb_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "tomb")
+    """Resolve the live tombstone directory: readmit_vectors publishes a
+    rewritten set under a NEW versioned dir named by the meta's
+    `tomb_dir` key (atomic flip); 'tomb' is the default."""
+    try:
+        name = _read_meta(index_dir).get("tomb_dir") or "tomb"
+    except FileNotFoundError:
+        name = "tomb"
+    return os.path.join(index_dir, name)
 
 
 def tombstones(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -926,6 +933,68 @@ def remove_vectors(
     return {
         "n_removed": len(ids),
         "n_reservoir_purged": n_purged,
+        "skipped_duplicate": False,
+    }
+
+
+def readmit_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    readmitted: DataFrame,
+    batch_id: int | None = None,
+    stream_id: str = "d",
+) -> dict:
+    """TOMBSTONE-CLEAR / re-admit fold (round 11, VERDICT r10 next #3 —
+    the DMCA-counter-notice path): remove vec_ids from the tombstone set
+    so FUTURE appends under those ids index normally again. After
+    compaction has physically erased the rows, this restores NOTHING by
+    itself — re-ingestion via append_batch is the only way back, with
+    exactly never-seen semantics; BEFORE compaction the still-on-disk
+    list rows become probe-visible again immediately (the counter-notice
+    fast path — the reservoir purge is not undone either way, so a
+    future re-train learns the vector only if it is re-appended).
+    Ledgered (a replayed clear is skipped) and
+    atomic: the surviving set writes to a NEW versioned dir and the
+    meta's tomb_dir flips in one replace. Clearing a never-tombstoned id
+    is a harmless no-op."""
+    _validate_stream_id(stream_id)
+    meta = _read_meta(index_dir)
+    ledger = meta.get("last_batch_by_stream") or {}
+    if batch_id is not None and int(batch_id) <= int(
+        ledger.get(stream_id, -1)
+    ):
+        return {"n_readmitted": 0, "n_tombstones_left": None,
+                "skipped_duplicate": True}
+    ids = readmitted.select(
+        F.col("vec_id").cast("bigint").alias("vec_id")
+    ).distinct()
+    kept = tombstones(spark, index_dir).distinct().join(
+        F.broadcast(ids), "vec_id", "left_anti"
+    )
+    n = int(meta.get("tomb_seq", 0)) + 1
+    new_name = f"tomb-{n:06d}"
+    kept.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_dir, new_name)
+    )
+    n_left = spark.read.schema("vec_id bigint").parquet(
+        os.path.join(index_dir, new_name)
+    ).count()
+    old_tomb = _tomb_path(index_dir)
+    meta = _read_meta(index_dir)  # publish point
+    meta["tomb_dir"] = new_name
+    meta["tomb_seq"] = n
+    if batch_id is not None:
+        led = dict(meta.get("last_batch_by_stream") or {})
+        led[stream_id] = max(int(led.get(stream_id, -1)), int(batch_id))
+        meta["last_batch_by_stream"] = led
+    _write_meta(index_dir, meta)
+    if os.path.isdir(old_tomb) and os.path.basename(old_tomb) != new_name:
+        import shutil
+
+        shutil.rmtree(old_tomb, ignore_errors=True)
+    return {
+        "n_readmitted": int(ids.count()),
+        "n_tombstones_left": n_left,
         "skipped_duplicate": False,
     }
 

@@ -211,7 +211,13 @@ def init_span_store(
 
 
 def _span_tomb_path(root: str) -> str:
-    return os.path.join(root, "tomb")
+    """Resolve the live tombstone directory (readmit publishes rewritten
+    sets under versioned dirs named by the meta's tomb_dir key)."""
+    try:
+        name = _read_span_meta(root).get("tomb_dir") or "tomb"
+    except FileNotFoundError:
+        name = "tomb"
+    return os.path.join(root, name)
 
 
 def span_tombstones(spark: SparkSession, root: str) -> DataFrame:
@@ -257,6 +263,60 @@ def remove_docs_from_span_store(
         meta["last_batch_by_stream"] = led
     _write_span_meta(root, meta)
     return {"n_removed": int(n), "skipped_duplicate": False}
+
+
+def readmit_docs_to_span_store(
+    spark: SparkSession,
+    root: str,
+    readmitted: DataFrame,
+    batch_id: int | None = None,
+    stream_id: str = "d",
+) -> dict:
+    """TOMBSTONE-CLEAR / re-admit fold (round 11, VERDICT r10 next #3):
+    remove doc ids from the tombstone set so future span folds may
+    re-index them. Restores no rows by itself (compaction erased them —
+    re-ingestion is the only way back, with never-seen semantics);
+    ledgered under its own '{stream}!ra' line; published atomically via
+    a versioned dir + one meta flip. Clearing a never-tombstoned id is a
+    no-op."""
+    meta = _read_span_meta(root)
+    ledger = meta.get("last_batch_by_stream") or {}
+    key = f"{stream_id}!ra"
+    if batch_id is not None and int(batch_id) <= int(ledger.get(key, -1)):
+        return {"n_readmitted": 0, "n_tombstones_left": None,
+                "skipped_duplicate": True}
+    ids = readmitted.select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    ).distinct()
+    seq = int(meta.get("tomb_seq", 0)) + 1
+    new_name = f"tomb-{seq:06d}"
+    kept = span_tombstones(spark, root).distinct().join(
+        F.broadcast(ids), "doc_id", "left_anti"
+    )
+    kept.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(root, new_name)
+    )
+    n_left = spark.read.schema("doc_id bigint").parquet(
+        os.path.join(root, new_name)
+    ).count()
+    old_tomb = _span_tomb_path(root)
+    meta = _read_span_meta(root)
+    meta["tomb_dir"] = new_name
+    meta["tomb_seq"] = seq
+    if batch_id is not None:
+        led = dict(meta.get("last_batch_by_stream") or {})
+        led[key] = max(int(led.get(key, -1)), int(batch_id))
+        meta["last_batch_by_stream"] = led
+    _write_span_meta(root, meta)
+    if os.path.isdir(old_tomb) and os.path.basename(old_tomb) != new_name:
+        import shutil
+
+        shutil.rmtree(old_tomb, ignore_errors=True)
+    return {
+        "n_readmitted": int(ids.count()),
+        "n_tombstones_left": n_left,
+        "skipped_duplicate": False,
+    }
 
 
 def live_span_store(spark: SparkSession, root: str) -> DataFrame:

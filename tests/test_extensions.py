@@ -1524,3 +1524,120 @@ def test_opq_rotation_recovers_recall_on_planted_anisotropic_corpus():
     assert rot_recall > raw_recall, (rot_recall, raw_recall)
     # the planted gap is material, not noise
     assert rot_recall - raw_recall >= 0.1, (rot_recall, raw_recall)
+
+
+def test_opq_trained_permutation_parity_and_planted_win(spark):
+    """The trained eigenvalue-allocation permutation (round 11): (a) the
+    three application mirrors (Spark expr / driver Python / the SQL
+    oracle's list indexing) agree bit-for-bit and the transform is
+    orthogonal (a permutation matrix); (b) on the planted-anisotropy
+    corpus — energy concentrated in PQ subspace 0 — the TRAINED
+    permutation's recall@5 >= the r10 seeded Hadamard rotation's (it
+    moves hot dims into distinct subspaces without correlating
+    coordinates), and both beat raw PQ."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cdc_rs_spark.operators.similarity import (
+        PQ_M,
+        PQ_SUB,
+        _py_cosine,
+        _py_d2,
+        _py_sub,
+        opq_permute_expr,
+        opq_permute_py,
+        opq_rotate_py,
+        opq_train_permutation,
+        pq_train_local,
+    )
+
+    rng = np.random.RandomState(10)
+    n, dim = 256, 64
+    X = np.zeros((n, dim))
+    X[:, :PQ_SUB] = rng.randn(n, PQ_SUB)  # subspace 0 carries the signal
+    X[:, PQ_SUB:] = 0.05 * rng.randn(n, dim - PQ_SUB)
+    X = X.astype(np.float32)
+    vecs = [[float(x) for x in row] for row in X]
+    train_rows = [{"embedding": v} for v in vecs]
+    perm = opq_train_permutation(train_rows)
+    # a genuine permutation of 1..64
+    assert sorted(perm) == list(range(1, dim + 1))
+    # the 16 hot dims (1..16) spread 4-to-a-subspace
+    for m in range(PQ_M):
+        hot = sum(
+            1 for p in perm[m * PQ_SUB:(m + 1) * PQ_SUB] if p <= PQ_SUB
+        )
+        assert hot == PQ_SUB // PQ_M, (m, hot)
+    # (a) three-way application parity
+    df = spark.createDataFrame(
+        list(enumerate(vecs[:5])), "vec_id bigint, embedding array<float>"
+    )
+    got_spark = {
+        r["vec_id"]: r["r"]
+        for r in df.select(
+            "vec_id", F.expr(opq_permute_expr(perm)).alias("r")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (vec_id BIGINT, embedding FLOAT[])")
+    for vid, v in enumerate(vecs[:5]):
+        con.execute("INSERT INTO t VALUES (?, ?)", [vid, v])
+    pl = "[" + ", ".join(str(d) for d in perm) + "]"
+    got_duck = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT vec_id, list_transform({pl}, d -> embedding[d]::DOUBLE)"
+            " FROM t"
+        ).fetchall()
+    }
+    for vid in range(5):
+        py = opq_permute_py(vecs[vid], perm)
+        assert got_spark[vid] == py == got_duck[vid]
+        assert sorted(py) == sorted(float(x) for x in vecs[vid])
+
+    # (b) planted recall: trained permutation >= seeded rotation > raw
+    queries = list(range(8))
+
+    def exact_top5(space):
+        out = {}
+        for q in queries:
+            scored = sorted(
+                (-_py_cosine(space[q], space[v]), v)
+                for v in range(n) if v != q
+            )[:5]
+            out[q] = {v for _, v in scored}
+        return out
+
+    def pq_recall(space):
+        rows = [{"vec_id": i, "embedding": space[i]} for i in range(n)]
+        cb = pq_train_local(rows)
+        by_m = {}
+        for r in cb:
+            by_m.setdefault(r["m"], []).append(r)
+        recon = []
+        for v in space:
+            xh = []
+            for m in range(PQ_M):
+                sub = _py_sub(v, m, PQ_SUB)
+                best = min(
+                    (_py_d2(sub, c["c_sub"]), c["code"], c["c_sub"])
+                    for c in by_m[m]
+                )
+                xh.extend(best[2])
+            recon.append(xh)
+        truth = exact_top5(space)
+        hits = 0
+        for q in queries:
+            approx = sorted(
+                (-_py_cosine(space[q], recon[v]), v)
+                for v in range(n) if v != q
+            )[:5]
+            hits += len({v for _, v in approx} & truth[q])
+        return hits / (5.0 * len(queries))
+
+    raw_recall = pq_recall(vecs)
+    rot_recall = pq_recall([opq_rotate_py(v) for v in vecs])
+    trained_recall = pq_recall([opq_permute_py(v, perm) for v in vecs])
+    assert trained_recall >= rot_recall, (trained_recall, rot_recall)
+    assert trained_recall > raw_recall, (trained_recall, raw_recall)

@@ -384,3 +384,48 @@ def test_remove_docs_stops_witnessing_and_compaction_erases(spark, tmp_path):
         ).collect()
     }
     assert 1 not in epoch_ids and {2, 7, 8} <= epoch_ids
+
+
+def test_readmit_reopens_span_store_after_remove(spark, tmp_path):
+    """remove -> compact (erasure) -> readmit -> re-ingest == never-
+    removed baseline (round 11, VERDICT r10 next #3); the clear fold is
+    ledgered and restores nothing by itself."""
+    from cdc_rs_spark.streaming.spans import (
+        compact_span_store,
+        live_span_store,
+        readmit_docs_to_span_store,
+        remove_docs_from_span_store,
+        span_tombstones,
+    )
+
+    store = str(tmp_path / "span_store")
+    fn = spans_foreach_batch(store, lambda df, b: df.collect())
+    fn(_docs(spark, [(1, SHARED + UNIQUE1)]), 0)
+    fn(_docs(spark, [(2, SHARED + UNIQUE2)]), 1)
+    baseline_rows = live_span_store(spark, store).count()
+    remove_docs_from_span_store(
+        spark, store, spark.createDataFrame([(1,)], "doc_id bigint"),
+        batch_id=0,
+    )
+    compact_span_store(spark, store, keep_epochs=0)  # physical erasure
+    stats = readmit_docs_to_span_store(
+        spark, store, spark.createDataFrame([(1,)], "doc_id bigint"),
+        batch_id=1,
+    )
+    assert stats["n_readmitted"] == 1
+    assert span_tombstones(spark, store).count() == 0
+    # restores nothing by itself
+    assert {
+        r["doc_id"] for r in live_span_store(spark, store).collect()
+    } == {2}
+    # re-ingestion brings the doc back with never-seen semantics
+    fn(_docs(spark, [(1, SHARED + UNIQUE1)]), 2)
+    assert live_span_store(spark, store).count() == baseline_rows
+    assert {
+        r["doc_id"] for r in live_span_store(spark, store).collect()
+    } == {1, 2}
+    # replayed clear is a ledger no-op
+    assert readmit_docs_to_span_store(
+        spark, store, spark.createDataFrame([(1,)], "doc_id bigint"),
+        batch_id=1,
+    )["skipped_duplicate"]

@@ -36,14 +36,32 @@ EMB_DIM = 64
 N_LABELS = 10
 
 
-def gen_documents(n: int, rng: np.random.Generator) -> pa.Table:
+BOILERPLATE = (
+    "subscribe to our newsletter for the latest updates and offers "
+    "terms of service apply all rights reserved contact us today"
+)
+
+
+def gen_documents(
+    n: int, rng: np.random.Generator, boilerplate_rate: float = 0.0
+) -> pa.Table:
+    """`boilerplate_rate` > 0 plants that fraction of docs as BYTE-
+    IDENTICAL copies of one template — the web-corpus skew that makes an
+    unguarded LSH band join quadratic (round 11: the hot-bucket probe
+    fixture; rate-fixed so skew density is scale-invariant and the
+    linear-vs-quadratic comparison stays meaningful)."""
     texts: list[str] = []
     for i in range(n):
+        if boilerplate_rate and rng.random() < boilerplate_rate:
+            texts.append(BOILERPLATE)
+            continue
         n_words = int(rng.integers(8, 106))
         words = rng.choice(VOCAB, size=n_words)
         texts.append(" ".join(words))
     # plant dups against earlier docs (rate-fixed => density scale-free)
     for i in range(n):
+        if texts[i] is BOILERPLATE:
+            continue
         u = rng.random()
         if i > 10 and u < EXACT_DUP_RATE:
             texts[i] = texts[int(rng.integers(0, i))]
@@ -125,9 +143,13 @@ def gen_events(n: int, rng: np.random.Generator) -> pa.Table:
 def main() -> int:
     n_docs, n_vecs, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     n_events = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    boilerplate_rate = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(42)
-    pq.write_table(gen_documents(n_docs, rng), os.path.join(out, "documents.parquet"))
+    pq.write_table(
+        gen_documents(n_docs, rng, boilerplate_rate),
+        os.path.join(out, "documents.parquet"),
+    )
     pq.write_table(gen_embeddings(n_vecs, rng), os.path.join(out, "embeddings.parquet"))
     if n_events:
         pq.write_table(gen_events(n_events, rng), os.path.join(out, "events.parquet"))
