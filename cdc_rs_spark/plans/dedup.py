@@ -1119,6 +1119,78 @@ def dedup_clusters_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+@register("dedup_clusters_readmit", oracle=_cc_oracle())
+def dedup_clusters_readmit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOMBSTONE-CLEAR / RE-ADMIT, end to end (round 11, VERDICT r10
+    next #3 — the DMCA-counter-notice lifecycle): the corpus streams into
+    the persisted cluster store, a DELETE batch removes the doc_id % 11
+    cohort (dedup_clusters_retraction's fold), purge_band_stores
+    physically erases its band/shingle/group rows (the atomic
+    pointer-swap rewrite), readmit_docs then CLEARS the cohort's
+    tombstones (ledgered, restores nothing by itself), and the cohort
+    RE-INGESTS as a fresh micro-batch. The resolved map must equal batch
+    CC over the FULL corpus' MinHash pairs — the never-removed oracle
+    (_cc_oracle, shared with dedup_incremental_clusters): remove ->
+    purge -> readmit -> re-ingest is exactly identity, which is the
+    whole un-forget contract. Replay idempotence of the clear fold and
+    the restores-nothing midpoint are pinned in
+    tests/test_lsh_hot_bucket.py.
+
+    Scale shape: the delete/readmit folds are request-bounded; the purge
+    is the store rewrite already scheduled on takedown cadence; the
+    re-ingest is one ordinary micro-batch (never-seen semantics — the
+    delegate discipline re-signs one representative per distinct
+    readmitted text)."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_rs_spark.benchphase import build_phase
+    from cdc_rs_spark.streaming.clusters import (
+        clusters_foreach_batch,
+        live_cluster_map,
+        purge_band_stores,
+        readmit_docs,
+        remove_docs,
+    )
+
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="readmit_clusters_")
+    try:
+        with build_phase():
+            boot = _inc_bootstrap_dir(spark, sf_dir)
+            for name in ("sig", "sh", "sig_groups", "clusters"):
+                shutil.copytree(
+                    os.path.join(boot, name), os.path.join(tmp, name)
+                )
+            croot = os.path.join(tmp, "clusters")
+            sig = os.path.join(tmp, "sig")
+            sh = os.path.join(tmp, "sh")
+            fn = clusters_foreach_batch(sig, sh, croot, threshold=0.5)
+            fn(d.filter(F.col("doc_id") % 4 == 1), 0)
+            fn(d.filter(F.col("doc_id") % 4 == 3), 1)
+            cohort = d.filter(F.col("doc_id") % 11 == 0)
+            remove_docs(
+                spark, croot, cohort.select("doc_id"),
+                sig_store_path=sig, shingle_store_path=sh,
+                threshold=0.5, batch_id=2,
+            )
+            purge_band_stores(spark, croot, sig, sh)
+            readmit_docs(
+                spark, croot, cohort.select("doc_id"), batch_id=3
+            )
+            # the counter-notice re-ingest: one ordinary micro-batch
+            fn(cohort, 4)
+        result = live_cluster_map(spark, croot).select(
+            "doc_id", F.col("cluster").alias("component")
+        )
+        rows = result.collect()
+        schema = result.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _semdedup_ivf_oracle() -> str:
     from cdc_rs_spark.plans.similarity import (
         _IVF_CHAIN_SQL,

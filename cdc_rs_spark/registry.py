@@ -84,6 +84,7 @@ _DRIVER_WINDOW = [
     # parametric OPQ — pinned at birth:
     "streaming_hll_retraction_rebuild",
     "similarity_opq_trained_recall",
+    "dedup_clusters_readmit",
     # CHANGED this round (re-pin): the whole MinHash family rides the
     # hot-bucket guard (exact-text collapse + capped band join +
     # prefix fallback); the incremental/retraction cluster queries ride
@@ -132,7 +133,6 @@ _DRIVER_WINDOW = [
     "q6_revenue_forecast",
     "q7_volume_shipping",
     "q10_returned_items",
-    "q16_supplier_count",
     "q19_disjunctive_revenue",
     "q21_late_suppliers",
     "rollup_order_stats",

@@ -1130,7 +1130,7 @@ def clusters_foreach_batch(
 ) -> Callable[[DataFrame, int], None]:
     """The full ingesting-pipeline step (VERDICT r7 next #1), round-11
     form with the HOT-BUCKET GUARD (VERDICT r10 next #1 — the round-10
-    stream bench OOM\'d on a template corpus and the fix went into the
+    stream bench OOM'd on a template corpus and the fix went into the
     generator; this is the engine fix). Per micro-batch of (doc_id,
     text):
 
@@ -1155,10 +1155,10 @@ def clusters_foreach_batch(
          distinct-text skew degrades to the deterministic blocker instead
          of a quadratic explode. Any pair whose every shared bucket
          overflows has both members in the routed set — nothing is
-         dropped. Below the cap (all tested scales; sf0.1\'s max
+         dropped. Below the cap (all tested scales; sf0.1's max
          distinct-text bucket is 4) the pair set is EXACTLY the
          unguarded one — the collapse is an identity
-         (dedup_incremental_clusters\' oracle pins it);
+         (dedup_incremental_clusters' oracle pins it);
       4. fold_pairs merges star + delegate + verified pairs into the
          epoch-published, ledger-idempotent map; optional compaction
          every N folds.
@@ -1166,13 +1166,11 @@ def clusters_foreach_batch(
     Store appends stay BEFORE the fold commit (append-first — the crash
     anywhere leaves a replayable state; round-8 lesson). A crashed
     retry whose group rows landed re-probes its own self-delegate groups
-    (the del == rep case) so the interrupted batch\'s pairs still fold.
+    (the del == rep case) so the interrupted batch's pairs still fold.
     After any prefix of batches, live_cluster_map == batch CC over all
     near-dup pairs among every doc ingested so far — the invariant the
     registered query dedup_incremental_clusters oracle-checks. Reads and
     appends resolve through the purge pointer (_resolve_store)."""
-    from pyspark.sql import Window
-
     from cdc_rs_spark.operators.dedup import (
         band_explode,
         jaccard_verify,
@@ -1185,7 +1183,7 @@ def clusters_foreach_batch(
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # ledger gate FIRST: a batch at or below its stream\'s committed
+        # ledger gate FIRST: a batch at or below its stream's committed
         # line already ran to completion (fold commit is the LAST step),
         # so its bands/shingles/groups are in the stores — skip it all.
         ledger = (
@@ -1208,8 +1206,14 @@ def clusters_foreach_batch(
         sh_cur = _resolve_store(shingle_store_path)
         gcur = _resolve_store(gpath_base)
         # collapse: only signable docs (>= 3 tokens) ever pair — the
-        # group rows mirror that so remove_docs\' star edges match LSH
+        # group rows mirror that so remove_docs' star edges match LSH
         # semantics exactly
+        # collapse with ONE shuffle: the min-over-gkey window gives
+        # every row its rep — star edges, the group relation, and the
+        # membership append all reuse that single exchange (the agg+join
+        # first cut shuffled the text column twice)
+        from pyspark.sql import Window
+
         keyed = (
             batch_df.filter(F.size(word_tokens(F.col("text"))) >= 3)
             .select(
@@ -1217,27 +1221,29 @@ def clusters_foreach_batch(
                 "text",
                 _gkey("text").alias("gkey"),
             )
-        )
-        groups = keyed.groupBy("gkey").agg(
-            F.min("doc_id").alias("rep_id"),
-            F.min_by("text", "doc_id").alias("text"),
-        ).persist()
-        try:
-            star = (
-                keyed.select("doc_id", "gkey")
-                .join(groups.select("gkey", "rep_id"), "gkey")
-                .filter(F.col("doc_id") != F.col("rep_id"))
-                .select(
-                    F.col("rep_id").alias("id_a"),
-                    F.col("doc_id").alias("id_b"),
-                )
+            .withColumn(
+                "rep_id",
+                F.min("doc_id").over(Window.partitionBy("gkey")),
             )
-            # live delegates for the batch\'s gkeys (broadcast tombstone
-            # anti-join — delete-bounded set)
+            .persist()
+        )
+        groups = keyed.filter(F.col("doc_id") == F.col("rep_id")).select(
+            "gkey", "rep_id", "text"
+        )
+        try:
+            star = keyed.filter(F.col("doc_id") != F.col("rep_id")).select(
+                F.col("rep_id").alias("id_a"),
+                F.col("doc_id").alias("id_b"),
+            )
+            gkeys_b = F.broadcast(groups.select("gkey"))
+            # live delegates restricted to the BATCH's gkeys up front
+            # (broadcast semi-shape) — the store is corpus-sized, the
+            # batch is not; tombstone anti-join stays broadcast too
             if os.path.isdir(gcur):
                 gstore = spark.read.schema(_GROUP_SCHEMA).parquet(gcur)
                 live_del = (
                     gstore.filter("delegate")
+                    .join(gkeys_b, "gkey")
                     .select("gkey", F.col("doc_id").alias("del_id"))
                     .distinct()
                     .join(
@@ -1255,55 +1261,67 @@ def clusters_foreach_batch(
             # PIN the pre-append probe state: parquet reads re-list
             # files per action, so without this the batch's own group
             # append would flip its groups to "known" before the band
-            # append/probe ran (the self-invalidating-read trap).
-            # Batch-bounded rows — the checkpoint is one skinny write.
-            j = groups.join(live_del, "gkey", "left").localCheckpoint(
-                eager=True
-            )
-            known = (
-                j.filter(
-                    F.col("del_id").isNotNull()
-                    & (F.col("del_id") != F.col("rep_id"))
+            # append/probe ran (the self-invalidating-read trap). Only
+            # the SKINNY per-gkey delegate aggregate is checkpointed —
+            # the first cut checkpointed the joined (gkey, rep, TEXT)
+            # rows and regrouped on a text-bearing key, tripling the
+            # fold's wall time (stream-bench cluster_fold 4.8 -> 15 s).
+            ldagg = (
+                live_del.groupBy("gkey")
+                .agg(
+                    F.count(F.lit(1)).alias("__nd"),
+                    F.min("del_id").alias("__mind"),
                 )
+                .localCheckpoint(eager=True)
+            )
+            g2 = groups.join(F.broadcast(ldagg), "gkey", "left")
+            # known-group edges read live_del lazily AFTER the group
+            # append — safe: the append adds delegate rows only for NEW
+            # groups with del_id == rep_id, which the filter drops
+            known = (
+                live_del.join(
+                    F.broadcast(groups.select("gkey", "rep_id")), "gkey"
+                )
+                .filter(F.col("del_id") != F.col("rep_id"))
                 .select(
                     F.col("rep_id").alias("id_a"),
                     F.col("del_id").alias("id_b"),
                 )
                 .distinct()
             )
-            gagg = j.groupBy("gkey", "rep_id", "text").agg(
-                F.max(
-                    (
-                        F.col("del_id").isNotNull()
-                        & (F.col("del_id") != F.col("rep_id"))
-                    ).cast("int")
-                ).alias("has_ext"),
-                F.max(F.col("del_id").isNotNull().cast("int")).alias(
-                    "has_any"
-                ),
+            has_any = F.col("__nd").isNotNull()
+            # >= 2 distinct live delegates: at least one differs from rep
+            has_ext = F.col("__nd").isNotNull() & (
+                (F.col("__nd") > 1) | (F.col("__mind") != F.col("rep_id"))
             )
             # probe set: groups with no EXTERNAL live delegate. Includes
             # the self-delegate case (a crashed attempt appended this
-            # rep\'s rows but the fold never committed — re-probe so its
+            # rep's rows but the fold never committed — re-probe so its
             # pairs still fold). Bands/groups append only for truly NEW
-            # groups (has_any == 0) — a retry never duplicates them.
-            probe_reps = gagg.filter(
-                F.coalesce(F.col("has_ext"), F.lit(0)) == 0
-            ).select(F.col("rep_id").alias("doc_id"), "text")
-            new_reps = gagg.filter(
-                F.coalesce(F.col("has_any"), F.lit(0)) == 0
-            ).select("gkey", F.col("rep_id").alias("doc_id"), "text")
+            # groups (no live delegate at all) — a retry never
+            # duplicates them.
+            probe_reps = g2.filter(~has_ext).select(
+                F.col("rep_id").alias("doc_id"), "text"
+            )
+            new_reps = g2.filter(~has_any).select(
+                "gkey", F.col("rep_id").alias("doc_id"), "text"
+            )
             signed = minhash_docs(probe_reps, "doc_id", "text").persist()
             try:
                 new_ids = new_reps.select("gkey", "doc_id")
                 new_signed = signed.join(new_ids.select("doc_id"), "doc_id")
                 # append-first (round-8 lesson): group rows for EVERY
-                # batch doc (remove_docs\' star edges need membership),
+                # batch doc (remove_docs' star edges need membership),
                 # bands + shingles for new delegates only
                 (
                     keyed.select("gkey", "doc_id")
-                    .join(new_ids.withColumnRenamed("doc_id", "del_id"),
-                          "gkey", "left")
+                    .join(
+                        F.broadcast(
+                            new_ids.withColumnRenamed("doc_id", "del_id")
+                        ),
+                        "gkey",
+                        "left",
+                    )
                     .select(
                         "gkey",
                         "doc_id",
@@ -1311,65 +1329,91 @@ def clusters_foreach_batch(
                             F.col("doc_id") == F.col("del_id"), F.lit(False)
                         ).alias("delegate"),
                     )
+                    # one file per batch per store: appends are batch-
+                    # bounded, and un-coalesced writes left up to 32 tiny
+                    # files each, inflating every later read's listing
+                    # (measured in the r11 latency percentiles)
+                    .coalesce(1)
                     .write.mode("append")
                     .parquet(gcur)
                 )
-                band_explode(new_signed.select("doc_id", "sig")).write.mode(
-                    "append"
-                ).parquet(sig_cur)
-                new_signed.select("doc_id", "sh").write.mode(
+                band_explode(new_signed.select("doc_id", "sig")).coalesce(
+                    1
+                ).write.mode("append").parquet(sig_cur)
+                new_signed.select("doc_id", "sh").coalesce(1).write.mode(
                     "append"
                 ).parquet(sh_cur)
-                # capped band probe: store rows in matched buckets rank
-                # by doc_id; overflow routes to the prefix blocker
+                # capped band probe: buckets holding more than
+                # bucket_cap store rows leave the band join entirely and
+                # route through the prefix blocker (the batch guard's
+                # semantics). The matched store slice is persisted and
+                # sized with ONE aggregate action — the size probe both
+                # bounds the join AND gates the fallback arm, so the
+                # common no-skew batch never schedules the fallback's
+                # stages (the first cut built them unconditionally and
+                # empty-stage overhead tripled the fold wall time).
                 sig_store = spark.read.parquet(sig_cur)
                 sh_store = spark.read.parquet(sh_cur)
                 probe_bands = band_explode(signed.select("doc_id", "sig"))
                 matched = sig_store.join(
-                    probe_bands.select("band", "bkey").distinct(),
+                    F.broadcast(
+                        probe_bands.select("band", "bkey").distinct()
+                    ),
                     ["band", "bkey"],
+                ).persist()
+                sizes = matched.groupBy("band", "bkey").agg(
+                    F.count(F.lit(1)).alias("__n")
                 )
-                rk = F.row_number().over(
-                    Window.partitionBy("band", "bkey").orderBy("doc_id")
-                )
-                ranked = matched.withColumn("__rk", rk)
+                over_b = [
+                    (r["band"], r["bkey"])
+                    for r in sizes.filter(
+                        F.col("__n") > bucket_cap
+                    ).collect()
+                ]
+                small = matched
+                if over_b:
+                    ob = F.broadcast(
+                        spark.createDataFrame(
+                            over_b, "band int, bkey string"
+                        )
+                    )
+                    small = matched.join(
+                        ob, ["band", "bkey"], "left_anti"
+                    )
                 cand = (
                     probe_bands.withColumnRenamed("doc_id", "id_a")
                     .join(
-                        ranked.filter(F.col("__rk") <= bucket_cap)
-                        .withColumnRenamed("doc_id", "id_b"),
+                        small.withColumnRenamed("doc_id", "id_b"),
                         ["band", "bkey"],
                     )
                     .filter(F.col("id_a") != F.col("id_b"))
                     .select("id_a", "id_b")
                     .distinct()
                 )
-                # overflow docs: store rows past the cap + every probe
-                # doc touching an overflowed bucket — both sides of any
-                # pair living only in oversized buckets are here
-                over_buckets = (
-                    ranked.filter(F.col("__rk") > bucket_cap)
-                    .select("band", "bkey")
-                    .distinct()
-                )
-                over_docs = (
-                    ranked.join(over_buckets, ["band", "bkey"])
-                    .select("doc_id")
-                    .unionByName(
-                        probe_bands.join(over_buckets, ["band", "bkey"])
+                if over_b:
+                    # overflow docs: every store row and every probe doc
+                    # touching an oversized bucket — both sides of any
+                    # pair living only in oversized buckets are here
+                    ob = F.broadcast(
+                        spark.createDataFrame(
+                            over_b, "band int, bkey string"
+                        )
+                    )
+                    over_docs = (
+                        matched.join(ob, ["band", "bkey"])
                         .select("doc_id")
+                        .unionByName(
+                            probe_bands.join(ob, ["band", "bkey"])
+                            .select("doc_id")
+                        )
+                        .distinct()
                     )
-                    .distinct()
-                )
-                over_cand = prefix_filtered_candidates(
-                    sh_store.join(over_docs, "doc_id"), threshold
-                )
+                    over_cand = prefix_filtered_candidates(
+                        sh_store.join(over_docs, "doc_id"), threshold
+                    )
+                    cand = cand.unionByName(over_cand).distinct()
                 pairs = (
-                    jaccard_verify(
-                        cand.unionByName(over_cand).distinct(),
-                        sh_store,
-                        threshold,
-                    )
+                    jaccard_verify(cand, sh_store, threshold)
                     .select("id_a", "id_b")
                     .unionByName(star)
                     .unionByName(known)
@@ -1392,7 +1436,11 @@ def clusters_foreach_batch(
                     on_stats(stats, batch_id)
             finally:
                 signed.unpersist(blocking=False)
+                try:
+                    matched.unpersist(blocking=False)
+                except UnboundLocalError:
+                    pass
         finally:
-            groups.unpersist(blocking=False)
+            keyed.unpersist(blocking=False)
 
     return fn

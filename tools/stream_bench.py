@@ -233,6 +233,32 @@ def bench_store_folds(spark, root: str, n_docs: int = 20_000) -> dict:
     timed("ivf_remove_1pct", lambda: remove_vectors(
         spark, index_dir,
         emb.filter("vec_id % 100 = 0").select("vec_id"), batch_id=0))
+    # the round-10 OOM corpus: n_docs byte-identical copies of one
+    # boilerplate template through the cluster fold — the hot-bucket
+    # guard's engine-fix proof (exact-text collapse => one delegate's 8
+    # band rows stored, star edges, linear fold; the unguarded r10 fold
+    # exploded quadratically on exactly this feed)
+    template = (
+        "subscribe to our newsletter for the latest updates and offers "
+        "terms of service apply all rights reserved contact us today "
+    ) * 2
+    boiler = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.lit(template).alias("text")
+    ).localCheckpoint(eager=True)
+    b_root = os.path.join(root, "boiler_clusters")
+    b_sig, b_sh = os.path.join(root, "b_sig"), os.path.join(root, "b_sh")
+    spark.createDataFrame(
+        [], "doc_id bigint, band int, bkey string"
+    ).write.parquet(b_sig)
+    spark.createDataFrame(
+        [], "doc_id bigint, sh array<string>"
+    ).write.parquet(b_sh)
+    init_cluster_store(spark, b_root)
+    bfn = clusters_foreach_batch(b_sig, b_sh, b_root)
+    def _fold_boiler():
+        bfn(boiler, 0)
+        assert spark.read.parquet(b_sig).count() == 8  # one delegate
+    timed("cluster_fold_boilerplate_20k_copies", _fold_boiler)
     return out
 
 
