@@ -335,12 +335,30 @@ def expand_group_pairs(
     return cross.unionByName(within)
 
 
-_COLLAPSED_CACHE: list = []  # (appId, source_df, key, membership, signed)
+_COLLAPSED_CACHE: list = []  # (appId, src_df, key, membership, signed, stats)
+
+
+def _collapse_stats(membership: DataFrame, signed: DataFrame) -> dict:
+    """One action over the two persisted relations: the max (band, bkey)
+    population and whether any exact-dup group has >1 member. Both guard
+    arms key off these — when max_bucket <= cap the prefix fallback is
+    provably inert, and when every group is a singleton the expansion is
+    provably the identity, so the common isotropic-corpus plan schedules
+    NEITHER arm's stages (empty-input stages still cost scheduler time —
+    the round-11 stream-bench lesson, applied to the batch operator)."""
+    b = band_explode(signed.select("doc_id", "sig")).groupBy(
+        "band", "bkey"
+    ).count().agg(F.coalesce(F.max("count"), F.lit(0)).alias("mb"))
+    m = membership.agg(
+        (F.count(F.lit(1)) > F.count_distinct("rep_id")).alias("multi")
+    )
+    row = b.crossJoin(m).collect()[0]
+    return {"max_bucket": int(row["mb"]), "has_multi": bool(row["multi"])}
 
 
 def collapsed_docs_cached(
     df: DataFrame, id_col: str, text_col: str
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, dict]:
     """Session-memoized persisted (membership, signed-reps) pair — the
     materialized signatures/shingles table a production dedup deployment
     builds ONCE and serves to every consumer, now in collapsed form (one
@@ -358,25 +376,20 @@ def collapsed_docs_cached(
     global _COLLAPSED_CACHE
     key = (id_col, text_col, tuple(sorted(df.inputFiles())))
     live = [e for e in _COLLAPSED_CACHE if e[0] == app]
-    for a, src, k, membership, signed in live:
+    for a, src, k, membership, signed, stats in live:
         if k == key and src.sameSemantics(df):
-            return membership, signed
+            return membership, signed, stats
     while len(live) >= 4:  # evict before insert: never more than 4 persisted
         old = live.pop(0)
         old[3].unpersist(blocking=False)
         old[4].unpersist(blocking=False)
     membership, reps = exact_text_groups(df, id_col, text_col)
-    live.append(
-        (
-            app,
-            df,
-            key,
-            membership.persist(),
-            minhash_docs(reps, id_col, text_col).persist(),
-        )
-    )
+    membership = membership.persist()
+    signed = minhash_docs(reps, id_col, text_col).persist()
+    stats = _collapse_stats(membership, signed)
+    live.append((app, df, key, membership, signed, stats))
     _COLLAPSED_CACHE = live
-    return live[-1][3], live[-1][4]
+    return live[-1][3], live[-1][4], live[-1][5]
 
 
 def minhash_dedup_pairs(
@@ -400,13 +413,25 @@ def minhash_dedup_pairs(
     signatures come from the session-level memo (the materialized
     signatures table at cluster scale). AQE's empty-relation propagation
     collapses the fallback arm at runtime when no bucket is over cap."""
-    if memo:
-        membership, signed = collapsed_docs_cached(df, id_col, text_col)
-    else:  # micro-batches are never re-queried (streaming batch_pairs)
-        membership, reps = exact_text_groups(df, id_col, text_col)
-        signed = minhash_docs(reps, id_col, text_col)
-    rep_pairs = _verified_rep_pairs(membership, signed, threshold, bucket_cap)
+    membership, signed, stats = _collapsed(df, id_col, text_col, memo)
+    rep_pairs = _verified_rep_pairs(
+        membership, signed, threshold, bucket_cap, stats
+    )
+    if stats is not None and not stats["has_multi"]:
+        # every group is a singleton: the expansion is the identity —
+        # skip its joins entirely (the common isotropic-corpus plan)
+        return rep_pairs
     return expand_group_pairs(rep_pairs, membership, signed)
+
+
+def _collapsed(df, id_col, text_col, memo):
+    if memo:
+        return collapsed_docs_cached(df, id_col, text_col)
+    # micro-batches are never re-queried (streaming batch_pairs): no
+    # memo, and no stats action either — both guard arms stay built
+    # (lazy; a per-batch flags action would cost more than it saves)
+    membership, reps = exact_text_groups(df, id_col, text_col)
+    return membership, minhash_docs(reps, id_col, text_col), None
 
 
 def _verified_rep_pairs(
@@ -414,9 +439,15 @@ def _verified_rep_pairs(
     signed: DataFrame,
     threshold: float,
     bucket_cap: int,
+    stats: dict | None,
 ) -> DataFrame:
     """The shared representative-level stage: capped band candidates,
-    prefix-filtered fallback for over-cap buckets, exact-Jaccard verify."""
+    prefix-filtered fallback for over-cap buckets, exact-Jaccard verify.
+    With memoized stats proving no bucket exceeds the cap, the plan is
+    the PLAIN band self-join — no window count, no fallback stages."""
+    if stats is not None and stats["max_bucket"] <= bucket_cap:
+        cand = lsh_candidate_pairs(signed.select("doc_id", "sig"))
+        return jaccard_verify(cand, signed.select("doc_id", "sh"), threshold)
     cand, oversized = guarded_band_candidates(signed, bucket_cap)
     ver = jaccard_verify(cand, signed.select("doc_id", "sh"), threshold)
     over_sh = signed.join(oversized, "doc_id").select("doc_id", "sh")
@@ -444,14 +475,12 @@ def minhash_dedup_edges(
     CC query's shuffle going quadratic on exactly that difference).
     Pair-level semantics (the per-pair jaccard report) still need
     minhash_dedup_pairs."""
-    if memo:
-        membership, signed = collapsed_docs_cached(df, id_col, text_col)
-    else:
-        membership, reps = exact_text_groups(df, id_col, text_col)
-        signed = minhash_docs(reps, id_col, text_col)
+    membership, signed, stats = _collapsed(df, id_col, text_col, memo)
     rep_pairs = _verified_rep_pairs(
-        membership, signed, threshold, bucket_cap
+        membership, signed, threshold, bucket_cap, stats
     ).select("id_a", "id_b")
+    if stats is not None and not stats["has_multi"]:
+        return rep_pairs  # no groups: the star arm is provably empty
     star = (
         membership.join(
             signed.select(F.col("doc_id").alias("rep_id")), "rep_id"
