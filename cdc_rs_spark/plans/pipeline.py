@@ -1726,6 +1726,506 @@ def gdpr_forget_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def _gdpr_e2e_v2_oracle() -> str:
+    """First-principles SQL mirror of the round-12 lifecycle audit
+    (VERDICT r11 next #5): forget a 2% cohort across EIGHT stores —
+    including the exact-group membership store the delegate discipline
+    added and a register-exact HLL store — then READMIT half the cohort
+    and re-ingest it. Per store the oracle recomputes every number from
+    the corpus minus that store's EFFECTIVE removed set: the cluster/
+    band/group stores see only the non-readmitted half (`effrm` — the
+    un-forget contract restores never-seen semantics for the rest), the
+    other stores see the full cohort (their lifecycle had no readmit).
+    Delegate identities are ingest-order-dependent, so every band/group
+    metric is DISTINCT-TEXT- or DISTINCT-DOC-level — quantities the
+    delegate invariant pins exactly (one banded delegate per live
+    distinct text)."""
+    from cdc_rs_spark.operators.dedup import MINHASH_BANDS, SPAN_LEN
+    from cdc_rs_spark.operators.sketch import HLL_M, HLL_RHO_MAX
+    from cdc_rs_spark.plans.dedup import (
+        _DOCS_SHINGLES_SQL,
+        _SPAN_WIN_SQL,
+        _minhash_bands_sql,
+        _minhash_sig_sql,
+    )
+
+    subj = f"{_oracle_bucket('doc_id')} < 2"  # the erasure request
+    eff = f"{_oracle_bucket('doc_id')} = 1"  # minus the readmitted half
+    return f"""
+    WITH RECURSIVE {_DOCS_SHINGLES_SQL},
+    {_minhash_sig_sql()},
+    {_minhash_bands_sql()},
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                  JOIN sh b ON cand.id_b = b.doc_id
+        WHERE len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE
+              / (len(a.s) + len(b.s)
+                 - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+    ),
+    subjd AS (SELECT doc_id FROM documents WHERE {subj}),
+    effrm AS (SELECT doc_id FROM documents WHERE {eff}),
+    paired AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT id_a AS doc_id FROM pairs
+            UNION ALL SELECT id_b FROM pairs
+        )
+    ),
+    spairs AS (
+        SELECT id_a, id_b FROM pairs
+        WHERE id_a NOT IN (SELECT doc_id FROM effrm)
+          AND id_b NOT IN (SELECT doc_id FROM effrm)
+    ),
+    sedges AS (
+        SELECT id_a AS a, id_b AS b FROM spairs
+        UNION ALL SELECT id_b, id_a FROM spairs
+    ),
+    sreach AS (
+        SELECT a, b FROM sedges
+        UNION
+        SELECT r.a, e.b FROM sreach r JOIN sedges e ON r.b = e.a
+    ),
+    scomp AS (
+        SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+        FROM sreach GROUP BY a
+    ),
+    sigd AS (
+        SELECT doc_id, text FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    subtext AS (
+        SELECT text FROM sigd GROUP BY text
+        HAVING COUNT(CASE WHEN doc_id NOT IN (SELECT doc_id FROM subjd)
+                          THEN 1 END) = 0
+    ),
+    livetext AS (
+        SELECT DISTINCT text FROM sigd
+        WHERE doc_id NOT IN (SELECT doc_id FROM effrm)
+    ),
+    livemem AS (
+        SELECT DISTINCT doc_id FROM sigd
+        WHERE doc_id NOT IN (SELECT doc_id FROM effrm)
+    ),
+    toks AS (
+        SELECT d.doc_id, t.token
+        FROM (SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS token
+              FROM documents) t
+        JOIN documents d ON t.doc_id = d.doc_id
+        WHERE t.token <> ''
+    ),
+    spans AS (
+        SELECT doc_id, {_SPAN_WIN_SQL} AS span
+        FROM documents WHERE length(text) >= {SPAN_LEN}
+    ),
+    dspans AS (SELECT DISTINCT doc_id, span FROM spans),
+    hh AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5('hll:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT) AS fp
+        FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM subjd)
+    ),
+    hr AS (
+        SELECT lang, fp % {HLL_M} AS idx,
+               CASE WHEN (fp // {HLL_M}) % 4294967296 = 0 THEN {HLL_RHO_MAX}
+                    ELSE {HLL_RHO_MAX}
+                         - length(bin((fp // {HLL_M}) % 4294967296)) END AS rho
+        FROM hh
+    ),
+    hregs AS (
+        SELECT lang, idx, CAST(MAX(rho) AS BIGINT) AS rho
+        FROM hr GROUP BY lang, idx
+    ),
+    m AS (
+        SELECT 'cluster_map' AS store,
+               (SELECT COUNT(*) FROM paired
+                WHERE doc_id IN (SELECT doc_id FROM subjd))::BIGINT
+                   AS n_subject_before,
+               (SELECT COUNT(*) FROM scomp)::BIGINT AS n_rows_after,
+               0::BIGINT AS subject_residue,
+               COALESCE((SELECT SUM(component) FROM scomp), 0)::BIGINT
+                   AS checksum_after
+        UNION ALL
+        SELECT 'band_store',
+               (SELECT COUNT(*) FROM subtext)::BIGINT,
+               {MINHASH_BANDS} * (SELECT COUNT(*) FROM livetext)::BIGINT,
+               0::BIGINT,
+               (SELECT COUNT(*) FROM livetext)::BIGINT
+        UNION ALL
+        SELECT 'group_store',
+               (SELECT COUNT(*) FROM sigd
+                WHERE doc_id IN (SELECT doc_id FROM subjd))::BIGINT,
+               (SELECT COUNT(*) FROM livemem)::BIGINT,
+               0::BIGINT,
+               COALESCE((SELECT SUM(doc_id) FROM livemem), 0)::BIGINT
+        UNION ALL
+        SELECT 'nb_counts',
+               (SELECT COUNT(DISTINCT token) FROM toks
+                WHERE doc_id IN (SELECT doc_id FROM subjd))::BIGINT,
+               (SELECT COUNT(DISTINCT token) FROM toks
+                WHERE doc_id NOT IN (SELECT doc_id FROM subjd))::BIGINT,
+               0::BIGINT,
+               (SELECT COUNT(*) FROM toks
+                WHERE doc_id NOT IN (SELECT doc_id FROM subjd))::BIGINT
+        UNION ALL
+        SELECT 'span_store',
+               (SELECT COUNT(*) FROM dspans
+                WHERE doc_id IN (SELECT doc_id FROM subjd))::BIGINT,
+               (SELECT COUNT(*) FROM dspans
+                WHERE doc_id NOT IN (SELECT doc_id FROM subjd))::BIGINT,
+               0::BIGINT,
+               (SELECT COUNT(DISTINCT doc_id) FROM dspans
+                WHERE doc_id NOT IN (SELECT doc_id FROM subjd))::BIGINT
+        UNION ALL
+        SELECT 'ann_index',
+               (SELECT COUNT(*) FROM embeddings
+                WHERE {_oracle_bucket("vec_id")} < 2)::BIGINT,
+               (SELECT COUNT(*) FROM embeddings
+                WHERE NOT ({_oracle_bucket("vec_id")} < 2))::BIGINT,
+               0::BIGINT,
+               (SELECT SUM(vec_id) FROM embeddings
+                WHERE NOT ({_oracle_bucket("vec_id")} < 2))::BIGINT
+        UNION ALL
+        SELECT 'training_shards',
+               (SELECT COUNT(*) FROM subjd)::BIGINT,
+               (SELECT COUNT(*) FROM documents
+                WHERE doc_id NOT IN (SELECT doc_id FROM subjd))::BIGINT,
+               0::BIGINT,
+               (SELECT SUM(doc_id) FROM documents
+                WHERE doc_id NOT IN (SELECT doc_id FROM subjd))::BIGINT
+        UNION ALL
+        SELECT 'hll_distinct',
+               (SELECT COUNT(*) FROM subjd)::BIGINT,
+               (SELECT COUNT(*) FROM hregs)::BIGINT,
+               0::BIGINT,
+               COALESCE((SELECT SUM(idx * 41 + rho) FROM hregs), 0)::BIGINT
+    )
+    SELECT * FROM m
+    """
+
+
+@register("gdpr_forget_end_to_end_v2", oracle=_gdpr_e2e_v2_oracle())
+def gdpr_forget_end_to_end_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE ROUND-12 LIFECYCLE AUDIT (VERDICT r11 next #5): forget →
+    purge → READMIT → re-ingest → audit, across EIGHT stores — and the
+    cluster/band/group stores are built through clusters_foreach_batch,
+    so the delegate discipline (exact-group membership store, one banded
+    delegate per distinct text) is the audited path, not a batch
+    stand-in. New over v1:
+
+      group_store    the exact-group membership relation (doc_id-keyed
+                     personal data the r11 verdict flagged as unaudited):
+                     purge_band_stores rewrites it; the audit measures
+                     the residue.
+      hll_distinct   a register-exact MAX-monoid store (per-lang distinct
+                     docs): forgotten by EPOCH REBUILD from survivors;
+                     subject_residue counts registers that DIFFER from a
+                     fresh surviving-corpus recompute — 0 is the
+                     bit-identical proof.
+      readmit        after the purge, half the cohort (hash bucket 0) is
+                     readmitted (ledgered tombstone-clear under the
+                     '{{stream}}!ra' line) and re-ingested as an ordinary
+                     micro-batch; the cluster/band/group audits must then
+                     equal a corpus that never lost the readmitted half,
+                     while nb/span/ann/shard/hll audits still reflect the
+                     full forget (independent store lifecycles).
+
+    Delegate identities depend on ingest order, so band/group metrics are
+    distinct-text/doc-level quantities the delegate invariant pins:
+    post-purge the band store holds exactly MINHASH_BANDS rows per
+    distinct live text (re-election on delegate removal, re-sign on
+    re-ingest of a vanished text — streaming/clusters.py).
+
+    Scale shape: every purge/readmit is the store's documented
+    request-bounded fold; the build is the ordinary ingest path; the
+    audit adds one aggregate per store."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_rs_spark.benchphase import build_phase
+    from cdc_rs_spark.operators.sketch import hll_increments
+    from cdc_rs_spark.plans.similarity import EMB_DIM, N_CENTROIDS, TRAIN_CAP
+    from cdc_rs_spark.streaming.additive import (
+        fold_segment,
+        init_additive_store,
+        read_merged,
+        rebuild_additive_store,
+    )
+    from cdc_rs_spark.streaming.classifier import (
+        fold_counts,
+        init_count_store,
+        read_counts,
+        retract_counts,
+    )
+    from cdc_rs_spark.streaming.clusters import (
+        _GROUP_SCHEMA,
+        _resolve_store,
+        clusters_foreach_batch,
+        init_cluster_store,
+        live_cluster_map,
+        purge_band_stores,
+        readmit_docs,
+        remove_docs,
+    )
+    from cdc_rs_spark.streaming.ivf import (
+        compact_index,
+        current_lists_path,
+        init_index,
+        remove_vectors,
+    )
+    from cdc_rs_spark.streaming.spans import (
+        _epoch_path,
+        compact_span_store,
+        init_span_store,
+        live_span_store,
+        remove_docs_from_span_store,
+        span_keys,
+    )
+
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "text", "lang", "source"
+    )
+    emb = spread(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    subj = d.filter(hash_bucket(F.col("doc_id")) < 2).select("doc_id")
+    readm = d.filter(hash_bucket(F.col("doc_id")) < 1).select("doc_id")
+    effrm = d.filter(hash_bucket(F.col("doc_id")) == 1).select("doc_id")
+    vsubj = emb.filter(hash_bucket(F.col("vec_id")) < 2).select("vec_id")
+    root = tempfile.mkdtemp(prefix="gdpr_e2e_v2_")
+    sig_path = os.path.join(root, "sig")
+    sh_path = os.path.join(root, "sh")
+    clusters_root = os.path.join(root, "clusters")
+    nb_root = os.path.join(root, "nb")
+    span_root = os.path.join(root, "spans")
+    index_dir = os.path.join(root, "ivf")
+    shard_dir = os.path.join(root, "shards")
+    hll_root = os.path.join(root, "hll")
+
+    toks = lambda df: (  # noqa: E731
+        df.select(
+            (F.length("source") <= 4).alias("is_a"),
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        ).filter(F.col("token") != "")
+    )
+
+    try:
+        with build_phase():
+            # ---- build: the REAL ingest paths ----
+            spark.createDataFrame(
+                [], "doc_id bigint, band int, bkey string"
+            ).write.parquet(sig_path)
+            spark.createDataFrame(
+                [], "doc_id bigint, sh array<string>"
+            ).write.parquet(sh_path)
+            init_cluster_store(spark, clusters_root, threshold=0.5)
+            fn = clusters_foreach_batch(
+                sig_path, sh_path, clusters_root, threshold=0.5
+            )
+            fn(d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text"), 0)
+            fn(d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"), 1)
+            init_count_store(spark, nb_root)
+            fold_counts(toks(d), nb_root, batch_id=0)
+            init_span_store(spark, span_root, hashed=False)
+            span_rows, _ = span_keys(d, hashed=False)
+            span_rows.distinct().write.mode("append").parquet(
+                _epoch_path(span_root, 0)
+            )
+            init_index(
+                spark, emb, index_dir,
+                n_centroids=N_CENTROIDS, train_cap=TRAIN_CAP,
+                kmeans_iters=1, dim=EMB_DIM,
+            )
+            d.withColumn("shard", hash_bucket(F.col("doc_id"), 8)).select(
+                "doc_id", "text", "shard"
+            ).write.partitionBy("shard").parquet(shard_dir)
+            init_additive_store(
+                spark, hll_root,
+                {"lang": "string", "idx": "bigint"}, ["rho"], merge="max",
+            )
+            fold_segment(
+                hll_increments(d, "CAST(doc_id AS STRING)", ["lang"]),
+                hll_root, batch_id=0,
+            )
+            # ---- before-counts, measured from the LIVE stores ----
+            gs = spark.read.schema(_GROUP_SCHEMA).parquet(
+                _resolve_store(sig_path + "_groups")
+            )
+            ms = gs.select("gkey", "doc_id").distinct()
+            n_groups = ms.select("gkey").distinct().count()
+            n_groups_surviving = (
+                ms.join(subj, "doc_id", "left_anti")
+                .select("gkey")
+                .distinct()
+                .count()
+            )
+            before_vals = {
+                "cluster_map": live_cluster_map(spark, clusters_root)
+                .join(subj, "doc_id")
+                .count(),
+                # texts whose EVERY member is a subject — the groups that
+                # must vanish from the band store (delegate-independent)
+                "band_store": n_groups - n_groups_surviving,
+                "group_store": ms.join(subj, "doc_id")
+                .select("doc_id")
+                .distinct()
+                .count(),
+                "nb_counts": toks(d.join(subj, "doc_id"))
+                .select("token")
+                .distinct()
+                .count(),
+                "span_store": live_span_store(spark, span_root)
+                .join(subj, "doc_id")
+                .count(),
+                "ann_index": spark.read.parquet(
+                    current_lists_path(index_dir)
+                )
+                .join(vsubj, "vec_id")
+                .count(),
+                "training_shards": subj.count(),
+                "hll_distinct": subj.count(),
+            }
+            # ---- THE FORGET ----
+            remove_docs(
+                spark, clusters_root, subj,
+                sig_store_path=sig_path, shingle_store_path=sh_path,
+                threshold=0.5, batch_id=2,
+            )
+            purge_band_stores(spark, clusters_root, sig_path, sh_path)
+            retract_counts(
+                toks(d.join(subj, "doc_id")), nb_root,
+                batch_id=0, stream_id="d",
+            )
+            remove_docs_from_span_store(spark, span_root, subj, batch_id=0)
+            compact_span_store(spark, span_root, keep_epochs=0)
+            remove_vectors(spark, index_dir, vsubj, batch_id=0)
+            compact_index(spark, index_dir, dim=EMB_DIM, keep_epochs=0)
+            purged_shards = os.path.join(root, "shards_purged")
+            (
+                spark.read.schema("doc_id long, text string, shard bigint")
+                .parquet(shard_dir)
+                .join(subj, "doc_id", "left_anti")
+                .write.partitionBy("shard")
+                .parquet(purged_shards)
+            )
+            rebuild_additive_store(
+                spark, hll_root,
+                hll_increments(
+                    d.join(subj, "doc_id", "left_anti"),
+                    "CAST(doc_id AS STRING)", ["lang"],
+                ),
+                batch_id=1,
+            )
+            # ---- THE READMIT: counter-notice for half the cohort ----
+            readmit_docs(spark, clusters_root, readm, batch_id=3)
+            fn(d.join(readm, "doc_id").select("doc_id", "text"), 3)
+        # ---- the audit: absence, measured from the live stores ----
+        cmap = live_cluster_map(spark, clusters_root)
+        nb = read_counts(spark, nb_root)
+        span_live = live_span_store(spark, span_root)
+        lists_live = spark.read.parquet(current_lists_path(index_dir))
+        shards_back = spark.read.schema(
+            "doc_id long, text string, shard bigint"
+        ).parquet(purged_shards)
+        band_live = spark.read.parquet(_resolve_store(sig_path))
+        gs_live = (
+            spark.read.schema(_GROUP_SCHEMA)
+            .parquet(_resolve_store(sig_path + "_groups"))
+            .select("gkey", "doc_id")
+            .distinct()
+        )
+        gs_docs = gs_live.select("doc_id").distinct()
+        surv_vocab = toks(d.join(subj, "doc_id", "left_anti")).select(
+            "token"
+        ).distinct()
+        hll_store = read_merged(spark, hll_root).select("lang", "idx", "rho")
+        hll_fresh = hll_increments(
+            d.join(subj, "doc_id", "left_anti"),
+            "CAST(doc_id AS STRING)", ["lang"],
+        ).select(
+            "lang", "idx", F.col("rho").alias("rho_fresh")
+        )
+        # register-exact residue: any register differing from a fresh
+        # surviving-corpus recompute (missing, extra, or shifted)
+        hll_diff = hll_store.join(
+            hll_fresh, ["lang", "idx"], "full_outer"
+        ).filter(
+            F.coalesce(F.col("rho"), F.lit(-1))
+            != F.coalesce(F.col("rho_fresh"), F.lit(-1))
+        )
+
+        def row(store, after_df, residue_df, checksum_expr):
+            return (
+                after_df.agg(
+                    F.count("*").cast("bigint").alias("n_rows_after"),
+                    F.coalesce(checksum_expr, F.lit(0))
+                    .cast("bigint")
+                    .alias("checksum_after"),
+                )
+                .crossJoin(
+                    residue_df.agg(
+                        F.count("*").cast("bigint").alias("subject_residue")
+                    )
+                )
+                .select(
+                    F.lit(store).alias("store"),
+                    F.lit(int(before_vals[store]))
+                    .cast("bigint")
+                    .alias("n_subject_before"),
+                    "n_rows_after",
+                    "subject_residue",
+                    "checksum_after",
+                )
+            )
+
+        report = (
+            row("cluster_map", cmap, cmap.join(effrm, "doc_id"),
+                F.sum("cluster"))
+            .unionByName(
+                row("band_store", band_live,
+                    band_live.join(effrm, "doc_id"),
+                    F.countDistinct("doc_id"))
+            )
+            .unionByName(
+                row("group_store", gs_docs, gs_live.join(effrm, "doc_id"),
+                    F.sum("doc_id"))
+            )
+            .unionByName(
+                row("nb_counts", nb,
+                    nb.join(surv_vocab, "token", "left_anti"),
+                    F.sum(F.col("c_a") + F.col("c_b")))
+            )
+            .unionByName(
+                row("span_store", span_live,
+                    span_live.join(subj, "doc_id"),
+                    F.countDistinct("doc_id"))
+            )
+            .unionByName(
+                row("ann_index", lists_live,
+                    lists_live.join(vsubj, "vec_id"), F.sum("vec_id"))
+            )
+            .unionByName(
+                row("training_shards", shards_back,
+                    shards_back.join(subj, "doc_id"), F.sum("doc_id"))
+            )
+            .unionByName(
+                row("hll_distinct", hll_store, hll_diff,
+                    F.sum(F.col("idx") * 41 + F.col("rho")))
+            )
+        )
+        rows = report.collect()  # 8 rows; frees the scratch stores
+        schema = report.schema
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _z_sql(a: str, b: str, bits: int = 8) -> str:
     """Morton-interleave SQL for the DuckDB oracle — the same sum of
     shift/mask terms operators/zorder.py builds as Columns."""

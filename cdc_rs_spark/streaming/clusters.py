@@ -115,6 +115,38 @@ def _bucket(col: str = "doc_id") -> F.Column:
     return F.pmod(F.xxhash64(F.col(col)), F.lit(N_BUCKETS)).cast("int")
 
 
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _py_bucket(doc_id: int) -> int:
+    """Driver-side twin of _bucket: XXH64 of one 8-byte block (the long's
+    two's-complement form), seed 42 — exactly Spark's xxhash64(bigint)
+    (XXH64.hashLong specialization), then pmod. Round 12: fold_pairs and
+    remove_docs know their touched ids driver-side already, so computing
+    the prune buckets here removes one Spark job per fold
+    (tests/test_cluster_fold_durability.py pins equality vs the JVM over
+    a signed id sweep)."""
+    v = doc_id & _M64
+    h = (42 + _XXH_P5 + 8) & _M64
+    k1 = (v * _XXH_P2) & _M64
+    k1 = ((k1 << 31) | (k1 >> 33)) & _M64
+    k1 = (k1 * _XXH_P1) & _M64
+    h ^= k1
+    h = ((((h << 27) | (h >> 37)) & _M64) * _XXH_P1 + _XXH_P4) & _M64
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _M64
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _M64
+    h ^= h >> 32
+    signed = h - (1 << 64) if h >= (1 << 63) else h
+    return signed % N_BUCKETS
+
+
 def _write_base(labels: DataFrame, path: str) -> None:
     (
         labels.select("doc_id", "cluster")
@@ -214,14 +246,37 @@ def _apply_closure(df: DataFrame, closure: dict[int, int]) -> DataFrame:
     )
 
 
+# max isin-list width pushed into the scans: each literal is a py4j
+# round-trip at plan-build time (~0.3 ms), so a wide list costs SECONDS of
+# driver time before any job runs (measured: 20k ids ~ 8 s on the
+# boilerplate fold) — past this width the join's own filtering wins
+_IDS_PUSHDOWN_CAP = 1_000
+
+
 def _raw_rows(
-    spark: SparkSession, root: str, meta: dict, buckets: list[int] | None
+    spark: SparkSession,
+    root: str,
+    meta: dict,
+    buckets: list[int] | None,
+    ids: list[int] | None = None,
 ) -> DataFrame:
     """base (optionally bucket-pruned) + deltas with fold sequence; latest
     fold wins per doc. Round 10: deltas carry a `dead` flag — a removal
     delta's latest-wins row EVICTS the doc (the row and every stale base
     row beneath it vanish from the resolved view); the base never stores
-    dead rows (compaction drops them — physical erasure)."""
+    dead rows (compaction drops them — physical erasure).
+
+    Round 12: callers that already hold the touched doc ids driver-side
+    (fold_pairs' driver mode, remove_docs) pass `ids` — the isin
+    predicate pushes into every parquet scan (row-group stats +
+    dictionary filtering), so the latest-wins shuffle carries only the
+    touched docs' rows instead of whole buckets. Per-doc latest-wins is
+    row-independent, so pre-filtering is exact."""
+    id_filter = (
+        F.col("doc_id").isin(ids)
+        if ids is not None and len(ids) <= _IDS_PUSHDOWN_CAP
+        else None
+    )
     # explicit schema: an EMPTY bootstrap base writes only partition
     # metadata (no data files), which schema inference rejects
     base = spark.read.schema("doc_id bigint, cluster bigint, bucket int").parquet(
@@ -229,6 +284,8 @@ def _raw_rows(
     )
     if buckets is not None:
         base = base.filter(F.col("bucket").isin(buckets))
+    if id_filter is not None:
+        base = base.filter(id_filter)
     frames = [
         base.select(
             "doc_id", "cluster", F.lit(False).alias("dead"),
@@ -240,10 +297,11 @@ def _raw_rows(
     # coalesced to alive
     dschema = "doc_id bigint, cluster bigint, dead boolean"
     for i, name in enumerate(meta["deltas"]):
+        d = spark.read.schema(dschema).parquet(os.path.join(root, name))
+        if id_filter is not None:
+            d = d.filter(id_filter)
         frames.append(
-            spark.read.schema(dschema)
-            .parquet(os.path.join(root, name))
-            .select(
+            d.select(
                 "doc_id",
                 "cluster",
                 F.coalesce("dead", F.lit(False)).alias("dead"),
@@ -500,21 +558,29 @@ def fold_pairs(
         touched = spark.createDataFrame(
             [(i,) for i in touched_ids], "doc_id bigint"
         )
+        # static pruning, zero Spark jobs: the touched ids are already
+        # driver-side, so their buckets are a pure-Python map (round 12 —
+        # _py_bucket is the JVM xxhash64's pinned twin)
+        buckets = sorted({_py_bucket(i) for i in touched_ids})
     else:
         touched = pairs.select(
             F.explode(F.array("id_a", "id_b")).alias("doc_id")
         ).distinct()
-    # static pruning: the touched docs' buckets are a <= N_BUCKETS-row
-    # collect; the base read below touches only those directories
-    buckets = sorted(
-        int(r["b"])
-        for r in touched.select(_bucket("doc_id").alias("b"))
-        .distinct()
-        .collect()
-    )
+        # the touched docs' buckets are a <= N_BUCKETS-row collect; the
+        # base read below touches only those directories
+        buckets = sorted(
+            int(r["b"])
+            for r in touched.select(_bucket("doc_id").alias("b"))
+            .distinct()
+            .collect()
+        )
     closure = _closure(meta.get("translations") or [])
     current = _apply_closure(
-        _raw_rows(spark, root, meta, buckets), closure
+        _raw_rows(
+            spark, root, meta, buckets,
+            ids=touched_ids if driver_mode else None,
+        ),
+        closure,
     )
     cur = touched.join(current, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster", "doc_id").alias("cluster")
@@ -570,6 +636,11 @@ def fold_pairs(
     meta = _read_meta(root)  # re-read at publish (ledger lines may move)
     if delta_name not in meta["deltas"]:
         meta["deltas"] = list(meta["deltas"]) + [delta_name]
+        # LSM-style size accounting (round 12): the auto-compaction
+        # trigger compares rows-appended-since-compact to the base size
+        meta["rows_since_compact"] = (
+            int(meta.get("rows_since_compact", 0)) + int(n_delta)
+        )
     meta["translations"] = list(meta.get("translations") or []) + [
         [a, b] for a, b in new_translations
     ]
@@ -683,24 +754,32 @@ def remove_docs(
         else f"f-{int(meta['n_folds'])}"
     )
     delta_name = f"delta-{epoch:06d}-{tag}"
-    removed = (
-        removed.select(F.col("doc_id").cast("bigint").alias("doc_id"))
-        .distinct()
-        .localCheckpoint(eager=True)  # one stable plan reused many times
-    )
-    n_removed = removed.count()
-    # 1. tombstones append-first (idempotent: duplicates are harmless)
-    removed.write.mode("append").parquet(_tomb_path(root))
-    # 2. the removed docs' current roots (bucket-pruned + closure)
-    buckets = sorted(
-        int(r["b"])
-        for r in removed.select(_bucket("doc_id").alias("b"))
+    # a delete batch is REQUEST-BOUNDED by contract (takedown/GDPR
+    # cadence), so one collect materializes it driver-side: every later
+    # use is a local relation (broadcast-trivial), the row count and the
+    # prune buckets are free, and the old checkpoint+count+bucket-collect
+    # trio of driver actions collapses to this single one (round 12)
+    removed_ids = sorted(
+        int(r["doc_id"])
+        for r in removed.select(
+            F.col("doc_id").cast("bigint").alias("doc_id")
+        )
         .distinct()
         .collect()
     )
+    removed = spark.createDataFrame(
+        [(i,) for i in removed_ids], "doc_id bigint"
+    )
+    n_removed = len(removed_ids)
+    # 1. tombstones append-first (idempotent: duplicates are harmless)
+    removed.write.mode("append").parquet(_tomb_path(root))
+    # 2. the removed docs' current roots (bucket-pruned + closure)
+    buckets = sorted({_py_bucket(i) for i in removed_ids})
     closure = _closure(meta.get("translations") or [])
     resolved_removed = removed.join(
-        _apply_closure(_raw_rows(spark, root, meta, buckets), closure),
+        _apply_closure(
+            _raw_rows(spark, root, meta, buckets, ids=removed_ids), closure
+        ),
         "doc_id",
     )
     # affected roots: <= one per removed doc — request-bounded collect
@@ -710,13 +789,20 @@ def remove_docs(
     )
 
     def publish(delta: DataFrame, translations, stats: dict) -> dict:
+        from pyspark.sql import Observation
+
+        obs = Observation()
         (
-            delta.write.mode("overwrite")  # crashed-retry overwrites
+            delta.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")  # crashed-retry overwrites
             .parquet(os.path.join(root, delta_name))
         )
         m = _read_meta(root)
         if delta_name not in m["deltas"]:
             m["deltas"] = list(m["deltas"]) + [delta_name]
+            m["rows_since_compact"] = (
+                int(m.get("rows_since_compact", 0)) + int(obs.get["n"])
+            )
         m["translations"] = translations
         if batch_id is not None:
             led = dict(m.get("last_batch_by_stream") or {})
@@ -871,7 +957,40 @@ def remove_docs(
                 )
                 .distinct()
             )
-            pairs = _rep_band_pairs(sig_all, sh_all, reps).unionByName(star)
+            # MIXED COVERAGE (ADVICE r11, medium): live members with NO
+            # membership row predate the group store (ingested before
+            # clusters_foreach_batch grew the delegate discipline, then
+            # the store was created by a later fold). Excluding them
+            # from reps/star silently relabels them to singletons — the
+            # exact failure the missing-store RuntimeError guards. Give
+            # just those rows the legacy in-flight collapse (identical
+            # stored shingle array => identical text) and band their
+            # hubs alongside the delegates; a legacy hub whose text
+            # matches a grouped delegate's still pairs in the band
+            # self-join (identical arrays => identical bands).
+            legacy = live_members.join(
+                memb_live.select("doc_id").distinct(), "doc_id", "left_anti"
+            )
+            sh_leg = sh_all.join(legacy, "doc_id").select(
+                "doc_id",
+                F.md5(F.to_json(F.col("sh")).cast("binary")).alias("skey"),
+            )
+            lhubs = sh_leg.groupBy("skey").agg(F.min("doc_id").alias("hub"))
+            lstar = (
+                sh_leg.join(lhubs, "skey")
+                .filter(F.col("doc_id") != F.col("hub"))
+                .select(
+                    F.col("hub").alias("id_a"), F.col("doc_id").alias("id_b")
+                )
+            )
+            reps = reps.unionByName(
+                lhubs.select(F.col("hub").alias("doc_id"))
+            ).distinct()
+            pairs = (
+                _rep_band_pairs(sig_all, sh_all, reps)
+                .unionByName(star)
+                .unionByName(lstar)
+            )
         else:
             # legacy full-population stores: collapse in-flight on the
             # stored shingle array (identical text => identical array)
@@ -1017,42 +1136,62 @@ def readmit_docs(
     (a replayed clear is a no-op) and published atomically: the surviving
     tombstone set is written to a NEW directory and the sidecar's
     tomb_dir flips in one meta replace. Re-admitting an id that was
-    never tombstoned is a harmless no-op (set semantics)."""
+    never tombstoned is a harmless no-op (set semantics).
+
+    Ledger convention (ADVICE r11, low — unified across the cluster/IVF/
+    span readmit folds): the clear ledgers under its OWN
+    '{stream_id}!ra' line, never the main fold line — a readmit batch id
+    must not advance the ingest stream's replay gate (sharing the line
+    let a readmit at batch N silently skip ingest batches <= N on the
+    same stream). n_readmitted reports tombstones ACTUALLY CLEARED
+    (before/after delta), not requested ids — and both counts ride the
+    rewrite's single write action (Observation), replacing the old
+    three-action fold."""
+    from pyspark.sql import Observation
+
     meta = _read_meta(root)
     ledger = meta.get("last_batch_by_stream") or {}
-    if batch_id is not None and int(batch_id) <= int(
-        ledger.get(stream_id, -1)
-    ):
+    key = f"{stream_id}!ra"
+    if batch_id is not None and int(batch_id) <= int(ledger.get(key, -1)):
         return {"n_readmitted": 0, "n_tombstones_left": None,
                 "skipped_duplicate": True}
     ids = readmitted.select(
         F.col("doc_id").cast("bigint").alias("doc_id")
     ).distinct()
-    kept = tombstones(spark, root).distinct().join(
-        F.broadcast(ids), "doc_id", "left_anti"
+    marked = tombstones(spark, root).distinct().join(
+        F.broadcast(ids.withColumn("__r", F.lit(True))), "doc_id", "left"
     )
     n = int(meta.get("tomb_seq", 0)) + 1
     new_name = f"tomb-{n:06d}"
-    kept.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(root, new_name)
+    obs = Observation()
+    (
+        marked.observe(
+            obs,
+            F.count(F.lit(1)).alias("nb"),
+            F.count("__r").alias("nc"),
+        )
+        .filter(F.col("__r").isNull())
+        .select("doc_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, new_name))
     )
-    n_left = spark.read.schema("doc_id bigint").parquet(
-        os.path.join(root, new_name)
-    ).count()
+    n_cleared = int(obs.get["nc"])
+    n_left = int(obs.get["nb"]) - n_cleared
     old_tomb = _tomb_path(root)
     meta = _read_meta(root)
     meta["tomb_dir"] = new_name
     meta["tomb_seq"] = n
     if batch_id is not None:
         led = dict(meta.get("last_batch_by_stream") or {})
-        led[stream_id] = max(int(led.get(stream_id, -1)), int(batch_id))
+        led[key] = max(int(led.get(key, -1)), int(batch_id))
         meta["last_batch_by_stream"] = led
     meta["n_folds"] = int(meta["n_folds"]) + 1
     _write_meta(root, meta)
     if os.path.isdir(old_tomb) and os.path.basename(old_tomb) != new_name:
         shutil.rmtree(old_tomb, ignore_errors=True)
     return {
-        "n_readmitted": int(ids.count()),
+        "n_readmitted": n_cleared,
         "n_tombstones_left": n_left,
         "skipped_duplicate": False,
     }
@@ -1093,6 +1232,8 @@ def compact_cluster_store(
     meta["base_epoch"] = new_epoch
     meta["deltas"] = []
     meta["translations"] = []
+    meta["rows_since_compact"] = 0
+    meta["base_rows"] = n  # the auto-compaction trigger's denominator
     _write_meta(root, meta)
     # deferred GC by epoch prefix: bases AND their deltas — including
     # orphans a crashed batch-less fold never published — go together
@@ -1102,6 +1243,58 @@ def compact_cluster_store(
         if m and int(m.group(1)) < new_epoch - keep_epochs:
             shutil.rmtree(os.path.join(root, name))
     return n
+
+
+# ---- fold-integrated auto-compaction (round 12, VERDICT r11 next #1) ------
+#
+# The r11 latency recording showed the cluster fold's p99 tail (16.3 s vs
+# 4.3 s p50 at 500-row batches) is the UN-COMPACTED DELTA STACK: every fold
+# reads base + all deltas since the last compaction, and compaction was a
+# manual, writer-exclusive call — the latency contract depended on the
+# operator remembering to compact. The trigger below runs INSIDE the fold
+# (writer exclusivity is already guaranteed there) on LSM-style size
+# accounting: fold_pairs/remove_docs accumulate `rows_since_compact` in the
+# sidecar and compaction records `base_rows`, so firing when the delta rows
+# reach AUTO_COMPACT_FRAC of the base bounds every fold's read amplification
+# at ~(1 + frac) x base while total compaction work stays O(N log N) over
+# the store's life (each rewrite is charged against geometric growth). The
+# depth cap bounds file-listing cost and plan width even when folds append
+# few rows, and the translation cap bounds the driver-side closure.
+
+AUTO_COMPACT_DEPTH_CAP = 64  # hard delta-stack depth bound
+AUTO_COMPACT_FRAC = 0.5  # compact when delta rows >= frac * base rows
+AUTO_COMPACT_FLOOR = 5_000  # ...but never below this many delta rows
+AUTO_COMPACT_TRANSLATION_CAP = 512  # bound the driver-side closure log
+
+
+def maybe_compact_cluster_store(
+    spark: SparkSession,
+    root: str,
+    compact_every: int | None = None,
+    auto_compact: bool = True,
+) -> bool:
+    """Run compaction if either the legacy fold-count cadence
+    (`compact_every`) or the size-based auto trigger says it is due.
+    Callers must hold writer exclusivity (clusters_foreach_batch calls
+    this right after its fold commit). Returns True when it compacted."""
+    meta = _read_meta(root)
+    due = (
+        compact_every is not None
+        and int(meta["n_folds"]) % int(compact_every) == 0
+    )
+    if not due and auto_compact:
+        depth = len(meta.get("deltas") or [])
+        rows = int(meta.get("rows_since_compact", 0))
+        base = int(meta.get("base_rows", 0))
+        due = (
+            depth >= AUTO_COMPACT_DEPTH_CAP
+            or rows >= max(AUTO_COMPACT_FLOOR, int(AUTO_COMPACT_FRAC * base))
+            or len(meta.get("translations") or [])
+            >= AUTO_COMPACT_TRANSLATION_CAP
+        )
+    if due:
+        compact_cluster_store(spark, root)
+    return due
 
 
 def batch_pairs(batch_df: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -1127,6 +1320,8 @@ def clusters_foreach_batch(
     on_stats: Callable[[dict, int], None] | None = None,
     group_store_path: str | None = None,
     bucket_cap: int = 256,
+    auto_compact: bool = True,
+    fold_parallelism: int | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The full ingesting-pipeline step (VERDICT r7 next #1), round-11
     form with the HOT-BUCKET GUARD (VERDICT r10 next #1 — the round-10
@@ -1160,8 +1355,11 @@ def clusters_foreach_batch(
          unguarded one — the collapse is an identity
          (dedup_incremental_clusters' oracle pins it);
       4. fold_pairs merges star + delegate + verified pairs into the
-         epoch-published, ledger-idempotent map; optional compaction
-         every N folds.
+         epoch-published, ledger-idempotent map; compaction runs
+         fold-integrated (round 12): auto_compact=True (default) fires
+         the LSM-style size trigger (maybe_compact_cluster_store) so the
+         delta stack — the r11 p99 tail — stays bounded with zero caller
+         discipline, and compact_every still forces the fixed cadence.
 
     Store appends stay BEFORE the fold commit (append-first — the crash
     anywhere leaves a replayable state; round-8 lesson). A crashed
@@ -1180,6 +1378,12 @@ def clusters_foreach_batch(
     )
 
     gpath_base = _group_path(signature_store_path, group_store_path)
+
+    def _phase(spark: SparkSession, label: str) -> None:
+        # job-group labels: free at runtime, and they make the per-batch
+        # REST timeline attributable phase by phase (the r11/r12 fold
+        # profiling method — tools/profile_fold.py groups on these)
+        spark.sparkContext.setJobDescription(f"cluster_fold:{label}")
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -1208,25 +1412,36 @@ def clusters_foreach_batch(
         # collapse: only signable docs (>= 3 tokens) ever pair — the
         # group rows mirror that so remove_docs' star edges match LSH
         # semantics exactly
-        # collapse with ONE shuffle: the min-over-gkey window gives
-        # every row its rep — star edges, the group relation, and the
-        # membership append all reuse that single exchange (the agg+join
-        # first cut shuffled the text column twice)
-        from pyspark.sql import Window
-
-        keyed = (
-            batch_df.filter(F.size(word_tokens(F.col("text"))) >= 3)
-            .select(
-                F.col("doc_id").cast("bigint").alias("doc_id"),
-                "text",
-                _gkey("text").alias("gkey"),
-            )
-            .withColumn(
-                "rep_id",
-                F.min("doc_id").over(Window.partitionBy("gkey")),
-            )
-            .persist()
+        # collapse with ZERO text shuffles (round 12): the window form
+        # pushed the full text column through an exchange every batch;
+        # instead aggregate the SKINNY (gkey, min doc_id) relation —
+        # map-side partial agg, ~40 B/row — and broadcast it back onto
+        # the narrow batch scan. A micro-batch's distinct-text set is
+        # broadcast-bounded by the same contract that lets fold_pairs
+        # collect the pair set driver-side.
+        # bound the batch's partition count WITHOUT a shuffle (round 12):
+        # an oversharded micro-batch (more partitions than cores) makes
+        # every downstream stage pay task launches that are overhead, not
+        # work — and the persisted keyed/signed frames inherit it for the
+        # whole fold (~10 stages). The cap defaults to the cluster's
+        # parallelism so signing never loses cores; coalesce only ever
+        # narrows, so a well-partitioned batch passes through untouched.
+        cap = fold_parallelism or spark.sparkContext.defaultParallelism
+        np_in = batch_df.rdd.getNumPartitions()
+        pre = batch_df.coalesce(cap) if np_in > cap else batch_df
+        keyed0 = pre.filter(
+            F.size(word_tokens(F.col("text"))) >= 3
+        ).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "text",
+            _gkey("text").alias("gkey"),
         )
+        keyed = keyed0.join(
+            F.broadcast(
+                keyed0.groupBy("gkey").agg(F.min("doc_id").alias("rep_id"))
+            ),
+            "gkey",
+        ).persist()
         groups = keyed.filter(F.col("doc_id") == F.col("rep_id")).select(
             "gkey", "rep_id", "text"
         )
@@ -1239,7 +1454,8 @@ def clusters_foreach_batch(
             # live delegates restricted to the BATCH's gkeys up front
             # (broadcast semi-shape) — the store is corpus-sized, the
             # batch is not; tombstone anti-join stays broadcast too
-            if os.path.isdir(gcur):
+            fresh_store = not os.path.isdir(gcur)
+            if not fresh_store:
                 gstore = spark.read.schema(_GROUP_SCHEMA).parquet(gcur)
                 live_del = (
                     gstore.filter("delegate")
@@ -1266,18 +1482,30 @@ def clusters_foreach_batch(
             # the first cut checkpointed the joined (gkey, rep, TEXT)
             # rows and regrouped on a text-bearing key, tripling the
             # fold's wall time (stream-bench cluster_fold 4.8 -> 15 s).
-            ldagg = (
-                live_del.groupBy("gkey")
-                .agg(
-                    F.count(F.lit(1)).alias("__nd"),
-                    F.min("del_id").alias("__mind"),
+            _phase(spark, "pin-delegates")
+            if fresh_store:
+                # no store, nothing to pin: an empty LOCAL relation has
+                # the same semantics as checkpointing the empty aggregate
+                # and skips that Spark job (round 12)
+                ldagg = spark.createDataFrame(
+                    [], "gkey string, __nd bigint, __mind bigint"
                 )
-                .localCheckpoint(eager=True)
-            )
+            else:
+                ldagg = (
+                    live_del.groupBy("gkey")
+                    .agg(
+                        F.count(F.lit(1)).alias("__nd"),
+                        F.min("del_id").alias("__mind"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
             g2 = groups.join(F.broadcast(ldagg), "gkey", "left")
             # known-group edges read live_del lazily AFTER the group
             # append — safe: the append adds delegate rows only for NEW
             # groups with del_id == rep_id, which the filter drops
+            # no .distinct() here (round 12): duplicate delegate rows are
+            # rare (crash-retry appends) and fold_pairs' single distinct
+            # absorbs them — the extra exchange cost every batch
             known = (
                 live_del.join(
                     F.broadcast(groups.select("gkey", "rep_id")), "gkey"
@@ -1287,7 +1515,6 @@ def clusters_foreach_batch(
                     F.col("rep_id").alias("id_a"),
                     F.col("del_id").alias("id_b"),
                 )
-                .distinct()
             )
             has_any = F.col("__nd").isNotNull()
             # >= 2 distinct live delegates: at least one differs from rep
@@ -1310,10 +1537,32 @@ def clusters_foreach_batch(
             try:
                 new_ids = new_reps.select("gkey", "doc_id")
                 new_signed = signed.join(new_ids.select("doc_id"), "doc_id")
-                # append-first (round-8 lesson): group rows for EVERY
-                # batch doc (remove_docs' star edges need membership),
-                # bands + shingles for new delegates only
+                # append-first (round-8 lesson), GROUP ROWS LAST (ADVICE
+                # r11, high): new_reps gates band appends on the group
+                # store having no live delegate, so the group append is
+                # the COMMIT POINT of the per-text store rows — if it
+                # landed, the bands/shingles it gates must already be
+                # durable. The old order (groups first) had a crash
+                # window where a retry saw the delegate row, skipped the
+                # band append, and the text's bands were lost forever
+                # (every future pair involving it silently missed).
+                # Retry duplicates of sig/sh rows are absorbed: band
+                # candidates are .distinct()ed, jaccard_verify duplicates
+                # collapse in fold_pairs' distinct, and the prefix
+                # blocker's doubled token counts only lengthen prefixes
+                # (a candidate superset — lossless).
+                _phase(spark, "append-sig")
+                band_explode(new_signed.select("doc_id", "sig")).coalesce(
+                    1
+                ).write.mode("append").parquet(sig_cur)
+                _phase(spark, "append-sh")
+                new_signed.select("doc_id", "sh").coalesce(1).write.mode(
+                    "append"
+                ).parquet(sh_cur)
+                _phase(spark, "append-groups")
                 (
+                    # group rows for EVERY batch doc (remove_docs' star
+                    # edges need membership), delegate flag for new reps
                     keyed.select("gkey", "doc_id")
                     .join(
                         F.broadcast(
@@ -1337,12 +1586,6 @@ def clusters_foreach_batch(
                     .write.mode("append")
                     .parquet(gcur)
                 )
-                band_explode(new_signed.select("doc_id", "sig")).coalesce(
-                    1
-                ).write.mode("append").parquet(sig_cur)
-                new_signed.select("doc_id", "sh").coalesce(1).write.mode(
-                    "append"
-                ).parquet(sh_cur)
                 # capped band probe: buckets holding more than
                 # bucket_cap store rows leave the band join entirely and
                 # route through the prefix blocker (the batch guard's
@@ -1352,72 +1595,99 @@ def clusters_foreach_batch(
                 # common no-skew batch never schedules the fallback's
                 # stages (the first cut built them unconditionally and
                 # empty-stage overhead tripled the fold wall time).
+                _phase(spark, "probe-size")
                 sig_store = spark.read.parquet(sig_cur)
                 sh_store = spark.read.parquet(sh_cur)
                 probe_bands = band_explode(signed.select("doc_id", "sig"))
+                # LEFT SEMI against the broadcast probe keys (round 12):
+                # semi-join semantics make build-side duplicates harmless,
+                # so the per-batch .distinct() exchange over |batch| x
+                # bands key rows is gone — the broadcast carries dup keys
+                # (still batch-bounded) and each store row matches once
                 matched = sig_store.join(
-                    F.broadcast(
-                        probe_bands.select("band", "bkey").distinct()
-                    ),
+                    F.broadcast(probe_bands.select("band", "bkey")),
                     ["band", "bkey"],
+                    "left_semi",
                 ).persist()
                 sizes = matched.groupBy("band", "bkey").agg(
                     F.count(F.lit(1)).alias("__n")
                 )
-                over_b = [
-                    (r["band"], r["bkey"])
-                    for r in sizes.filter(
-                        F.col("__n") > bucket_cap
-                    ).collect()
-                ]
-                small = matched
-                if over_b:
-                    ob = F.broadcast(
-                        spark.createDataFrame(
-                            over_b, "band int, bkey string"
+                mx_row = sizes.agg(F.max("__n").alias("mx")).collect()[0]
+                mx = int(mx_row["mx"] or 0)
+                if mx <= 1:
+                    # every matched bucket holds exactly ONE store row —
+                    # each probe doc's own just-appended bands (probe
+                    # docs always append before the probe, so a cross
+                    # pair implies a bucket of >= 2). The band join can
+                    # produce nothing: skip the whole candidate/verify
+                    # subplan — the common no-near-dup batch loses ~8
+                    # stages per fold (round 12).
+                    pairs = star.unionByName(known)
+                else:
+                    over_b = (
+                        [
+                            (r["band"], r["bkey"])
+                            for r in sizes.filter(
+                                F.col("__n") > bucket_cap
+                            ).collect()
+                        ]
+                        if mx > bucket_cap
+                        else []
+                    )
+                    small = matched
+                    if over_b:
+                        ob = F.broadcast(
+                            spark.createDataFrame(
+                                over_b, "band int, bkey string"
+                            )
                         )
-                    )
-                    small = matched.join(
-                        ob, ["band", "bkey"], "left_anti"
-                    )
-                cand = (
-                    probe_bands.withColumnRenamed("doc_id", "id_a")
-                    .join(
-                        small.withColumnRenamed("doc_id", "id_b"),
-                        ["band", "bkey"],
-                    )
-                    .filter(F.col("id_a") != F.col("id_b"))
-                    .select("id_a", "id_b")
-                    .distinct()
-                )
-                if over_b:
-                    # overflow docs: every store row and every probe doc
-                    # touching an oversized bucket — both sides of any
-                    # pair living only in oversized buckets are here
-                    ob = F.broadcast(
-                        spark.createDataFrame(
-                            over_b, "band int, bkey string"
+                        small = matched.join(
+                            ob, ["band", "bkey"], "left_anti"
                         )
+                    # no .distinct() (round 12): a pair sharing k bands
+                    # yields <= MINHASH_BANDS duplicate candidate rows;
+                    # verifying each is a cheap array_intersect while the
+                    # distinct was a full extra exchange — fold_pairs'
+                    # distinct dedupes
+                    cand = (
+                        probe_bands.withColumnRenamed("doc_id", "id_a")
+                        .join(
+                            small.withColumnRenamed("doc_id", "id_b"),
+                            ["band", "bkey"],
+                        )
+                        .filter(F.col("id_a") != F.col("id_b"))
+                        .select("id_a", "id_b")
                     )
-                    over_docs = (
-                        matched.join(ob, ["band", "bkey"])
-                        .select("doc_id")
-                        .unionByName(
-                            probe_bands.join(ob, ["band", "bkey"])
+                    if over_b:
+                        # overflow docs: every store row and every probe
+                        # doc touching an oversized bucket — both sides
+                        # of any pair living only in oversized buckets
+                        # are here
+                        ob = F.broadcast(
+                            spark.createDataFrame(
+                                over_b, "band int, bkey string"
+                            )
+                        )
+                        over_docs = (
+                            matched.join(ob, ["band", "bkey"])
                             .select("doc_id")
+                            .unionByName(
+                                probe_bands.join(ob, ["band", "bkey"])
+                                .select("doc_id")
+                            )
+                            .distinct()
                         )
-                        .distinct()
+                        over_cand = prefix_filtered_candidates(
+                            sh_store.join(over_docs, "doc_id"), threshold
+                        )
+                        cand = cand.unionByName(over_cand).distinct()
+                    pairs = (
+                        jaccard_verify(cand, sh_store, threshold)
+                        .select("id_a", "id_b")
+                        .unionByName(star)
+                        .unionByName(known)
                     )
-                    over_cand = prefix_filtered_candidates(
-                        sh_store.join(over_docs, "doc_id"), threshold
-                    )
-                    cand = cand.unionByName(over_cand).distinct()
-                pairs = (
-                    jaccard_verify(cand, sh_store, threshold)
-                    .select("id_a", "id_b")
-                    .unionByName(star)
-                    .unionByName(known)
-                )
+                _phase(spark, "fold")
                 stats = fold_pairs(
                     spark,
                     cluster_store_root,
@@ -1425,13 +1695,18 @@ def clusters_foreach_batch(
                     batch_id=batch_id,
                     stream_id=stream_id,
                 )
-                if not stats["skipped_duplicate"] and (
-                    compact_every is not None
-                    and int(_read_meta(cluster_store_root)["n_folds"])
-                    % compact_every
-                    == 0
-                ):
-                    compact_cluster_store(spark, cluster_store_root)
+                if not stats["skipped_duplicate"]:
+                    # fold-integrated compaction (round 12): the p99
+                    # latency contract no longer depends on the caller
+                    # remembering to compact — see maybe_compact_*'s
+                    # module-level design note
+                    _phase(spark, "compact")
+                    maybe_compact_cluster_store(
+                        spark,
+                        cluster_store_root,
+                        compact_every=compact_every,
+                        auto_compact=auto_compact,
+                    )
                 if on_stats is not None:
                     on_stats(stats, batch_id)
             finally:
@@ -1442,5 +1717,6 @@ def clusters_foreach_batch(
                     pass
         finally:
             keyed.unpersist(blocking=False)
+            spark.sparkContext.setJobDescription(None)
 
     return fn

@@ -104,12 +104,14 @@ def probe_against_store(
         over_sh = shingle_store.join(over_store, "doc_id").unionByName(
             signed.select("doc_id", "sh").join(over_probe, "doc_id")
         ).distinct()  # a replayed doc can sit on both sides — one row each
+        # ONE prefix subplan (ADVICE r11, low): the token-frequency agg +
+        # prefix self-join is the arm's expensive part — build it once and
+        # union the flipped projection to restore the (new doc, stored
+        # doc) orientation the semi-joins below select on
+        base_cand = prefix_filtered_candidates(over_sh, threshold)
         over_cand = (
-            prefix_filtered_candidates(over_sh, threshold)
-            # keep the (new doc, stored doc) orientation: the prefix join
-            # emits id_a < id_b over the mixed set
-            .unionByName(
-                prefix_filtered_candidates(over_sh, threshold).select(
+            base_cand.unionByName(
+                base_cand.select(
                     F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
                 )
             )

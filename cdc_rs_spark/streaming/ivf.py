@@ -956,36 +956,52 @@ def readmit_vectors(
     Ledgered (a replayed clear is skipped) and
     atomic: the surviving set writes to a NEW versioned dir and the
     meta's tomb_dir flips in one replace. Clearing a never-tombstoned id
-    is a harmless no-op."""
+    is a harmless no-op.
+
+    Ledger convention (ADVICE r11, low — unified with the cluster/span
+    readmit folds): the clear ledgers under its own '{stream_id}!ra'
+    line, never the append stream's, so a readmit batch id can never
+    advance the ingest replay gate. n_readmitted = tombstones actually
+    cleared, counted on the rewrite's single write action."""
+    from pyspark.sql import Observation
+
     _validate_stream_id(stream_id)
     meta = _read_meta(index_dir)
     ledger = meta.get("last_batch_by_stream") or {}
-    if batch_id is not None and int(batch_id) <= int(
-        ledger.get(stream_id, -1)
-    ):
+    key = f"{stream_id}!ra"
+    if batch_id is not None and int(batch_id) <= int(ledger.get(key, -1)):
         return {"n_readmitted": 0, "n_tombstones_left": None,
                 "skipped_duplicate": True}
     ids = readmitted.select(
         F.col("vec_id").cast("bigint").alias("vec_id")
     ).distinct()
-    kept = tombstones(spark, index_dir).distinct().join(
-        F.broadcast(ids), "vec_id", "left_anti"
+    marked = tombstones(spark, index_dir).distinct().join(
+        F.broadcast(ids.withColumn("__r", F.lit(True))), "vec_id", "left"
     )
     n = int(meta.get("tomb_seq", 0)) + 1
     new_name = f"tomb-{n:06d}"
-    kept.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(index_dir, new_name)
+    obs = Observation()
+    (
+        marked.observe(
+            obs,
+            F.count(F.lit(1)).alias("nb"),
+            F.count("__r").alias("nc"),
+        )
+        .filter(F.col("__r").isNull())
+        .select("vec_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(index_dir, new_name))
     )
-    n_left = spark.read.schema("vec_id bigint").parquet(
-        os.path.join(index_dir, new_name)
-    ).count()
+    n_cleared = int(obs.get["nc"])
+    n_left = int(obs.get["nb"]) - n_cleared
     old_tomb = _tomb_path(index_dir)
     meta = _read_meta(index_dir)  # publish point
     meta["tomb_dir"] = new_name
     meta["tomb_seq"] = n
     if batch_id is not None:
         led = dict(meta.get("last_batch_by_stream") or {})
-        led[stream_id] = max(int(led.get(stream_id, -1)), int(batch_id))
+        led[key] = max(int(led.get(key, -1)), int(batch_id))
         meta["last_batch_by_stream"] = led
     _write_meta(index_dir, meta)
     if os.path.isdir(old_tomb) and os.path.basename(old_tomb) != new_name:
@@ -993,7 +1009,7 @@ def readmit_vectors(
 
         shutil.rmtree(old_tomb, ignore_errors=True)
     return {
-        "n_readmitted": int(ids.count()),
+        "n_readmitted": n_cleared,
         "n_tombstones_left": n_left,
         "skipped_duplicate": False,
     }

@@ -276,9 +276,13 @@ def readmit_docs_to_span_store(
     remove doc ids from the tombstone set so future span folds may
     re-index them. Restores no rows by itself (compaction erased them —
     re-ingestion is the only way back, with never-seen semantics);
-    ledgered under its own '{stream}!ra' line; published atomically via
-    a versioned dir + one meta flip. Clearing a never-tombstoned id is a
-    no-op."""
+    ledgered under its own '{stream}!ra' line (the convention the
+    cluster/IVF readmit folds adopted in round 12 — ADVICE r11, low);
+    published atomically via a versioned dir + one meta flip. Clearing a
+    never-tombstoned id is a no-op. n_readmitted = tombstones actually
+    cleared, counted on the rewrite's single write action."""
+    from pyspark.sql import Observation
+
     meta = _read_span_meta(root)
     ledger = meta.get("last_batch_by_stream") or {}
     key = f"{stream_id}!ra"
@@ -290,15 +294,24 @@ def readmit_docs_to_span_store(
     ).distinct()
     seq = int(meta.get("tomb_seq", 0)) + 1
     new_name = f"tomb-{seq:06d}"
-    kept = span_tombstones(spark, root).distinct().join(
-        F.broadcast(ids), "doc_id", "left_anti"
+    marked = span_tombstones(spark, root).distinct().join(
+        F.broadcast(ids.withColumn("__r", F.lit(True))), "doc_id", "left"
     )
-    kept.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(root, new_name)
+    obs = Observation()
+    (
+        marked.observe(
+            obs,
+            F.count(F.lit(1)).alias("nb"),
+            F.count("__r").alias("nc"),
+        )
+        .filter(F.col("__r").isNull())
+        .select("doc_id")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, new_name))
     )
-    n_left = spark.read.schema("doc_id bigint").parquet(
-        os.path.join(root, new_name)
-    ).count()
+    n_cleared = int(obs.get["nc"])
+    n_left = int(obs.get["nb"]) - n_cleared
     old_tomb = _span_tomb_path(root)
     meta = _read_span_meta(root)
     meta["tomb_dir"] = new_name
@@ -313,7 +326,7 @@ def readmit_docs_to_span_store(
 
         shutil.rmtree(old_tomb, ignore_errors=True)
     return {
-        "n_readmitted": int(ids.count()),
+        "n_readmitted": n_cleared,
         "n_tombstones_left": n_left,
         "skipped_duplicate": False,
     }

@@ -1,0 +1,255 @@
+"""Round-12 durability fixes for the streaming cluster fold (ADVICE r11):
+
+1. HIGH — append ordering: the exact-group store gates band appends
+   (a live delegate means "this text's bands are stored"), so the group
+   append must commit LAST. The old order (groups first) had a crash
+   window where a retry saw the delegate row, skipped the band append,
+   and the text's bands were lost forever.
+2. MEDIUM — mixed coverage in remove_docs' delegate arm: live members
+   with no group-store membership row (ingested before the group store
+   existed) must get the legacy in-flight collapse, not a silent
+   relabel to singletons.
+3. LOW — readmit folds ledger under '{stream}!ra' (never advancing the
+   ingest stream's replay line) and report tombstones actually cleared.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.readwriter as _rw
+from pyspark.sql import functions as F
+
+from cdc_rs_spark.streaming.clusters import (
+    clusters_foreach_batch,
+    fold_pairs,
+    init_cluster_store,
+    live_cluster_map,
+    readmit_docs,
+    remove_docs,
+)
+
+TEMPLATE = (
+    "subscribe to our newsletter for the latest updates and offers "
+    "terms of service apply all rights reserved contact us today "
+)
+NEAR = TEMPLATE * 2 + "extra tail words here"  # jaccard >= 0.5 vs TEMPLATE*2
+
+
+def _live(spark, root):
+    return {
+        r["doc_id"]: r["cluster"]
+        for r in live_cluster_map(spark, root).collect()
+    }
+
+
+def _mk_stores(spark, tmp_path, prefix):
+    sig = str(tmp_path / f"{prefix}_sig")
+    sh = str(tmp_path / f"{prefix}_sh")
+    root = str(tmp_path / f"{prefix}_clusters")
+    spark.createDataFrame(
+        [], "doc_id bigint, band int, bkey string"
+    ).write.parquet(sig)
+    spark.createDataFrame(
+        [], "doc_id bigint, sh array<string>"
+    ).write.parquet(sh)
+    init_cluster_store(spark, root)
+    return sig, sh, root
+
+
+def _crash_on(monkeypatch, target_path: str):
+    """Arm a one-shot injected failure on the next parquet write whose
+    path equals `target_path` (exact match — store appends write to the
+    bare store directory)."""
+    orig = _rw.DataFrameWriter.parquet
+    state = {"armed": True, "fired": False}
+
+    def boom(self, path, *a, **kw):
+        if state["armed"] and path == target_path:
+            state["armed"] = False
+            state["fired"] = True
+            raise RuntimeError("injected crash")
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(_rw.DataFrameWriter, "parquet", boom)
+    return state
+
+
+def test_crash_on_band_append_retries_losslessly(spark, tmp_path, monkeypatch):
+    """Crash on the band append (the FIRST store write in the round-12
+    order): nothing gated has committed, so the retry re-runs the batch
+    in full and a later near-dup still pairs. Under the pre-r12 order
+    the group delegate row had already committed, the retry skipped the
+    band append, and the later near-dup silently missed."""
+    baseline_sig, baseline_sh, baseline_root = _mk_stores(
+        spark, tmp_path, "base"
+    )
+    fn0 = clusters_foreach_batch(
+        baseline_sig, baseline_sh, baseline_root, threshold=0.5
+    )
+    fn0(spark.createDataFrame([(1, TEMPLATE * 2)], "doc_id bigint, text string"), 0)
+    fn0(spark.createDataFrame([(3, NEAR)], "doc_id bigint, text string"), 1)
+    baseline = _live(spark, baseline_root)
+    assert baseline == {1: 1, 3: 1}, "fixture must produce a near-dup pair"
+
+    sig, sh, root = _mk_stores(spark, tmp_path, "crash")
+    fn = clusters_foreach_batch(sig, sh, root, threshold=0.5)
+    state = _crash_on(monkeypatch, sig)
+    b0 = spark.createDataFrame([(1, TEMPLATE * 2)], "doc_id bigint, text string")
+    try:
+        fn(b0, 0)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as e:
+        assert "injected crash" in str(e)
+    assert state["fired"]
+    fn(b0, 0)  # the at-least-once retry
+    fn(spark.createDataFrame([(3, NEAR)], "doc_id bigint, text string"), 1)
+    assert _live(spark, root) == baseline
+
+
+def test_crash_before_group_append_retry_absorbs_duplicates(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between the band/shingle appends and the group append (the
+    only crash window the round-12 order leaves): the retry re-appends
+    sig/sh rows — duplicates must be absorbed (distinct candidates,
+    fold-level distinct) and the final map must match the clean run."""
+    sig, sh, root = _mk_stores(spark, tmp_path, "dup")
+    fn = clusters_foreach_batch(sig, sh, root, threshold=0.5)
+    state = _crash_on(monkeypatch, sig + "_groups")
+    b0 = spark.createDataFrame([(1, TEMPLATE * 2)], "doc_id bigint, text string")
+    try:
+        fn(b0, 0)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as e:
+        assert "injected crash" in str(e)
+    assert state["fired"]
+    fn(b0, 0)  # retry: group store absent => re-signs, re-appends
+    # evidence the duplicate-absorption path is exercised, not dodged
+    n_sig_rows = spark.read.parquet(sig).filter(F.col("doc_id") == 1).count()
+    assert n_sig_rows > 8, "retry must have re-appended doc 1's bands"
+    fn(spark.createDataFrame([(3, NEAR)], "doc_id bigint, text string"), 1)
+    assert _live(spark, root) == {1: 1, 3: 1}
+
+
+def test_mixed_coverage_legacy_members_survive_remove(spark, tmp_path):
+    """A store whose map predates the group store (legacy full-population
+    sig/sh rows, no membership rows) later grows a group store via one
+    clusters_foreach_batch fold. remove_docs must give the legacy live
+    members the in-flight collapse — not silently relabel them to
+    singletons (ADVICE r11, medium)."""
+    root = str(tmp_path / "mixed_clusters")
+    init_cluster_store(spark, root)
+    # legacy phase: synthetic stores for docs 1,2,3 (pre-group-store
+    # ingest appended rows for EVERY doc) + a direct pair fold
+    edges = [(1, 2), (2, 3), (1, 3)]
+    sig = str(tmp_path / "mixed_sig")
+    sh = str(tmp_path / "mixed_sh")
+    sig_rows = []
+    for i, (a, b) in enumerate(edges):
+        sig_rows.append((a, i, f"e{i}"))
+        sig_rows.append((b, i, f"e{i}"))
+    spark.createDataFrame(
+        sig_rows, "doc_id bigint, band int, bkey string"
+    ).write.parquet(sig)
+    spark.createDataFrame(
+        [(d, ["s1", "s2", "s3", f"d{d}"]) for d in (1, 2, 3)],
+        "doc_id bigint, sh array<string>",
+    ).write.parquet(sh)
+    fold_pairs(
+        spark, root,
+        spark.createDataFrame(edges, "id_a bigint, id_b bigint"),
+        batch_id=0,
+    )
+    assert _live(spark, root) == {1: 1, 2: 1, 3: 1}
+    # round-11+ phase: one delegate-discipline fold creates the group
+    # store (doc 4 only — docs 1..3 have no membership rows)
+    fn = clusters_foreach_batch(sig, sh, root, threshold=0.5)
+    fn(
+        spark.createDataFrame(
+            [(4, "a completely different document about other things " * 5)],
+            "doc_id bigint, text string",
+        ),
+        1,
+    )
+    # the delete: doc 2 leaves; 1 and 3 share band e2 at jaccard 0.6
+    remove_docs(
+        spark, root, spark.createDataFrame([(2,)], "doc_id bigint"),
+        sig_store_path=sig, shingle_store_path=sh, threshold=0.5,
+        batch_id=2,
+    )
+    assert _live(spark, root) == {1: 1, 3: 1}
+
+
+def test_auto_compaction_bounds_delta_stack_over_110_batches(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r11 next #1: 110 micro-batches through the fold with NO
+    manual compaction — the fold-integrated trigger must keep the delta
+    stack bounded (the r11 p99 tail was the un-compacted stack) and the
+    resolved map must stay exact across every compaction."""
+    import cdc_rs_spark.streaming.clusters as C
+
+    monkeypatch.setattr(C, "AUTO_COMPACT_DEPTH_CAP", 12)
+    sig, sh, root = _mk_stores(spark, tmp_path, "auto")
+    fn = clusters_foreach_batch(sig, sh, root, threshold=0.5)
+    n_batches = 110
+    max_depth = 0
+    for b in range(n_batches):
+        # each batch: a 2-member exact-dup group with a batch-unique text
+        text = f"alpha{b} beta{b} gamma{b} delta{b} epsilon{b}"
+        fn(
+            spark.createDataFrame(
+                [(2 * b, text), (2 * b + 1, text)],
+                "doc_id bigint, text string",
+            ),
+            b,
+        )
+        max_depth = max(
+            max_depth, len(C._read_meta(root).get("deltas") or [])
+        )
+    meta = C._read_meta(root)
+    assert max_depth <= 12, f"delta stack grew to {max_depth}"
+    assert int(meta["base_epoch"]) >= 1, "the trigger never fired"
+    got = _live(spark, root)
+    want = {}
+    for b in range(n_batches):
+        want[2 * b] = 2 * b
+        want[2 * b + 1] = 2 * b
+    assert got == want
+
+
+def test_readmit_ledger_isolated_from_ingest_stream(spark, tmp_path):
+    """The readmit fold ledgers under '{stream}!ra': a readmit at a high
+    batch id must NOT advance the ingest stream's replay line (sharing
+    the line silently skipped ingest batches), and n_readmitted reports
+    tombstones actually cleared — 0 for a never-tombstoned id."""
+    root = str(tmp_path / "ra_clusters")
+    init_cluster_store(spark, root)
+    pair = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    fold_pairs(spark, root, pair, batch_id=0)
+    remove_docs(
+        spark, root, spark.createDataFrame([(2,)], "doc_id bigint"),
+        batch_id=1,
+    )
+    assert _live(spark, root) == {}
+    # never-tombstoned id: cleared count is 0, not the request size
+    assert readmit_docs(
+        spark, root, spark.createDataFrame([(50,)], "doc_id bigint"),
+        batch_id=98,
+    )["n_readmitted"] == 0
+    stats = readmit_docs(
+        spark, root, spark.createDataFrame([(2,)], "doc_id bigint"),
+        batch_id=99,
+    )
+    assert stats["n_readmitted"] == 1
+    assert stats["n_tombstones_left"] == 0
+    # ingest continues at batch 2 on the SAME stream — must not be
+    # skipped by the readmit's batch 99
+    folded = fold_pairs(spark, root, pair, batch_id=2)
+    assert not folded["skipped_duplicate"]
+    assert folded["n_pairs"] == 1
+    assert _live(spark, root) == {1: 1, 2: 1}
+    # the readmit line itself still replay-gates
+    assert readmit_docs(
+        spark, root, spark.createDataFrame([(2,)], "doc_id bigint"),
+        batch_id=99,
+    )["skipped_duplicate"]

@@ -41,15 +41,50 @@ BOILERPLATE = (
     "terms of service apply all rights reserved contact us today"
 )
 
+NEAR_TEMPLATE_LEN = 100  # words per family template
+NEAR_TEMPLATE_SIZE = 400  # DISTINCT mutants per family
+
+
+def near_template_family(
+    rng: np.random.Generator, family_id: int, size: int = NEAR_TEMPLATE_SIZE
+) -> list[str]:
+    """One family of `size` DISTINCT texts that are single-word mutations
+    of a 100-word template (round 12, VERDICT r11 next #2): pairwise
+    Jaccard ~0.9, so ~size * 0.78 of them share each band's key — a
+    distinct-text bucket population past the 256 cap that the exact-text
+    collapse canNOT defuse (nothing is byte-identical). This is the
+    corpus class that exercises the hot-bucket guard's SECOND layer (the
+    PPJoin reroute); the byte-identical BOILERPLATE plant only ever
+    exercises the first (collapse). Family templates are rng-drawn, so
+    families never collide with each other."""
+    template = [str(w) for w in rng.choice(VOCAB, size=NEAR_TEMPLATE_LEN)]
+    out = []
+    for m in range(size):
+        words = list(template)
+        pos = m % NEAR_TEMPLATE_LEN
+        # cycle replacements so every mutant is distinct from the
+        # template and from each other (position, replacement) pairs
+        repl = f"m{family_id}x{m}"
+        words[pos] = repl
+        out.append(" ".join(words))
+    return out
+
 
 def gen_documents(
-    n: int, rng: np.random.Generator, boilerplate_rate: float = 0.0
+    n: int,
+    rng: np.random.Generator,
+    boilerplate_rate: float = 0.0,
+    near_template_families: int = 0,
 ) -> pa.Table:
     """`boilerplate_rate` > 0 plants that fraction of docs as BYTE-
     IDENTICAL copies of one template — the web-corpus skew that makes an
     unguarded LSH band join quadratic (round 11: the hot-bucket probe
     fixture; rate-fixed so skew density is scale-invariant and the
-    linear-vs-quadratic comparison stays meaningful)."""
+    linear-vs-quadratic comparison stays meaningful).
+    `near_template_families` > 0 appends that many over-cap DISTINCT
+    near-dup families (near_template_family) — family count scales with
+    the corpus while family SIZE stays fixed, so the routed PPJoin path's
+    work and true-pair output both grow linearly (round 12)."""
     texts: list[str] = []
     for i in range(n):
         if boilerplate_rate and rng.random() < boilerplate_rate:
@@ -70,6 +105,9 @@ def gen_documents(
             j = int(rng.integers(0, len(base)))
             base[j] = str(rng.choice(VOCAB))
             texts[i] = " ".join(base)
+    for fam in range(near_template_families):
+        texts.extend(near_template_family(rng, fam))
+    n = len(texts)
     langs = rng.choice(LANGS, size=n, p=LANG_P)
     sources = [f"src{int(s)}" for s in rng.integers(0, 20, size=n)]
     return pa.table(
@@ -144,10 +182,11 @@ def main() -> int:
     n_docs, n_vecs, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     n_events = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     boilerplate_rate = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
+    near_template_families = int(sys.argv[6]) if len(sys.argv) > 6 else 0
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(42)
     pq.write_table(
-        gen_documents(n_docs, rng, boilerplate_rate),
+        gen_documents(n_docs, rng, boilerplate_rate, near_template_families),
         os.path.join(out, "documents.parquet"),
     )
     pq.write_table(gen_embeddings(n_vecs, rng), os.path.join(out, "embeddings.parquet"))
