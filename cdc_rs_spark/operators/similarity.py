@@ -1045,6 +1045,135 @@ def opq_permute_py(vec, perm: list[int]) -> list[float]:
     return [float(vec[d - 1]) for d in perm]
 
 
+# ---- trained Givens completion (round 12, VERDICT r11 next #6) -----------
+# The permutation reaches Ge et al.'s closed form only under independent
+# dims; CORRELATED dims split across PQ subspaces are the remaining
+# distortion source (the planted-correlation eval in
+# tests/test_extensions.py). The completion is a ONE-SHOT, fully
+# SQL-re-derivable pipeline: (1) uncentered second moments of the
+# permuted training sample, folded per dim pair in the deterministic
+# sample-row order (bit-identical doubles in Spark / DuckDB / Python);
+# (2) MUTUAL-MAX matching — dims i and j pair iff each is the other's
+# largest-|moment| partner (quantized to the 2^20 integer grid, index
+# tiebreak) — a deterministic disjoint matching with no sequential
+# greedy state, so a single SQL window derives it; (3) a correlation
+# gate (rho^2 >= 0.09, integer cross-multiplied) so noise-level pairs
+# stay untouched — an un-gated second round measurably HURT recall by
+# smearing hot-dim energy; (4) per pair, the Givens angle comes from a
+# FINITE dictionary of Pythagorean-triple (cos, sin) rationals — exact
+# doubles every engine parses identically — argmin of the quantized
+# post-rotation cross moment |c*s*(vjj - vii) + (c^2 - s^2)*vij|;
+# (5) a SECOND energy-balancing permutation re-allocates the now-
+# concentrated variance (decorrelation moves the shared signal onto one
+# coordinate, un-balancing the r11 allocation). Every decision reads
+# only first-round statistics, so the oracle re-derives the entire
+# trained transform in closed form — the property iterative Jacobi
+# sweeps cannot offer.
+
+OPQ_GIVENS_CANDS: list[tuple[float, float]] = [(1.0, 0.0)] + [
+    (a / h, sgn * b / h)
+    for a, b, h in (
+        (4, 3, 5), (3, 4, 5), (20, 21, 29), (21, 20, 29),
+        (12, 5, 13), (5, 12, 13), (24, 7, 25), (7, 24, 25),
+        (15, 8, 17), (8, 15, 17),
+    )
+    for sgn in (1, -1)
+]
+OPQ_RHO2_NUM = 9  # correlation gate: rho^2 >= 9/100
+OPQ_RHO2_DEN = 100
+
+
+def opq_train_pair_rotations(
+    permuted_rows: list, dim: int = EMB_DIM
+) -> list[tuple[int, int, float, float]]:
+    """Train the gated mutual-max Givens set from the PERMUTED sample
+    (list of embedding lists in the deterministic (md5-bucket, vec_id)
+    order). Returns [(i, j, c, s)] with 1-based i < j and (c, s) from
+    OPQ_GIVENS_CANDS — disjoint pairs by the mutual-max construction.
+    Second moments fold per (i, j) in sample-row order (bit-identical to
+    the oracle's ordered list_reduce)."""
+    import math
+
+    cov = [[0.0] * dim for _ in range(dim)]
+    for v in permuted_rows:
+        for i in range(dim):
+            xi = float(v[i])
+            row = cov[i]
+            for j in range(i, dim):
+                row[j] = row[j] + xi * float(v[j])
+
+    def cint(i: int, j: int) -> int:
+        a, b = (i, j) if i <= j else (j, i)
+        return math.floor(abs(cov[a][b]) * OPQ_E_SCALE)
+
+    best_partner = [
+        max(
+            (j for j in range(dim) if j != i),
+            key=lambda j: (cint(i, j), -j),
+        )
+        for i in range(dim)
+    ]
+    pairs: list[tuple[int, int, float, float]] = []
+    for i in range(dim):
+        j = best_partner[i]
+        if not (i < j and best_partner[j] == i):
+            continue
+        cij_int = cint(i, j)
+        if (
+            cij_int * cij_int * OPQ_RHO2_DEN
+            < OPQ_RHO2_NUM * cint(i, i) * cint(j, j)
+        ):
+            continue  # correlation below the gate: leave the pair alone
+        vii, vjj, vij = cov[i][i], cov[j][j], cov[i][j]
+        scored = []
+        for k, (c, s) in enumerate(OPQ_GIVENS_CANDS):
+            val = c * s * (vjj - vii) + (c * c - s * s) * vij
+            scored.append((math.floor(abs(val) * OPQ_E_SCALE), k))
+        _, k = min(scored)
+        if k != 0:  # identity chosen -> the pair is already diagonal
+            c, s = OPQ_GIVENS_CANDS[k]
+            pairs.append((i + 1, j + 1, c, s))
+    return pairs
+
+
+def opq_pairs_py(vec, pairs: list[tuple[int, int, float, float]]) -> list[float]:
+    """Apply the disjoint pair rotations (driver-side mirror): reads the
+    pre-rotation values, so sequential application == simultaneous."""
+    out = [float(x) for x in vec]
+    src = list(out)
+    for i, j, c, s in pairs:
+        out[i - 1] = c * src[i - 1] + s * src[j - 1]
+        out[j - 1] = c * src[j - 1] - s * src[i - 1]
+    return out
+
+
+def opq_pairs_expr(
+    pairs: list[tuple[int, int, float, float]],
+    emb: str = "embedding",
+    dim: int = EMB_DIM,
+) -> str:
+    """Spark SQL application — same multiply/add order as the Python
+    mirror and the oracle's pspec CASE (c * x_p + s * x_partner /
+    c * x_p - s * x_partner), literal coefficients via repr (shortest
+    round-trip: every engine parses the identical double)."""
+    spec: dict[int, tuple[float, float, int, int]] = {}
+    for i, j, c, s in pairs:
+        spec[i] = (c, s, j, 1)
+        spec[j] = (c, s, i, 2)
+    terms = []
+    for p in range(1, dim + 1):
+        if p in spec:
+            c, s, q, role = spec[p]
+            op = "+" if role == 1 else "-"
+            terms.append(
+                f"CAST({c!r}D * element_at({emb}, {p}) {op} "
+                f"{s!r}D * element_at({emb}, {q}) AS DOUBLE)"
+            )
+        else:
+            terms.append(f"CAST(element_at({emb}, {p}) AS DOUBLE)")
+    return "array(" + ", ".join(terms) + ")"
+
+
 def residual_quantize_sql(emb: str, cemb: str) -> str:
     """Spark SQL: the 2^-20-grid quantized residual `emb - cemb` as
     array<double>. Spark's floor(double) returns LONG (DuckDB's returns

@@ -73,80 +73,81 @@ def register(name: str, oracle: str | None = None):
 # watermark recommendation, line-level dedup, quantization fidelity) so the
 # driver verifies the round's new surface first-hand.
 _DRIVER_WINDOW = [
-    # ROUND-11 ROTATION (the standing discipline): pin every round-11
+    # ROUND-12 ROTATION (the standing discipline): pin every round-12
     # NEW and CHANGED query first, then fill with family-spread repeat
-    # greens. Cumulative driver coverage through r10 is 255/255;
-    # rotated-out queries keep their module order after slot 50 and
+    # greens — this round preferring queries NOT pinned in recent
+    # windows (cumulative driver coverage through r11 is 258/258).
+    # Rotated-out queries keep their module order after slot 50 and
     # stay verified locally (CORRECTNESS_LOCAL_FULL.json via
     # tools/driver_sim.py).
     #
-    # NEW this round — MAX-monoid rebuild retraction and the trained
-    # parametric OPQ — pinned at birth:
-    "streaming_hll_retraction_rebuild",
-    "similarity_opq_trained_recall",
-    "dedup_clusters_readmit",
-    # CHANGED this round (re-pin): the whole MinHash family rides the
-    # hot-bucket guard (exact-text collapse + capped band join +
-    # prefix fallback); the incremental/retraction cluster queries ride
-    # the delegate-discipline stores + atomic purge + threshold pinning;
-    # the funnel pair and GDPR compose them; events_survival_km carries
-    # the exact half-up rounding; hll_incremental_distinct rides the
-    # additive store's explicit-schema reads and the parameterized
-    # oracle; the IVF/span pins ride the tombstone-dir resolver the
-    # readmit folds introduced; the prefix join is now the fallback
-    # blocker (load-bearing above the bucket cap).
-    "dedup_minhash_lsh",
-    "dedup_connected_components",
-    "dedup_cluster_report",
-    "dedup_canonical_quality",
-    "modality_agreement_audit",
+    # NEW this round — the 8-store forget->readmit->re-ingest lifecycle
+    # audit and the trained Givens OPQ chain — pinned at birth:
+    "gdpr_forget_end_to_end_v2",
+    "similarity_opq_givens_recall",
+    # CHANGED this round (re-pin): every query riding the streaming
+    # cluster fold — round 12 reordered its store appends (group rows
+    # last), added fold-integrated auto-compaction, the no-candidate
+    # fast path, the semi-join probe, driver-side bucket hashing, the
+    # legacy-coverage collapse in remove_docs, and the '{stream}!ra'
+    # readmit ledger line.
     "dedup_incremental_clusters",
     "dedup_clusters_retraction",
+    "dedup_clusters_readmit",
     "curation_funnel_incremental",
     "curation_funnel_retraction",
     "gdpr_forget_end_to_end",
-    "events_survival_km",
-    "hll_incremental_distinct",
-    "similarity_ivf_tombstone_topk",
-    "dedup_span_store_probe",
-    "dedup_jaccard_prefix_join",
-    # family-spread repeat greens: retraction siblings (additive/CMS/
-    # quantile/NB paths share the fold machinery the rebuild extended),
-    # IVF/span/anchor incrementals (resolver-adjacent), dedup variants,
-    # CDC core, TPC-H anchors, events, text, graph, multimodal,
-    # sampling, ANN baseline
-    "heavy_hitters_cms_retraction",
-    "quantile_histogram_retraction",
-    "text_nb_retraction_classifier",
-    "similarity_ivf_incremental_topk",
-    "dedup_anchor_store_probe",
-    "dedup_exact_substring_spans",
-    "decontaminate_eval_overlap",
-    "similarity_opq_recall_eval",
-    "text_unigram_lm_train",
-    "cdc_backfill_bigquery",
-    "cdc_merge_live_wins",
-    "cdc_retraction_algebra",
-    "gdpr_forget_manifest",
-    "q1_pricing_summary",
-    "q4_order_priority",
-    "q6_revenue_forecast",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q19_disjunctive_revenue",
-    "q21_late_suppliers",
-    "rollup_order_stats",
-    "cube_lineitem_flags",
-    "events_session_window",
-    "events_funnel_conversion",
-    "text_nb_incremental_classifier",
-    "text_quality_filter_median",
-    "text_cleaning_funnel",
-    "part_community_lpa",
-    "part_bfs_distance",
-    "multimodal_image_decode",
-    "sample_stratified_cap",
-    "similarity_bruteforce_topk",
+    # family-spread repeat greens, rotated toward the long-unpinned:
+    # CDC core + rhai
+    "cdc_typed_projection",
+    "cdc_envelope_opcodes",
+    "cdc_regex_filter",
+    "cdc_time_travel_asof",
+    "cdc_schema_evolution",
+    "rhai_script_closure_while_scoring",
+    # TPC-H / relational anchors
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q14_promo_revenue",
+    "q18_large_volume_customer",
+    "q22_idle_customers",
+    "grouping_sets_lineitem",
+    # sketches + graph
+    "heavy_hitters_cms_incremental",
+    "hll_sketch_rollup_custkeys",
+    "quantile_histogram_incremental",
+    "part_triangle_count",
+    "part_kcore_2",
+    "pagerank_part_graph",
+    # events
+    "events_asof_last_click",
+    "events_range_join_bucketed",
+    "events_weekly_retention",
+    "events_salted_user_join",
+    "events_pattern_regex_cep",
+    "events_watermark_recommendation",
+    # dedup variants
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_semantic_clustered",
+    "dedup_anchor_shift_invariance",
+    # similarity / ANN
+    "similarity_ivfpq_residual_topk",
+    "similarity_ivfpq_residual_recall_eval",
+    "similarity_hybrid_rrf_topk",
+    "similarity_silhouette_eval",
+    "embedding_matryoshka_truncation_audit",
+    # text
+    "text_langid",
+    "text_bpe_train_merges",
+    "text_nb_auc_eval",
+    "text_zipf_rank_ratio_audit",
+    # multimodal + pipeline
+    "multimodal_image_near_dup",
+    "multimodal_audio_vad_segments",
+    "pack_documents_token_budget",
+    "scd2_order_price_history",
 ]
 
 
