@@ -1562,95 +1562,163 @@ def gdpr_forget_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_dir = os.path.join(root, "ivf")
     shard_dir = os.path.join(root, "shards")
 
+    from cdc_rs_spark.parallel import run_parallel
+
+    toks = lambda df: (  # noqa: E731
+        df.select(
+            (F.length("source") <= 4).alias("is_a"),
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        ).filter(F.col("token") != "")
+    )
+    purged_shards = os.path.join(root, "shards_purged")
+
     try:
         with build_phase():
-            # ---- build every store over the FULL corpus ----
-            signed = minhash_docs(d, "doc_id", "text").persist()
-            band_explode(signed.select("doc_id", "sig")).write.parquet(
-                sig_path
-            )
-            signed.select("doc_id", "sh").write.parquet(sh_path)
-            # CC-equivalent edge form (round 11): the cluster-map fold
-            # needs connectivity, not member pairs — boilerplate cliques
-            # stay linear (operators/dedup.minhash_dedup_edges docstring)
-            pairs0 = minhash_dedup_edges(
-                d.select("doc_id", "text"), "doc_id", "text", 0.5
-            )
-            init_cluster_store(spark, clusters_root, threshold=0.5)
-            fold_pairs(spark, clusters_root, pairs0, batch_id=0)
-            init_count_store(spark, nb_root)
-            toks = lambda df: (  # noqa: E731
-                df.select(
-                    (F.length("source") <= 4).alias("is_a"),
-                    F.explode(F.split(F.lower("text"), " ")).alias("token"),
-                ).filter(F.col("token") != "")
-            )
-            fold_counts(toks(d), nb_root, batch_id=0)
-            init_span_store(spark, span_root, hashed=False)
-            span_rows, _ = span_keys(d, hashed=False)
-            span_rows.distinct().write.mode("append").parquet(
-                _epoch_path(span_root, 0)
-            )
-            init_index(
-                spark, emb, index_dir,
-                n_centroids=N_CENTROIDS, train_cap=TRAIN_CAP,
-                kmeans_iters=1, dim=EMB_DIM,
-            )
-            d.withColumn("shard", hash_bucket(F.col("doc_id"), 8)).select(
-                "doc_id", "text", "shard"
-            ).write.partitionBy("shard").parquet(shard_dir)
-            # ---- before-counts, measured from the LIVE stores ----
-            n_cl_before = live_cluster_map(spark, clusters_root).join(
-                subj, "doc_id"
-            )
-            before_counts = {
-                "cluster_map": n_cl_before,
-                "band_store": spark.read.parquet(sig_path).join(
-                    subj, "doc_id"
-                ),
-                # token-keyed store: subject presence = the cohort's vocab
-                "nb_counts": toks(d.join(subj, "doc_id"))
-                .select("token")
-                .distinct(),
-                "span_store": live_span_store(spark, span_root).join(
-                    subj, "doc_id"
-                ),
-                "ann_index": spark.read.parquet(
-                    current_lists_path(index_dir)
-                ).join(vsubj, "vec_id"),
-                "training_shards": spark.read.schema(
-                    "doc_id long, text string, shard bigint"
+            # ---- build every store over the FULL corpus, then its
+            # before-count, as SIX independent per-store chains run
+            # concurrently (guide §2.6): the six store families live in
+            # disjoint directories and every chain reads only the
+            # immutable corpus scan, so the sequential form's idle-tail
+            # latency (six jobs waiting on the driver one after another)
+            # collapses to the longest chain. Ordering within a chain is
+            # unchanged, so each store's before-count still reads its
+            # fully-built pre-purge state.
+            def chain_bands() -> int:
+                signed = minhash_docs(d, "doc_id", "text").persist()
+                try:
+                    band_explode(
+                        signed.select("doc_id", "sig")
+                    ).write.parquet(sig_path)
+                    signed.select("doc_id", "sh").write.parquet(sh_path)
+                finally:
+                    signed.unpersist(blocking=False)
+                return (
+                    spark.read.parquet(sig_path).join(subj, "doc_id").count()
                 )
-                .parquet(shard_dir)
-                .join(subj, "doc_id"),
-            }
-            before_vals = {
-                k: v.count() for k, v in before_counts.items()
-            }
-            # ---- THE FORGET: purge every store ----
-            remove_docs(
-                spark, clusters_root, subj,
-                sig_store_path=sig_path, shingle_store_path=sh_path,
-                threshold=0.5, batch_id=1,
+
+            def chain_clusters() -> int:
+                # CC-equivalent edge form (round 11): the cluster-map
+                # fold needs connectivity, not member pairs —
+                # boilerplate cliques stay linear
+                # (operators/dedup.minhash_dedup_edges docstring)
+                pairs0 = minhash_dedup_edges(
+                    d.select("doc_id", "text"), "doc_id", "text", 0.5
+                )
+                init_cluster_store(spark, clusters_root, threshold=0.5)
+                fold_pairs(spark, clusters_root, pairs0, batch_id=0)
+                return (
+                    live_cluster_map(spark, clusters_root)
+                    .join(subj, "doc_id")
+                    .count()
+                )
+
+            def chain_nb() -> int:
+                init_count_store(spark, nb_root)
+                fold_counts(toks(d), nb_root, batch_id=0)
+                # token-keyed store: subject presence = the cohort's vocab
+                return (
+                    toks(d.join(subj, "doc_id"))
+                    .select("token")
+                    .distinct()
+                    .count()
+                )
+
+            def chain_span() -> int:
+                init_span_store(spark, span_root, hashed=False)
+                span_rows, _ = span_keys(d, hashed=False)
+                span_rows.distinct().write.mode("append").parquet(
+                    _epoch_path(span_root, 0)
+                )
+                return (
+                    live_span_store(spark, span_root)
+                    .join(subj, "doc_id")
+                    .count()
+                )
+
+            def chain_ivf() -> int:
+                init_index(
+                    spark, emb, index_dir,
+                    n_centroids=N_CENTROIDS, train_cap=TRAIN_CAP,
+                    kmeans_iters=1, dim=EMB_DIM,
+                )
+                return (
+                    spark.read.parquet(current_lists_path(index_dir))
+                    .join(vsubj, "vec_id")
+                    .count()
+                )
+
+            def chain_shards() -> int:
+                d.withColumn(
+                    "shard", hash_bucket(F.col("doc_id"), 8)
+                ).select("doc_id", "text", "shard").write.partitionBy(
+                    "shard"
+                ).parquet(shard_dir)
+                return (
+                    spark.read.schema(
+                        "doc_id long, text string, shard bigint"
+                    )
+                    .parquet(shard_dir)
+                    .join(subj, "doc_id")
+                    .count()
+                )
+
+            bvals = run_parallel(
+                chain_bands, chain_clusters, chain_nb,
+                chain_span, chain_ivf, chain_shards,
             )
-            purge_band_stores(spark, clusters_root, sig_path, sh_path)
-            retract_counts(
-                toks(d.join(subj, "doc_id")), nb_root,
-                batch_id=0, stream_id="d",
+            before_vals = dict(
+                zip(
+                    [
+                        "band_store", "cluster_map", "nb_counts",
+                        "span_store", "ann_index", "training_shards",
+                    ],
+                    bvals,
+                )
             )
-            remove_docs_from_span_store(spark, span_root, subj, batch_id=0)
-            compact_span_store(spark, span_root, keep_epochs=0)
-            remove_vectors(spark, index_dir, vsubj, batch_id=0)
-            compact_index(spark, index_dir, dim=EMB_DIM, keep_epochs=0)
-            purged_shards = os.path.join(root, "shards_purged")
-            (
-                spark.read.schema("doc_id long, text string, shard bigint")
-                .parquet(shard_dir)
-                .join(subj, "doc_id", "left_anti")
-                .write.partitionBy("shard")
-                .parquet(purged_shards)
+
+            # ---- THE FORGET: purge every store — again one chain per
+            # store family (cluster purge needs the band stores, both
+            # built above; the barrier between build and purge keeps the
+            # pre-purge before-counts exact) ----
+            def purge_clusters() -> None:
+                remove_docs(
+                    spark, clusters_root, subj,
+                    sig_store_path=sig_path, shingle_store_path=sh_path,
+                    threshold=0.5, batch_id=1,
+                )
+                purge_band_stores(spark, clusters_root, sig_path, sh_path)
+
+            def purge_nb() -> None:
+                retract_counts(
+                    toks(d.join(subj, "doc_id")), nb_root,
+                    batch_id=0, stream_id="d",
+                )
+
+            def purge_span() -> None:
+                remove_docs_from_span_store(
+                    spark, span_root, subj, batch_id=0
+                )
+                compact_span_store(spark, span_root, keep_epochs=0)
+
+            def purge_ivf() -> None:
+                remove_vectors(spark, index_dir, vsubj, batch_id=0)
+                compact_index(spark, index_dir, dim=EMB_DIM, keep_epochs=0)
+
+            def purge_shards() -> None:
+                (
+                    spark.read.schema(
+                        "doc_id long, text string, shard bigint"
+                    )
+                    .parquet(shard_dir)
+                    .join(subj, "doc_id", "left_anti")
+                    .write.partitionBy("shard")
+                    .parquet(purged_shards)
+                )
+
+            run_parallel(
+                purge_clusters, purge_nb, purge_span,
+                purge_ivf, purge_shards,
             )
-            signed.unpersist(blocking=False)
         # ---- the audit: absence, measured from the purged stores ----
         surv_vocab = toks(d.join(subj, "doc_id", "left_anti")).select(
             "token"
@@ -2015,116 +2083,198 @@ def gdpr_forget_end_to_end_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).filter(F.col("token") != "")
     )
 
+    from cdc_rs_spark.parallel import run_parallel
+
+    purged_shards = os.path.join(root, "shards_purged")
     try:
         with build_phase():
-            # ---- build: the REAL ingest paths ----
-            spark.createDataFrame(
-                [], "doc_id bigint, band int, bkey string"
-            ).write.parquet(sig_path)
-            spark.createDataFrame(
-                [], "doc_id bigint, sh array<string>"
-            ).write.parquet(sh_path)
-            init_cluster_store(spark, clusters_root, threshold=0.5)
+            # ---- build: the REAL ingest paths, as independent per-store
+            # chains run concurrently (guide §2.6 — the six store
+            # families live in disjoint directories and read only the
+            # immutable corpus scan; the cluster chain's two sequential
+            # folds dominate, and every other store's build/before-count
+            # back-fills its idle tail). Within each chain, ordering is
+            # byte-identical to the sequential form. ----
             fn = clusters_foreach_batch(
                 sig_path, sh_path, clusters_root, threshold=0.5
             )
-            fn(d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text"), 0)
-            fn(d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"), 1)
-            init_count_store(spark, nb_root)
-            fold_counts(toks(d), nb_root, batch_id=0)
-            init_span_store(spark, span_root, hashed=False)
-            span_rows, _ = span_keys(d, hashed=False)
-            span_rows.distinct().write.mode("append").parquet(
-                _epoch_path(span_root, 0)
-            )
-            init_index(
-                spark, emb, index_dir,
-                n_centroids=N_CENTROIDS, train_cap=TRAIN_CAP,
-                kmeans_iters=1, dim=EMB_DIM,
-            )
-            d.withColumn("shard", hash_bucket(F.col("doc_id"), 8)).select(
-                "doc_id", "text", "shard"
-            ).write.partitionBy("shard").parquet(shard_dir)
-            init_additive_store(
-                spark, hll_root,
-                {"lang": "string", "idx": "bigint"}, ["rho"], merge="max",
-            )
-            fold_segment(
-                hll_increments(d, "CAST(doc_id AS STRING)", ["lang"]),
-                hll_root, batch_id=0,
-            )
-            # ---- before-counts, measured from the LIVE stores ----
-            gs = spark.read.schema(_GROUP_SCHEMA).parquet(
-                _resolve_store(sig_path + "_groups")
-            )
-            ms = gs.select("gkey", "doc_id").distinct()
-            n_groups = ms.select("gkey").distinct().count()
-            n_groups_surviving = (
-                ms.join(subj, "doc_id", "left_anti")
-                .select("gkey")
-                .distinct()
-                .count()
+
+            def chain_clusters() -> dict:
+                spark.createDataFrame(
+                    [], "doc_id bigint, band int, bkey string"
+                ).write.parquet(sig_path)
+                spark.createDataFrame(
+                    [], "doc_id bigint, sh array<string>"
+                ).write.parquet(sh_path)
+                init_cluster_store(spark, clusters_root, threshold=0.5)
+                fn(
+                    d.filter(F.col("doc_id") % 2 == 0).select(
+                        "doc_id", "text"
+                    ),
+                    0,
+                )
+                fn(
+                    d.filter(F.col("doc_id") % 2 == 1).select(
+                        "doc_id", "text"
+                    ),
+                    1,
+                )
+                gs = spark.read.schema(_GROUP_SCHEMA).parquet(
+                    _resolve_store(sig_path + "_groups")
+                )
+                ms = gs.select("gkey", "doc_id").distinct()
+                # the four store-state counts are themselves independent
+                # read-only aggregates — overlap them too
+                n_groups, n_groups_surviving, n_cmap, n_gdocs = run_parallel(
+                    lambda: ms.select("gkey").distinct().count(),
+                    lambda: (
+                        ms.join(subj, "doc_id", "left_anti")
+                        .select("gkey")
+                        .distinct()
+                        .count()
+                    ),
+                    lambda: (
+                        live_cluster_map(spark, clusters_root)
+                        .join(subj, "doc_id")
+                        .count()
+                    ),
+                    lambda: (
+                        ms.join(subj, "doc_id")
+                        .select("doc_id")
+                        .distinct()
+                        .count()
+                    ),
+                )
+                return {
+                    "cluster_map": n_cmap,
+                    # texts whose EVERY member is a subject — the groups
+                    # that must vanish from the band store
+                    # (delegate-independent)
+                    "band_store": n_groups - n_groups_surviving,
+                    "group_store": n_gdocs,
+                }
+
+            def chain_nb() -> int:
+                init_count_store(spark, nb_root)
+                fold_counts(toks(d), nb_root, batch_id=0)
+                return (
+                    toks(d.join(subj, "doc_id"))
+                    .select("token")
+                    .distinct()
+                    .count()
+                )
+
+            def chain_span() -> int:
+                init_span_store(spark, span_root, hashed=False)
+                span_rows, _ = span_keys(d, hashed=False)
+                span_rows.distinct().write.mode("append").parquet(
+                    _epoch_path(span_root, 0)
+                )
+                return (
+                    live_span_store(spark, span_root)
+                    .join(subj, "doc_id")
+                    .count()
+                )
+
+            def chain_ivf() -> int:
+                init_index(
+                    spark, emb, index_dir,
+                    n_centroids=N_CENTROIDS, train_cap=TRAIN_CAP,
+                    kmeans_iters=1, dim=EMB_DIM,
+                )
+                return (
+                    spark.read.parquet(current_lists_path(index_dir))
+                    .join(vsubj, "vec_id")
+                    .count()
+                )
+
+            def chain_shards() -> int:
+                d.withColumn(
+                    "shard", hash_bucket(F.col("doc_id"), 8)
+                ).select("doc_id", "text", "shard").write.partitionBy(
+                    "shard"
+                ).parquet(shard_dir)
+                return subj.count()
+
+            def chain_hll() -> None:
+                init_additive_store(
+                    spark, hll_root,
+                    {"lang": "string", "idx": "bigint"}, ["rho"],
+                    merge="max",
+                )
+                fold_segment(
+                    hll_increments(d, "CAST(doc_id AS STRING)", ["lang"]),
+                    hll_root, batch_id=0,
+                )
+
+            cl_vals, nb_val, span_val, ivf_val, n_subj, _ = run_parallel(
+                chain_clusters, chain_nb, chain_span,
+                chain_ivf, chain_shards, chain_hll,
             )
             before_vals = {
-                "cluster_map": live_cluster_map(spark, clusters_root)
-                .join(subj, "doc_id")
-                .count(),
-                # texts whose EVERY member is a subject — the groups that
-                # must vanish from the band store (delegate-independent)
-                "band_store": n_groups - n_groups_surviving,
-                "group_store": ms.join(subj, "doc_id")
-                .select("doc_id")
-                .distinct()
-                .count(),
-                "nb_counts": toks(d.join(subj, "doc_id"))
-                .select("token")
-                .distinct()
-                .count(),
-                "span_store": live_span_store(spark, span_root)
-                .join(subj, "doc_id")
-                .count(),
-                "ann_index": spark.read.parquet(
-                    current_lists_path(index_dir)
-                )
-                .join(vsubj, "vec_id")
-                .count(),
-                "training_shards": subj.count(),
-                "hll_distinct": subj.count(),
+                **cl_vals,
+                "nb_counts": nb_val,
+                "span_store": span_val,
+                "ann_index": ivf_val,
+                "training_shards": n_subj,
+                "hll_distinct": n_subj,
             }
-            # ---- THE FORGET ----
-            remove_docs(
-                spark, clusters_root, subj,
-                sig_store_path=sig_path, shingle_store_path=sh_path,
-                threshold=0.5, batch_id=2,
+
+            # ---- THE FORGET (and, on the cluster chain, THE READMIT:
+            # counter-notice for half the cohort) — per-store chains
+            # again; the cluster store's remove → purge → readmit →
+            # re-ingest leg is strictly ordered within its chain ----
+            def purge_clusters() -> None:
+                remove_docs(
+                    spark, clusters_root, subj,
+                    sig_store_path=sig_path, shingle_store_path=sh_path,
+                    threshold=0.5, batch_id=2,
+                )
+                purge_band_stores(spark, clusters_root, sig_path, sh_path)
+                readmit_docs(spark, clusters_root, readm, batch_id=3)
+                fn(d.join(readm, "doc_id").select("doc_id", "text"), 3)
+
+            def purge_nb() -> None:
+                retract_counts(
+                    toks(d.join(subj, "doc_id")), nb_root,
+                    batch_id=0, stream_id="d",
+                )
+
+            def purge_span() -> None:
+                remove_docs_from_span_store(
+                    spark, span_root, subj, batch_id=0
+                )
+                compact_span_store(spark, span_root, keep_epochs=0)
+
+            def purge_ivf() -> None:
+                remove_vectors(spark, index_dir, vsubj, batch_id=0)
+                compact_index(spark, index_dir, dim=EMB_DIM, keep_epochs=0)
+
+            def purge_shards() -> None:
+                (
+                    spark.read.schema(
+                        "doc_id long, text string, shard bigint"
+                    )
+                    .parquet(shard_dir)
+                    .join(subj, "doc_id", "left_anti")
+                    .write.partitionBy("shard")
+                    .parquet(purged_shards)
+                )
+
+            def purge_hll() -> None:
+                rebuild_additive_store(
+                    spark, hll_root,
+                    hll_increments(
+                        d.join(subj, "doc_id", "left_anti"),
+                        "CAST(doc_id AS STRING)", ["lang"],
+                    ),
+                    batch_id=1,
+                )
+
+            run_parallel(
+                purge_clusters, purge_nb, purge_span,
+                purge_ivf, purge_shards, purge_hll,
             )
-            purge_band_stores(spark, clusters_root, sig_path, sh_path)
-            retract_counts(
-                toks(d.join(subj, "doc_id")), nb_root,
-                batch_id=0, stream_id="d",
-            )
-            remove_docs_from_span_store(spark, span_root, subj, batch_id=0)
-            compact_span_store(spark, span_root, keep_epochs=0)
-            remove_vectors(spark, index_dir, vsubj, batch_id=0)
-            compact_index(spark, index_dir, dim=EMB_DIM, keep_epochs=0)
-            purged_shards = os.path.join(root, "shards_purged")
-            (
-                spark.read.schema("doc_id long, text string, shard bigint")
-                .parquet(shard_dir)
-                .join(subj, "doc_id", "left_anti")
-                .write.partitionBy("shard")
-                .parquet(purged_shards)
-            )
-            rebuild_additive_store(
-                spark, hll_root,
-                hll_increments(
-                    d.join(subj, "doc_id", "left_anti"),
-                    "CAST(doc_id AS STRING)", ["lang"],
-                ),
-                batch_id=1,
-            )
-            # ---- THE READMIT: counter-notice for half the cohort ----
-            readmit_docs(spark, clusters_root, readm, batch_id=3)
-            fn(d.join(readm, "doc_id").select("doc_id", "text"), 3)
         # ---- the audit: absence, measured from the live stores ----
         cmap = live_cluster_map(spark, clusters_root)
         nb = read_counts(spark, nb_root)
@@ -2572,6 +2722,8 @@ def funnel_foreach_batch(
         )
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
+        from cdc_rs_spark.parallel import run_parallel
+
         ins, g1, g2, gated = funnel_gates(batch_df)
         gated = gated.persist()
         try:
@@ -2583,9 +2735,22 @@ def funnel_foreach_batch(
                     .unionByName(stage("quality_ge_032", g2))
                     .unionByName(stage("len_ge_20", gated))
                 )
-                fold_segment(seg, counts_root, batch_id=batch_id)
-                cluster_fn(gated, batch_id)
-                fold_counts(nb_toks(gated), nb_root, batch_id=batch_id)
+                # the three stores are disjoint directories and every
+                # fold is ledgered per store — overlap them (guide §2.6;
+                # the cluster fold dominates, the additive/NB folds
+                # back-fill its idle tail). Materialize the persisted
+                # gate output first so the concurrent consumers share one
+                # computation instead of racing the cache.
+                gated.count()
+                run_parallel(
+                    lambda: fold_segment(
+                        seg, counts_root, batch_id=batch_id
+                    ),
+                    lambda: cluster_fn(gated, batch_id),
+                    lambda: fold_counts(
+                        nb_toks(gated), nb_root, batch_id=batch_id
+                    ),
+                )
                 return
             dels = batch_df.filter(F.col("op") == "d").select(
                 "doc_id", "text", "source"
@@ -2593,6 +2758,14 @@ def funnel_foreach_batch(
             dg1, dg2, dgated = gate_stages(dels)
             dgated = dgated.persist()
             try:
+                # materialize both persisted gate outputs ONCE before the
+                # parallel fan-out: three concurrent first-consumers would
+                # otherwise race the cache and each recompute the full
+                # gate stack (measured: +13% task time). Two tiny
+                # count jobs make every chain a cache hit.
+                run_parallel(
+                    lambda: gated.count(), lambda: dgated.count()
+                )
                 # ONE signed segment per batch: +insert-side counts,
                 # -delete-side counts; SUM nets to the live corpus
                 seg = (
@@ -2607,24 +2780,37 @@ def funnel_foreach_batch(
                     .unionByName(stage("len_ge_20", gated))
                     .unionByName(stage("len_ge_20", dgated, sign=-1))
                 )
-                fold_segment(seg, counts_root, batch_id=batch_id)
                 # inserts fold under stream 's', deletes under 'd' —
-                # one ledger line each per store
-                cluster_fn(gated, batch_id)
-                remove_docs(
-                    batch_df.sparkSession,
-                    clusters_root,
-                    dgated.select("doc_id"),
-                    sig_store_path=sig_path,
-                    shingle_store_path=sh_path,
-                    threshold=0.5,
-                    batch_id=batch_id,
-                    stream_id="d",
-                )
-                fold_counts(nb_toks(gated), nb_root, batch_id=batch_id)
-                retract_counts(
-                    nb_toks(dgated), nb_root,
-                    batch_id=batch_id, stream_id="d",
+                # one ledger line each per store. The three STORE chains
+                # are disjoint directories, so they overlap (§2.6);
+                # within the cluster and NB chains the insert fold still
+                # strictly precedes the delete fold of the same store.
+                run_parallel(
+                    lambda: fold_segment(
+                        seg, counts_root, batch_id=batch_id
+                    ),
+                    lambda: (
+                        cluster_fn(gated, batch_id),
+                        remove_docs(
+                            batch_df.sparkSession,
+                            clusters_root,
+                            dgated.select("doc_id"),
+                            sig_store_path=sig_path,
+                            shingle_store_path=sh_path,
+                            threshold=0.5,
+                            batch_id=batch_id,
+                            stream_id="d",
+                        ),
+                    ),
+                    lambda: (
+                        fold_counts(
+                            nb_toks(gated), nb_root, batch_id=batch_id
+                        ),
+                        retract_counts(
+                            nb_toks(dgated), nb_root,
+                            batch_id=batch_id, stream_id="d",
+                        ),
+                    ),
                 )
             finally:
                 dgated.unpersist(blocking=False)

@@ -43,6 +43,12 @@ def get_spark(app_name: str = "cdc-rs-spark", cpus: int | None = None) -> SparkS
         # UI off for test/bench runs; tools/scale_probe.py turns it on to
         # read per-stage shuffle metrics over the REST API
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # keep the app status store complete for long sessions so the
+        # optimization tooling (tools/micro_bench.py) can diff job counts
+        # and summed task time per query without eviction holes; memory
+        # cost is metadata-only and the UI stays off by default
+        .config("spark.ui.retainedJobs", "200000")
+        .config("spark.ui.retainedStages", "200000")
         .getOrCreate()
     )
 

@@ -86,6 +86,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_rs_spark.operators.graph import connected_components
+from cdc_rs_spark.parallel import run_parallel
 
 _META = "_cluster_meta.json"
 N_BUCKETS = 64  # base-map partition buckets (pruned by the fold's lookup)
@@ -788,12 +789,23 @@ def remove_docs(
         for r in resolved_removed.select("cluster").distinct().collect()
     )
 
-    def publish(delta: DataFrame, translations, stats: dict) -> dict:
+    def publish(delta: DataFrame, translations) -> tuple[int, int]:
+        """Write the delta once; the row count AND the live/dead split
+        ride the same action as Observation metrics (round 12 — the old
+        form ran `relabeled.count()` + `dropped.count()` as two extra
+        actions, executing the delta subtree three times per delete
+        fold). Returns (n_rows, n_alive)."""
         from pyspark.sql import Observation
 
         obs = Observation()
         (
-            delta.observe(obs, F.count(F.lit(1)).alias("n"))
+            delta.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("dead"), F.lit(0)).otherwise(F.lit(1))
+                ).alias("n_alive"),
+            )
             .write.mode("overwrite")  # crashed-retry overwrites
             .parquet(os.path.join(root, delta_name))
         )
@@ -812,7 +824,7 @@ def remove_docs(
             m["last_batch_by_stream"] = led
         m["n_folds"] = int(m["n_folds"]) + 1
         _write_meta(root, m)
-        return stats
+        return int(obs.get["n"]), int(obs.get["n_alive"] or 0)
 
     dead_removed = removed.select(
         "doc_id", F.lit(0).cast("bigint").alias("cluster"),
@@ -820,11 +832,12 @@ def remove_docs(
     )
     if not affected:
         # no removed doc had an entry: tombstones + dead rows only
-        return publish(
-            dead_removed,
-            list(meta.get("translations") or []),
-            {**noop, "n_removed": int(n_removed), "skipped_duplicate": False},
-        )
+        publish(dead_removed, list(meta.get("translations") or []))
+        return {
+            **noop,
+            "n_removed": int(n_removed),
+            "skipped_duplicate": False,
+        }
     # 3. all members of the affected clusters (resolved view, full scan
     # of the label map — see docstring for the cost argument)
     aff_df = F.broadcast(
@@ -1043,19 +1056,17 @@ def remove_docs(
         for a, b in (meta.get("translations") or [])
         if closure.get(int(a), int(b)) not in aff_set
     ]
-    n_relabeled = relabeled.count()
-    n_dropped = dropped.count()
-    return publish(
-        delta,
-        kept_translations,
-        {
-            "n_removed": int(n_removed),
-            "n_affected_clusters": len(affected),
-            "n_relabeled": int(n_relabeled),
-            "n_dropped_singletons": int(n_dropped),
-            "skipped_duplicate": False,
-        },
-    )
+    # one action: the write's Observation carries the live/dead split, so
+    # n_relabeled (= live rows) and n_dropped (= dead rows minus the
+    # removed docs' own dead rows) no longer re-execute the delta subtree
+    n_rows, n_alive = publish(delta, kept_translations)
+    return {
+        "n_removed": int(n_removed),
+        "n_affected_clusters": len(affected),
+        "n_relabeled": int(n_alive),
+        "n_dropped_singletons": int(n_rows - n_alive - n_removed),
+        "skipped_duplicate": False,
+    }
 
 
 def purge_band_stores(
@@ -1083,28 +1094,42 @@ def purge_band_stores(
     yet only this set blocks an at-least-once upstream from re-ingesting
     a forgotten doc later — un-forgetting is readmit_docs' explicit,
     ledgered job. Returns surviving row counts."""
+    from pyspark.sql import Observation
+
     tomb = tombstones(spark, root)
-    out = {}
     stores = [
         (sig_store_path, "sig_rows"),
         (shingle_store_path, "shingle_rows"),
         (_group_path(sig_store_path, group_store_path), "group_rows"),
     ]
-    for path, name in stores:
+
+    def rewrite(path: str) -> int:
+        """One store's rewrite: surviving-row count rides the write as an
+        Observation (round 12 — the old form re-read the written parquet
+        for a second action per store), and the three stores' rewrites
+        are independent directories run concurrently (§2.6)."""
         cur = _resolve_store(path)
         if not os.path.exists(cur):
-            out[name] = 0
-            continue
+            return 0
         m = re.fullmatch(re.escape(path) + r"\.v(\d+)", cur)
         nxt = (int(m.group(1)) + 1) if m else 1
         kept = spark.read.parquet(cur).join(tomb, "doc_id", "left_anti")
         sib = f"{path}.v{nxt:06d}"
-        kept.write.mode("overwrite").parquet(sib)
-        out[name] = spark.read.parquet(sib).count()
+        obs = Observation()
+        kept.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(sib)
         _flip_store(path, nxt)
-    # compact the tombstone set: distinct ids, new dir, atomic meta flip
-    old_tomb = _tomb_path(root)
-    if os.path.isdir(old_tomb):
+        return int(obs.get["n"])
+
+    def compact_tomb() -> None:
+        # compact the tombstone set: distinct ids, new dir, atomic meta
+        # flip. Runs AFTER the rewrites (not overlapped): its final
+        # rmtree of the superseded tomb dir must not race the rewrite
+        # legs' anti-joins, which read that dir.
+        old_tomb = _tomb_path(root)
+        if not os.path.isdir(old_tomb):
+            return
         meta = _read_meta(root)
         n = int(meta.get("tomb_seq", 0)) + 1
         new_name = f"tomb-{n:06d}"
@@ -1117,7 +1142,14 @@ def purge_band_stores(
         _write_meta(root, meta)
         if os.path.basename(old_tomb) != new_name:
             shutil.rmtree(old_tomb, ignore_errors=True)
-    return out
+
+    counts = run_parallel(
+        lambda: rewrite(stores[0][0]),
+        lambda: rewrite(stores[1][0]),
+        lambda: rewrite(stores[2][0]),
+    )
+    compact_tomb()
+    return {name: counts[i] for i, (_, name) in enumerate(stores)}
 
 
 def readmit_docs(
@@ -1551,14 +1583,71 @@ def clusters_foreach_batch(
                 # collapse in fold_pairs' distinct, and the prefix
                 # blocker's doubled token counts only lengthen prefixes
                 # (a candidate superset — lossless).
+                # append-sig FIRST and alone: its job materializes the
+                # persisted `signed` (the expensive MinHash pass) exactly
+                # once; running the sh append concurrently here would race
+                # both jobs into signing the same partitions twice.
                 _phase(spark, "append-sig")
                 band_explode(new_signed.select("doc_id", "sig")).coalesce(
                     1
                 ).write.mode("append").parquet(sig_cur)
-                _phase(spark, "append-sh")
-                new_signed.select("doc_id", "sh").coalesce(1).write.mode(
-                    "append"
-                ).parquet(sh_cur)
+
+                # capped band probe: buckets holding more than
+                # bucket_cap store rows leave the band join entirely and
+                # route through the prefix blocker (the batch guard's
+                # semantics). The matched store slice is persisted and
+                # sized with ONE aggregate action — the size probe both
+                # bounds the join AND gates the fallback arm, so the
+                # common no-skew batch never schedules the fallback's
+                # stages (the first cut built them unconditionally and
+                # empty-stage overhead tripled the fold wall time).
+                # NOTE: a parquet read snapshots its file listing at
+                # DataFrame-creation time, so each store's read must be
+                # created only after that store's append has committed —
+                # sig here (its append just finished), sh below, after
+                # the parallel block joins.
+                sig_store = spark.read.parquet(sig_cur)
+                probe_bands = band_explode(signed.select("doc_id", "sig"))
+
+                def _append_sh() -> None:
+                    _phase(spark, "append-sh")
+                    new_signed.select("doc_id", "sh").coalesce(
+                        1
+                    ).write.mode("append").parquet(sh_cur)
+
+                def _probe_size() -> int:
+                    # LEFT SEMI against the broadcast probe keys (round
+                    # 12): semi-join semantics make build-side duplicates
+                    # harmless, so the per-batch .distinct() exchange over
+                    # |batch| x bands key rows is gone — the broadcast
+                    # carries dup keys (still batch-bounded) and each
+                    # store row matches once
+                    _phase(spark, "probe-size")
+                    sizes = matched.groupBy("band", "bkey").agg(
+                        F.count(F.lit(1)).alias("__n")
+                    )
+                    mx_row = sizes.agg(F.max("__n").alias("mx")).collect()[0]
+                    return int(mx_row["mx"] or 0)
+
+                matched = sig_store.join(
+                    F.broadcast(probe_bands.select("band", "bkey")),
+                    ["band", "bkey"],
+                    "left_semi",
+                ).persist()
+                # the sh append and the probe-size aggregate touch
+                # disjoint stores (sh write vs sig read) — overlap them
+                # (§2.6); the probe reads the sig store AFTER its append,
+                # and jaccard_verify/prefix reads of the sh store happen
+                # only in the fold collect, after the join() below.
+                _, mx = run_parallel(_append_sh, _probe_size)
+                # created HERE, after the sh append: the listing snapshot
+                # must include the batch's own shingle rows, or the
+                # verify/prefix reads silently drop this batch's pairs
+                sh_store = spark.read.parquet(sh_cur)
+                # group rows append AFTER sig+sh are durable (ADVICE r11
+                # high — the group append is the commit point gating the
+                # band rows; see the ordering comment above) and BEFORE
+                # the fold collect evaluates `known`.
                 _phase(spark, "append-groups")
                 (
                     # group rows for EVERY batch doc (remove_docs' star
@@ -1586,34 +1675,6 @@ def clusters_foreach_batch(
                     .write.mode("append")
                     .parquet(gcur)
                 )
-                # capped band probe: buckets holding more than
-                # bucket_cap store rows leave the band join entirely and
-                # route through the prefix blocker (the batch guard's
-                # semantics). The matched store slice is persisted and
-                # sized with ONE aggregate action — the size probe both
-                # bounds the join AND gates the fallback arm, so the
-                # common no-skew batch never schedules the fallback's
-                # stages (the first cut built them unconditionally and
-                # empty-stage overhead tripled the fold wall time).
-                _phase(spark, "probe-size")
-                sig_store = spark.read.parquet(sig_cur)
-                sh_store = spark.read.parquet(sh_cur)
-                probe_bands = band_explode(signed.select("doc_id", "sig"))
-                # LEFT SEMI against the broadcast probe keys (round 12):
-                # semi-join semantics make build-side duplicates harmless,
-                # so the per-batch .distinct() exchange over |batch| x
-                # bands key rows is gone — the broadcast carries dup keys
-                # (still batch-bounded) and each store row matches once
-                matched = sig_store.join(
-                    F.broadcast(probe_bands.select("band", "bkey")),
-                    ["band", "bkey"],
-                    "left_semi",
-                ).persist()
-                sizes = matched.groupBy("band", "bkey").agg(
-                    F.count(F.lit(1)).alias("__n")
-                )
-                mx_row = sizes.agg(F.max("__n").alias("mx")).collect()[0]
-                mx = int(mx_row["mx"] or 0)
                 if mx <= 1:
                     # every matched bucket holds exactly ONE store row —
                     # each probe doc's own just-appended bands (probe
