@@ -2903,6 +2903,10 @@ def curation_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ---- end state: dedup survivors, NB boundary, shard sink ----
         _, _, _, gated_all = funnel_gates(feed)
         cmap = live_cluster_map(spark, clusters_root)
+        # persisted (round 12): the shard write AND the report collect
+        # both consume survivors/passed — without the persist each action
+        # re-ran the gate stack + cluster-map join (+ NB scoring for
+        # passed) from scratch
         survivors = (
             gated_all.join(cmap, "doc_id", "left")
             .filter(
@@ -2910,7 +2914,7 @@ def curation_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | (F.col("cluster") == F.col("doc_id"))
             )
             .drop("cluster")
-        )
+        ).persist()
         weights, neutral = store_weights(spark, nb_root)
         scored = nb_score(
             survivors.select(
@@ -2923,7 +2927,7 @@ def curation_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         passed = scored.filter(
             F.col("s_milli") > F.col("base_milli")
-        ).select("doc_id")
+        ).select("doc_id").persist()
         shard_dir = os.path.join(root, "shards")
         survivors.join(passed, "doc_id").withColumn(
             "shard", hash_bucket(F.col("doc_id"), 8)
@@ -2963,6 +2967,8 @@ def curation_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = report.collect()  # ~15 rows; frees the scratch stores
         schema = report.schema
+        survivors.unpersist(blocking=False)
+        passed.unpersist(blocking=False)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
@@ -3179,6 +3185,8 @@ def curation_funnel_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         live = d.filter(F.col("doc_id") % 13 != 0)
         _, _, gated_all = gate_stages(live)
         cmap = live_cluster_map(spark, clusters_root)
+        # persisted (round 12): shard write + report collect both consume
+        # survivors/passed — see curation_funnel_incremental
         survivors = (
             gated_all.join(cmap, "doc_id", "left")
             .filter(
@@ -3186,7 +3194,7 @@ def curation_funnel_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | (F.col("cluster") == F.col("doc_id"))
             )
             .drop("cluster")
-        )
+        ).persist()
         weights, neutral = store_weights(spark, nb_root)
         scored = nb_score(
             survivors.select(
@@ -3199,7 +3207,7 @@ def curation_funnel_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         passed = scored.filter(
             F.col("s_milli") > F.col("base_milli")
-        ).select("doc_id")
+        ).select("doc_id").persist()
         shard_dir = os.path.join(root, "shards")
         survivors.join(passed, "doc_id").withColumn(
             "shard", hash_bucket(F.col("doc_id"), 8)
@@ -3235,6 +3243,8 @@ def curation_funnel_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = report.collect()  # ~16 rows; frees the scratch stores
         schema = report.schema
+        survivors.unpersist(blocking=False)
+        passed.unpersist(blocking=False)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)

@@ -475,6 +475,7 @@ def fold_pairs(
     batch_id: int | None = None,
     stream_id: str = "s",
     max_iter: int = 64,
+    before_publish: Callable[[], object] | None = None,
 ) -> dict:
     """Union-find-style fold of one batch's verified duplicate pairs
     (id_a, id_b) into the persisted map. Returns stats {n_pairs,
@@ -538,6 +539,8 @@ def fold_pairs(
         # publish the ledger line even for a pair-less batch, so a replay
         # of it is still recognized
         if batch_id is not None:
+            if before_publish is not None:
+                before_publish()
             led = dict(ledger)
             led[stream_id] = max(int(led.get(stream_id, -1)), int(batch_id))
             meta["last_batch_by_stream"] = led
@@ -634,6 +637,14 @@ def fold_pairs(
         .parquet(os.path.join(root, delta_name))
     )
     n_delta = int(obs.get["n"])
+    # the commit barrier (round 12): a caller may overlap an independent
+    # durable write (the group-store append) with this fold's pair
+    # collect; it passes the write's join here so the ledger line below —
+    # the batch's commit point — can never land before that write is
+    # durable. A failure in the overlapped write raises HERE, pre-commit,
+    # exactly as the sequential ordering failed.
+    if before_publish is not None:
+        before_publish()
     meta = _read_meta(root)  # re-read at publish (ledger lines may move)
     if delta_name not in meta["deltas"]:
         meta["deltas"] = list(meta["deltas"]) + [delta_name]
@@ -1489,11 +1500,16 @@ def clusters_foreach_batch(
             fresh_store = not os.path.isdir(gcur)
             if not fresh_store:
                 gstore = spark.read.schema(_GROUP_SCHEMA).parquet(gcur)
+                # no .distinct() here (round 12, optimization pass): the
+                # only duplicate (gkey, del_id) sources are crash-retry
+                # appends; the pin aggregate below counts DISTINCT
+                # delegates itself, and duplicate `known` edges collapse
+                # in fold_pairs' distinct — dropping the exchange saves a
+                # full shuffle in every batch's pin-delegates phase
                 live_del = (
                     gstore.filter("delegate")
                     .join(gkeys_b, "gkey")
                     .select("gkey", F.col("doc_id").alias("del_id"))
-                    .distinct()
                     .join(
                         F.broadcast(
                             tombstones(spark, cluster_store_root)
@@ -1526,7 +1542,10 @@ def clusters_foreach_batch(
                 ldagg = (
                     live_del.groupBy("gkey")
                     .agg(
-                        F.count(F.lit(1)).alias("__nd"),
+                        # distinct count, not row count: live_del no
+                        # longer dedups, and a crash-retry duplicate of
+                        # the SAME delegate must not flip has_ext
+                        F.countDistinct("del_id").alias("__nd"),
                         F.min("del_id").alias("__mind"),
                     )
                     .localCheckpoint(eager=True)
@@ -1646,35 +1665,52 @@ def clusters_foreach_batch(
                 sh_store = spark.read.parquet(sh_cur)
                 # group rows append AFTER sig+sh are durable (ADVICE r11
                 # high — the group append is the commit point gating the
-                # band rows; see the ordering comment above) and BEFORE
-                # the fold collect evaluates `known`.
-                _phase(spark, "append-groups")
-                (
-                    # group rows for EVERY batch doc (remove_docs' star
-                    # edges need membership), delegate flag for new reps
-                    keyed.select("gkey", "doc_id")
-                    .join(
-                        F.broadcast(
-                            new_ids.withColumnRenamed("doc_id", "del_id")
-                        ),
-                        "gkey",
-                        "left",
+                # band rows; see the ordering comment above). It OVERLAPS
+                # the fold's candidate/verify collect (§2.6): nothing in
+                # the pair plan reads the group store (live_del's read
+                # snapshot predates the append), and fold_pairs'
+                # before_publish barrier joins this write before the
+                # ledger commit, so the crash ordering is unchanged — the
+                # ledger can never claim a batch whose group rows are not
+                # durable.
+                def _append_groups() -> None:
+                    _phase(spark, "append-groups")
+                    (
+                        # group rows for EVERY batch doc (remove_docs'
+                        # star edges need membership), delegate flag for
+                        # new reps
+                        keyed.select("gkey", "doc_id")
+                        .join(
+                            F.broadcast(
+                                new_ids.withColumnRenamed(
+                                    "doc_id", "del_id"
+                                )
+                            ),
+                            "gkey",
+                            "left",
+                        )
+                        .select(
+                            "gkey",
+                            "doc_id",
+                            F.coalesce(
+                                F.col("doc_id") == F.col("del_id"),
+                                F.lit(False),
+                            ).alias("delegate"),
+                        )
+                        # one file per batch per store: appends are
+                        # batch-bounded, and un-coalesced writes left up
+                        # to 32 tiny files each, inflating every later
+                        # read's listing (measured in the r11 latency
+                        # percentiles)
+                        .coalesce(1)
+                        .write.mode("append")
+                        .parquet(gcur)
                     )
-                    .select(
-                        "gkey",
-                        "doc_id",
-                        F.coalesce(
-                            F.col("doc_id") == F.col("del_id"), F.lit(False)
-                        ).alias("delegate"),
-                    )
-                    # one file per batch per store: appends are batch-
-                    # bounded, and un-coalesced writes left up to 32 tiny
-                    # files each, inflating every later read's listing
-                    # (measured in the r11 latency percentiles)
-                    .coalesce(1)
-                    .write.mode("append")
-                    .parquet(gcur)
-                )
+
+                from concurrent.futures import ThreadPoolExecutor
+
+                gpool = ThreadPoolExecutor(max_workers=1)
+                gfut = gpool.submit(_append_groups)
                 if mx <= 1:
                     # every matched bucket holds exactly ONE store row —
                     # each probe doc's own just-appended bands (probe
@@ -1749,13 +1785,23 @@ def clusters_foreach_batch(
                         .unionByName(known)
                     )
                 _phase(spark, "fold")
-                stats = fold_pairs(
-                    spark,
-                    cluster_store_root,
-                    pairs,
-                    batch_id=batch_id,
-                    stream_id=stream_id,
-                )
+                try:
+                    stats = fold_pairs(
+                        spark,
+                        cluster_store_root,
+                        pairs,
+                        batch_id=batch_id,
+                        stream_id=stream_id,
+                        # the ledger commit waits for the group append;
+                        # a failed append raises pre-commit
+                        before_publish=gfut.result,
+                    )
+                finally:
+                    # surface append errors even when fold_pairs exits
+                    # before reaching its publish (e.g. empty batch
+                    # raising upstream); idempotent after the barrier
+                    gfut.result()
+                    gpool.shutdown()
                 if not stats["skipped_duplicate"]:
                     # fold-integrated compaction (round 12): the p99
                     # latency contract no longer depends on the caller
