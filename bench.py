@@ -168,6 +168,49 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     worst5 = sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    # ---- tail-sized aggregates (round 13, VERDICT r12 next #1a): the
+    # driver keeps only a ~2000-char stdout tail, so PERF_r11/r12 had no
+    # per-query ground truth and a host-contaminated total (+60%) could
+    # not be localized. These stay under ~1.3 KB combined:
+    #   families        per-module wall subtotals (9 entries) — localizes
+    #                   a regression to an operator family
+    #   median_sec      suite median per-query wall — a host-drift gauge
+    #                   (code changes move specific queries; host drift
+    #                   moves the median)
+    #   sentinel_median median over a FIXED set of stable queries that
+    #                   optimization rounds do not touch — the cleanest
+    #                   drift denominator
+    #   queries         a SMALL fixed subset (the 7 lifecycle queries the
+    #                   optimization rounds target + the 8 sentinels), so
+    #                   the driver's per-query and scaling blocks populate
+    #                   again without the 260-entry table that clipped
+    #                   rounds 7-8
+    fam_totals: dict[str, float] = {}
+    for name, q in registry.items():
+        fam = q.fn.__module__.rsplit(".", 1)[-1]
+        fam_totals[fam] = fam_totals.get(fam, 0.0) + timings[name]
+    families = {k: round(v, 1) for k, v in sorted(fam_totals.items())}
+    svals = sorted(timings.values())
+    median_sec = round(svals[len(svals) // 2], 3)
+    sentinel_names = [
+        "q1_pricing_summary", "cdc_typed_projection",
+        "events_session_window", "text_langid", "dedup_minhash_lsh",
+        "part_triangle_count", "multimodal_image_near_dup",
+        "similarity_hybrid_rrf_topk",
+    ]
+    lifecycle_names = [
+        "gdpr_forget_end_to_end", "gdpr_forget_end_to_end_v2",
+        "curation_funnel_incremental", "curation_funnel_retraction",
+        "dedup_incremental_clusters", "dedup_clusters_retraction",
+        "dedup_clusters_readmit",
+    ]
+    sent = sorted(timings[n] for n in sentinel_names if n in timings)
+    sentinel_median = round(sent[len(sent) // 2], 3) if sent else None
+    stdout_queries = {
+        n: timings[n]
+        for n in lifecycle_names + sentinel_names
+        if n in timings
+    }
     # STDOUT carries ONE compact SUMMARY-ONLY JSON line (<1 KB). Round 8,
     # VERDICT r7 next #4: the driver keeps only a TAIL window of stdout,
     # and even the round-7 "compact" line still embedded the full
@@ -183,16 +226,17 @@ def main() -> None:
         "n_queries": len(timings),
         "runs_per_query": n_runs,
         "worst5": [[k, v] for k, v in worst5],
+        "median_sec": median_sec,
+        "sentinel_median": sentinel_median,
+        "families": families,
+        "queries": stdout_queries,
         # memo-order disclosure (VERDICT r6 "what's wrong" #2): the FIRST
         # similarity_* query of a session builds the memoized exact-ANN
         # baseline (~7 s at sf0.1); the rest of the family rides it. The
-        # suite purges memos per query, so these numbers are memo-free;
-        # a driver tail that shows one big similarity time is the memo
-        # build, not a plan regression.
-        "note": "per-query table in BENCH_DETAIL.json (stdout is "
-        "summary-only so the driver tail parses whole); similarity "
-        "family: first query per session pays the exact-baseline memo "
-        "build, see BENCH_NOTES.md",
+        # suite purges memos per query, so these numbers are memo-free.
+        "note": "full 260-query table in BENCH_DETAIL.json; stdout "
+        "queries = 7 lifecycle + 8 fixed sentinels so the tail parses "
+        "whole; see BENCH_NOTES.md",
     }
     detail = {
         **compact,

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from cdc_rs_spark.envelope import snapshot_changes
 from cdc_rs_spark.registry import register
-from cdc_rs_spark.session import load, spread
+from cdc_rs_spark.session import jvm_literal_df, load, spread
 from cdc_rs_spark.sources.synthetic import ORACLE_LIVE_CHANGES, live_orders_changes
 
 
@@ -1736,55 +1736,64 @@ def gdpr_forget_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         # post-purge reads resolve through the atomic swap pointer
         band_live = spark.read.parquet(_resolve_store(sig_path))
 
-        def row(store, after_df, residue_df, checksum_expr):
-            return (
-                after_df.agg(
-                    F.count("*").cast("bigint").alias("n_rows_after"),
-                    F.coalesce(checksum_expr, F.lit(0))
-                    .cast("bigint")
-                    .alias("checksum_after"),
-                )
-                .crossJoin(
-                    residue_df.agg(
-                        F.count("*").cast("bigint").alias("subject_residue")
-                    )
-                )
-                .select(
-                    F.lit(store).alias("store"),
-                    F.lit(int(before_vals[store]))
-                    .cast("bigint")
-                    .alias("n_subject_before"),
-                    "n_rows_after",
-                    "subject_residue",
-                    "checksum_after",
-                )
+        # ONE pass per store (round 13, VERDICT r12 next #5): the old
+        # report scanned every store twice within the collect — a
+        # count+checksum aggregate crossJoined with a separate residue
+        # aggregate over the same rows. Now the residue key set is
+        # left-joined on as a marker and all three audit columns ride a
+        # single aggregate: 12 store scans -> 6. The marker join keys
+        # (subj / vsubj / surviving vocab) are unique per key, so row
+        # multiplicity — and therefore every count/sum — is unchanged;
+        # residue = rows whose marker matched (inner-join count) or
+        # missed (anti-join count), exactly the old residue_df counts.
+        def row(store, scan_df, checksum_expr, residue_cond):
+            return scan_df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows_after"),
+                F.coalesce(checksum_expr, F.lit(0))
+                .cast("bigint")
+                .alias("checksum_after"),
+                F.count(F.when(residue_cond, F.lit(1)))
+                .cast("bigint")
+                .alias("subject_residue"),
+            ).select(
+                F.lit(store).alias("store"),
+                F.lit(int(before_vals[store]))
+                .cast("bigint")
+                .alias("n_subject_before"),
+                "n_rows_after",
+                "subject_residue",
+                "checksum_after",
             )
 
+        subj_m = subj.withColumn("__m", F.lit(True))
+        vsubj_m = vsubj.withColumn("__m", F.lit(True))
+        vocab_m = surv_vocab.withColumn("__m", F.lit(True))
+        hit = F.col("__m").isNotNull()
         report = (
-            row("cluster_map", cmap, cmap.join(subj, "doc_id"),
-                F.sum("cluster"))
+            row("cluster_map", cmap.join(subj_m, "doc_id", "left"),
+                F.sum("cluster"), hit)
             .unionByName(
-                row("band_store", band_live,
-                    band_live.join(subj, "doc_id"),
-                    F.countDistinct("doc_id"))
+                row("band_store", band_live.join(subj_m, "doc_id", "left"),
+                    F.countDistinct("doc_id"), hit)
             )
             .unionByName(
-                row("nb_counts", nb,
-                    nb.join(surv_vocab, "token", "left_anti"),
-                    F.sum(F.col("c_a") + F.col("c_b")))
+                # residue was a left_anti against the surviving vocab:
+                # count the marker MISSES
+                row("nb_counts", nb.join(vocab_m, "token", "left"),
+                    F.sum(F.col("c_a") + F.col("c_b")), ~hit)
             )
             .unionByName(
-                row("span_store", span_live,
-                    span_live.join(subj, "doc_id"),
-                    F.countDistinct("doc_id"))
+                row("span_store", span_live.join(subj_m, "doc_id", "left"),
+                    F.countDistinct("doc_id"), hit)
             )
             .unionByName(
-                row("ann_index", lists_live,
-                    lists_live.join(vsubj, "vec_id"), F.sum("vec_id"))
+                row("ann_index", lists_live.join(vsubj_m, "vec_id", "left"),
+                    F.sum("vec_id"), hit)
             )
             .unionByName(
-                row("training_shards", shards_back,
-                    shards_back.join(subj, "doc_id"), F.sum("doc_id"))
+                row("training_shards",
+                    shards_back.join(subj_m, "doc_id", "left"),
+                    F.sum("doc_id"), hit)
             )
         )
         rows = report.collect()  # 6 rows; frees the scratch stores
@@ -2290,7 +2299,6 @@ def gdpr_forget_end_to_end_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("gkey", "doc_id")
             .distinct()
         )
-        gs_docs = gs_live.select("doc_id").distinct()
         surv_vocab = toks(d.join(subj, "doc_id", "left_anti")).select(
             "token"
         ).distinct()
@@ -2302,71 +2310,91 @@ def gdpr_forget_end_to_end_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang", "idx", F.col("rho").alias("rho_fresh")
         )
         # register-exact residue: any register differing from a fresh
-        # surviving-corpus recompute (missing, extra, or shifted)
-        hll_diff = hll_store.join(
+        # surviving-corpus recompute (missing, extra, or shifted) — the
+        # diff condition rides the single full_outer pass in the report
+
+        # ONE pass per store (round 13, VERDICT r12 next #5) — the
+        # marker-join + aggregate-with-filter form; see
+        # gdpr_forget_end_to_end's row() for the equivalence argument.
+        # Two stores need more than the marker:
+        #   group_store   the old after_df was gs_docs (distinct docs)
+        #                 while the residue counted gs_live membership
+        #                 rows — one pass over gs_live computes both
+        #                 (countDistinct/sum_distinct for the doc-level
+        #                 columns, the marker count for the residue)
+        #   hll_distinct  the residue is a register diff vs the fresh
+        #                 recompute — the full_outer diff join IS the
+        #                 single pass, with the store side marked so
+        #                 n_rows/checksum count only store rows
+        def row(store, scan_df, checksum_expr, residue_cond, n_rows_expr=None):
+            return scan_df.agg(
+                (n_rows_expr if n_rows_expr is not None else F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("n_rows_after"),
+                F.coalesce(checksum_expr, F.lit(0))
+                .cast("bigint")
+                .alias("checksum_after"),
+                F.count(F.when(residue_cond, F.lit(1)))
+                .cast("bigint")
+                .alias("subject_residue"),
+            ).select(
+                F.lit(store).alias("store"),
+                F.lit(int(before_vals[store]))
+                .cast("bigint")
+                .alias("n_subject_before"),
+                "n_rows_after",
+                "subject_residue",
+                "checksum_after",
+            )
+
+        subj_m = subj.withColumn("__m", F.lit(True))
+        vsubj_m = vsubj.withColumn("__m", F.lit(True))
+        effrm_m = effrm.withColumn("__m", F.lit(True))
+        vocab_m = surv_vocab.withColumn("__m", F.lit(True))
+        hit = F.col("__m").isNotNull()
+        hll_joined = hll_store.withColumn("__s", F.lit(True)).join(
             hll_fresh, ["lang", "idx"], "full_outer"
-        ).filter(
-            F.coalesce(F.col("rho"), F.lit(-1))
-            != F.coalesce(F.col("rho_fresh"), F.lit(-1))
         )
-
-        def row(store, after_df, residue_df, checksum_expr):
-            return (
-                after_df.agg(
-                    F.count("*").cast("bigint").alias("n_rows_after"),
-                    F.coalesce(checksum_expr, F.lit(0))
-                    .cast("bigint")
-                    .alias("checksum_after"),
-                )
-                .crossJoin(
-                    residue_df.agg(
-                        F.count("*").cast("bigint").alias("subject_residue")
-                    )
-                )
-                .select(
-                    F.lit(store).alias("store"),
-                    F.lit(int(before_vals[store]))
-                    .cast("bigint")
-                    .alias("n_subject_before"),
-                    "n_rows_after",
-                    "subject_residue",
-                    "checksum_after",
-                )
-            )
-
+        in_store = F.col("__s").isNotNull()
         report = (
-            row("cluster_map", cmap, cmap.join(effrm, "doc_id"),
-                F.sum("cluster"))
+            row("cluster_map", cmap.join(effrm_m, "doc_id", "left"),
+                F.sum("cluster"), hit)
             .unionByName(
-                row("band_store", band_live,
-                    band_live.join(effrm, "doc_id"),
-                    F.countDistinct("doc_id"))
+                row("band_store", band_live.join(effrm_m, "doc_id", "left"),
+                    F.countDistinct("doc_id"), hit)
             )
             .unionByName(
-                row("group_store", gs_docs, gs_live.join(effrm, "doc_id"),
-                    F.sum("doc_id"))
+                row("group_store", gs_live.join(effrm_m, "doc_id", "left"),
+                    F.sum_distinct(F.col("doc_id")), hit,
+                    n_rows_expr=F.countDistinct("doc_id"))
             )
             .unionByName(
-                row("nb_counts", nb,
-                    nb.join(surv_vocab, "token", "left_anti"),
-                    F.sum(F.col("c_a") + F.col("c_b")))
+                row("nb_counts", nb.join(vocab_m, "token", "left"),
+                    F.sum(F.col("c_a") + F.col("c_b")), ~hit)
             )
             .unionByName(
-                row("span_store", span_live,
-                    span_live.join(subj, "doc_id"),
-                    F.countDistinct("doc_id"))
+                row("span_store", span_live.join(subj_m, "doc_id", "left"),
+                    F.countDistinct("doc_id"), hit)
             )
             .unionByName(
-                row("ann_index", lists_live,
-                    lists_live.join(vsubj, "vec_id"), F.sum("vec_id"))
+                row("ann_index", lists_live.join(vsubj_m, "vec_id", "left"),
+                    F.sum("vec_id"), hit)
             )
             .unionByName(
-                row("training_shards", shards_back,
-                    shards_back.join(subj, "doc_id"), F.sum("doc_id"))
+                row("training_shards",
+                    shards_back.join(subj_m, "doc_id", "left"),
+                    F.sum("doc_id"), hit)
             )
             .unionByName(
-                row("hll_distinct", hll_store, hll_diff,
-                    F.sum(F.col("idx") * 41 + F.col("rho")))
+                row("hll_distinct", hll_joined,
+                    F.sum(
+                        F.when(
+                            in_store, F.col("idx") * 41 + F.col("rho")
+                        )
+                    ),
+                    F.coalesce(F.col("rho"), F.lit(-1))
+                    != F.coalesce(F.col("rho_fresh"), F.lit(-1)),
+                    n_rows_expr=F.count(F.when(in_store, F.lit(1))))
             )
         )
         rows = report.collect()  # 8 rows; frees the scratch stores
@@ -2890,6 +2918,7 @@ def curation_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_path = os.path.join(root, "sh")
     from cdc_rs_spark.benchphase import build_phase
 
+    survivors = passed = None
     try:
         with build_phase():
             init_additive_store(spark, counts_root, {"stage": "string"}, ["n"])
@@ -2929,26 +2958,33 @@ def curation_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_milli") > F.col("base_milli")
         ).select("doc_id").persist()
         shard_dir = os.path.join(root, "shards")
-        survivors.join(passed, "doc_id").withColumn(
+        # the dedup_survivors / nb_pass counts RIDE the shard write as
+        # Observations (round 13, VERDICT r12 next #5): the old report
+        # re-consumed both persisted frames in two extra aggregate
+        # subtrees within the collect — two cache passes (full passes at
+        # 100 TB) for two numbers the write already computes. Observe
+        # fires on both join sides, broadcast included (verified).
+        from pyspark.sql import Observation
+
+        obs_s, obs_p = Observation(), Observation()
+        survivors.observe(obs_s, F.count(F.lit(1)).alias("n")).join(
+            passed.observe(obs_p, F.count(F.lit(1)).alias("n")), "doc_id"
+        ).withColumn(
             "shard", hash_bucket(F.col("doc_id"), 8)
         ).select("doc_id", "text", "shard").write.partitionBy(
             "shard"
         ).parquet(shard_dir)
+        n_surv, n_pass = int(obs_s.get["n"]), int(obs_p.get["n"])
         # report: merged additive stages + end-state stages + the sink
         # read BACK from the written shards (round-trip pinned by value)
         report = (
             read_merged(spark, counts_root)
             .select("stage", F.col("n").cast("bigint").alias("n_docs"))
             .unionByName(
-                survivors.agg(
-                    F.lit("dedup_survivors").alias("stage"),
-                    F.count("*").cast("bigint").alias("n_docs"),
-                )
-            )
-            .unionByName(
-                passed.agg(
-                    F.lit("nb_pass").alias("stage"),
-                    F.count("*").cast("bigint").alias("n_docs"),
+                jvm_literal_df(
+                    spark,
+                    [("dedup_survivors", n_surv), ("nb_pass", n_pass)],
+                    "stage string, n_docs bigint",
                 )
             )
             .unionByName(
@@ -2967,9 +3003,13 @@ def curation_funnel_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = report.collect()  # ~15 rows; frees the scratch stores
         schema = report.schema
-        survivors.unpersist(blocking=False)
-        passed.unpersist(blocking=False)
     finally:
+        # unpersist on EVERY exit path (ADVICE r12): a failed shard write
+        # or report collect used to leak both cached frames for the rest
+        # of the session
+        for _df in (survivors, passed):
+            if _df is not None:
+                _df.unpersist(blocking=False)
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
 
@@ -3162,6 +3202,7 @@ def curation_funnel_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_path = os.path.join(root, "sh")
     from cdc_rs_spark.benchphase import build_phase
 
+    survivors = passed = None
     try:
         with build_phase():
             init_additive_store(spark, counts_root, {"stage": "string"}, ["n"])
@@ -3209,24 +3250,27 @@ def curation_funnel_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_milli") > F.col("base_milli")
         ).select("doc_id").persist()
         shard_dir = os.path.join(root, "shards")
-        survivors.join(passed, "doc_id").withColumn(
+        # counts ride the shard write as Observations — see
+        # curation_funnel_incremental (round 13, VERDICT r12 next #5)
+        from pyspark.sql import Observation
+
+        obs_s, obs_p = Observation(), Observation()
+        survivors.observe(obs_s, F.count(F.lit(1)).alias("n")).join(
+            passed.observe(obs_p, F.count(F.lit(1)).alias("n")), "doc_id"
+        ).withColumn(
             "shard", hash_bucket(F.col("doc_id"), 8)
         ).select("doc_id", "text", "shard").write.partitionBy(
             "shard"
         ).parquet(shard_dir)
+        n_surv, n_pass = int(obs_s.get["n"]), int(obs_p.get["n"])
         report = (
             read_merged(spark, counts_root)
             .select("stage", F.col("n").cast("bigint").alias("n_docs"))
             .unionByName(
-                survivors.agg(
-                    F.lit("dedup_survivors").alias("stage"),
-                    F.count("*").cast("bigint").alias("n_docs"),
-                )
-            )
-            .unionByName(
-                passed.agg(
-                    F.lit("nb_pass").alias("stage"),
-                    F.count("*").cast("bigint").alias("n_docs"),
+                jvm_literal_df(
+                    spark,
+                    [("dedup_survivors", n_surv), ("nb_pass", n_pass)],
+                    "stage string, n_docs bigint",
                 )
             )
             .unionByName(
@@ -3243,9 +3287,12 @@ def curation_funnel_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = report.collect()  # ~16 rows; frees the scratch stores
         schema = report.schema
-        survivors.unpersist(blocking=False)
-        passed.unpersist(blocking=False)
     finally:
+        # unpersist on EVERY exit path (ADVICE r12) — see
+        # curation_funnel_incremental
+        for _df in (survivors, passed):
+            if _df is not None:
+                _df.unpersist(blocking=False)
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
 

@@ -254,24 +254,25 @@ def _apply_closure(df: DataFrame, closure: dict[int, int]) -> DataFrame:
 _IDS_PUSHDOWN_CAP = 1_000
 
 
-def _raw_rows(
+def _raw_union(
     spark: SparkSession,
     root: str,
     meta: dict,
     buckets: list[int] | None,
     ids: list[int] | None = None,
 ) -> DataFrame:
-    """base (optionally bucket-pruned) + deltas with fold sequence; latest
-    fold wins per doc. Round 10: deltas carry a `dead` flag — a removal
-    delta's latest-wins row EVICTS the doc (the row and every stale base
-    row beneath it vanish from the resolved view); the base never stores
-    dead rows (compaction drops them — physical erasure).
+    """The PRE-aggregation store view: base (optionally bucket-pruned) +
+    deltas, each row tagged with its fold sequence (`_seq`); latest fold
+    wins per doc — the latest-wins reduction itself is the caller's
+    (distributed in _raw_rows; driver-side in fold_pairs' fast arm,
+    round 13, where the touched set is id-pushdown-bounded and a groupBy
+    exchange over <= 1000 keys is pure overhead).
 
     Round 12: callers that already hold the touched doc ids driver-side
     (fold_pairs' driver mode, remove_docs) pass `ids` — the isin
     predicate pushes into every parquet scan (row-group stats +
-    dictionary filtering), so the latest-wins shuffle carries only the
-    touched docs' rows instead of whole buckets. Per-doc latest-wins is
+    dictionary filtering), so downstream work carries only the touched
+    docs' rows instead of whole buckets. Per-doc latest-wins is
     row-independent, so pre-filtering is exact."""
     id_filter = (
         F.col("doc_id").isin(ids)
@@ -312,6 +313,22 @@ def _raw_rows(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
+    return out
+
+
+def _raw_rows(
+    spark: SparkSession,
+    root: str,
+    meta: dict,
+    buckets: list[int] | None,
+    ids: list[int] | None = None,
+) -> DataFrame:
+    """base + deltas latest-wins per doc (distributed reduction over
+    _raw_union). Round 10: deltas carry a `dead` flag — a removal delta's
+    latest-wins row EVICTS the doc (the row and every stale base row
+    beneath it vanish from the resolved view); the base never stores
+    dead rows (compaction drops them — physical erasure)."""
+    out = _raw_union(spark, root, meta, buckets, ids=ids)
     return (
         out.groupBy("doc_id")
         .agg(F.max_by(F.struct("cluster", "dead"), "_seq").alias("_s"))
@@ -559,9 +576,6 @@ def fold_pairs(
                 for x in (r["id_a"], r["id_b"])
             }
         )
-        touched = spark.createDataFrame(
-            [(i,) for i in touched_ids], "doc_id bigint"
-        )
         # static pruning, zero Spark jobs: the touched ids are already
         # driver-side, so their buckets are a pure-Python map (round 12 —
         # _py_bucket is the JVM xxhash64's pinned twin)
@@ -579,17 +593,57 @@ def fold_pairs(
             .collect()
         )
     closure = _closure(meta.get("translations") or [])
-    current = _apply_closure(
-        _raw_rows(
-            spark, root, meta, buckets,
-            ids=touched_ids if driver_mode else None,
-        ),
-        closure,
-    )
-    cur = touched.join(current, "doc_id", "left").select(
-        "doc_id", F.coalesce("cluster", "doc_id").alias("cluster")
-    )
-    if driver_mode:
+    if driver_mode and len(touched_ids) <= _IDS_PUSHDOWN_CAP:
+        # FAST ARM (round 13, VERDICT r12 next #4): the current-root
+        # lookup used to be a second distributed job — pruned scan ->
+        # latest-wins groupBy exchange -> closure broadcast join ->
+        # touched broadcast join -> collect. With the touched set small
+        # enough for isin pushdown, the scan output is id-bounded
+        # (<= |ids| x (1 + deltas) skinny rows), so collect the RAW
+        # pre-aggregation rows in ONE exchange-free stage and do
+        # latest-wins + closure + the left-join coalesce in Python.
+        # Same semantics (per-doc latest fold wins, dead evicts, stale
+        # roots chase the closure, untracked docs root to themselves);
+        # the per-fold plan loses one exchange, two broadcast builds and
+        # a createDataFrame round-trip.
+        raw_rows = _raw_union(
+            spark, root, meta, buckets, ids=touched_ids
+        ).collect()
+        best: dict[int, tuple] = {}
+        for r in raw_rows:
+            prev = best.get(r["doc_id"])
+            if prev is None or r["_seq"] > prev[0]:
+                best[int(r["doc_id"])] = (
+                    int(r["_seq"]), int(r["cluster"]), bool(r["dead"]),
+                )
+        cur_map = {
+            doc: closure.get(c, c)
+            for doc, (_s, c, dead) in best.items()
+            if not dead
+        }
+        lab = _union_find(
+            [(int(r["id_a"]), int(r["id_b"])) for r in pair_rows]
+            + [(i, cur_map.get(i, i)) for i in touched_ids]
+        )
+        new_translations = sorted(
+            (c, lab[c])
+            for c in {cur_map.get(i, i) for i in touched_ids}
+            if lab[c] != c
+        )
+        delta = spark.createDataFrame(
+            sorted(lab.items()), "doc_id bigint, cluster bigint"
+        )
+    elif driver_mode:
+        touched = spark.createDataFrame(
+            [(i,) for i in touched_ids], "doc_id bigint"
+        )
+        current = _apply_closure(
+            _raw_rows(spark, root, meta, buckets, ids=touched_ids),
+            closure,
+        )
+        cur = touched.join(current, "doc_id", "left").select(
+            "doc_id", F.coalesce("cluster", "doc_id").alias("cluster")
+        )
         # union-find over pairs + (doc -> current root) edges: one
         # touched-bounded collect for the lookup, zero iterative jobs
         cur_rows = cur.collect()
@@ -606,6 +660,12 @@ def fold_pairs(
             sorted(lab.items()), "doc_id bigint, cluster bigint"
         )
     else:
+        current = _apply_closure(
+            _raw_rows(spark, root, meta, buckets), closure
+        )
+        cur = touched.join(current, "doc_id", "left").select(
+            "doc_id", F.coalesce("cluster", "doc_id").alias("cluster")
+        )
         mini_edges = pairs.select(
             F.col("id_a").alias("a"), F.col("id_b").alias("b")
         ).unionByName(
@@ -788,17 +848,41 @@ def remove_docs(
     # 2. the removed docs' current roots (bucket-pruned + closure)
     buckets = sorted({_py_bucket(i) for i in removed_ids})
     closure = _closure(meta.get("translations") or [])
-    resolved_removed = removed.join(
-        _apply_closure(
-            _raw_rows(spark, root, meta, buckets, ids=removed_ids), closure
-        ),
-        "doc_id",
-    )
-    # affected roots: <= one per removed doc — request-bounded collect
-    affected = sorted(
-        int(r["cluster"])
-        for r in resolved_removed.select("cluster").distinct().collect()
-    )
+    if len(removed_ids) <= _IDS_PUSHDOWN_CAP:
+        # FAST ARM (round 13, the fold_pairs driver-mode pattern): the
+        # id-pushdown-bounded raw rows collect in one exchange-free
+        # stage; latest-wins + dead-eviction + closure run in Python —
+        # the distributed form paid a groupBy exchange plus two
+        # broadcast joins per delete fold for <= |request| keys.
+        best: dict[int, tuple] = {}
+        for r in _raw_union(
+            spark, root, meta, buckets, ids=removed_ids
+        ).collect():
+            prev = best.get(r["doc_id"])
+            if prev is None or r["_seq"] > prev[0]:
+                best[int(r["doc_id"])] = (
+                    int(r["_seq"]), int(r["cluster"]), bool(r["dead"]),
+                )
+        affected = sorted(
+            {
+                closure.get(c, c)
+                for _doc, (_s, c, dead) in best.items()
+                if not dead
+            }
+        )
+    else:
+        resolved_removed = removed.join(
+            _apply_closure(
+                _raw_rows(spark, root, meta, buckets, ids=removed_ids),
+                closure,
+            ),
+            "doc_id",
+        )
+        # affected roots: <= one per removed doc — request-bounded collect
+        affected = sorted(
+            int(r["cluster"])
+            for r in resolved_removed.select("cluster").distinct().collect()
+        )
 
     def publish(delta: DataFrame, translations) -> tuple[int, int]:
         """Write the delta once; the row count AND the live/dead split
@@ -1542,10 +1626,22 @@ def clusters_foreach_batch(
                 ldagg = (
                     live_del.groupBy("gkey")
                     .agg(
-                        # distinct count, not row count: live_del no
-                        # longer dedups, and a crash-retry duplicate of
-                        # the SAME delegate must not flip has_ext
-                        F.countDistinct("del_id").alias("__nd"),
+                        # DISTINCT-delegate count, not row count: live_del
+                        # no longer dedups, and a crash-retry duplicate of
+                        # the SAME delegate must not flip has_ext. Round
+                        # 13 (VERDICT r12 next #3): countDistinct planned
+                        # TWO exchanges (Spark's single-distinct rewrite
+                        # still shuffles on (gkey, del_id) before the gkey
+                        # shuffle — the r12 "2 exchanges -> 1" claim was
+                        # wrong); size(collect_set) dedups INSIDE one
+                        # hash aggregate with map-side partials, so the
+                        # pin phase genuinely plans one exchange now
+                        # (plans/r13/pin_delegates_*.txt). Set sizes are
+                        # per-gkey live-delegate counts — 1 outside
+                        # crash-retry windows, never corpus-shaped.
+                        F.size(F.collect_set("del_id"))
+                        .cast("bigint")
+                        .alias("__nd"),
                         F.min("del_id").alias("__mind"),
                     )
                     .localCheckpoint(eager=True)
@@ -1634,19 +1730,23 @@ def clusters_foreach_batch(
                         1
                     ).write.mode("append").parquet(sh_cur)
 
-                def _probe_size() -> int:
+                def _probe_size() -> tuple:
                     # LEFT SEMI against the broadcast probe keys (round
                     # 12): semi-join semantics make build-side duplicates
                     # harmless, so the per-batch .distinct() exchange over
                     # |batch| x bands key rows is gone — the broadcast
                     # carries dup keys (still batch-bounded) and each
-                    # store row matches once
+                    # store row matches once. Returns (mx, sizes): the
+                    # over-cap arm re-filters `sizes` for the overflow
+                    # bucket list (ADVICE r12 high — `sizes` was local to
+                    # this closure while the fallback referenced it from
+                    # fn scope, a NameError on every skewed batch).
                     _phase(spark, "probe-size")
                     sizes = matched.groupBy("band", "bkey").agg(
                         F.count(F.lit(1)).alias("__n")
                     )
                     mx_row = sizes.agg(F.max("__n").alias("mx")).collect()[0]
-                    return int(mx_row["mx"] or 0)
+                    return int(mx_row["mx"] or 0), sizes
 
                 matched = sig_store.join(
                     F.broadcast(probe_bands.select("band", "bkey")),
@@ -1658,7 +1758,7 @@ def clusters_foreach_batch(
                 # (§2.6); the probe reads the sig store AFTER its append,
                 # and jaccard_verify/prefix reads of the sh store happen
                 # only in the fold collect, after the join() below.
-                _, mx = run_parallel(_append_sh, _probe_size)
+                _, (mx, sizes) = run_parallel(_append_sh, _probe_size)
                 # created HERE, after the sh append: the listing snapshot
                 # must include the batch's own shingle rows, or the
                 # verify/prefix reads silently drop this batch's pairs
@@ -1711,81 +1811,87 @@ def clusters_foreach_batch(
 
                 gpool = ThreadPoolExecutor(max_workers=1)
                 gfut = gpool.submit(_append_groups)
-                if mx <= 1:
-                    # every matched bucket holds exactly ONE store row —
-                    # each probe doc's own just-appended bands (probe
-                    # docs always append before the probe, so a cross
-                    # pair implies a bucket of >= 2). The band join can
-                    # produce nothing: skip the whole candidate/verify
-                    # subplan — the common no-near-dup batch loses ~8
-                    # stages per fold (round 12).
-                    pairs = star.unionByName(known)
-                else:
-                    over_b = (
-                        [
-                            (r["band"], r["bkey"])
-                            for r in sizes.filter(
-                                F.col("__n") > bucket_cap
-                            ).collect()
-                        ]
-                        if mx > bucket_cap
-                        else []
-                    )
-                    small = matched
-                    if over_b:
-                        ob = F.broadcast(
-                            spark.createDataFrame(
-                                over_b, "band int, bkey string"
-                            )
-                        )
-                        small = matched.join(
-                            ob, ["band", "bkey"], "left_anti"
-                        )
-                    # no .distinct() (round 12): a pair sharing k bands
-                    # yields <= MINHASH_BANDS duplicate candidate rows;
-                    # verifying each is a cheap array_intersect while the
-                    # distinct was a full extra exchange — fold_pairs'
-                    # distinct dedupes
-                    cand = (
-                        probe_bands.withColumnRenamed("doc_id", "id_a")
-                        .join(
-                            small.withColumnRenamed("doc_id", "id_b"),
-                            ["band", "bkey"],
-                        )
-                        .filter(F.col("id_a") != F.col("id_b"))
-                        .select("id_a", "id_b")
-                    )
-                    if over_b:
-                        # overflow docs: every store row and every probe
-                        # doc touching an oversized bucket — both sides
-                        # of any pair living only in oversized buckets
-                        # are here
-                        ob = F.broadcast(
-                            spark.createDataFrame(
-                                over_b, "band int, bkey string"
-                            )
-                        )
-                        over_docs = (
-                            matched.join(ob, ["band", "bkey"])
-                            .select("doc_id")
-                            .unionByName(
-                                probe_bands.join(ob, ["band", "bkey"])
-                                .select("doc_id")
-                            )
-                            .distinct()
-                        )
-                        over_cand = prefix_filtered_candidates(
-                            sh_store.join(over_docs, "doc_id"), threshold
-                        )
-                        cand = cand.unionByName(over_cand).distinct()
-                    pairs = (
-                        jaccard_verify(cand, sh_store, threshold)
-                        .select("id_a", "id_b")
-                        .unionByName(star)
-                        .unionByName(known)
-                    )
-                _phase(spark, "fold")
+                # the try starts IMMEDIATELY after the submit (ADVICE r12):
+                # an exception anywhere between submit and the fold (e.g.
+                # the over_b collect) must still join the append thread —
+                # the old placement orphaned it and swallowed its errors
                 try:
+                    if mx <= 1:
+                        # every matched bucket holds exactly ONE store
+                        # row — each probe doc's own just-appended bands
+                        # (probe docs always append before the probe, so
+                        # a cross pair implies a bucket of >= 2). The
+                        # band join can produce nothing: skip the whole
+                        # candidate/verify subplan — the common
+                        # no-near-dup batch loses ~8 stages per fold
+                        # (round 12).
+                        pairs = star.unionByName(known)
+                    else:
+                        over_b = (
+                            [
+                                (r["band"], r["bkey"])
+                                for r in sizes.filter(
+                                    F.col("__n") > bucket_cap
+                                ).collect()
+                            ]
+                            if mx > bucket_cap
+                            else []
+                        )
+                        small = matched
+                        if over_b:
+                            ob = F.broadcast(
+                                spark.createDataFrame(
+                                    over_b, "band int, bkey string"
+                                )
+                            )
+                            small = matched.join(
+                                ob, ["band", "bkey"], "left_anti"
+                            )
+                        # no .distinct() (round 12): a pair sharing k
+                        # bands yields <= MINHASH_BANDS duplicate
+                        # candidate rows; verifying each is a cheap
+                        # array_intersect while the distinct was a full
+                        # extra exchange — fold_pairs' distinct dedupes
+                        cand = (
+                            probe_bands.withColumnRenamed("doc_id", "id_a")
+                            .join(
+                                small.withColumnRenamed("doc_id", "id_b"),
+                                ["band", "bkey"],
+                            )
+                            .filter(F.col("id_a") != F.col("id_b"))
+                            .select("id_a", "id_b")
+                        )
+                        if over_b:
+                            # overflow docs: every store row and every
+                            # probe doc touching an oversized bucket —
+                            # both sides of any pair living only in
+                            # oversized buckets are here
+                            ob = F.broadcast(
+                                spark.createDataFrame(
+                                    over_b, "band int, bkey string"
+                                )
+                            )
+                            over_docs = (
+                                matched.join(ob, ["band", "bkey"])
+                                .select("doc_id")
+                                .unionByName(
+                                    probe_bands.join(ob, ["band", "bkey"])
+                                    .select("doc_id")
+                                )
+                                .distinct()
+                            )
+                            over_cand = prefix_filtered_candidates(
+                                sh_store.join(over_docs, "doc_id"),
+                                threshold,
+                            )
+                            cand = cand.unionByName(over_cand).distinct()
+                        pairs = (
+                            jaccard_verify(cand, sh_store, threshold)
+                            .select("id_a", "id_b")
+                            .unionByName(star)
+                            .unionByName(known)
+                        )
+                    _phase(spark, "fold")
                     stats = fold_pairs(
                         spark,
                         cluster_store_root,
@@ -1800,8 +1906,10 @@ def clusters_foreach_batch(
                     # surface append errors even when fold_pairs exits
                     # before reaching its publish (e.g. empty batch
                     # raising upstream); idempotent after the barrier
-                    gfut.result()
-                    gpool.shutdown()
+                    try:
+                        gfut.result()
+                    finally:
+                        gpool.shutdown()
                 if not stats["skipped_duplicate"]:
                     # fold-integrated compaction (round 12): the p99
                     # latency contract no longer depends on the caller

@@ -253,3 +253,73 @@ def test_readmit_ledger_isolated_from_ingest_stream(spark, tmp_path):
         spark, root, spark.createDataFrame([(2,)], "doc_id bigint"),
         batch_id=99,
     )["skipped_duplicate"]
+
+
+def test_overcap_batch_routes_through_prefix_blocker(spark, tmp_path):
+    """A batch whose matched band buckets exceed bucket_cap must route
+    the overflow docs through the prefix blocker and still find every
+    pair (ADVICE r12 high: the fallback arm referenced the probe-size
+    aggregate from the wrong scope and crashed with a NameError on
+    every skewed batch — the exact path that protects skewed corpora)."""
+    near_a = TEMPLATE * 2 + "extra tail words here"
+    near_b = TEMPLATE * 2 + "another different ending phrase"
+    # baseline: default cap (no overflow) over the same feed
+    bsig, bsh, broot = _mk_stores(spark, tmp_path, "oc_base")
+    fn0 = clusters_foreach_batch(bsig, bsh, broot, threshold=0.5)
+    fn0(spark.createDataFrame([(1, TEMPLATE * 2)], "doc_id bigint, text string"), 0)
+    fn0(
+        spark.createDataFrame(
+            [(3, near_a), (5, near_b)], "doc_id bigint, text string"
+        ),
+        1,
+    )
+    baseline = _live(spark, broot)
+    assert baseline == {1: 1, 3: 1, 5: 1}, "fixture must cluster all three"
+
+    sig, sh, root = _mk_stores(spark, tmp_path, "oc")
+    # cap=1: any matched bucket with >= 2 store rows overflows, so
+    # batch 1's probe (store holds docs 1, 3, 5 by then) takes the
+    # fallback arm
+    fn = clusters_foreach_batch(sig, sh, root, threshold=0.5, bucket_cap=1)
+    fn(spark.createDataFrame([(1, TEMPLATE * 2)], "doc_id bigint, text string"), 0)
+    fn(
+        spark.createDataFrame(
+            [(3, near_a), (5, near_b)], "doc_id bigint, text string"
+        ),
+        1,
+    )
+    assert _live(spark, root) == baseline
+
+
+def test_group_append_failure_mid_fold_leaves_no_ledger_line(
+    spark, tmp_path, monkeypatch
+):
+    """Failure injection for the OVERLAPPED group append (VERDICT r12
+    next #6): the append runs on a side thread concurrent with the
+    fold's pair collect, and fold_pairs' before_publish barrier joins it
+    before the ledger commit. Kill the append mid-fold and assert the
+    ledger line was NOT written (the batch is replayable), then that the
+    retry heals to the never-crashed baseline."""
+    from cdc_rs_spark.streaming.clusters import _read_meta
+
+    sig, sh, root = _mk_stores(spark, tmp_path, "ledger")
+    fn = clusters_foreach_batch(sig, sh, root, threshold=0.5)
+    state = _crash_on(monkeypatch, sig + "_groups")
+    b0 = spark.createDataFrame(
+        [(1, TEMPLATE * 2), (3, NEAR)], "doc_id bigint, text string"
+    )
+    try:
+        fn(b0, 0)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as e:
+        assert "injected crash" in str(e)
+    assert state["fired"]
+    # the commit point: no ledger line may exist for the stream — the
+    # group rows (the gate for the batch's band rows) never landed
+    ledger = _read_meta(root).get("last_batch_by_stream") or {}
+    assert int(ledger.get("s", -1)) == -1, (
+        "ledger line written despite a failed group append"
+    )
+    fn(b0, 0)  # at-least-once retry heals
+    fn(spark.createDataFrame([(9, TEMPLATE * 2)], "doc_id bigint, text string"), 1)
+    assert _live(spark, root) == {1: 1, 3: 1, 9: 1}
