@@ -182,16 +182,21 @@ def test_mixed_coverage_legacy_members_survive_remove(spark, tmp_path):
 def test_auto_compaction_bounds_delta_stack_over_110_batches(
     spark, tmp_path, monkeypatch
 ):
-    """VERDICT r11 next #1: 110 micro-batches through the fold with NO
+    """VERDICT r11 next #1: many micro-batches through the fold with NO
     manual compaction — the fold-integrated trigger must keep the delta
     stack bounded (the r11 p99 tail was the un-compacted stack) and the
-    resolved map must stay exact across every compaction."""
+    resolved map must stay exact across every compaction.
+
+    Round 13: 110 batches at depth cap 12 took ~8.5 min of suite wall
+    for ~9 compaction cycles; 48 batches at depth cap 6 exercise ~7
+    cycles — the same repeated-compaction + exactness coverage at 44% of
+    the folds (the per-fold cost is fixed, so batch count is pure wall)."""
     import cdc_rs_spark.streaming.clusters as C
 
-    monkeypatch.setattr(C, "AUTO_COMPACT_DEPTH_CAP", 12)
+    monkeypatch.setattr(C, "AUTO_COMPACT_DEPTH_CAP", 6)
     sig, sh, root = _mk_stores(spark, tmp_path, "auto")
     fn = clusters_foreach_batch(sig, sh, root, threshold=0.5)
-    n_batches = 110
+    n_batches = 48
     max_depth = 0
     for b in range(n_batches):
         # each batch: a 2-member exact-dup group with a batch-unique text
@@ -207,8 +212,8 @@ def test_auto_compaction_bounds_delta_stack_over_110_batches(
             max_depth, len(C._read_meta(root).get("deltas") or [])
         )
     meta = C._read_meta(root)
-    assert max_depth <= 12, f"delta stack grew to {max_depth}"
-    assert int(meta["base_epoch"]) >= 1, "the trigger never fired"
+    assert max_depth <= 6, f"delta stack grew to {max_depth}"
+    assert int(meta["base_epoch"]) >= 2, "the trigger fired < 2 times"
     got = _live(spark, root)
     want = {}
     for b in range(n_batches):

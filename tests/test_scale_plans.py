@@ -369,9 +369,28 @@ def test_no_python_nodes_outside_sanctioned_escape_hatches(spark):
         "multimodal_video_scene_cuts",  # r9: frame luma signatures hatch
         "multimodal_audio_vad_segments",  # r9: same signature hatch
     }
+    # per-invocation store builders EXECUTE during construction (minutes
+    # of Spark jobs at suite time) and return a collected local relation
+    # whose plan is a one-node ExistingRDD scan — auditing them here is
+    # all cost, zero signal (their build-path plan claims live in the
+    # plan-shape guards below and the committed plans/ dumps). Round 13:
+    # skipping them cut this test from ~240 s to well under a minute.
+    executes_at_construction = {
+        "curation_funnel_incremental", "curation_funnel_retraction",
+        "dedup_clusters_readmit", "dedup_clusters_retraction",
+        "dedup_incremental_clusters",
+        "gdpr_forget_end_to_end", "gdpr_forget_end_to_end_v2",
+        "heavy_hitters_cms_incremental", "heavy_hitters_cms_retraction",
+        "hll_incremental_distinct", "quantile_histogram_incremental",
+        "quantile_histogram_retraction", "similarity_ivf_incremental_topk",
+        "similarity_ivf_tombstone_topk", "similarity_ivfpq_incremental_topk",
+        "similarity_ivfpq_residual_incremental_topk",
+        "streaming_hll_retraction_rebuild", "text_bigram_lm_incremental",
+        "text_nb_incremental_classifier", "text_nb_retraction_classifier",
+    }
     offenders = [
         r["query"]
-        for r in audit(SF_DIR)
+        for r in audit(SF_DIR, skip=executes_at_construction)
         if r["python"] > 0 and r["query"] not in sanctioned
     ]
     assert offenders == [], f"Python nodes leaked into: {offenders}"

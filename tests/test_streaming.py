@@ -1142,7 +1142,16 @@ def test_change_feed_max_records_per_batch_bounds_catchup(spark, tmp_path):
         .start()
     )
     try:
-        time.sleep(2.0)  # first trigger sees the empty feed -> anchor set
+        # wait for the FIRST trigger to complete (empty feed -> anchor
+        # set) by polling progress, not a fixed sleep: under heavy host
+        # load the first micro-batch can take >2 s to fire, and writing
+        # the burst before the anchor exists lands it in one deliberately
+        # uncapped pre-anchor batch (flaked exactly that way in a loaded
+        # full-suite run)
+        anchor_deadline = time.time() + 60
+        while time.time() < anchor_deadline and not q.recentProgress:
+            time.sleep(0.2)
+        assert q.recentProgress, "first trigger never completed"
         _write_changes(src, "bin.000001", [_chg("Insert", str(i), "v", 10 + i) for i in range(7)])
         _write_changes(src, "bin.000002", [_chg("Insert", str(i), "v", 10 + i) for i in range(7, 10)])
         deadline = time.time() + 120
