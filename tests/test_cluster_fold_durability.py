@@ -188,15 +188,15 @@ def test_auto_compaction_bounds_delta_stack_over_110_batches(
     resolved map must stay exact across every compaction.
 
     Round 13: 110 batches at depth cap 12 took ~8.5 min of suite wall
-    for ~9 compaction cycles; 48 batches at depth cap 6 exercise ~7
-    cycles — the same repeated-compaction + exactness coverage at 44% of
+    for ~9 compaction cycles; 32 batches at depth cap 4 exercise ~6
+    cycles — the same repeated-compaction + exactness coverage at 29% of
     the folds (the per-fold cost is fixed, so batch count is pure wall)."""
     import cdc_rs_spark.streaming.clusters as C
 
-    monkeypatch.setattr(C, "AUTO_COMPACT_DEPTH_CAP", 6)
+    monkeypatch.setattr(C, "AUTO_COMPACT_DEPTH_CAP", 4)
     sig, sh, root = _mk_stores(spark, tmp_path, "auto")
     fn = clusters_foreach_batch(sig, sh, root, threshold=0.5)
-    n_batches = 48
+    n_batches = 32
     max_depth = 0
     for b in range(n_batches):
         # each batch: a 2-member exact-dup group with a batch-unique text
@@ -212,7 +212,7 @@ def test_auto_compaction_bounds_delta_stack_over_110_batches(
             max_depth, len(C._read_meta(root).get("deltas") or [])
         )
     meta = C._read_meta(root)
-    assert max_depth <= 6, f"delta stack grew to {max_depth}"
+    assert max_depth <= 4, f"delta stack grew to {max_depth}"
     assert int(meta["base_epoch"]) >= 2, "the trigger fired < 2 times"
     got = _live(spark, root)
     want = {}
@@ -268,18 +268,10 @@ def test_overcap_batch_routes_through_prefix_blocker(spark, tmp_path):
     every skewed batch — the exact path that protects skewed corpora)."""
     near_a = TEMPLATE * 2 + "extra tail words here"
     near_b = TEMPLATE * 2 + "another different ending phrase"
-    # baseline: default cap (no overflow) over the same feed
-    bsig, bsh, broot = _mk_stores(spark, tmp_path, "oc_base")
-    fn0 = clusters_foreach_batch(bsig, bsh, broot, threshold=0.5)
-    fn0(spark.createDataFrame([(1, TEMPLATE * 2)], "doc_id bigint, text string"), 0)
-    fn0(
-        spark.createDataFrame(
-            [(3, near_a), (5, near_b)], "doc_id bigint, text string"
-        ),
-        1,
-    )
-    baseline = _live(spark, broot)
-    assert baseline == {1: 1, 3: 1, 5: 1}, "fixture must cluster all three"
+    # the un-capped expectation {1:1, 3:1, 5:1} is deterministic (both
+    # tails keep jaccard >= 0.5 vs the template pair — the fixture family
+    # every other test in this file pins), so no baseline run is needed
+    baseline = {1: 1, 3: 1, 5: 1}
 
     sig, sh, root = _mk_stores(spark, tmp_path, "oc")
     # cap=1: any matched bucket with >= 2 store rows overflows, so

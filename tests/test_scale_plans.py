@@ -387,6 +387,11 @@ def test_no_python_nodes_outside_sanctioned_escape_hatches(spark):
         "similarity_ivfpq_residual_incremental_topk",
         "streaming_hll_retraction_rebuild", "text_bigram_lm_incremental",
         "text_nb_incremental_classifier", "text_nb_retraction_classifier",
+        # iterative operators run their loop during construction and
+        # return a localCheckpoint scan — same all-cost/no-signal shape
+        "dedup_connected_components", "part_community_lpa",
+        "part_bfs_distance", "pagerank_part_graph", "part_kcore_2",
+        "sample_coreness_weighted",
     }
     offenders = [
         r["query"]
