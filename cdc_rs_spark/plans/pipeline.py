@@ -2131,28 +2131,51 @@ def gdpr_forget_end_to_end_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 gs = spark.read.schema(_GROUP_SCHEMA).parquet(
                     _resolve_store(sig_path + "_groups")
                 )
-                ms = gs.select("gkey", "doc_id").distinct()
-                # the four store-state counts are themselves independent
-                # read-only aggregates — overlap them too
-                n_groups, n_groups_surviving, n_cmap, n_gdocs = run_parallel(
-                    lambda: ms.select("gkey").distinct().count(),
-                    lambda: (
-                        ms.join(subj, "doc_id", "left_anti")
-                        .select("gkey")
-                        .distinct()
-                        .count()
-                    ),
-                    lambda: (
-                        live_cluster_map(spark, clusters_root)
-                        .join(subj, "doc_id")
-                        .count()
-                    ),
-                    lambda: (
-                        ms.join(subj, "doc_id")
-                        .select("doc_id")
-                        .distinct()
-                        .count()
-                    ),
+                # ONE pass over the group store for all three counts
+                # (round 13b): the old form ran three separate
+                # distinct+aggregate jobs over the same corpus-sized
+                # membership relation. Each doc_id belongs to exactly one
+                # gkey (gkey = md5(text), one text per doc), so distinct
+                # subject docs = sum of per-gkey subject-member counts,
+                # and the surviving-group predicate is per-gkey too —
+                # one distinct + one groupBy computes everything.
+                subj_m = F.broadcast(subj.withColumn("__m", F.lit(True)))
+                per_g = (
+                    gs.select("gkey", "doc_id")
+                    .distinct()
+                    .join(subj_m, "doc_id", "left")
+                    .groupBy("gkey")
+                    .agg(
+                        F.count(F.col("__m")).alias("__ns"),
+                        F.count(
+                            F.when(F.col("__m").isNull(), F.lit(1))
+                        ).alias("__nn"),
+                    )
+                )
+
+                def _gagg():
+                    r = per_g.agg(
+                        F.count(F.lit(1)).alias("n_groups"),
+                        F.sum(
+                            (F.col("__nn") > 0).cast("bigint")
+                        ).alias("n_surv"),
+                        F.sum("__ns").alias("n_gdocs"),
+                    ).collect()[0]
+                    return (
+                        int(r["n_groups"]),
+                        int(r["n_surv"] or 0),
+                        int(r["n_gdocs"] or 0),
+                    )
+
+                (n_groups, n_groups_surviving, n_gdocs), n_cmap = (
+                    run_parallel(
+                        _gagg,
+                        lambda: (
+                            live_cluster_map(spark, clusters_root)
+                            .join(subj, "doc_id")
+                            .count()
+                        ),
+                    )
                 )
                 return {
                     "cluster_map": n_cmap,

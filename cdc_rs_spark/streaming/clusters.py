@@ -981,10 +981,16 @@ def remove_docs(
         gcur = _resolve_store(_group_path(sig_store_path, group_store_path))
         if os.path.isdir(gcur):
             gs = spark.read.schema(_GROUP_SCHEMA).parquet(gcur)
+            # join BEFORE distinct (round 13b): the old distinct().join()
+            # shuffled the whole corpus-sized group store per delete fold;
+            # the live-members join (affected-cluster-bounded, broadcast)
+            # prunes first and the dedup exchange runs over affected rows
+            # only. Identical result: distinct commutes with an inner
+            # equi-join against a duplicate-free key set.
             memb_live = (
                 gs.select("gkey", "doc_id")
-                .distinct()
                 .join(live_members, "doc_id")
+                .distinct()
             )
             hubs = memb_live.groupBy("gkey").agg(
                 F.min("doc_id").alias("hub")
@@ -999,8 +1005,8 @@ def remove_docs(
             live_dels = (
                 gs.filter("delegate")
                 .select("gkey", "doc_id")
-                .distinct()
                 .join(live_members, "doc_id")
+                .distinct()
             )
             # re-elect: affected groups with live members but no live
             # banded delegate get their hub promoted; the dead delegate's
@@ -1015,7 +1021,8 @@ def remove_docs(
                 remap = (
                     gs.filter("delegate")
                     .select("gkey", F.col("doc_id").alias("old_id"))
-                    .distinct()
+                    # join-then-distinct (round 13b, same argument as
+                    # memb_live: the need set is unique per gkey)
                     .join(
                         F.broadcast(
                             spark.createDataFrame(
@@ -1025,6 +1032,7 @@ def remove_docs(
                         ),
                         "gkey",
                     )
+                    .distinct()
                     .filter(F.col("old_id") != F.col("hub"))
                     .select("old_id", "hub", "gkey")
                 )
@@ -1619,42 +1627,50 @@ def clusters_foreach_batch(
                 # no store, nothing to pin: an empty LOCAL relation has
                 # the same semantics as checkpointing the empty aggregate
                 # and skips that Spark job (round 12)
-                ldagg = spark.createDataFrame(
-                    [], "gkey string, __nd bigint, __mind bigint"
+                ldset = spark.createDataFrame(
+                    [], "gkey string, __dels array<bigint>"
                 )
             else:
-                ldagg = (
+                ldset = (
                     live_del.groupBy("gkey")
-                    .agg(
-                        # DISTINCT-delegate count, not row count: live_del
-                        # no longer dedups, and a crash-retry duplicate of
-                        # the SAME delegate must not flip has_ext. Round
-                        # 13 (VERDICT r12 next #3): countDistinct planned
-                        # TWO exchanges (Spark's single-distinct rewrite
-                        # still shuffles on (gkey, del_id) before the gkey
-                        # shuffle — the r12 "2 exchanges -> 1" claim was
-                        # wrong); size(collect_set) dedups INSIDE one
-                        # hash aggregate with map-side partials, so the
-                        # pin phase genuinely plans one exchange now
-                        # (plans/r13/pin_delegates_*.txt). Set sizes are
-                        # per-gkey live-delegate counts — 1 outside
-                        # crash-retry windows, never corpus-shaped.
-                        F.size(F.collect_set("del_id"))
-                        .cast("bigint")
-                        .alias("__nd"),
-                        F.min("del_id").alias("__mind"),
-                    )
+                    # the DISTINCT delegate-id SET, not a count: live_del
+                    # no longer dedups, and a crash-retry duplicate of
+                    # the SAME delegate must not flip has_ext. Round 13
+                    # (VERDICT r12 next #3): countDistinct planned TWO
+                    # exchanges (Spark's single-distinct rewrite still
+                    # shuffles on (gkey, del_id) before the gkey
+                    # shuffle); collect_set dedups INSIDE one hash
+                    # aggregate with map-side partials, so the pin phase
+                    # genuinely plans one exchange
+                    # (plans/r13/pin_delegates_*.txt). Round 13b: the
+                    # checkpoint carries the SET itself instead of just
+                    # (size, min) — the known-group edges below derive
+                    # from it, so the fold's pair plan no longer re-scans
+                    # the corpus-sized group store a second time per
+                    # batch. Sets are per-gkey live-delegate ids — 1
+                    # outside crash-retry windows, never corpus-shaped.
+                    .agg(F.collect_set("del_id").alias("__dels"))
                     .localCheckpoint(eager=True)
                 )
+            ldagg = ldset.select(
+                "gkey",
+                F.size("__dels").cast("bigint").alias("__nd"),
+                F.array_min("__dels").alias("__mind"),
+            )
             g2 = groups.join(F.broadcast(ldagg), "gkey", "left")
-            # known-group edges read live_del lazily AFTER the group
-            # append — safe: the append adds delegate rows only for NEW
-            # groups with del_id == rep_id, which the filter drops
-            # no .distinct() here (round 12): duplicate delegate rows are
-            # rare (crash-retry appends) and fold_pairs' single distinct
-            # absorbs them — the extra exchange cost every batch
+            # known-group edges come from the CHECKPOINTED pre-append
+            # delegate sets (round 13b) — identical rows to the old lazy
+            # live_del re-read: that read happened after the group append
+            # but the appended rows are new groups' self-delegates
+            # (del_id == rep_id), which this filter drops anyway; and the
+            # set form pre-collapses crash-retry duplicate rows that
+            # fold_pairs' distinct absorbed. One corpus-sized scan per
+            # batch instead of two.
             known = (
-                live_del.join(
+                ldset.select(
+                    "gkey", F.explode("__dels").alias("del_id")
+                )
+                .join(
                     F.broadcast(groups.select("gkey", "rep_id")), "gkey"
                 )
                 .filter(F.col("del_id") != F.col("rep_id"))
