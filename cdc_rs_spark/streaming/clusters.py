@@ -1432,6 +1432,115 @@ def maybe_compact_cluster_store(
     return due
 
 
+# ---- size-tiered band-store compaction (round 13) --------------------------
+#
+# The sig/shingle/group stores append ONE file per micro-batch (the r11
+# tiny-files fix) and are rewritten only by purge_band_stores — so a
+# long-running stream accumulates one parquet footer per batch per store,
+# and every fold's reads (the pin-delegates group scan, the band probe,
+# the verify/prefix shingle reads) pay a linearly growing listing + footer
+# cost. At bench scale that cost IS the steady-state fold latency (row
+# counts are tiny); at 100 TB it is both listing and open cost on every
+# executor.
+#
+# The fix is LSM-style SIZE TIERING over the purge machinery's existing
+# versioned-sibling + pointer-flip swap: when a store holds at least
+# `min_files` data files smaller than `small_bytes`, merge exactly those
+# small files into ONE consolidated file inside the next `.vN` sibling and
+# HARDLINK every already-large file forward (zero bytes copied, same
+# inode). A consolidated file that crosses `small_bytes` graduates to the
+# hardlink set forever, so compaction work is bounded by ~small_bytes +
+# min_files * batch_bytes per firing — constant amortized write cost per
+# batch — while each store's live file count stays O(min_files +
+# total_bytes / small_bytes). Row multisets are preserved exactly: readers
+# cannot observe compaction except through listing cost, and a crash
+# anywhere before the pointer flip leaves an orphan sibling the next
+# attempt overwrites (the retried version number re-derives from the
+# still-unflipped pointer). WRITER-EXCLUSIVE like the cluster-map
+# compaction: clusters_foreach_batch runs it after the fold commit.
+#
+# Local defaults match the bench/stream-bench batch shape; production
+# values are env-parameterised (a cluster ingesting GB-sized batches
+# wants a larger small-file bar, e.g. its DFS block size).
+
+BAND_COMPACT_MIN_FILES = int(
+    os.environ.get("SPARK_GRAFT_BAND_COMPACT_FILES", "16")
+)
+BAND_COMPACT_SMALL_BYTES = int(
+    float(os.environ.get("SPARK_GRAFT_BAND_COMPACT_SMALL_MB", "64"))
+    * (1 << 20)
+)
+# merges whose input bytes fit under this bar run DRIVER-SIDE via pyarrow
+# (~ms for KB-MB inputs) instead of scheduling a Spark job: the first cut
+# used a job for every merge and its fixed overhead (~0.3-0.5 s wall per
+# firing on local[32]) ate the read-side win at bench scale. The cap
+# bounds driver memory exactly like the fold's pair collect bounds it —
+# past the cap (possible only at cluster scale) the Spark-job arm takes
+# over, where job overhead is noise against the data volume.
+BAND_COMPACT_DRIVER_BYTES = int(
+    float(os.environ.get("SPARK_GRAFT_BAND_COMPACT_DRIVER_MB", "256"))
+    * (1 << 20)
+)
+
+
+def _compact_band_store(
+    spark: SparkSession,
+    path: str,
+    small_bytes: int | None = None,
+    min_files: int | None = None,
+) -> bool:
+    """Merge a band/shingle/group store's small append files into one
+    consolidated file (hardlinking large files forward) behind an atomic
+    pointer flip. Writer-exclusive; returns True when it compacted."""
+    if small_bytes is None:
+        small_bytes = BAND_COMPACT_SMALL_BYTES
+    if min_files is None:
+        min_files = BAND_COMPACT_MIN_FILES
+    cur = _resolve_store(path)
+    if not os.path.isdir(cur):
+        return False
+    data = [
+        e
+        for e in os.scandir(cur)
+        if e.is_file() and e.name.endswith(".parquet")
+    ]
+    small = [e for e in data if e.stat().st_size < small_bytes]
+    if len(small) < min_files:
+        return False
+    small_names = {e.name for e in small}
+    m = re.fullmatch(re.escape(path) + r"\.v(\d+)", cur)
+    nxt = (int(m.group(1)) + 1) if m else 1
+    sib = f"{path}.v{nxt:06d}"
+    if os.path.exists(sib):
+        # orphan of a crashed prior attempt (same target version because
+        # the pointer never flipped): stale bytes, rebuild from scratch
+        shutil.rmtree(sib)
+    small_total = sum(e.stat().st_size for e in small)
+    if small_total <= BAND_COMPACT_DRIVER_BYTES:
+        import pyarrow.parquet as pq
+
+        os.makedirs(sib)
+        tbl = pq.ParquetDataset([e.path for e in small]).read()
+        pq.write_table(
+            tbl,
+            os.path.join(sib, f"part-00000-compact{nxt:06d}.parquet"),
+            compression="snappy",
+        )
+    else:
+        (
+            spark.read.parquet(*[e.path for e in small])
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(sib)
+        )
+    for e in data:
+        if e.name not in small_names:
+            # same parent directory => same filesystem, link never copies
+            os.link(e.path, os.path.join(sib, e.name))
+    _flip_store(path, nxt)
+    return True
+
+
 def batch_pairs(batch_df: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Intra-batch verified near-dup pairs — identical band + round-6
     exact-Jaccard semantics as the batch pipeline, INCLUDING the round-11
@@ -1930,13 +2039,35 @@ def clusters_foreach_batch(
                     # fold-integrated compaction (round 12): the p99
                     # latency contract no longer depends on the caller
                     # remembering to compact — see maybe_compact_*'s
-                    # module-level design note
+                    # module-level design note. Round 13 adds the band/
+                    # shingle/group stores' size tiering in the same
+                    # writer-exclusive window; all four targets are
+                    # disjoint directories, so the legs overlap (§2.6).
                     _phase(spark, "compact")
-                    maybe_compact_cluster_store(
-                        spark,
-                        cluster_store_root,
-                        compact_every=compact_every,
-                        auto_compact=auto_compact,
+
+                    def _band_leg(path: str) -> bool:
+                        # job descriptions are thread-local: label the
+                        # pool thread too so the REST timeline stays
+                        # attributable (profile_fold groups on these)
+                        _phase(spark, "compact")
+                        return _compact_band_store(spark, path)
+
+                    run_parallel(
+                        lambda: maybe_compact_cluster_store(
+                            spark,
+                            cluster_store_root,
+                            compact_every=compact_every,
+                            auto_compact=auto_compact,
+                        ),
+                        *(
+                            (
+                                lambda: _band_leg(signature_store_path),
+                                lambda: _band_leg(shingle_store_path),
+                                lambda: _band_leg(gpath_base),
+                            )
+                            if auto_compact
+                            else ()
+                        ),
                     )
                 if on_stats is not None:
                     on_stats(stats, batch_id)

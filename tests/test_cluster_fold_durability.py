@@ -320,3 +320,227 @@ def test_group_append_failure_mid_fold_leaves_no_ledger_line(
     fn(b0, 0)  # at-least-once retry heals
     fn(spark.createDataFrame([(9, TEMPLATE * 2)], "doc_id bigint, text string"), 1)
     assert _live(spark, root) == {1: 1, 3: 1, 9: 1}
+
+
+def _store_multisets(spark, sig, sh, groups_path):
+    from collections import Counter
+
+    from cdc_rs_spark.streaming.clusters import _resolve_store
+
+    sig_rows = Counter(
+        (r["doc_id"], r["band"], r["bkey"])
+        for r in spark.read.parquet(_resolve_store(sig)).collect()
+    )
+    sh_rows = Counter(
+        (r["doc_id"], tuple(r["sh"]))
+        for r in spark.read.parquet(_resolve_store(sh)).collect()
+    )
+    g_rows = Counter(
+        (r["gkey"], r["doc_id"], r["delegate"])
+        for r in spark.read.parquet(_resolve_store(groups_path)).collect()
+    )
+    return sig_rows, sh_rows, g_rows
+
+
+def _n_parquet_files(resolved_dir):
+    import os
+
+    return sum(
+        1 for n in os.listdir(resolved_dir) if n.endswith(".parquet")
+    )
+
+
+def test_band_store_tiering_preserves_rows_and_bounds_files(
+    spark, tmp_path, monkeypatch
+):
+    """Size-tiered band/shingle/group store compaction (round 13): over a
+    multi-batch ingest with the trigger forced low, (a) every store's row
+    MULTISET is byte-for-byte preserved, (b) the live file count stays
+    bounded instead of one-per-batch, (c) a near-dup arriving AFTER
+    compactions still pairs against the consolidated store (the probe
+    path reads through the flipped pointer), and (d) files that crossed
+    the small-size bar are HARDLINKED forward, not rewritten."""
+    import cdc_rs_spark.streaming.clusters as C
+
+    # fully disjoint token sets — no accidental cross-variant pairs
+    texts = [
+        (
+            2 * i,
+            " ".join(f"tok{i}x{k}" for k in range(20)),
+        )
+        for i in range(8)
+    ]
+
+    def run(prefix):
+        sig, sh, root = _mk_stores(spark, tmp_path, prefix)
+        fn = clusters_foreach_batch(sig, sh, root, threshold=0.5)
+        for b, (i, t) in enumerate(texts):
+            fn(
+                spark.createDataFrame(
+                    [(i, t)], "doc_id bigint, text string"
+                ),
+                b,
+            )
+        # the post-compaction probe: a near dup of batch 0's text must
+        # pair against whatever layout the store has now
+        fn(
+            spark.createDataFrame(
+                [(99, texts[0][1] + " tiny tail")],
+                "doc_id bigint, text string",
+            ),
+            len(texts),
+        )
+        return sig, sh, root
+
+    # control: trigger can never fire
+    monkeypatch.setattr(C, "BAND_COMPACT_MIN_FILES", 10**9)
+    c_sig, c_sh, c_root = run("notier")
+    control = _store_multisets(spark, c_sig, c_sh, c_sig + "_groups")
+    control_map = _live(spark, c_root)
+    assert control_map == {0: 0, 99: 0}, "fixture must pair 99 with 0"
+
+    # tiered: fire at 3 small files; 1500 B bar makes the consolidated
+    # file graduate to the hardlink set after a few merges
+    monkeypatch.setattr(C, "BAND_COMPACT_MIN_FILES", 3)
+    monkeypatch.setattr(C, "BAND_COMPACT_SMALL_BYTES", 1500)
+    t_sig, t_sh, t_root = run("tier")
+    tiered = _store_multisets(spark, t_sig, t_sh, t_sig + "_groups")
+
+    assert tiered == control
+    assert _live(spark, t_root) == control_map
+
+    for path in (t_sig, t_sh, t_sig + "_groups"):
+        resolved = C._resolve_store(path)
+        assert resolved != path, f"{path}: no compaction ever fired"
+        n = _n_parquet_files(resolved)
+        assert n < len(texts), (
+            f"{path}: {n} files after {len(texts) + 1} batches — unbounded"
+        )
+
+
+def test_compact_band_store_hardlinks_large_files(
+    spark, tmp_path, monkeypatch
+):
+    """(d) of the tiering contract: a file at/over the small-size bar is
+    carried into the new sibling by HARDLINK (same inode — zero bytes
+    copied), while the small files merge; the row multiset is exact.
+    Forces the SPARK-JOB merge arm (driver cap 0) — the other tiering
+    tests exercise the driver-side pyarrow arm."""
+    import os
+
+    import cdc_rs_spark.streaming.clusters as C
+
+    monkeypatch.setattr(C, "BAND_COMPACT_DRIVER_BYTES", 0)
+    p = str(tmp_path / "hb_sig")
+    for i in range(3):
+        spark.createDataFrame(
+            [(i, i, f"k{i}")], "doc_id bigint, band int, bkey string"
+        ).coalesce(1).write.mode("append").parquet(p)
+    spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band"),
+        F.md5(F.col("id").cast("string")).alias("bkey"),
+    ).coalesce(1).write.mode("append").parquet(p)
+    before = {
+        (r["doc_id"], r["band"], r["bkey"])
+        for r in spark.read.parquet(p).collect()
+    }
+    big = [
+        (n, os.stat(os.path.join(p, n)).st_ino)
+        for n in os.listdir(p)
+        if n.endswith(".parquet")
+        and os.stat(os.path.join(p, n)).st_size >= 10_000
+    ]
+    assert len(big) == 1, "fixture needs exactly one over-bar file"
+    assert C._compact_band_store(spark, p, small_bytes=10_000, min_files=3)
+    resolved = C._resolve_store(p)
+    assert resolved != p
+    after = {
+        (r["doc_id"], r["band"], r["bkey"])
+        for r in spark.read.parquet(resolved).collect()
+    }
+    assert after == before
+    name, ino = big[0]
+    assert os.stat(os.path.join(resolved, name)).st_ino == ino, (
+        "large file was rewritten, not hardlinked"
+    )
+    # small files merged down: graduate + one consolidated file
+    assert _n_parquet_files(resolved) == 2
+
+
+def test_band_compaction_crash_mid_rewrite_heals(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the compaction between its sibling write and the pointer
+    flip (os.link raising): the pointer must still resolve to the
+    pre-compaction directory (no rows lost), the fold that crashed must
+    already be committed (compaction runs post-commit), and the next
+    batch's retried compaction must overwrite the orphan sibling and
+    converge to the same store contents."""
+    import os
+
+    import cdc_rs_spark.streaming.clusters as C
+
+    monkeypatch.setattr(C, "BAND_COMPACT_MIN_FILES", 3)
+    monkeypatch.setattr(C, "BAND_COMPACT_SMALL_BYTES", 1500)
+    sig, sh, root = _mk_stores(spark, tmp_path, "cc")
+    fn = clusters_foreach_batch(sig, sh, root, threshold=0.5)
+
+    state = {"armed": False, "fired": False}
+    orig_link = os.link
+
+    def boom(src, dst, **kw):
+        if state["armed"] and f"{sig}.v" in dst:
+            state["armed"] = False
+            state["fired"] = True
+            raise RuntimeError("injected compaction crash")
+        return orig_link(src, dst, **kw)
+
+    monkeypatch.setattr(os, "link", boom)
+
+    docs = [
+        (2 * i, " ".join(f"cr{i}x{k}" for k in range(20)))
+        for i in range(6)
+    ]
+    crashed_at = None
+    for b, (i, t) in enumerate(docs):
+        # arm only once the sig store has a graduated (hardlinkable)
+        # consolidated file, so the link loop actually runs
+        if not state["fired"]:
+            resolved = C._resolve_store(sig)
+            state["armed"] = any(
+                os.stat(os.path.join(resolved, n)).st_size >= 1500
+                for n in os.listdir(resolved)
+                if n.endswith(".parquet")
+            )
+        try:
+            fn(
+                spark.createDataFrame(
+                    [(i, t)], "doc_id bigint, text string"
+                ),
+                b,
+            )
+        except RuntimeError as e:
+            assert "injected compaction crash" in str(e)
+            crashed_at = b
+    assert state["fired"], "crash never armed — fixture too small"
+    assert crashed_at is not None
+    # the crashed batch committed BEFORE compaction: its ledger line holds
+    from cdc_rs_spark.streaming.clusters import _read_meta
+
+    assert int(
+        (_read_meta(root).get("last_batch_by_stream") or {}).get("s", -1)
+    ) == len(docs) - 1
+    # store readable through the unflipped pointer, nothing lost, and a
+    # late near-dup of doc 0 still pairs (bands for every doc intact)
+    fn(
+        spark.createDataFrame(
+            [(99, docs[0][1] + " tiny tail")], "doc_id bigint, text string"
+        ),
+        len(docs),
+    )
+    assert _live(spark, root) == {0: 0, 99: 0}
+    n_sig = spark.read.parquet(C._resolve_store(sig)).count()
+    from cdc_rs_spark.operators.dedup import MINHASH_BANDS
+
+    assert n_sig == (len(docs) + 1) * MINHASH_BANDS
