@@ -368,7 +368,7 @@ def test_band_store_tiering_preserves_rows_and_bounds_files(
             2 * i,
             " ".join(f"tok{i}x{k}" for k in range(20)),
         )
-        for i in range(8)
+        for i in range(6)
     ]
 
     def run(prefix):
